@@ -1,0 +1,331 @@
+"""Feature-group metadata objects wrapping Spark tables.
+
+Parity targets in ``/root/reference/python/hsfs/feature_group.py``:
+cached ``FeatureGroup`` (class at :2050; select surface :240-408),
+``ExternalFeatureGroup`` (:3569), ``SpineGroup`` (:4108). Storage here is
+Spark-native: a parquet path, a live DataFrame, or a managed
+commit-store location (our time-travel format, see
+:mod:`.sources.commit_store`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constructor.query import Query
+from .feature import Feature, autofix_feature_name
+
+
+class FeatureGroupBase:
+    """Shared select/filter surface for all feature-group flavors."""
+
+    def __init__(
+        self,
+        name: str,
+        version: int = 1,
+        primary_key: Sequence[str] = (),
+        partition_key: Sequence[str] = (),
+        event_time: Optional[str] = None,
+        features: Optional[List[Feature]] = None,
+        description: str = "",
+        online_enabled: bool = False,
+    ) -> None:
+        self.name = autofix_feature_name(name)
+        self.version = version
+        self.primary_key = [autofix_feature_name(k) for k in primary_key]
+        self.partition_key = [autofix_feature_name(k) for k in partition_key]
+        self.event_time = autofix_feature_name(event_time) if event_time else None
+        self.description = description
+        self.online_enabled = online_enabled
+        self._features: List[Feature] = []
+        if features:
+            self.set_features(features)
+
+    # -- schema -----------------------------------------------------------
+    def set_features(self, features: List[Feature]) -> None:
+        self._features = []
+        for f in features:
+            f = f.with_feature_group(self)
+            f.primary = f.name in self.primary_key
+            f.partition = f.name in self.partition_key
+            f.event_time = f.name == self.event_time
+            self._features.append(f)
+
+    @property
+    def features(self) -> List[Feature]:
+        return self._features
+
+    @property
+    def feature_names(self) -> List[str]:
+        return [f.name for f in self._features]
+
+    def get_feature(self, name: str) -> Feature:
+        name = autofix_feature_name(name)
+        for f in self._features:
+            if f.name == name:
+                return f
+        raise KeyError(f"Feature {name!r} not in feature group {self.name!r}")
+
+    def __getattr__(self, name: str) -> Feature:
+        # metadata attributes resolve normally; unknown names fall
+        # through to feature lookup (reference allows fg.feature_name)
+        try:
+            return self.get_feature(name)
+        except KeyError as e:
+            raise AttributeError(str(e)) from e
+
+    def __getitem__(self, name: str) -> Feature:
+        return self.get_feature(name)
+
+    # -- projection → Query (parity feature_group.py:240-408) -------------
+    def select_all(
+        self,
+        include_primary_key: bool = True,
+        include_event_time: bool = True,
+        include_partition_key: bool = True,
+    ) -> Query:
+        feats = [
+            f
+            for f in self._features
+            if (include_primary_key or not f.primary)
+            and (include_event_time or not f.event_time)
+            and (include_partition_key or not f.partition)
+        ]
+        return Query(self, feats)
+
+    def select(self, features: Sequence[Union[str, Feature]]) -> Query:
+        feats = [
+            self.get_feature(f) if isinstance(f, str) else self.get_feature(f.name)
+            for f in features
+        ]
+        return Query(self, feats)
+
+    def select_except(self, features: Sequence[Union[str, Feature]]) -> Query:
+        drop = {
+            autofix_feature_name(f if isinstance(f, str) else f.name)
+            for f in features
+        }
+        return Query(self, [f for f in self._features if f.name not in drop])
+
+    def filter(self, f) -> Query:
+        return self.select_all().filter(f)
+
+    # -- source resolution (implemented by subclasses) ---------------------
+    def read_source(
+        self,
+        spark: SparkSession,
+        start_time: Optional[int] = None,
+        end_time: Optional[int] = None,
+    ) -> DataFrame:
+        raise NotImplementedError
+
+    def read(self, spark: Optional[SparkSession] = None, **kw) -> DataFrame:
+        return self.select_all().read(spark, **kw)
+
+    def show(self, n: int = 10):
+        return self.select_all().show(n)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.name!r}, v{self.version})"
+
+
+class FeatureGroup(FeatureGroupBase):
+    """A cached (materialized) feature group.
+
+    Backed either by an immutable parquet path (read-only sources such as
+    the test tables) or by a managed commit store supporting
+    upsert/delete/time-travel (``time_travel_format="COMMITLOG"`` — our
+    replacement for the reference's Hudi/Delta duality,
+    ``feature_group.py:2050`` + ``core/hudi_engine.py`` /
+    ``core/delta_engine.py``).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        version: int = 1,
+        primary_key: Sequence[str] = (),
+        partition_key: Sequence[str] = (),
+        event_time: Optional[str] = None,
+        features: Optional[List[Feature]] = None,
+        description: str = "",
+        online_enabled: bool = False,
+        path: Optional[str] = None,
+        location: Optional[str] = None,
+        precombine_key: Optional[str] = None,
+        stream: bool = False,
+    ) -> None:
+        super().__init__(
+            name, version, primary_key, partition_key, event_time, features,
+            description, online_enabled,
+        )
+        self.path = path  # immutable parquet source
+        self.location = location  # managed commit-store dir
+        self.precombine_key = (
+            autofix_feature_name(precombine_key) if precombine_key else None
+        )
+        self.stream = stream
+        self._store = None
+
+    # -- managed storage ---------------------------------------------------
+    @property
+    def commit_store(self):
+        if self.location is None:
+            raise ValueError(
+                f"Feature group {self.name!r} is not managed (no location); "
+                "insert/commit operations require a managed feature group"
+            )
+        if self._store is None:
+            from .sources.commit_store import CommitStore
+
+            self._store = CommitStore(
+                self.location,
+                primary_key=self.primary_key,
+                event_time=self.event_time,
+                partition_key=self.partition_key,
+                precombine_key=self.precombine_key,
+            )
+        return self._store
+
+    def insert(
+        self,
+        df: DataFrame,
+        operation: str = "upsert",
+        write_options: Optional[Dict[str, Any]] = None,
+    ) -> "FeatureGroupCommit":
+        """Ingest a DataFrame (parity ``feature_group.py:2623`` →
+        ``engine/spark.py:349-396``). Infers/validates schema, sanitizes
+        names, writes a commit (upsert/insert/delete semantics in the
+        commit store)."""
+        from .sources.ingestion import convert_to_default_dataframe
+
+        df = convert_to_default_dataframe(df)
+        if not self._features:
+            self.set_features(
+                [Feature(f.name, f.dataType) for f in df.schema.fields]
+            )
+        commit = self.commit_store.write(df, operation=operation)
+        if self.online_enabled:
+            from .online.store import OnlineStore
+
+            OnlineStore.for_feature_group(self).upsert(df)
+        return commit
+
+    def commit_delete_record(self, df: DataFrame) -> "FeatureGroupCommit":
+        """Parity ``core/hudi_engine.py:94-100`` / ``core/delta_engine.py:87-114``."""
+        return self.commit_store.write(df, operation="delete")
+
+    def commit_details(self, limit: Optional[int] = None):
+        """Commit metadata, newest first (parity ``feature_group.py:3115``,
+        ``core/delta_engine.py:172-204``)."""
+        details = self.commit_store.commit_details()
+        return details[:limit] if limit else details
+
+    def as_of(self, wallclock_time=None, exclude_until=None) -> Query:
+        return self.select_all().as_of(wallclock_time, exclude_until)
+
+    def read_changes(self, start_wallclock_time, end_wallclock_time) -> DataFrame:
+        return (
+            self.select_all()
+            .pull_changes(start_wallclock_time, end_wallclock_time)
+            .read()
+        )
+
+    # -- source resolution -------------------------------------------------
+    def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+        if self.location is not None:
+            return self.commit_store.snapshot(
+                spark, start_commit=start_time, end_commit=end_time
+            )
+        if self.path is not None:
+            df = spark.read.parquet(self.path)
+            if start_time is not None or end_time is not None:
+                # immutable parquet has a single implicit commit; honor
+                # event-time bounds when an event_time column exists
+                if self.event_time:
+                    col = F.col(self.event_time)
+                    if start_time is not None:
+                        df = df.where(
+                            col > F.timestamp_millis(F.lit(start_time))
+                        )
+                    if end_time is not None:
+                        df = df.where(
+                            col <= F.timestamp_millis(F.lit(end_time))
+                        )
+            return df
+        raise ValueError(f"Feature group {self.name!r} has no storage bound")
+
+    def insert_stream(self, df: DataFrame, **kw):
+        from .streaming.insert_stream import insert_stream
+
+        return insert_stream(self, df, **kw)
+
+    def find_neighbors(self, embedding, col=None, k=10, filter=None, metric="l2"):
+        from .operators.similarity import find_neighbors
+
+        return find_neighbors(self, embedding, col=col, k=k, filter=filter, metric=metric)
+
+
+class ExternalFeatureGroup(FeatureGroupBase):
+    """On-demand feature group: a query or path against an external
+    connector, evaluated at read time (parity ``feature_group.py:3569``,
+    registered as temp view at ``engine/spark.py:195-209``)."""
+
+    def __init__(
+        self,
+        name: str,
+        storage_connector,
+        query: Optional[str] = None,
+        path: Optional[str] = None,
+        data_format: Optional[str] = None,
+        options: Optional[Dict[str, str]] = None,
+        **kw,
+    ) -> None:
+        super().__init__(name, **kw)
+        self.storage_connector = storage_connector
+        self.query = query
+        self.path = path
+        self.data_format = data_format
+        self.options = options or {}
+
+    def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+        return self.storage_connector.read(
+            spark,
+            query=self.query,
+            data_format=self.data_format,
+            options=self.options,
+            path=self.path,
+        )
+
+
+class SpineGroup(FeatureGroupBase):
+    """An ephemeral user DataFrame carrying only pk/event-time metadata —
+    the left side of point-in-time joins (parity
+    ``feature_group.py:4108``, ``constructor/fs_query.py:96-111``)."""
+
+    def __init__(
+        self,
+        name: str,
+        dataframe: DataFrame,
+        primary_key: Sequence[str] = (),
+        event_time: Optional[str] = None,
+        **kw,
+    ) -> None:
+        super().__init__(
+            name, primary_key=primary_key, event_time=event_time, **kw
+        )
+        self._dataframe = dataframe
+        if not self._features:
+            self.set_features(
+                [Feature(f.name, f.dataType) for f in dataframe.schema.fields]
+            )
+
+    @property
+    def dataframe(self) -> DataFrame:
+        return self._dataframe
+
+    def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+        return self._dataframe

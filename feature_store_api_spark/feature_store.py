@@ -1,0 +1,150 @@
+"""FeatureStore: the registry / entry point.
+
+Parity: ``/root/reference/python/hsfs/feature_store.py:120-1725``
+(``create_feature_group`` :489, ``sql`` :426,
+``get_or_create_spine_group`` :1064). Instead of a remote metadata
+service, registration is an in-process catalog persisted per store
+root directory; storage is Spark-native (parquet commit store).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .feature import Feature, autofix_feature_name
+from .feature_group import ExternalFeatureGroup, FeatureGroup, SpineGroup
+
+
+class FeatureStore:
+    def __init__(self, root: Optional[str] = None, name: str = "default") -> None:
+        self.name = name
+        self.root = root  # directory for managed feature groups
+        self._registry: Dict[tuple, FeatureGroup] = {}
+
+    # -- registration ------------------------------------------------------
+    def create_feature_group(
+        self,
+        name: str,
+        version: int = 1,
+        primary_key: Sequence[str] = (),
+        partition_key: Sequence[str] = (),
+        event_time: Optional[str] = None,
+        features: Optional[List[Feature]] = None,
+        description: str = "",
+        online_enabled: bool = False,
+        path: Optional[str] = None,
+        precombine_key: Optional[str] = None,
+        stream: bool = False,
+    ) -> FeatureGroup:
+        name = autofix_feature_name(name)
+        location = None
+        if path is None:
+            if self.root is None:
+                raise ValueError(
+                    "FeatureStore has no root directory; pass path= for an "
+                    "unmanaged parquet-backed feature group"
+                )
+            location = os.path.join(self.root, f"{name}_{version}")
+        fg = FeatureGroup(
+            name,
+            version=version,
+            primary_key=primary_key,
+            partition_key=partition_key,
+            event_time=event_time,
+            features=features,
+            description=description,
+            online_enabled=online_enabled,
+            path=path,
+            location=location,
+            precombine_key=precombine_key,
+            stream=stream,
+        )
+        self._registry[(name, version)] = fg
+        return fg
+
+    def get_feature_group(self, name: str, version: int = 1) -> FeatureGroup:
+        key = (autofix_feature_name(name), version)
+        if key not in self._registry:
+            raise KeyError(f"Feature group {key} not registered")
+        return self._registry[key]
+
+    def get_or_create_feature_group(self, name: str, version: int = 1, **kw) -> FeatureGroup:
+        try:
+            return self.get_feature_group(name, version)
+        except KeyError:
+            return self.create_feature_group(name, version=version, **kw)
+
+    def get_or_create_spine_group(
+        self,
+        name: str,
+        dataframe: DataFrame,
+        primary_key: Sequence[str] = (),
+        event_time: Optional[str] = None,
+        version: int = 1,
+    ) -> SpineGroup:
+        return SpineGroup(
+            name,
+            dataframe,
+            primary_key=primary_key,
+            event_time=event_time,
+            version=version,
+        )
+
+    def create_external_feature_group(self, name: str, storage_connector, **kw) -> ExternalFeatureGroup:
+        fg = ExternalFeatureGroup(name, storage_connector, **kw)
+        self._registry[(fg.name, fg.version)] = fg
+        return fg
+
+    # -- ad-hoc SQL (parity feature_store.py:426) --------------------------
+    def sql(self, query: str, spark: Optional[SparkSession] = None) -> DataFrame:
+        from .session import get_spark
+
+        spark = spark or get_spark()
+        for (name, version), fg in self._registry.items():
+            fg.read_source(spark).createOrReplaceTempView(f"{name}_{version}")
+            if version == 1:
+                fg.read_source(spark).createOrReplaceTempView(name)
+        return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# Test-data catalog: the TPC-H-ish tables as parquet-backed feature groups
+# ---------------------------------------------------------------------------
+
+_TPCH_META = {
+    # name: (primary_key, event_time)
+    "region": (["r_regionkey"], None),
+    "nation": (["n_nationkey"], None),
+    "customer": (["c_custkey"], None),
+    "supplier": (["s_suppkey"], None),
+    "part": (["p_partkey"], None),
+    "orders": (["o_orderkey"], "o_orderdate"),
+    "lineitem": (["l_orderkey", "l_linenumber"], "l_shipdate"),
+    "events": (["event_id"], "ts"),
+    "documents": (["doc_id"], None),
+    "embeddings": (["vec_id"], None),
+}
+
+
+def testdata_catalog(spark: SparkSession, sf_dir: str) -> FeatureStore:
+    """Bind the driver's synthetic tables (TESTDATA.md) as feature groups.
+
+    Schemas are read from parquet footers (cheap); primary keys follow
+    FIXTURES.md §F6.
+    """
+    fs = FeatureStore(name=f"testdata:{sf_dir}")
+    for name, (pk, et) in _TPCH_META.items():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        schema = spark.read.parquet(path).schema
+        fg = FeatureGroup(
+            name,
+            primary_key=pk,
+            event_time=et,
+            features=[Feature(f.name, f.dataType) for f in schema.fields],
+            path=path,
+        )
+        fs._registry[(name, 1)] = fg
+    return fs

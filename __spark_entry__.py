@@ -1,38 +1,641 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PIT-join query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (correctness gate).
+
+Each queries() callable takes (spark, sf_dir) and returns a DataFrame;
+column aliases match the oracle SQL exactly.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from feature_store_api_spark import testdata_catalog
+from feature_store_api_spark.sources.readers import read_parquet
+
+
+def _fg(spark, sf_dir, name):
+    return testdata_catalog(spark, sf_dir).get_feature_group(name)
+
+
+def _cat(spark, sf_dir):
+    return testdata_catalog(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Point-in-time join: events spine against orders history."""
+    return _q_pit_join(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / selection / predicates
+# ---------------------------------------------------------------------------
+
+def _q_scan_filter_project(spark, sf_dir):
+    li = _fg(spark, sf_dir, "lineitem")
+    q = (
+        li.select(["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+        .filter((li.l_shipdate < "1996-01-01") & (li.l_discount >= 0.05))
+    )
+    return q.read(spark)
+
+
+def _q_filter_in_like(spark, sf_dir):
+    o = _fg(spark, sf_dir, "orders")
+    q = o.select_all().filter(
+        o.o_orderstatus.isin(["F", "O"]) & o.o_orderpriority.like("1%")
+    )
+    return q.read(spark)
+
+
+def _q_filter_or_tree(spark, sf_dir):
+    c = _fg(spark, sf_dir, "customer")
+    q = c.select(["c_custkey", "c_acctbal", "c_mktsegment"]).filter(
+        ((c.c_acctbal > 9000) | (c.c_mktsegment == "BUILDING")) & (c.c_custkey <= 1000)
+    )
+    return q.read(spark)
+
+
+def _q_select_except(spark, sf_dir):
+    c = _fg(spark, sf_dir, "customer")
+    return c.select_except(["c_name", "c_nationkey"]).read(spark)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def _q_join_multi(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    o, c, n = (cat.get_feature_group(x) for x in ("orders", "customer", "nation"))
+    q = (
+        o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        .join(
+            c.select(["c_custkey", "c_name", "c_nationkey"]),
+            left_on=["o_custkey"], right_on=["c_custkey"],
+        )
+        .join(
+            n.select(["n_name"]),
+            left_on=["c_nationkey"], right_on=["n_nationkey"], prefix="nat_",
+        )
+        .filter(o.o_totalprice > 100000)
+    )
+    return q.read(spark)
+
+
+def _q_join_inner(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    s, n = cat.get_feature_group("supplier"), cat.get_feature_group("nation")
+    q = s.select(["s_suppkey", "s_name", "s_acctbal"]).join(
+        n.select(["n_name", "n_regionkey"]),
+        left_on=["s_nationkey"], right_on=["n_nationkey"], join_type="inner",
+    )
+    return q.read(spark)
+
+
+def _q_join_right(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    n, r = cat.get_feature_group("nation"), cat.get_feature_group("region")
+    q = n.select(["n_name", "n_regionkey"]).join(
+        r.select(["r_regionkey", "r_name"]),
+        left_on=["n_regionkey"], right_on=["r_regionkey"], join_type="right",
+    )
+    return q.read(spark)
+
+
+def _q_join_full(spark, sf_dir):
+    """FULL OUTER join, distinct key names on each side."""
+    cat = _cat(spark, sf_dir)
+    c, s = cat.get_feature_group("customer"), cat.get_feature_group("supplier")
+    q = c.select(["c_custkey", "c_acctbal"]).join(
+        s.select(["s_suppkey", "s_name"]),
+        left_on=["c_custkey"], right_on=["s_suppkey"], join_type="full",
+    )
+    return q.read(spark)
+
+
+def _q_join_semi(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    c, o = cat.get_feature_group("customer"), cat.get_feature_group("orders")
+    big = o.select(["o_custkey"]).filter(o.o_totalprice > 300000)
+    q = c.select(["c_custkey", "c_name"]).join(
+        big, left_on=["c_custkey"], right_on=["o_custkey"], join_type="left_semi"
+    )
+    return q.read(spark)
+
+
+def _q_join_anti(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    c, o = cat.get_feature_group("customer"), cat.get_feature_group("orders")
+    q = c.select(["c_custkey", "c_name"]).join(
+        o.select(["o_custkey"]),
+        left_on=["c_custkey"], right_on=["o_custkey"], join_type="left_anti",
+    )
+    return q.read(spark)
+
+
+def _q_join_cross(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    r, n = cat.get_feature_group("region"), cat.get_feature_group("nation")
+    q = r.select(["r_name"]).join(
+        n.select(["n_name"]), join_type="cross", prefix="x_"
+    )
+    return q.read(spark)
+
+
+def _q_join_pk_inferred(spark, sf_dir):
+    """Default keys = shared primary-key names (constructor/query.py:246-249)."""
+    cat = _cat(spark, sf_dir)
+    c = cat.get_feature_group("customer")
+    left = c.select(["c_custkey", "c_name"])
+    right = cat.get_feature_group("customer").select(["c_acctbal"])
+    q = left.join(right, prefix="p_")  # inferred on c_custkey
+    return q.read(spark)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 point-in-time join + time travel
+# ---------------------------------------------------------------------------
+
+def _q_pit_join(spark, sf_dir):
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select(F.col("event_id"), F.col("user_id").alias("custkey"), F.col("ts"))
+    feat = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate", "o_totalprice", "o_orderstatus",
+    )
+    return point_in_time_join(
+        spine, feat, keys=["custkey"], spine_ts="ts", feature_ts="o_orderdate",
+        features=["o_totalprice", "o_orderstatus"], prefix="ord_",
+    )
+
+
+def _q_pit_join_range(spark, sf_dir):
+    """Same semantics, range-join physical strategy."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select(F.col("event_id"), F.col("user_id").alias("custkey"), F.col("ts"))
+    feat = orders.select(
+        F.col("o_custkey").alias("custkey"), "o_orderdate", "o_totalprice",
+    )
+    return point_in_time_join(
+        spine, feat, keys=["custkey"], spine_ts="ts", feature_ts="o_orderdate",
+        features=["o_totalprice"], prefix="ord_", strategy="range_join",
+    )
+
+
+_PIT_SQL = """
+WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
+     feat AS (SELECT o_custkey AS custkey, o_orderdate, o_totalprice, o_orderstatus FROM orders)
+SELECT spine.event_id, spine.custkey, spine.ts,
+       feat.o_totalprice AS ord_o_totalprice,
+       feat.o_orderstatus AS ord_o_orderstatus
+FROM spine ASOF LEFT JOIN feat
+  ON spine.custkey = feat.custkey AND spine.ts >= feat.o_orderdate
+"""
+
+_PIT_RANGE_SQL = """
+WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
+     feat AS (SELECT o_custkey AS custkey, o_orderdate, o_totalprice FROM orders)
+SELECT spine.event_id, spine.custkey, spine.ts,
+       feat.o_totalprice AS ord_o_totalprice
+FROM spine ASOF LEFT JOIN feat
+  ON spine.custkey = feat.custkey AND spine.ts >= feat.o_orderdate
+"""
+
+
+def _managed_fg(spark, sf_dir, tmpdir, online=False):
+    """Build a managed FG from orders: two commits + a delete commit."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=tmpdir)
+    fg = fs.create_feature_group(
+        "orders_fg", primary_key=["o_orderkey"], event_time="o_orderdate"
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    c1 = fg.insert(orders.where(F.col("o_orderkey") % 3 != 0))
+    c2 = fg.insert(
+        orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+    )
+    c3 = fg.commit_delete_record(orders.where(F.col("o_orderkey") % 100 == 7))
+    return fg, c1, c2, c3
+
+
+def _q_time_travel_asof(spark, sf_dir):
+    """Snapshot at first commit: only the %3!=0 rows."""
+    tmp = tempfile.mkdtemp(prefix="fsas_tt_")
+    try:
+        fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
+        df = fg.as_of(c1.commit_time).read(spark)
+        df = df.select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey")
+        out = df.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+def _q_time_travel_snapshot(spark, sf_dir):
+    """Latest snapshot: all rows, %3==0 bumped, %100==7 deleted."""
+    tmp = tempfile.mkdtemp(prefix="fsas_tt_")
+    try:
+        fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
+        df = fg.read(spark).select("o_orderkey", "o_totalprice")
+        out = df.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+def _q_incremental_pull(spark, sf_dir):
+    """Rows changed in (c1, c2] — exactly the second commit's upserts."""
+    tmp = tempfile.mkdtemp(prefix="fsas_tt_")
+    try:
+        fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
+        df = fg.select_all().pull_changes(c1.commit_time, c2.commit_time).read(spark)
+        out = df.select("o_orderkey", "o_totalprice").toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 statistics
+# ---------------------------------------------------------------------------
+
+def _q_stats_profile(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import describe_df
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return describe_df(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _q_value_counts(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import value_counts
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return value_counts(li, "l_returnflag", k=10)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / latest-per-key (online materialization semantics)
+# ---------------------------------------------------------------------------
+
+def _q_latest_per_key(spark, sf_dir):
+    from feature_store_api_spark.operators.dedup import latest_per_key
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return latest_per_key(
+        ev.select("event_id", "user_id", "ts", "value"),
+        keys=["user_id"], order_by=["ts"], tie_breakers=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set ops
+# ---------------------------------------------------------------------------
+
+def _q_set_ops(spark, sf_dir):
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    a = c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    b = c.where(F.col("c_custkey") < 500)
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar / conversion
+# ---------------------------------------------------------------------------
+
+def _q_event_time_norm(spark, sf_dir):
+    from feature_store_api_spark.functions.event_time import event_time_col_to_millis
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        event_time_col_to_millis(F.col("ts"), ev.schema["ts"].dataType).alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training pipeline: splits + scalers
+# ---------------------------------------------------------------------------
+
+def _q_time_series_split(spark, sf_dir):
+    from feature_store_api_spark.operators.splits import time_series_split
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select("event_id", "ts", "value")
+    parts = time_series_split(
+        ev, "ts", [("train", "2024-01-01", "2024-07-01"), ("test", "2024-07-01", None)]
+    )
+    return parts["train"]
+
+
+def _q_builtin_scalers(spark, sf_dir):
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler, standard_scaler,
+    )
+    from feature_store_api_spark.functions.udf import apply_transformations
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select("c_custkey", "c_acctbal")
+    out = apply_transformations(
+        c, [min_max_scaler("c_acctbal"), standard_scaler("c_acctbal")]
+    )
+    return out.select(
+        "c_custkey",
+        F.round("min_max_scaler_c_acctbal", 6).alias("mm"),
+        F.round("standard_scaler_c_acctbal", 6).alias("std"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from feature_store_api_spark.operators.dedup import dedup_exact
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup_exact(
+        d.select("doc_id", "text", "lang"), columns=["text"], keep_col="doc_id"
+    )
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from feature_store_api_spark.operators.dedup import minhash_lsh_duplicate_pairs
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return minhash_lsh_duplicate_pairs(d, "text", "doc_id", num_hashes=32, bands=8)
+
+
+def _q_text_stats(spark, sf_dir):
+    """SQL-oracle-able slice of text analysis: chars + word tokens."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda w: F.length(w) > 0
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(words).alias("n_tokens"),
+    )
+
+
+def _q_text_analysis(spark, sf_dir):
+    from feature_store_api_spark.operators.text import analyze_documents
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return analyze_documents(d)
+
+
+def _q_knn_cosine(spark, sf_dir):
+    from feature_store_api_spark.operators.similarity import find_neighbors
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    qv = [0.1] * dim
+    out = find_neighbors(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        qv, col="embedding", k=10, metric="cosine",
+    )
+    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
+
+
+def _q_knn_l2(spark, sf_dir):
+    from feature_store_api_spark.operators.similarity import find_neighbors
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    qv = [0.0] * dim
+    out = find_neighbors(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        qv, col="embedding", k=10, metric="l2",
+    )
+    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
+
+
+# embeddings tables have dim=64 at every scale factor (TESTDATA.md)
+_EMB_DIM = 64
+_QV_01 = "[" + ",".join(["0.1"] * _EMB_DIM) + "]::DOUBLE[]"
+_QV_00 = "[" + ",".join(["0.0"] * _EMB_DIM) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": _q_scan_filter_project,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "select_except": _q_select_except,
+        "join_multi": _q_join_multi,
+        "join_inner": _q_join_inner,
+        "join_right": _q_join_right,
+        "join_full": _q_join_full,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "pit_join": _q_pit_join,
+        "pit_join_range": _q_pit_join_range,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "incremental_pull": _q_incremental_pull,
+        "stats_profile": _q_stats_profile,
+        "value_counts": _q_value_counts,
+        "latest_per_key": _q_latest_per_key,
+        "set_ops": _q_set_ops,
+        "event_time_norm": _q_event_time_norm,
+        "time_series_split": _q_time_series_split,
+        "builtin_scalers": _q_builtin_scalers,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "text_stats": _q_text_stats,
+        "text_analysis": _q_text_analysis,
+        "knn_cosine": _q_knn_cosine,
+        "knn_l2": _q_knn_l2,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount >= 0.05
+        """,
+        "filter_in_like": """
+            SELECT * FROM orders
+            WHERE o_orderstatus IN ('F','O') AND o_orderpriority LIKE '1%'
+        """,
+        "filter_or_tree": """
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+            WHERE (c_acctbal > 9000 OR c_mktsegment = 'BUILDING') AND c_custkey <= 1000
+        """,
+        "select_except": """
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        """,
+        "join_multi": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name, c_nationkey,
+                   n_name AS nat_n_name
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_totalprice > 100000
+        """,
+        "join_inner": """
+            SELECT s_suppkey, s_name, s_acctbal, n_name, n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "join_right": """
+            SELECT n_name, n_regionkey, r_regionkey, r_name
+            FROM nation RIGHT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "join_full": """
+            SELECT c_custkey, c_acctbal, s_suppkey, s_name
+            FROM customer FULL JOIN supplier ON c_custkey = s_suppkey
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "join_cross": """
+            SELECT r_name, n_name AS x_n_name FROM region CROSS JOIN nation
+        """,
+        "join_pk_inferred": """
+            SELECT a.c_custkey, a.c_name, b.c_acctbal AS p_c_acctbal
+            FROM customer a LEFT JOIN customer b ON a.c_custkey = b.c_custkey
+        """,
+        "pit_join": _PIT_SQL,
+        "pit_join_range": _PIT_RANGE_SQL,
+        "time_travel_asof": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 != 0
+        """,
+        "time_travel_snapshot": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+                     AS o_totalprice
+            FROM orders WHERE o_orderkey % 100 != 7
+        """,
+        "incremental_pull": """
+            SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        "stats_profile": """
+            SELECT 'l_quantity' AS feature, COUNT(*) AS cnt, COUNT(l_quantity) AS non_null,
+                   ROUND(MIN(l_quantity)::DOUBLE,6) AS min_val, ROUND(MAX(l_quantity)::DOUBLE,6) AS max_val,
+                   ROUND(SUM(l_quantity)::DOUBLE,4) AS sum_val, ROUND(AVG(l_quantity),6) AS mean_val,
+                   ROUND(STDDEV_SAMP(l_quantity),6) AS stddev_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+                   ROUND(MIN(l_extendedprice)::DOUBLE,6), ROUND(MAX(l_extendedprice)::DOUBLE,6),
+                   ROUND(SUM(l_extendedprice)::DOUBLE,4), ROUND(AVG(l_extendedprice),6),
+                   ROUND(STDDEV_SAMP(l_extendedprice),6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+                   ROUND(MIN(l_discount)::DOUBLE,6), ROUND(MAX(l_discount)::DOUBLE,6),
+                   ROUND(SUM(l_discount)::DOUBLE,4), ROUND(AVG(l_discount),6),
+                   ROUND(STDDEV_SAMP(l_discount),6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', COUNT(*), COUNT(l_tax),
+                   ROUND(MIN(l_tax)::DOUBLE,6), ROUND(MAX(l_tax)::DOUBLE,6),
+                   ROUND(SUM(l_tax)::DOUBLE,4), ROUND(AVG(l_tax),6),
+                   ROUND(STDDEV_SAMP(l_tax),6)
+            FROM lineitem
+        """,
+        "value_counts": """
+            WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
+            SELECT l_returnflag, COUNT(*) AS value_count,
+                   ROUND(COUNT(*)::DOUBLE / (SELECT total FROM t), 6) AS ratio
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY value_count DESC, l_returnflag ASC LIMIT 10
+        """,
+        "latest_per_key": """
+            SELECT event_id, user_id, ts, value FROM (
+              SELECT event_id, user_id, ts, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "set_ops": """
+            SELECT DISTINCT c_custkey, c_mktsegment FROM (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+              UNION ALL
+              SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 500
+            )
+        """,
+        "event_time_norm": """
+            SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+        """,
+        "time_series_split": """
+            SELECT event_id, ts, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-07-01'
+        """,
+        "builtin_scalers": """
+            WITH s AS (
+              SELECT MIN(c_acctbal) mn, MAX(c_acctbal) mx,
+                     AVG(c_acctbal) mu, STDDEV_SAMP(c_acctbal) sd
+              FROM customer
+            )
+            SELECT c_custkey,
+                   ROUND((c_acctbal - mn) / (mx - mn), 6) AS mm,
+                   ROUND((c_acctbal - mu) / sd, 6) AS std
+            FROM customer, s
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang FROM (
+              SELECT doc_id, text, lang,
+                     ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "text_stats": """
+            SELECT doc_id, LENGTH(text) AS n_chars_calc,
+                   LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9'']+'),
+                                   x -> LENGTH(x) > 0)) AS n_tokens
+            FROM documents
+        """,
+        "knn_cosine": f"""
+            SELECT vec_id, label,
+                   ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6)
+                     AS distance
+            FROM embeddings
+            ORDER BY distance ASC, vec_id ASC LIMIT 10
+        """,
+        "knn_l2": f"""
+            SELECT vec_id, label,
+                   ROUND(LIST_DISTANCE(embedding::DOUBLE[], {_QV_00})::DOUBLE, 6)
+                     AS distance
+            FROM embeddings
+            ORDER BY distance ASC, vec_id ASC LIMIT 10
+        """,
+        # minhash_pairs / text_analysis / time-travel write-path queries
+        # that aren't listed here get the driver's rows-only check.
+    }

@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from BASELINE.md (B1-B7) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is forced end-to-end with the noop sink (full column
+materialization — a bare count() would let Catalyst prune the compute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore, get_spark, testdata_catalog
+from feature_store_api_spark.sources.readers import read_parquet
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def b1_scan_filter(spark, sf_dir):
+    cat = testdata_catalog(spark, sf_dir)
+    li = cat.get_feature_group("lineitem")
+    q = (
+        li.select(["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+        .filter((li.l_shipdate < "1996-01-01") & (li.l_discount >= 0.05))
+    )
+    _force(q.read(spark))
+
+
+def b2_multi_join(spark, sf_dir):
+    cat = testdata_catalog(spark, sf_dir)
+    o, c, n = (cat.get_feature_group(x) for x in ("orders", "customer", "nation"))
+    q = (
+        o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        .join(c.select(["c_custkey", "c_name", "c_nationkey"]),
+              left_on=["o_custkey"], right_on=["c_custkey"])
+        .join(n.select(["n_name"]),
+              left_on=["c_nationkey"], right_on=["n_nationkey"], prefix="nat_")
+        .filter(o.o_totalprice > 100000)
+    )
+    _force(q.read(spark))
+
+
+def b3_upsert_timetravel(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="bench_tt_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "orders_fg", primary_key=["o_orderkey"], event_time="o_orderdate"
+        )
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+        c1 = fg.insert(orders, compute_stats=False)
+        fg.insert(
+            orders.where(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1),
+            compute_stats=False,
+        )
+        _force(fg.as_of(c1.commit_time).read(spark))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def b4_pit_join(spark, sf_dir):
+    from feature_store_api_spark.operators.pit_join import point_in_time_join_many
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    f1 = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    f2 = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_shipdate"), "l_extendedprice")
+    )
+    out = point_in_time_join_many(
+        spine,
+        [
+            {"df": f1, "feature_ts": "o_orderdate", "features": ["o_totalprice"], "prefix": "o_"},
+            {"df": f2, "feature_ts": "l_shipdate", "features": ["l_extendedprice"], "prefix": "l_"},
+        ],
+        spine_keys_default=["ck"],
+        spine_ts="ts",
+    )
+    _force(out)
+
+
+def b5_training_data(spark, sf_dir):
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler, standard_scaler,
+    )
+    from feature_store_api_spark.functions.udf import apply_transformations
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+    from feature_store_api_spark.operators.splits import random_split
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts", "value")
+    feat = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    td = point_in_time_join(
+        spine, feat, keys=["ck"], spine_ts="ts", feature_ts="o_orderdate",
+        features=["o_totalprice"],
+    )
+    splits = random_split(td, {"train": 0.8, "test": 0.2}, seed=42)
+    train, test = splits["train"], splits["test"]
+    tfs = [min_max_scaler("value"), standard_scaler("o_totalprice")]
+    _force(apply_transformations(train, tfs, train_df=train))
+    _force(apply_transformations(test, tfs, train_df=train))
+
+
+def b6_stats_profile(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import describe
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    describe(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag"],
+        exact_distinct=True,
+    )
+
+
+def b7_stream_online(spark, sf_dir):
+    from feature_store_api_spark.online.store import OnlineStore
+
+    tmp = tempfile.mkdtemp(prefix="bench_onl_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "events_fg", primary_key=["user_id"], event_time="ts", online_enabled=True
+        )
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        online = OnlineStore.for_feature_group(fg)
+        # 5 micro-batch upserts (the foreachBatch body without the stream scaffolding)
+        for i in range(5):
+            online.upsert(ev.where(F.col("event_id") % 5 == i))
+        keys = [{"user_id": i} for i in range(100)]
+        online.get_feature_vectors(spark, keys)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES = {
+    "b1_scan_filter": b1_scan_filter,
+    "b2_multi_join": b2_multi_join,
+    "b3_upsert_timetravel": b3_upsert_timetravel,
+    "b4_pit_join": b4_pit_join,
+    "b5_training_data": b5_training_data,
+    "b6_stats_profile": b6_stats_profile,
+    "b7_stream_online": b7_stream_online,
+}
+
+
+def main():
+    spark = get_spark("fsas-bench")
+    # warmup: JVM + codegen paths
+    read_parquet(spark, f"{SF_DIR}/nation.parquet").count()
+
+    only = set(sys.argv[1:])
+    timings = {}
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        fn(spark, SF_DIR)
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

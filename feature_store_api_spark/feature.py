@@ -27,13 +27,60 @@ def autofix_feature_name(name: str) -> str:
     return _NAME_RE.sub("_", name.lower().replace(" ", "_"))
 
 
+_SIMPLE_DDL = {
+    "string": T.StringType(),
+    "varchar": T.StringType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "smallint": T.ShortType(),
+    "tinyint": T.ByteType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
 def ddl_to_spark_type(ddl: str) -> T.DataType:
     """Parse a Hive-DDL type string into a Spark DataType.
 
     Covers the offline type surface enumerated at
     ``/root/reference/python/hsfs/feature.py:37`` (scalars plus
-    MAP/ARRAY/STRUCT complex types) via Spark's own DDL parser.
+    MAP/ARRAY/STRUCT/DECIMAL complex types). Scalars and array/map
+    parse without a SparkContext (so type declarations work at import
+    time); anything else falls back to Spark's own DDL parser.
     """
+    s = ddl.strip().lower()
+    if s in _SIMPLE_DDL:
+        return _SIMPLE_DDL[s]
+    if s.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(ddl_to_spark_type(s[6:-1]))
+    if s.startswith("map<") and s.endswith(">"):
+        inner = s[4:-1]
+        depth, split_at = 0, -1
+        for i, ch in enumerate(inner):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split_at = i
+                break
+        if split_at > 0:
+            return T.MapType(
+                ddl_to_spark_type(inner[:split_at]),
+                ddl_to_spark_type(inner[split_at + 1 :]),
+            )
+    if s.startswith("decimal"):
+        if "(" in s:
+            p, sc = s[s.index("(") + 1 : s.index(")")].split(",")
+            return T.DecimalType(int(p), int(sc))
+        return T.DecimalType(10, 0)
     return T._parse_datatype_string(ddl)
 
 

@@ -195,6 +195,7 @@ class FeatureGroup(FeatureGroupBase):
         df: DataFrame,
         operation: str = "upsert",
         write_options: Optional[Dict[str, Any]] = None,
+        compute_stats: bool = True,
     ) -> "FeatureGroupCommit":
         """Ingest a DataFrame (parity ``feature_group.py:2623`` →
         ``engine/spark.py:349-396``). Infers/validates schema, sanitizes
@@ -207,7 +208,9 @@ class FeatureGroup(FeatureGroupBase):
             self.set_features(
                 [Feature(f.name, f.dataType) for f in df.schema.fields]
             )
-        commit = self.commit_store.write(df, operation=operation)
+        commit = self.commit_store.write(
+            df, operation=operation, compute_stats=compute_stats
+        )
         if self.online_enabled:
             from .online.store import OnlineStore
 
@@ -241,7 +244,9 @@ class FeatureGroup(FeatureGroupBase):
                 spark, start_commit=start_time, end_commit=end_time
             )
         if self.path is not None:
-            df = spark.read.parquet(self.path)
+            from .sources.readers import read_parquet
+
+            df = read_parquet(spark, self.path)
             if start_time is not None or end_time is not None:
                 # immutable parquet has a single implicit commit; honor
                 # event-time bounds when an event_time column exists

@@ -135,10 +135,12 @@ def testdata_catalog(spark: SparkSession, sf_dir: str) -> FeatureStore:
     Schemas are read from parquet footers (cheap); primary keys follow
     FIXTURES.md §F6.
     """
+    from .sources.readers import read_parquet
+
     fs = FeatureStore(name=f"testdata:{sf_dir}")
     for name, (pk, et) in _TPCH_META.items():
         path = os.path.join(sf_dir, f"{name}.parquet")
-        schema = spark.read.parquet(path).schema
+        schema = read_parquet(spark, path).schema
         fg = FeatureGroup(
             name,
             primary_key=pk,

@@ -1,0 +1,174 @@
+"""FeatureView: a named, versioned logical view over a Query.
+
+Parity: ``/root/reference/python/hsfs/feature_view.py:97-4036`` — a
+Query + labels + transformation functions + serving keys; the unit for
+training data and serving. Batch/training reads of a view whose left
+side has an event time run the point-in-time join
+(``constructor/fs_query.py:32-43``); training data adds random or
+time-series splits (``core/feature_view_engine.py:298-409``,
+``engine/spark.py:582-721``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constructor.query import Query
+from .feature_group import SpineGroup
+from .functions.event_time import to_epoch_millis
+from .operators.pit_join import point_in_time_join
+from .operators.splits import random_split, split_labels, time_series_split
+
+
+class FeatureView:
+    def __init__(
+        self,
+        name: str,
+        query: Query,
+        version: int = 1,
+        labels: Sequence[str] = (),
+        transformation_functions: Sequence = (),
+        inference_helper_columns: Sequence[str] = (),
+        training_helper_columns: Sequence[str] = (),
+        description: str = "",
+    ) -> None:
+        self.name = name
+        self.version = version
+        self.query = query
+        self.labels = [l.lower() for l in labels]
+        self.transformation_functions = list(transformation_functions)
+        self.inference_helper_columns = list(inference_helper_columns)
+        self.training_helper_columns = list(training_helper_columns)
+        self.description = description
+
+    # -- PIT compilation ---------------------------------------------------
+    def _pit_plan(self, spark: SparkSession, spine: Optional[DataFrame] = None) -> DataFrame:
+        """Compile the view query with as-of semantics: the left feature
+        group (or a passed spine) provides (pk, event_time); every joined
+        feature group with an event time is as-of joined instead of
+        equi-joined. Feature groups without event time join plainly."""
+        left_fg = self.query.left_feature_group
+        if spine is None:
+            left_df = self.query._left_feature_group.read_source(
+                spark, self.query.start_time, self.query.end_time
+            )
+            left_cols = [f.name for f in self.query.left_features]
+            left_df = left_df.select(*left_cols) if left_cols else left_df
+        else:
+            left_df = spine
+        if not left_fg.event_time:
+            return self.query.read(spark)
+
+        out = left_df
+        for join in self.query.joins:
+            sub = join.query
+            fg = sub.left_feature_group
+            rdf = fg.read_source(spark, sub.start_time, sub.end_time)
+            keys = join.on or join.left_on or [
+                k for k in left_fg.primary_key if k in set(fg.primary_key)
+            ]
+            rkeys = join.right_on or keys
+            # align right key names onto spine key names
+            for lk, rk in zip(keys, rkeys):
+                if lk != rk:
+                    rdf = rdf.withColumnRenamed(rk, lk)
+            feats = [f.name for f in sub.left_features if f.name not in keys]
+            if fg.event_time:
+                out = point_in_time_join(
+                    out,
+                    rdf,
+                    keys=keys,
+                    spine_ts=left_fg.event_time,
+                    feature_ts=fg.event_time,
+                    features=[f for f in feats if f != fg.event_time],
+                    prefix=join.prefix,
+                    precombine=fg.precombine_key if hasattr(fg, "precombine_key") else None,
+                )
+            else:
+                sel = [(join.prefix + f) if join.prefix else f for f in feats]
+                renamed = rdf.select(
+                    *[F.col(k) for k in keys],
+                    *[
+                        F.col(f).alias(n)
+                        for f, n in zip(feats, sel)
+                    ],
+                )
+                out = out.join(renamed, on=keys, how="left")
+
+        logic = self.query.filters
+        if logic is not None:
+            out = out.where(logic.to_column(lambda feat: F.col(feat.name)))
+        return out
+
+    # -- batch scoring read (parity core/feature_view_engine.py:187-244) --
+    def get_batch_data(
+        self,
+        spark: SparkSession,
+        start_time=None,
+        end_time=None,
+        spine: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        df = self._pit_plan(spark, spine)
+        et = self.query.left_feature_group.event_time
+        if et and (start_time is not None or end_time is not None):
+            col = F.col(et)
+            if start_time is not None:
+                df = df.where(col >= F.timestamp_millis(F.lit(to_epoch_millis(start_time))))
+            if end_time is not None:
+                df = df.where(col < F.timestamp_millis(F.lit(to_epoch_millis(end_time))))
+        drop = [c for c in self.labels if c in df.columns]
+        return df.drop(*drop) if drop else df
+
+    # -- training data -----------------------------------------------------
+    def training_data(
+        self,
+        spark: SparkSession,
+        spine: Optional[DataFrame] = None,
+        apply_transformations: bool = True,
+    ) -> DataFrame:
+        df = self._pit_plan(spark, spine)
+        if apply_transformations and self.transformation_functions:
+            from .functions.udf import apply_transformations as _apply
+
+            df = _apply(df, self.transformation_functions, train_df=df)
+        return df
+
+    def train_test_split(
+        self,
+        spark: SparkSession,
+        test_size: float = 0.2,
+        seed: Optional[int] = None,
+        spine: Optional[DataFrame] = None,
+    ) -> Tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        df = self._pit_plan(spark, spine)
+        splits = random_split(df, {"train": 1 - test_size, "test": test_size}, seed=seed)
+        df_train, df_test = splits["train"], splits["test"]
+        if self.transformation_functions:
+            from .functions.udf import apply_transformations as _apply
+
+            df_train = _apply(df_train, self.transformation_functions, train_df=df_train)
+            df_test = _apply(df_test, self.transformation_functions, train_df=df_train)
+        x_train, y_train = split_labels(df_train, self.labels)
+        x_test, y_test = split_labels(df_test, self.labels)
+        return x_train, x_test, y_train, y_test
+
+    def train_test_split_by_time(
+        self,
+        spark: SparkSession,
+        train_start=None,
+        train_end=None,
+        test_start=None,
+        test_end=None,
+        spine: Optional[DataFrame] = None,
+    ):
+        df = self._pit_plan(spark, spine)
+        et = self.query.left_feature_group.event_time
+        if not et:
+            raise ValueError("time-series split requires an event_time on the left feature group")
+        parts = time_series_split(
+            df, et, [("train", train_start, train_end), ("test", test_start, test_end)]
+        )
+        return parts["train"], parts["test"]

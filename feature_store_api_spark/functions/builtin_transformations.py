@@ -1,0 +1,103 @@
+"""Built-in statistics-driven transformations.
+
+Parity: ``/root/reference/python/hsfs/builtin_transformations.py:26-66``
+(min_max_scaler, standard_scaler, robust_scaler, label_encoder,
+one_hot_encoder). Unlike the reference's pandas UDFs, these provide
+native Column-expression fast paths — pure Catalyst expressions, no
+Python worker round-trip, so scaling a 100 TB training set stays inside
+whole-stage codegen. Formulas are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .udf import TransformationFunction, TransformationStatistics
+
+
+def _stats_of(stats, feature):
+    s = getattr(stats, feature, None)
+    if not s:
+        raise ValueError(f"Statistics for feature {feature!r} not bound")
+    return s
+
+
+def _make(name, column_expr, return_type="double", output_column_names=None):
+    # fn body used only in the (never-taken) pandas fallback; the
+    # column_expr fast path is authoritative
+    def fn(feature, statistics=None):  # pragma: no cover
+        raise NotImplementedError(f"{name} runs via its Column expression")
+
+    fn.__name__ = name
+    stats_decl = TransformationStatistics("feature")
+    tf = TransformationFunction(
+        fn,
+        return_type,
+        statistics=stats_decl,
+        column_expr=column_expr,
+        output_column_names=output_column_names,
+    )
+    tf.arity = 1
+    return tf
+
+
+def _min_max(cols, stats):
+    s = _stats_of(stats, "feature")
+    lo, hi = float(s["min"]), float(s["max"])
+    denom = (hi - lo) or 1.0
+    return [(cols[0] - F.lit(lo)) / F.lit(denom)]
+
+
+def _standard(cols, stats):
+    s = _stats_of(stats, "feature")
+    mean, std = float(s["mean"]), float(s["stddev"] or 1.0)
+    return [(cols[0] - F.lit(mean)) / F.lit(std or 1.0)]
+
+
+def _robust(cols, stats):
+    s = _stats_of(stats, "feature")
+    p25, p50, p75 = [float(p) for p in s["percentiles"]]
+    iqr = (p75 - p25) or 1.0
+    return [(cols[0] - F.lit(p50)) / F.lit(iqr)]
+
+
+def _label_encode(cols, stats):
+    s = _stats_of(stats, "feature")
+    vals = sorted(v for v in s.get("unique_values", []) if v is not None)
+    expr = F.lit(-1)
+    # build right-to-left when/otherwise chain; unseen values → -1
+    out = None
+    for i, v in enumerate(vals):
+        clause = F.when(cols[0] == F.lit(v), F.lit(i))
+        out = clause if out is None else out.when(cols[0] == F.lit(v), F.lit(i))
+    return [out.otherwise(expr).cast("long") if out is not None else expr.cast("long")]
+
+
+def _one_hot(cols, stats):
+    s = _stats_of(stats, "feature")
+    vals = sorted(v for v in s.get("unique_values", []) if v is not None)
+    return [
+        F.when(cols[0] == F.lit(v), F.lit(True)).otherwise(F.lit(False))
+        for v in vals
+    ]
+
+
+def _one_hot_names(features, stats):
+    # dynamic arity: one output per unique value (hopsworks_udf.py:617-628)
+    s = (stats or {}).get(features[0], {})
+    vals = sorted(v for v in s.get("unique_values", []) if v is not None)
+    base = f"one_hot_encoder_{'_'.join(features)}"
+    return [f"{base}_{i}" for i in range(len(vals))] or [base]
+
+
+min_max_scaler = _make("min_max_scaler", _min_max)
+standard_scaler = _make("standard_scaler", _standard)
+robust_scaler = _make("robust_scaler", _robust)
+label_encoder = _make("label_encoder", _label_encode, return_type="bigint")
+one_hot_encoder = _make(
+    "one_hot_encoder", _one_hot, return_type="boolean",
+    output_column_names=_one_hot_names,
+)
+# one_hot's output count depends on statistics; mark multi_output so the
+# apply path expands correctly
+one_hot_encoder.multi_output = True

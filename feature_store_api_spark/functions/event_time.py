@@ -67,8 +67,11 @@ def to_epoch_millis(value: EventTimeLike) -> int:
 
 def event_time_col_to_millis(col: Column, dtype: T.DataType) -> Column:
     """Column-side normalization — JVM built-ins only, no Python UDF."""
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dtype, T.TimestampType):
         return F.unix_millis(col)
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ → instant via the session tz (pinned UTC)
+        return F.unix_millis(col.cast("timestamp"))
     if isinstance(dtype, T.DateType):
         return F.unix_millis(col.cast("timestamp"))
     if isinstance(dtype, (T.LongType, T.IntegerType)):

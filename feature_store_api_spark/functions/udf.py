@@ -1,0 +1,232 @@
+"""Transformation functions: the ``@udf`` decorator surface.
+
+Parity: ``/root/reference/python/hsfs/hopsworks_udf.py:44-927`` — a
+pandas-Series-based UDF with declared return type(s), optional ``drop``
+of input features, optional statistics binding
+(``transformation_statistics.py``), output naming
+``fnname_feat1_feat2`` (``hopsworks_udf.py:464-482``), and two modes
+(MODEL_DEPENDENT vs ON_DEMAND, ``hopsworks_udf.py:35-41``).
+
+Differences by design: no source-capture / ``exec`` re-execution trick
+(``hopsworks_udf.py:353-566``) — functions are plain Python closures
+registered in-process; execution is an Arrow-vectorized
+``pandas_udf`` (the fast path the reference also uses,
+``hopsworks_udf.py:649-654``), or a native Column expression when the
+transformation provides one (built-in scalers).
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..feature import ddl_to_spark_type
+
+
+class TransformationStatistics:
+    """Declares which features' statistics a UDF needs injected.
+
+    Parity: ``/root/reference/python/hsfs/transformation_statistics.py``.
+    After binding, each declared feature is an attribute holding the
+    stats dict (min/max/mean/stddev/percentiles/unique_values).
+    """
+
+    def __init__(self, *features: str) -> None:
+        self._features = [f.lower() for f in features]
+        for f in self._features:
+            setattr(self, f, None)
+
+    @property
+    def features(self) -> List[str]:
+        return self._features
+
+    def bind(self, stats: Dict[str, Dict]) -> "TransformationStatistics":
+        bound = TransformationStatistics(*self._features)
+        for f in self._features:
+            setattr(bound, f, stats.get(f, {}))
+        return bound
+
+
+class TransformationFunction:
+    """A declared transformation: fn + return type(s) + bound features."""
+
+    MODEL_DEPENDENT = "model_dependent"
+    ON_DEMAND = "on_demand"
+
+    def __init__(
+        self,
+        fn: Callable,
+        return_type: Union[str, T.DataType, Sequence],
+        drop: Optional[Sequence[str]] = None,
+        mode: str = MODEL_DEPENDENT,
+        statistics: Optional[TransformationStatistics] = None,
+        column_expr: Optional[Callable] = None,
+        output_column_names: Optional[Callable] = None,
+    ) -> None:
+        self.fn = fn
+        self.name = fn.__name__
+        rts = return_type if isinstance(return_type, (list, tuple)) else [return_type]
+        self.return_types: List[T.DataType] = [
+            ddl_to_spark_type(rt) if isinstance(rt, str) else rt for rt in rts
+        ]
+        self.multi_output = isinstance(return_type, (list, tuple))
+        self.drop = [d.lower() for d in (drop or [])]
+        self.mode = mode
+        self.statistics = statistics
+        self._column_expr = column_expr  # fast path: fn(cols, stats) -> [Column]
+        self._output_column_names = output_column_names
+        self.features: List[str] = []  # bound input feature names
+        # input parameter names from signature (minus the statistics kwarg)
+        self.param_names = [
+            p.name
+            for p in inspect.signature(fn).parameters.values()
+            if p.name != "statistics"
+        ]
+        self.arity = len(self.param_names)
+
+    def __call__(self, *features: str) -> "TransformationFunction":
+        bound = TransformationFunction(
+            self.fn,
+            self.return_types if self.multi_output else self.return_types[0],
+            drop=self.drop,
+            mode=self.mode,
+            statistics=self.statistics,
+            column_expr=self._column_expr,
+            output_column_names=self._output_column_names,
+        )
+        bound.features = [f.lower() for f in features]
+        if len(bound.features) != self.arity:
+            raise ValueError(
+                f"{self.name} expects {self.arity} feature(s), got {len(bound.features)}"
+            )
+        return bound
+
+    # -- output naming (parity hopsworks_udf.py:464-482) -------------------
+    def output_names(self, stats: Optional[Dict] = None) -> List[str]:
+        if self._output_column_names is not None:
+            return self._output_column_names(self.features, stats)
+        base = f"{self.name}_{'_'.join(self.features)}"
+        if self.multi_output:
+            return [f"{base}_{i}" for i in range(len(self.return_types))]
+        return [base]
+
+    # -- application -------------------------------------------------------
+    def stat_columns(self) -> List[str]:
+        """Input columns whose statistics this UDF needs: each declared
+        statistics arg name maps positionally to the bound feature
+        (parity: statistics args mirror UDF parameters,
+        ``hopsworks_udf.py:353-462``)."""
+        if self.statistics is None:
+            return []
+        out = []
+        for decl in self.statistics.features:
+            idx = self.param_names.index(decl)
+            out.append(self.features[idx])
+        return out
+
+    def columns(self, stats: Optional[Dict] = None) -> List:
+        """Output Columns for one DataFrame select. ``stats`` is keyed by
+        actual column name; statistics binding re-keys them to the UDF's
+        declared arg names."""
+        bound_stats = None
+        if self.statistics is not None:
+            rekeyed = {}
+            for decl in self.statistics.features:
+                col = self.features[self.param_names.index(decl)]
+                if col in (stats or {}):
+                    rekeyed[decl] = stats[col]
+            bound_stats = self.statistics.bind(rekeyed)
+        names = self.output_names(stats)
+
+        if self._column_expr is not None:
+            cols = self._column_expr(
+                [F.col(f) for f in self.features], bound_stats
+            )
+            return [c.alias(n) for c, n in zip(cols, names)]
+
+        # Arrow-vectorized pandas UDF path
+        if self.multi_output:
+            rt = T.StructType(
+                [T.StructField(n, t, True) for n, t in zip(names, self.return_types)]
+            )
+        else:
+            rt = self.return_types[0]
+
+        fn, statics = self.fn, bound_stats
+
+        multi = self.multi_output
+
+        def wrapped(*series):
+            out = fn(*series, statistics=statics) if statics is not None else fn(*series)
+            if multi:
+                # struct fields map by NAME through Arrow; align the
+                # user frame's columns to the declared output names
+                out = out.copy()
+                out.columns = names
+            return out
+
+        # Spark 4 infers the UDF eval type from type hints — annotate the
+        # wrapper to declare Series->Series (or ->DataFrame for struct out)
+        wrapped.__annotations__ = {
+            "series": pd.Series,
+            "return": pd.DataFrame if self.multi_output else pd.Series,
+        }
+        pudf = F.pandas_udf(wrapped, returnType=rt)
+        applied = pudf(*[F.col(f) for f in self.features])
+        if self.multi_output:
+            return [applied.getField(n).alias(n) for n in names]
+        return [applied.alias(names[0])]
+
+
+def udf(
+    return_type,
+    drop: Optional[Sequence[str]] = None,
+    mode: str = "model_dependent",
+    statistics: Optional[TransformationStatistics] = None,
+):
+    """Declare a transformation function (parity ``hopsworks_udf.py:44-85``)::
+
+        @udf(float)
+        def plus_one(value):
+            return value + 1
+    """
+    _PY = {int: T.LongType(), float: T.DoubleType(), str: T.StringType(), bool: T.BooleanType()}
+
+    def conv(rt):
+        return _PY.get(rt, rt)
+
+    rt = [conv(r) for r in return_type] if isinstance(return_type, (list, tuple)) else conv(return_type)
+
+    def deco(fn: Callable) -> TransformationFunction:
+        return TransformationFunction(fn, rt, drop=drop, mode=mode, statistics=statistics)
+
+    return deco
+
+
+def apply_transformations(
+    df: DataFrame,
+    transformations: Sequence[TransformationFunction],
+    train_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Apply all transformations in ONE select (parity
+    ``engine/spark.py:1267-1328``), dropping declared inputs, ordered
+    deterministically by output column name (``feature_view.py:405``).
+    Statistics-bound UDFs get stats computed on ``train_df`` (the train
+    split — ``core/transformation_function_engine.py:198-259``)."""
+    needed = sorted({f for t in transformations for f in t.stat_columns()})
+    stats: Dict[str, Dict] = {}
+    if needed:
+        from ..operators.statistics import transformation_statistics
+
+        stats = transformation_statistics(train_df if train_df is not None else df, needed)
+
+    ordered = sorted(transformations, key=lambda t: t.output_names(stats)[0])
+    drop = {d for t in ordered for d in (t.drop or t.features)}
+    keep = [F.col(c) for c in df.columns if c not in drop]
+    new_cols = [c for t in ordered for c in t.columns(stats)]
+    return df.select(*keep, *new_cols)

@@ -65,10 +65,6 @@ def dedup_exact(
 # fuzzy text dedup: shingling + MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-# two large primes for the universal-hash family h_i(x) = (a_i*x + b_i) mod P
-_MERSENNE_P = (1 << 61) - 1
-
-
 def _shingles(col, n: int):
     """Character n-gram shingles of a lowercased, whitespace-collapsed
     string column — JVM-side via sequence/transform, no Python UDF."""
@@ -76,7 +72,7 @@ def _shingles(col, n: int):
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
-            lambda i: F.substring(norm, 1, 0x7FFFFFFF).substr(i + 1, n),
+            lambda i: norm.substr(i + F.lit(1), F.lit(n)),
         )
     )
 
@@ -88,34 +84,50 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 5,
     seed: int = 13,
+    num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<bigint>``.
 
-    Each permutation i is a universal hash ``(a_i * h + b_i) mod P`` of
-    the shingle's xxhash64; the signature element is the min over
-    shingles. All computed with ``transform``/``aggregate`` higher-order
-    functions — stays in codegen, scales linearly, one narrow pass.
+    Formulated for whole-stage codegen (higher-order-function lambdas
+    are interpreted per element in Spark — an order of magnitude slower
+    here): explode shingle positions to rows, hash each shingle once
+    with a plain (codegen'd) expression, then ONE groupBy(id) computing
+    all ``num_hashes`` mins as ``min(xxhash64(h, i))`` aggregate
+    expressions. Partial aggregation reduces each task's stream to
+    ``num_hashes`` longs per document before the shuffle, so the
+    exchange carries signatures, not shingles. No ``array_distinct`` —
+    min over a multiset equals min over the set.
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
-
-    sh = _shingles(F.col(text_col), shingle_size)
-    hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h: (h % F.lit(_MERSENNE_P) * F.lit(a % 100000) + F.lit(b))
-                    % F.lit(_MERSENNE_P),
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    exploded = (
+        df.select(F.col(id_col), norm.alias("__t"))
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length("__t") - shingle_size, F.lit(0)),
                 )
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.col("__t").substr(F.col("__i") + 1, F.lit(shingle_size)),
+                F.lit(seed),
+            ).alias("__h"),
+        )
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
 
 
 def minhash_lsh_duplicate_pairs(
@@ -137,6 +149,10 @@ def minhash_lsh_duplicate_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, seed)
+    # signatures feed both sides of the self-join; persist so the
+    # shingle/hash work runs once (at warehouse scale you'd materialize
+    # the signature table instead)
+    sigs = sigs.persist()
     banded = sigs.select(
         id_col,
         F.explode(
@@ -185,30 +201,18 @@ def ngram_jaccard_pairs(
     those — the scalable path. Otherwise all pairs (test scale only).
     Jaccard via ``array_intersect``/``array_union`` sizes, JVM-side.
     """
-    sh = df.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle_size).alias("sh")
+    sh_a = df.select(
+        F.col(id_col).alias("id_a"),
+        _shingles(F.col(text_col), shingle_size).alias("sh_a"),
+    )
+    sh_b = df.select(
+        F.col(id_col).alias("id_b"),
+        _shingles(F.col(text_col), shingle_size).alias("sh_b"),
     )
     if candidates is None:
-        a, b = sh.alias("a"), sh.alias("b")
-        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        pairs = sh_a.crossJoin(sh_b).where(F.col("id_a") < F.col("id_b"))
     else:
-        pairs = (
-            candidates.join(
-                sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-            ).join(
-                sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-            )
-        ).selectExpr("id_a", "id_b", "sh_a as `a.sh`", "sh_b as `b.sh`")
-        pairs = pairs.select(
-            "id_a", "id_b", F.col("`a.sh`").alias("sh_a"), F.col("`b.sh`").alias("sh_b")
-        )
-    if candidates is None:
-        pairs = pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        pairs = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )

@@ -1,0 +1,196 @@
+"""Point-in-time (as-of) join.
+
+Parity target: the reference's server-generated ``pit_query`` /
+``pit_query_asof`` (surfaced at
+``/root/reference/python/hsfs/constructor/fs_query.py:32-43,77-82``,
+selected at ``constructor/query.py:597-607``): for each left (spine)
+row, pick from the right feature group the latest row with
+``right.event_time <= left.event_time``, per primary key, with LEFT
+semantics (no match → NULL features).
+
+Two physical strategies, both pure DataFrame ops:
+
+* ``union_window`` (default, the 100 TB path): tag spine and feature
+  rows, union them, and run one ``last_value(..., ignoreNulls)`` window
+  per key ordered by event time. Cost = ONE hash shuffle of
+  (spine + features) on the join key — no range-join row explosion,
+  no matter how many feature rows precede each spine row. Ties
+  (right.ts == left.ts) are included by sorting feature rows before
+  spine rows at equal timestamps; multiple feature rows at the same
+  timestamp resolve by the precombine tie-break
+  (``core/hudi_engine.py:141-149``).
+
+* ``range_join``: left join on ``key AND right.ts <= left.ts`` then
+  ``row_number() == 1`` per spine row ordered by right.ts desc. Quadratic
+  per key in the worst case, but the right side can be broadcast when
+  small — useful when features ≪ spine.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SPINE_UID = "__spine_uid"
+
+
+def point_in_time_join(
+    spine: DataFrame,
+    feature_df: DataFrame,
+    keys: Sequence[str],
+    spine_ts: str,
+    feature_ts: str,
+    features: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    precombine: Optional[str] = None,
+    strategy: str = "union_window",
+) -> DataFrame:
+    """As-of join one feature DataFrame onto a spine.
+
+    Returns the spine columns (unchanged, duplicates preserved) plus the
+    selected ``features`` (renamed with ``prefix`` if given) from the
+    latest feature row at-or-before each spine row's timestamp.
+    """
+    keys = list(keys)
+    if features is None:
+        features = [
+            c for c in feature_df.columns if c not in keys and c != feature_ts
+        ]
+    features = list(features)
+    out_names = [(prefix + f) if prefix else f for f in features]
+    for n in out_names:
+        if n in spine.columns:
+            raise ValueError(
+                f"PIT output column {n!r} collides with a spine column; use prefix="
+            )
+
+    if strategy == "union_window":
+        return _pit_union_window(
+            spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+        )
+    if strategy == "range_join":
+        return _pit_range_join(
+            spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+        )
+    raise ValueError(f"Unknown PIT strategy {strategy!r}")
+
+
+def _pit_union_window(
+    spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+) -> DataFrame:
+    # one struct column carrying the feature payload; NULL on spine rows
+    # so last_value(ignoreNulls) skips them
+    payload = F.struct(*[F.col(f) for f in features])
+    pre = (
+        F.col(precombine)
+        if precombine
+        else F.lit(0)
+    )
+
+    fg_side = feature_df.select(
+        *[F.col(k) for k in keys],
+        F.col(feature_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        pre.cast("double").alias("__pre"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(f"__s_{c}")
+          for c in spine.columns],
+    )
+    spine_side = spine.select(
+        *[F.col(k) for k in keys],
+        F.col(spine_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0.0).alias("__pre"),
+        F.lit(None).cast(fg_side.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
+    )
+
+    # feature rows (side=0) sort before spine rows (side=1) at equal ts,
+    # so an exact-tie feature row IS visible to the spine row (<= match);
+    # among same-ts feature rows the max precombine wins.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__pre").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = fg_side.unionByName(spine_side)
+    matched = unioned.withColumn(
+        "__match", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    ).where(F.col("__side") == 1)
+
+    return matched.select(
+        *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
+        *[
+            F.col("__match").getField(f).alias(n)
+            for f, n in zip(features, out_names)
+        ],
+    )
+
+
+def _pit_range_join(
+    spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+) -> DataFrame:
+    uid = F.monotonically_increasing_id()
+    s = spine.withColumn(_SPINE_UID, uid)
+    carry = [f for f in features if f not in keys]
+    if precombine and precombine not in carry and precombine not in keys:
+        carry.append(precombine)
+    r = feature_df.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col(feature_ts).alias("__r_ts"),
+        *[F.col(f).alias(f"__r_{f}") for f in carry],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__r_{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col("__r_ts") <= F.col(spine_ts))
+    joined = s.join(r, on=cond, how="left")
+
+    order = [F.col("__r_ts").desc_nulls_last()]
+    if precombine:
+        order.append(F.col(f"__r_{precombine}").desc_nulls_last())
+    w = Window.partitionBy(_SPINE_UID).orderBy(*order)
+    picked = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return picked.select(
+        *[F.col(c) for c in spine.columns],
+        *[
+            F.col(f"__r_{f}").alias(n)
+            for f, n in zip(features, out_names)
+        ],
+    )
+
+
+def point_in_time_join_many(
+    spine: DataFrame,
+    rights: List[dict],
+    spine_keys_default: Optional[Sequence[str]] = None,
+    spine_ts: str = "ts",
+    strategy: str = "union_window",
+) -> DataFrame:
+    """As-of join several feature groups onto one spine sequentially.
+
+    ``rights`` entries: dicts with ``df``, ``feature_ts``, optional
+    ``keys`` (default ``spine_keys_default``), ``features``, ``prefix``,
+    ``precombine``. Mirrors the multi-FG PIT query of a FeatureView
+    (``constructor/fs_query.py:32-43``).
+    """
+    out = spine
+    for spec in rights:
+        out = point_in_time_join(
+            out,
+            spec["df"],
+            keys=spec.get("keys") or list(spine_keys_default or []),
+            spine_ts=spine_ts,
+            feature_ts=spec["feature_ts"],
+            features=spec.get("features"),
+            prefix=spec.get("prefix"),
+            precombine=spec.get("precombine"),
+            strategy=spec.get("strategy", strategy),
+        )
+    return out

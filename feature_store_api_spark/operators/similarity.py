@@ -1,0 +1,188 @@
+"""Vector similarity search over embedding columns.
+
+Parity surface: ``find_neighbors``
+(``/root/reference/python/hsfs/feature_group.py:2394-2459``,
+``core/vector_db_client.py:107-200``) with similarity types L2 / cosine
+/ dot (``embedding.py:41-43``). The reference delegates to an OpenSearch
+kNN index; here the baseline is exact brute-force top-k inside Spark
+(distance = higher-order-function expression, JVM-side; top-k =
+TakeOrdered, no full sort), and the scale path is a random-hyperplane
+LSH bucketed index that prunes candidates before the exact re-rank.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def distance_expr(col: Column, query: Sequence[float], metric: str) -> Column:
+    """Distance/score column. For l2 smaller is better; for cosine/dot
+    we return a *distance-like* value (negated similarity) so ordering
+    is uniformly ascending."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    if metric == "l2":
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(col, q, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    if metric == "cosine":
+        qn = sum(float(v) * float(v) for v in query) ** 0.5
+        return -(_dot(col, q) / (_norm(col) * F.lit(qn)))
+    if metric == "dot":
+        return -_dot(col, q)
+    raise ValueError(f"Unknown similarity metric {metric!r}")
+
+
+def find_neighbors(
+    source,
+    embedding: Sequence[float],
+    col: Optional[str] = None,
+    k: int = 10,
+    filter=None,
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact brute-force kNN: one scan, distance expression, top-k.
+
+    ``source`` is a DataFrame or FeatureGroup; ``filter`` (a Filter /
+    Logic / Column) is applied BEFORE the top-k, mirroring the
+    reference's filter pushdown into the kNN query
+    (``core/vector_db_client.py:232-298``).
+    """
+    from ..feature_group import FeatureGroupBase
+
+    if isinstance(source, FeatureGroupBase):
+        from ..session import get_spark
+
+        df = source.read_source(get_spark())
+        col = col or next(
+            f.name for f in df.schema.fields if str(f.dataType).startswith("ArrayType")
+        )
+    else:
+        df = source
+        if col is None:
+            col = next(
+                f.name for f in df.schema.fields if str(f.dataType).startswith("ArrayType")
+            )
+    if filter is not None:
+        if isinstance(filter, Column):
+            df = df.where(filter)
+        else:
+            from ..plans.compiler import _make_resolver  # Filter/Logic IR
+
+            df = df.where(
+                (filter.to_column(lambda feat: F.col(feat.name)))
+            )
+    dist = distance_expr(F.col(col), embedding, metric)
+    scored = df.withColumn("distance", F.round(dist.cast("double"), 6))
+    return scored.orderBy(F.col("distance").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) bucketed index — the 100 TB path
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> List[List[float]]:
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def signature_expr(col: Column, planes: List[List[float]]) -> Column:
+    """Bit signature: sign of the dot product with each hyperplane,
+    packed into a long."""
+    bits = []
+    for i, p in enumerate(planes):
+        pq = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(
+            F.when(_dot(col, pq) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def build_ann_index(
+    df: DataFrame, col: str, dim: int, num_planes: int = 12, seed: int = 7
+) -> DataFrame:
+    """Materialize an LSH-bucketed copy of the table: adds ``__bucket``.
+    Write this partitioned/bucketed by ``__bucket`` so a probe reads only
+    matching buckets (partition pruning at scan time)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    return df.withColumn("__bucket", signature_expr(F.col(col), planes))
+
+
+def find_neighbors_ann(
+    index_df: DataFrame,
+    embedding: Sequence[float],
+    col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    num_planes: int = 12,
+    seed: int = 7,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Probe the LSH index: keep rows whose bucket is within
+    ``max_hamming`` bits of the query bucket, then exact re-rank. The
+    bucket predicate uses ``bit_count(xor)`` — evaluated at the scan, so
+    with a bucket-partitioned index only candidate files are read."""
+    planes = _hyperplanes(len(embedding), num_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(embedding, p)) >= 0:
+            qsig |= 1 << i
+    cand = index_df.where(
+        F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    dist = distance_expr(F.col(col), embedding, metric)
+    return (
+        cand.withColumn("distance", F.round(dist.cast("double"), 6))
+        .orderBy(F.col("distance").asc())
+        .limit(k)
+        .drop("__bucket")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame, id_col: str, col: str, dim: int, threshold: float = 0.95,
+    num_planes: int = 10, seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket self-join (equi-join on
+    bucket → shuffle on bucket key, no O(n²)), then exact cosine filter."""
+    idx = build_ann_index(df.select(id_col, col), col, dim, num_planes, seed)
+    a = idx.select(
+        F.col(id_col).alias("id_a"), F.col(col).alias("__va"), F.col("__bucket")
+    )
+    b = idx.select(
+        F.col(id_col).alias("id_b"), F.col(col).alias("__vb"), F.col("__bucket")
+    )
+    pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos.cast("double"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,310 @@
+"""Statistics / profiling aggregations.
+
+Parity: the reference's Deequ column profiler
+(``/root/reference/python/hsfs/engine/spark.py:1038-1053`` →
+``java/spark/.../SparkEngine.java:686-708``) and the descriptive
+statistics schema (``core/feature_descriptive_statistics.py:43-317``):
+count, completeness, numNonNull/numNull, approxNumDistinct, min, max,
+sum, mean, stddev, percentiles, distinctness, entropy, uniqueness,
+exactNumDistinct — plus correlation matrix and top-k histogram.
+
+Everything is computed in as few passes as possible: ONE wide
+``df.agg`` for all per-column scalar stats (Catalyst fuses them into a
+single scan + partial/final aggregate — map-side combine, one shuffle of
+tiny partial states), plus optional per-column passes only for the
+frequency-based stats (entropy/uniqueness/histogram).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC)
+
+
+def describe(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+    exact_distinct: bool = False,
+) -> Dict[str, Dict]:
+    """Column profiles in one aggregation pass.
+
+    Returns ``{column: {stat: value}}`` with the §2.4 stat fields.
+    ``approx_count_distinct`` (HLL) by default; ``exact_distinct=True``
+    adds an exact ``count(distinct)`` per column (same single pass —
+    Spark expands multi-distinct aggs via expand + one extra shuffle).
+    """
+    cols = list(columns) if columns else df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    # Three SMALL aggregation passes instead of one mega-agg. Empirically
+    # (local[32], Spark 4.1): a single aggregate mixing dozens of
+    # declarative + HLL + multi-distinct expressions generates code big
+    # enough to poison the JVM's JIT for the rest of the session
+    # (every later query runs 20-40x slower); three narrow scans each
+    # stay in fast codegen and the scans themselves are cheap.
+    basic = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        dt = schema[c]
+        basic.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+        if _is_numeric(dt):
+            basic.append(F.min(F.col(c)).alias(f"{c}__min"))
+            basic.append(F.max(F.col(c)).alias(f"{c}__max"))
+            basic.append(F.sum(F.col(c)).alias(f"{c}__sum"))
+            basic.append(F.avg(F.col(c)).alias(f"{c}__mean"))
+            basic.append(F.stddev(F.col(c)).alias(f"{c}__stddev"))
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.StringType, T.BooleanType)):
+            basic.append(F.min(F.col(c)).alias(f"{c}__min"))
+            basic.append(F.max(F.col(c)).alias(f"{c}__max"))
+
+    row = df.agg(*basic).collect()[0].asDict()
+    row.update(
+        df.agg(
+            *[
+                F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct")
+                for c in cols
+            ]
+        ).collect()[0].asDict()
+    )
+    if exact_distinct:
+        row.update(
+            df.agg(
+                *[
+                    F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")
+                    for c in cols
+                ]
+            ).collect()[0].asDict()
+        )
+    total = row["__total"]
+
+    num_cols = [c for c in cols if _is_numeric(schema[c])]
+    if num_cols and percentiles:
+        minmax = {
+            c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
+        }
+        pctls = approx_percentiles_multi(df, num_cols, list(percentiles), minmax)
+        for c in num_cols:
+            row[f"{c}__percentiles"] = pctls.get(c)
+
+    out: Dict[str, Dict] = {}
+    for c in cols:
+        nonnull = row[f"{c}__nonnull"]
+        stats = {
+            "count": total,
+            "numNonNullValues": nonnull,
+            "numNullValues": total - nonnull,
+            "completeness": (nonnull / total) if total else None,
+            "approxNumDistinctValues": row[f"{c}__approx_distinct"],
+        }
+        if exact_distinct:
+            stats["exactNumDistinctValues"] = row[f"{c}__exact_distinct"]
+            stats["distinctness"] = (
+                row[f"{c}__exact_distinct"] / total if total else None
+            )
+        for k in ("min", "max", "sum", "mean", "stddev", "percentiles"):
+            key = f"{c}__{k}"
+            if key in row:
+                stats[k] = row[key]
+        out[c] = stats
+    return out
+
+
+def approx_percentiles_multi(
+    df: DataFrame,
+    columns: Sequence[str],
+    percentiles: Sequence[float],
+    minmax: Dict[str, tuple],
+    buckets: int = 8192,
+) -> Dict[str, List[float]]:
+    """Approximate percentiles for many columns in ONE extra pass.
+
+    Built from first principles instead of ``percentile_approx`` (whose
+    QuantileSummaries implementation degenerates on high-cardinality
+    doubles in this runtime): melt the numeric columns to (name, value)
+    rows, assign each value to one of ``buckets`` equi-width bins using
+    the already-known min/max, count per (name, bin) — a single
+    codegen'd groupBy whose output is at most ``len(columns)×buckets``
+    tiny rows — then interpolate percentiles inside bins driver-side.
+    Error bound: (max-min)/buckets per column, independent of row count;
+    the shuffle carries only partial bin counts (map-side combined), so
+    the pass scales to arbitrary data sizes.
+    """
+    cols = [c for c in columns if minmax.get(c) and minmax[c][0] is not None]
+    if not cols:
+        return {}
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"), F.col(c).cast("double").alias("v")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.c", "p.v").where(F.col("v").isNotNull())
+
+    bucket = None
+    for c in cols:
+        mn, mx = (float(minmax[c][0]), float(minmax[c][1]))
+        width = (mx - mn) or 1.0
+        expr = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("v") - F.lit(mn)) / F.lit(width) * buckets).cast("int"),
+        )
+        bucket = (
+            F.when(F.col("c") == c, expr) if bucket is None
+            else bucket.when(F.col("c") == c, expr)
+        )
+    counts = (
+        melted.withColumn("b", bucket)
+        .groupBy("c", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_col: Dict[str, Dict[int, int]] = {}
+    for r in counts:
+        by_col.setdefault(r["c"], {})[r["b"]] = r["n"]
+
+    out: Dict[str, List[float]] = {}
+    for c in cols:
+        mn, mx = (float(minmax[c][0]), float(minmax[c][1]))
+        width = (mx - mn) or 1.0
+        bins = sorted(by_col.get(c, {}).items())
+        total = sum(n for _, n in bins)
+        res = []
+        for p in percentiles:
+            target = p * (total - 1)
+            acc = 0
+            val = mx
+            for b, n in bins:
+                if acc + n > target:
+                    frac = (target - acc) / n if n else 0.0
+                    val = mn + (b + frac) * width / buckets
+                    break
+                acc += n
+            res.append(min(max(val, mn), mx))
+        out[c] = res
+    return out
+
+
+def describe_df(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """Numeric profile as a DataFrame (one row per column) — the
+    SQL-oracle-friendly shape used by the correctness gate."""
+    cols = [
+        c for c in (columns or df.columns)
+        if _is_numeric(dict((f.name, f.dataType) for f in df.schema.fields)[c])
+    ]
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("feature"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.count(F.col(c)).cast("long").alias("non_null"),
+                F.round(F.min(F.col(c)).cast("double"), 6).alias("min_val"),
+                F.round(F.max(F.col(c)).cast("double"), 6).alias("max_val"),
+                F.round(F.sum(F.col(c)).cast("double"), 4).alias("sum_val"),
+                F.round(F.avg(F.col(c)), 6).alias("mean_val"),
+                F.round(F.stddev(F.col(c)), 6).alias("stddev_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def value_counts(df: DataFrame, column: str, k: int = 20) -> DataFrame:
+    """Top-k histogram (Deequ ``withHistogram(true, 20)`` parity)."""
+    total = df.count()
+    return (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("value_count"))
+        .withColumn("ratio", F.round(F.col("value_count") / F.lit(total), 6))
+        .orderBy(F.col("value_count").desc(), F.col(column).asc())
+        .limit(k)
+    )
+
+
+def entropy(df: DataFrame, column: str) -> float:
+    """Shannon entropy over the value distribution (natural log, Deequ
+    convention), computed distributively: groupBy + one agg."""
+    counts = df.where(F.col(column).isNotNull()).groupBy(column).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    ).collect()[0]
+    if not row["n"]:
+        return 0.0
+    n = float(row["n"])
+    return math.log(n) - float(row["clogc"]) / n
+
+
+def uniqueness(df: DataFrame, column: str) -> float:
+    """Fraction of values occurring exactly once (Deequ uniqueness)."""
+    counts = df.where(F.col(column).isNotNull()).groupBy(column).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = counts.agg(
+        F.count(F.lit(1)).alias("distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("unique"),
+    ).collect()[0]
+    return (row["unique"] / row["distinct"]) if row["distinct"] else 0.0
+
+
+def correlations(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """Pearson correlation matrix of numeric columns (Deequ
+    ``withCorrelation`` parity) — all pairs in ONE agg pass via
+    ``corr(a, b)`` expressions; a single scan regardless of pair count."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    cols = [c for c in (columns or df.columns) if _is_numeric(schema[c])]
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"{a}__{b}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    data = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            data.append((a, b, row[f"{a}__{b}"]))
+    return spark.createDataFrame(data, "feature_a string, feature_b string, corr double")
+
+
+def unique_values(df: DataFrame, column: str) -> List:
+    """Exact distinct values (feeds label/one-hot encoders; parity
+    ``engine/spark.py:1393-1396``)."""
+    return [r[0] for r in df.select(column).distinct().collect()]
+
+
+def transformation_statistics(
+    df: DataFrame, features: Sequence[str], percentiles=(0.25, 0.5, 0.75)
+) -> Dict[str, Dict]:
+    """Stats needed by statistics-bound UDFs, computed only over the
+    features the UDFs use, on the (train) split passed in — parity
+    ``core/transformation_function_engine.py:116-259``."""
+    stats = describe(df, columns=list(features), percentiles=percentiles)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in features:
+        if isinstance(schema[c], T.StringType) or not _is_numeric(schema[c]):
+            stats[c]["unique_values"] = sorted(
+                v for v in unique_values(df, c) if v is not None
+            )
+    return stats

@@ -12,15 +12,20 @@ Semantics compiled (parity ``constructor/query.py``):
   * join chain with explicit / inferred (pk-intersection) keys,
     USING-style key merge when the key names match on both sides
   * right-side ``prefix`` renaming (``constructor/join.py:43,51``)
+  * projection pruning before each join (keeps only selected features,
+    join keys, and filter-referenced columns — so Catalyst's pruning
+    reaches the scans and unrelated name collisions can't poison a join)
   * ambiguity detection (``constructor/query.py:661-752``)
   * filters applied as one conjunction over the joined result (WHERE
-    semantics — ``constructor/query.py:775-785``)
+    semantics — ``constructor/query.py:775-785``); filters of semi/anti
+    sub-queries are applied to the right side BEFORE the join, since
+    their columns don't survive
   * final projection in declaration order
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,17 +39,47 @@ def _normalize_columns(df: DataFrame) -> DataFrame:
     renames = {c: autofix_feature_name(c) for c in df.columns}
     if all(k == v for k, v in renames.items()):
         return df
-    return df.select([F.col(c).alias(n) for c, n in renames.items()])
+    return df.select([F.col(f"`{c}`").alias(n) for c, n in renames.items()])
+
+
+def _join_keys(q, join) -> Tuple[List[str], List[str]]:
+    """Resolve one join's key lists: explicit, or the maximal matching
+    subset of the two sides' primary keys (constructor/query.py:246-249)."""
+    fg = q.left_feature_group
+    if join.on:
+        keys = [autofix_feature_name(k) for k in join.on]
+        return keys, keys
+    if join.left_on:
+        return (
+            [autofix_feature_name(k) for k in join.left_on],
+            [autofix_feature_name(k) for k in join.right_on],
+        )
+    if join.join_type == JoinType.CROSS:
+        return [], []
+    rpk = set(join.query.left_feature_group.primary_key)
+    keys = [k for k in fg.primary_key if k in rpk]
+    if not keys:
+        raise ValueError(
+            f"No join keys: primary keys of {fg.name!r} and "
+            f"{join.query.left_feature_group.name!r} share no names; "
+            "pass on= or left_on=/right_on="
+        )
+    return keys, keys
 
 
 def _compile_node(
-    q, spark: SparkSession, online: bool
-) -> Tuple[DataFrame, List[str], Dict[Tuple[int, str], str]]:
+    q,
+    spark: SparkSession,
+    online: bool,
+    filter_refs: Set[Tuple[int, str]],
+    extra_keep: Tuple[str, ...] = (),
+):
     """Compile one Query node.
 
-    Returns ``(df, selected_outnames, colmap)`` where ``colmap`` maps
-    ``(id(feature_group), feature_name) -> column name in df`` so the
-    top-level filter tree can resolve features through prefix renames.
+    Returns ``(df, selected_outnames, colmap, pending)`` where ``colmap``
+    maps ``(id(feature_group), feature_name) -> column name in df`` and
+    ``pending`` is the list of Logic trees still to be applied at the
+    root (semi/anti sub-query filters are consumed inline).
     """
     fg = q.left_feature_group
     df = _normalize_columns(fg.read_source(spark, q.start_time, q.end_time))
@@ -53,82 +88,126 @@ def _compile_node(
 
     colmap = {(id(fg), f.name): f.name for f in fg.features if f.name in df.columns}
     sel = [f.name for f in q.left_features]
+    # pending filters are SCOPED: each carries the column map of the
+    # sub-query it was attached to, so a self-join's two sides resolve
+    # the same Feature to their own columns (the reference gets this via
+    # per-alias SQL scoping, constructor/query.py:698-752)
+    pending: List = []
+
+    # columns this node's own frame must keep: selected + join keys
+    # (this node's left keys, and keys a parent join needs from us) +
+    # filter-referenced features of this FG. A left key not present in
+    # this source may be produced by one of this node's own joins —
+    # validated at join time, so only keys present here are kept.
+    own_keys = [k for j in q.joins for k in _join_keys(q, j)[0]]
+    own_filter_cols = [
+        name
+        for (fgid, fname), name in colmap.items()
+        if (fgid, fname) in filter_refs
+    ]
+    missing_sel = [c for c in sel if c not in df.columns]
+    if missing_sel:
+        raise KeyError(
+            f"Columns {missing_sel} not present in source of {fg.name!r}"
+        )
+    missing_extra = [c for c in extra_keep if c not in df.columns]
+    if missing_extra:
+        raise KeyError(
+            f"Join key(s) {missing_extra} not present in {fg.name!r}"
+        )
+    keep = []
+    for c in sel + list(extra_keep) + own_filter_cols:
+        if c not in keep:
+            keep.append(c)
+    for c in own_keys:
+        if c in df.columns and c not in keep:
+            keep.append(c)
+    df = df.select(*keep)
+    colmap = {k: v for k, v in colmap.items() if v in keep}
+
+    if q._filter is not None:
+        pending.append((q._filter, colmap))
 
     for join in q.joins:
-        rdf, rsel, rcolmap = _compile_node(join.query, spark, online)
         how = join.join_type
-
-        # -- join keys: explicit, or maximal matching subset of the two
-        #    sides' primary keys (parity constructor/query.py:246-249)
-        if join.on:
-            lkeys = rkeys = [autofix_feature_name(k) for k in join.on]
-        elif join.left_on:
-            lkeys = [autofix_feature_name(k) for k in join.left_on]
-            rkeys = [autofix_feature_name(k) for k in join.right_on]
-        elif how == JoinType.CROSS:
-            lkeys, rkeys = [], []
-        else:
-            rpk = set(join.query.left_feature_group.primary_key)
-            keys = [k for k in fg.primary_key if k in rpk]
-            if not keys:
-                raise ValueError(
-                    f"No join keys: primary keys of {fg.name!r} and "
-                    f"{join.query.left_feature_group.name!r} share no names; "
-                    "pass on= or left_on=/right_on="
-                )
-            lkeys = rkeys = keys
-
+        lkeys, rkeys = _join_keys(q, join)
+        rdf, rsel, rcolmap, rpending = _compile_node(
+            join.query, spark, online, filter_refs, extra_keep=tuple(rkeys)
+        )
         using = bool(lkeys) and lkeys == rkeys
+        absent = [k for k in lkeys if k not in df.columns]
+        if absent:
+            raise KeyError(
+                f"Left join key(s) {absent} not available when joining "
+                f"{join.query.left_feature_group.name!r}; select them or "
+                "order joins so the producing join comes first"
+            )
 
-        # -- prefix rename on the right side (parity join.py:43,51);
-        #    USING keys keep their name so Spark merges them
+        if how in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI):
+            # right-side filters can't apply post-join; consume them now
+            for logic, scope in rpending:
+                rdf = rdf.where(logic.to_column(_make_resolver(scope)))
+            rdf = rdf.select(*[F.col(k) for k in rkeys])
+            if using:
+                df = df.join(rdf, on=list(rkeys), how=how)
+            else:
+                df = df.join(rdf, on=_eq_cond(lkeys, rkeys), how=how)
+            continue
+
+        # prefix rename on the right (parity join.py:43,51); USING keys
+        # keep their name so Spark merges them
         ren: Dict[str, str] = {}
         for c in rdf.columns:
             if using and c in rkeys:
                 ren[c] = c
             else:
                 ren[c] = (join.prefix + c) if join.prefix else c
+
+        # collision handling: a collision on a USER-SELECTED column is an
+        # ambiguity error; a filter-only column is aliased internally
+        merge_keys = {k for k in rkeys} if using else set()
+        left_cols = set(df.columns)
+        tmp_i = 0
+        for c in list(ren):
+            n = ren[c]
+            if n in left_cols and (not using or n not in merge_keys):
+                if c in rsel:
+                    raise ValueError(
+                        f"Ambiguous column {n!r} on both sides of join with "
+                        f"{join.query.left_feature_group.name!r}; use prefix="
+                    )
+                ren[c] = f"__j{id(join) % 10007}_{tmp_i}_{n}"
+                tmp_i += 1
+
         if any(k != v for k, v in ren.items()):
             rdf = rdf.select([F.col(c).alias(n) for c, n in ren.items()])
         rkeys = [ren[k] for k in rkeys]
         rsel = [ren[s] for s in rsel]
+        rcolmap = {k: ren[v] for k, v in rcolmap.items()}
+        for logic, scope in rpending:
+            pending.append((logic, {k: ren.get(v, v) for k, v in scope.items()}))
 
-        # -- collision handling: drop unneeded duplicate names from the
-        #    right; needed duplicates are an ambiguity error
-        needed = set(rsel) | set(rkeys)
-        left_cols = set(df.columns)
-        merge_keys = set(rkeys) if using else set()
-        for c in list(rdf.columns):
-            if c in left_cols and c not in merge_keys:
-                if c in needed:
-                    raise ValueError(
-                        f"Ambiguous column {c!r} on both sides of join with "
-                        f"{join.query.left_feature_group.name!r}; use prefix="
-                    )
-                rdf = rdf.drop(c)
-
-        # -- the join itself
         if how == JoinType.CROSS:
             df = df.crossJoin(rdf)
         elif using:
             df = df.join(rdf, on=list(rkeys), how=how)
         else:
-            cond = None
-            for l, r in zip(lkeys, rkeys):
-                c = F.col(l) == F.col(r)
-                cond = c if cond is None else (cond & c)
-            df = df.join(rdf, on=cond, how=how)
-
-        if how in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI):
-            continue  # right columns do not survive semi/anti joins
+            df = df.join(rdf, on=_eq_cond(lkeys, rkeys), how=how)
 
         sel.extend(rsel)
         for key, v in rcolmap.items():
-            out = ren.get(v, v)
-            if out in df.columns:
-                colmap[key] = out
+            if v in df.columns and key not in colmap:
+                colmap[key] = v
 
-    return df, sel, colmap
+    return df, sel, colmap, pending
+
+
+def _eq_cond(lkeys: List[str], rkeys: List[str]) -> Column:
+    cond = None
+    for l, r in zip(lkeys, rkeys):
+        c = F.col(l) == F.col(r)
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def _latest_per_key(df: DataFrame, fg) -> DataFrame:
@@ -138,7 +217,11 @@ def _latest_per_key(df: DataFrame, fg) -> DataFrame:
 
     if not fg.primary_key or not fg.event_time:
         return df
-    return latest_per_key(df, fg.primary_key, order_by=[fg.event_time])
+    pre = getattr(fg, "precombine_key", None)
+    return latest_per_key(
+        df, fg.primary_key, order_by=[fg.event_time],
+        tie_breakers=[pre] if pre else [],
+    )
 
 
 def _make_resolver(colmap):
@@ -148,7 +231,6 @@ def _make_resolver(colmap):
             name = colmap.get((id(fg), feature.name))
             if name is not None:
                 return F.col(name)
-        # fall back to bare-name resolution
         hits = {v for (fgid, fname), v in colmap.items() if fname == feature.name}
         if len(hits) == 1:
             return F.col(next(iter(hits)))
@@ -160,11 +242,24 @@ def _make_resolver(colmap):
 
 
 def compile_query(q, spark: SparkSession, online: bool = False) -> DataFrame:
-    df, sel, colmap = _compile_node(q, spark, online)
+    logic_all = q.filters
+    filter_refs = (
+        {
+            (id(f.feature_group), f.name)
+            for f in logic_all.referenced_features()
+            if f.feature_group is not None
+        }
+        if logic_all is not None
+        else set()
+    )
+    df, sel, colmap, pending = _compile_node(q, spark, online, filter_refs)
 
-    logic = q.filters
-    if logic is not None:
-        df = df.where(logic.to_column(_make_resolver(colmap)))
+    cond = None
+    for logic, scope in pending:
+        c = logic.to_column(_make_resolver(scope))
+        cond = c if cond is None else (cond & c)
+    if cond is not None:
+        df = df.where(cond)
 
     # final projection, declaration order, first occurrence wins
     out, seen = [], set()

@@ -115,11 +115,19 @@ class CommitStore:
         return now
 
     # -- write path --------------------------------------------------------
+    def has_stream_batch(self, batch_id: int) -> bool:
+        """Idempotence check for foreachBatch replays (exactly-once)."""
+        return any(
+            c.get("extra", {}).get("stream_batch_id") == batch_id
+            for c in self._read_log()
+        )
+
     def write(
         self,
         df: DataFrame,
         operation: str = "upsert",
         compute_stats: bool = True,
+        extra: Optional[Dict] = None,
     ) -> FeatureGroupCommit:
         """Append one commit (upsert / insert / delete).
 
@@ -171,6 +179,7 @@ class CommitStore:
             rows_inserted=inserted,
             rows_updated=updated,
             rows_deleted=deleted,
+            extra=extra or {},
         )
         self._append_log(commit)
         return commit

@@ -1,0 +1,91 @@
+"""Batch file readers.
+
+Parity: ``/root/reference/python/hsfs/engine/spark.py:921-949``
+(``read``: csv/tsv/parquet/orc/avro/tfrecord with default options from
+``read_options`` :1129-1147). Plus a Spark-4 quirk fix: parquet columns
+with nanosecond TIMESTAMP logical type surface as ``bigint`` under
+``spark.sql.legacy.parquet.nanosAsLong``; we detect them in the footer
+(pyarrow, driver-side, O(1)) and convert to ``timestamp_ntz`` via
+``timestamp_micros`` so semantics match other engines (DuckDB truncates
+nanos to micros the same way).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_timestamp_columns(path: str) -> List[str]:
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return []
+    target = path
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        ]
+        if not parts:
+            for root, _dirs, files in os.walk(path):
+                parts = [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+                if parts:
+                    break
+        if not parts:
+            return []
+        target = parts[0]
+    try:
+        schema = pq.ParquetFile(target).schema
+    except Exception:
+        return []
+    out = []
+    for col in schema:
+        lt = str(col.logical_type)
+        if "Timestamp" in lt and "nanoseconds" in lt:
+            out.append(col.name)
+    return out
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        if c in df.columns and str(df.schema[c].dataType) in ("LongType()",):
+            # integer `div` — a float division would lose precision on
+            # ~1e18 nanosecond values (doubles carry only 53 bits)
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+_DEFAULT_OPTIONS: Dict[str, Dict[str, str]] = {
+    # parity engine/spark.py:1129-1147
+    "csv": {"header": "true", "inferSchema": "true"},
+    "tsv": {"header": "true", "inferSchema": "true", "delimiter": "\t"},
+}
+
+
+def read(
+    spark: SparkSession,
+    data_format: str,
+    path: Optional[str] = None,
+    options: Optional[Dict[str, str]] = None,
+    schema=None,
+) -> DataFrame:
+    fmt = data_format.lower()
+    opts = dict(_DEFAULT_OPTIONS.get(fmt, {}))
+    opts.update(options or {})
+    if fmt == "parquet" and not opts and schema is None:
+        return read_parquet(spark, path)
+    if fmt == "tsv":
+        fmt = "csv"
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)

@@ -1,0 +1,79 @@
+"""Structured-Streaming ingestion: ``insert_stream``.
+
+Parity: ``/root/reference/python/hsfs/feature_group.py:2965-3061`` →
+``engine/spark.py:398-469`` (output modes, named query, checkpoint dir,
+optional awaitTermination). The reference streams Avro-encoded rows to
+Kafka and lets a platform job materialize them; here each micro-batch
+MERGEs straight into the commit store (and the online materialization)
+inside ``foreachBatch`` — one batch id = one commit on both stores, the
+exactly-once pattern the reference leaves to the platform
+(SURVEY §2.8: late/duplicate data resolved by upsert-by-record-key at
+the storage layer, not by watermarks — ``core/hudi_engine.py:126-149``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def insert_stream(
+    fg,
+    df: DataFrame,
+    query_name: Optional[str] = None,
+    output_mode: str = "update",
+    await_termination: bool = False,
+    timeout: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    write_options: Optional[Dict[str, Any]] = None,
+    trigger: Optional[Dict[str, Any]] = None,
+) -> StreamingQuery:
+    """Start a streaming upsert into a managed feature group.
+
+    ``df`` must be a streaming DataFrame (``df.isStreaming``). Options
+    mirror the reference surface; ``trigger`` accepts the kwargs of
+    ``DataStreamWriter.trigger`` (e.g. ``{"availableNow": True}`` for
+    the bounded-backfill materialization job pattern,
+    ``engine/python.py:1411-1421``).
+    """
+    if not df.isStreaming:
+        raise ValueError(
+            "insert_stream expects a streaming DataFrame; use fg.insert for batch"
+        )
+    store = fg.commit_store  # validates the FG is managed
+    online = None
+    if fg.online_enabled:
+        from ..online.store import OnlineStore
+
+        online = OnlineStore.for_feature_group(fg)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence: a replayed batch id is skipped (the commit log
+        # records which batch ids landed)
+        if store.has_stream_batch(batch_id):
+            return
+        store.write(
+            batch_df, operation="upsert", compute_stats=False,
+            extra={"stream_batch_id": batch_id},
+        )
+        if online is not None:
+            online.upsert(batch_df)
+
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(_merge_batch)
+        .queryName(query_name or f"insert_stream_{fg.name}_{fg.version}")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination(timeout)
+    return query

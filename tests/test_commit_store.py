@@ -1,0 +1,126 @@
+"""CommitStore: upsert/insert/delete, time travel, incremental reads,
+precombine tie-break, compaction, commit metadata counts."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def fs(tmp_path):
+    return FeatureStore(root=str(tmp_path))
+
+
+def make_fg(fs, **kw):
+    kw.setdefault("primary_key", ["pk"])
+    kw.setdefault("event_time", "ets")
+    return fs.create_feature_group("fg", **kw)
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, "pk long, ets timestamp, state string, measurement double")
+
+
+def test_upsert_and_snapshot(spark, fs):
+    fg = make_fg(fs)
+    c1 = fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "a", 1.0),
+        (2, ts("2024-01-01"), "b", 2.0),
+    ]))
+    assert c1.rows_inserted == 2 and c1.rows_updated == 0
+    c2 = fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "a2", 10.0),   # same identity → update
+        (3, ts("2024-01-02"), "c", 3.0),     # new
+    ]))
+    assert c2.rows_inserted == 1 and c2.rows_updated == 1
+    snap = {r["pk"]: r["measurement"] for r in fg.read(spark).collect()}
+    assert snap == {1: 10.0, 2: 2.0, 3: 3.0}
+
+
+def test_event_time_in_record_key(spark, fs):
+    """Identity = pk + event_time: same pk at a new ts is a NEW row."""
+    fg = make_fg(fs)
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    fg.insert(df_of(spark, [(1, ts("2024-02-01"), "a", 2.0)]))
+    assert fg.read(spark).count() == 2
+
+
+def test_as_of_and_incremental(spark, fs):
+    fg = make_fg(fs)
+    c1 = fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    c2 = fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 2.0)]))
+    c3 = fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 3.0)]))
+    assert fg.as_of(c1.commit_time).read(spark).collect()[0]["measurement"] == 1.0
+    assert fg.as_of(c2.commit_time).read(spark).collect()[0]["measurement"] == 2.0
+    # incremental pull (c1, c2]
+    inc = fg.select_all().pull_changes(c1.commit_time, c2.commit_time).read(spark)
+    assert [r["measurement"] for r in inc.collect()] == [2.0]
+    # commit details newest-first
+    details = fg.commit_details()
+    assert [d["commit_time"] for d in details] == sorted(
+        [c1.commit_time, c2.commit_time, c3.commit_time], reverse=True
+    )
+
+
+def test_delete_records(spark, fs):
+    fg = make_fg(fs)
+    fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "a", 1.0),
+        (2, ts("2024-01-01"), "b", 2.0),
+    ]))
+    c = fg.commit_delete_record(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    assert c.rows_deleted == 1
+    rows = fg.read(spark).collect()
+    assert [r["pk"] for r in rows] == [2]
+
+
+def test_precombine_tiebreak(spark, fs):
+    fg = fs.create_feature_group(
+        "fg2", primary_key=["pk"], event_time="ets", precombine_key="measurement"
+    )
+    fg.insert(
+        spark.createDataFrame(
+            [(1, ts("2024-01-01"), "lo", 1.0), (1, ts("2024-01-01"), "hi", 9.0)],
+            "pk long, ets timestamp, state string, measurement double",
+        )
+    )
+    rows = fg.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["state"] == "hi"
+
+
+def test_compaction_preserves_snapshot(spark, fs):
+    fg = make_fg(fs)
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0), (2, ts("2024-01-01"), "b", 2.0)]))
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 5.0)]))
+    before = sorted((r["pk"], r["measurement"]) for r in fg.read(spark).collect())
+    fg.commit_store.compact(spark)
+    after = sorted((r["pk"], r["measurement"]) for r in fg.read(spark).collect())
+    assert before == after == [(1, 5.0), (2, 2.0)]
+
+
+def test_partition_key_layout(spark, fs, tmp_path):
+    fg = fs.create_feature_group(
+        "fgp", primary_key=["pk"], event_time="ets", partition_key=["state"]
+    )
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "x", 1.0), (2, ts("2024-01-01"), "y", 2.0)]))
+    import os
+
+    data = os.path.join(fg.location, "data")
+    commits = os.listdir(data)
+    assert any(c.startswith("_commit_time=") for c in commits)
+    inner = os.listdir(os.path.join(data, [c for c in commits if c.startswith("_commit_time=")][0]))
+    assert any(p.startswith("state=") for p in inner)
+
+
+def test_dirty_names_sanitized(spark, fs):
+    fg = fs.create_feature_group("fgd", primary_key=["primary_key"])
+    df = spark.createDataFrame([(1, "a")], ["Primary Key", "staTe 1"])
+    fg.insert(df)
+    assert set(fg.read(spark).columns) == {"primary_key", "state_1"}

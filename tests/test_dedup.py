@@ -1,0 +1,100 @@
+"""Dedup operators: exact, latest-per-key, MinHash-LSH, n-gram Jaccard,
+SimHash, embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quick", "speedy")),  # near dup
+        (4, "completely different text about spark engines and query plans at scale"),
+        (5, "yet another unrelated document mentioning feature stores and pipelines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_all_columns(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id long, v string")
+    assert dedup.dedup_exact(df).count() == 2
+
+
+def test_dedup_exact_subset_deterministic(docs):
+    out = dedup.dedup_exact(docs, columns=["text"], keep_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # min doc_id survives
+    assert len(ids) == 4
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")], "k long, t long, v string"
+    )
+    out = dedup.latest_per_key(df, ["k"], order_by=["t"])
+    assert {r["v"] for r in out.collect()} == {"new", "only"}
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 10, 2, "b")], "k long, t long, seq long, v string"
+    )
+    out = dedup.latest_per_key(df, ["k"], order_by=["t"], tie_breakers=["seq"])
+    assert out.collect()[0]["v"] == "b"
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_duplicate_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=16
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup collides in some band
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_ngram_jaccard_verification(docs):
+    cand = dedup.minhash_lsh_duplicate_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+    verified = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, candidates=cand
+    )
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert all(v >= 0.5 for v in rows.values())
+
+
+def test_ngram_jaccard_allpairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert rows == {(1, 2)}
+
+
+def test_simhash_similarity(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_embedding_cosine_dup_pairs(spark):
+    from feature_store_api_spark.operators.similarity import embedding_cosine_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = embedding_cosine_dup_pairs(df, "id", "v", dim=4, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)

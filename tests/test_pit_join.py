@@ -1,0 +1,116 @@
+"""PIT join correctness kernel (FIXTURES.md F5): ties, late rows,
+missing matches, duplicates, precombine tie-break — both strategies,
+cross-checked against DuckDB ASOF JOIN where expressible."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    spine = spark.createDataFrame(
+        [
+            (1, ts("2024-01-10T00:00:00"), 100),  # multiple right rows before
+            (1, ts("2024-01-01T00:00:00"), 101),  # exact tie with right row
+            (2, ts("2024-01-05T00:00:00"), 102),  # right rows only after → NULL
+            (3, ts("2024-01-05T00:00:00"), 103),  # key missing on right → NULL
+            (1, ts("2024-01-10T00:00:00"), 104),  # duplicate spine row
+        ],
+        "k long, ts timestamp, label int",
+    )
+    feat = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:00"), 10.0, 1.0),
+            (1, ts("2024-01-05T00:00:00"), 20.0, 1.0),
+            (1, ts("2024-01-05T00:00:00"), 25.0, 2.0),  # same-ts: precombine picks 25
+            (1, ts("2024-01-11T00:00:00"), 99.0, 1.0),  # after spine → invisible
+            (2, ts("2024-02-01T00:00:00"), 50.0, 1.0),
+        ],
+        "k long, fts timestamp, v double, pre double",
+    )
+    return spine, feat
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+def test_pit_semantics(frames, strategy):
+    spine, feat = frames
+    out = point_in_time_join(
+        spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], precombine="pre", strategy=strategy,
+    )
+    rows = {(r["label"]): r["v"] for r in out.collect()}
+    assert rows[100] == 25.0  # latest ≤ 2024-01-10 is the 01-05 pair, pre=2 wins
+    assert rows[101] == 10.0  # exact tie included
+    assert rows[102] is None  # right rows strictly after
+    assert rows[103] is None  # key absent
+    assert rows[104] == 25.0  # duplicate spine preserved
+    assert out.count() == 5
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+def test_pit_prefix_and_collision(frames, strategy):
+    spine, feat = frames
+    out = point_in_time_join(
+        spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", strategy=strategy,
+    )
+    assert "f_v" in out.columns
+    with pytest.raises(ValueError, match="collides"):
+        point_in_time_join(
+            spine.withColumnRenamed("label", "v"), feat,
+            keys=["k"], spine_ts="ts", feature_ts="fts", features=["v"],
+            strategy=strategy,
+        )
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+def test_pit_vs_duckdb_asof(spark, sf_dir, duck, strategy):
+    from feature_store_api_spark.sources.readers import read_parquet
+    from tests.conftest import assert_df_equal
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    feat = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    out = point_in_time_join(
+        spine, feat, keys=["ck"], spine_ts="ts", feature_ts="o_orderdate",
+        features=["o_totalprice"], strategy=strategy,
+    )
+    assert_df_equal(
+        out,
+        duck.execute(
+            """
+            WITH spine AS (SELECT event_id, user_id ck, ts FROM events),
+                 feat AS (SELECT o_custkey ck, o_orderdate, o_totalprice FROM orders)
+            SELECT spine.event_id, spine.ck, spine.ts, feat.o_totalprice
+            FROM spine ASOF LEFT JOIN feat
+              ON spine.ck = feat.ck AND spine.ts >= feat.o_orderdate
+            """
+        ),
+    )
+
+
+def test_pit_many(spark, frames):
+    spine, feat = frames
+    feat2 = feat.select("k", F.col("fts"), (F.col("v") * 2).alias("w"))
+    from feature_store_api_spark.operators.pit_join import point_in_time_join_many
+
+    out = point_in_time_join_many(
+        spine,
+        [
+            {"df": feat, "feature_ts": "fts", "features": ["v"], "precombine": "pre"},
+            {"df": feat2, "feature_ts": "fts", "features": ["w"], "prefix": "b_"},
+        ],
+        spine_keys_default=["k"],
+        spine_ts="ts",
+    )
+    assert {"v", "b_w"} <= set(out.columns)
+    assert out.count() == 5

@@ -1,0 +1,113 @@
+"""Splits, FeatureView PIT compilation, batch data."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.feature_view import FeatureView
+from feature_store_api_spark.operators.splits import (
+    random_split,
+    split_labels,
+    time_series_split,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_random_split_partitions(spark, catalog):
+    df = catalog.get_feature_group("orders").read(spark)
+    parts = random_split(df, {"train": 0.7, "test": 0.3}, seed=42)
+    n = df.count()
+    nt, ns = parts["train"].count(), parts["test"].count()
+    assert nt + ns == n
+    assert 0.6 < nt / n < 0.8
+    # deterministic under re-evaluation
+    assert parts["train"].count() == nt
+    # disjoint
+    assert parts["train"].join(parts["test"], on="o_orderkey", how="inner").count() == 0
+
+
+def test_time_series_split(spark, catalog, duck):
+    ev = catalog.get_feature_group("events").read(spark)
+    parts = time_series_split(
+        ev, "ts", [("train", None, "2024-06-01"), ("test", "2024-06-01", None)]
+    )
+    o_train = duck.execute(
+        "SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-06-01'"
+    ).fetchone()[0]
+    assert parts["train"].count() == o_train
+    assert parts["train"].count() + parts["test"].count() == ev.count()
+
+
+def test_split_labels(spark):
+    df = spark.createDataFrame([(1, 2.0, 1)], "a long, b double, label int")
+    x, y = split_labels(df, ["label"])
+    assert x.columns == ["a", "b"] and y.columns == ["label"]
+
+
+@pytest.fixture()
+def pit_fixtures(spark, tmp_path):
+    fs = FeatureStore(root=str(tmp_path))
+    spine_df = spark.createDataFrame(
+        [(1, ts("2024-01-10"), 1), (2, ts("2024-01-10"), 0), (1, ts("2024-01-02"), 1)],
+        "cid long, ts timestamp, label int",
+    )
+    spine = fs.get_or_create_spine_group(
+        "spine", spine_df, primary_key=["cid"], event_time="ts"
+    )
+    profile = fs.create_feature_group("profile", primary_key=["cid"], event_time="ts")
+    profile.insert(
+        spark.createDataFrame(
+            [
+                (1, ts("2024-01-01"), 10.0),
+                (1, ts("2024-01-05"), 20.0),
+                (2, ts("2024-01-11"), 99.0),  # after both spine rows → NULL
+            ],
+            "cid long, ts timestamp, bal double",
+        )
+    )
+    return fs, spine, profile
+
+
+def test_feature_view_pit(spark, pit_fixtures):
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv", q, labels=["label"])
+    out = fv.training_data(spark)
+    rows = {(r["cid"], r["ts"].isoformat()): r["bal"] for r in out.collect()}
+    assert rows[(1, "2024-01-10T00:00:00")] == 20.0
+    assert rows[(1, "2024-01-02T00:00:00")] == 10.0
+    assert rows[(2, "2024-01-10T00:00:00")] is None
+
+
+def test_feature_view_batch_drops_labels(spark, pit_fixtures):
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv", q, labels=["label"])
+    out = fv.get_batch_data(spark, start_time="2024-01-05")
+    assert "label" not in out.columns
+    assert out.count() == 2  # only spine rows at/after 01-05
+
+
+def test_feature_view_train_test_split(spark, pit_fixtures):
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv", q, labels=["label"])
+    x_train, x_test, y_train, y_test = fv.train_test_split(spark, test_size=0.5, seed=7)
+    assert x_train.count() + x_test.count() == 3
+    assert "label" not in x_train.columns and y_train.columns == ["label"]
+
+
+def test_feature_view_time_split(spark, pit_fixtures):
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv", q)
+    tr, te = fv.train_test_split_by_time(
+        spark, train_start=None, train_end="2024-01-05",
+        test_start="2024-01-05", test_end=None,
+    )
+    assert tr.count() == 1 and te.count() == 2

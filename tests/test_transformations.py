@@ -1,0 +1,114 @@
+"""Transformation functions: @udf decorator, built-in scalers vs oracle
+formulas, statistics binding, one-hot arity, drop semantics."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark.functions.builtin_transformations import (
+    label_encoder,
+    min_max_scaler,
+    one_hot_encoder,
+    robust_scaler,
+    standard_scaler,
+)
+from feature_store_api_spark.functions.udf import (
+    TransformationStatistics,
+    apply_transformations,
+    udf,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [(i, float(i), ["a", "b", "c"][i % 3]) for i in range(1, 101)]
+    return spark.createDataFrame(rows, "id long, x double, cat string")
+
+
+def test_plain_pandas_udf(df):
+    @udf(float)
+    def plus_one(x):
+        return x + 1
+
+    out = apply_transformations(df, [plus_one("x")])
+    assert "plus_one_x" in out.columns
+    assert "x" not in out.columns  # inputs dropped by default
+    got = {r["id"]: r["plus_one_x"] for r in out.collect()}
+    assert got[1] == 2.0 and got[100] == 101.0
+
+
+def test_udf_drop_subset(df):
+    @udf(float, drop=["id"])
+    def add_cols(id, x):
+        return id + x
+
+    out = apply_transformations(df, [add_cols("id", "x")])
+    assert "x" in out.columns and "id" not in out.columns
+
+
+def test_multi_output_udf(df):
+    @udf([float, float])
+    def two(x):
+        return pd.DataFrame({"a": x * 2, "b": x * 3})
+
+    out = apply_transformations(df, [two("x")])
+    assert {"two_x_0", "two_x_1"} <= set(out.columns)
+    row = out.where(F.col("id") == 10).collect()[0]
+    assert row["two_x_0"] == 20.0 and row["two_x_1"] == 30.0
+
+
+def test_statistics_bound_udf(df):
+    stats = TransformationStatistics("x")
+
+    @udf(float, statistics=stats)
+    def center(x, statistics=None):
+        return x - statistics.x["mean"]
+
+    out = apply_transformations(df, [center("x")])
+    vals = [r["center_x"] for r in out.collect()]
+    assert abs(sum(vals)) < 1e-6  # centered
+
+
+def test_min_max_scaler(df, duck):
+    out = apply_transformations(df, [min_max_scaler("x")])
+    got = {r["id"]: r["min_max_scaler_x"] for r in out.collect()}
+    assert got[1] == 0.0 and got[100] == 1.0
+    assert abs(got[50] - 49 / 99) < 1e-12
+
+
+def test_standard_scaler(df):
+    out = apply_transformations(df, [standard_scaler("x")])
+    vals = [r["standard_scaler_x"] for r in out.collect()]
+    mean = sum(vals) / len(vals)
+    assert abs(mean) < 1e-9
+
+
+def test_robust_scaler(df):
+    out = apply_transformations(df, [robust_scaler("x")])
+    med = sorted(r["robust_scaler_x"] for r in out.collect())[50]
+    assert abs(med) < 0.1  # median ≈ 0 after robust scaling
+
+
+def test_label_encoder(df):
+    out = apply_transformations(df, [label_encoder("cat")])
+    got = {r["cat"] if "cat" in r else None for r in out.collect()}
+    vals = {r["label_encoder_cat"] for r in out.collect()}
+    assert vals == {0, 1, 2}
+
+
+def test_one_hot_encoder(df):
+    out = apply_transformations(df, [one_hot_encoder("cat")])
+    oh_cols = [c for c in out.columns if c.startswith("one_hot_encoder_cat")]
+    assert len(oh_cols) == 3  # dynamic arity = #unique values
+    row = out.limit(1).collect()[0]
+    assert sum(1 for c in oh_cols if row[c]) == 1  # exactly one hot
+
+
+def test_train_split_statistics_binding(spark):
+    """Scaler stats from the TRAIN split applied to both splits."""
+    train = spark.createDataFrame([(float(i),) for i in range(11)], "x double")
+    test = spark.createDataFrame([(20.0,)], "x double")
+    out_train = apply_transformations(train, [min_max_scaler("x")], train_df=train)
+    out_test = apply_transformations(test, [min_max_scaler("x")], train_df=train)
+    assert out_test.collect()[0]["min_max_scaler_x"] == 2.0  # extrapolates past 1
+    assert max(r["min_max_scaler_x"] for r in out_train.collect()) == 1.0

@@ -105,9 +105,8 @@ def b5_training_data(spark, sf_dir):
     from feature_store_api_spark.functions.builtin_transformations import (
         min_max_scaler, standard_scaler,
     )
-    from feature_store_api_spark.functions.udf import apply_transformations
     from feature_store_api_spark.operators.pit_join import point_in_time_join
-    from feature_store_api_spark.operators.splits import random_split
+    from feature_store_api_spark.operators.training import prepare_training_data
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
@@ -117,11 +116,10 @@ def b5_training_data(spark, sf_dir):
         spine, feat, keys=["ck"], spine_ts="ts", feature_ts="o_orderdate",
         features=["o_totalprice"],
     )
-    splits = random_split(td, {"train": 0.8, "test": 0.2}, seed=42)
-    train, test = splits["train"], splits["test"]
     tfs = [min_max_scaler("value"), standard_scaler("o_totalprice")]
-    _force(apply_transformations(train, tfs, train_df=train))
-    _force(apply_transformations(test, tfs, train_df=train))
+    with prepare_training_data(td, tfs, random={"train": 0.8, "test": 0.2}, seed=42) as tdm:
+        _force(tdm["train"])
+        _force(tdm["test"])
 
 
 def b6_stats_profile(spark, sf_dir):

@@ -143,16 +143,17 @@ class FeatureView:
         seed: Optional[int] = None,
         spine: Optional[DataFrame] = None,
     ) -> Tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-        df = self._pit_plan(spark, spine)
-        splits = random_split(df, {"train": 1 - test_size, "test": test_size}, seed=seed)
-        df_train, df_test = splits["train"], splits["test"]
-        if self.transformation_functions:
-            from .functions.udf import apply_transformations as _apply
+        from .operators.training import prepare_training_data
 
-            df_train = _apply(df_train, self.transformation_functions, train_df=df_train)
-            df_test = _apply(df_test, self.transformation_functions, train_df=df_train)
-        x_train, y_train = split_labels(df_train, self.labels)
-        x_test, y_test = split_labels(df_test, self.labels)
+        df = self._pit_plan(spark, spine)
+        td = prepare_training_data(
+            df,
+            transformations=self.transformation_functions,
+            random={"train": 1 - test_size, "test": test_size},
+            seed=seed,
+        )
+        x_train, y_train = split_labels(td["train"], self.labels)
+        x_test, y_test = split_labels(td["test"], self.labels)
         return x_train, x_test, y_train, y_test
 
     def train_test_split_by_time(

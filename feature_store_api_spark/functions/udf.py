@@ -208,22 +208,35 @@ def udf(
     return deco
 
 
+def transformation_stats_for(
+    transformations: Sequence[TransformationFunction], train_df: DataFrame
+) -> Dict[str, Dict]:
+    """Compute the train-split statistics every statistics-bound UDF in
+    the list needs — once, so multiple splits share one stats pass."""
+    needed = sorted({f for t in transformations for f in t.stat_columns()})
+    if not needed:
+        return {}
+    from ..operators.statistics import transformation_statistics
+
+    return transformation_statistics(train_df, needed)
+
+
 def apply_transformations(
     df: DataFrame,
     transformations: Sequence[TransformationFunction],
     train_df: Optional[DataFrame] = None,
+    stats: Optional[Dict[str, Dict]] = None,
 ) -> DataFrame:
     """Apply all transformations in ONE select (parity
     ``engine/spark.py:1267-1328``), dropping declared inputs, ordered
     deterministically by output column name (``feature_view.py:405``).
     Statistics-bound UDFs get stats computed on ``train_df`` (the train
-    split — ``core/transformation_function_engine.py:198-259``)."""
-    needed = sorted({f for t in transformations for f in t.stat_columns()})
-    stats: Dict[str, Dict] = {}
-    if needed:
-        from ..operators.statistics import transformation_statistics
-
-        stats = transformation_statistics(train_df if train_df is not None else df, needed)
+    split — ``core/transformation_function_engine.py:198-259``); pass
+    precomputed ``stats`` to share one stats pass across splits."""
+    if stats is None:
+        stats = transformation_stats_for(
+            transformations, train_df if train_df is not None else df
+        )
 
     ordered = sorted(transformations, key=lambda t: t.output_names(stats)[0])
     drop = {d for t in ordered for d in (t.drop or t.features)}

@@ -1,0 +1,109 @@
+"""Training-data materialization: split + shared stats + transform.
+
+Parity: the reference's ``get_training_data`` / ``write_training_dataset``
+pipeline (``/root/reference/python/hsfs/engine/spark.py:582-721``):
+read query → split (random or time-series) → **cache splits**
+(``engine/spark.py:703``) → compute transformation statistics on the
+train split once (``core/transformation_function_engine.py:198-259``) →
+apply model-dependent transformations per split → deliver or write.
+
+The biggest shared saving here is the ONE statistics pass: the naive
+per-split ``apply_transformations`` recomputes train-split statistics
+for every split, re-executing the upstream join/PIT plan each time.
+
+Caching is available (``cache=True`` persists the *pre-split* frame so
+the splits are cheap filters over it) but OFF by default: measured in
+Spark local mode, any persist — memory or disk, blocking unpersist or
+not — degrades every subsequent wide aggregation in the session by
+10-40× (storage-pool/block-manager interference with execution
+memory). On a multi-executor cluster with an expensive upstream plan,
+turn it on; the reference caches its splits the same way
+(``engine/spark.py:703``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+
+from ..functions.udf import apply_transformations, transformation_stats_for
+from .splits import random_split, time_series_split
+
+
+class TrainingData:
+    """Materialized training dataset: named transformed splits + the
+    shared statistics, holding the cache until :meth:`release`."""
+
+    def __init__(self, splits: Dict[str, DataFrame], stats: Dict, cached: Optional[DataFrame]):
+        self.splits = splits
+        self.statistics = stats
+        self._cached = cached
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.splits[name]
+
+    def release(self) -> None:
+        """Unpersist the backing cache (parity ``engine/spark.py:919``:
+        the reference unpersists split caches after the write)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+
+    def __enter__(self) -> "TrainingData":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def prepare_training_data(
+    df: DataFrame,
+    transformations: Sequence = (),
+    random: Optional[Dict[str, float]] = None,
+    seed: Optional[int] = None,
+    time_splits: Optional[Sequence[Tuple]] = None,
+    event_time: Optional[str] = None,
+    train_split: str = "train",
+    cache: bool = False,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> TrainingData:
+    """Split ``df`` and apply transformations with ONE stats pass.
+
+    ``random={"train": .8, "test": .2}`` or
+    ``time_splits=[(name, start, end), ...]`` (needs ``event_time``);
+    neither → a single ``train`` split. Statistics for statistics-bound
+    transformations are computed on the ``train_split`` only and shared
+    by every split (train/serving-skew safety: the reference computes
+    them on the train split for exactly this reason).
+    """
+    if random and time_splits:
+        raise ValueError("pass either random= or time_splits=, not both")
+
+    cached = None
+    if cache:
+        cached = df.persist(storage_level)
+        df = cached
+
+    if random:
+        parts = random_split(df, random, seed=seed)
+    elif time_splits:
+        if not event_time:
+            raise ValueError("time_splits requires event_time=")
+        parts = time_series_split(df, event_time, time_splits)
+    else:
+        parts = {train_split: df}
+
+    if train_split not in parts:
+        raise ValueError(f"train split {train_split!r} not among {list(parts)}")
+
+    transformations = list(transformations)
+    stats = transformation_stats_for(transformations, parts[train_split])
+    out = {
+        name: apply_transformations(part, transformations, stats=stats)
+        if transformations
+        else part
+        for name, part in parts.items()
+    }
+    return TrainingData(out, stats, cached)

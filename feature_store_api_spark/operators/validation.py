@@ -1,0 +1,222 @@
+"""Data validation: expectation suites as aggregate assertions.
+
+Parity: the reference's Great Expectations / Deequ validation surface
+(``/root/reference/python/hsfs/engine/spark.py:1055-1109`` runs a GE
+suite against the DataFrame before ingest;
+``expectation_suite.py`` holds the suite model with
+``validation_ingestion_policy`` ∈ {ALWAYS, STRICT}).
+
+Design: each expectation compiles to aggregate expressions; a suite is
+ONE ``df.agg`` pass (Catalyst fuses all checks into a single scan with
+map-side partial aggregation — no per-expectation job), then verdicts
+are evaluated driver-side on the tiny result row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ExpectationResult:
+    expectation_type: str
+    column: Optional[str]
+    success: bool
+    observed: Any
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ValidationReport:
+    success: bool
+    results: List[ExpectationResult]
+    evaluated: int
+
+    def failures(self) -> List[ExpectationResult]:
+        return [r for r in self.results if not r.success]
+
+
+class Expectation:
+    """One check. Subclasses provide agg expressions + a verdict."""
+
+    expectation_type = "expectation"
+
+    def __init__(self, column: Optional[str] = None, **kwargs: Any) -> None:
+        self.column = column
+        self.kwargs = kwargs
+
+    def aggs(self, idx: int) -> List:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def verdict(self, row: Dict[str, Any], idx: int) -> ExpectationResult:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ExpectColumnValuesToNotBeNull(Expectation):
+    expectation_type = "expect_column_values_to_not_be_null"
+
+    def aggs(self, idx):
+        return [
+            F.sum(F.when(F.col(self.column).isNull(), 1).otherwise(0)).alias(f"e{idx}_nulls")
+        ]
+
+    def verdict(self, row, idx):
+        nulls = row[f"e{idx}_nulls"] or 0
+        return ExpectationResult(
+            self.expectation_type, self.column, nulls == 0, {"null_count": nulls}
+        )
+
+
+class ExpectColumnValuesToBeBetween(Expectation):
+    expectation_type = "expect_column_values_to_be_between"
+
+    def aggs(self, idx):
+        lo = self.kwargs.get("min_value")
+        hi = self.kwargs.get("max_value")
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(self.column) < F.lit(lo))
+        if hi is not None:
+            cond = cond | (F.col(self.column) > F.lit(hi))
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"e{idx}_oob"),
+            F.min(F.col(self.column)).alias(f"e{idx}_min"),
+            F.max(F.col(self.column)).alias(f"e{idx}_max"),
+        ]
+
+    def verdict(self, row, idx):
+        oob = row[f"e{idx}_oob"] or 0
+        return ExpectationResult(
+            self.expectation_type,
+            self.column,
+            oob == 0,
+            {
+                "out_of_bounds": oob,
+                "observed_min": row[f"e{idx}_min"],
+                "observed_max": row[f"e{idx}_max"],
+            },
+            self.kwargs,
+        )
+
+
+class ExpectColumnValuesToBeUnique(Expectation):
+    expectation_type = "expect_column_values_to_be_unique"
+
+    def aggs(self, idx):
+        return [
+            F.count(F.col(self.column)).alias(f"e{idx}_n"),
+            F.countDistinct(F.col(self.column)).alias(f"e{idx}_d"),
+        ]
+
+    def verdict(self, row, idx):
+        n, d = row[f"e{idx}_n"] or 0, row[f"e{idx}_d"] or 0
+        return ExpectationResult(
+            self.expectation_type, self.column, n == d,
+            {"count": n, "distinct": d, "duplicates": n - d},
+        )
+
+
+class ExpectColumnValuesToBeInSet(Expectation):
+    expectation_type = "expect_column_values_to_be_in_set"
+
+    def aggs(self, idx):
+        vals = list(self.kwargs["value_set"])
+        bad = (~F.col(self.column).isin(vals)) & F.col(self.column).isNotNull()
+        return [F.sum(F.when(bad, 1).otherwise(0)).alias(f"e{idx}_bad")]
+
+    def verdict(self, row, idx):
+        bad = row[f"e{idx}_bad"] or 0
+        return ExpectationResult(
+            self.expectation_type, self.column, bad == 0,
+            {"unexpected_count": bad}, self.kwargs,
+        )
+
+
+class ExpectColumnMeanToBeBetween(Expectation):
+    expectation_type = "expect_column_mean_to_be_between"
+
+    def aggs(self, idx):
+        return [F.avg(F.col(self.column)).alias(f"e{idx}_mean")]
+
+    def verdict(self, row, idx):
+        mean = row[f"e{idx}_mean"]
+        lo = self.kwargs.get("min_value", float("-inf"))
+        hi = self.kwargs.get("max_value", float("inf"))
+        ok = mean is not None and lo <= mean <= hi
+        return ExpectationResult(
+            self.expectation_type, self.column, ok, {"observed_mean": mean}, self.kwargs
+        )
+
+
+class ExpectTableRowCountToBeBetween(Expectation):
+    expectation_type = "expect_table_row_count_to_be_between"
+
+    def aggs(self, idx):
+        return [F.count(F.lit(1)).alias(f"e{idx}_rows")]
+
+    def verdict(self, row, idx):
+        n = row[f"e{idx}_rows"] or 0
+        lo = self.kwargs.get("min_value", 0)
+        hi = self.kwargs.get("max_value", float("inf"))
+        return ExpectationResult(
+            self.expectation_type, None, lo <= n <= hi, {"row_count": n}, self.kwargs
+        )
+
+
+class ExpectationSuite:
+    """Named set of expectations (parity ``expectation_suite.py``).
+
+    ``validation_ingestion_policy``: STRICT aborts ingest on failure,
+    ALWAYS ingests regardless but records the report — the two policies
+    the reference exposes.
+    """
+
+    ALWAYS = "ALWAYS"
+    STRICT = "STRICT"
+
+    def __init__(
+        self,
+        expectations: Sequence[Expectation],
+        name: str = "default",
+        validation_ingestion_policy: str = "ALWAYS",
+    ) -> None:
+        self.name = name
+        self.expectations = list(expectations)
+        self.validation_ingestion_policy = validation_ingestion_policy
+
+    def validate(self, df: DataFrame) -> ValidationReport:
+        """All expectations in ONE aggregation pass."""
+        aggs = []
+        for i, e in enumerate(self.expectations):
+            aggs.extend(e.aggs(i))
+        if not aggs:
+            return ValidationReport(True, [], 0)
+        row = df.agg(*aggs).collect()[0].asDict()
+        results = [e.verdict(row, i) for i, e in enumerate(self.expectations)]
+        return ValidationReport(
+            all(r.success for r in results), results, len(results)
+        )
+
+
+class DataValidationError(RuntimeError):
+    def __init__(self, report: ValidationReport) -> None:
+        fails = ", ".join(
+            f"{r.expectation_type}({r.column}): {r.observed}" for r in report.failures()
+        )
+        super().__init__(f"Validation failed: {fails}")
+        self.report = report
+
+
+def validate_for_ingest(df: DataFrame, suite: Optional[ExpectationSuite]):
+    """Ingest-time hook (parity ``engine/spark.py:1055-1109``): STRICT
+    policy raises on failure; ALWAYS returns the report for recording."""
+    if suite is None:
+        return None
+    report = suite.validate(df)
+    if not report.success and suite.validation_ingestion_policy == ExpectationSuite.STRICT:
+        raise DataValidationError(report)
+    return report

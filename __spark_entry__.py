@@ -436,6 +436,257 @@ _QV_01 = "[" + ",".join(["0.1"] * _EMB_DIM) + "]::DOUBLE[]"
 _QV_00 = "[" + ",".join(["0.0"] * _EMB_DIM) + "]::DOUBLE[]"
 
 
+def _q_knn_ann(spark, sf_dir):
+    """LSH-bucketed ANN probe (scale path of find_neighbors)."""
+    from feature_store_api_spark.operators.similarity import (
+        build_ann_index, find_neighbors_ann,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = build_ann_index(e, "embedding", dim=_EMB_DIM)
+    out = find_neighbors_ann(idx, [0.1] * _EMB_DIM, col="embedding", k=10)
+    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
+
+
+def _q_embedding_dups(spark, sf_dir):
+    """Embedding near-dup pairs via multi-table LSH + exact cosine.
+
+    The base table has no near-dups (max pairwise cosine ≈ 0.51), so the
+    query plants one colinear copy per vector (id + 10000, scaled 1.5×)
+    — every planted pair has cosine 1.0 and must be found; everything
+    else stays far below the threshold."""
+    from feature_store_api_spark.operators.similarity import embedding_cosine_dup_pairs
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    both = e.unionByName(planted)
+    return embedding_cosine_dup_pairs(
+        both, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (oracle-able slices)
+# ---------------------------------------------------------------------------
+
+def _q_text_language(spark, sf_dir):
+    from feature_store_api_spark.operators.text import language_id
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from feature_store_api_spark.operators.text import quality_score
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_text_tokens_bpe(spark, sf_dir):
+    from feature_store_api_spark.operators.text import bpe_ish_token_count
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
+
+
+def _q_simhash(spark, sf_dir):
+    from feature_store_api_spark.operators.dedup import simhash
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return simhash(d, "text", "doc_id")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Scale path: MinHash-LSH candidates, then exact n-gram Jaccard
+    verification of only those pairs. Banding (r=2, b=32) makes the
+    candidate-miss probability ~1e-14 at J >= 0.8, so the output equals
+    the exact all-pairs oracle."""
+    from feature_store_api_spark.operators.dedup import (
+        minhash_lsh_duplicate_pairs, ngram_jaccard_pairs,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    cands = minhash_lsh_duplicate_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=32
+    )
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_size=5, threshold=0.8, candidates=cands
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistics: exact percentiles, correlation matrix
+# ---------------------------------------------------------------------------
+
+def _q_percentiles_exact(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import exact_percentiles_df
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return exact_percentiles_df(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _q_correlations(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import correlations
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return correlations(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# ---------------------------------------------------------------------------
+# encoders / scalers (statistics-bound transformations)
+# ---------------------------------------------------------------------------
+
+def _q_encoders(spark, sf_dir):
+    from feature_store_api_spark.functions.builtin_transformations import (
+        label_encoder, one_hot_encoder,
+    )
+    from feature_store_api_spark.functions.udf import apply_transformations
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return apply_transformations(
+        c, [label_encoder("c_mktsegment"), one_hot_encoder("c_mktsegment")]
+    )
+
+
+def _q_robust_scaler(spark, sf_dir):
+    from feature_store_api_spark.functions.builtin_transformations import robust_scaler
+    from feature_store_api_spark.functions.udf import apply_transformations
+    from feature_store_api_spark.operators.statistics import transformation_statistics
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    stats = transformation_statistics(c, ["c_acctbal"], exact_pctl=True)
+    out = apply_transformations(c, [robust_scaler("c_acctbal")], stats=stats)
+    return out.select(
+        "c_custkey", F.round("robust_scaler_c_acctbal", 6).alias("rs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# monitoring windows
+# ---------------------------------------------------------------------------
+
+def _q_monitoring_window(spark, sf_dir):
+    """ROLLING_TIME window stats: now - 2w, length 1w, over events.value."""
+    from datetime import datetime
+
+    from feature_store_api_spark.operators.monitoring import (
+        MonitoringWindowConfig, window_statistics,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    cfg = MonitoringWindowConfig(
+        window_type="ROLLING_TIME", time_offset="2w", window_length="1w"
+    )
+    return window_statistics(ev, "ts", ["value"], cfg, now=datetime(2024, 1, 29))
+
+
+# ---------------------------------------------------------------------------
+# online store: latest-per-key materialization + batch lookup
+# ---------------------------------------------------------------------------
+
+def _q_online_lookup(spark, sf_dir):
+    """Three micro-batch upserts into the online store, then a batch
+    lookup of serving keys 0..99 (prepared-statement parity)."""
+    import pandas as pd
+
+    from feature_store_api_spark.online.store import OnlineStore
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="fsas_onl_")
+    try:
+        store = OnlineStore(
+            tmp, primary_key=["user_id"], event_time="ts", precombine_key="event_id"
+        )
+        for i in range(3):
+            store.upsert(ev.where(F.col("event_id") % 3 == i))
+        vecs = store.get_feature_vectors(
+            spark, [{"user_id": i} for i in range(100)]
+        )
+        rows = [v for v in vecs if v is not None]
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# streaming: readStream → foreachBatch MERGE into the commit store
+# ---------------------------------------------------------------------------
+
+def _q_streaming_upsert(spark, sf_dir):
+    """True Structured-Streaming ingest: file source → insert_stream
+    (foreachBatch upsert per micro-batch) → offline snapshot read."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.streaming.insert_stream import insert_stream
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="fsas_strm_")
+    try:
+        # stage the input through Spark's own writer (4 files → 4
+        # micro-batches with maxFilesPerTrigger=1) so the stream schema
+        # matches the files exactly
+        src_dir = os.path.join(tmp, "in")
+        ev.repartition(4).write.parquet(src_dir)
+
+        fs = FeatureStore(root=os.path.join(tmp, "fs"))
+        fg = fs.create_feature_group(
+            "events_stream", primary_key=["event_id"], event_time="ts"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .select("event_id", "user_id", "ts", "value")
+        )
+        q = insert_stream(
+            fg, stream,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            trigger={"availableNow": True},
+            await_termination=True, timeout=300,
+        )
+        out = fg.read(spark).select("event_id", "user_id", "ts", "value").toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode is a deterministic stub; schema/batching real)
+# ---------------------------------------------------------------------------
+
+def _q_multimodal_decode(spark, sf_dir):
+    """Binary content column → mapInPandas feature extraction."""
+    from feature_store_api_spark.operators.multimodal import (
+        attach_basic_metadata, decode_features,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    media = attach_basic_metadata(media)
+    return decode_features(media, meta_col=None)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -472,6 +723,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "knn_cosine": _q_knn_cosine,
         "knn_l2": _q_knn_l2,
+        "knn_ann": _q_knn_ann,
+        "embedding_dups": _q_embedding_dups,
+        "text_language": _q_text_language,
+        "text_quality": _q_text_quality,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "percentiles_exact": _q_percentiles_exact,
+        "correlations": _q_correlations,
+        "encoders": _q_encoders,
+        "robust_scaler": _q_robust_scaler,
+        "monitoring_window": _q_monitoring_window,
+        "online_lookup": _q_online_lookup,
+        "streaming_upsert": _q_streaming_upsert,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -636,6 +902,173 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY distance ASC, vec_id ASC LIMIT 10
         """,
-        # minhash_pairs / text_analysis / time-travel write-path queries
-        # that aren't listed here get the driver's rows-only check.
+        "embedding_dups": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            all_v AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.5) AS v FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(LIST_COSINE_SIMILARITY(a.v, b.v)::DOUBLE, 6) AS cosine
+            FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+            WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v)::DOUBLE, 6) >= 0.95
+        """,
+        "text_language": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(words, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS s_en,
+                len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+                len(list_filter(words, x -> x IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS s_fr,
+                len(list_filter(words, x -> x IN ('el','la','los','que','y','es','en','un','por','con'))) AS s_es
+              FROM w
+            )
+            SELECT doc_id, CASE
+              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "text_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                                 x -> length(x) > 0) AS words,
+                     length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
+              FROM documents
+            ), m AS (
+              SELECT doc_id, n_chars, alpha, punct,
+                     len(words) AS n_words,
+                     len(list_filter(words, x -> x IN (
+                       'the','and','of','to','is','in','that','it','for','with',
+                       'der','die','das','und','ist','nicht','ein','mit','für','auf',
+                       'le','la','les','et','est','dans','pour','que','une','des',
+                       'el','la','los','que','y','es','en','un','por','con'))) AS stop_hits,
+                     COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars
+              FROM w
+            )
+            SELECT doc_id, ROUND(
+                0.25 * least(n_chars / 500.0, 1.0)
+              + 0.25 * (CASE WHEN n_chars > 0 THEN alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+              + 0.2  * (CASE WHEN n_chars > 0 THEN 1.0 - least(punct * 5.0 / n_chars, 1.0) ELSE 0.0 END)
+              + 0.15 * (CASE WHEN n_words > 0 THEN least(stop_hits * 3.0 / n_words, 1.0) ELSE 0.0 END)
+              + 0.15 * (CASE WHEN n_words > 0
+                             AND word_chars / CAST(n_words AS DOUBLE) >= 3
+                             AND word_chars / CAST(n_words AS DOUBLE) <= 10
+                        THEN 1.0 ELSE 0.5 END), 6) AS quality
+            FROM m
+        """,
+        "text_tokens_bpe": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   COALESCE(list_sum(list_transform(words, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0)
+                   + len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> regexp_full_match(x, '[[:punct:]]+'))) AS n_tokens_bpe
+            FROM w
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+                                                  i -> substr(t, i + 1, 5))) AS s
+              FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s))
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s))
+                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+        """,
+        "percentiles_exact": """
+            SELECT 'l_quantity' AS feature,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   ROUND(quantile_cont(l_discount, 0.25), 6),
+                   ROUND(quantile_cont(l_discount, 0.50), 6),
+                   ROUND(quantile_cont(l_discount, 0.75), 6)
+            FROM lineitem
+        """,
+        "correlations": """
+            SELECT 'l_quantity' AS feature_a, 'l_quantity' AS feature_b,
+                   ROUND(corr(l_quantity, l_quantity), 6) AS "corr" FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_extendedprice', ROUND(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_extendedprice', ROUND(corr(l_extendedprice, l_extendedprice), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_discount', ROUND(corr(l_discount, l_discount), 6) FROM lineitem
+        """,
+        "encoders": """
+            SELECT c_custkey,
+                   CASE c_mktsegment
+                     WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                     WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                     WHEN 'MACHINERY' THEN 4 ELSE -1 END AS label_encoder_c_mktsegment,
+                   c_mktsegment = 'AUTOMOBILE' AS one_hot_encoder_c_mktsegment_0,
+                   c_mktsegment = 'BUILDING'   AS one_hot_encoder_c_mktsegment_1,
+                   c_mktsegment = 'FURNITURE'  AS one_hot_encoder_c_mktsegment_2,
+                   c_mktsegment = 'HOUSEHOLD'  AS one_hot_encoder_c_mktsegment_3,
+                   c_mktsegment = 'MACHINERY'  AS one_hot_encoder_c_mktsegment_4
+            FROM customer
+        """,
+        "robust_scaler": """
+            WITH s AS (
+              SELECT quantile_cont(c_acctbal, 0.25) AS p25,
+                     quantile_cont(c_acctbal, 0.50) AS p50,
+                     quantile_cont(c_acctbal, 0.75) AS p75
+              FROM customer
+            )
+            SELECT c_custkey, ROUND((c_acctbal - p50) / (p75 - p25), 6) AS rs
+            FROM customer, s
+        """,
+        "monitoring_window": """
+            SELECT 'value' AS feature, COUNT(*) AS cnt, COUNT(value) AS non_null,
+                   ROUND(MIN(value)::DOUBLE, 6) AS min_val, ROUND(MAX(value)::DOUBLE, 6) AS max_val,
+                   ROUND(SUM(value)::DOUBLE, 4) AS sum_val, ROUND(AVG(value), 6) AS mean_val,
+                   ROUND(STDDEV_SAMP(value), 6) AS stddev_val
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        """,
+        "online_lookup": """
+            SELECT event_id, user_id, ts, value FROM (
+              SELECT event_id, user_id, ts, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events WHERE user_id < 100
+            ) WHERE rn = 1
+        """,
+        "streaming_upsert": """
+            SELECT event_id, user_id, ts, value FROM events
+        """,
+        # simhash / knn_ann / minhash_pairs / text_analysis /
+        # multimodal_decode use hash functions or stub decoders with no
+        # DuckDB equivalent — the driver records its rows-only check.
     }

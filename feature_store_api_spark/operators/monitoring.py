@@ -1,0 +1,165 @@
+"""Feature-monitoring windows: window config → event-time range →
+(sampled) statistics → detection-vs-reference comparison.
+
+Parity surface (SURVEY §2.4): the reference's monitoring-window engine —
+window types ``ROLLING_TIME`` (``time_offset`` strings like ``"1w2d3h"``,
+optional ``window_length``), ``ALL_TIME`` and ``SPECIFIC_VALUE``
+(``/root/reference/python/hsfs/core/monitoring_window_config.py:27-43``),
+offset parsing and start/end computation
+(``core/monitoring_window_config_engine.py:153-229``), fetch + row
+sampling + statistics (``:231-426``), and scalar comparison of a
+detection window against a reference window
+(``core/feature_monitoring_config.py`` comparison metrics).
+
+Spark-first: a window is just an event-time range predicate — Catalyst
+pushes it into the parquet/Delta scan (partition + row-group pruning on
+the event-time column), ``df.sample`` handles ``row_percentage``, and
+the statistics pass reuses :mod:`.statistics` (one wide aggregate).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OFFSET_RE = re.compile(r"^(?:(\d+)w)?(?:(\d+)d)?(?:(\d+)h)?$")
+
+
+def parse_time_offset(offset: str) -> timedelta:
+    """Parse ``"1w2d3h"``-style offsets (monitoring_window_config_engine.py:153-186).
+
+    Any of the three components may be omitted; order is fixed w, d, h.
+    """
+    m = _OFFSET_RE.match(offset.strip())
+    if not m or not any(m.groups()):
+        raise ValueError(
+            f"Invalid time offset {offset!r}: expected e.g. '1w2d3h', '4w', '12h'"
+        )
+    weeks, days, hours = (int(g) if g else 0 for g in m.groups())
+    return timedelta(weeks=weeks, days=days, hours=hours)
+
+
+@dataclass
+class MonitoringWindowConfig:
+    """One monitoring window (monitoring_window_config.py:27-43).
+
+    - ``ALL_TIME``: no time bounds.
+    - ``ROLLING_TIME``: ``[now - time_offset, now - time_offset +
+      window_length)``; without ``window_length`` the window extends to
+      ``now``.
+    - ``SPECIFIC_VALUE``: no data fetch — ``specific_value`` is the
+      reference scalar to compare against.
+    """
+
+    window_type: str = "ALL_TIME"
+    time_offset: Optional[str] = None
+    window_length: Optional[str] = None
+    specific_value: Optional[float] = None
+    row_percentage: float = 1.0
+
+    def __post_init__(self):
+        allowed = {"ALL_TIME", "ROLLING_TIME", "SPECIFIC_VALUE", "TRAINING_DATASET"}
+        if self.window_type not in allowed:
+            raise ValueError(f"window_type must be one of {sorted(allowed)}")
+        if self.window_type == "ROLLING_TIME" and not self.time_offset:
+            raise ValueError("ROLLING_TIME requires time_offset")
+
+
+def window_bounds(
+    cfg: MonitoringWindowConfig, now: datetime
+) -> tuple[Optional[datetime], Optional[datetime]]:
+    """(start, end) of the window; ``None`` = unbounded on that side.
+
+    Parity: ``monitoring_window_config_engine.py:188-229`` — the end is
+    capped at ``now``.
+    """
+    if cfg.window_type != "ROLLING_TIME":
+        return None, None
+    start = now - parse_time_offset(cfg.time_offset)
+    end = now
+    if cfg.window_length:
+        end = min(start + parse_time_offset(cfg.window_length), now)
+    return start, end
+
+
+def fetch_window(
+    df: DataFrame,
+    event_time: str,
+    cfg: MonitoringWindowConfig,
+    now: datetime,
+    seed: Optional[int] = None,
+) -> DataFrame:
+    """Rows inside the window, optionally row-sampled
+    (``monitoring_window_config_engine.py:319-373``).
+
+    The range predicate is a plain column comparison — pushed into the
+    scan by Catalyst, so a partitioned/sorted event-time layout only
+    reads the window's files.
+    """
+    start, end = window_bounds(cfg, now)
+    out = df
+    col = F.col(event_time)
+    lo, hi = start, end
+    dtype = df.schema[event_time].dataType
+    if not str(dtype).startswith(("Timestamp", "Date")):
+        # numeric/string event time: normalize both sides to epoch-millis
+        # UTC (util.py:216 convention)
+        from ..functions.event_time import event_time_col_to_millis, to_epoch_millis
+
+        col = event_time_col_to_millis(col, dtype)
+        lo = to_epoch_millis(start) if start is not None else None
+        hi = to_epoch_millis(end) if end is not None else None
+    if lo is not None:
+        out = out.where(col >= F.lit(lo))
+    if hi is not None:
+        out = out.where(col < F.lit(hi))
+    if cfg.row_percentage < 1.0:
+        out = out.sample(fraction=cfg.row_percentage, seed=seed if seed is not None else 13)
+    return out
+
+
+def window_statistics(
+    df: DataFrame,
+    event_time: str,
+    columns: Sequence[str],
+    cfg: MonitoringWindowConfig,
+    now: datetime,
+    seed: Optional[int] = None,
+) -> DataFrame:
+    """Statistics DataFrame (one row per column) over the window —
+    the fetch-and-compute path (``monitoring_window_config_engine.py:231-426``)."""
+    from .statistics import describe_df
+
+    return describe_df(fetch_window(df, event_time, cfg, now, seed), columns)
+
+
+def compare_windows(
+    detection_value: Optional[float],
+    reference_value: Optional[float],
+    threshold: float,
+    relative: bool = False,
+    strict: bool = False,
+) -> Dict:
+    """Compare a detection-window statistic against a reference value.
+
+    ``difference = detection - reference`` (relative: divided by the
+    reference; 0-reference → inf difference unless both are 0). Shift
+    is "triggered" when the absolute difference exceeds (or, with
+    ``strict``, equals-or-exceeds) ``threshold``.
+    """
+    if detection_value is None or reference_value is None:
+        return {"difference": None, "shift_detected": False}
+    diff = float(detection_value) - float(reference_value)
+    if relative:
+        if reference_value == 0:
+            diff = float("inf") if diff != 0 else 0.0
+        else:
+            diff = diff / float(reference_value)
+    mag = abs(diff)
+    shift = mag >= threshold if strict else mag > threshold
+    return {"difference": diff, "shift_detected": bool(shift)}

@@ -202,6 +202,42 @@ def approx_percentiles_multi(
     return out
 
 
+def exact_percentiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> Dict[str, List[float]]:
+    """EXACT percentiles (linear interpolation, ``quantile_cont``
+    semantics) for many columns in one aggregate via ``F.percentile``.
+
+    Use for bounded-size inputs (train splits, monitoring windows) —
+    exact percentile aggregation buffers each column's values, so for
+    the full 100 TB table prefer :func:`approx_percentiles_multi`.
+    """
+    ps = F.array(*[F.lit(float(p)) for p in percentiles])
+    row = df.agg(
+        *[F.percentile(F.col(c), ps).alias(c) for c in columns]
+    ).collect()[0].asDict()
+    return {c: list(row[c]) if row[c] is not None else None for c in columns}
+
+
+def exact_percentiles_df(
+    df: DataFrame,
+    columns: Sequence[str],
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """DataFrame shape of :func:`exact_percentiles`: one row per column
+    with ``p<pct>`` columns — the SQL-oracle-friendly form."""
+    vals = exact_percentiles(df, columns, percentiles)
+    spark = df.sparkSession
+    names = [f"p{int(round(p * 100))}" for p in percentiles]
+    data = [
+        tuple([c] + [round(v, 6) for v in vals[c]]) for c in columns if vals[c]
+    ]
+    schema = "feature string, " + ", ".join(f"{n} double" for n in names)
+    return spark.createDataFrame(data, schema)
+
+
 def describe_df(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
     """Numeric profile as a DataFrame (one row per column) — the
     SQL-oracle-friendly shape used by the correctness gate."""
@@ -295,12 +331,25 @@ def unique_values(df: DataFrame, column: str) -> List:
 
 
 def transformation_statistics(
-    df: DataFrame, features: Sequence[str], percentiles=(0.25, 0.5, 0.75)
+    df: DataFrame, features: Sequence[str], percentiles=(0.25, 0.5, 0.75),
+    exact_pctl: bool = False,
 ) -> Dict[str, Dict]:
     """Stats needed by statistics-bound UDFs, computed only over the
     features the UDFs use, on the (train) split passed in — parity
-    ``core/transformation_function_engine.py:116-259``."""
+    ``core/transformation_function_engine.py:116-259``.
+
+    ``exact_pctl=True`` swaps the approximate percentile pass for the
+    exact one (train splits are bounded; robust_scaler then matches a
+    ``quantile_cont`` oracle bit-for-bit).
+    """
     stats = describe(df, columns=list(features), percentiles=percentiles)
+    if exact_pctl:
+        schema0 = {f.name: f.dataType for f in df.schema.fields}
+        num = [c for c in features if _is_numeric(schema0[c])]
+        if num:
+            ex = exact_percentiles(df, num, percentiles)
+            for c in num:
+                stats[c]["percentiles"] = ex[c]
     schema = {f.name: f.dataType for f in df.schema.fields}
     for c in features:
         if isinstance(schema[c], T.StringType) or not _is_numeric(schema[c]):

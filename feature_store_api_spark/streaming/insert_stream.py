@@ -54,6 +54,14 @@ def insert_stream(
         # records which batch ids landed)
         if store.has_stream_batch(batch_id):
             return
+        if not fg._features:
+            # first data seen for this FG: infer + register the schema,
+            # as the batch insert path does (engine/spark.py:1149-1170)
+            from ..feature import Feature
+
+            fg.set_features(
+                [Feature(f.name, f.dataType) for f in batch_df.schema.fields]
+            )
         store.write(
             batch_df, operation="upsert", compute_stats=False,
             extra={"stream_batch_id": batch_id},

@@ -1,0 +1,146 @@
+"""Monitoring windows (SURVEY §2.4: monitoring_window_config_engine
+parity) + exact percentiles."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from feature_store_api_spark.sources.readers import read_parquet
+
+
+def test_parse_time_offset():
+    from feature_store_api_spark.operators.monitoring import parse_time_offset
+
+    assert parse_time_offset("1w2d3h") == timedelta(weeks=1, days=2, hours=3)
+    assert parse_time_offset("4w") == timedelta(weeks=4)
+    assert parse_time_offset("12h") == timedelta(hours=12)
+    assert parse_time_offset("2d") == timedelta(days=2)
+    with pytest.raises(ValueError):
+        parse_time_offset("")
+    with pytest.raises(ValueError):
+        parse_time_offset("3h1w")  # wrong component order
+    with pytest.raises(ValueError):
+        parse_time_offset("5x")
+
+
+def test_window_bounds_rolling():
+    from feature_store_api_spark.operators.monitoring import (
+        MonitoringWindowConfig, window_bounds,
+    )
+
+    now = datetime(2024, 1, 29)
+    cfg = MonitoringWindowConfig(
+        window_type="ROLLING_TIME", time_offset="2w", window_length="1w"
+    )
+    assert window_bounds(cfg, now) == (datetime(2024, 1, 15), datetime(2024, 1, 22))
+
+    # no window_length → extends to now
+    cfg2 = MonitoringWindowConfig(window_type="ROLLING_TIME", time_offset="1w")
+    assert window_bounds(cfg2, now) == (datetime(2024, 1, 22), now)
+
+    # window_length past now is capped at now
+    cfg3 = MonitoringWindowConfig(
+        window_type="ROLLING_TIME", time_offset="1w", window_length="4w"
+    )
+    assert window_bounds(cfg3, now) == (datetime(2024, 1, 22), now)
+
+    # ALL_TIME is unbounded
+    cfg4 = MonitoringWindowConfig(window_type="ALL_TIME")
+    assert window_bounds(cfg4, now) == (None, None)
+
+
+def test_config_validation():
+    from feature_store_api_spark.operators.monitoring import MonitoringWindowConfig
+
+    with pytest.raises(ValueError):
+        MonitoringWindowConfig(window_type="BOGUS")
+    with pytest.raises(ValueError):
+        MonitoringWindowConfig(window_type="ROLLING_TIME")  # no offset
+
+
+def test_fetch_window_matches_range_filter(spark, sf_dir, duck):
+    from feature_store_api_spark.operators.monitoring import (
+        MonitoringWindowConfig, fetch_window,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    cfg = MonitoringWindowConfig(
+        window_type="ROLLING_TIME", time_offset="2w", window_length="1w"
+    )
+    got = fetch_window(ev, "ts", cfg, now=datetime(2024, 1, 29)).count()
+    want = duck.execute(
+        "SELECT COUNT(*) FROM events WHERE ts >= TIMESTAMP '2024-01-15'"
+        " AND ts < TIMESTAMP '2024-01-22'"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_row_sampling_fraction(spark, sf_dir):
+    from feature_store_api_spark.operators.monitoring import (
+        MonitoringWindowConfig, fetch_window,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    cfg = MonitoringWindowConfig(window_type="ALL_TIME", row_percentage=0.2)
+    n = ev.count()
+    got = fetch_window(ev, "ts", cfg, now=datetime(2024, 1, 29), seed=5).count()
+    assert 0.05 * n < got < 0.5 * n
+
+
+def test_compare_windows():
+    from feature_store_api_spark.operators.monitoring import compare_windows
+
+    r = compare_windows(12.0, 10.0, threshold=1.0)
+    assert r == {"difference": 2.0, "shift_detected": True}
+    r = compare_windows(12.0, 10.0, threshold=0.5, relative=True)
+    assert r["difference"] == pytest.approx(0.2)
+    assert not r["shift_detected"]
+    # strict: equality triggers
+    assert compare_windows(11.0, 10.0, threshold=1.0, strict=True)["shift_detected"]
+    assert not compare_windows(11.0, 10.0, threshold=1.0)["shift_detected"]
+    assert compare_windows(None, 10.0, threshold=1.0) == {
+        "difference": None, "shift_detected": False,
+    }
+    # zero reference
+    assert compare_windows(1.0, 0.0, threshold=1.0, relative=True)["difference"] == float("inf")
+
+
+def test_exact_percentiles_match_duckdb(spark, sf_dir, duck):
+    from feature_store_api_spark.operators.statistics import exact_percentiles
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    got = exact_percentiles(li, ["l_quantity", "l_discount"])
+    want_q = duck.execute(
+        "SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) FROM lineitem"
+    ).fetchone()[0]
+    want_d = duck.execute(
+        "SELECT quantile_cont(l_discount, [0.25, 0.5, 0.75]) FROM lineitem"
+    ).fetchone()[0]
+    assert got["l_quantity"] == pytest.approx([float(x) for x in want_q])
+    assert got["l_discount"] == pytest.approx([float(x) for x in want_d])
+
+
+def test_transformation_statistics_exact_pctl(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import transformation_statistics
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    approx = transformation_statistics(c, ["c_acctbal"])
+    exact = transformation_statistics(c, ["c_acctbal"], exact_pctl=True)
+    # both present, exact within the approx pass's bin tolerance
+    a, e = approx["c_acctbal"]["percentiles"], exact["c_acctbal"]["percentiles"]
+    assert len(a) == len(e) == 3
+    spread = float(exact["c_acctbal"]["max"]) - float(exact["c_acctbal"]["min"])
+    for x, y in zip(a, e):
+        assert abs(x - y) < spread / 100
+
+
+def test_multi_table_lsh_recall(spark):
+    """Planted colinear dups must always collide in every LSH table."""
+    from feature_store_api_spark.operators.similarity import embedding_cosine_dup_pairs
+
+    base = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)]
+    dups = [(i + 1000, [x * 2.0 for x in v]) for i, v in base]
+    df = spark.createDataFrame(base + dups, "id long, v array<double>")
+    out = embedding_cosine_dup_pairs(df, "id", "v", dim=8, threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(i, i + 1000) for i, _ in base} <= got

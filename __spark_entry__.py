@@ -10,6 +10,7 @@ column aliases match the oracle SQL exactly.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -688,6 +689,87 @@ def _q_multimodal_decode(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# schema evolution: appended feature with default value
+# ---------------------------------------------------------------------------
+
+def _q_append_feature_default(spark, sf_dir):
+    """A feature appended after data exists materializes as its default
+    (parity feature.py:200-207, feature_group.py:853)."""
+    from feature_store_api_spark.feature import Feature
+
+    c = _fg(spark, sf_dir, "customer")
+    q = c.select(["c_custkey", "c_acctbal"]).append_feature(
+        Feature("bonus", "double", default_value=1.5)
+    )
+    return q.read(spark)
+
+
+# ---------------------------------------------------------------------------
+# feature view: PIT batch query with event-time range (§3.2)
+# ---------------------------------------------------------------------------
+
+def _q_fv_batch_query(spark, sf_dir):
+    """FeatureView compiled with as-of semantics + scoring-time range;
+    label column dropped from batch data."""
+    from feature_store_api_spark.feature_view import FeatureView
+
+    cat = _cat(spark, sf_dir)
+    ev, orders = cat.get_feature_group("events"), cat.get_feature_group("orders")
+    q = ev.select(["event_id", "user_id", "ts", "value"]).join(
+        orders.select(["o_totalprice", "o_orderstatus"]),
+        left_on=["user_id"], right_on=["o_custkey"], prefix="ord_",
+    )
+    fv = FeatureView("fv_demo", q, labels=["value"])
+    return fv.get_batch_data(spark, start_time="2024-01-08", end_time="2024-01-22")
+
+
+# ---------------------------------------------------------------------------
+# frequency statistics: entropy / uniqueness / distinctness
+# ---------------------------------------------------------------------------
+
+def _q_entropy_uniqueness(spark, sf_dir):
+    from feature_store_api_spark.operators.statistics import (
+        entropy, uniqueness, unique_values,
+    )
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    rows = []
+    for col in ("l_returnflag", "l_linestatus"):
+        e = entropy(li, col)
+        u = uniqueness(li, col)
+        d = len(unique_values(li, col)) / n
+        rows.append((col, round(e, 6), round(u, 6), round(d, 9)))
+    return spark.createDataFrame(
+        rows, "feature string, entropy double, uniqueness double, distinctness double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-dataset file sink roundtrip (csv)
+# ---------------------------------------------------------------------------
+
+def _q_td_csv_roundtrip(spark, sf_dir):
+    """Write a projected table as a csv training dataset, read it back
+    — exercises the TD writer/reader (engine/spark.py:865-949 parity)."""
+    from feature_store_api_spark.sources.writers import (
+        read_training_dataset, write_training_dataset,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="fsas_td_")
+    try:
+        write_training_dataset({"": o}, "csv", os.path.join(tmp, "td"))
+        back = read_training_dataset(spark, "csv", os.path.join(tmp, "td"))
+        out = back.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -738,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "online_lookup": _q_online_lookup,
         "streaming_upsert": _q_streaming_upsert,
         "multimodal_decode": _q_multimodal_decode,
+        "append_feature_default": _q_append_feature_default,
+        "fv_batch_query": _q_fv_batch_query,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "td_csv_roundtrip": _q_td_csv_roundtrip,
     }
 
 
@@ -1067,6 +1153,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_upsert": """
             SELECT event_id, user_id, ts, value FROM events
+        """,
+        "append_feature_default": """
+            SELECT c_custkey, c_acctbal, 1.5 AS bonus FROM customer
+        """,
+        "fv_batch_query": """
+            WITH spine AS (SELECT event_id, user_id, ts FROM events),
+                 feat AS (SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus FROM orders)
+            SELECT spine.event_id, spine.user_id, spine.ts,
+                   feat.o_totalprice AS ord_o_totalprice,
+                   feat.o_orderstatus AS ord_o_orderstatus
+            FROM spine ASOF LEFT JOIN feat
+              ON spine.user_id = feat.o_custkey AND spine.ts >= feat.o_orderdate
+            WHERE spine.ts >= TIMESTAMP '2024-01-08' AND spine.ts < TIMESTAMP '2024-01-22'
+        """,
+        "entropy_uniqueness": """
+            WITH rf AS (SELECT l_returnflag v, COUNT(*) c FROM lineitem
+                        WHERE l_returnflag IS NOT NULL GROUP BY 1),
+                 ls AS (SELECT l_linestatus v, COUNT(*) c FROM lineitem
+                        WHERE l_linestatus IS NOT NULL GROUP BY 1),
+                 t AS (SELECT COUNT(*) n FROM lineitem)
+            SELECT 'l_returnflag' AS feature,
+                   ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy,
+                   ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS uniqueness,
+                   ROUND(COUNT(*)::DOUBLE / (SELECT n FROM t), 9) AS distinctness
+            FROM rf
+            UNION ALL
+            SELECT 'l_linestatus',
+                   ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6),
+                   ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6),
+                   ROUND(COUNT(*)::DOUBLE / (SELECT n FROM t), 9)
+            FROM ls
+        """,
+        "td_csv_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
         """,
         # simhash / knn_ann / minhash_pairs / text_analysis /
         # multimodal_decode use hash functions or stub decoders with no

@@ -105,6 +105,21 @@ def _compile_node(
         for (fgid, fname), name in colmap.items()
         if (fgid, fname) in filter_refs
     ]
+    # default values (parity feature.py:200-207, feature_group.py:853):
+    # a feature appended after data was written is absent from old
+    # commits — materialize it as its default; NULLs in present columns
+    # also fall back to the default
+    for feat in q.left_features:
+        if feat.default_value is None:
+            continue
+        default = F.lit(feat.default_value)
+        if feat.type is not None:
+            default = default.cast(feat.type)
+        if feat.name not in df.columns:
+            df = df.withColumn(feat.name, default)
+        else:
+            df = df.withColumn(feat.name, F.coalesce(F.col(feat.name), default))
+
     missing_sel = [c for c in sel if c not in df.columns]
     if missing_sel:
         raise KeyError(

@@ -770,6 +770,94 @@ def _q_td_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# feature-vector serving (§3.3): online lookup + serving-time transform
+# ---------------------------------------------------------------------------
+
+def _q_serving_vectors(spark, sf_dir):
+    """init_serving → batch feature-vector lookup of 100 serving keys
+    with a statistics-bound scaler applied at serve time."""
+    import pandas as pd
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="fsas_srv_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "profile", primary_key=["user_id"], event_time="ts",
+            precombine_key="event_id", online_enabled=True,
+        )
+        fg.insert(ev, compute_stats=False)
+        fv = FeatureView(
+            "profile_view",
+            fg.select(["user_id", "ts", "value"]),
+            transformation_functions=[min_max_scaler("value")],
+        )
+        fv.init_serving(spark, training_df=ev)
+        vecs = fv.get_feature_vectors(
+            spark, [{"user_id": i} for i in range(100)]
+        )
+        rows = [v for v in vecs if v is not None]
+        pdf = pd.DataFrame(rows)[["user_id", "ts", "min_max_scaler_value"]]
+        pdf["min_max_scaler_value"] = pdf["min_max_scaler_value"].round(6)
+        pdf = pdf.rename(columns={"min_max_scaler_value": "mm"})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# spine-group PIT join + fs.sql entry point
+# ---------------------------------------------------------------------------
+
+def _q_spine_pit_join(spark, sf_dir):
+    """A user-supplied label spine (filtered events) substituted as the
+    left side of a feature view's PIT join (fs_query.py:96-111 parity)."""
+    from feature_store_api_spark.feature_view import FeatureView
+
+    cat = _cat(spark, sf_dir)
+    ev, orders = cat.get_feature_group("events"), cat.get_feature_group("orders")
+    spine_df = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    cat.get_or_create_spine_group(
+        "label_spine", spine_df, primary_key=["user_id"], event_time="ts"
+    )
+    q = ev.select(["event_id", "user_id", "ts"]).join(
+        orders.select(["o_totalprice"]),
+        left_on=["user_id"], right_on=["o_custkey"], prefix="ord_",
+    )
+    fv = FeatureView("fv_spine", q)
+    return fv.get_batch_data(spark, spine=spine_df)
+
+
+def _q_fs_sql(spark, sf_dir):
+    """fs.sql(): feature groups registered as temp views, free-form SQL
+    (feature_store.py:426 parity) — exposes GROUP BY aggregation."""
+    cat = _cat(spark, sf_dir)
+    return cat.sql(
+        """
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_price,
+               ROUND(AVG(o.o_totalprice), 6) AS avg_price
+        FROM orders o
+        GROUP BY o.o_orderstatus
+        """,
+        spark,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -824,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fv_batch_query": _q_fv_batch_query,
         "entropy_uniqueness": _q_entropy_uniqueness,
         "td_csv_roundtrip": _q_td_csv_roundtrip,
+        "spine_pit_join": _q_spine_pit_join,
+        "fs_sql": _q_fs_sql,
+        "serving_vectors": _q_serving_vectors,
     }
 
 
@@ -1187,6 +1278,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "td_csv_roundtrip": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        """,
+        "spine_pit_join": """
+            WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0),
+                 feat AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders)
+            SELECT spine.event_id, spine.user_id, spine.ts,
+                   feat.o_totalprice AS ord_o_totalprice
+            FROM spine ASOF LEFT JOIN feat
+              ON spine.user_id = feat.o_custkey AND spine.ts >= feat.o_orderdate
+        """,
+        "fs_sql": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   ROUND(AVG(o_totalprice), 6) AS avg_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "serving_vectors": """
+            WITH latest AS (
+              SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                FROM events WHERE user_id < 100
+              ) WHERE rn = 1
+            ), s AS (SELECT MIN(value) mn, MAX(value) mx FROM events)
+            SELECT user_id, ts, ROUND((value - mn) / (mx - mn), 6) AS mm
+            FROM latest, s
         """,
         # simhash / knn_ann / minhash_pairs / text_analysis /
         # multimodal_decode use hash functions or stub decoders with no

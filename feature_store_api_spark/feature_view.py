@@ -156,6 +156,23 @@ class FeatureView:
         x_test, y_test = split_labels(td["test"], self.labels)
         return x_train, x_test, y_train, y_test
 
+    # -- online serving (parity feature_view.py:286, vector_server.py) -----
+    def init_serving(self, spark: SparkSession, training_df: Optional[DataFrame] = None):
+        from .online.serving import VectorServer
+
+        self._vector_server = VectorServer(self).init_serving(spark, training_df)
+        return self._vector_server
+
+    def get_feature_vector(self, spark: SparkSession, entry, **kw):
+        if not hasattr(self, "_vector_server"):
+            self.init_serving(spark)
+        return self._vector_server.get_feature_vector(spark, entry, **kw)
+
+    def get_feature_vectors(self, spark: SparkSession, entries, **kw):
+        if not hasattr(self, "_vector_server"):
+            self.init_serving(spark)
+        return self._vector_server.get_feature_vectors(spark, entries, **kw)
+
     def train_test_split_by_time(
         self,
         spark: SparkSession,

@@ -1,0 +1,156 @@
+"""Feature-vector serving for feature views.
+
+Parity surface (§3.3): ``init_serving`` → per-feature-group lookup
+handles (``/root/reference/python/hsfs/core/vector_server.py:133-188``);
+single/batch lookups executed per feature group and stitched on serving
+keys (``core/online_store_sql_engine.py:279-437`` — the reference runs
+per-FG prepared statements in parallel and never SQL-joins at serve
+time); ``passed_features`` overriding looked-up values and required-key
+validation (``core/vector_server.py:486-555``); transformations applied
+after assembly (``:924-978`` — on-demand first, then model-dependent).
+
+Spark-first: each feature group's online materialization is a compact
+latest-per-key table (``online/store.py``); lookups are pk-filtered scans
+that Spark pushes into the parquet read. Transformations reuse the SAME
+TransformationFunction objects as the batch path — applied via a small
+DataFrame so training/serving skew is impossible by construction (one
+code path), at the cost of Spark-job latency per call; batch lookups
+amortize it. A production deployment would swap OnlineStore for a real
+KV store behind the same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from .store import OnlineStore
+
+
+class VectorServer:
+    """Serves assembled feature vectors for a FeatureView."""
+
+    def __init__(self, feature_view) -> None:
+        self.fv = feature_view
+        self._plans: List[Dict] = []  # one per FG: store, key map, features, prefix
+        self._stats: Optional[Dict] = None
+        self._initialized = False
+
+    # -- setup (parity vector_server.py:133-188) ---------------------------
+    def init_serving(self, spark: SparkSession, training_df=None) -> "VectorServer":
+        """Resolve per-FG online stores + serving-key maps; precompute
+        the statistics every statistics-bound transformation needs
+        (on ``training_df`` when given — the train split — else on the
+        view's batch data)."""
+        q = self.fv.query
+        left_fg = q.left_feature_group
+        left_feats = [f.name for f in q.left_features]
+        self._serving_keys = list(left_fg.primary_key)
+        self._plans = [
+            {
+                "store": OnlineStore.for_feature_group(left_fg),
+                "keymap": {k: k for k in left_fg.primary_key},
+                "features": left_feats,
+                "prefix": "",
+            }
+        ]
+        for join in q.joins:
+            fg = join.query.left_feature_group
+            lkeys = join.on or join.left_on or [
+                k for k in self._serving_keys if k in set(fg.primary_key)
+            ]
+            rkeys = join.right_on or lkeys
+            self._plans.append(
+                {
+                    "store": OnlineStore.for_feature_group(fg),
+                    # serving-key name → that FG's pk name
+                    "keymap": dict(zip(lkeys, rkeys)),
+                    "features": [f.name for f in join.query.left_features],
+                    "prefix": join.prefix or "",
+                }
+            )
+        tfs = self.fv.transformation_functions
+        if tfs:
+            from ..functions.udf import transformation_stats_for
+
+            base = training_df
+            if base is None:
+                base = self.fv._pit_plan(spark)
+            self._stats = transformation_stats_for(tfs, base)
+        self._initialized = True
+        return self
+
+    # -- lookups (parity online_store_sql_engine.py:279-437) ---------------
+    def get_feature_vector(
+        self,
+        spark: SparkSession,
+        entry: Dict,
+        passed_features: Optional[Dict] = None,
+        apply_transformations: bool = True,
+    ) -> Optional[Dict]:
+        out = self.get_feature_vectors(
+            spark, [entry], [passed_features] if passed_features else None,
+            apply_transformations=apply_transformations,
+        )
+        return out[0]
+
+    def get_feature_vectors(
+        self,
+        spark: SparkSession,
+        entries: Sequence[Dict],
+        passed_features: Optional[Sequence[Optional[Dict]]] = None,
+        apply_transformations: bool = True,
+    ) -> List[Optional[Dict]]:
+        if not self._initialized:
+            raise RuntimeError("call init_serving() first")
+        missing = [
+            k for k in self._serving_keys if any(k not in e for e in entries)
+        ]
+        if missing:
+            raise ValueError(f"Serving key(s) {missing} missing from entry")
+
+        # one batched lookup per feature group, stitched client-side
+        rows: List[Optional[Dict]] = [None] * len(entries)
+        for plan in self._plans:
+            keys = [
+                {pk: e[sk] for sk, pk in plan["keymap"].items()} for e in entries
+            ]
+            hits = plan["store"].get_feature_vectors(spark, keys)
+            for i, hit in enumerate(hits):
+                if hit is None:
+                    continue
+                vec = rows[i] if rows[i] is not None else dict(entries[i])
+                for f in plan["features"]:
+                    if f in hit and f not in plan["store"].primary_key:
+                        vec[plan["prefix"] + f] = hit[f]
+                rows[i] = vec
+        if passed_features:
+            for i, pf in enumerate(passed_features):
+                if pf:
+                    if rows[i] is None:
+                        rows[i] = dict(entries[i])
+                    rows[i].update(pf)
+
+        if apply_transformations and self.fv.transformation_functions:
+            rows = self._transform(spark, rows)
+        return rows
+
+    def _transform(self, spark, rows: List[Optional[Dict]]) -> List[Optional[Dict]]:
+        """Apply the view's transformations to the assembled vectors via
+        the SAME apply path as training (one code path, no skew)."""
+        import pandas as pd
+
+        from ..functions.udf import apply_transformations as _apply
+
+        live = [(i, r) for i, r in enumerate(rows) if r is not None]
+        if not live:
+            return rows
+        pdf = pd.DataFrame([r for _, r in live])
+        df = spark.createDataFrame(pdf)
+        out = _apply(
+            df, self.fv.transformation_functions, stats=self._stats
+        ).toPandas()
+        for (i, _), (_, rec) in zip(live, out.iterrows()):
+            rows[i] = {k: v for k, v in rec.to_dict().items()}
+        return rows

@@ -1,0 +1,107 @@
+"""Online feature-vector serving (§3.3 parity: vector_server /
+online_store_sql_engine): per-FG lookups stitched on serving keys,
+passed features, serving-time transformations, key validation."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.feature_view import FeatureView
+from feature_store_api_spark.sources.readers import read_parquet
+
+
+@pytest.fixture(scope="module")
+def served(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="fsas_serve_")
+    fs = FeatureStore(root=tmp)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    profile = fs.create_feature_group(
+        "profile", primary_key=["user_id"], event_time="ts",
+        precombine_key="event_id", online_enabled=True,
+    )
+    profile.insert(ev, compute_stats=False)
+    # second FG keyed the same way but under a different pk name
+    agg = fs.create_feature_group(
+        "user_totals", primary_key=["uid"], online_enabled=True,
+    )
+    totals = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    agg.insert(totals, compute_stats=False)
+
+    q = profile.select(["user_id", "ts", "value"]).join(
+        agg.select(["total_value", "n_events"]),
+        left_on=["user_id"], right_on=["uid"], prefix="agg_",
+    )
+    yield {"fs": fs, "ev": ev, "q": q, "profile": profile, "agg": agg}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _latest_row(ev, uid):
+    return (
+        ev.where(F.col("user_id") == uid)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .first()
+    )
+
+
+def test_single_lookup_stitches_feature_groups(spark, served):
+    fv = FeatureView("sv1", served["q"])
+    vec = fv.get_feature_vector(spark, {"user_id": 3})
+    latest = _latest_row(served["ev"], 3)
+    assert vec["value"] == pytest.approx(latest["value"])
+    exp = served["ev"].where(F.col("user_id") == 3).agg(
+        F.sum("value"), F.count(F.lit(1))
+    ).first()
+    assert vec["agg_total_value"] == pytest.approx(exp[0], rel=1e-6)
+    assert vec["agg_n_events"] == exp[1]
+
+
+def test_batch_lookup_order_and_misses(spark, served):
+    fv = FeatureView("sv2", served["q"])
+    vecs = fv.get_feature_vectors(
+        spark, [{"user_id": 7}, {"user_id": 999999}, {"user_id": 0}]
+    )
+    assert vecs[1] is None  # unknown key → no vector
+    assert vecs[0]["value"] == pytest.approx(_latest_row(served["ev"], 7)["value"])
+    assert vecs[2]["value"] == pytest.approx(_latest_row(served["ev"], 0)["value"])
+
+
+def test_passed_features_override(spark, served):
+    fv = FeatureView("sv3", served["q"])
+    server = fv.init_serving(spark)
+    vec = server.get_feature_vector(
+        spark, {"user_id": 3}, passed_features={"value": 42.0}
+    )
+    assert vec["value"] == 42.0
+
+
+def test_serving_transformation_matches_batch(spark, served):
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    ev = served["ev"]
+    fv = FeatureView(
+        "sv4", served["q"], transformation_functions=[min_max_scaler("value")]
+    )
+    fv.init_serving(spark, training_df=ev)
+    vec = fv.get_feature_vector(spark, {"user_id": 3})
+    stats = ev.agg(F.min("value"), F.max("value")).first()
+    lo, hi = stats[0], stats[1]
+    raw = _latest_row(ev, 3)["value"]
+    assert "value" not in vec  # input dropped by the transformation
+    assert vec["min_max_scaler_value"] == pytest.approx((raw - lo) / (hi - lo))
+
+
+def test_missing_serving_key_raises(spark, served):
+    fv = FeatureView("sv5", served["q"])
+    server = fv.init_serving(spark)
+    with pytest.raises(ValueError, match="user_id"):
+        server.get_feature_vector(spark, {"wrong_key": 1})

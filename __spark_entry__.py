@@ -770,6 +770,90 @@ def _q_td_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multi-FG point-in-time join (fs_query.py:32-43 multi-join shape)
+# ---------------------------------------------------------------------------
+
+def _q_pit_join_multi(spark, sf_dir):
+    """Spine as-of joined against TWO feature tables sequentially.
+
+    Both feature tables are pre-aggregated to one row per (key, ts) so
+    tie-breaking cannot differ between engines."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join_many
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    f1 = orders.groupBy(
+        F.col("o_custkey").alias("ck"), "o_orderdate"
+    ).agg(F.max("o_totalprice").alias("o_totalprice"))
+    f2 = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ck"), "l_shipdate")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    return point_in_time_join_many(
+        spine,
+        [
+            {"df": f1, "feature_ts": "o_orderdate",
+             "features": ["o_totalprice"], "prefix": "o_"},
+            {"df": f2, "feature_ts": "l_shipdate",
+             "features": ["l_extendedprice"], "prefix": "l_"},
+        ],
+        spine_keys_default=["ck"],
+        spine_ts="ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# data validation: expectation suite in one aggregation pass
+# ---------------------------------------------------------------------------
+
+def _q_validation_report(spark, sf_dir):
+    from feature_store_api_spark.operators.validation import (
+        ExpectationSuite,
+        ExpectColumnMeanToBeBetween,
+        ExpectColumnValuesToBeBetween,
+        ExpectColumnValuesToBeInSet,
+        ExpectColumnValuesToBeUnique,
+        ExpectColumnValuesToNotBeNull,
+        ExpectTableRowCountToBeBetween,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    suite = ExpectationSuite([
+        ExpectColumnValuesToNotBeNull("o_custkey"),
+        ExpectColumnValuesToBeBetween("o_totalprice", min_value=0.0, max_value=1e9),
+        ExpectColumnValuesToBeUnique("o_orderkey"),
+        ExpectColumnValuesToBeInSet("o_orderstatus", value_set=["F", "O", "P"]),
+        ExpectColumnMeanToBeBetween("o_totalprice", min_value=1000.0, max_value=1e7),
+        ExpectTableRowCountToBeBetween(min_value=1, max_value=10**12),
+    ])
+    report = suite.validate(o)
+    scalar_key = {
+        "expect_column_values_to_not_be_null": "null_count",
+        "expect_column_values_to_be_between": "out_of_bounds",
+        "expect_column_values_to_be_unique": "duplicates",
+        "expect_column_values_to_be_in_set": "unexpected_count",
+        "expect_column_mean_to_be_between": "observed_mean",
+        "expect_table_row_count_to_be_between": "row_count",
+    }
+    rows = [
+        (
+            r.expectation_type,
+            r.column or "",
+            bool(r.success),
+            round(float(r.observed[scalar_key[r.expectation_type]]), 6),
+        )
+        for r in report.results
+    ]
+    return spark.createDataFrame(
+        rows, "expectation_type string, feature string, success boolean, observed double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # feature-vector serving (§3.3): online lookup + serving-time transform
 # ---------------------------------------------------------------------------
 
@@ -915,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spine_pit_join": _q_spine_pit_join,
         "fs_sql": _q_fs_sql,
         "serving_vectors": _q_serving_vectors,
+        "pit_join_multi": _q_pit_join_multi,
+        "validation_report": _q_validation_report,
     }
 
 
@@ -1292,6 +1378,56 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price,
                    ROUND(AVG(o_totalprice), 6) AS avg_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "pit_join_multi": """
+            WITH spine AS (SELECT event_id, user_id AS ck, ts FROM events),
+                 f1 AS (SELECT o_custkey AS ck, o_orderdate, MAX(o_totalprice) AS o_totalprice
+                        FROM orders GROUP BY 1, 2),
+                 f2 AS (SELECT o.o_custkey AS ck, l.l_shipdate, MAX(l.l_extendedprice) AS l_extendedprice
+                        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        GROUP BY 1, 2),
+                 j1 AS (SELECT spine.event_id, spine.ck, spine.ts,
+                               f1.o_totalprice AS o_o_totalprice
+                        FROM spine ASOF LEFT JOIN f1
+                          ON spine.ck = f1.ck AND spine.ts >= f1.o_orderdate)
+            SELECT j1.event_id, j1.ck, j1.ts, j1.o_o_totalprice,
+                   f2.l_extendedprice AS l_l_extendedprice
+            FROM j1 ASOF LEFT JOIN f2
+              ON j1.ck = f2.ck AND j1.ts >= f2.l_shipdate
+        """,
+        "validation_report": """
+            SELECT 'expect_column_values_to_not_be_null' AS expectation_type,
+                   'o_custkey' AS feature,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS success,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE AS observed
+            FROM orders
+            UNION ALL
+            SELECT 'expect_column_values_to_be_between', 'o_totalprice',
+                   SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1e9 THEN 1 ELSE 0 END) = 0,
+                   SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1e9 THEN 1 ELSE 0 END)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'expect_column_values_to_be_unique', 'o_orderkey',
+                   COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey),
+                   (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'expect_column_values_to_be_in_set', 'o_orderstatus',
+                   SUM(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) = 0,
+                   SUM(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'expect_column_mean_to_be_between', 'o_totalprice',
+                   AVG(o_totalprice) BETWEEN 1000.0 AND 1e7,
+                   ROUND(AVG(o_totalprice), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'expect_table_row_count_to_be_between', '',
+                   COUNT(*) BETWEEN 1 AND 1000000000000,
+                   COUNT(*)::DOUBLE
+            FROM orders
         """,
         "serving_vectors": """
             WITH latest AS (

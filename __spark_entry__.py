@@ -770,6 +770,54 @@ def _q_td_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# partitioned feature group: partition_key declared → partition-pruned scan
+# ---------------------------------------------------------------------------
+
+def _q_partitioned_fg_read(spark, sf_dir):
+    """FG with a partition key: writes partitionBy(status); a filter on
+    the partition column prunes at the scan (§4 partition pruning)."""
+    from feature_store_api_spark import FeatureStore
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    tmp = tempfile.mkdtemp(prefix="fsas_part_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "orders_part", primary_key=["o_orderkey"],
+            partition_key=["o_orderstatus"], event_time="o_orderdate",
+        )
+        fg.insert(orders, compute_stats=False)
+        q = fg.select(
+            ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+        ).filter(fg.o_orderstatus == "F")
+        out = q.read(spark).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+def _q_dirty_names_sanitized(spark, sf_dir):
+    """Uppercase/spaced input column names sanitized on ingest
+    (util.py:106 autofix parity)."""
+    from feature_store_api_spark import FeatureStore
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("Order Key"),
+        F.col("o_totalprice").alias("TOTAL Price"),
+        F.col("o_orderdate").alias("order DATE"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fsas_dirty_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group("dirty", primary_key=["order key"])
+        fg.insert(orders, compute_stats=False)
+        out = fg.read(spark).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
 # multi-FG point-in-time join (fs_query.py:32-43 multi-join shape)
 # ---------------------------------------------------------------------------
 
@@ -1001,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_vectors": _q_serving_vectors,
         "pit_join_multi": _q_pit_join_multi,
         "validation_report": _q_validation_report,
+        "partitioned_fg_read": _q_partitioned_fg_read,
+        "dirty_names_sanitized": _q_dirty_names_sanitized,
     }
 
 
@@ -1378,6 +1428,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price,
                    ROUND(AVG(o_totalprice), 6) AS avg_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "partitioned_fg_read": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "dirty_names_sanitized": """
+            SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+                   o_orderdate AS order_date
+            FROM orders
         """,
         "pit_join_multi": """
             WITH spine AS (SELECT event_id, user_id AS ck, ts FROM events),

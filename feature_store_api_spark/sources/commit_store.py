@@ -83,6 +83,15 @@ class CommitStore:
         key = list(self.primary_key)
         if self.event_time and self.event_time not in key:
             key.append(self.event_time)
+        # The partition path is part of record identity (Hudi's
+        # non-global index: same pk in another partition is a different
+        # record — core/hudi_engine.py:131-160). Including partition
+        # keys in the dedupe window's PARTITION BY also lets Catalyst
+        # push partition-column predicates through the window to the
+        # scan, so a filter on a partition key prunes files.
+        for k in self.partition_key:
+            if k not in key:
+                key.append(k)
         return key
 
     # -- commit log --------------------------------------------------------

@@ -1,0 +1,74 @@
+"""Partition-key pruning through the commit store (§4 parity: Hudi
+partition path — core/hudi_engine.py:131-160)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.sources.readers import read_parquet
+
+
+@pytest.fixture(scope="module")
+def part_fg(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="fsas_pp_")
+    fs = FeatureStore(root=tmp)
+    fg = fs.create_feature_group(
+        "orders_part", primary_key=["o_orderkey"],
+        partition_key=["o_orderstatus"], event_time="o_orderdate",
+    )
+    fg.insert(read_parquet(spark, f"{sf_dir}/orders.parquet"), compute_stats=False)
+    yield fg
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partition_filter_prunes_scan(spark, part_fg):
+    """A filter on the declared partition key must reach the parquet
+    scan as a PartitionFilter (pushed through the dedupe window)."""
+    q = part_fg.select(["o_orderkey", "o_totalprice", "o_orderstatus"]).filter(
+        part_fg.o_orderstatus == "F"
+    )
+    plan = q.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate, not just isnotnull, is in the scan
+    assert "= F" in plan
+
+
+def test_partition_filter_correct_rows(spark, sf_dir, part_fg, duck):
+    q = part_fg.select(["o_orderkey"]).filter(part_fg.o_orderstatus == "F")
+    got = q.read(spark).count()
+    want = duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_same_pk_moves_partition_keeps_hudi_identity(spark):
+    """Upserting a pk whose partition value changed creates a record in
+    the new partition and leaves the old one (Hudi non-global index)."""
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="fsas_pp2_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "moves", primary_key=["pk"], partition_key=["part"]
+        )
+        fg.insert(spark.createDataFrame(pd.DataFrame(
+            {"pk": [1, 2], "part": ["a", "a"], "v": [10, 20]}
+        )))
+        fg.insert(spark.createDataFrame(pd.DataFrame(
+            {"pk": [1], "part": ["b"], "v": [11]}
+        )))
+        rows = {(r.pk, r.part): r.v for r in fg.read(spark).collect()}
+        assert rows == {(1, "a"): 10, (2, "a"): 20, (1, "b"): 11}
+        # same pk in the SAME partition still upserts in place
+        fg.insert(spark.createDataFrame(pd.DataFrame(
+            {"pk": [1], "part": ["a"], "v": [12]}
+        )))
+        rows = {(r.pk, r.part): r.v for r in fg.read(spark).collect()}
+        assert rows[(1, "a")] == 12
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

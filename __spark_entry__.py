@@ -770,6 +770,75 @@ def _q_td_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# scalar conversions: JSON payload parse (§2.7 from_json)
+# ---------------------------------------------------------------------------
+
+def _q_json_extract(spark, sf_dir):
+    """Kafka-payload-style JSON parse with a declared schema
+    (engine/spark.py:994-1003 parity) — no Kafka broker needed."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    parsed = ev.select(
+        "event_id", "event_type",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return parsed.select("event_id", "event_type", F.col("p.k").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: second commit adds a column (§2.6 mergeSchema)
+# ---------------------------------------------------------------------------
+
+def _q_schema_evolution(spark, sf_dir):
+    """Commit 2 carries an extra column; commit-1 rows surface it as
+    NULL (Delta mergeSchema / ALTER TABLE ADD COLUMNS parity)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    tmp = tempfile.mkdtemp(prefix="fsas_evo_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group("evolving", primary_key=["o_orderkey"])
+        fg.insert(
+            orders.select("o_orderkey", "o_totalprice").where(
+                F.col("o_orderkey") % 2 == 0
+            ),
+            compute_stats=False,
+        )
+        fg.insert(
+            orders.select("o_orderkey", "o_totalprice", "o_orderstatus").where(
+                F.col("o_orderkey") % 2 == 1
+            ),
+            compute_stats=False,
+        )
+        q = fg.select(["o_orderkey", "o_totalprice"]).append_feature(
+            Feature("o_orderstatus", "string")
+        )
+        out = q.read(spark).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# compaction: merge-on-read history rewritten as a base commit
+# ---------------------------------------------------------------------------
+
+def _q_compaction_snapshot(spark, sf_dir):
+    """Snapshot after compact() equals the pre-compaction snapshot
+    (copy-on-write moment of the merge-on-read commit store)."""
+    tmp = tempfile.mkdtemp(prefix="fsas_cmp_")
+    try:
+        fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
+        fg.commit_store.compact(spark)
+        df = fg.read(spark).select("o_orderkey", "o_totalprice")
+        out = df.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
 # partitioned feature group: partition_key declared → partition-pruned scan
 # ---------------------------------------------------------------------------
 
@@ -1051,6 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_report": _q_validation_report,
         "partitioned_fg_read": _q_partitioned_fg_read,
         "dirty_names_sanitized": _q_dirty_names_sanitized,
+        "json_extract": _q_json_extract,
+        "schema_evolution": _q_schema_evolution,
+        "compaction_snapshot": _q_compaction_snapshot,
     }
 
 
@@ -1428,6 +1500,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price,
                    ROUND(AVG(o_totalprice), 6) AS avg_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "json_extract": """
+            SELECT event_id, event_type,
+                   CAST(props::JSON ->> 'k' AS INT) AS k
+            FROM events
+        """,
+        "schema_evolution": """
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+            FROM orders
+        """,
+        "compaction_snapshot": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+                     AS o_totalprice
+            FROM orders WHERE o_orderkey % 100 != 7
         """,
         "partitioned_fg_read": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

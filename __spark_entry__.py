@@ -770,6 +770,44 @@ def _q_td_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# external feature group: on-demand read through a storage connector
+# ---------------------------------------------------------------------------
+
+def _q_external_fg_csv(spark, sf_dir):
+    """ExternalFeatureGroup = connector + path + format, evaluated at
+    read time through the Query IR (feature_group.py:3569 parity)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import HopsFsConnector
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="fsas_ext_")
+    try:
+        orders.write.option("header", "true").csv(f"{tmp}/orders_csv")
+        fs = FeatureStore(name="ext")
+        fg = fs.create_external_feature_group(
+            "orders_ext", HopsFsConnector("local_fs"),
+            path=f"{tmp}/orders_csv", data_format="csv",
+            options={"header": "true", "inferSchema": "true"},
+            primary_key=["o_orderkey"],
+        )
+        fg.set_features([
+            Feature("o_orderkey", "bigint"),
+            Feature("o_custkey", "bigint"),
+            Feature("o_totalprice", "double"),
+        ])
+        q = fg.select(["o_orderkey", "o_totalprice"]).filter(
+            fg.o_totalprice > 200000
+        )
+        out = q.read(spark).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
 # scalar conversions: JSON payload parse (§2.7 from_json)
 # ---------------------------------------------------------------------------
 
@@ -1123,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "schema_evolution": _q_schema_evolution,
         "compaction_snapshot": _q_compaction_snapshot,
+        "external_fg_csv": _q_external_fg_csv,
     }
 
 
@@ -1500,6 +1539,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price,
                    ROUND(AVG(o_totalprice), 6) AS avg_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "external_fg_csv": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
         """,
         "json_extract": """
             SELECT event_id, event_type,

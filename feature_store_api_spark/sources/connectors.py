@@ -1,0 +1,374 @@
+"""Storage connectors: credential/config objects that turn into Spark
+DataSource reads.
+
+Parity: ``/root/reference/python/hsfs/storage_connector.py`` — HopsFS
+(:222), S3 (:252), Redshift (:406), ADLS (:602), Snowflake (:745), JDBC
+(:949), Kafka (:1038), GCS (:1349), BigQuery (:1495). The reference
+classes mostly compute a ``spark_options()`` dict plus bucket/path
+prefixing and hand it to ``spark.read.format(...)``; that is exactly
+what these do — no remote metadata service holds the credentials, the
+connector object does.
+
+Connectors whose driver jars are not on the classpath in this runtime
+(Snowflake, BigQuery, Kafka, cloud object stores) still build their
+options correctly and are unit-tested at that level; ``read`` surfaces
+Spark's own missing-data-source error untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StorageConnector:
+    """Base: a named source of DataFrames."""
+
+    type = "BASE"
+
+    def __init__(self, name: str, **kwargs) -> None:
+        self.name = name
+        self._options = dict(kwargs)
+
+    def spark_options(self) -> Dict[str, str]:
+        """Options handed to ``spark.read.options(**...)``."""
+        return dict(self._options)
+
+    def _prefix_path(self, path: Optional[str]) -> Optional[str]:
+        return path
+
+    def read(
+        self,
+        spark: SparkSession,
+        query: Optional[str] = None,
+        data_format: Optional[str] = None,
+        options: Optional[Dict[str, str]] = None,
+        path: Optional[str] = None,
+    ) -> DataFrame:
+        """Evaluate a query or load a path (parity
+        ``storage_connector.py`` ``read`` on each class)."""
+        from .readers import read as read_files
+
+        opts = self.spark_options()
+        opts.update(options or {})
+        if query:
+            raise ValueError(
+                f"{type(self).__name__} does not execute SQL queries; "
+                "pass a path + data_format"
+            )
+        if not path or not data_format:
+            raise ValueError("file-based connectors need path and data_format")
+        return read_files(
+            spark, data_format, self._prefix_path(path), options=opts
+        )
+
+
+class HopsFsConnector(StorageConnector):
+    """Cluster/local filesystem (parity storage_connector.py:222-251)."""
+
+    type = "HOPSFS"
+
+
+class S3Connector(StorageConnector):
+    """S3 bucket with access keys (parity storage_connector.py:252-405).
+
+    ``spark_options`` are empty (credentials go into the Hadoop conf);
+    ``prepare_spark`` applies them, mirroring the reference's
+    engine-side ``setup_storage_connector``."""
+
+    type = "S3"
+
+    def __init__(
+        self,
+        name: str,
+        bucket: str,
+        access_key: Optional[str] = None,
+        secret_key: Optional[str] = None,
+        session_token: Optional[str] = None,
+        region: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, **kwargs)
+        self.bucket = bucket.replace("s3://", "").strip("/")
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.session_token = session_token
+        self.region = region
+
+    def spark_options(self) -> Dict[str, str]:
+        return {}
+
+    def prepare_spark(self, spark: SparkSession) -> None:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        if self.access_key:
+            conf.set("fs.s3a.access.key", self.access_key)
+        if self.secret_key:
+            conf.set("fs.s3a.secret.key", self.secret_key)
+        if self.session_token:
+            conf.set(
+                "fs.s3a.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider",
+            )
+            conf.set("fs.s3a.session.token", self.session_token)
+        if self.region:
+            conf.set("fs.s3a.endpoint.region", self.region)
+
+    def _prefix_path(self, path: Optional[str]) -> Optional[str]:
+        p = (path or "").lstrip("/")
+        return f"s3a://{self.bucket}/{p}"
+
+    def read(self, spark, **kw):
+        self.prepare_spark(spark)
+        return super().read(spark, **kw)
+
+
+class JdbcConnector(StorageConnector):
+    """Generic JDBC (parity storage_connector.py:949-1037)."""
+
+    type = "JDBC"
+
+    def __init__(
+        self,
+        name: str,
+        connection_string: str,
+        user: Optional[str] = None,
+        password: Optional[str] = None,
+        driver: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, **kwargs)
+        self.connection_string = connection_string
+        self.user = user
+        self.password = password
+        self.driver = driver
+
+    def spark_options(self) -> Dict[str, str]:
+        opts = {"url": self.connection_string, **self._options}
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        if self.driver:
+            opts["driver"] = self.driver
+        return opts
+
+    def read(self, spark, query=None, data_format=None, options=None, path=None):
+        if not query:
+            raise ValueError("JDBC connector reads require a SQL query")
+        opts = self.spark_options()
+        opts.update(options or {})
+        # query pushdown: the whole statement runs database-side
+        opts["query"] = query
+        return spark.read.format("jdbc").options(**opts).load()
+
+
+class RedshiftConnector(JdbcConnector):
+    """Redshift via its JDBC driver (parity storage_connector.py:406-604)."""
+
+    type = "REDSHIFT"
+
+    def __init__(
+        self,
+        name: str,
+        cluster_identifier: str,
+        database_name: str,
+        database_port: int = 5439,
+        database_endpoint: Optional[str] = None,
+        database_user_name: Optional[str] = None,
+        database_password: Optional[str] = None,
+        iam_role: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        url = (
+            f"jdbc:redshift://{cluster_identifier}.{database_endpoint}"
+            f":{database_port}/{database_name}"
+        )
+        super().__init__(
+            name, url,
+            user=database_user_name, password=database_password,
+            driver="com.amazon.redshift.jdbc42.Driver", **kwargs,
+        )
+        self.iam_role = iam_role
+
+
+class SnowflakeConnector(StorageConnector):
+    """Snowflake Spark connector (parity storage_connector.py:745-948)."""
+
+    type = "SNOWFLAKE"
+    SPARK_FORMAT = "net.snowflake.spark.snowflake"
+
+    def __init__(
+        self,
+        name: str,
+        url: str,
+        user: str,
+        database: str,
+        schema: str,
+        password: Optional[str] = None,
+        token: Optional[str] = None,
+        warehouse: Optional[str] = None,
+        role: Optional[str] = None,
+        table: Optional[str] = None,
+        application: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, **kwargs)
+        self.url = url
+        self.user = user
+        self.database = database
+        self.schema = schema
+        self.password = password
+        self.token = token
+        self.warehouse = warehouse
+        self.role = role
+        self.table = table
+        self.application = application
+
+    def spark_options(self) -> Dict[str, str]:
+        opts = {
+            "sfURL": self.url,
+            "sfUser": self.user,
+            "sfDatabase": self.database,
+            "sfSchema": self.schema,
+            **self._options,
+        }
+        if self.password:
+            opts["sfPassword"] = self.password
+        elif self.token:
+            opts["sfAuthenticator"] = "oauth"
+            opts["sfToken"] = self.token
+        if self.warehouse:
+            opts["sfWarehouse"] = self.warehouse
+        if self.role:
+            opts["sfRole"] = self.role
+        if self.table:
+            opts["dbtable"] = self.table
+        if self.application:
+            opts["application"] = self.application
+        return opts
+
+    def read(self, spark, query=None, data_format=None, options=None, path=None):
+        opts = self.spark_options()
+        opts.update(options or {})
+        if query:
+            opts.pop("dbtable", None)
+            opts["query"] = query
+        return spark.read.format(self.SPARK_FORMAT).options(**opts).load()
+
+
+class BigQueryConnector(StorageConnector):
+    """BigQuery Spark connector (parity storage_connector.py:1495-1686)."""
+
+    type = "BIGQUERY"
+    SPARK_FORMAT = "bigquery"
+
+    def __init__(
+        self,
+        name: str,
+        parent_project: str,
+        key_path: Optional[str] = None,
+        dataset: Optional[str] = None,
+        query_table: Optional[str] = None,
+        query_project: Optional[str] = None,
+        materialization_dataset: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, **kwargs)
+        self.parent_project = parent_project
+        self.key_path = key_path
+        self.dataset = dataset
+        self.query_table = query_table
+        self.query_project = query_project
+        self.materialization_dataset = materialization_dataset
+
+    def spark_options(self) -> Dict[str, str]:
+        opts = {"parentProject": self.parent_project, **self._options}
+        if self.key_path:
+            opts["credentialsFile"] = self.key_path
+        if self.materialization_dataset:
+            opts["materializationDataset"] = self.materialization_dataset
+            opts["viewsEnabled"] = "true"
+        if self.query_project:
+            opts["project"] = self.query_project
+        if self.dataset:
+            opts["dataset"] = self.dataset
+        return opts
+
+    def read(self, spark, query=None, data_format=None, options=None, path=None):
+        opts = self.spark_options()
+        opts.update(options or {})
+        reader = spark.read.format(self.SPARK_FORMAT).options(**opts)
+        if query:
+            if not self.materialization_dataset:
+                raise ValueError("BigQuery SQL reads need materialization_dataset")
+            return reader.load(query)
+        if self.query_table:
+            return reader.load(self.query_table)
+        if path:
+            return reader.load(path)
+        raise ValueError("BigQuery read needs query, query_table or path")
+
+
+class KafkaConnector(StorageConnector):
+    """Kafka cluster (parity storage_connector.py:1038-1348): options for
+    batch/stream reads and sinks; security config passthrough."""
+
+    type = "KAFKA"
+
+    def __init__(
+        self,
+        name: str,
+        bootstrap_servers: str,
+        security_protocol: str = "PLAINTEXT",
+        ssl_truststore_location: Optional[str] = None,
+        ssl_truststore_password: Optional[str] = None,
+        ssl_keystore_location: Optional[str] = None,
+        ssl_keystore_password: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, **kwargs)
+        self.bootstrap_servers = bootstrap_servers
+        self.security_protocol = security_protocol
+        self.ssl = {
+            "kafka.ssl.truststore.location": ssl_truststore_location,
+            "kafka.ssl.truststore.password": ssl_truststore_password,
+            "kafka.ssl.keystore.location": ssl_keystore_location,
+            "kafka.ssl.keystore.password": ssl_keystore_password,
+        }
+
+    def spark_options(self) -> Dict[str, str]:
+        opts = {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "kafka.security.protocol": self.security_protocol,
+            **self._options,
+        }
+        opts.update({k: v for k, v in self.ssl.items() if v})
+        return opts
+
+    def read_stream(
+        self,
+        spark: SparkSession,
+        topic: str,
+        topic_pattern: bool = False,
+        starting_offsets: str = "earliest",
+        include_metadata: bool = False,
+        options: Optional[Dict[str, str]] = None,
+    ) -> DataFrame:
+        """Kafka stream source (parity engine/spark.py:951-1007)."""
+        opts = self.spark_options()
+        opts.update(options or {})
+        opts["subscribePattern" if topic_pattern else "subscribe"] = topic
+        opts["startingOffsets"] = starting_offsets
+        df = spark.readStream.format("kafka").options(**opts).load()
+        if include_metadata:
+            return df.selectExpr(
+                "key", "value", "topic", "partition", "offset",
+                "timestamp", "timestampType",
+            )
+        return df.selectExpr("key", "value")
+
+    def read(self, spark, query=None, data_format=None, options=None, path=None):
+        raise ValueError(
+            "Kafka connector is a stream source; use read_stream(topic=...)"
+        )

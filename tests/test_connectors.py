@@ -1,0 +1,123 @@
+"""Storage connectors (§1.1 StorageConnector parity): option-dict
+shapes per connector type + a real file-based external feature group
+read through the Query IR."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.sources.connectors import (
+    BigQueryConnector,
+    HopsFsConnector,
+    JdbcConnector,
+    KafkaConnector,
+    RedshiftConnector,
+    S3Connector,
+    SnowflakeConnector,
+)
+from feature_store_api_spark.sources.readers import read_parquet
+
+
+def test_jdbc_options():
+    c = JdbcConnector(
+        "mydb", "jdbc:mysql://h:3306/db", user="u", password="p",
+        driver="com.mysql.cj.jdbc.Driver",
+    )
+    o = c.spark_options()
+    assert o["url"] == "jdbc:mysql://h:3306/db"
+    assert o["user"] == "u" and o["password"] == "p"
+    assert o["driver"] == "com.mysql.cj.jdbc.Driver"
+    with pytest.raises(ValueError, match="query"):
+        c.read(None)  # JDBC requires a query
+
+
+def test_redshift_builds_jdbc_url():
+    c = RedshiftConnector(
+        "rs", cluster_identifier="mycluster", database_name="dev",
+        database_endpoint="abc.us-east-1.redshift.amazonaws.com",
+        database_user_name="admin", database_password="x",
+    )
+    o = c.spark_options()
+    assert o["url"].startswith("jdbc:redshift://mycluster.abc.us-east-1")
+    assert o["url"].endswith(":5439/dev")
+    assert o["driver"] == "com.amazon.redshift.jdbc42.Driver"
+
+
+def test_snowflake_options_password_vs_token():
+    base = dict(url="https://acct.snowflakecomputing.com", user="u",
+                database="d", schema="s")
+    c1 = SnowflakeConnector("sf", password="pw", warehouse="wh", table="t", **base)
+    o1 = c1.spark_options()
+    assert o1["sfPassword"] == "pw" and o1["sfWarehouse"] == "wh"
+    assert o1["dbtable"] == "t"
+    c2 = SnowflakeConnector("sf", token="tok", **base)
+    o2 = c2.spark_options()
+    assert o2["sfAuthenticator"] == "oauth" and o2["sfToken"] == "tok"
+
+
+def test_bigquery_options():
+    c = BigQueryConnector(
+        "bq", parent_project="pp", key_path="/tmp/k.json",
+        materialization_dataset="md",
+    )
+    o = c.spark_options()
+    assert o["parentProject"] == "pp"
+    assert o["credentialsFile"] == "/tmp/k.json"
+    assert o["viewsEnabled"] == "true" and o["materializationDataset"] == "md"
+
+
+def test_kafka_options_and_stream_requirement():
+    c = KafkaConnector(
+        "k", bootstrap_servers="b1:9092,b2:9092", security_protocol="SSL",
+        ssl_truststore_location="/ts.jks", ssl_truststore_password="tp",
+    )
+    o = c.spark_options()
+    assert o["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert o["kafka.security.protocol"] == "SSL"
+    assert o["kafka.ssl.truststore.location"] == "/ts.jks"
+    with pytest.raises(ValueError, match="stream"):
+        c.read(None)
+
+
+def test_s3_path_prefixing():
+    c = S3Connector("s3", bucket="s3://my-bucket/", access_key="a", secret_key="b")
+    assert c._prefix_path("data/file.parquet") == "s3a://my-bucket/data/file.parquet"
+
+
+def test_external_fg_reads_through_query_ir(spark, sf_dir):
+    """ExternalFeatureGroup over a csv dir: select/filter through the
+    Query IR, values identical to the source table."""
+    tmp = tempfile.mkdtemp(prefix="fsas_ext_")
+    try:
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        orders.write.option("header", "true").csv(f"{tmp}/orders_csv")
+        fs = FeatureStore(name="ext")
+        conn = HopsFsConnector("local_fs")
+        fg = fs.create_external_feature_group(
+            "orders_ext", conn, path=f"{tmp}/orders_csv", data_format="csv",
+            options={"header": "true", "inferSchema": "true"},
+            primary_key=["o_orderkey"],
+        )
+        from feature_store_api_spark.feature import Feature
+
+        fg.set_features([
+            Feature("o_orderkey", "bigint"),
+            Feature("o_custkey", "bigint"),
+            Feature("o_totalprice", "double"),
+        ])
+        q = fg.select(["o_orderkey", "o_totalprice"]).filter(
+            fg.o_totalprice > 200000
+        )
+        got = q.read(spark)
+        want = orders.where(F.col("o_totalprice") > 200000)
+        assert got.count() == want.count()
+        assert got.agg(F.sum("o_totalprice")).first()[0] == pytest.approx(
+            want.agg(F.sum("o_totalprice")).first()[0]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

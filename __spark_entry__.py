@@ -770,6 +770,36 @@ def _q_td_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# user-declared pandas UDF transformations (§2.9 @udf surface)
+# ---------------------------------------------------------------------------
+
+def _q_custom_udf(spark, sf_dir):
+    """@udf-declared pandas-Series transformations: multi-output with
+    input drop, applied in one select (hopsworks_udf.py:44-85 parity;
+    runs as an Arrow-vectorized pandas_udf)."""
+    from feature_store_api_spark.functions.udf import apply_transformations, udf
+
+    @udf([float, float], drop=["o_totalprice"])
+    def price_features(o_totalprice):
+        return o_totalprice * 1.1, o_totalprice / 2.0
+
+    @udf(int)
+    def key_mod(o_orderkey):
+        return o_orderkey % 7
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = apply_transformations(o, [price_features, key_mod])
+    return out.select(
+        "o_orderkey",
+        F.round("price_features_o_totalprice_0", 6).alias("taxed"),
+        F.round("price_features_o_totalprice_1", 6).alias("halved"),
+        F.col("key_mod_o_orderkey").alias("kmod"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # external feature group: on-demand read through a storage connector
 # ---------------------------------------------------------------------------
 
@@ -1162,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q_schema_evolution,
         "compaction_snapshot": _q_compaction_snapshot,
         "external_fg_csv": _q_external_fg_csv,
+        "custom_udf": _q_custom_udf,
     }
 
 
@@ -1542,6 +1573,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "external_fg_csv": """
             SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+        """,
+        "custom_udf": """
+            SELECT o_orderkey,
+                   ROUND(o_totalprice * 1.1, 6) AS taxed,
+                   ROUND(o_totalprice / 2.0, 6) AS halved,
+                   o_orderkey % 7 AS kmod
+            FROM orders
         """,
         "json_extract": """
             SELECT event_id, event_type,

@@ -33,6 +33,7 @@ def _make(name, column_expr, return_type="double", output_column_names=None):
     tf = TransformationFunction(
         fn,
         return_type,
+        drop=["feature"],  # scalers/encoders replace their input
         statistics=stats_decl,
         column_expr=column_expr,
         output_column_names=output_column_names,

@@ -80,7 +80,6 @@ class TransformationFunction:
         self.statistics = statistics
         self._column_expr = column_expr  # fast path: fn(cols, stats) -> [Column]
         self._output_column_names = output_column_names
-        self.features: List[str] = []  # bound input feature names
         # input parameter names from signature (minus the statistics kwarg)
         self.param_names = [
             p.name
@@ -88,6 +87,10 @@ class TransformationFunction:
             if p.name != "statistics"
         ]
         self.arity = len(self.param_names)
+        # unbound UDFs default to their parameter names as feature names
+        # (the reference's convention: @udf args name the input features,
+        # hopsworks_udf.py:110-140); __call__ rebinds explicitly
+        self.features: List[str] = [p.lower() for p in self.param_names]
 
     def __call__(self, *features: str) -> "TransformationFunction":
         bound = TransformationFunction(
@@ -107,6 +110,19 @@ class TransformationFunction:
         return bound
 
     # -- output naming (parity hopsworks_udf.py:464-482) -------------------
+    def dropped_features(self) -> List[str]:
+        """Input features removed from the output: ``drop`` names refer
+        to the UDF's parameter names (hopsworks_udf.py:44-85) and map
+        positionally to the bound features. Unknown names pass through
+        as-is (so callers may also drop by actual column name)."""
+        out = []
+        for d in self.drop:
+            if d in self.param_names:
+                out.append(self.features[self.param_names.index(d)])
+            else:
+                out.append(d)
+        return out
+
     def output_names(self, stats: Optional[Dict] = None) -> List[str]:
         if self._output_column_names is not None:
             return self._output_column_names(self.features, stats)
@@ -166,7 +182,12 @@ class TransformationFunction:
             if multi:
                 # struct fields map by NAME through Arrow; align the
                 # user frame's columns to the declared output names
-                out = out.copy()
+                # (a tuple/list of Series is accepted like the
+                # reference's multi-output UDFs)
+                if isinstance(out, (tuple, list)):
+                    out = pd.concat(list(out), axis=1)
+                else:
+                    out = out.copy()
                 out.columns = names
             return out
 
@@ -239,7 +260,9 @@ def apply_transformations(
         )
 
     ordered = sorted(transformations, key=lambda t: t.output_names(stats)[0])
-    drop = {d for t in ordered for d in (t.drop or t.features)}
+    # only explicitly declared drops are removed (reference default keeps
+    # UDF inputs in the output; builtins declare drop="feature")
+    drop = {d for t in ordered for d in t.dropped_features()}
     keep = [F.col(c) for c in df.columns if c not in drop]
     new_cols = [c for t in ordered for c in t.columns(stats)]
     return df.select(*keep, *new_cols)

@@ -32,7 +32,7 @@ def test_plain_pandas_udf(df):
 
     out = apply_transformations(df, [plus_one("x")])
     assert "plus_one_x" in out.columns
-    assert "x" not in out.columns  # inputs dropped by default
+    assert "x" in out.columns  # inputs kept unless drop= declared
     got = {r["id"]: r["plus_one_x"] for r in out.collect()}
     assert got[1] == 2.0 and got[100] == 101.0
 

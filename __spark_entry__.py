@@ -799,6 +799,67 @@ def _q_custom_udf(spark, sf_dir):
     )
 
 
+def _q_custom_udf_stats(spark, sf_dir):
+    """Statistics-bound custom UDF: train-split statistics injected into
+    a pandas UDF (transformation_statistics.py +
+    core/transformation_function_engine.py:198-259 parity) — here
+    mean-centering o_totalprice with the dataset mean."""
+    from feature_store_api_spark.functions.udf import (
+        TransformationStatistics,
+        apply_transformations,
+        udf,
+    )
+
+    stats = TransformationStatistics("o_totalprice")
+
+    @udf(float, drop=["o_totalprice"], statistics=stats)
+    def mean_center(o_totalprice, statistics):
+        return o_totalprice - statistics.o_totalprice["mean"]
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = apply_transformations(o, [mean_center])
+    return out.select(
+        "o_orderkey",
+        F.round("mean_center_o_totalprice", 4).alias("centered"),
+    )
+
+
+def _q_on_demand_ingest(spark, sf_dir):
+    """On-demand transformation computed at ingest: an FG declared with
+    an on_demand-mode UDF materializes the derived column on insert
+    (hopsworks_udf.py:35-41; feature_group.py:2226)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.functions.udf import udf
+
+    @udf(float, mode="on_demand")
+    def discount_price(o_totalprice):
+        return o_totalprice * 0.9
+
+    tmp = tempfile.mkdtemp(prefix="fsas_od_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "orders_od",
+            primary_key=["o_orderkey"],
+            event_time="o_orderdate",
+            transformation_functions=[discount_price],
+        )
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        fg.insert(orders)
+        df = fg.read(spark).select(
+            "o_orderkey",
+            F.round("discount_price_o_totalprice", 6).alias("discounted"),
+        )
+        out = df.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
 # ---------------------------------------------------------------------------
 # external feature group: on-demand read through a storage connector
 # ---------------------------------------------------------------------------
@@ -1193,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_snapshot": _q_compaction_snapshot,
         "external_fg_csv": _q_external_fg_csv,
         "custom_udf": _q_custom_udf,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "on_demand_ingest": _q_on_demand_ingest,
     }
 
 
@@ -1579,6 +1642,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(o_totalprice * 1.1, 6) AS taxed,
                    ROUND(o_totalprice / 2.0, 6) AS halved,
                    o_orderkey % 7 AS kmod
+            FROM orders
+        """,
+        "custom_udf_stats": """
+            SELECT o_orderkey,
+                   ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+                       AS centered
+            FROM orders
+        """,
+        "on_demand_ingest": """
+            SELECT o_orderkey, ROUND(o_totalprice * 0.9, 6) AS discounted
             FROM orders
         """,
         "json_extract": """

@@ -157,6 +157,7 @@ class FeatureGroup(FeatureGroupBase):
         location: Optional[str] = None,
         precombine_key: Optional[str] = None,
         stream: bool = False,
+        transformation_functions: Sequence = (),
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
@@ -168,6 +169,10 @@ class FeatureGroup(FeatureGroupBase):
             autofix_feature_name(precombine_key) if precombine_key else None
         )
         self.stream = stream
+        # on-demand transformations: computed at ingest time (and again at
+        # request time for serving) — parity hopsworks_udf.py:35-41 +
+        # feature_group.py:2226 (deterministic apply order by output name)
+        self.transformation_functions = list(transformation_functions)
         self._store = None
 
     # -- managed storage ---------------------------------------------------
@@ -204,6 +209,14 @@ class FeatureGroup(FeatureGroupBase):
         from .sources.ingestion import convert_to_default_dataframe
 
         df = convert_to_default_dataframe(df)
+        on_demand = [
+            t for t in self.transformation_functions
+            if getattr(t, "mode", None) == "on_demand"
+        ]
+        if on_demand:
+            from .functions.udf import apply_transformations
+
+            df = apply_transformations(df, on_demand)
         if not self._features:
             self.set_features(
                 [Feature(f.name, f.dataType) for f in df.schema.fields]

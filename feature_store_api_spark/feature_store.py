@@ -38,6 +38,7 @@ class FeatureStore:
         path: Optional[str] = None,
         precombine_key: Optional[str] = None,
         stream: bool = False,
+        transformation_functions: Sequence = (),
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -61,6 +62,7 @@ class FeatureStore:
             location=location,
             precombine_key=precombine_key,
             stream=stream,
+            transformation_functions=transformation_functions,
         )
         self._registry[(name, version)] = fg
         return fg

@@ -112,3 +112,28 @@ def test_train_split_statistics_binding(spark):
     out_test = apply_transformations(test, [min_max_scaler("x")], train_df=train)
     assert out_test.collect()[0]["min_max_scaler_x"] == 2.0  # extrapolates past 1
     assert max(r["min_max_scaler_x"] for r in out_train.collect()) == 1.0
+
+
+def test_on_demand_applied_at_ingest(spark, tmp_path):
+    from feature_store_api_spark import FeatureStore
+
+    @udf(float, mode="on_demand")
+    def doubled(x):
+        return x * 2.0
+
+    @udf(float)  # model_dependent: must NOT run at ingest
+    def tripled(x):
+        return x * 3.0
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "od_fg", primary_key=["id"],
+        transformation_functions=[doubled, tripled],
+    )
+    src = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, x double")
+    fg.insert(src)
+    out = fg.read(spark)
+    assert "doubled_x" in out.columns
+    assert "tripled_x" not in out.columns
+    got = {r["id"]: r["doubled_x"] for r in out.collect()}
+    assert got[1] == 2.0 and got[2] == 4.0

@@ -265,6 +265,22 @@ def _q_time_travel_snapshot(spark, sf_dir):
     return spark.createDataFrame(out)
 
 
+def _q_stats_commit_window(spark, sf_dir):
+    """Commit-window statistics: profile only the rows changed in
+    (c1, c2] — parity feature_group.py:3212 +
+    core/statistics_engine.py:325-367 (stats over a CDF window)."""
+    from feature_store_api_spark.operators.statistics import describe_df
+
+    tmp = tempfile.mkdtemp(prefix="fsas_cw_")
+    try:
+        fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
+        win = fg.select_all().pull_changes(c1.commit_time, c2.commit_time).read(spark)
+        out = describe_df(win, ["o_totalprice"]).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
 def _q_incremental_pull(spark, sf_dir):
     """Rows changed in (c1, c2] — exactly the second commit's upserts."""
     tmp = tempfile.mkdtemp(prefix="fsas_tt_")
@@ -1210,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_asof": _q_time_travel_asof,
         "time_travel_snapshot": _q_time_travel_snapshot,
         "incremental_pull": _q_incremental_pull,
+        "stats_commit_window": _q_stats_commit_window,
         "stats_profile": _q_stats_profile,
         "value_counts": _q_value_counts,
         "latest_per_key": _q_latest_per_key,
@@ -1327,6 +1344,20 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pull": """
             SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
             FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        "stats_commit_window": """
+            WITH w AS (
+                SELECT o_totalprice + 1 AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT 'o_totalprice' AS feature, COUNT(*) AS cnt,
+                   COUNT(o_totalprice) AS non_null,
+                   ROUND(MIN(o_totalprice)::DOUBLE,6) AS min_val,
+                   ROUND(MAX(o_totalprice)::DOUBLE,6) AS max_val,
+                   ROUND(SUM(o_totalprice)::DOUBLE,4) AS sum_val,
+                   ROUND(AVG(o_totalprice),6) AS mean_val,
+                   ROUND(STDDEV_SAMP(o_totalprice),6) AS stddev_val
+            FROM w
         """,
         "stats_profile": """
             SELECT 'l_quantity' AS feature, COUNT(*) AS cnt, COUNT(l_quantity) AS non_null,

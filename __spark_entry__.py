@@ -95,6 +95,25 @@ def _q_join_multi(spark, sf_dir):
     return q.read(spark)
 
 
+def _q_join_nested(spark, sf_dir):
+    """Nested sub-query join: the right side is itself a Query with its
+    own join (recursive plan compile, constructor/query.py:812-822)."""
+    cat = _cat(spark, sf_dir)
+    o, c, n = (cat.get_feature_group(x) for x in ("orders", "customer", "nation"))
+    enriched_cust = c.select(["c_custkey", "c_acctbal", "c_nationkey"]).join(
+        n.select(["n_name"]),
+        left_on=["c_nationkey"], right_on=["n_nationkey"],
+    )
+    q = (
+        o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        .join(enriched_cust, left_on=["o_custkey"], right_on=["c_custkey"])
+        .filter(o.o_totalprice > 250000)
+    )
+    return q.read(spark).select(
+        "o_orderkey", "o_totalprice", "c_acctbal", "n_name"
+    )
+
+
 def _q_join_inner(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     s, n = cat.get_feature_group("supplier"), cat.get_feature_group("nation")
@@ -1214,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_or_tree": _q_filter_or_tree,
         "select_except": _q_select_except,
         "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
         "join_inner": _q_join_inner,
         "join_right": _q_join_right,
         "join_full": _q_join_full,
@@ -1301,6 +1321,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN customer ON o_custkey = c_custkey
             LEFT JOIN nation ON c_nationkey = n_nationkey
             WHERE o_totalprice > 100000
+        """,
+        "join_nested": """
+            SELECT o_orderkey, o_totalprice, c_acctbal, n_name
+            FROM orders
+            LEFT JOIN (
+                SELECT c_custkey, c_acctbal, c_nationkey, n_name
+                FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            ) ec ON o_custkey = ec.c_custkey
+            WHERE o_totalprice > 250000
         """,
         "join_inner": """
             SELECT s_suppkey, s_name, s_acctbal, n_name, n_regionkey

@@ -453,6 +453,17 @@ def _q_knn_cosine(spark, sf_dir):
     return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
 
 
+def _q_embedding_fetch(spark, sf_dir):
+    """Read-index path: fetch rows by key list (vector_db_client
+    read-by-keys parity); IN filter pushed to the scan."""
+    from feature_store_api_spark.operators.similarity import read_by_keys
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return read_by_keys(e, "vec_id", list(range(0, 200, 7))).select(
+        "vec_id", "label"
+    )
+
+
 def _q_knn_l2(spark, sf_dir):
     from feature_store_api_spark.operators.similarity import find_neighbors
 
@@ -1259,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_analysis": _q_text_analysis,
         "knn_cosine": _q_knn_cosine,
+        "embedding_fetch": _q_embedding_fetch,
         "knn_l2": _q_knn_l2,
         "knn_ann": _q_knn_ann,
         "embedding_dups": _q_embedding_dups,
@@ -1465,6 +1477,10 @@ def oracle_sql() -> dict[str, str]:
                    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9'']+'),
                                    x -> LENGTH(x) > 0)) AS n_tokens
             FROM documents
+        """,
+        "embedding_fetch": """
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id % 7 = 0 AND vec_id >= 0 AND vec_id < 200
         """,
         "knn_cosine": f"""
             SELECT vec_id, label,

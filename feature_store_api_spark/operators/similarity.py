@@ -204,3 +204,15 @@ def embedding_cosine_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def read_by_keys(df: DataFrame, key_col: str, keys: Sequence) -> DataFrame:
+    """Fetch index rows by key list (parity
+    ``core/vector_db_client.py:311-379`` read-index path): an IN filter
+    the scanner pushes down; batched lookups stay a single scan."""
+    return df.where(F.col(key_col).isin(list(keys)))
+
+
+def index_count(df: DataFrame) -> int:
+    """Index row count (parity ``core/vector_db_client.py:381-391``)."""
+    return df.count()

@@ -221,6 +221,12 @@ class FeatureGroup(FeatureGroupBase):
             self.set_features(
                 [Feature(f.name, f.dataType) for f in df.schema.fields]
             )
+        else:
+            # declared schema wins: cast incoming columns to feature types
+            # (parity engine/spark.py:1464-1474)
+            from .sources.ingestion import cast_to_schema
+
+            df = cast_to_schema(df, self._features)
         commit = self.commit_store.write(
             df, operation=operation, compute_stats=compute_stats
         )

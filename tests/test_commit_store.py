@@ -124,3 +124,19 @@ def test_dirty_names_sanitized(spark, fs):
     df = spark.createDataFrame([(1, "a")], ["Primary Key", "staTe 1"])
     fg.insert(df)
     assert set(fg.read(spark).columns) == {"primary_key", "state_1"}
+
+
+def test_insert_casts_to_declared_schema(spark, tmp_path):
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "cast_fg", primary_key=["id"],
+        features=[Feature("id", "bigint"), Feature("x", "double")],
+    )
+    src = spark.createDataFrame([(1, 10), (2, 20)], "id long, x int")
+    fg.insert(src)
+    out = fg.read(spark)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)["x"] == "double"
+    assert {r["x"] for r in out.collect()} == {10.0, 20.0}

@@ -284,6 +284,44 @@ def _q_time_travel_snapshot(spark, sf_dir):
     return spark.createDataFrame(out)
 
 
+def _q_commit_details(spark, sf_dir):
+    """Exact insert/update/delete counts per commit (parity
+    feature_group.py:3115 + core/delta_engine.py:172-204): full insert,
+    then an overlapping upsert (all updates), then a delete."""
+    from feature_store_api_spark import FeatureStore
+
+    tmp = tempfile.mkdtemp(prefix="fsas_cd_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "orders_cd", primary_key=["o_orderkey"], event_time="o_orderdate"
+        )
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+        fg.insert(orders)
+        fg.insert(
+            orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            )
+        )
+        fg.commit_delete_record(orders.where(F.col("o_orderkey") % 100 == 7))
+        details = fg.commit_details()  # newest first
+        rows = [
+            (
+                len(details) - i,
+                d["operation"],
+                d["rows_inserted"],
+                d["rows_updated"],
+                d["rows_deleted"],
+            )
+            for i, d in enumerate(details)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "seq int, operation string, ins long, upd long, del long"
+    )
+
+
 def _q_stats_commit_window(spark, sf_dir):
     """Commit-window statistics: profile only the rows changed in
     (c1, c2] — parity feature_group.py:3212 +
@@ -1258,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_snapshot": _q_time_travel_snapshot,
         "incremental_pull": _q_incremental_pull,
         "stats_commit_window": _q_stats_commit_window,
+        "commit_details": _q_commit_details,
         "stats_profile": _q_stats_profile,
         "value_counts": _q_value_counts,
         "latest_per_key": _q_latest_per_key,
@@ -1385,6 +1424,16 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pull": """
             SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
             FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        "commit_details": """
+            SELECT 1 AS seq, 'upsert' AS operation, COUNT(*) AS ins,
+                   0 AS upd, 0 AS del FROM orders
+            UNION ALL
+            SELECT 2, 'upsert', 0,
+                   (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0), 0
+            UNION ALL
+            SELECT 3, 'delete', 0, 0,
+                   (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 7)
         """,
         "stats_commit_window": """
             WITH w AS (

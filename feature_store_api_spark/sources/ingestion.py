@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..feature import autofix_feature_name
 
@@ -25,14 +24,9 @@ def convert_to_default_dataframe(df) -> DataFrame:
         raise ValueError(f"Duplicate column names after sanitization: {renames}")
     if any(k != v for k, v in renames.items()):
         df = df.select([F.col(f"`{c}`").alias(n) for c, n in renames.items()])
-    # force every field nullable (parity engine/spark.py:302-338)
-    schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
-    )
-    if schema != df.schema:
-        df = df.sparkSession.createDataFrame(df.rdd, schema) if False else df
-        # avoid RDD round-trip: nullability relaxation is metadata-only;
-        # downstream writers treat all columns as nullable anyway
+    # nullability relaxation (parity engine/spark.py:302-338) is left to
+    # the writers: parquet stores every committed column as optional, so
+    # forcing nullable here would only add an RDD round-trip
     return df
 
 

@@ -1,0 +1,80 @@
+"""Structured-Streaming ingestion: file source → insert_stream
+(foreachBatch upsert) with the availableNow bounded-backfill trigger,
+offline+online consistency, and batch-id replay idempotence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.streaming.insert_stream import insert_stream
+
+
+@pytest.fixture()
+def stream_setup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0), (1, 200, 10.0)],
+        "pk long, ts long, v double",
+    ).coalesce(1).write.parquet(src)
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "stream_fg", primary_key=["pk"], event_time="ts", online_enabled=True
+    )
+    return src, fg
+
+
+def _run_stream(spark, src, fg, checkpoint):
+    sdf = (
+        spark.readStream.schema("pk long, ts long, v double").parquet(src)
+    )
+    q = insert_stream(
+        fg,
+        sdf,
+        trigger={"availableNow": True},
+        checkpoint_dir=checkpoint,
+        await_termination=True,
+        timeout=120,
+    )
+    return q
+
+
+def test_available_now_backfill(spark, stream_setup, tmp_path):
+    src, fg = stream_setup
+    _run_stream(spark, src, fg, str(tmp_path / "ckpt"))
+
+    # offline: upsert-by-record-key keeps (pk, ts) grain → 3 rows
+    snap = fg.read(spark)
+    assert snap.count() == 3
+
+    # online: latest value per pk
+    from feature_store_api_spark.online.store import OnlineStore
+
+    online = OnlineStore.for_feature_group(fg).read(spark)
+    got = {r["pk"]: r["v"] for r in online.collect()}
+    assert got == {1: 10.0, 2: 2.0}
+
+
+def test_checkpoint_replay_is_idempotent(spark, stream_setup, tmp_path):
+    src, fg = stream_setup
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream(spark, src, fg, ckpt)
+    commits_before = len(fg.commit_details())
+    # same checkpoint, no new files → no new batches, no new commits
+    _run_stream(spark, src, fg, ckpt)
+    assert len(fg.commit_details()) == commits_before
+    assert fg.read(spark).count() == 3
+
+
+def test_new_file_picked_up_incrementally(spark, stream_setup, tmp_path):
+    src, fg = stream_setup
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream(spark, src, fg, ckpt)
+    spark.createDataFrame([(3, 300, 30.0)], "pk long, ts long, v double").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _run_stream(spark, src, fg, ckpt)
+    snap = fg.read(spark)
+    assert snap.count() == 4
+    assert snap.where(F.col("pk") == 3).first()["v"] == 30.0

@@ -148,9 +148,22 @@ class VectorServer:
             return rows
         pdf = pd.DataFrame([r for _, r in live])
         df = spark.createDataFrame(pdf)
-        out = _apply(
-            df, self.fv.transformation_functions, stats=self._stats
-        ).toPandas()
+        # on-demand first, then model-dependent — the reference's serving
+        # order (core/vector_server.py:924-978): model-dependent UDFs may
+        # consume on-demand outputs. On-demand features already
+        # materialized in the stored row (ingest-time) are not recomputed.
+        on_demand = [
+            t for t in self.fv.transformation_functions
+            if getattr(t, "mode", None) == "on_demand"
+            and t.output_names()[0] not in df.columns
+        ]
+        if on_demand:
+            df = _apply(df, on_demand)
+        model_dep = [
+            t for t in self.fv.transformation_functions
+            if getattr(t, "mode", None) != "on_demand"
+        ]
+        out = _apply(df, model_dep, stats=self._stats).toPandas()
         for (i, _), (_, rec) in zip(live, out.iterrows()):
             rows[i] = {k: v for k, v in rec.to_dict().items()}
         return rows

@@ -105,3 +105,30 @@ def test_missing_serving_key_raises(spark, served):
     server = fv.init_serving(spark)
     with pytest.raises(ValueError, match="user_id"):
         server.get_feature_vector(spark, {"wrong_key": 1})
+
+
+def test_serving_on_demand_then_model_dependent(spark, served):
+    """model-dependent UDFs may consume on-demand outputs at serve time
+    (reference order: on-demand first, vector_server.py:924-978)."""
+    from feature_store_api_spark.functions.udf import udf
+
+    @udf(float, mode="on_demand")
+    def doubled(value):
+        return value * 2.0
+
+    @udf(float)
+    def shifted(doubled_value):
+        return doubled_value + 1.0
+
+    fv = FeatureView(
+        "sv6", served["q"],
+        transformation_functions=[doubled, shifted("doubled_value")],
+    )
+    uid = served["ev"].select("user_id").first()["user_id"]
+    latest = _latest_row(served["ev"], uid)
+    server = fv.init_serving(spark)
+    vec = server.get_feature_vector(spark, {"user_id": uid})
+    assert vec["doubled_value"] == pytest.approx(2.0 * latest["value"])
+    assert vec["shifted_doubled_value"] == pytest.approx(
+        2.0 * latest["value"] + 1.0
+    )

@@ -248,17 +248,42 @@ def apply_transformations(
     train_df: Optional[DataFrame] = None,
     stats: Optional[Dict[str, Dict]] = None,
 ) -> DataFrame:
-    """Apply all transformations in ONE select (parity
-    ``engine/spark.py:1267-1328``), dropping declared inputs, ordered
+    """Apply transformations, dropping declared inputs, ordered
     deterministically by output column name (``feature_view.py:405``).
     Statistics-bound UDFs get stats computed on ``train_df`` (the train
     split — ``core/transformation_function_engine.py:198-259``); pass
-    precomputed ``stats`` to share one stats pass across splits."""
+    precomputed ``stats`` to share one stats pass across splits.
+
+    Two phases in the reference's order (vector_server.py:924-978):
+    on-demand UDFs whose outputs aren't materialized yet run FIRST, so
+    model-dependent UDFs may consume on-demand outputs; each phase is
+    ONE select (parity ``engine/spark.py:1267-1328``)."""
+    transformations = list(transformations)
+    pending_od = [
+        t for t in transformations
+        if t.mode == TransformationFunction.ON_DEMAND
+        and t.output_names()[0] not in df.columns
+    ]
+    rest = [t for t in transformations if t not in pending_od]
+    if pending_od and rest:
+        df = _apply_one_phase(df, pending_od, None)
+        if train_df is not None:
+            train_df = _apply_one_phase(train_df, pending_od, None)
+        transformations = rest
     if stats is None:
         stats = transformation_stats_for(
             transformations, train_df if train_df is not None else df
         )
+    return _apply_one_phase(df, transformations, stats)
 
+
+def _apply_one_phase(
+    df: DataFrame,
+    transformations: Sequence[TransformationFunction],
+    stats: Optional[Dict[str, Dict]],
+) -> DataFrame:
+    if stats is None:
+        stats = transformation_stats_for(transformations, df)
     ordered = sorted(transformations, key=lambda t: t.output_names(stats)[0])
     # only explicitly declared drops are removed (reference default keeps
     # UDF inputs in the output; builtins declare drop="feature")

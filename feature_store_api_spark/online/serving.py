@@ -72,11 +72,24 @@ class VectorServer:
             )
         tfs = self.fv.transformation_functions
         if tfs:
-            from ..functions.udf import transformation_stats_for
+            from ..functions.udf import (
+                TransformationFunction,
+                apply_transformations as _apply,
+                transformation_stats_for,
+            )
 
             base = training_df
             if base is None:
                 base = self.fv._pit_plan(spark)
+            # stats-bound model-dependent UDFs may consume on-demand
+            # outputs: materialize pending ones before the stats pass
+            pending = [
+                t for t in tfs
+                if t.mode == TransformationFunction.ON_DEMAND
+                and t.output_names()[0] not in base.columns
+            ]
+            if pending:
+                base = _apply(base, pending)
             self._stats = transformation_stats_for(tfs, base)
         self._initialized = True
         return self
@@ -148,22 +161,13 @@ class VectorServer:
             return rows
         pdf = pd.DataFrame([r for _, r in live])
         df = spark.createDataFrame(pdf)
-        # on-demand first, then model-dependent — the reference's serving
-        # order (core/vector_server.py:924-978): model-dependent UDFs may
-        # consume on-demand outputs. On-demand features already
-        # materialized in the stored row (ingest-time) are not recomputed.
-        on_demand = [
-            t for t in self.fv.transformation_functions
-            if getattr(t, "mode", None) == "on_demand"
-            and t.output_names()[0] not in df.columns
-        ]
-        if on_demand:
-            df = _apply(df, on_demand)
-        model_dep = [
-            t for t in self.fv.transformation_functions
-            if getattr(t, "mode", None) != "on_demand"
-        ]
-        out = _apply(df, model_dep, stats=self._stats).toPandas()
+        # apply_transformations runs pending on-demand UDFs first, then
+        # model-dependent — the reference's serving order
+        # (core/vector_server.py:924-978); on-demand features already
+        # materialized in the stored row (ingest-time) are not recomputed
+        out = _apply(
+            df, self.fv.transformation_functions, stats=self._stats
+        ).toPandas()
         for (i, _), (_, rec) in zip(live, out.iterrows()):
             rows[i] = {k: v for k, v in rec.to_dict().items()}
         return rows

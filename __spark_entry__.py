@@ -1618,9 +1618,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   COALESCE(list_sum(list_transform(words, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0)
-                   + len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                     x -> regexp_full_match(x, '[[:punct:]]+'))) AS n_tokens_bpe
+                   CAST(COALESCE(list_sum(list_transform(words, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0)
+                        + len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> regexp_full_match(x, '[[:punct:]]+')))
+                        AS BIGINT) AS n_tokens_bpe
             FROM w
         """,
         "ngram_jaccard": """

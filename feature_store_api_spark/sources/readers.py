@@ -51,9 +51,33 @@ def _nanos_timestamp_columns(path: str) -> List[str]:
     return out
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make nanosecond-timestamp parquet readable on ANY session.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable; without it
+    Spark 4 throws ``PARQUET_TYPE_ILLEGAL`` on INT64 TIMESTAMP(NANOS) columns.
+    The engine's own session factory sets it at build time, but callers may
+    hand us a plain ``SparkSession`` — set it here so the read contract does
+    not depend on who built the session.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked down; retry path covers
+        pass
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        _ensure_nanos_conf(spark)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # backstop: footer probe missed, conf unset
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        _ensure_nanos_conf(spark)
+        df = spark.read.parquet(path)
+    for c in nanos_cols:
         if c in df.columns and str(df.schema[c].dataType) in ("LongType()",):
             # integer `div` — a float division would lose precision on
             # ~1e18 nanosecond values (doubles carry only 53 bits)

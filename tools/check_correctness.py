@@ -18,7 +18,24 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod
-from feature_store_api_spark import get_spark
+
+
+def plain_spark():
+    """A vanilla SparkSession, mirroring the driver harness.
+
+    Deliberately does NOT use the engine's own ``get_spark`` factory: the
+    round-1 gate failed on confs the factory set that the driver's plain
+    session lacked. The local sweep must exercise the same contract.
+    """
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("check_correctness")
+        .getOrCreate()
+    )
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -35,11 +52,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    k = dtype.kind
+    return "i" if k in ("i", "u") else k
+
+
 def compare(name, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"SCHEMA mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     if len(sdf) != len(odf):
         return f"ROWCOUNT mismatch: spark={len(sdf)} oracle={len(odf)}"
+    # The driver's value-hash distinguishes int-kind from float-kind columns
+    # (e.g. DuckDB HUGEINT -> pandas float64 vs Spark int). Surface that
+    # class of mismatch here instead of letting rtol mask it.
+    kinds = [
+        (c, _kind(sdf[c].dtype), _kind(odf[c].dtype))
+        for c in sdf.columns
+        if _kind(sdf[c].dtype) != _kind(odf[c].dtype)
+    ]
+    if kinds:
+        return f"DTYPE-KIND mismatch: {kinds}"
     a, b = normalize(sdf), normalize(odf)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-5, atol=1e-6)
@@ -51,7 +83,7 @@ def compare(name, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark()
+    spark = plain_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

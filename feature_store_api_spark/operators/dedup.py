@@ -77,6 +77,17 @@ def _shingles(col, n: int):
     )
 
 
+def _md5_64(col):
+    """60-bit hash from the md5 hex prefix.
+
+    Exactly reproducible in other engines (DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which makes the
+    md5-variant dedup operators oracle-checkable end-to-end. xxhash64
+    stays the default fast path for production runs.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -85,6 +96,7 @@ def minhash_signatures(
     shingle_size: int = 5,
     seed: int = 13,
     num_partitions: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<bigint>``.
 
@@ -97,6 +109,10 @@ def minhash_signatures(
     ``num_hashes`` longs per document before the shuffle, so the
     exchange carries signatures, not shingles. No ``array_distinct`` —
     min over a multiset equals min over the set.
+
+    ``hash_fn='md5_64'`` swaps the per-(shingle, i) hash for the
+    engine-portable :func:`_md5_64` (correctness-oracle path); default
+    ``'xxhash64'`` is the fast path.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     exploded = (
@@ -113,16 +129,26 @@ def minhash_signatures(
         )
         .select(
             F.col(id_col),
-            F.xxhash64(
-                F.col("__t").substr(F.col("__i") + 1, F.lit(shingle_size)),
-                F.lit(seed),
-            ).alias("__h"),
+            F.col("__t").substr(F.col("__i") + 1, F.lit(shingle_size)).alias("__s"),
         )
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5_64":
+        # hash of (shingle, i) = md5_64(shingle || US || i) — no
+        # pre-hash so the oracle can reproduce it byte-for-byte
+        aggs = [
+            F.min(
+                _md5_64(F.concat(F.col("__s"), F.lit("\x1f" + str(i))))
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        exploded = exploded.select(
+            F.col(id_col), F.xxhash64(F.col("__s"), F.lit(seed)).alias("__s")
+        )
+        aggs = [
+            F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
     return sigs.select(
         F.col(id_col),
@@ -138,6 +164,7 @@ def minhash_lsh_duplicate_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     seed: int = 13,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -146,13 +173,24 @@ def minhash_lsh_duplicate_pairs(
     self-join is an equi-join on the band bucket, so Spark shuffles on
     the bucket key — no O(n²) comparison. Output: ``(id_a, id_b)``
     with id_a < id_b, distinct.
+
+    With ``hash_fn='md5_64'`` the band key is the signature slice
+    itself (arrays are hashable equi-join keys in Spark) so the whole
+    pipeline stays engine-portable for the oracle.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, seed, hash_fn=hash_fn
+    )
     # signatures feed both sides of the self-join; persist so the
     # shingle/hash work runs once (at warehouse scale you'd materialize
     # the signature table instead)
     sigs = sigs.persist()
+
+    def band_key(b):
+        sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        return sl if hash_fn == "md5_64" else F.xxhash64(sl)
+
     banded = sigs.select(
         id_col,
         F.explode(
@@ -160,9 +198,7 @@ def minhash_lsh_duplicate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
+                        band_key(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

@@ -138,11 +138,16 @@ def decode_features(
                 "media_id": [], "feature_vec": [], "decoded_width": [],
                 "decoded_height": [], "decode_error": [],
             }
-            for _, row in pdf.iterrows():
-                out["media_id"].append(row[id_col])
-                meta = dict(row[meta_col]) if meta_col and row[meta_col] is not None else {}
+            # column-wise zip, not iterrows(): ~5-10x less per-row overhead
+            # on Arrow batches
+            ids = pdf[id_col].tolist()
+            contents = pdf[content_col].tolist()
+            metas = pdf[meta_col].tolist() if meta_col else [None] * len(ids)
+            for rid, content, raw_meta in zip(ids, contents, metas):
+                out["media_id"].append(rid)
+                meta = dict(raw_meta) if raw_meta is not None else {}
                 try:
-                    dec = decoder(row[content_col], meta)
+                    dec = decoder(content, meta)
                     out["feature_vec"].append(dec.get("feature_vec"))
                     out["decoded_width"].append(dec.get("decoded_width"))
                     out["decoded_height"].append(dec.get("decoded_height"))
@@ -191,12 +196,11 @@ def resize_images(
                     "set_decoder('image_resize', fn)"
                 )
             rows = {"media_id": [], "content": [], "width": [], "height": []}
-            for _, row in pdf.iterrows():
+            for rid, content in zip(pdf[id_col].tolist(), pdf[content_col].tolist()):
                 res = resizer(
-                    row[content_col],
-                    {"width": target_width, "height": target_height},
+                    content, {"width": target_width, "height": target_height}
                 )
-                rows["media_id"].append(row[id_col])
+                rows["media_id"].append(rid)
                 rows["content"].append(res["content"])
                 rows["width"].append(target_width)
                 rows["height"].append(target_height)
@@ -228,19 +232,21 @@ def sample_video_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "frame_index": [], "frame_content": []}
-            for _, row in pdf.iterrows():
-                meta = dict(row[meta_col]) if row[meta_col] is not None else {}
+            for rid, content, raw_meta in zip(
+                pdf[id_col].tolist(), pdf[content_col].tolist(), pdf[meta_col].tolist()
+            ):
+                meta = dict(raw_meta) if raw_meta is not None else {}
                 n_frames = int(meta.get("n_frames") or 0)
                 for fi in range(0, max(n_frames, 1), every_nth):
                     if extractor is not None:
-                        frame = extractor(row[content_col], {"frame": fi})["content"]
+                        frame = extractor(content, {"frame": fi})["content"]
                     else:
                         # deterministic fake frame: a byte window keyed
                         # by frame index
-                        raw = row[content_col] or b""
+                        raw = content or b""
                         start = (fi * 17) % max(len(raw), 1)
                         frame = raw[start : start + 64]
-                    rows["media_id"].append(row[id_col])
+                    rows["media_id"].append(rid)
                     rows["frame_index"].append(fi)
                     rows["frame_content"].append(frame)
             yield pd.DataFrame(rows)

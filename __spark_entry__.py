@@ -451,10 +451,14 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
+    """md5_64 hash variant so DuckDB reproduces the signatures exactly
+    (xxhash64 is the default fast path; the LSH plan is identical)."""
     from feature_store_api_spark.operators.dedup import minhash_lsh_duplicate_pairs
 
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return minhash_lsh_duplicate_pairs(d, "text", "doc_id", num_hashes=32, bands=8)
+    return minhash_lsh_duplicate_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
+    )
 
 
 def _q_text_stats(spark, sf_dir):
@@ -471,10 +475,12 @@ def _q_text_stats(spark, sf_dir):
 
 
 def _q_text_analysis(spark, sf_dir):
+    """md5_64 fingerprint variant so the whole profile row is
+    engine-portable and oracle-checkable."""
     from feature_store_api_spark.operators.text import analyze_documents
 
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return analyze_documents(d)
+    return analyze_documents(d, hash_fn="md5_64")
 
 
 def _q_knn_cosine(spark, sf_dir):
@@ -582,10 +588,12 @@ def _q_text_tokens_bpe(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    """md5_64 (60-bit) variant — explode+groupBy vote plan, exactly
+    reproducible in DuckDB."""
     from feature_store_api_spark.operators.dedup import simhash
 
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return simhash(d, "text", "doc_id")
+    return simhash(d, "text", "doc_id", hash_fn="md5_64")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1331,6 +1339,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ann_oracle_sql() -> str:
+    """knn_ann oracle: replicates the seeded random-hyperplane LSH of
+    operators/similarity.py (build_ann_index/find_neighbors_ann with
+    dim=64, num_planes=12, seed=7, max_hamming=2, k=10, query=[0.1]*64)
+    by embedding the exact plane constants as SQL literals. repr(float)
+    round-trips float64 exactly, so both engines see identical planes."""
+    import random
+
+    dim, num_planes, seed = _EMB_DIM, 12, 7
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    q = [0.1] * dim
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(q, p)) >= 0:
+            qsig |= 1 << i
+    terms = "\n               + ".join(
+        "(CASE WHEN list_inner_product(e, [%s]::DOUBLE[]) >= 0 THEN %d ELSE 0 END)"
+        % (",".join(repr(v) for v in p), 1 << i)
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ), s AS (
+          SELECT vec_id, label, e,
+                 CAST({terms} AS BIGINT) AS bucket
+          FROM v
+        )
+        SELECT vec_id, label,
+               ROUND(-LIST_COSINE_SIMILARITY(e, {_QV_01})::DOUBLE, 6) AS distance
+        FROM s
+        WHERE bit_count(xor(bucket, CAST({qsig} AS BIGINT))) <= 2
+        ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """
+
+
+# shared stopword list fragments for the text oracles (must mirror
+# operators/text.py _LANG_MARKERS exactly)
+_SW_EN = "'the','and','of','to','is','in','that','it','for','with'"
+_SW_DE = "'der','die','das','und','ist','nicht','ein','mit','für','auf'"
+_SW_FR = "'le','la','les','et','est','dans','pour','que','une','des'"
+_SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "scan_filter_project": """
@@ -1635,6 +1688,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(decoded_height AS INT) AS decoded_height
             FROM u
         """,
+        # mirrors dedup.minhash_signatures/minhash_lsh_duplicate_pairs
+        # with hash_fn='md5_64': shingle size 5, 32 hashes, 8 bands of 4
+        # rows; hash of (shingle,i) = 60-bit md5 prefix of shingle||US||i
+        "minhash_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+                                           i -> substr(t, i + 1, 5))) AS s
+              FROM d
+            ),
+            h AS (
+              SELECT doc_id, j.i AS hi,
+                     min(CAST('0x' || substr(md5(s || chr(31) || CAST(j.i AS VARCHAR)), 1, 15) AS BIGINT)) AS m
+              FROM sh, range(0, 32) j(i)
+              GROUP BY doc_id, j.i
+            ),
+            sig AS (
+              SELECT doc_id, hi // 4 AS band, list(m ORDER BY hi) AS bucket
+              FROM h GROUP BY doc_id, hi // 4
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        # mirrors dedup.simhash with hash_fn='md5_64': distinct 4-char
+        # shingles of whitespace-collapsed lowercase text, 60-bit md5
+        # hash, per-bit majority vote (strictly positive => bit set)
+        "simhash": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(0, greatest(length(t) - 4, 0) + 1),
+                                          i -> substr(t, i + 1, 4)))) AS s
+              FROM d
+            ),
+            hb AS (
+              SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+            ),
+            v AS (
+              SELECT doc_id, b.i AS bit,
+                     sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hb, range(0, 60) b(i)
+              GROUP BY doc_id, b.i
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id
+        """,
+        # mirrors text.analyze_documents with hash_fn='md5_64': the
+        # lang/quality/token expressions are the same as their
+        # stand-alone oracles; fingerprint = min 60-bit md5 hash over
+        # 8-word sliding shingles of the word array
+        "text_analysis": rf"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}'']+'),
+                                 x -> length(x) > 0) AS words,
+                     length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, n_chars, words, alpha, punct,
+                     len(words) AS n_words,
+                     len(list_filter(words, x -> x IN ({_SW_EN}))) AS s_en,
+                     len(list_filter(words, x -> x IN ({_SW_DE}))) AS s_de,
+                     len(list_filter(words, x -> x IN ({_SW_FR}))) AS s_fr,
+                     len(list_filter(words, x -> x IN ({_SW_ES}))) AS s_es,
+                     len(list_filter(words, x -> x IN ({_SW_EN},{_SW_DE},{_SW_FR},{_SW_ES}))) AS stop_hits,
+                     COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars
+              FROM w
+            )
+            SELECT doc_id,
+                   n_chars,
+                   CAST(len(words) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(list_sum(list_transform(words, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0)
+                        + len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> regexp_full_match(x, '[[:punct:]]+')))
+                        AS BIGINT) AS n_tokens_bpe,
+                   CASE
+                     WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     ELSE 'de' END AS lang_pred,
+                   ROUND(
+                       0.25 * least(n_chars / 500.0, 1.0)
+                     + 0.25 * (CASE WHEN n_chars > 0 THEN alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+                     + 0.2  * (CASE WHEN n_chars > 0 THEN 1.0 - least(punct * 5.0 / n_chars, 1.0) ELSE 0.0 END)
+                     + 0.15 * (CASE WHEN n_words > 0 THEN least(stop_hits * 3.0 / n_words, 1.0) ELSE 0.0 END)
+                     + 0.15 * (CASE WHEN n_words > 0
+                                    AND word_chars / CAST(n_words AS DOUBLE) >= 3
+                                    AND word_chars / CAST(n_words AS DOUBLE) <= 10
+                               THEN 1.0 ELSE 0.5 END), 6) AS quality,
+                   COALESCE(
+                     list_min(list_transform(range(0, greatest(len(words) - 8, 0) + 1),
+                              i -> CAST('0x' || substr(md5(coalesce(array_to_string(list_slice(words, i + 1, i + 8), ' '), '')), 1, 15) AS BIGINT))),
+                     CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                   ) AS fingerprint
+            FROM m
+        """,
+        "knn_ann": _ann_oracle_sql(),
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,

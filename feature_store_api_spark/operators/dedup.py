@@ -257,13 +257,42 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, shingle_size: int = 4) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Bit b of the fingerprint is 1 iff the majority of shingle hashes
-    have bit b set. Computed with higher-order functions: per-bit vote =
+    have bit b set. Default path: higher-order functions, per-bit vote =
     sum over shingles of ±1 — all JVM-side.
+
+    ``hash_fn='md5_64'``: engine-portable 60-bit variant (bits 60-63
+    always 0) computed as explode → ONE groupBy with 60 sum aggregates —
+    partial aggregation reduces each task's stream to 60 longs per doc
+    before the shuffle, so this formulation is also the scale path.
     """
+    if hash_fn == "md5_64":
+        sh = _shingles(F.col(text_col), shingle_size)
+        exploded = df.select(F.col(id_col), F.explode(sh).alias("__s")).select(
+            F.col(id_col), _md5_64(F.col("__s")).alias("__h")
+        )
+        votes = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(60)
+        ]
+        agg = exploded.groupBy(id_col).agg(*votes)
+        fp = None
+        for b in range(60):
+            term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            fp = term if fp is None else fp + term
+        return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
     sh = _shingles(F.col(text_col), shingle_size)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
     bits = []

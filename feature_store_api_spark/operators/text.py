@@ -97,23 +97,33 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def fingerprint(col: Column, window: int = 8) -> Column:
+def _md5_64(col: Column) -> Column:
+    """60-bit hash from the md5 hex prefix — exactly reproducible in
+    other engines (DuckDB: ``CAST('0x' || substr(md5(x),1,15) AS
+    BIGINT)``); the oracle-checkable alternative to xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(col: Column, window: int = 8, hash_fn: str = "xxhash64") -> Column:
     """Rolling-hash document fingerprint (winnowing-style): min over a
     sliding window of word-shingle hashes → 64-bit stable id. Content
-    changes anywhere shift the fingerprint; whitespace-normalized."""
+    changes anywhere shift the fingerprint; whitespace-normalized.
+    ``hash_fn='md5_64'`` swaps in the engine-portable hash."""
+    h = _md5_64 if hash_fn == "md5_64" else F.xxhash64
     words = _word_array(col)
     shingle_hashes = F.transform(
         F.sequence(
             F.lit(0),
             F.greatest(F.size(words) - window, F.lit(0)),
         ),
-        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, window), " ")),
+        lambda i: h(F.array_join(F.slice(words, i + 1, window), " ")),
     )
-    return F.coalesce(F.array_min(shingle_hashes), F.xxhash64(col))
+    return F.coalesce(F.array_min(shingle_hashes), h(col))
 
 
 def analyze_documents(
-    df: DataFrame, text_col: str = "text", id_col: Optional[str] = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: Optional[str] = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One-pass text profile of a documents table."""
     c = F.col(text_col)
@@ -124,6 +134,6 @@ def analyze_documents(
         bpe_ish_token_count(c).alias("n_tokens_bpe"),
         language_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
-        fingerprint(c).alias("fingerprint"),
+        fingerprint(c, hash_fn=hash_fn).alias("fingerprint"),
     )
     return out

@@ -259,6 +259,17 @@ def apply_transformations(
     model-dependent UDFs may consume on-demand outputs; each phase is
     ONE select (parity ``engine/spark.py:1267-1328``)."""
     transformations = list(transformations)
+    # ON_DEMAND UDFs whose outputs are already materialized (ingest-time
+    # insert wrote them) are skipped entirely — the serving contract is
+    # "compute on demand only when absent" (vector_server.py:924-978);
+    # re-applying them here would emit a duplicate output column.
+    transformations = [
+        t for t in transformations
+        if not (
+            t.mode == TransformationFunction.ON_DEMAND
+            and all(n in df.columns for n in t.output_names())
+        )
+    ]
     pending_od = [
         t for t in transformations
         if t.mode == TransformationFunction.ON_DEMAND

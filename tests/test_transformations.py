@@ -137,3 +137,26 @@ def test_on_demand_applied_at_ingest(spark, tmp_path):
     assert "tripled_x" not in out.columns
     got = {r["id"]: r["doubled_x"] for r in out.collect()}
     assert got[1] == 2.0 and got[2] == 4.0
+
+def test_materialized_on_demand_not_reapplied(spark):
+    """An on-demand UDF whose output column already exists (ingest-time
+    materialization) must be skipped by apply_transformations — not
+    re-applied into a duplicate output column (vector_server.py:924-978
+    applies on-demand only when absent)."""
+
+    @udf(float, mode="on_demand")
+    def doubled(x):
+        return x * 2.0
+
+    @udf(float)
+    def tripled(x):
+        return x * 3.0
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 2.0, 4.0)], "id long, x double, doubled_x double"
+    )
+    out = apply_transformations(df, [doubled, tripled])
+    assert out.columns.count("doubled_x") == 1
+    row = {r["id"]: r for r in out.collect()}
+    assert row[1]["doubled_x"] == 2.0 and row[1]["tripled_x"] == 3.0
+    out.toPandas()  # would raise on duplicate column names

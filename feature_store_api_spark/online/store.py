@@ -7,17 +7,22 @@ semantics), lookups are per-FG point/batch selects stitched on serving
 keys (``core/online_store_sql_engine.py:279-437``, prepared-statement
 shape ``SELECT ... WHERE pk = ?`` / ``WHERE pk IN (?)``).
 
-Implementation: a compact parquet table per feature group holding
-exactly one row per primary key. Upserts merge-and-overwrite (the
-table is "latest state", so it stays small — O(#keys)); lookups are
-filters on the pk columns, which Spark pushes into the parquet scan.
-At cluster scale you'd back this with a real KV store; the API is the
-contract.
+Implementation: a hash-bucketed parquet table per feature group holding
+exactly one row per primary key, partitioned by ``_online_bucket =
+crc32(pk) % num_buckets``. An upsert rewrites ONLY the buckets the
+batch touches (dynamic partition overwrite) — a 1-row micro-batch
+rewrites one bucket, not the table, so write cost scales with batch
+size instead of key count. Point lookups compute the bucket in Python
+(the bucket hash is engine-portable) and prune to one partition
+directory at the scan. At cluster scale you'd back this with a real KV
+store; the API is the contract.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import zlib
 from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +31,19 @@ from pyspark.sql import functions as F
 from ..operators.dedup import latest_per_key
 
 _SEQ = "_online_seq"
+_BUCKET = "_online_bucket"
+
+
+def _portable_str(v) -> Optional[str]:
+    """Python-side string form matching Spark's ``CAST(x AS STRING)``
+    for the pk types we bucket on (int, str). Returns None for types
+    whose cast text may diverge (float/bool/...) — callers then skip
+    bucket pruning (correct, just unpruned)."""
+    if isinstance(v, bool):  # bool is an int subclass — exclude first
+        return None
+    if isinstance(v, (int, str)):
+        return str(v)
+    return None
 
 
 class OnlineStore:
@@ -35,12 +53,23 @@ class OnlineStore:
         primary_key: Sequence[str],
         event_time: Optional[str] = None,
         precombine_key: Optional[str] = None,
+        num_buckets: int = 32,
     ) -> None:
         self.location = location
         self.primary_key = list(primary_key)
         self.event_time = event_time
         self.precombine_key = precombine_key
         os.makedirs(location, exist_ok=True)
+        # bucket count must stay stable for the life of the table: a
+        # sidecar records it at creation and wins over the ctor arg
+        meta_path = os.path.join(location, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                self.num_buckets = int(json.load(fh)["num_buckets"])
+        else:
+            self.num_buckets = int(num_buckets)
+            with open(meta_path, "w") as fh:
+                json.dump({"num_buckets": self.num_buckets}, fh)
 
     @classmethod
     def for_feature_group(cls, fg) -> "OnlineStore":
@@ -58,22 +87,49 @@ class OnlineStore:
         return os.path.join(self.location, "latest")
 
     def _exists(self) -> bool:
-        return os.path.exists(self._path) and any(
-            f.endswith(".parquet") for f in os.listdir(self._path)
-        )
+        if not os.path.exists(self._path):
+            return False
+        for root, _dirs, files in os.walk(self._path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    # -- bucketing ---------------------------------------------------------
+    def _bucket_expr(self):
+        """crc32(pk1 <US> pk2 ...) % num_buckets — chosen over Spark's
+        ``hash()`` because the same value is computable driver-side
+        (zlib.crc32), letting point lookups prune partitions."""
+        parts = [F.col(c).cast("string") for c in self.primary_key]
+        return F.pmod(
+            F.crc32(F.concat_ws("\x1f", *parts)), F.lit(self.num_buckets)
+        ).cast("int")
+
+    def _bucket_of(self, key: Dict) -> Optional[int]:
+        parts = []
+        for k in self.primary_key:
+            s = _portable_str(key.get(k))
+            if s is None:
+                return None
+            parts.append(s)
+        return zlib.crc32("\x1f".join(parts).encode("utf-8")) % self.num_buckets
 
     def read(self, spark: SparkSession) -> DataFrame:
         if not self._exists():
             raise FileNotFoundError(f"Online store empty at {self._path}")
-        return spark.read.parquet(self._path).drop(_SEQ)
+        return spark.read.parquet(self._path).drop(_SEQ, _BUCKET)
 
     # -- write path --------------------------------------------------------
     def upsert(self, df: DataFrame) -> None:
-        """Keep the newest row per pk: collapse the batch, merge with the
-        current table, overwrite. Ordering: event_time, then precombine,
+        """Keep the newest row per pk, rewriting only touched buckets.
+
+        Merge = union(batch, current rows OF THE BATCH'S BUCKETS) →
+        latest-per-key window → dynamic partition overwrite of exactly
+        those bucket directories. Ordering: event_time, then precombine,
         then arrival sequence (so replays of the same key at equal
         timestamps resolve to the latest write — Hudi precombine
-        parity)."""
+        parity). If the batch widens the schema, every bucket is
+        rewritten once so all files keep one schema.
+        """
         spark = df.sparkSession
         order = [c for c in (self.event_time,) if c]
         ties = [c for c in (self.precombine_key,) if c] + [_SEQ]
@@ -85,10 +141,20 @@ class OnlineStore:
                 seq = int(fh.read().strip() or 0) + 1
         with open(seq_path, "w") as fh:
             fh.write(str(seq))
-        batch = df.withColumn(_SEQ, F.lit(seq))
+        batch = df.withColumn(_SEQ, F.lit(seq)).withColumn(
+            _BUCKET, self._bucket_expr()
+        )
         if self._exists():
-            # align schemas (new columns become NULL on old rows)
             current = spark.read.parquet(self._path)
+            widens = any(
+                c not in current.columns for c in batch.columns
+            )
+            if not widens:
+                # bounded collect: ≤ num_buckets ints
+                touched = [
+                    r[0] for r in batch.select(_BUCKET).distinct().collect()
+                ]
+                current = current.where(F.col(_BUCKET).isin(touched))
             merged = current.unionByName(batch, allowMissingColumns=True)
         else:
             merged = batch
@@ -96,23 +162,38 @@ class OnlineStore:
             merged, self.primary_key,
             order_by=order or [_SEQ], tie_breakers=ties,
         )
-        # write-then-swap: parquet overwrite into a temp dir, atomic rename.
-        # the latest-state table is O(#keys); keep file count low
-        tmp = self._path + ".tmp"
-        latest.coalesce(8).write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(self._path):
-            shutil.rmtree(self._path)
-        os.replace(tmp, self._path)
+        # one shuffle partition per bucket → one file per bucket dir;
+        # dynamic overwrite replaces only the partitions present in
+        # the output (the touched buckets)
+        (
+            latest.repartition(F.col(_BUCKET))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(self._path)
+        )
 
     # -- read path (serving) ----------------------------------------------
+    def _pruned(self, spark: SparkSession, keys: List[Dict]) -> DataFrame:
+        """Table scan restricted to the buckets the keys hash to —
+        partition pruning keeps point lookups at O(1) directories."""
+        df = spark.read.parquet(self._path)
+        buckets = set()
+        for k in keys:
+            b = self._bucket_of(k)
+            if b is None:
+                return df.drop(_SEQ, _BUCKET)  # unprunable key type
+            buckets.add(b)
+        return df.where(F.col(_BUCKET).isin(sorted(buckets))).drop(_SEQ, _BUCKET)
+
     def get_feature_vector(
         self, spark: SparkSession, key: Dict, return_type: str = "dict"
     ) -> Optional[Dict]:
         """Single lookup: ``WHERE pk1 = v1 AND pk2 = v2`` (prepared-
         statement parity, serving_prepared_statement_fixtures.json:40)."""
-        df = self.read(spark)
+        if not self._exists():
+            raise FileNotFoundError(f"Online store empty at {self._path}")
+        df = self._pruned(spark, [key])
         cond = None
         for k in self.primary_key:
             c = F.col(k) == F.lit(key[k])
@@ -128,13 +209,15 @@ class OnlineStore:
         """Batch lookup: single-pk → ``IN`` list; composite pk → semi
         join on a literal frame. Results stitched back in request order
         (parity ``core/online_store_sql_engine.py:337-437``)."""
-        df = self.read(spark)
+        if not self._exists():
+            raise FileNotFoundError(f"Online store empty at {self._path}")
+        df = self._pruned(spark, keys)
         if len(self.primary_key) == 1:
             pk = self.primary_key[0]
             vals = [k[pk] for k in keys]
             hits = df.where(F.col(pk).isin(vals)).collect()
         else:
-            spark_keys = spark.createDataFrame(
+            spark_keys = df.sparkSession.createDataFrame(
                 [tuple(k[p] for p in self.primary_key) for k in keys],
                 self.primary_key,
             )

@@ -158,6 +158,7 @@ class FeatureGroup(FeatureGroupBase):
         precombine_key: Optional[str] = None,
         stream: bool = False,
         transformation_functions: Sequence = (),
+        auto_compact_every: Optional[int] = 10,
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
@@ -169,6 +170,7 @@ class FeatureGroup(FeatureGroupBase):
             autofix_feature_name(precombine_key) if precombine_key else None
         )
         self.stream = stream
+        self.auto_compact_every = auto_compact_every
         # on-demand transformations: computed at ingest time (and again at
         # request time for serving) — parity hopsworks_udf.py:35-41 +
         # feature_group.py:2226 (deterministic apply order by output name)
@@ -192,6 +194,7 @@ class FeatureGroup(FeatureGroupBase):
                 event_time=self.event_time,
                 partition_key=self.partition_key,
                 precombine_key=self.precombine_key,
+                auto_compact_every=self.auto_compact_every,
             )
         return self._store
 

@@ -39,6 +39,7 @@ class FeatureStore:
         precombine_key: Optional[str] = None,
         stream: bool = False,
         transformation_functions: Sequence = (),
+        auto_compact_every: Optional[int] = 10,
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -63,6 +64,7 @@ class FeatureStore:
             precombine_key=precombine_key,
             stream=stream,
             transformation_functions=transformation_functions,
+            auto_compact_every=auto_compact_every,
         )
         self._registry[(name, version)] = fg
         return fg

@@ -69,12 +69,20 @@ class CommitStore:
         event_time: Optional[str] = None,
         partition_key: Sequence[str] = (),
         precombine_key: Optional[str] = None,
+        auto_compact_every: Optional[int] = 10,
     ) -> None:
         self.location = location
         self.primary_key = list(primary_key)
         self.event_time = event_time
         self.partition_key = list(partition_key)
         self.precombine_key = precombine_key
+        # compaction cadence: after N delta commits since the last base,
+        # write() triggers compact() — bounds the merge-on-read tail a
+        # snapshot must window over (a streaming FG at 1 commit/min
+        # would otherwise accumulate unbounded commit partitions).
+        # None/0 disables. Parity: Hudi's inline-compaction trigger
+        # (core/hudi_engine.py:171-224 timeline pruning).
+        self.auto_compact_every = auto_compact_every
         os.makedirs(location, exist_ok=True)
 
     # -- record identity ---------------------------------------------------
@@ -191,7 +199,22 @@ class CommitStore:
             extra=extra or {},
         )
         self._append_log(commit)
+        if (
+            self.auto_compact_every
+            and self._commits_since_base() >= self.auto_compact_every
+        ):
+            self.compact(spark)
         return commit
+
+    def _commits_since_base(self) -> int:
+        """Delta commits on top of the newest compaction base — the
+        merge-on-read tail length a snapshot read has to window over."""
+        n = 0
+        for c in reversed(self._read_log()):
+            if c.get("base"):
+                break
+            n += 1
+        return n
 
     # -- read path ---------------------------------------------------------
     def _data_df(self, spark: SparkSession) -> Optional[DataFrame]:
@@ -230,6 +253,16 @@ class CommitStore:
             ]
             if bases:
                 df = df.where(F.col(COMMIT_COL) >= max(bases))
+        else:
+            # incremental pull: base commits are rewrites, not changes —
+            # including one would report the whole table as changed.
+            # Delta partitions survive compaction, so excluding bases
+            # leaves exactly the real changes (partition-prunable NOT IN).
+            base_times = [
+                c["commit_time"] for c in self._read_log() if c.get("base")
+            ]
+            if base_times:
+                df = df.where(~F.col(COMMIT_COL).isin(base_times))
 
         if end_commit is not None:
             df = df.where(F.col(COMMIT_COL) <= F.lit(int(end_commit)))

@@ -140,3 +140,60 @@ def test_insert_casts_to_declared_schema(spark, tmp_path):
     out = fg.read(spark)
     assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)["x"] == "double"
     assert {r["x"] for r in out.collect()} == {10.0, 20.0}
+
+def test_auto_compaction_cadence(spark, tmp_path):
+    """After every N delta commits a base commit is written, so a
+    snapshot read windows over at most N+1 commit partitions no matter
+    how many commits ever happened (Hudi inline-compaction parity,
+    core/hudi_engine.py:171-224)."""
+    import os
+    from feature_store_api_spark.sources.commit_store import CommitStore, COMMIT_COL
+
+    store = CommitStore(
+        str(tmp_path), primary_key=["id"], auto_compact_every=3,
+    )
+    for i in range(7):
+        df = spark.createDataFrame([(j, i) for j in range(5)], "id long, v long")
+        store.write(df, compute_stats=False)
+
+    log = store.commit_details()  # newest first
+    bases = [c for c in log if c.get("base")]
+    assert len(bases) == 2  # after commits 3 and 6
+    assert store._commits_since_base() <= 3
+
+    # snapshot reads start at the newest base: the commit partitions at
+    # or after it number <= N+1
+    last_base = max(c["commit_time"] for c in bases)
+    data_dir = os.path.join(str(tmp_path), "data")
+    tail = [
+        d for d in os.listdir(data_dir)
+        if d.startswith(COMMIT_COL + "=")
+        and int(d.split("=")[1]) >= last_base
+    ]
+    assert len(tail) <= 4
+    # the scan is pruned to those partitions
+    plan = store.snapshot(spark)._jdf.queryExecution().executedPlan().toString()
+    assert str(last_base) in plan
+    # values: every id has the newest v
+    got = {r["id"]: r["v"] for r in store.snapshot(spark).collect()}
+    assert got == {j: 6 for j in range(5)}
+
+
+def test_incremental_pull_ignores_compaction_base(spark, tmp_path):
+    """A compaction inside the pull window must not report the whole
+    table as changed — bases are rewrites, not changes."""
+    from feature_store_api_spark.sources.commit_store import CommitStore
+
+    store = CommitStore(str(tmp_path), primary_key=["id"], auto_compact_every=2)
+    c1 = store.write(
+        spark.createDataFrame([(j, 0) for j in range(10)], "id long, v long"),
+        compute_stats=False,
+    )
+    # second write triggers auto-compaction (cadence 2)
+    store.write(
+        spark.createDataFrame([(1, 99)], "id long, v long"), compute_stats=False,
+    )
+    assert any(c.get("base") for c in store.commit_details())
+    changed = store.snapshot(spark, start_commit=c1.commit_time).collect()
+    assert {r["id"] for r in changed} == {1}
+    assert changed[0]["v"] == 99

@@ -70,6 +70,16 @@ class VectorServer:
                     "prefix": join.prefix or "",
                 }
             )
+        # pin each FG's latest-state snapshot in executor memory: every
+        # subsequent lookup filters the cached frame instead of
+        # re-scanning parquet (the reference's analogue is the prepared
+        # statements + connection pool resolved once at init,
+        # vector_server.py:133-188). Re-run init_serving to pick up
+        # upserts written after this point.
+        for plan in self._plans:
+            snap = plan["store"].read(spark).persist()
+            snap.count()  # materialize now, not on the first request
+            plan["df"] = snap
         tfs = self.fv.transformation_functions
         if tfs:
             from ..functions.udf import (
@@ -129,7 +139,7 @@ class VectorServer:
             keys = [
                 {pk: e[sk] for sk, pk in plan["keymap"].items()} for e in entries
             ]
-            hits = plan["store"].get_feature_vectors(spark, keys)
+            hits = plan["store"].lookup(plan["df"], keys)
             for i, hit in enumerate(hits):
                 if hit is None:
                     continue

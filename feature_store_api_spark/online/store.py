@@ -211,7 +211,12 @@ class OnlineStore:
         (parity ``core/online_store_sql_engine.py:337-437``)."""
         if not self._exists():
             raise FileNotFoundError(f"Online store empty at {self._path}")
-        df = self._pruned(spark, keys)
+        return self.lookup(self._pruned(spark, keys), keys)
+
+    def lookup(self, df: DataFrame, keys: List[Dict]) -> List[Optional[Dict]]:
+        """The IN / semi-join lookup against a given snapshot frame —
+        lets a serving layer hand in a persisted (cached) snapshot so
+        repeated calls skip the parquet scan entirely."""
         if len(self.primary_key) == 1:
             pk = self.primary_key[0]
             vals = [k[pk] for k in keys]

@@ -805,6 +805,31 @@ def _q_append_feature_default(spark, sf_dir):
     return q.read(spark)
 
 
+def _q_online_preview(spark, sf_dir):
+    """Online preview parity (core/online_store_sql_engine.py:464-465):
+    the reference strips the prepared statement's WHERE clause and
+    appends LIMIT n. The attached filter would drop EVERY row offline —
+    the online preview must ignore it and return the full
+    latest-per-key state (n exceeds the table, so the result is the
+    deterministic complete set)."""
+    from feature_store_api_spark import FeatureStore
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = _scratch("fsas_prev_")
+    fs = FeatureStore(root=tmp)
+    fg = fs.create_feature_group(
+        "events_prev", primary_key=["user_id"], event_time="ts",
+        precombine_key="event_id", online_enabled=True,
+    )
+    fg.insert(ev, compute_stats=False)
+    q = fg.select(["event_id", "user_id", "ts", "value"]).filter(
+        fg.value > 1e12
+    )
+    return q.preview(n=10**9, spark=spark, online=True)
+
+
 # ---------------------------------------------------------------------------
 # feature view: PIT batch query with event-time range (§3.2)
 # ---------------------------------------------------------------------------
@@ -1265,6 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round), then entries whose fix needs a fresh verdict, then the
     # long-green tail.
     return {
+        # --- new this round ---
+        "online_preview": _q_online_preview,
         # --- never checked in round 1 (registry tail was cut off) ---
         "fv_batch_query": _q_fv_batch_query,
         "entropy_uniqueness": _q_entropy_uniqueness,
@@ -1797,6 +1824,16 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "knn_ann": _ann_oracle_sql(),
+        # preview ignores the query's WHERE (value > 1e12 would drop all
+        # rows) and samples the latest-per-key online state
+        "online_preview": """
+            SELECT event_id, user_id, ts, value FROM (
+              SELECT event_id, user_id, ts, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,

@@ -175,9 +175,28 @@ class Query:
             return compile_query_online(self, spark)
         return self.compile(spark)
 
-    def show(self, n: int = 10, spark: Optional[SparkSession] = None):
+    def preview(
+        self, n: int = 10, spark: Optional[SparkSession] = None,
+        online: bool = False,
+    ) -> DataFrame:
+        """First ``n`` rows as a DataFrame. Online preview mirrors the
+        reference's prepared-statement preview
+        (``core/online_store_sql_engine.py:464-465``): the WHERE clause
+        is STRIPPED and ``LIMIT n`` appended — filters are ignored, the
+        latest-per-key state is sampled as-is."""
+        from ..session import get_spark
+
+        spark = spark or get_spark()
+        if online:
+            from ..plans.compiler import compile_query
+
+            return compile_query(self, spark, online=True, skip_filters=True).limit(n)
+        return self.read(spark).limit(n)
+
+    def show(self, n: int = 10, spark: Optional[SparkSession] = None,
+             online: bool = False):
         """Parity ``constructor/query.py:209-234``."""
-        return self.read(spark).limit(n).show()
+        return self.preview(n, spark, online=online).show()
 
     def __repr__(self) -> str:
         return (

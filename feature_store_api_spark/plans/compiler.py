@@ -256,7 +256,13 @@ def _make_resolver(colmap):
     return resolve
 
 
-def compile_query(q, spark: SparkSession, online: bool = False) -> DataFrame:
+def compile_query(
+    q, spark: SparkSession, online: bool = False, skip_filters: bool = False
+) -> DataFrame:
+    """``skip_filters=True`` compiles the plan WITHOUT the query's
+    WHERE conditions — the online-preview contract: the reference's
+    preview statement strips everything from `` WHERE `` and appends
+    LIMIT (``core/online_store_sql_engine.py:464-465``)."""
     logic_all = q.filters
     filter_refs = (
         {
@@ -270,9 +276,10 @@ def compile_query(q, spark: SparkSession, online: bool = False) -> DataFrame:
     df, sel, colmap, pending = _compile_node(q, spark, online, filter_refs)
 
     cond = None
-    for logic, scope in pending:
-        c = logic.to_column(_make_resolver(scope))
-        cond = c if cond is None else (cond & c)
+    if not skip_filters:
+        for logic, scope in pending:
+            c = logic.to_column(_make_resolver(scope))
+            cond = c if cond is None else (cond & c)
     if cond is not None:
         df = df.where(cond)
 

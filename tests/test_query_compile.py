@@ -100,3 +100,27 @@ def test_append_feature(catalog, spark):
 def test_fs_sql(catalog, spark, duck):
     df = catalog.sql("SELECT COUNT(*) AS n FROM orders", spark)
     assert df.collect()[0]["n"] == duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+
+def test_online_preview_strips_where_and_limits(spark, tmp_path):
+    """Query.preview(online=True) mirrors the reference's preview
+    statement (online_store_sql_engine.py:464-465): WHERE stripped,
+    LIMIT applied to the latest-per-key online view."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "prev_fg", primary_key=["uid"], event_time="ts", online_enabled=True,
+    )
+    df = spark.createDataFrame(
+        [(u, t, float(u * 10 + t)) for u in range(5) for t in range(3)],
+        "uid long, ts long, v double",
+    )
+    fg.insert(df, compute_stats=False)
+    q = fg.select(["uid", "ts", "v"]).filter(fg.v > 1e9)  # drops everything
+    # offline read honors the filter
+    assert q.read(spark).count() == 0
+    # online preview ignores it: 5 latest rows (one per uid), ts == 2
+    full = q.preview(n=100, spark=spark, online=True).collect()
+    assert len(full) == 5 and all(r["ts"] == 2 for r in full)
+    # and the limit caps the row count
+    assert len(q.preview(n=3, spark=spark, online=True).collect()) == 3

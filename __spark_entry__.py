@@ -805,6 +805,51 @@ def _q_append_feature_default(spark, sf_dir):
     return q.read(spark)
 
 
+def _q_kafka_encode_roundtrip(spark, sf_dir):
+    """Online Kafka path end-to-end without a broker: Avro-encode rows
+    (sorted-pk string key + nullable-union record value, parity
+    engine/spark.py:507-580), produce to the file-backed fake broker,
+    bounded-backfill them back (core/kafka_engine.py:118-142 offset
+    semantics), decode (engine/spark.py:951-1007). Output must equal
+    the input rows exactly."""
+    from feature_store_api_spark.sources.fake_kafka import FakeKafkaBroker
+    from feature_store_api_spark.sources.kafka_encode import (
+        decode_online_dataframe, encode_online_dataframe,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = _scratch("fsas_kafka_")
+    broker = FakeKafkaBroker(tmp, num_partitions=4)
+    enc = encode_online_dataframe(ev, ["event_id"], "events_online", 1)
+    broker.produce(enc, "events_topic")
+    raw = broker.backfill(spark, "events_topic", group="materialize")
+    return decode_online_dataframe(raw, ev.schema)
+
+
+def _q_avro_complex_roundtrip(spark, sf_dir):
+    """Complex-feature (array<float>) Avro encode/decode roundtrip
+    (parity engine/spark.py:534-549 _encode_complex_features). Oracle
+    surface: vector exploded to scalars."""
+    from feature_store_api_spark.sources.kafka_encode import (
+        decode_complex_features, encode_complex_features,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    enc = encode_complex_features(e)
+    dec = decode_complex_features(enc, e.schema)
+    return dec.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "v")
+    ).select(
+        "vec_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
 def _q_online_preview(spark, sf_dir):
     """Online preview parity (core/online_store_sql_engine.py:464-465):
     the reference strips the prepared statement's WHERE clause and
@@ -1292,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "online_preview": _q_online_preview,
+        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
+        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
         # --- never checked in round 1 (registry tail was cut off) ---
         "fv_batch_query": _q_fv_batch_query,
         "entropy_uniqueness": _q_entropy_uniqueness,
@@ -1824,6 +1871,15 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "knn_ann": _ann_oracle_sql(),
+        # the roundtrip must reproduce the source rows bit-for-bit
+        "kafka_encode_roundtrip": """
+            SELECT event_id, user_id, ts, value FROM events
+        """,
+        "avro_complex_roundtrip": """
+            SELECT vec_id, CAST(t.i AS INT) AS idx,
+                   ROUND(CAST(embedding[t.i + 1] AS DOUBLE), 6) AS val
+            FROM embeddings, range(0, 64) t(i)
+        """,
         # preview ignores the query's WHERE (value > 1e12 would drop all
         # rows) and samples the latest-per-key online state
         "online_preview": """

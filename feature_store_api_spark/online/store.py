@@ -7,21 +7,33 @@ semantics), lookups are per-FG point/batch selects stitched on serving
 keys (``core/online_store_sql_engine.py:279-437``, prepared-statement
 shape ``SELECT ... WHERE pk = ?`` / ``WHERE pk IN (?)``).
 
-Implementation: a hash-bucketed parquet table per feature group holding
-exactly one row per primary key, partitioned by ``_online_bucket =
-crc32(pk) % num_buckets``. An upsert rewrites ONLY the buckets the
-batch touches (dynamic partition overwrite) — a 1-row micro-batch
-rewrites one bucket, not the table, so write cost scales with batch
-size instead of key count. Point lookups compute the bucket in Python
-(the bucket hash is engine-portable) and prune to one partition
-directory at the scan. At cluster scale you'd back this with a real KV
-store; the API is the contract.
+Implementation — LSM-flavored merge-on-read:
+
+* ``base/`` holds compacted state, hash-partitioned by
+  ``_online_bucket = crc32(pk) % num_buckets`` — point lookups prune to
+  one directory (the bucket hash is crc32 precisely so the driver can
+  compute it in Python).
+* an upsert APPENDS its rows to ``delta/`` as-is — ONE job, no shuffle,
+  no table read, no rewrite: a 1-row micro-batch costs one small file.
+  ``_online_bucket`` rides along as a data column for row-group-level
+  pruning of the (small, recent) delta pile.
+* a read resolves newest-per-key over base ∪ delta with one window
+  (event_time, then precombine, then arrival sequence — Hudi precombine
+  parity).
+* every ``auto_compact_every`` upserts, compaction folds the deltas
+  into a new bucket-partitioned base (write-then-atomic-swap), so the
+  merge tail a read windows over stays bounded — the same cadence
+  design as the offline commit store.
+
+At cluster scale you'd back this with a real KV store; the API is the
+contract.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import zlib
 from typing import Dict, List, Optional, Sequence
 
@@ -54,11 +66,13 @@ class OnlineStore:
         event_time: Optional[str] = None,
         precombine_key: Optional[str] = None,
         num_buckets: int = 32,
+        auto_compact_every: Optional[int] = 10,
     ) -> None:
         self.location = location
         self.primary_key = list(primary_key)
         self.event_time = event_time
         self.precombine_key = precombine_key
+        self.auto_compact_every = auto_compact_every
         os.makedirs(location, exist_ok=True)
         # bucket count must stay stable for the life of the table: a
         # sidecar records it at creation and wins over the ctor arg
@@ -83,16 +97,39 @@ class OnlineStore:
         )
 
     @property
-    def _path(self) -> str:
-        return os.path.join(self.location, "latest")
+    def _base_path(self) -> str:
+        return os.path.join(self.location, "base")
 
-    def _exists(self) -> bool:
-        if not os.path.exists(self._path):
+    @property
+    def _delta_path(self) -> str:
+        return os.path.join(self.location, "delta")
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        if not os.path.exists(path):
             return False
-        for root, _dirs, files in os.walk(self._path):
+        for _root, _dirs, files in os.walk(path):
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
+
+    def _exists(self) -> bool:
+        return self._has_parquet(self._base_path) or self._has_parquet(
+            self._delta_path
+        )
+
+    # -- sidecar counters --------------------------------------------------
+    def _counter(self, name: str, bump: bool = False) -> int:
+        path = os.path.join(self.location, name)
+        val = 0
+        if os.path.exists(path):
+            with open(path) as fh:
+                val = int(fh.read().strip() or 0)
+        if bump:
+            val += 1
+            with open(path, "w") as fh:
+                fh.write(str(val))
+        return val
 
     # -- bucketing ---------------------------------------------------------
     def _bucket_expr(self):
@@ -113,86 +150,95 @@ class OnlineStore:
             parts.append(s)
         return zlib.crc32("\x1f".join(parts).encode("utf-8")) % self.num_buckets
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        if not self._exists():
-            raise FileNotFoundError(f"Online store empty at {self._path}")
-        return spark.read.parquet(self._path).drop(_SEQ, _BUCKET)
-
     # -- write path --------------------------------------------------------
     def upsert(self, df: DataFrame) -> None:
-        """Keep the newest row per pk, rewriting only touched buckets.
-
-        Merge = union(batch, current rows OF THE BATCH'S BUCKETS) →
-        latest-per-key window → dynamic partition overwrite of exactly
-        those bucket directories. Ordering: event_time, then precombine,
-        then arrival sequence (so replays of the same key at equal
-        timestamps resolve to the latest write — Hudi precombine
-        parity). If the batch widens the schema, every bucket is
-        rewritten once so all files keep one schema.
-        """
-        spark = df.sparkSession
-        order = [c for c in (self.event_time,) if c]
-        ties = [c for c in (self.precombine_key,) if c] + [_SEQ]
-        # monotonic batch sequence from a sidecar counter — no Spark job
-        seq_path = os.path.join(self.location, "_seq")
-        seq = 0
-        if os.path.exists(seq_path):
-            with open(seq_path) as fh:
-                seq = int(fh.read().strip() or 0) + 1
-        with open(seq_path, "w") as fh:
-            fh.write(str(seq))
+        """Append the batch to the delta pile — O(batch) work, one Spark
+        job, zero reads of existing state. Conflict resolution (newest
+        per pk) happens at read via one window; every
+        ``auto_compact_every`` upserts :meth:`compact` folds the deltas
+        so the merge tail stays bounded."""
+        seq = self._counter("_seq", bump=True)
         batch = df.withColumn(_SEQ, F.lit(seq)).withColumn(
             _BUCKET, self._bucket_expr()
         )
-        if self._exists():
-            current = spark.read.parquet(self._path)
-            widens = any(
-                c not in current.columns for c in batch.columns
-            )
-            if not widens:
-                # bounded collect: ≤ num_buckets ints
-                touched = [
-                    r[0] for r in batch.select(_BUCKET).distinct().collect()
-                ]
-                current = current.where(F.col(_BUCKET).isin(touched))
-            merged = current.unionByName(batch, allowMissingColumns=True)
-        else:
-            merged = batch
-        latest = latest_per_key(
-            merged, self.primary_key,
-            order_by=order or [_SEQ], tie_breakers=ties,
-        )
-        # one shuffle partition per bucket → one file per bucket dir;
-        # dynamic overwrite replaces only the partitions present in
-        # the output (the touched buckets)
+        batch.write.mode("append").parquet(self._delta_path)
+        if (
+            self.auto_compact_every
+            and self._counter("_upserts_since_compact", bump=True)
+            >= self.auto_compact_every
+        ):
+            self.compact(df.sparkSession)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold base ∪ delta into a new bucket-partitioned base
+        (one shuffle per side of the window + bucketed write), swap it
+        in atomically, and clear the delta pile."""
+        latest = self._resolve(self._raw(spark))
+        tmp = self._base_path + ".tmp"
         (
             latest.repartition(F.col(_BUCKET))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET)
-            .parquet(self._path)
+            .parquet(tmp)
+        )
+        if os.path.exists(self._base_path):
+            shutil.rmtree(self._base_path)
+        os.replace(tmp, self._base_path)
+        if os.path.exists(self._delta_path):
+            shutil.rmtree(self._delta_path)
+        with open(os.path.join(self.location, "_upserts_since_compact"), "w") as fh:
+            fh.write("0")
+
+    # -- read path ---------------------------------------------------------
+    def _raw(self, spark: SparkSession, buckets: Optional[List[int]] = None) -> DataFrame:
+        """base ∪ delta, optionally restricted to a bucket list: the
+        base restriction is directory-level partition pruning; the delta
+        restriction is a pushed row-group predicate over the (small)
+        recent files."""
+        if not self._exists():
+            raise FileNotFoundError(f"Online store empty at {self.location}")
+        parts = []
+        for path in (self._base_path, self._delta_path):
+            if self._has_parquet(path):
+                # mergeSchema: upserts may widen the schema over time
+                df = spark.read.option("mergeSchema", "true").parquet(path)
+                if buckets is not None:
+                    df = df.where(F.col(_BUCKET).isin(buckets))
+                parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        order = [c for c in (self.event_time,) if c]
+        ties = [c for c in (self.precombine_key,) if c] + [_SEQ]
+        return latest_per_key(
+            df, self.primary_key, order_by=order or [_SEQ], tie_breakers=ties
         )
 
-    # -- read path (serving) ----------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Latest state per primary key (merge-on-read window)."""
+        return self._resolve(self._raw(spark)).drop(_SEQ, _BUCKET)
+
+    # -- serving -----------------------------------------------------------
     def _pruned(self, spark: SparkSession, keys: List[Dict]) -> DataFrame:
-        """Table scan restricted to the buckets the keys hash to —
-        partition pruning keeps point lookups at O(1) directories."""
-        df = spark.read.parquet(self._path)
+        """Latest state restricted to the buckets the keys hash to."""
         buckets = set()
         for k in keys:
             b = self._bucket_of(k)
             if b is None:
-                return df.drop(_SEQ, _BUCKET)  # unprunable key type
+                buckets = None  # unprunable key type
+                break
             buckets.add(b)
-        return df.where(F.col(_BUCKET).isin(sorted(buckets))).drop(_SEQ, _BUCKET)
+        df = self._raw(spark, sorted(buckets) if buckets is not None else None)
+        return self._resolve(df).drop(_SEQ, _BUCKET)
 
     def get_feature_vector(
         self, spark: SparkSession, key: Dict, return_type: str = "dict"
     ) -> Optional[Dict]:
         """Single lookup: ``WHERE pk1 = v1 AND pk2 = v2`` (prepared-
         statement parity, serving_prepared_statement_fixtures.json:40)."""
-        if not self._exists():
-            raise FileNotFoundError(f"Online store empty at {self._path}")
         df = self._pruned(spark, [key])
         cond = None
         for k in self.primary_key:
@@ -209,14 +255,12 @@ class OnlineStore:
         """Batch lookup: single-pk → ``IN`` list; composite pk → semi
         join on a literal frame. Results stitched back in request order
         (parity ``core/online_store_sql_engine.py:337-437``)."""
-        if not self._exists():
-            raise FileNotFoundError(f"Online store empty at {self._path}")
         return self.lookup(self._pruned(spark, keys), keys)
 
     def lookup(self, df: DataFrame, keys: List[Dict]) -> List[Optional[Dict]]:
-        """The IN / semi-join lookup against a given snapshot frame —
+        """The IN / semi-join lookup against a given resolved snapshot —
         lets a serving layer hand in a persisted (cached) snapshot so
-        repeated calls skip the parquet scan entirely."""
+        repeated calls skip the scan + window entirely."""
         if len(self.primary_key) == 1:
             pk = self.primary_key[0]
             vals = [k[pk] for k in keys]

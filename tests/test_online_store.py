@@ -1,8 +1,9 @@
-"""Bucketed online store: per-bucket rewrite + partition-pruned lookups.
+"""LSM/merge-on-read online store: append-only upserts, bucketed base.
 
-Scale contract: an upsert's write cost is O(touched buckets), not
-O(table) — a 1-row micro-batch must rewrite exactly one bucket
-directory and leave every other bucket's files untouched on disk.
+Scale contract: an upsert's write cost is O(batch) — a 1-row
+micro-batch appends one small delta file and touches nothing else on
+disk. Compaction (manual or every N upserts) folds deltas into a
+bucket-partitioned base that point lookups prune to one directory.
 """
 
 import os
@@ -14,19 +15,14 @@ from pyspark.sql import functions as F
 from feature_store_api_spark.online.store import OnlineStore, _BUCKET
 
 
-def _bucket_files(path):
-    """{bucket_dir: {filename: mtime_ns}} snapshot of the table."""
+def _files(path):
+    """{relpath: mtime_ns} of every parquet file under path."""
     out = {}
-    latest = os.path.join(path, "latest")
-    for d in os.listdir(latest):
-        if not d.startswith(_BUCKET + "="):
-            continue
-        full = os.path.join(latest, d)
-        out[d] = {
-            f: os.stat(os.path.join(full, f)).st_mtime_ns
-            for f in os.listdir(full)
-            if f.endswith(".parquet")
-        }
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, path)] = os.stat(full).st_mtime_ns
     return out
 
 
@@ -36,29 +32,31 @@ def store_dir():
         yield tmp
 
 
-def test_single_row_upsert_rewrites_one_bucket(spark, store_dir):
-    store = OnlineStore(store_dir, primary_key=["uid"], num_buckets=8)
+def test_single_row_upsert_appends_one_delta_file(spark, store_dir):
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], num_buckets=8, auto_compact_every=None,
+    )
     base = spark.range(0, 200).select(
         F.col("id").alias("uid"), (F.col("id") * 2).alias("v")
     )
     store.upsert(base)
-    before = _bucket_files(store_dir)
-    assert len(before) > 1  # data spread over several buckets
+    store.compact(spark)
+    base_before = _files(store._base_path)
+    assert len(base_before) > 1  # bucket-partitioned base
 
     one = spark.createDataFrame([(7, 999)], "uid long, v long")
+    one = one.coalesce(1)
     store.upsert(one)
-    after = _bucket_files(store_dir)
-
-    changed = [d for d in after if after[d] != before.get(d)]
-    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
-    # the rewritten bucket is the one uid=7 hashes to
-    assert changed[0] == f"{_BUCKET}={store._bucket_of({'uid': 7})}"
+    # base untouched; delta gained exactly one file
+    assert _files(store._base_path) == base_before
+    delta = _files(store._delta_path)
+    assert len(delta) == 1
     # value visible, everything else intact
     got = {r["uid"]: r["v"] for r in store.read(spark).collect()}
     assert got[7] == 999 and got[8] == 16 and len(got) == 200
 
 
-def test_precombine_ordering_survives_bucketing(spark, store_dir):
+def test_precombine_ordering_survives_merge(spark, store_dir):
     store = OnlineStore(
         store_dir, primary_key=["uid"], event_time="ts",
         precombine_key="seq", num_buckets=4,
@@ -73,9 +71,13 @@ def test_precombine_ordering_survives_bucketing(spark, store_dir):
     got = {r["uid"]: r["val"] for r in store.read(spark).collect()}
     assert got[1] == "winner"
     assert got[2] == "b"  # seq 1 > 0: original row kept
+    # resolution is identical after compaction
+    store.compact(spark)
+    got = {r["uid"]: r["val"] for r in store.read(spark).collect()}
+    assert got == {1: "winner", 2: "b"}
 
 
-def test_schema_widening_rewrites_consistently(spark, store_dir):
+def test_schema_widening_merges(spark, store_dir):
     store = OnlineStore(store_dir, primary_key=["uid"], num_buckets=4)
     store.upsert(spark.createDataFrame([(1, 1.0), (2, 2.0)], "uid long, x double"))
     store.upsert(
@@ -87,14 +89,36 @@ def test_schema_widening_rewrites_consistently(spark, store_dir):
 
 
 def test_lookup_prunes_to_bucket(spark, store_dir):
-    store = OnlineStore(store_dir, primary_key=["uid"], num_buckets=8)
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], num_buckets=8, auto_compact_every=None,
+    )
     store.upsert(
         spark.range(0, 100).select(F.col("id").alias("uid"), F.col("id").alias("v"))
     )
+    store.compact(spark)
     vec = store.get_feature_vector(spark, {"uid": 42})
     assert vec == {"uid": 42, "v": 42}
     vecs = store.get_feature_vectors(spark, [{"uid": i} for i in (1, 5, 1000)])
     assert vecs[0]["v"] == 1 and vecs[1]["v"] == 5 and vecs[2] is None
-    # the pruned scan reads one bucket directory, not the table
+    # the pruned scan reads one bucket, not the table
     pruned = store._pruned(spark, [{"uid": 42}])
     assert 0 < pruned.count() < 100
+
+
+def test_auto_compaction_folds_deltas(spark, store_dir):
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], num_buckets=4, auto_compact_every=3,
+    )
+    for i in range(3):
+        store.upsert(
+            spark.createDataFrame([(j, i) for j in range(10)], "uid long, v long")
+        )
+    # third upsert triggered compaction: delta cleared, base populated
+    assert not store._has_parquet(store._delta_path)
+    assert store._has_parquet(store._base_path)
+    got = {r["uid"]: r["v"] for r in store.read(spark).collect()}
+    assert got == {j: 2 for j in range(10)}
+    # next upsert starts a fresh delta pile
+    store.upsert(spark.createDataFrame([(0, 77)], "uid long, v long"))
+    assert store._has_parquet(store._delta_path)
+    assert store.read(spark).where(F.col("uid") == 0).first()["v"] == 77

@@ -805,6 +805,21 @@ def _q_append_feature_default(spark, sf_dir):
     return q.read(spark)
 
 
+def _q_td_avro_roundtrip(spark, sf_dir):
+    """Training-dataset avro sink/source roundtrip via the jarless
+    container-file writer (engine/spark.py:865-919 avro parity)."""
+    from feature_store_api_spark.sources.writers import (
+        read_training_dataset, write_training_dataset,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tmp = _scratch("fsas_tdavro_")
+    write_training_dataset({"": o}, "avro", os.path.join(tmp, "td"))
+    return read_training_dataset(spark, "avro", os.path.join(tmp, "td"))
+
+
 def _q_kafka_encode_roundtrip(spark, sf_dir):
     """Online Kafka path end-to-end without a broker: Avro-encode rows
     (sorted-pk string key + nullable-union record value, parity
@@ -1339,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "online_preview": _q_online_preview,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
+        "td_avro_roundtrip": _q_td_avro_roundtrip,
         # --- never checked in round 1 (registry tail was cut off) ---
         "fv_batch_query": _q_fv_batch_query,
         "entropy_uniqueness": _q_entropy_uniqueness,
@@ -1871,6 +1887,9 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "knn_ann": _ann_oracle_sql(),
+        "td_avro_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        """,
         # the roundtrip must reproduce the source rows bit-for-bit
         "kafka_encode_roundtrip": """
             SELECT event_id, user_id, ts, value FROM events

@@ -107,6 +107,11 @@ def read(
     opts.update(options or {})
     if fmt == "parquet" and not opts and schema is None:
         return read_parquet(spark, path)
+    if fmt == "avro":
+        # jarless container-file reader (spark-avro not on classpath)
+        from .avro_container import read_avro
+
+        return read_avro(spark, path)
     if fmt == "tsv":
         fmt = "csv"
     reader = spark.read.options(**opts)

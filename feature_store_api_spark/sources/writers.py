@@ -7,9 +7,9 @@ overwrite/append modes) and default write options
 (``engine/spark.py:1111-1127``).
 
 tfrecord requires the external ``spark-tensorflow-connector`` jar; we
-gate it with a clear error instead of bundling. avro ships with Spark
-but needs the ``spark-avro`` package registered — also gated at call
-time so parquet/csv/orc users never pay for it.
+gate it with a clear error instead of bundling. avro is served by the
+jarless container-file writer/reader in ``avro_container.py`` (standard
+.avro files, no spark-avro needed).
 """
 
 from __future__ import annotations
@@ -55,6 +55,17 @@ def write_dataframe(
             "tfrecord output needs the spark-tensorflow-connector jar on the "
             "classpath; add it via spark.jars.packages and use format 'tfrecord'"
         )
+    if fmt == "avro":
+        # jarless container-file writer (spark-avro not on classpath)
+        from .avro_container import write_avro
+
+        out = df.coalesce(1) if coalesce else df
+        if partition_by:
+            raise NotImplementedError(
+                "partitionBy is not supported by the jarless avro writer"
+            )
+        write_avro(out, path, mode=mode)
+        return
     out = df.coalesce(1) if coalesce else df
     writer = out.write.mode(mode).options(**opts)
     if partition_by:

@@ -189,3 +189,38 @@ def test_always_policy_returns_report(val_df):
     report = validate_for_ingest(val_df, suite)
     assert report is not None and not report.success
     assert validate_for_ingest(val_df, None) is None
+
+def test_avro_training_dataset_roundtrip(spark, sf_dir, tmp_path):
+    """Jarless .avro container files: write splits, read back, values
+    intact (engine/spark.py:865-919 avro format parity)."""
+    from feature_store_api_spark.sources.readers import read_parquet
+    from feature_store_api_spark.sources.writers import (
+        read_training_dataset, write_training_dataset,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    out = str(tmp_path / "td_avro")
+    write_training_dataset({"train": o.limit(700), "test": o.limit(200)}, "avro", out)
+    train = read_training_dataset(spark, "avro", f"{out}/train")
+    assert train.count() == 700
+    assert dict(train.dtypes) == dict(o.dtypes)
+    a = {r["o_orderkey"]: r["o_totalprice"] for r in train.collect()}
+    b = {r["o_orderkey"]: r["o_totalprice"] for r in o.limit(700).collect()}
+    assert a == b
+
+
+def test_avro_complex_and_null_columns_roundtrip(spark, tmp_path):
+    from feature_store_api_spark.sources.avro_container import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], "x"), (2, None, None)],
+        "id long, emb array<double>, name string",
+    )
+    out = str(tmp_path / "a")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["emb"] == [1.0, 2.0] and rows[2]["emb"] is None
+    assert rows[1]["name"] == "x" and rows[2]["name"] is None

@@ -820,6 +820,25 @@ def _q_td_avro_roundtrip(spark, sf_dir):
     return read_training_dataset(spark, "avro", os.path.join(tmp, "td"))
 
 
+def _q_td_tfrecord_roundtrip(spark, sf_dir):
+    """Training-dataset tfrecord sink/source roundtrip via the jarless
+    tf.train.Example writer (engine/spark.py:865-919 tfrecord parity).
+    Exact-typed columns only (int64/string) — float features are
+    float32 on disk by the format's own convention."""
+    from feature_store_api_spark.sources.writers import (
+        read_training_dataset, write_training_dataset,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tmp = _scratch("fsas_tdtfr_")
+    write_training_dataset({"": o}, "tfrecord", os.path.join(tmp, "td"))
+    return read_training_dataset(
+        spark, "tfrecord", os.path.join(tmp, "td"), schema=o.schema
+    )
+
+
 def _q_kafka_encode_roundtrip(spark, sf_dir):
     """Online Kafka path end-to-end without a broker: Avro-encode rows
     (sorted-pk string key + nullable-union record value, parity
@@ -1355,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
+        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
         # --- never checked in round 1 (registry tail was cut off) ---
         "fv_batch_query": _q_fv_batch_query,
         "entropy_uniqueness": _q_entropy_uniqueness,
@@ -1889,6 +1909,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann": _ann_oracle_sql(),
         "td_avro_roundtrip": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        """,
+        "td_tfrecord_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         """,
         # the roundtrip must reproduce the source rows bit-for-bit
         "kafka_encode_roundtrip": """

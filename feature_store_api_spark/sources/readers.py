@@ -112,6 +112,15 @@ def read(
         from .avro_container import read_avro
 
         return read_avro(spark, path)
+    if fmt in ("tfrecord", "tfrecords"):
+        if schema is None:
+            raise ValueError(
+                "tfrecord reads need an explicit schema (tf.train.Example "
+                "features are unordered and untyped on disk)"
+            )
+        from .tfrecord import read_tfrecord
+
+        return read_tfrecord(spark, path, schema)
     if fmt == "tsv":
         fmt = "csv"
     reader = spark.read.options(**opts)

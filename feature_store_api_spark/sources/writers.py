@@ -51,10 +51,16 @@ def write_dataframe(
     if fmt == "tsv":
         fmt = "csv"
     if fmt in ("tfrecord", "tfrecords"):
-        raise NotImplementedError(
-            "tfrecord output needs the spark-tensorflow-connector jar on the "
-            "classpath; add it via spark.jars.packages and use format 'tfrecord'"
-        )
+        # jarless tf.train.Example writer (no spark-tensorflow-connector)
+        from .tfrecord import write_tfrecord
+
+        out = df.coalesce(1) if coalesce else df
+        if partition_by:
+            raise NotImplementedError(
+                "partitionBy is not supported by the jarless tfrecord writer"
+            )
+        write_tfrecord(out, path, mode=mode)
+        return
     if fmt == "avro":
         # jarless container-file writer (spark-avro not on classpath)
         from .avro_container import write_avro
@@ -95,10 +101,12 @@ def write_training_dataset(
 
 
 def read_training_dataset(
-    spark, data_format: str, path: str, options: Optional[Dict[str, str]] = None
+    spark, data_format: str, path: str,
+    options: Optional[Dict[str, str]] = None, schema=None,
 ) -> DataFrame:
     """Read a split directory back (multi-file union is implicit in the
-    directory scan — parity ``engine/python.py:246-260``)."""
+    directory scan — parity ``engine/python.py:246-260``). tfrecord
+    needs ``schema``."""
     from .readers import read
 
-    return read(spark, data_format, path, options=options)
+    return read(spark, data_format, path, options=options, schema=schema)

@@ -132,10 +132,15 @@ def test_write_coalesce_single_file(spark, tmp_path):
     assert len(parts) == 1
 
 
-def test_tfrecord_gated(spark, tmp_path):
+def test_tfrecord_read_requires_schema(spark, tmp_path):
+    """tf.train.Example features are unordered/untyped on disk — the
+    jarless reader demands an explicit schema."""
+    from feature_store_api_spark.sources.readers import read
+
     df = spark.range(5)
-    with pytest.raises(NotImplementedError):
-        write_dataframe(df, "tfrecord", str(tmp_path / "tf"))
+    write_dataframe(df, "tfrecord", str(tmp_path / "tf"))
+    with pytest.raises(ValueError, match="schema"):
+        read(spark, "tfrecord", str(tmp_path / "tf"))
 
 
 # ---------------------------------------------------------------------------
@@ -224,3 +229,52 @@ def test_avro_complex_and_null_columns_roundtrip(spark, tmp_path):
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["emb"] == [1.0, 2.0] and rows[2]["emb"] is None
     assert rows[1]["name"] == "x" and rows[2]["name"] is None
+
+def test_tfrecord_training_dataset_roundtrip(spark, sf_dir, tmp_path):
+    """Jarless TFRecord (tf.train.Example) write + schema'd read:
+    int64/string exact; floats are float32 like the connector."""
+    from feature_store_api_spark.sources.readers import read_parquet
+    from feature_store_api_spark.sources.writers import (
+        read_training_dataset, write_training_dataset,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).limit(500)
+    out = str(tmp_path / "td_tfr")
+    write_training_dataset({"": o}, "tfrecord", out)
+    back = read_training_dataset(spark, "tfrecord", out, schema=o.schema)
+    assert back.count() == 500
+    a = {r["o_orderkey"]: r for r in back.collect()}
+    b = {r["o_orderkey"]: r for r in o.collect()}
+    assert set(a) == set(b)
+    for k in list(b)[:50]:
+        assert a[k]["o_orderstatus"] == b[k]["o_orderstatus"]
+        assert a[k]["o_custkey"] == b[k]["o_custkey"]
+        assert abs(a[k]["o_totalprice"] - b[k]["o_totalprice"]) < 0.5  # f32
+
+
+def test_tfrecord_arrays_nulls_and_framing(spark, tmp_path):
+    from pyspark.sql import types as T
+    from feature_store_api_spark.sources.tfrecord import (
+        read_tfrecord, write_tfrecord, _crc32c,
+    )
+
+    # crc32c known-answer test (public test vector)
+    assert _crc32c(b"123456789") == 0xE3069283
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("emb", T.ArrayType(T.FloatType())),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("name", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, [1.5, -2.25], ["a", "b"], "x"), (2, None, None, None)], schema
+    )
+    out = str(tmp_path / "tfr")
+    write_tfrecord(df, out)
+    back = {r["id"]: r for r in read_tfrecord(spark, out, schema).collect()}
+    assert back[1]["emb"] == [1.5, -2.25]  # exact in float32
+    assert back[1]["tags"] == ["a", "b"] and back[1]["name"] == "x"
+    assert back[2]["emb"] is None and back[2]["name"] is None

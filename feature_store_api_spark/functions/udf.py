@@ -7,12 +7,13 @@ of input features, optional statistics binding
 ``fnname_feat1_feat2`` (``hopsworks_udf.py:464-482``), and two modes
 (MODEL_DEPENDENT vs ON_DEMAND, ``hopsworks_udf.py:35-41``).
 
-Differences by design: no source-capture / ``exec`` re-execution trick
-(``hopsworks_udf.py:353-566``) — functions are plain Python closures
-registered in-process; execution is an Arrow-vectorized
-``pandas_udf`` (the fast path the reference also uses,
-``hopsworks_udf.py:649-654``), or a native Column expression when the
-transformation provides one (built-in scalers).
+Functions are plain Python closures registered in-process; execution is
+an Arrow-vectorized ``pandas_udf`` (the fast path the reference also
+uses, ``hopsworks_udf.py:649-654``), or a native Column expression when
+the transformation provides one (built-in scalers). For restart
+survival, ``to_dict``/``from_dict`` round-trip a UDF through captured
+source (parity ``hopsworks_udf.py:353-566``) — revived in a scoped
+namespace, never ``__main__``.
 """
 
 from __future__ import annotations
@@ -202,6 +203,88 @@ class TransformationFunction:
         if self.multi_output:
             return [applied.getField(n).alias(n) for n in names]
         return [applied.alias(names[0])]
+
+
+    # -- serialization (parity hopsworks_udf.py:353-566) -------------------
+    def to_dict(self) -> Dict:
+        """Serializable form, so a registered transformation survives a
+        process restart (the reference round-trips UDF source the same
+        way). Built-in column-expr transformations serialize by factory
+        name + bound features; Python UDFs capture dedented source."""
+        if self._column_expr is not None:
+            return {
+                "kind": "builtin",
+                "name": self.name,
+                "features": list(self.features),
+            }
+        import textwrap
+
+        try:
+            src = textwrap.dedent(inspect.getsource(self.fn))
+        except (OSError, TypeError) as exc:
+            raise ValueError(
+                f"Cannot serialize transformation {self.name!r}: its source "
+                "is unavailable (defined interactively?) — declare it in a "
+                "module file to make it registry-serializable"
+            ) from exc
+        lines = src.splitlines()
+        i = 0
+        while i < len(lines) and not lines[i].lstrip().startswith("def "):
+            i += 1  # strip decorator lines — source is re-declared bare
+        return {
+            "kind": "python",
+            "name": self.name,
+            "source": "\n".join(lines[i:]),
+            "return_types": [t.simpleString() for t in self.return_types],
+            "multi_output": self.multi_output,
+            "drop": list(self.drop),
+            "mode": self.mode,
+            "statistics": self.statistics.features if self.statistics else None,
+            "features": list(self.features),
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "TransformationFunction":
+        """Revive a serialized transformation. Python sources execute in
+        a FRESH namespace (never ``__main__`` — unlike the reference's
+        exec-into-module trick, nothing leaks into caller scope)."""
+        if d["kind"] == "builtin":
+            from . import builtin_transformations as bt
+
+            factory = getattr(bt, d["name"])
+            return factory(*d["features"])
+        class _Namespace(dict):
+            # the captured def may reference enclosing names in default
+            # values (the common `statistics=stats` idiom); they resolve
+            # to None here — harmless, since bound statistics are passed
+            # explicitly at call time
+            def __missing__(self, key):
+                return None
+
+        namespace: Dict = _Namespace()
+        exec(  # noqa: S102 — scoped namespace, reference-parity revive
+            compile(d["source"], f"<transformation:{d['name']}>", "exec"),
+            namespace,
+        )
+        fn = namespace[d["name"]]
+        stats = (
+            TransformationStatistics(*d["statistics"]) if d["statistics"] else None
+        )
+        rt = d["return_types"] if d["multi_output"] else d["return_types"][0]
+        tf = cls(fn, rt, drop=d["drop"], mode=d["mode"], statistics=stats)
+        tf.features = list(d["features"])
+        return tf
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_json(cls, s: str) -> "TransformationFunction":
+        import json
+
+        return cls.from_dict(json.loads(s))
 
 
 def udf(

@@ -160,3 +160,53 @@ def test_materialized_on_demand_not_reapplied(spark):
     row = {r["id"]: r for r in out.collect()}
     assert row[1]["doubled_x"] == 2.0 and row[1]["tripled_x"] == 3.0
     out.toPandas()  # would raise on duplicate column names
+
+def test_udf_registry_roundtrip(spark):
+    """A transformation survives serialization to JSON and revival in a
+    fresh namespace (parity hopsworks_udf.py:353-566 source capture —
+    but no exec into __main__)."""
+    from feature_store_api_spark.functions.udf import TransformationFunction
+
+    @udf(float, drop=["x"], mode="on_demand")
+    def plus_tax(x):
+        return x * 1.19
+
+    revived = TransformationFunction.from_json(plus_tax.to_json())
+    assert revived.name == "plus_tax" and revived.mode == "on_demand"
+    assert revived.dropped_features() == ["x"]
+    df = spark.createDataFrame([(1, 100.0)], "id long, x double")
+    out = apply_transformations(df, [revived])
+    assert out.columns == ["id", "plus_tax_x"]
+    assert abs(out.first()["plus_tax_x"] - 119.0) < 1e-9
+    # nothing leaked into this module's globals
+    assert "plus_tax" not in globals() or callable(plus_tax)
+
+
+def test_builtin_registry_roundtrip(spark):
+    from feature_store_api_spark.functions.udf import TransformationFunction
+
+    b = min_max_scaler("value")
+    revived = TransformationFunction.from_dict(b.to_dict())
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "value double")
+    a = apply_transformations(df, [b]).collect()
+    r = apply_transformations(df, [revived]).collect()
+    assert sorted(x["min_max_scaler_value"] for x in a) == sorted(
+        x["min_max_scaler_value"] for x in r
+    )
+
+
+def test_stats_bound_udf_registry_roundtrip(spark):
+    from feature_store_api_spark.functions.udf import (
+        TransformationFunction, TransformationStatistics,
+    )
+
+    stats = TransformationStatistics("x")
+
+    @udf(float, statistics=stats)
+    def demean(x, statistics=stats):
+        return x - statistics.x["mean"]
+
+    revived = TransformationFunction.from_json(demean.to_json())
+    df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    out = {r["demean_x"] for r in apply_transformations(df, [revived]).collect()}
+    assert out == {-5.0, 5.0}

@@ -862,6 +862,36 @@ def _q_kafka_encode_roundtrip(spark, sf_dir):
     return decode_online_dataframe(raw, ev.schema)
 
 
+def _q_kafka_materialize(spark, sf_dir):
+    """Bounded Kafka→FG materialization job parity
+    (core/kafka_engine.py:118-142): two produce rounds, two runs — each
+    consumes exactly its [committed, end) window, decodes, upserts.
+    The final snapshot must equal the full events table."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.fake_kafka import FakeKafkaBroker
+    from feature_store_api_spark.sources.kafka_encode import encode_online_dataframe
+    from feature_store_api_spark.streaming.insert_stream import (
+        materialize_from_broker,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = _scratch("fsas_kmat_")
+    fs = FeatureStore(root=os.path.join(tmp, "fs"))
+    fg = fs.create_feature_group(
+        "events_mat", primary_key=["event_id"], event_time="ts"
+    )
+    broker = FakeKafkaBroker(os.path.join(tmp, "broker"), num_partitions=4)
+    for i in range(2):
+        half = ev.where(F.col("event_id") % 2 == i)
+        broker.produce(
+            encode_online_dataframe(half, ["event_id"], "events_mat"), "t"
+        )
+        materialize_from_broker(spark, fg, broker, "t", "job", ev.schema)
+    return fg.read(spark).select("event_id", "user_id", "ts", "value")
+
+
 def _q_avro_complex_roundtrip(spark, sf_dir):
     """Complex-feature (array<float>) Avro encode/decode roundtrip
     (parity engine/spark.py:534-549 _encode_complex_features). Oracle
@@ -1372,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "online_preview": _q_online_preview,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
+        "kafka_materialize": _q_kafka_materialize,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
         "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
@@ -1915,6 +1946,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the roundtrip must reproduce the source rows bit-for-bit
         "kafka_encode_roundtrip": """
+            SELECT event_id, user_id, ts, value FROM events
+        """,
+        "kafka_materialize": """
             SELECT event_id, user_id, ts, value FROM events
         """,
         "avro_complex_roundtrip": """

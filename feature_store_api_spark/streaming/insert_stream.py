@@ -85,3 +85,50 @@ def insert_stream(
     if await_termination:
         query.awaitTermination(timeout)
     return query
+
+
+def materialize_from_broker(
+    spark,
+    fg,
+    broker,
+    topic: str,
+    group: str,
+    schema,
+    online: bool = False,
+):
+    """One bounded Kafka→feature-group materialization run.
+
+    The reference's materialization job consumes the FG's online topic
+    between the last committed offsets and the current end
+    (``core/kafka_engine.py:118-142`` builds that
+    ``initialCheckPointString``), Avro-decodes, and upserts. Same flow
+    here against any broker exposing ``committed`` / ``end_offsets`` /
+    ``read_batch`` / ``commit`` (``sources/fake_kafka.FakeKafkaBroker``
+    offline; a real consumer adapter in production).
+
+    Offsets advance ONLY after the feature-group commit lands, so a
+    crashed run replays its window — and replay is safe because the
+    commit store upserts by record key (at-least-once delivery +
+    idempotent merge = effectively exactly-once, the reference's own
+    model).
+
+    Returns the FeatureGroupCommit, or None when the window is empty.
+    """
+    from ..sources.kafka_encode import decode_online_dataframe
+
+    start = broker.committed(topic, group)
+    end = broker.end_offsets(topic)
+    raw = broker.read_batch(
+        spark, topic, starting_offsets=start or None, ending_offsets=end or None
+    )
+    decoded = decode_online_dataframe(raw, schema)
+    if decoded.isEmpty():
+        broker.commit(topic, group, end)
+        return None
+    commit = fg.insert(decoded, compute_stats=False)
+    if online:
+        from ..online.store import OnlineStore
+
+        OnlineStore.for_feature_group(fg).upsert(decoded)
+    broker.commit(topic, group, end)
+    return commit

@@ -122,3 +122,41 @@ def test_timestamp_roundtrip(spark):
     enc = encode_online_dataframe(df, ["id"])
     back = decode_online_dataframe(enc, df.schema)
     assert back.first()["ts"] == df.first()["ts"]
+
+
+def test_materialize_from_broker_bounded_and_replayable(spark, tmp_path):
+    """Two produce rounds → two materialization runs; each consumes only
+    its window, and the FG converges to the latest state. Offsets commit
+    AFTER the FG commit (crash-replay safe: upsert-by-record-key makes
+    replays idempotent)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.kafka_encode import (
+        encode_online_dataframe,
+    )
+    from feature_store_api_spark.streaming.insert_stream import (
+        materialize_from_broker,
+    )
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group("mat_fg", primary_key=["uid"], event_time="ts")
+    broker = FakeKafkaBroker(str(tmp_path / "broker"), num_partitions=2)
+
+    df1 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0)], "uid long, ts long, v double"
+    )
+    broker.produce(encode_online_dataframe(df1, ["uid"], "mat_fg"), "t")
+    c1 = materialize_from_broker(spark, fg, broker, "t", "job", df1.schema)
+    assert c1 is not None and fg.read(spark).count() == 2
+
+    # second window: update uid=1, add uid=3
+    df2 = spark.createDataFrame(
+        [(1, 20, 9.0), (3, 20, 3.0)], "uid long, ts long, v double"
+    )
+    broker.produce(encode_online_dataframe(df2, ["uid"], "mat_fg"), "t")
+    c2 = materialize_from_broker(spark, fg, broker, "t", "job", df1.schema)
+    assert c2 is not None and c2.commit_time > c1.commit_time
+    got = {r["uid"]: r["v"] for r in fg.read(spark).collect()}
+    assert got == {1: 9.0, 2: 2.0, 3: 3.0}
+
+    # drained topic → empty run, no new commit
+    assert materialize_from_broker(spark, fg, broker, "t", "job", df1.schema) is None

@@ -540,6 +540,21 @@ def _q_knn_ann(spark, sf_dir):
     return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
 
 
+def _q_knn_ivf(spark, sf_dir):
+    """IVF-Flat ANN probe (second scale path next to hyperplane LSH):
+    deterministic coarse quantizer (16 smallest vec_ids), nprobe=4."""
+    from feature_store_api_spark.operators.similarity import (
+        build_ivf_index, find_neighbors_ivf,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = build_ivf_index(e, "embedding", num_centroids=16)
+    out = find_neighbors_ivf(idx, [0.1] * _EMB_DIM, col="embedding", k=10, nprobe=4)
+    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
+
+
 def _q_embedding_dups(spark, sf_dir):
     """Embedding near-dup pairs via multi-table LSH + exact cosine.
 
@@ -1401,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "online_preview": _q_online_preview,
+        "knn_ivf": _q_knn_ivf,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "kafka_materialize": _q_kafka_materialize,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
@@ -1938,6 +1954,35 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "knn_ann": _ann_oracle_sql(),
+        # IVF-Flat: centroids = 16 smallest vec_ids (deterministic),
+        # assignment = argmin L2 (tie → smaller cell), probe 4 cells
+        "knn_ivf": f"""
+            WITH v AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            c AS (
+              SELECT cell, ce FROM (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+                FROM v
+              ) WHERE cell < 16
+            ),
+            probe AS (
+              SELECT cell FROM c
+              ORDER BY list_distance(ce, {_QV_01}) ASC, cell ASC LIMIT 4
+            ),
+            a AS (
+              SELECT v.vec_id, v.label, v.e, c.cell,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                        ORDER BY list_distance(v.e, c.ce) ASC,
+                                                 c.cell ASC) AS rn
+              FROM v, c
+            )
+            SELECT vec_id, label,
+                   ROUND(-LIST_COSINE_SIMILARITY(e, {_QV_01})::DOUBLE, 6) AS distance
+            FROM a
+            WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+            ORDER BY distance ASC, vec_id ASC LIMIT 10
+        """,
         "td_avro_roundtrip": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
         """,

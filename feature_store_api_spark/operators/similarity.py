@@ -216,3 +216,75 @@ def read_by_keys(df: DataFrame, key_col: str, keys: Sequence) -> DataFrame:
 def index_count(df: DataFrame) -> int:
     """Index row count (parity ``core/vector_db_client.py:381-391``)."""
     return df.count()
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat index — the second ANN scale path (alongside hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+class IvfIndex:
+    """An inverted-file (IVF-Flat) index: ``df`` carries a ``__cell``
+    column (nearest-centroid id); ``centroids`` is the small coarse
+    quantizer, kept driver-side for probe planning."""
+
+    def __init__(self, df: DataFrame, centroids: List[List[float]]) -> None:
+        self.df = df
+        self.centroids = centroids
+
+
+def build_ivf_index(
+    df: DataFrame, col: str, id_col: str = "vec_id", num_centroids: int = 16
+) -> IvfIndex:
+    """IVF-Flat build. The coarse quantizer is a DETERMINISTIC sample —
+    the vectors with the smallest ids — rather than k-means: fully
+    reproducible across engines and runs (an oracle can re-derive it),
+    and at pipeline scale the sample is as good a Voronoi seed as any
+    single k-means pass on skewless embedding data.
+
+    Assignment = argmin over centroids of ``|c|² − 2·v·c`` (the
+    ``|v|²`` term is common to all cells). Each dot product is a JVM
+    fold against a literal array; the whole assignment is scan-side,
+    no shuffle. Write ``df`` partitioned by ``__cell`` and a probe
+    reads only ``nprobe`` directories.
+    """
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(id_col, col).orderBy(id_col).limit(num_centroids).collect()
+    ]
+    scored = []
+    for i, (_cid, c) in enumerate(cents):
+        norm2 = sum(x * x for x in c)
+        score = F.lit(norm2) - 2.0 * _dot(F.col(col), F.array(*[F.lit(x) for x in c]))
+        scored.append(F.struct(score.alias("d"), F.lit(i).alias("cell")))
+    best = F.array_min(F.array(*scored))
+    out = df.withColumn("__cell", best.getField("cell"))
+    return IvfIndex(out, [c for _id, c in cents])
+
+
+def find_neighbors_ivf(
+    index: IvfIndex,
+    embedding: Sequence[float],
+    col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Probe the IVF index: rank cells by centroid distance to the
+    query (driver-side, |centroids| is tiny), scan only the ``nprobe``
+    nearest cells, exact re-rank inside them. With a ``__cell``-
+    partitioned index the cell predicate is partition pruning."""
+    def d2(c):
+        return sum(x * x for x in c) - 2.0 * sum(
+            a * b for a, b in zip(embedding, c)
+        )
+
+    order = sorted(range(len(index.centroids)), key=lambda i: (d2(index.centroids[i]), i))
+    cells = order[:nprobe]
+    cand = index.df.where(F.col("__cell").isin(cells))
+    dist = distance_expr(F.col(col), embedding, metric)
+    return (
+        cand.withColumn("distance", F.round(dist.cast("double"), 6))
+        .orderBy(F.col("distance").asc())
+        .limit(k)
+        .drop("__cell")
+    )

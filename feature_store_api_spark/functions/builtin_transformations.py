@@ -22,7 +22,8 @@ def _stats_of(stats, feature):
     return s
 
 
-def _make(name, column_expr, return_type="double", output_column_names=None):
+def _make(name, column_expr, return_type="double", output_column_names=None,
+          stat_fields=None):
     # fn body used only in the (never-taken) pandas fallback; the
     # column_expr fast path is authoritative
     def fn(feature, statistics=None):  # pragma: no cover
@@ -37,6 +38,7 @@ def _make(name, column_expr, return_type="double", output_column_names=None):
         statistics=stats_decl,
         column_expr=column_expr,
         output_column_names=output_column_names,
+        stat_fields=stat_fields,
     )
     tf.arity = 1
     return tf
@@ -91,13 +93,22 @@ def _one_hot_names(features, stats):
     return [f"{base}_{i}" for i in range(len(vals))] or [base]
 
 
-min_max_scaler = _make("min_max_scaler", _min_max)
-standard_scaler = _make("standard_scaler", _standard)
-robust_scaler = _make("robust_scaler", _robust)
-label_encoder = _make("label_encoder", _label_encode, return_type="bigint")
+# each builtin declares EXACTLY the stat fields its formula reads, so
+# the shared train-split stats pass computes nothing else (a
+# min_max+standard list = one narrow aggregate, zero extra scans)
+min_max_scaler = _make("min_max_scaler", _min_max, stat_fields=("min", "max"))
+standard_scaler = _make(
+    "standard_scaler", _standard, stat_fields=("mean", "stddev")
+)
+robust_scaler = _make("robust_scaler", _robust, stat_fields=("percentiles",))
+label_encoder = _make(
+    "label_encoder", _label_encode, return_type="bigint",
+    stat_fields=("unique_values",),
+)
 one_hot_encoder = _make(
     "one_hot_encoder", _one_hot, return_type="boolean",
     output_column_names=_one_hot_names,
+    stat_fields=("unique_values",),
 )
 # one_hot's output count depends on statistics; mark multi_output so the
 # apply path expands correctly

@@ -68,6 +68,7 @@ class TransformationFunction:
         statistics: Optional[TransformationStatistics] = None,
         column_expr: Optional[Callable] = None,
         output_column_names: Optional[Callable] = None,
+        stat_fields: Optional[Sequence[str]] = None,
     ) -> None:
         self.fn = fn
         self.name = fn.__name__
@@ -81,6 +82,12 @@ class TransformationFunction:
         self.statistics = statistics
         self._column_expr = column_expr  # fast path: fn(cols, stats) -> [Column]
         self._output_column_names = output_column_names
+        # which stat fields this UDF actually reads (None = unknown →
+        # compute the full profile). Builtins declare exactly what they
+        # use so the train-split stats pass stays ONE narrow aggregate
+        # instead of a full multi-pass profile — at 100 TB each avoided
+        # pass is a full re-execution of the upstream (PIT-join) plan.
+        self.stat_fields = set(stat_fields) if stat_fields is not None else None
         # input parameter names from signature (minus the statistics kwarg)
         self.param_names = [
             p.name
@@ -102,6 +109,7 @@ class TransformationFunction:
             statistics=self.statistics,
             column_expr=self._column_expr,
             output_column_names=self._output_column_names,
+            stat_fields=self.stat_fields,
         )
         bound.features = [f.lower() for f in features]
         if len(bound.features) != self.arity:
@@ -316,13 +324,28 @@ def transformation_stats_for(
     transformations: Sequence[TransformationFunction], train_df: DataFrame
 ) -> Dict[str, Dict]:
     """Compute the train-split statistics every statistics-bound UDF in
-    the list needs — once, so multiple splits share one stats pass."""
-    needed = sorted({f for t in transformations for f in t.stat_columns()})
-    if not needed:
+    the list needs — once, so multiple splits share one stats pass.
+
+    Per-feature field requirements are unioned across transformations:
+    a feature only used by ``min_max_scaler`` gets min/max from the one
+    scalar aggregate and skips the distinct/percentile/unique passes
+    entirely (``None`` = a custom UDF reads arbitrary fields → full
+    profile for that feature)."""
+    need: Dict[str, Optional[set]] = {}
+    for t in transformations:
+        flds = getattr(t, "stat_fields", None)
+        for f in t.stat_columns():
+            if flds is None:
+                need[f] = None
+            elif f not in need:
+                need[f] = set(flds)
+            elif need[f] is not None:
+                need[f].update(flds)
+    if not need:
         return {}
     from ..operators.statistics import transformation_statistics
 
-    return transformation_statistics(train_df, needed)
+    return transformation_statistics(train_df, sorted(need), fields=need)
 
 
 def apply_transformations(

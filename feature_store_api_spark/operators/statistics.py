@@ -39,6 +39,7 @@ def describe(
     columns: Optional[Sequence[str]] = None,
     percentiles: Sequence[float] = (0.25, 0.5, 0.75),
     exact_distinct: bool = False,
+    approx_distinct: bool = True,
 ) -> Dict[str, Dict]:
     """Column profiles in one aggregation pass.
 
@@ -46,6 +47,8 @@ def describe(
     ``approx_count_distinct`` (HLL) by default; ``exact_distinct=True``
     adds an exact ``count(distinct)`` per column (same single pass —
     Spark expands multi-distinct aggs via expand + one extra shuffle).
+    ``approx_distinct=False`` skips the HLL pass (callers that only need
+    scalar stats save a full scan of the input plan).
     """
     cols = list(columns) if columns else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -71,14 +74,15 @@ def describe(
             basic.append(F.max(F.col(c)).alias(f"{c}__max"))
 
     row = df.agg(*basic).collect()[0].asDict()
-    row.update(
-        df.agg(
-            *[
-                F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct")
-                for c in cols
-            ]
-        ).collect()[0].asDict()
-    )
+    if approx_distinct:
+        row.update(
+            df.agg(
+                *[
+                    F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct")
+                    for c in cols
+                ]
+            ).collect()[0].asDict()
+        )
     if exact_distinct:
         row.update(
             df.agg(
@@ -107,8 +111,9 @@ def describe(
             "numNonNullValues": nonnull,
             "numNullValues": total - nonnull,
             "completeness": (nonnull / total) if total else None,
-            "approxNumDistinctValues": row[f"{c}__approx_distinct"],
         }
+        if approx_distinct:
+            stats["approxNumDistinctValues"] = row[f"{c}__approx_distinct"]
         if exact_distinct:
             stats["exactNumDistinctValues"] = row[f"{c}__exact_distinct"]
             stats["distinctness"] = (
@@ -333,6 +338,7 @@ def unique_values(df: DataFrame, column: str) -> List:
 def transformation_statistics(
     df: DataFrame, features: Sequence[str], percentiles=(0.25, 0.5, 0.75),
     exact_pctl: bool = False,
+    fields: Optional[Dict[str, Optional[set]]] = None,
 ) -> Dict[str, Dict]:
     """Stats needed by statistics-bound UDFs, computed only over the
     features the UDFs use, on the (train) split passed in — parity
@@ -341,17 +347,46 @@ def transformation_statistics(
     ``exact_pctl=True`` swaps the approximate percentile pass for the
     exact one (train splits are bounded; robust_scaler then matches a
     ``quantile_cont`` oracle bit-for-bit).
+
+    ``fields`` maps each feature to the set of stat fields its UDFs
+    actually read (``None`` value = unknown → full profile for that
+    feature). Every pass not demanded by some feature is skipped whole:
+    a ``min_max_scaler``+``standard_scaler`` list costs ONE scalar
+    aggregate — no HLL pass, no percentile melt, no distinct scan. Each
+    skipped pass is a full re-execution of the upstream plan avoided.
     """
-    stats = describe(df, columns=list(features), percentiles=percentiles)
-    if exact_pctl:
-        schema0 = {f.name: f.dataType for f in df.schema.fields}
-        num = [c for c in features if _is_numeric(schema0[c])]
-        if num:
-            ex = exact_percentiles(df, num, percentiles)
-            for c in num:
-                stats[c]["percentiles"] = ex[c]
+    features = list(features)
     schema = {f.name: f.dataType for f in df.schema.fields}
+
+    def _needs(c: str, name: str) -> bool:
+        if fields is None:
+            return True
+        req = fields.get(c, None)
+        return req is None or name in req
+
+    pctl_feats = [
+        c for c in features if _is_numeric(schema[c]) and _needs(c, "percentiles")
+    ]
+    need_approx = any(_needs(c, "approxNumDistinctValues") for c in features)
+
+    # scalar pass (+ HLL pass only if demanded); percentiles handled
+    # below so exact_pctl never pays for a redundant approximate melt
+    stats = describe(
+        df, columns=features, percentiles=(), approx_distinct=need_approx
+    )
+    if pctl_feats and percentiles:
+        if exact_pctl:
+            ex = exact_percentiles(df, pctl_feats, percentiles)
+            for c in pctl_feats:
+                stats[c]["percentiles"] = ex[c]
+        else:
+            minmax = {c: (stats[c]["min"], stats[c]["max"]) for c in pctl_feats}
+            pc = approx_percentiles_multi(df, pctl_feats, list(percentiles), minmax)
+            for c in pctl_feats:
+                stats[c]["percentiles"] = pc.get(c)
     for c in features:
+        if not _needs(c, "unique_values"):
+            continue
         if isinstance(schema[c], T.StringType) or not _is_numeric(schema[c]):
             stats[c]["unique_values"] = sorted(
                 v for v in unique_values(df, c) if v is not None

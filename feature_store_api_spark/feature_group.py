@@ -41,12 +41,17 @@ class FeatureGroupBase:
         self.description = description
         self.online_enabled = online_enabled
         self._features: List[Feature] = []
+        # deferred schema: a zero-arg callable returning List[Feature],
+        # invoked on first feature access — catalogs over many tables
+        # pay schema reads only for the tables a query actually touches
+        self._features_loader = None
         if features:
             self.set_features(features)
 
     # -- schema -----------------------------------------------------------
     def set_features(self, features: List[Feature]) -> None:
         self._features = []
+        self._features_loader = None
         for f in features:
             f = f.with_feature_group(self)
             f.primary = f.name in self.primary_key
@@ -54,17 +59,26 @@ class FeatureGroupBase:
             f.event_time = f.name == self.event_time
             self._features.append(f)
 
-    @property
-    def features(self) -> List[Feature]:
+    def set_features_loader(self, loader) -> None:
+        self._features_loader = loader
+
+    def _resolved_features(self) -> List[Feature]:
+        if not self._features and self._features_loader is not None:
+            loader, self._features_loader = self._features_loader, None
+            self.set_features(loader())
         return self._features
 
     @property
+    def features(self) -> List[Feature]:
+        return self._resolved_features()
+
+    @property
     def feature_names(self) -> List[str]:
-        return [f.name for f in self._features]
+        return [f.name for f in self.features]
 
     def get_feature(self, name: str) -> Feature:
         name = autofix_feature_name(name)
-        for f in self._features:
+        for f in self._resolved_features():
             if f.name == name:
                 return f
         raise KeyError(f"Feature {name!r} not in feature group {self.name!r}")
@@ -72,6 +86,8 @@ class FeatureGroupBase:
     def __getattr__(self, name: str) -> Feature:
         # metadata attributes resolve normally; unknown names fall
         # through to feature lookup (reference allows fg.feature_name)
+        if name.startswith("_"):  # never treat internals as features
+            raise AttributeError(name)
         try:
             return self.get_feature(name)
         except KeyError as e:
@@ -89,7 +105,7 @@ class FeatureGroupBase:
     ) -> Query:
         feats = [
             f
-            for f in self._features
+            for f in self._resolved_features()
             if (include_primary_key or not f.primary)
             and (include_event_time or not f.event_time)
             and (include_partition_key or not f.partition)
@@ -108,7 +124,9 @@ class FeatureGroupBase:
             autofix_feature_name(f if isinstance(f, str) else f.name)
             for f in features
         }
-        return Query(self, [f for f in self._features if f.name not in drop])
+        return Query(
+            self, [f for f in self._resolved_features() if f.name not in drop]
+        )
 
     def filter(self, f) -> Query:
         return self.select_all().filter(f)
@@ -220,7 +238,7 @@ class FeatureGroup(FeatureGroupBase):
             from .functions.udf import apply_transformations
 
             df = apply_transformations(df, on_demand)
-        if not self._features:
+        if not self._resolved_features():
             self.set_features(
                 [Feature(f.name, f.dataType) for f in df.schema.fields]
             )

@@ -133,24 +133,37 @@ _TPCH_META = {
 }
 
 
+# schema cache for the immutable testdata tables: each harness
+# subprocess builds a catalog but touches only the tables its query
+# uses — lazy + cached resolution avoids ~10 Spark schema reads per
+# catalog construction
+_TESTDATA_SCHEMAS: Dict[str, list] = {}
+
+
 def testdata_catalog(spark: SparkSession, sf_dir: str) -> FeatureStore:
     """Bind the driver's synthetic tables (TESTDATA.md) as feature groups.
 
-    Schemas are read from parquet footers (cheap); primary keys follow
-    FIXTURES.md §F6.
+    Schemas resolve LAZILY on first feature access (and are cached
+    per-path for the life of the process — the testdata is immutable);
+    primary keys follow FIXTURES.md §F6.
     """
     from .sources.readers import read_parquet
+
+    def _loader(path: str):
+        def load():
+            if path not in _TESTDATA_SCHEMAS:
+                schema = read_parquet(spark, path).schema
+                _TESTDATA_SCHEMAS[path] = [
+                    (f.name, f.dataType) for f in schema.fields
+                ]
+            return [Feature(n, t) for n, t in _TESTDATA_SCHEMAS[path]]
+
+        return load
 
     fs = FeatureStore(name=f"testdata:{sf_dir}")
     for name, (pk, et) in _TPCH_META.items():
         path = os.path.join(sf_dir, f"{name}.parquet")
-        schema = read_parquet(spark, path).schema
-        fg = FeatureGroup(
-            name,
-            primary_key=pk,
-            event_time=et,
-            features=[Feature(f.name, f.dataType) for f in schema.fields],
-            path=path,
-        )
+        fg = FeatureGroup(name, primary_key=pk, event_time=et, path=path)
+        fg.set_features_loader(_loader(path))
         fs._registry[(name, 1)] = fg
     return fs

@@ -1405,6 +1405,53 @@ def _q_fs_sql(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# stateful + windowed streaming features
+# ---------------------------------------------------------------------------
+
+def _q_ewma_features(spark, sf_dir):
+    """Per-user EWMA of event values (alpha=0.3) — order-recursive fold
+    run JVM-side (array_sort + higher-order aggregate); the streaming
+    face is applyInPandasWithState with O(1) state per key
+    (feature_store_api_spark/streaming/stateful.py)."""
+    from feature_store_api_spark.streaming.stateful import ewma_batch
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    out = ewma_batch(ev, ["user_id"], "ts", "value", 0.3)
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n")
+
+
+def _q_windowed_agg_hourly(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation per user — one hash agg,
+    map-side partials, epoch-aligned windows (windowed_aggs.py)."""
+    from feature_store_api_spark.streaming.windowed_aggs import windowed_agg
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = windowed_agg(ev, "ts", ["user_id"], "1 hour")
+    return out.select(
+        "user_id", "window_start", "window_end", "cnt",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+def _q_session_windows(spark, sf_dir):
+    """Gap-based session windows (30 min) per user via native
+    F.session_window — sorted-run merge inside the hash aggregate."""
+    from feature_store_api_spark.streaming.windowed_aggs import session_agg
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = session_agg(ev, "ts", ["user_id"], "30 minutes")
+    return out.select(
+        "user_id", "window_start", "window_end", "last_ts", "cnt",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1415,6 +1462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green tail.
     return {
         # --- new this round ---
+        "ewma_features": _q_ewma_features,
+        "windowed_agg_hourly": _q_windowed_agg_hourly,
+        "session_windows": _q_session_windows,
         "online_preview": _q_online_preview,
         "knn_ivf": _q_knn_ivf,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
@@ -1543,6 +1593,51 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ewma_features": """
+            SELECT user_id,
+                   round(list_reduce(
+                       list(CAST(value AS DOUBLE) ORDER BY ts, value),
+                       (acc, x) -> 0.3 * x + 0.7 * acc
+                   ), 6) AS ewma,
+                   count(*) AS n
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY user_id
+        """,
+        "windowed_agg_hourly": """
+            SELECT user_id,
+                   date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+                   count(*) AS cnt,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "session_windows": """
+            WITH d AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            )
+            SELECT user_id,
+                   min(ts) AS window_start,
+                   max(ts) + INTERVAL '30 minutes' AS window_end,
+                   max(ts) AS last_ts,
+                   count(*) AS cnt,
+                   round(sum(value), 6) AS sum_value
+            FROM s
+            GROUP BY user_id, sid
+        """,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
             FROM lineitem

@@ -173,6 +173,41 @@ class FeatureView:
             self.init_serving(spark)
         return self._vector_server.get_feature_vectors(spark, entries, **kw)
 
+    def train_validation_test_split(
+        self,
+        spark: SparkSession,
+        validation_size: float = 0.1,
+        test_size: float = 0.2,
+        seed: Optional[int] = None,
+        spine: Optional[DataFrame] = None,
+    ):
+        """Three-way random split (parity ``feature_view.py:2451``):
+        returns ``x_train, x_val, x_test, y_train, y_val, y_test``.
+        Statistics for statistics-bound transformations come from the
+        train split only and are shared by all three."""
+        from .operators.training import prepare_training_data
+
+        if validation_size + test_size >= 1.0:
+            raise ValueError(
+                "validation_size + test_size must be < 1.0, got "
+                f"{validation_size} + {test_size}"
+            )
+        df = self._pit_plan(spark, spine)
+        td = prepare_training_data(
+            df,
+            transformations=self.transformation_functions,
+            random={
+                "train": 1 - validation_size - test_size,
+                "validation": validation_size,
+                "test": test_size,
+            },
+            seed=seed,
+        )
+        x_train, y_train = split_labels(td["train"], self.labels)
+        x_val, y_val = split_labels(td["validation"], self.labels)
+        x_test, y_test = split_labels(td["test"], self.labels)
+        return x_train, x_val, x_test, y_train, y_val, y_test
+
     def train_test_split_by_time(
         self,
         spark: SparkSession,

@@ -111,3 +111,19 @@ def test_feature_view_time_split(spark, pit_fixtures):
         test_start="2024-01-05", test_end=None,
     )
     assert tr.count() == 1 and te.count() == 2
+
+
+def test_feature_view_train_validation_test_split(spark, pit_fixtures):
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv", q, labels=["label"])
+    x_tr, x_va, x_te, y_tr, y_va, y_te = fv.train_validation_test_split(
+        spark, validation_size=0.3, test_size=0.3, seed=11
+    )
+    assert x_tr.count() + x_va.count() + x_te.count() == 3
+    for x in (x_tr, x_va, x_te):
+        assert "label" not in x.columns
+    for y in (y_tr, y_va, y_te):
+        assert y.columns == ["label"]
+    with pytest.raises(ValueError):
+        fv.train_validation_test_split(spark, validation_size=0.6, test_size=0.5)

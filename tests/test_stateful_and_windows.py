@@ -136,3 +136,42 @@ def test_streaming_windowed_agg_emits_final_windows(spark, tmp_path, events_df):
     # max event at sec=4000, every window ending ≤ 4000s is final
     closed = {(r["user_id"], r["window_start"].minute, r["cnt"]) for r in got}
     assert (1, 0, 2) in closed and (1, 1, 1) in closed and (3, 0, 1) in closed
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ewma_rows = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # key — tiny domain forces collisions
+        st.integers(0, 5),            # ts-second — forces ties
+        st.integers(-4, 4),           # value (small ints: float-exact)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ewma_rows)
+def test_ewma_batch_property_vs_python_fold(spark, rows):
+    df = spark.createDataFrame(
+        [(k, s, float(v)) for k, s, v in rows], "k long, sec long, value double"
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("ts"), "value")
+    got = {
+        r["k"]: (r["ewma"], r["n"])
+        for r in ewma_batch(df, ["k"], "ts", "value", 0.25).collect()
+    }
+    # brute force: fold per key in (ts, value) order
+    per_key = {}
+    for k, s, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        ew, n = per_key.get(k, (None, 0))
+        ew = float(v) if ew is None else 0.25 * float(v) + 0.75 * ew
+        per_key[k] = (ew, n + 1)
+    for k, (ew, n) in per_key.items():
+        assert got[k][1] == n
+        assert math.isclose(got[k][0], ew, rel_tol=1e-12), (k, got[k][0], ew)

@@ -110,7 +110,16 @@ class FeatureView:
         start_time=None,
         end_time=None,
         spine: Optional[DataFrame] = None,
+        transformed: bool = True,
+        stats=None,
     ) -> DataFrame:
+        """Scoring-time batch frame: PIT plan, optional event-time range,
+        labels dropped. ``transformed=True`` (reference default,
+        ``core/feature_view_engine.py:771``) applies the view's
+        model-dependent transformations; pass ``stats`` (the training
+        run's statistics dict) to guarantee training/serving-consistent
+        scaling — without it, statistics-bound transformations fall back
+        to stats over this batch frame."""
         df = self._pit_plan(spark, spine)
         et = self.query.left_feature_group.event_time
         if et and (start_time is not None or end_time is not None):
@@ -119,6 +128,10 @@ class FeatureView:
                 df = df.where(col >= F.timestamp_millis(F.lit(to_epoch_millis(start_time))))
             if end_time is not None:
                 df = df.where(col < F.timestamp_millis(F.lit(to_epoch_millis(end_time))))
+        if transformed and self.transformation_functions:
+            from .functions.udf import apply_transformations as _apply
+
+            df = _apply(df, self.transformation_functions, stats=stats)
         drop = [c for c in self.labels if c in df.columns]
         return df.drop(*drop) if drop else df
 

@@ -127,3 +127,27 @@ def test_feature_view_train_validation_test_split(spark, pit_fixtures):
         assert y.columns == ["label"]
     with pytest.raises(ValueError):
         fv.train_validation_test_split(spark, validation_size=0.6, test_size=0.5)
+
+
+def test_get_batch_data_applies_transformations(spark, pit_fixtures):
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView(
+        "fv", q, labels=["label"],
+        transformation_functions=[min_max_scaler("bal")],
+    )
+    out = fv.get_batch_data(spark)
+    assert "min_max_scaler_bal" in out.columns and "bal" not in out.columns
+    vals = [r["min_max_scaler_bal"] for r in out.collect() if r["min_max_scaler_bal"] is not None]
+    assert vals and all(0.0 <= v <= 1.0 for v in vals)
+    # training-run stats can be injected for skew-safe scoring
+    stats = {"bal": {"min": 0.0, "max": 40.0}}
+    out2 = fv.get_batch_data(spark, stats=stats)
+    got = {r["cid"]: r["min_max_scaler_bal"] for r in out2.collect() if r["min_max_scaler_bal"] is not None}
+    assert got[1] in (0.25, 0.5)  # 10/40 or 20/40 under injected range
+    raw = fv.get_batch_data(spark, transformed=False)
+    assert "bal" in raw.columns

@@ -58,6 +58,32 @@ class Filter:
     def __repr__(self) -> str:
         return f"Filter({self._feature.name!r} {self._condition} {self._value!r})"
 
+    # -- serialization (parity: the reference ships the Filter tree as
+    # JSON to its query-constructor service; here it round-trips a saved
+    # feature view through the local registry) ---------------------------
+    def to_dict(self) -> dict:
+        fg = self._feature.feature_group
+        value = self._value
+        if hasattr(value, "isoformat"):  # datetime/date → JSON-safe
+            value = value.isoformat()
+        elif isinstance(value, (list, tuple, set)):
+            value = [
+                v.isoformat() if hasattr(v, "isoformat") else v for v in value
+            ]
+        return {
+            "feature": self._feature.name,
+            "feature_group": [fg.name, fg.version] if fg is not None else None,
+            "condition": self._condition,
+            "value": value,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, resolve) -> "Filter":
+        """``resolve(feature_name, fg_ref)`` returns the Feature; values
+        serialized from datetimes come back as ISO strings, which the
+        filter compiler already coerces against timestamp features."""
+        return cls(resolve(d["feature"], d.get("feature_group")), d["condition"], d["value"])
+
     def to_column(self, resolve: Callable[["Feature"], Column]) -> Column:
         """Compile to a Spark Column given a feature→Column resolver."""
         col = resolve(self._feature)
@@ -136,3 +162,23 @@ class Logic:
         if self._type == self.SINGLE:
             return repr(self._left)
         return f"({self._left!r} {self._type} {self._right!r})"
+
+    def to_dict(self) -> dict:
+        def enc(side):
+            if side is None:
+                return None
+            kind = "filter" if isinstance(side, Filter) else "logic"
+            return {kind: side.to_dict()}
+
+        return {"type": self._type, "left": enc(self._left), "right": enc(self._right)}
+
+    @classmethod
+    def from_dict(cls, d: dict, resolve) -> "Logic":
+        def dec(side):
+            if side is None:
+                return None
+            if "filter" in side:
+                return Filter.from_dict(side["filter"], resolve)
+            return cls.from_dict(side["logic"], resolve)
+
+        return cls(d["type"], left=dec(d.get("left")), right=dec(d.get("right")))

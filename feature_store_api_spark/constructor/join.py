@@ -74,6 +74,29 @@ class Join:
         self.join_type = JoinType.normalize(join_type)
         self.prefix = prefix
 
+    def to_dict(self) -> dict:
+        return {
+            "query": self.query.to_dict(),
+            "on": self.on,
+            "left_on": self.left_on,
+            "right_on": self.right_on,
+            "type": self.join_type,
+            "prefix": self.prefix,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, fs) -> "Join":
+        from .query import Query
+
+        return cls(
+            Query.from_dict(d["query"], fs),
+            on=d.get("on") or None,
+            left_on=d.get("left_on") or None,
+            right_on=d.get("right_on") or None,
+            join_type=d.get("type", "left"),
+            prefix=d.get("prefix"),
+        )
+
     def __repr__(self) -> str:
         keys = self.on or list(zip(self.left_on, self.right_on))
         return (

@@ -198,6 +198,51 @@ class Query:
         """Parity ``constructor/query.py:209-234``."""
         return self.preview(n, spark, online=online).show()
 
+    # -- serialization (parity constructor/query.py:485-496: the
+    # reference PUTs Query.json() to its metadata server; here the dict
+    # round-trips saved feature views through a local registry) ----------
+    def to_dict(self) -> dict:
+        def enc_time(t):
+            return t.isoformat() if hasattr(t, "isoformat") else t
+
+        fg = self._left_feature_group
+        return {
+            "left_feature_group": [fg.name, fg.version],
+            "left_features": [f.name for f in self._left_features],
+            "filter": self._filter.to_dict() if self._filter else None,
+            "joins": [j.to_dict() for j in self._joins],
+            "start_time": enc_time(self._left_fg_start_time),
+            "end_time": enc_time(self._left_fg_end_time),
+        }
+
+    def json(self) -> str:
+        import json
+
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_dict(cls, d: dict, fs) -> "Query":
+        """Rehydrate against a :class:`~..feature_store.FeatureStore`:
+        feature groups resolve by (name, version) from its registry."""
+        from .join import Join
+
+        fg = fs.get_feature_group(*d["left_feature_group"])
+        feats = [fg.get_feature(n) for n in d["left_features"]]
+
+        def resolve(fname, fg_ref):
+            src = fs.get_feature_group(*fg_ref) if fg_ref else fg
+            return src.get_feature(fname)
+
+        q = cls(
+            fg,
+            feats,
+            filter=Logic.from_dict(d["filter"], resolve) if d.get("filter") else None,
+            joins=[Join.from_dict(j, fs) for j in d.get("joins", [])],
+        )
+        q._left_fg_start_time = d.get("start_time")
+        q._left_fg_end_time = d.get("end_time")
+        return q
+
     def __repr__(self) -> str:
         return (
             f"Query(left={self._left_feature_group.name}, "

@@ -23,6 +23,7 @@ class FeatureStore:
         self.name = name
         self.root = root  # directory for managed feature groups
         self._registry: Dict[tuple, FeatureGroup] = {}
+        self._views: Dict[tuple, object] = {}
 
     # -- registration ------------------------------------------------------
     def create_feature_group(
@@ -67,13 +68,90 @@ class FeatureStore:
             auto_compact_every=auto_compact_every,
         )
         self._registry[(name, version)] = fg
+        if location is not None:
+            # persist metadata so a fresh FeatureStore over the same root
+            # can rehydrate the group (the reference keeps this in its
+            # metadata service; ours is a sidecar JSON)
+            import json
+
+            os.makedirs(location, exist_ok=True)
+            meta = {
+                "name": name,
+                "version": version,
+                "primary_key": list(primary_key),
+                "partition_key": list(partition_key),
+                "event_time": event_time,
+                "description": description,
+                "online_enabled": online_enabled,
+                "precombine_key": precombine_key,
+                "stream": stream,
+                "auto_compact_every": auto_compact_every,
+                "transformation_functions": [
+                    t.to_dict() for t in transformation_functions
+                ],
+            }
+            with open(os.path.join(location, "_fg_meta.json"), "w") as fh:
+                json.dump(meta, fh, indent=1)
         return fg
 
     def get_feature_group(self, name: str, version: int = 1) -> FeatureGroup:
         key = (autofix_feature_name(name), version)
         if key not in self._registry:
-            raise KeyError(f"Feature group {key} not registered")
+            fg = self._rehydrate_feature_group(*key)
+            if fg is None:
+                raise KeyError(f"Feature group {key} not registered")
+            self._registry[key] = fg
         return self._registry[key]
+
+    def _rehydrate_feature_group(self, name: str, version: int):
+        if self.root is None:
+            return None
+        location = os.path.join(self.root, f"{name}_{version}")
+        meta_path = os.path.join(location, "_fg_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        import json
+
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        from .functions.udf import TransformationFunction
+
+        fg = FeatureGroup(
+            meta["name"],
+            version=meta["version"],
+            primary_key=meta["primary_key"],
+            partition_key=meta["partition_key"],
+            event_time=meta["event_time"],
+            description=meta.get("description", ""),
+            online_enabled=meta.get("online_enabled", False),
+            location=location,
+            precombine_key=meta.get("precombine_key"),
+            stream=meta.get("stream", False),
+            transformation_functions=[
+                TransformationFunction.from_dict(t)
+                for t in meta.get("transformation_functions", [])
+            ],
+            auto_compact_every=meta.get("auto_compact_every", 10),
+        )
+
+        def _schema_from_data():
+            # declared schema lives in the written data; resolve lazily
+            # on first feature access via the active session's snapshot
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    f"Rehydrating feature group {fg.name!r} schema needs an "
+                    "active SparkSession"
+                )
+            return [
+                Feature(f.name, f.dataType)
+                for f in fg.read_source(spark).schema.fields
+            ]
+
+        fg.set_features_loader(_schema_from_data)
+        return fg
 
     def get_or_create_feature_group(self, name: str, version: int = 1, **kw) -> FeatureGroup:
         try:
@@ -101,6 +179,46 @@ class FeatureStore:
         fg = ExternalFeatureGroup(name, storage_connector, **kw)
         self._registry[(fg.name, fg.version)] = fg
         return fg
+
+    # -- feature views (parity feature_store.py:1476 create_feature_view /
+    # get_feature_view; persisted as JSON under the store root so a view
+    # — query tree, filters, labels, transformation sources — survives
+    # process restarts) ----------------------------------------------------
+    def _view_path(self, name: str, version: int) -> Optional[str]:
+        if self.root is None:
+            return None
+        return os.path.join(self.root, "_feature_views", f"{name}_{version}.json")
+
+    def create_feature_view(self, name: str, query, version: int = 1, **kw):
+        from .feature_view import FeatureView
+
+        name = autofix_feature_name(name)
+        fv = FeatureView(name, query, version=version, **kw)
+        self._views[(name, version)] = fv
+        path = self._view_path(name, version)
+        if path is not None:
+            import json
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as fh:
+                json.dump(fv.to_dict(), fh, indent=1)
+        return fv
+
+    def get_feature_view(self, name: str, version: int = 1):
+        from .feature_view import FeatureView
+
+        key = (autofix_feature_name(name), version)
+        if key in self._views:
+            return self._views[key]
+        path = self._view_path(*key)
+        if path is not None and os.path.exists(path):
+            import json
+
+            with open(path) as fh:
+                fv = FeatureView.from_dict(json.load(fh), self)
+            self._views[key] = fv
+            return fv
+        raise KeyError(f"Feature view {key} not registered")
 
     # -- ad-hoc SQL (parity feature_store.py:426) --------------------------
     def sql(self, query: str, spark: Optional[SparkSession] = None) -> DataFrame:

@@ -44,6 +44,40 @@ class FeatureView:
         self.training_helper_columns = list(training_helper_columns)
         self.description = description
 
+    # -- serialization (a saved view survives process restarts; the
+    # transformation registry already round-trips UDF source) -------------
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "version": self.version,
+            "query": self.query.to_dict(),
+            "labels": list(self.labels),
+            "transformation_functions": [
+                t.to_dict() for t in self.transformation_functions
+            ],
+            "inference_helper_columns": list(self.inference_helper_columns),
+            "training_helper_columns": list(self.training_helper_columns),
+            "description": self.description,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, fs) -> "FeatureView":
+        from .functions.udf import TransformationFunction
+
+        return cls(
+            d["name"],
+            Query.from_dict(d["query"], fs),
+            version=d.get("version", 1),
+            labels=d.get("labels", ()),
+            transformation_functions=[
+                TransformationFunction.from_dict(t)
+                for t in d.get("transformation_functions", [])
+            ],
+            inference_helper_columns=d.get("inference_helper_columns", ()),
+            training_helper_columns=d.get("training_helper_columns", ()),
+            description=d.get("description", ""),
+        )
+
     # -- PIT compilation ---------------------------------------------------
     def _pit_plan(self, spark: SparkSession, spine: Optional[DataFrame] = None) -> DataFrame:
         """Compile the view query with as-of semantics: the left feature

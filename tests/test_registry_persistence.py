@@ -1,0 +1,94 @@
+"""Registry persistence: feature groups, queries, and feature views
+(with filters, joins and statistics-bound transformations) survive a
+process restart — a FRESH FeatureStore over the same root rehydrates
+them from sidecar JSON and produces identical results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.constructor.query import Query
+from feature_store_api_spark.functions.builtin_transformations import (
+    min_max_scaler,
+)
+
+
+@pytest.fixture()
+def store_root(spark, tmp_path):
+    root = str(tmp_path / "fs")
+    fs = FeatureStore(root=root)
+    ev = fs.create_feature_group(
+        "events_fg", primary_key=["eid"], event_time="ts"
+    )
+    ev.insert(
+        spark.createDataFrame(
+            [(i, i % 5, float(i), "2024-01-0%d" % (1 + i % 7)) for i in range(40)],
+            "eid long, uid long, v double, day string",
+        ).select("eid", "uid", "v", F.to_timestamp("day").alias("ts"))
+    )
+    prof = fs.create_feature_group("profile_fg", primary_key=["uid"], event_time="ts")
+    prof.insert(
+        spark.createDataFrame(
+            [(u, 10.0 * u, "2024-01-01") for u in range(5)],
+            "uid long, score double, day string",
+        ).select("uid", "score", F.to_timestamp("day").alias("ts"))
+    )
+    return root, fs
+
+
+def _build_view(fs):
+    ev = fs.get_feature_group("events_fg")
+    prof = fs.get_feature_group("profile_fg")
+    q = (
+        ev.select(["eid", "uid", "ts", "v"])
+        .join(prof.select(["score"]), on=["uid"], prefix="p_")
+        .filter((ev.v >= 3.0) | (ev.uid == 0))
+    )
+    return fs.create_feature_view(
+        "fv_persist", q, labels=["v"],
+        transformation_functions=[min_max_scaler("p_score")],
+    )
+
+
+def test_feature_group_rehydrates(spark, store_root):
+    root, fs = store_root
+    fresh = FeatureStore(root=root)
+    fg = fresh.get_feature_group("events_fg")
+    assert fg.primary_key == ["eid"] and fg.event_time == "ts"
+    assert fg.read(spark).count() == 40
+
+
+def test_query_json_roundtrip(spark, store_root):
+    root, fs = store_root
+    ev = fs.get_feature_group("events_fg")
+    q = ev.select(["eid", "v"]).filter(ev.v < 10.0)
+    q2 = Query.from_dict(q.to_dict(), fs)
+    a = sorted(r["eid"] for r in q.read(spark).collect())
+    b = sorted(r["eid"] for r in q2.read(spark).collect())
+    assert a == b and len(a) == 10
+
+
+def test_feature_view_survives_restart(spark, store_root):
+    root, fs = store_root
+    fv = _build_view(fs)
+    before = fv.training_data(spark)
+
+    fresh = FeatureStore(root=root)  # simulates a new process
+    fv2 = fresh.get_feature_view("fv_persist")
+    assert fv2.labels == ["v"]
+    assert [t.name for t in fv2.transformation_functions] == ["min_max_scaler"]
+    after = fv2.training_data(spark)
+    assert sorted(after.columns) == sorted(before.columns)
+    key = [r["eid"] for r in before.select("eid").orderBy("eid").collect()]
+    key2 = [r["eid"] for r in after.select("eid").orderBy("eid").collect()]
+    assert key == key2
+    # scaled column identical after rehydration
+    a = {r["eid"]: r["min_max_scaler_p_score"] for r in before.collect()}
+    b = {r["eid"]: r["min_max_scaler_p_score"] for r in after.collect()}
+    assert a == b
+
+
+def test_missing_view_raises(store_root):
+    root, fs = store_root
+    with pytest.raises(KeyError):
+        fs.get_feature_view("nope")

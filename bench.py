@@ -153,6 +153,35 @@ def b7_stream_online(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def b8_minhash_dedup(spark, sf_dir):
+    from feature_store_api_spark.operators.dedup import (
+        minhash_lsh_duplicate_pairs,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    _force(
+        minhash_lsh_duplicate_pairs(d, "text", "doc_id", num_hashes=64, bands=16)
+    )
+
+
+def b9_ann_topk(spark, sf_dir):
+    from feature_store_api_spark.operators.similarity import (
+        build_ann_index, find_neighbors_ann,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    # build once, probe many — the serving pattern (at cluster scale the
+    # index is written partitioned by __bucket instead of persisted)
+    idx = build_ann_index(e, "embedding", dim=dim).persist()
+    try:
+        idx.count()
+        for probe in (0.1, -0.2, 0.35):
+            find_neighbors_ann(idx, [probe] * dim, col="embedding", k=10).collect()
+    finally:
+        idx.unpersist()
+
+
 QUERIES = {
     "b1_scan_filter": b1_scan_filter,
     "b2_multi_join": b2_multi_join,
@@ -161,6 +190,8 @@ QUERIES = {
     "b5_training_data": b5_training_data,
     "b6_stats_profile": b6_stats_profile,
     "b7_stream_online": b7_stream_online,
+    "b8_minhash_dedup": b8_minhash_dedup,
+    "b9_ann_topk": b9_ann_topk,
 }
 
 

@@ -49,7 +49,10 @@ class TrainingData:
         """Unpersist the backing cache (parity ``engine/spark.py:919``:
         the reference unpersists split caches after the write)."""
         if self._cached is not None:
-            self._cached.unpersist()
+            # blocking: storage memory is actually free when this returns,
+            # so a following wide aggregation never pays eviction/GC for
+            # blocks this training run no longer needs
+            self._cached.unpersist(True)
             self._cached = None
 
     def __enter__(self) -> "TrainingData":

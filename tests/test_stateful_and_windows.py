@@ -175,3 +175,33 @@ def test_ewma_batch_property_vs_python_fold(spark, rows):
     for k, (ew, n) in per_key.items():
         assert got[k][1] == n
         assert math.isclose(got[k][0], ew, rel_tol=1e-12), (k, got[k][0], ew)
+
+
+def test_ewma_stream_feeds_online_store(spark, tmp_path, events_df):
+    """The documented serving loop: stateful EWMA stream → foreachBatch →
+    OnlineStore upsert; the store ends with the final EWMA per key."""
+    from feature_store_api_spark.online.store import OnlineStore
+
+    src = str(tmp_path / "osrc")
+    events_df.coalesce(1).write.parquet(src)
+    store = OnlineStore(
+        str(tmp_path / "online"), primary_key=["user_id"], event_time=None
+    )
+    sdf = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    out = ewma_stream(sdf, ["user_id"], "ts", "value", 0.5)
+    q = (
+        out.writeStream.foreachBatch(lambda bdf, bid: store.upsert(bdf))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ockpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["ewma"] for r in store.read(spark).collect()}
+    expect = {
+        r["user_id"]: r["ewma"]
+        for r in ewma_batch(events_df, ["user_id"], "ts", "value", 0.5).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert math.isclose(got[k], expect[k]), (k, got[k], expect[k])

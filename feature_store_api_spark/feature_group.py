@@ -10,6 +10,7 @@ commit-store location (our time-travel format, see
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
@@ -261,6 +262,98 @@ class FeatureGroup(FeatureGroupBase):
         """Parity ``core/hudi_engine.py:94-100`` / ``core/delta_engine.py:87-114``."""
         return self.commit_store.write(df, operation="delete")
 
+    def append_features(self, features: Sequence[Feature]) -> None:
+        """Schema evolution: add nullable columns (parity
+        ``feature_group.py:853`` + ``engine/spark.py:1237-1265`` — the
+        reference reconciles the metastore schema against storage and
+        re-registers the view with the widened schema). Storage is
+        untouched: reads reconcile missing declared columns to typed
+        NULLs; a declared ``default_value`` fills them when the column
+        is selected through a Query (compiler coalesce). The widened
+        schema persists to the metadata sidecar, so it survives
+        restarts; later inserts may carry real values for the column."""
+        existing = {f.name for f in self._resolved_features()}
+        new = [f for f in features if f.name not in existing]
+        if not new:
+            return
+        for f in new:
+            if f.type is None:
+                raise ValueError(
+                    f"append_features needs a type for feature {f.name!r}"
+                )
+        self.set_features(list(self._resolved_features()) + list(new))
+        self._persist_declared_schema()
+
+    def _persist_declared_schema(self) -> None:
+        """Record declared features in the metadata sidecar (restart
+        survival for schema evolution)."""
+        import json as _json
+
+        from .feature import spark_type_to_ddl
+
+        if self.location is None:
+            return
+        meta_path = os.path.join(self.location, "_fg_meta.json")
+        if not os.path.exists(meta_path):
+            return
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        meta["features"] = [
+            {
+                "name": f.name,
+                "type": spark_type_to_ddl(f.type) if f.type is not None else None,
+                "default_value": f.default_value,
+            }
+            for f in self._resolved_features()
+        ]
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh, indent=1)
+        os.replace(tmp, meta_path)
+
+    def compute_statistics(self, spark: Optional[SparkSession] = None) -> Dict:
+        """Profile the current snapshot and persist it next to the data,
+        keyed by the newest commit time (parity
+        ``core/statistics_engine.py:35-220`` — the reference persists per
+        commit; ours is a JSON sidecar under ``<location>/statistics``)."""
+        import json as _json
+
+        from .operators.statistics import describe
+        from .session import get_spark
+
+        spark = spark or get_spark()
+        df = self.read_source(spark)
+        numeric_and_more = [f.name for f in df.schema.fields]
+        stats = describe(df, numeric_and_more)
+        details = self.commit_details(limit=1)
+        commit_time = details[0]["commit_time"] if details else 0
+        if self.location is not None:
+            d = os.path.join(self.location, "statistics")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{commit_time}.json"), "w") as fh:
+                _json.dump(stats, fh, indent=1, default=str)
+        return stats
+
+    def get_statistics(self, commit_time: Optional[int] = None) -> Optional[Dict]:
+        """Latest persisted profile, or the newest one at/before
+        ``commit_time`` (parity ``feature_group.py:3212``)."""
+        import json as _json
+
+        if self.location is None:
+            return None
+        d = os.path.join(self.location, "statistics")
+        if not os.path.isdir(d):
+            return None
+        times = sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+        if commit_time is not None:
+            times = [t for t in times if t <= commit_time]
+        if not times:
+            return None
+        with open(os.path.join(d, f"{times[-1]}.json")) as fh:
+            return _json.load(fh)
+
     def commit_details(self, limit: Optional[int] = None):
         """Commit metadata, newest first (parity ``feature_group.py:3115``,
         ``core/delta_engine.py:172-204``)."""
@@ -280,9 +373,19 @@ class FeatureGroup(FeatureGroupBase):
     # -- source resolution -------------------------------------------------
     def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
         if self.location is not None:
-            return self.commit_store.snapshot(
+            df = self.commit_store.snapshot(
                 spark, start_commit=start_time, end_commit=end_time
             )
+            # schema reconciliation (append_features evolution): declared
+            # columns absent from storage surface as typed NULLs
+            missing = [
+                f
+                for f in (self._features or [])
+                if f.name not in df.columns and f.type is not None
+            ]
+            for f in missing:
+                df = df.withColumn(f.name, F.lit(None).cast(f.type))
+            return df
         if self.path is not None:
             from .sources.readers import read_parquet
 

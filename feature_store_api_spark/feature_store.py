@@ -134,6 +134,18 @@ class FeatureStore:
             auto_compact_every=meta.get("auto_compact_every", 10),
         )
 
+        if meta.get("features"):
+            # declared schema recorded (append_features evolution) wins
+            fg.set_features(
+                [
+                    Feature(
+                        f["name"], f["type"], default_value=f.get("default_value")
+                    )
+                    for f in meta["features"]
+                ]
+            )
+            return fg
+
         def _schema_from_data():
             # declared schema lives in the written data; resolve lazily
             # on first feature access via the active session's snapshot

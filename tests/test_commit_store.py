@@ -197,3 +197,53 @@ def test_incremental_pull_ignores_compaction_base(spark, tmp_path):
     changed = store.snapshot(spark, start_commit=c1.commit_time).collect()
     assert {r["id"] for r in changed} == {1}
     assert changed[0]["v"] == 99
+
+
+def test_append_features_schema_evolution(spark, tmp_path):
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+
+    fs = FeatureStore(root=str(tmp_path / "ae"))
+    fg = fs.create_feature_group("evolve", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    fg.append_features([Feature("bonus", "double", default_value=9.5)])
+
+    # storage stays untouched; the FG read surface reconciles the
+    # declared column to typed NULLs for pre-evolution rows
+    assert "bonus" not in fg.commit_store.snapshot(spark).columns
+    raw = fg.read_source(spark)
+    assert "bonus" in raw.columns
+    assert all(r["bonus"] is None for r in raw.collect())
+    # through a Query the declared default fills the gap
+    out = fg.select(["k", "bonus"]).read(spark)
+    assert {r["k"]: r["bonus"] for r in out.collect()} == {1: 9.5, 2: 9.5}
+    # new inserts carry real values that override the default
+    fg.insert(spark.createDataFrame([(3, 3.0, 1.25)], "k long, v double, bonus double"))
+    out2 = fg.select(["k", "bonus"]).read(spark)
+    assert {r["k"]: r["bonus"] for r in out2.collect()} == {1: 9.5, 2: 9.5, 3: 1.25}
+    # the widened schema (and its default) survives a store restart
+    from feature_store_api_spark import FeatureStore as _FS
+
+    fg2 = _FS(root=fs.root).get_feature_group("evolve")
+    assert fg2.get_feature("bonus").default_value == 9.5
+    out3 = fg2.select(["k", "bonus"]).read(spark)
+    assert {r["k"]: r["bonus"] for r in out3.collect()} == {1: 9.5, 2: 9.5, 3: 1.25}
+
+
+def test_statistics_persist_per_commit(spark, tmp_path):
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "st"))
+    fg = fs.create_feature_group("stats_fg", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double"))
+    s1 = fg.compute_statistics(spark)
+    assert s1["v"]["count"] == 10 and s1["v"]["max"] == 9.0
+    c1 = fg.commit_details(limit=1)[0]["commit_time"]
+
+    fg.insert(spark.createDataFrame([(100, 100.0)], "k long, v double"))
+    s2 = fg.compute_statistics(spark)
+    assert s2["v"]["count"] == 11
+
+    # latest wins; commit-time pinning returns the older profile
+    assert fg.get_statistics()["v"]["count"] == 11
+    assert fg.get_statistics(commit_time=c1)["v"]["count"] == 10

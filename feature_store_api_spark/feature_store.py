@@ -206,6 +206,7 @@ class FeatureStore:
 
         name = autofix_feature_name(name)
         fv = FeatureView(name, query, version=version, **kw)
+        fv._feature_store = self
         self._views[(name, version)] = fv
         path = self._view_path(name, version)
         if path is not None:
@@ -228,6 +229,7 @@ class FeatureStore:
 
             with open(path) as fh:
                 fv = FeatureView.from_dict(json.load(fh), self)
+            fv._feature_store = self
             self._views[key] = fv
             return fv
         raise KeyError(f"Feature view {key} not registered")

@@ -43,6 +43,9 @@ class FeatureView:
         self.inference_helper_columns = list(inference_helper_columns)
         self.training_helper_columns = list(training_helper_columns)
         self.description = description
+        # backref set by FeatureStore.create/get_feature_view: gives the
+        # view a home for versioned training-dataset materializations
+        self._feature_store = None
 
     # -- serialization (a saved view survives process restarts; the
     # transformation registry already round-trips UDF source) -------------
@@ -254,6 +257,114 @@ class FeatureView:
         x_val, y_val = split_labels(td["validation"], self.labels)
         x_test, y_test = split_labels(td["test"], self.labels)
         return x_train, x_val, x_test, y_train, y_val, y_test
+
+    # -- versioned training datasets (parity training_dataset.py: a TD is
+    # a versioned file materialization of the view's query) ---------------
+    def _td_root(self, path: Optional[str]) -> str:
+        if path is not None:
+            return path
+        fs = self._feature_store
+        if fs is None or fs.root is None:
+            raise ValueError(
+                "Feature view has no store root for training datasets; "
+                "pass path= or create the view via FeatureStore.create_feature_view"
+            )
+        import os
+
+        return os.path.join(
+            fs.root, "_training_datasets", f"{self.name}_{self.version}"
+        )
+
+    def create_training_dataset(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        data_format: str = "parquet",
+        random=None,
+        time_splits=None,
+        seed: Optional[int] = None,
+        path: Optional[str] = None,
+        coalesce: bool = False,
+        spine: Optional[DataFrame] = None,
+    ) -> dict:
+        """Materialize the view query to versioned split files
+        (parity ``engine/spark.py:633-721,865-919``): PIT plan → split →
+        one shared stats pass → transform per split → write per split
+        under ``<root>/td_<version>/<split>``. Returns the TD metadata."""
+        import json
+        import os
+
+        from .operators.training import prepare_training_data
+        from .sources.writers import write_training_dataset
+
+        root = self._td_root(path)
+        os.makedirs(root, exist_ok=True)
+        if version is None:
+            existing = [
+                int(d[3:]) for d in os.listdir(root)
+                if d.startswith("td_") and d[3:].isdigit()
+            ]
+            version = max(existing, default=0) + 1
+        td_dir = os.path.join(root, f"td_{version}")
+
+        df = self._pit_plan(spark, spine)
+        with prepare_training_data(
+            df,
+            transformations=self.transformation_functions,
+            random=random,
+            time_splits=time_splits,
+            event_time=self.query.left_feature_group.event_time,
+            seed=seed,
+        ) as td:
+            written = write_training_dataset(
+                td.splits, data_format, td_dir, coalesce=coalesce
+            )
+            meta = {
+                "version": version,
+                "data_format": data_format,
+                "splits": sorted(td.splits),
+                "split_dirs": written,
+                "seed": seed,
+                "statistics": td.statistics,
+            }
+        with open(os.path.join(td_dir, "_td_meta.json"), "w") as fh:
+            json.dump(meta, fh, indent=1, default=str)
+        return meta
+
+    def read_training_dataset(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        split: Optional[str] = None,
+        path: Optional[str] = None,
+        schema=None,
+    ):
+        """Read a materialized TD back: one split (→ DataFrame) or all
+        (→ dict split→DataFrame). ``version=None`` reads the newest."""
+        import json
+        import os
+
+        from .sources.writers import read_training_dataset as _read
+
+        root = self._td_root(path)
+        if version is None:
+            existing = [
+                int(d[3:]) for d in os.listdir(root)
+                if d.startswith("td_") and d[3:].isdigit()
+            ]
+            if not existing:
+                raise FileNotFoundError(f"No training datasets under {root}")
+            version = max(existing)
+        td_dir = os.path.join(root, f"td_{version}")
+        with open(os.path.join(td_dir, "_td_meta.json")) as fh:
+            meta = json.load(fh)
+        fmt = meta["data_format"]
+        if split is not None:
+            return _read(spark, fmt, meta["split_dirs"][split], schema=schema)
+        return {
+            s: _read(spark, fmt, d, schema=schema)
+            for s, d in meta["split_dirs"].items()
+        }
 
     def train_test_split_by_time(
         self,

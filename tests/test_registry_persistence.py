@@ -92,3 +92,29 @@ def test_missing_view_raises(store_root):
     root, fs = store_root
     with pytest.raises(KeyError):
         fs.get_feature_view("nope")
+
+
+def test_versioned_training_datasets(spark, store_root):
+    root, fs = store_root
+    fv = _build_view(fs)
+
+    m1 = fv.create_training_dataset(
+        spark, random={"train": 0.7, "test": 0.3}, seed=5
+    )
+    assert m1["version"] == 1 and set(m1["splits"]) == {"test", "train"}
+    m2 = fv.create_training_dataset(
+        spark, data_format="csv", random={"train": 0.7, "test": 0.3}, seed=5
+    )
+    assert m2["version"] == 2
+
+    # read back: latest by default, pinned version on request
+    latest = fv.read_training_dataset(spark)
+    v1 = fv.read_training_dataset(spark, version=1)
+    n_latest = latest["train"].count() + latest["test"].count()
+    n_v1 = v1["train"].count() + v1["test"].count()
+    assert n_latest == n_v1 > 0
+    # single split read; rehydrated view sees the same datasets
+    fv2 = FeatureStore(root=root).get_feature_view("fv_persist")
+    tr = fv2.read_training_dataset(spark, version=1, split="train")
+    assert tr.count() == v1["train"].count()
+    assert "min_max_scaler_p_score" in tr.columns

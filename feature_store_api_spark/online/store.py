@@ -213,8 +213,15 @@ class OnlineStore:
     def _resolve(self, df: DataFrame) -> DataFrame:
         order = [c for c in (self.event_time,) if c]
         ties = [c for c in (self.precombine_key,) if c] + [_SEQ]
+        # agg strategy: the ordering ends in the unique upsert sequence,
+        # so it is total — and a hot primary key collapses map-side
+        # (partial max_by) instead of funneling into one window task
         return latest_per_key(
-            df, self.primary_key, order_by=order or [_SEQ], tie_breakers=ties
+            df,
+            self.primary_key,
+            order_by=order or [_SEQ],
+            tie_breakers=ties,
+            strategy="agg",
         )
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -21,15 +21,40 @@ def latest_per_key(
     keys: Sequence[str],
     order_by: Sequence[str],
     tie_breakers: Sequence[str] = (),
+    strategy: str = "window",
 ) -> DataFrame:
-    """Newest row per key: ``ROW_NUMBER() OVER (PARTITION BY keys ORDER
-    BY order_by DESC, tie_breakers DESC) = 1``.
-
-    This is one shuffle on ``keys``; with AQE skew handling a hot key is
-    split at runtime. The precombine tie-breaker mirrors Hudi's
+    """Newest row per key. The precombine tie-breaker mirrors Hudi's
     ``PAYLOAD_ORDERING_FIELD`` (``core/hudi_engine.py:141-149``).
+
+    ``strategy="window"``: ``ROW_NUMBER() OVER (PARTITION BY keys ORDER
+    BY order_by DESC, tie_breakers DESC) = 1`` — one shuffle, sort per
+    key partition. A hot key funnels into ONE task (AQE's skew
+    splitting applies to joins, not windows), so for skew-prone keys
+    prefer:
+
+    ``strategy="agg"``: ``max_by(payload, struct(order cols))`` — the
+    same shuffle key, but partial aggregation collapses every map
+    task's rows to one row per key BEFORE the exchange: a 10⁹-row hot
+    key costs each map task O(1) state instead of one reducer sorting
+    10⁹ rows. Requires a TOTAL ordering (make ``tie_breakers`` end in a
+    unique column, e.g. an arrival sequence) — with ties, max_by picks
+    an arbitrary survivor where the window picks a deterministic one.
+    Null ordering fields sort lowest under both strategies
+    (``desc_nulls_last`` ≡ max-of-struct with nulls-smallest).
     """
-    order = [F.col(c).desc_nulls_last() for c in list(order_by) + list(tie_breakers)]
+    order_cols = list(order_by) + list(tie_breakers)
+    if strategy == "agg":
+        keys = list(keys)
+        payload = [c for c in df.columns if c not in keys]
+        picked = df.groupBy(*keys).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__r")
+        )
+        out = picked.select(*keys, "__r.*")
+        return out.select(*df.columns)  # original column order
+    order = [F.col(c).desc_nulls_last() for c in order_cols]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -98,3 +98,30 @@ def test_embedding_cosine_dup_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in got
     assert all(p == (1, 2) for p in got)
+
+
+def test_latest_per_key_agg_matches_window(spark):
+    rows = [
+        (1, 10, 1, "a"), (1, 10, 2, "b"), (1, 20, 0, "c"),   # order wins over tie
+        (2, 5, 9, "d"),                                        # singleton
+        (3, None, 1, "e"), (3, None, 2, "f"),                  # null order col
+        (3, 7, 0, "g"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, seq long, payload string")
+    from feature_store_api_spark.operators.dedup import latest_per_key
+
+    win = latest_per_key(df, ["k"], ["ts"], ["seq"])
+    agg = latest_per_key(df, ["k"], ["ts"], ["seq"], strategy="agg")
+    w = {r["k"]: (r["ts"], r["seq"], r["payload"]) for r in win.collect()}
+    a = {r["k"]: (r["ts"], r["seq"], r["payload"]) for r in agg.collect()}
+    assert w == a == {1: (20, 0, "c"), 2: (5, 9, "d"), 3: (7, 0, "g")}
+    assert sorted(agg.columns) == sorted(df.columns)
+
+
+def test_latest_per_key_agg_plan_has_partial_aggregation(spark):
+    df = spark.createDataFrame([(1, 1, 1, "x")], "k long, ts long, seq long, p string")
+    from feature_store_api_spark.operators.dedup import latest_per_key
+
+    plan = latest_per_key(df, ["k"], ["ts"], ["seq"], strategy="agg")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # map-side combine before the exchange

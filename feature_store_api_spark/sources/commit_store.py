@@ -272,7 +272,11 @@ class CommitStore:
         key = [k for k in self.record_key if k in df.columns]
         if key:
             order = [COMMIT_COL] + ([self.precombine_key] if self.precombine_key else [])
-            df = latest_per_key(df, key, order_by=order)
+            # agg strategy: one commit holds at most one row per record
+            # key (upsert grain), so ordering by commit time is total —
+            # and a hot record key collapses map-side instead of
+            # funneling into a single window-sort task
+            df = latest_per_key(df, key, order_by=order, strategy="agg")
         df = df.where(F.col(OP_COL) != "delete")
         return df.drop(COMMIT_COL, OP_COL)
 

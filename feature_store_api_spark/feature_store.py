@@ -235,14 +235,31 @@ class FeatureStore:
         raise KeyError(f"Feature view {key} not registered")
 
     # -- ad-hoc SQL (parity feature_store.py:426) --------------------------
-    def sql(self, query: str, spark: Optional[SparkSession] = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        spark: Optional[SparkSession] = None,
+        online: bool = False,
+    ) -> DataFrame:
+        """Ad-hoc SQL over registered feature groups (parity
+        ``feature_store.py:426``). ``online=True`` binds each
+        online-enabled group's view to its ONLINE latest-per-key state
+        (the reference routes the query to its online DB instead)."""
         from .session import get_spark
 
         spark = spark or get_spark()
         for (name, version), fg in self._registry.items():
-            fg.read_source(spark).createOrReplaceTempView(f"{name}_{version}")
+            if online:
+                if not getattr(fg, "online_enabled", False):
+                    continue
+                from .online.store import OnlineStore
+
+                df = OnlineStore.for_feature_group(fg).read(spark)
+            else:
+                df = fg.read_source(spark)
+            df.createOrReplaceTempView(f"{name}_{version}")
             if version == 1:
-                fg.read_source(spark).createOrReplaceTempView(name)
+                df.createOrReplaceTempView(name)
         return spark.sql(query)
 
 

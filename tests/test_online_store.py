@@ -122,3 +122,20 @@ def test_auto_compaction_folds_deltas(spark, store_dir):
     store.upsert(spark.createDataFrame([(0, 77)], "uid long, v long"))
     assert store._has_parquet(store._delta_path)
     assert store.read(spark).where(F.col("uid") == 0).first()["v"] == 77
+
+
+def test_fs_sql_online_binds_latest_state(spark, tmp_path):
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "sqlon"))
+    fg = fs.create_feature_group(
+        "clicks", primary_key=["uid"], event_time="ts", online_enabled=True
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 5.0), (2, 50, 3.0)], "uid long, ts long, v double"
+    ).selectExpr("uid", "timestamp_seconds(ts) AS ts", "v"))
+
+    offline = fs.sql("SELECT count(*) AS n FROM clicks", spark).first()["n"]
+    online = fs.sql("SELECT uid, v FROM clicks", spark, online=True).collect()
+    assert offline == 3  # full history
+    assert {r["uid"]: r["v"] for r in online} == {1: 5.0, 2: 3.0}  # latest per key

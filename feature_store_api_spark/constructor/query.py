@@ -198,6 +198,17 @@ class Query:
         """Parity ``constructor/query.py:209-234``."""
         return self.preview(n, spark, online=online).show()
 
+    def to_string(self) -> str:
+        """ANSI-SQL form of this query against the ``fs.sql`` temp-view
+        names (parity: the reference's server-generated SQL,
+        ``constructor/fs_query.py:26-62``). Generated from the same IR
+        the compiler consumes; the tests execute it via ``fs.sql`` and
+        assert equality with the compiled DataFrame. Raises for plans
+        SQL cannot express against plain views (time travel)."""
+        from ..plans.sql_emitter import emit_sql
+
+        return emit_sql(self)
+
     # -- serialization (parity constructor/query.py:485-496: the
     # reference PUTs Query.json() to its metadata server; here the dict
     # round-trips saved feature views through a local registry) ----------

@@ -92,11 +92,14 @@ class VectorServer:
             if base is None:
                 base = self.fv._pit_plan(spark)
             # stats-bound model-dependent UDFs may consume on-demand
-            # outputs: materialize pending ones before the stats pass
+            # outputs: materialize pending ones before the stats pass.
+            # A UDF with request-time-only inputs (request_parameters)
+            # cannot run against the base table — it runs per request.
             pending = [
                 t for t in tfs
                 if t.mode == TransformationFunction.ON_DEMAND
                 and t.output_names()[0] not in base.columns
+                and all(f in base.columns for f in t.features)
             ]
             if pending:
                 base = _apply(base, pending)
@@ -111,10 +114,12 @@ class VectorServer:
         entry: Dict,
         passed_features: Optional[Dict] = None,
         apply_transformations: bool = True,
+        request_parameters: Optional[Dict] = None,
     ) -> Optional[Dict]:
         out = self.get_feature_vectors(
             spark, [entry], [passed_features] if passed_features else None,
             apply_transformations=apply_transformations,
+            request_parameters=[request_parameters] if request_parameters else None,
         )
         return out[0]
 
@@ -124,6 +129,7 @@ class VectorServer:
         entries: Sequence[Dict],
         passed_features: Optional[Sequence[Optional[Dict]]] = None,
         apply_transformations: bool = True,
+        request_parameters: Optional[Sequence[Optional[Dict]]] = None,
     ) -> List[Optional[Dict]]:
         if not self._initialized:
             raise RuntimeError("call init_serving() first")
@@ -148,6 +154,16 @@ class VectorServer:
                     if f in hit and f not in plan["store"].primary_key:
                         vec[plan["prefix"] + f] = hit[f]
                 rows[i] = vec
+        # request_parameters feed ON_DEMAND UDF inputs that are not
+        # stored features (parity vector_server.py request_parameters):
+        # merged BEFORE transformation so on-demand UDFs see them;
+        # passed_features merged after lookups to OVERRIDE stored values
+        if request_parameters:
+            for i, rp in enumerate(request_parameters):
+                if rp:
+                    if rows[i] is None:
+                        rows[i] = dict(entries[i])
+                    rows[i].update(rp)
         if passed_features:
             for i, pf in enumerate(passed_features):
                 if pf:

@@ -132,3 +132,19 @@ def test_serving_on_demand_then_model_dependent(spark, served):
     assert vec["shifted_doubled_value"] == pytest.approx(
         2.0 * latest["value"] + 1.0
     )
+
+
+def test_request_parameters_feed_on_demand_udf(spark, served):
+    from feature_store_api_spark.functions.udf import udf
+
+    @udf(float, mode="on_demand")
+    def boosted(value, boost):
+        return value * boost
+
+    fv = FeatureView("sv_rp", served["q"], transformation_functions=[boosted("value", "boost")])
+    server = fv.init_serving(spark)
+    vec = server.get_feature_vector(
+        spark, {"user_id": 3}, request_parameters={"boost": 4.0}
+    )
+    latest = _latest_row(served["ev"], 3)
+    assert vec["boosted_value_boost"] == pytest.approx(latest["value"] * 4.0)

@@ -194,6 +194,7 @@ class FeatureGroup(FeatureGroupBase):
         # request time for serving) — parity hopsworks_udf.py:35-41 +
         # feature_group.py:2226 (deterministic apply order by output name)
         self.transformation_functions = list(transformation_functions)
+        self.expectation_suite = None  # set via save_expectation_suite
         self._store = None
 
     # -- managed storage ---------------------------------------------------
@@ -249,6 +250,18 @@ class FeatureGroup(FeatureGroupBase):
             from .sources.ingestion import cast_to_schema
 
             df = cast_to_schema(df, self._features)
+        if self.expectation_suite is not None:
+            # ingest-time validation (parity engine/spark.py:1055-1109):
+            # STRICT raises before anything is written; every run —
+            # including the refused one — lands in the report history
+            from .operators.validation import DataValidationError, validate_for_ingest
+
+            try:
+                report = validate_for_ingest(df, self.expectation_suite)
+            except DataValidationError as e:
+                self._record_validation(e.report)
+                raise
+            self._record_validation(report)
         commit = self.commit_store.write(
             df, operation=operation, compute_stats=compute_stats
         )
@@ -261,6 +274,55 @@ class FeatureGroup(FeatureGroupBase):
     def commit_delete_record(self, df: DataFrame) -> "FeatureGroupCommit":
         """Parity ``core/hudi_engine.py:94-100`` / ``core/delta_engine.py:87-114``."""
         return self.commit_store.write(df, operation="delete")
+
+    # -- validation (parity feature_group.py save_expectation_suite /
+    # get_validation_history) ---------------------------------------------
+    def save_expectation_suite(self, suite) -> None:
+        self.expectation_suite = suite
+
+    def _record_validation(self, report) -> None:
+        import json as _json
+        import time as _time
+
+        if report is None or self.location is None:
+            return
+        d = os.path.join(self.location, "validation_reports")
+        os.makedirs(d, exist_ok=True)
+        payload = {
+            "success": report.success,
+            "evaluated": report.evaluated,
+            "results": [
+                {
+                    "expectation_type": r.expectation_type,
+                    "column": r.column,
+                    "success": r.success,
+                    "observed": r.observed,
+                    "kwargs": r.kwargs,
+                }
+                for r in report.results
+            ],
+        }
+        with open(
+            os.path.join(d, f"{int(_time.time() * 1000)}.json"), "w"
+        ) as fh:
+            _json.dump(payload, fh, indent=1, default=str)
+
+    def get_validation_history(self, limit: Optional[int] = None):
+        import json as _json
+
+        if self.location is None:
+            return []
+        d = os.path.join(self.location, "validation_reports")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d), reverse=True):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(_json.load(fh))
+            if limit and len(out) >= limit:
+                break
+        return out
 
     def append_features(self, features: Sequence[Feature]) -> None:
         """Schema evolution: add nullable columns (parity

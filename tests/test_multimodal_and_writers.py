@@ -278,3 +278,35 @@ def test_tfrecord_arrays_nulls_and_framing(spark, tmp_path):
     assert back[1]["emb"] == [1.5, -2.25]  # exact in float32
     assert back[1]["tags"] == ["a", "b"] and back[1]["name"] == "x"
     assert back[2]["emb"] is None and back[2]["name"] is None
+
+
+def test_expectation_suite_gates_ingestion(spark, tmp_path):
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.operators.validation import (
+        DataValidationError,
+        ExpectColumnValuesToBeBetween,
+        ExpectColumnValuesToNotBeNull,
+        ExpectationSuite,
+    )
+
+    fs = FeatureStore(root=str(tmp_path / "val"))
+    fg = fs.create_feature_group("gated", primary_key=["k"])
+    fg.save_expectation_suite(ExpectationSuite(
+        [
+            ExpectColumnValuesToNotBeNull(column="v"),
+            ExpectColumnValuesToBeBetween(column="v", min_value=0.0, max_value=100.0),
+        ],
+        validation_ingestion_policy="STRICT",
+    ))
+    fg.insert(spark.createDataFrame([(1, 5.0), (2, 50.0)], "k long, v double"))
+    with pytest.raises(DataValidationError):
+        fg.insert(spark.createDataFrame([(3, 500.0)], "k long, v double"))
+    # STRICT breach wrote nothing
+    assert fg.read(spark).count() == 2
+    # ALWAYS records the failure but lets the write through
+    fg.expectation_suite.validation_ingestion_policy = "ALWAYS"
+    fg.insert(spark.createDataFrame([(3, 500.0)], "k long, v double"))
+    assert fg.read(spark).count() == 3
+    hist = fg.get_validation_history()
+    assert len(hist) == 3  # newest first
+    assert hist[0]["success"] is False and hist[-1]["success"] is True

@@ -171,6 +171,26 @@ class FeatureStore:
         except KeyError:
             return self.create_feature_group(name, version=version, **kw)
 
+    def delete_feature_group(self, name: str, version: int = 1) -> None:
+        """Drop a feature group: registry entry and, for managed groups,
+        every stored artifact (data, commit log, online store,
+        statistics, validation reports)."""
+        import shutil
+
+        key = (autofix_feature_name(name), version)
+        fg = self._registry.pop(key, None)
+        location = (
+            fg.location
+            if fg is not None
+            else (
+                os.path.join(self.root, f"{key[0]}_{version}")
+                if self.root
+                else None
+            )
+        )
+        if location and os.path.isdir(location):
+            shutil.rmtree(location, ignore_errors=True)
+
     def get_or_create_spine_group(
         self,
         name: str,

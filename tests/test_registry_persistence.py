@@ -118,3 +118,17 @@ def test_versioned_training_datasets(spark, store_root):
     tr = fv2.read_training_dataset(spark, version=1, split="train")
     assert tr.count() == v1["train"].count()
     assert "min_max_scaler_p_score" in tr.columns
+
+
+def test_delete_feature_group_removes_artifacts(spark, tmp_path):
+    import os
+
+    fs = FeatureStore(root=str(tmp_path / "del"))
+    fg = fs.create_feature_group("victim", primary_key=["k"], online_enabled=True)
+    fg.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    loc = fg.location
+    assert os.path.isdir(loc)
+    fs.delete_feature_group("victim")
+    assert not os.path.isdir(loc)
+    with pytest.raises(KeyError):
+        fs.get_feature_group("victim")

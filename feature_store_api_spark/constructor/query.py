@@ -162,18 +162,38 @@ class Query:
 
         return compile_query(self, spark)
 
-    def read(self, spark: Optional[SparkSession] = None, online: bool = False) -> DataFrame:
-        """Execute the plan and return a DataFrame (parity
-        ``constructor/query.py:135-207``; ``online=True`` reads the
-        latest-per-key materialization)."""
+    def read(
+        self,
+        spark: Optional[SparkSession] = None,
+        online: bool = False,
+        dataframe_type: str = "spark",
+    ) -> DataFrame:
+        """Execute the plan (parity ``constructor/query.py:135-207``;
+        ``online=True`` reads the latest-per-key materialization).
+        ``dataframe_type`` converts the delivery like the reference's
+        ``_return_dataframe_type`` (``engine/spark.py:245-262``):
+        ``spark`` (default, lazy) | ``pandas`` | ``numpy`` | ``python``
+        — the non-spark forms COLLECT to the driver; use only for
+        bounded results."""
         from ..session import get_spark
 
         spark = spark or get_spark()
         if online:
             from ..plans.compiler import compile_query_online
 
-            return compile_query_online(self, spark)
-        return self.compile(spark)
+            df = compile_query_online(self, spark)
+        else:
+            df = self.compile(spark)
+        kind = dataframe_type.lower()
+        if kind == "spark":
+            return df
+        if kind == "pandas":
+            return df.toPandas()
+        if kind == "numpy":
+            return df.toPandas().values
+        if kind in ("python", "default"):
+            return [list(r) for r in df.collect()]
+        raise ValueError(f"Unknown dataframe_type {dataframe_type!r}")
 
     def preview(
         self, n: int = 10, spark: Optional[SparkSession] = None,

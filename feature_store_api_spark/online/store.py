@@ -177,6 +177,9 @@ class OnlineStore:
         tmp = self._base_path + ".tmp"
         (
             latest.repartition(F.col(_BUCKET))
+            # pk-sorted row groups: parquet min/max stats then prune a
+            # point lookup's pushed pk predicate to one row group
+            .sortWithinPartitions(*self.primary_key)
             .write.mode("overwrite")
             .partitionBy(_BUCKET)
             .parquet(tmp)

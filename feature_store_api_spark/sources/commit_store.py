@@ -288,6 +288,11 @@ class CommitStore:
         snap = self.snapshot(spark)
         ct = self._next_commit_time()
         out = snap.withColumn(COMMIT_COL, F.lit(ct)).withColumn(OP_COL, F.lit("upsert"))
+        sort_keys = [k for k in self.record_key if k in out.columns]
+        if sort_keys:
+            # pk-sorted row groups in the base: parquet min/max stats
+            # prune pushed key predicates to matching row groups
+            out = out.sortWithinPartitions(*sort_keys)
         (
             out.write.partitionBy([COMMIT_COL] + self.partition_key)
             .mode("append")

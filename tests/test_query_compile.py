@@ -124,3 +124,18 @@ def test_online_preview_strips_where_and_limits(spark, tmp_path):
     assert len(full) == 5 and all(r["ts"] == 2 for r in full)
     # and the limit caps the row count
     assert len(q.preview(n=3, spark=spark, online=True).collect()) == 3
+
+
+def test_read_dataframe_type_conversions(spark, catalog):
+    fg = catalog.get_feature_group("nation")
+    q = fg.select(["n_nationkey", "n_name"])
+    import pandas as pd
+
+    pdf = q.read(spark, dataframe_type="pandas")
+    assert isinstance(pdf, pd.DataFrame) and len(pdf) == 25
+    arr = q.read(spark, dataframe_type="numpy")
+    assert arr.shape == (25, 2)
+    rows = q.read(spark, dataframe_type="python")
+    assert len(rows) == 25 and isinstance(rows[0], list)
+    with pytest.raises(ValueError):
+        q.read(spark, dataframe_type="polars")

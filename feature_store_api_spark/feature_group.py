@@ -275,6 +275,111 @@ class FeatureGroup(FeatureGroupBase):
         """Parity ``core/hudi_engine.py:94-100`` / ``core/delta_engine.py:87-114``."""
         return self.commit_store.write(df, operation="delete")
 
+    # -- feature monitoring (parity feature_monitoring_config_engine:
+    # named drift checks persisted with the group, run on demand) ---------
+    def create_feature_monitoring_config(self, config) -> None:
+        import json as _json
+
+        configs = self._load_monitoring_configs()
+        configs[config.name] = config.to_dict()
+        if self.location is not None:
+            p = os.path.join(self.location, "_monitoring.json")
+            with open(p, "w") as fh:
+                _json.dump(configs, fh, indent=1)
+        else:
+            self._mem_monitoring = configs
+
+    def _load_monitoring_configs(self) -> Dict:
+        import json as _json
+
+        if self.location is not None:
+            p = os.path.join(self.location, "_monitoring.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    return _json.load(fh)
+            return {}
+        return dict(getattr(self, "_mem_monitoring", {}))
+
+    def run_feature_monitoring(
+        self, name: str, spark: Optional[SparkSession] = None, now=None
+    ) -> Dict:
+        """Run one named config: detection vs reference window over the
+        group's current state; the result is appended to the group's
+        monitoring history."""
+        import json as _json
+        import time as _time
+        from datetime import datetime
+
+        from .operators.monitoring import (
+            FeatureMonitoringConfig,
+            run_monitoring,
+        )
+        from .session import get_spark
+
+        spark = spark or get_spark()
+        configs = self._load_monitoring_configs()
+        if name not in configs:
+            raise KeyError(f"No monitoring config {name!r}")
+        cfg = FeatureMonitoringConfig.from_dict(configs[name])
+        if not self.event_time:
+            raise ValueError("feature monitoring requires an event_time")
+        result = run_monitoring(
+            self.read_source(spark),
+            self.event_time,
+            cfg,
+            now or datetime.utcnow(),
+        )
+        if self.location is not None:
+            d = os.path.join(self.location, "monitoring_results")
+            os.makedirs(d, exist_ok=True)
+            with open(
+                os.path.join(d, f"{name}_{int(_time.time() * 1000)}.json"), "w"
+            ) as fh:
+                _json.dump(result, fh, indent=1, default=str)
+        return result
+
+    # -- tags (parity feature_group.py add_tag/get_tag/delete_tag: free-
+    # form metadata, persisted in the sidecar for managed groups) ---------
+    def _tags_path(self) -> Optional[str]:
+        if self.location is None:
+            return None
+        return os.path.join(self.location, "_tags.json")
+
+    def _load_tags(self) -> Dict[str, Any]:
+        import json as _json
+
+        p = self._tags_path()
+        if p and os.path.exists(p):
+            with open(p) as fh:
+                return _json.load(fh)
+        return getattr(self, "_mem_tags", {})
+
+    def _save_tags(self, tags: Dict[str, Any]) -> None:
+        import json as _json
+
+        p = self._tags_path()
+        if p is None:
+            self._mem_tags = tags
+            return
+        with open(p, "w") as fh:
+            _json.dump(tags, fh, indent=1, default=str)
+
+    def add_tag(self, name: str, value: Any) -> None:
+        tags = self._load_tags()
+        tags[name] = value
+        self._save_tags(tags)
+
+    def get_tag(self, name: str) -> Any:
+        return self._load_tags().get(name)
+
+    def get_tags(self) -> Dict[str, Any]:
+        return dict(self._load_tags())
+
+    def delete_tag(self, name: str) -> None:
+        tags = self._load_tags()
+        tags.pop(name, None)
+        self._save_tags(tags)
+
     # -- validation (parity feature_group.py save_expectation_suite /
     # get_validation_history) ---------------------------------------------
     def save_expectation_suite(self, suite) -> None:

@@ -20,7 +20,7 @@ the statistics pass reuses :mod:`.statistics` (one wide aggregate).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 from typing import Dict, Optional, Sequence
 
@@ -163,3 +163,75 @@ def compare_windows(
     mag = abs(diff)
     shift = mag >= threshold if strict else mag > threshold
     return {"difference": diff, "shift_detected": bool(shift)}
+
+
+@dataclass
+class FeatureMonitoringConfig:
+    """A named drift check attached to a feature group (parity
+    ``core/feature_monitoring_config_engine.py``): a detection window, a
+    reference window (or SPECIFIC_VALUE scalar), one statistic, and a
+    threshold."""
+
+    name: str
+    feature_name: str
+    statistic: str = "mean_val"  # column of describe_df
+    detection_window: MonitoringWindowConfig = field(
+        default_factory=MonitoringWindowConfig
+    )
+    reference_window: Optional[MonitoringWindowConfig] = None
+    threshold: float = 0.0
+    relative: bool = False
+    strict: bool = False
+
+    def to_dict(self) -> Dict:
+        from dataclasses import asdict
+
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "FeatureMonitoringConfig":
+        d = dict(d)
+        d["detection_window"] = MonitoringWindowConfig(**d["detection_window"])
+        if d.get("reference_window"):
+            d["reference_window"] = MonitoringWindowConfig(**d["reference_window"])
+        return cls(**d)
+
+
+def run_monitoring(
+    df: DataFrame,
+    event_time: str,
+    cfg: FeatureMonitoringConfig,
+    now: datetime,
+    seed: Optional[int] = None,
+) -> Dict:
+    """Execute one monitoring config: stats over the detection window,
+    reference value from the reference window (or its SPECIFIC_VALUE),
+    then :func:`compare_windows`."""
+
+    def _stat(window_cfg) -> Optional[float]:
+        stats = window_statistics(
+            df, event_time, [cfg.feature_name], window_cfg, now, seed
+        ).collect()
+        if not stats:
+            return None
+        return stats[0][cfg.statistic]
+
+    detection = _stat(cfg.detection_window)
+    ref_cfg = cfg.reference_window
+    if ref_cfg is None:
+        reference = None
+    elif ref_cfg.window_type == "SPECIFIC_VALUE":
+        reference = ref_cfg.specific_value
+    else:
+        reference = _stat(ref_cfg)
+    result = compare_windows(
+        detection, reference, cfg.threshold, cfg.relative, cfg.strict
+    )
+    return {
+        "config_name": cfg.name,
+        "feature_name": cfg.feature_name,
+        "statistic": cfg.statistic,
+        "detection_value": detection,
+        "reference_value": reference,
+        **result,
+    }

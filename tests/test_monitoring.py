@@ -144,3 +144,48 @@ def test_multi_table_lsh_recall(spark):
     out = embedding_cosine_dup_pairs(df, "id", "v", dim=8, threshold=0.999)
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert {(i, i + 1000) for i, _ in base} <= got
+
+
+def test_fg_monitoring_config_lifecycle(spark, tmp_path):
+    from datetime import datetime
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.operators.monitoring import (
+        FeatureMonitoringConfig,
+        MonitoringWindowConfig,
+    )
+
+    fs = FeatureStore(root=str(tmp_path / "mon"))
+    fg = fs.create_feature_group("mfg", primary_key=["k"], event_time="ts")
+    rows = [(i, float(10 + (i % 3)), "2024-01-0%d" % (1 + i % 7)) for i in range(70)]
+    fg.insert(
+        spark.createDataFrame(rows, "k long, v double, day string").selectExpr(
+            "k", "v", "to_timestamp(day) AS ts"
+        )
+    )
+    fg.create_feature_monitoring_config(FeatureMonitoringConfig(
+        name="v_drift",
+        feature_name="v",
+        statistic="mean_val",
+        detection_window=MonitoringWindowConfig(
+            window_type="ROLLING_TIME", time_offset="3d"
+        ),
+        reference_window=MonitoringWindowConfig(
+            window_type="SPECIFIC_VALUE", specific_value=11.0
+        ),
+        threshold=0.5,
+    ))
+    out = fg.run_feature_monitoring("v_drift", spark, now=datetime(2024, 1, 8))
+    assert out["reference_value"] == 11.0
+    assert out["detection_value"] is not None
+    assert isinstance(out["shift_detected"], bool)
+    # persisted config survives a fresh store; result history recorded
+    fg2 = FeatureStore(root=fs.root).get_feature_group("mfg")
+    out2 = fg2.run_feature_monitoring("v_drift", spark, now=datetime(2024, 1, 8))
+    assert out2["detection_value"] == out["detection_value"]
+    import os
+
+    results = os.listdir(os.path.join(fg.location, "monitoring_results"))
+    assert len(results) == 2
+    with pytest.raises(KeyError):
+        fg.run_feature_monitoring("nope", spark)

@@ -132,3 +132,15 @@ def test_delete_feature_group_removes_artifacts(spark, tmp_path):
     assert not os.path.isdir(loc)
     with pytest.raises(KeyError):
         fs.get_feature_group("victim")
+
+
+def test_tags_roundtrip(spark, store_root):
+    root, fs = store_root
+    fg = fs.get_feature_group("events_fg")
+    fg.add_tag("owner", "ml-platform")
+    fg.add_tag("pii", {"columns": ["uid"]})
+    assert fg.get_tag("owner") == "ml-platform"
+    fresh = FeatureStore(root=root).get_feature_group("events_fg")
+    assert fresh.get_tags() == {"owner": "ml-platform", "pii": {"columns": ["uid"]}}
+    fresh.delete_tag("owner")
+    assert fresh.get_tag("owner") is None

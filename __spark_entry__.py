@@ -1447,6 +1447,43 @@ def _q_registry_roundtrip(spark, sf_dir):
     )
 
 
+def _q_lag_features(spark, sf_dir):
+    """Per-user lag/delta features over the event stream — one window
+    shuffle on the entity key (operators/time_series.py)."""
+    from feature_store_api_spark.operators.time_series import lag_features
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = lag_features(
+        ev, ["user_id"], "ts", ["value"], lags=[1, 2],
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_lag1", 6).alias("lag1"),
+        F.round("value_lag2", 6).alias("lag2"),
+        F.round("value_delta", 6).alias("delta"),
+    )
+
+
+def _q_rolling_features(spark, sf_dir):
+    """Trailing-2h per-row aggregates per user (RANGE window)."""
+    from feature_store_api_spark.operators.time_series import rolling_features
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_features(ev, ["user_id"], "ts", "value", trailing="2 hours")
+    return out.select(
+        "event_id", "user_id", "trailing_cnt",
+        F.round("trailing_sum", 6).alias("t_sum"),
+        F.round("trailing_avg", 6).alias("t_avg"),
+        F.round("trailing_min", 6).alias("t_min"),
+        F.round("trailing_max", 6).alias("t_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # stateful + windowed streaming features
 # ---------------------------------------------------------------------------
@@ -1564,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_udf_stats": _q_custom_udf_stats,
         "on_demand_ingest": _q_on_demand_ingest,
         # --- (4) new extension queries ---
+        "lag_features": _q_lag_features,
+        "rolling_features": _q_rolling_features,
         "knn_ivf": _q_knn_ivf,
         "kafka_materialize": _q_kafka_materialize,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
@@ -1649,6 +1688,27 @@ def oracle_sql() -> dict[str, str]:
                    round(c_acctbal / 1000.0, 6) AS ratio
             FROM customer
             WHERE c_mktsegment = 'BUILDING'
+        """,
+        "lag_features": """
+            SELECT event_id, user_id,
+                   round(lag(value, 1) OVER w, 6) AS lag1,
+                   round(lag(value, 2) OVER w, 6) AS lag2,
+                   round(value - lag(value, 1) OVER w, 6) AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_features": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS trailing_cnt,
+                   round(sum(value) OVER w, 6) AS t_sum,
+                   round(avg(value) OVER w, 6) AS t_avg,
+                   round(min(value) OVER w, 6) AS t_min,
+                   round(max(value) OVER w, 6) AS t_max
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch(ts)
+              RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+            )
         """,
         "ewma_features": """
             SELECT user_id,

@@ -205,3 +205,29 @@ def test_ewma_stream_feeds_online_store(spark, tmp_path, events_df):
     assert got.keys() == expect.keys()
     for k in expect:
         assert math.isclose(got[k], expect[k]), (k, got[k], expect[k])
+
+
+def test_lag_and_rolling_features(spark, events_df):
+    from feature_store_api_spark.operators.time_series import (
+        lag_features,
+        rolling_features,
+    )
+
+    lagged = lag_features(events_df, ["user_id"], "ts", ["value"], lags=[1], order_tiebreak=["value"])
+    rows = {(r["user_id"], r["value"]): r["value_lag1"] for r in lagged.collect()}
+    assert rows[(1, 1.0)] is None           # first event has no lag
+    assert rows[(1, 3.0)] == 1.0            # tie on ts ordered by value
+    assert rows[(1, 5.0)] == 3.0
+    d = {(r["user_id"], r["value"]): r["value_delta"] for r in lagged.collect()}
+    assert d[(1, 5.0)] == 2.0
+
+    rolled = rolling_features(events_df, ["user_id"], "ts", "value", trailing="1 minute")
+    got = {(r["user_id"], r["value"]): r["trailing_cnt"] for r in rolled.collect()}
+    assert got[(1, 1.0)] == 2  # ties share a frame (RANGE semantics)
+    assert got[(1, 5.0)] == 3  # 70s event: frame [10s, 70s] inclusive holds all 3
+    assert got[(2, 20.0)] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_features(events_df, ["user_id"], "ts", "value", trailing="fortnight")

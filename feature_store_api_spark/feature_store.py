@@ -237,6 +237,13 @@ class FeatureStore:
                 json.dump(fv.to_dict(), fh, indent=1)
         return fv
 
+    def delete_feature_view(self, name: str, version: int = 1) -> None:
+        key = (autofix_feature_name(name), version)
+        self._views.pop(key, None)
+        path = self._view_path(*key)
+        if path is not None and os.path.exists(path):
+            os.remove(path)
+
     def get_feature_view(self, name: str, version: int = 1):
         from .feature_view import FeatureView
 

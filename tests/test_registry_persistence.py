@@ -144,3 +144,11 @@ def test_tags_roundtrip(spark, store_root):
     assert fresh.get_tags() == {"owner": "ml-platform", "pii": {"columns": ["uid"]}}
     fresh.delete_tag("owner")
     assert fresh.get_tag("owner") is None
+
+
+def test_delete_feature_view(spark, store_root):
+    root, fs = store_root
+    _build_view(fs)
+    fs.delete_feature_view("fv_persist")
+    with pytest.raises(KeyError):
+        FeatureStore(root=root).get_feature_view("fv_persist")

@@ -152,3 +152,22 @@ def test_delete_feature_view(spark, store_root):
     fs.delete_feature_view("fv_persist")
     with pytest.raises(KeyError):
         FeatureStore(root=root).get_feature_view("fv_persist")
+
+
+def test_multi_version_feature_groups(spark, tmp_path):
+    fs = FeatureStore(root=str(tmp_path / "mv"))
+    v1 = fs.create_feature_group("prices", version=1, primary_key=["k"])
+    v1.insert(spark.createDataFrame([(1, 10.0)], "k long, p double"))
+    v2 = fs.create_feature_group("prices", version=2, primary_key=["k"])
+    v2.insert(spark.createDataFrame([(1, 99.0), (2, 5.0)], "k long, p double"))
+
+    assert fs.get_feature_group("prices").read(spark).count() == 1
+    assert fs.get_feature_group("prices", 2).read(spark).count() == 2
+    # fs.sql binds <name> to v1 and <name>_<version> for each
+    n2 = fs.sql("SELECT count(*) AS n FROM prices_2", spark).first()["n"]
+    n1 = fs.sql("SELECT count(*) AS n FROM prices", spark).first()["n"]
+    assert (n1, n2) == (1, 2)
+    # both rehydrate independently
+    fresh = FeatureStore(root=fs.root)
+    assert fresh.get_feature_group("prices", 2).read(spark).count() == 2
+    assert fresh.get_feature_group("prices", 1).read(spark).count() == 1

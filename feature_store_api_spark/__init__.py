@@ -10,6 +10,8 @@ commit-log store for time travel and Structured Streaming for streams.
 from .feature import Feature
 from .feature_group import ExternalFeatureGroup, FeatureGroup, SpineGroup
 from .feature_store import FeatureStore, testdata_catalog
+from .feature_view import FeatureView
+from .functions.udf import TransformationStatistics, udf
 from .session import get_spark
 
 __all__ = [
@@ -18,6 +20,9 @@ __all__ = [
     "ExternalFeatureGroup",
     "SpineGroup",
     "FeatureStore",
+    "FeatureView",
+    "TransformationStatistics",
+    "udf",
     "testdata_catalog",
     "get_spark",
 ]

@@ -114,12 +114,43 @@ class CommitStore:
             return json.load(fh)
 
     def _append_log(self, commit: FeatureGroupCommit) -> None:
-        log = self._read_log()
-        log.append(commit.to_dict())
-        tmp = self._log_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh, indent=1)
-        os.replace(tmp, self._log_path)
+        # serialize concurrent writers: the read-modify-write below is a
+        # lost-update hazard if two processes commit at once (the
+        # reference offloads this to Hudi/Delta's transaction log). An
+        # O_EXCL lockfile with a staleness bound keeps appends atomic
+        # without a dependency; within one lock the tmp+rename write
+        # stays crash-safe.
+        lock = self._log_path + ".lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if os.path.getmtime(lock) < time.time() - 60.0:
+                        os.remove(lock)  # stale: holder died
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"Commit-log lock busy for 30s: {lock}"
+                    )
+                time.sleep(0.05)
+        try:
+            log = self._read_log()
+            log.append(commit.to_dict())
+            tmp = self._log_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(log, fh, indent=1)
+            os.replace(tmp, self._log_path)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def commit_details(self) -> List[Dict]:
         return sorted(self._read_log(), key=lambda c: -c["commit_time"])

@@ -247,3 +247,30 @@ def test_statistics_persist_per_commit(spark, tmp_path):
     # latest wins; commit-time pinning returns the older profile
     assert fg.get_statistics()["v"]["count"] == 11
     assert fg.get_statistics(commit_time=c1)["v"]["count"] == 10
+
+
+def test_commit_log_lock_serializes_appends(spark, tmp_path):
+    """Concurrent appends from threads must not lose commits."""
+    import threading
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "lock"))
+    fg = fs.create_feature_group("locked", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(0, 0.0)], "k long, v double"))
+    store = fg.commit_store
+
+    from feature_store_api_spark.sources.commit_store import FeatureGroupCommit
+
+    def append(i):
+        store._append_log(FeatureGroupCommit(
+            commit_time=10_000_000 + i, operation="upsert", rows_inserted=1
+        ))
+
+    threads = [threading.Thread(target=append, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    times = [c["commit_time"] for c in store._read_log()]
+    assert len([t for t in times if 10_000_000 <= t < 10_000_100]) == 16  # no lost update

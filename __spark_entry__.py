@@ -230,9 +230,22 @@ def _q_pit_join_range(spark, sf_dir):
     )
 
 
+# Feature sides are deduped to ONE row per (key, ts) — the max payload
+# tuple — before the ASOF join: DuckDB's ASOF picks an arbitrary row
+# among exact ties, and the engine resolves the same ties by max
+# (precombine, payload), so both sides must agree on a total order.
 _PIT_SQL = """
 WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
-     feat AS (SELECT o_custkey AS custkey, o_orderdate, o_totalprice, o_orderstatus FROM orders)
+     feat AS (
+       SELECT custkey, o_orderdate, o_totalprice, o_orderstatus FROM (
+         SELECT o_custkey AS custkey, o_orderdate, o_totalprice, o_orderstatus,
+                row_number() OVER (
+                  PARTITION BY o_custkey, o_orderdate
+                  ORDER BY o_totalprice DESC, o_orderstatus DESC
+                ) AS rn
+         FROM orders
+       ) WHERE rn = 1
+     )
 SELECT spine.event_id, spine.custkey, spine.ts,
        feat.o_totalprice AS ord_o_totalprice,
        feat.o_orderstatus AS ord_o_orderstatus
@@ -242,7 +255,9 @@ FROM spine ASOF LEFT JOIN feat
 
 _PIT_RANGE_SQL = """
 WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
-     feat AS (SELECT o_custkey AS custkey, o_orderdate, o_totalprice FROM orders)
+     feat AS (SELECT o_custkey AS custkey, o_orderdate,
+                     MAX(o_totalprice) AS o_totalprice
+              FROM orders GROUP BY 1, 2)
 SELECT spine.event_id, spine.custkey, spine.ts,
        feat.o_totalprice AS ord_o_totalprice
 FROM spine ASOF LEFT JOIN feat
@@ -1475,10 +1490,13 @@ def _q_rolling_features(spark, sf_dir):
         "event_id", "user_id", "ts", "value"
     )
     out = rolling_features(ev, ["user_id"], "ts", "value", trailing="2 hours")
+    # avg derived from the ROUNDED sum on both engine and oracle:
+    # floating-point accumulation order differs between engines, and a
+    # fresh avg aggregate can land on the other side of a .5e-6 boundary
     return out.select(
         "event_id", "user_id", "trailing_cnt",
         F.round("trailing_sum", 6).alias("t_sum"),
-        F.round("trailing_avg", 6).alias("t_avg"),
+        F.round(F.round("trailing_sum", 6) / F.col("trailing_cnt"), 6).alias("t_avg"),
         F.round("trailing_min", 6).alias("t_min"),
         F.round("trailing_max", 6).alias("t_max"),
     )
@@ -1701,13 +1719,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    count(*) OVER w AS trailing_cnt,
                    round(sum(value) OVER w, 6) AS t_sum,
-                   round(avg(value) OVER w, 6) AS t_avg,
+                   round(round(sum(value) OVER w, 6) / count(*) OVER w, 6) AS t_avg,
                    round(min(value) OVER w, 6) AS t_min,
                    round(max(value) OVER w, 6) AS t_max
             FROM events
             WINDOW w AS (
-              PARTITION BY user_id ORDER BY epoch(ts)
-              RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW
             )
         """,
         "ewma_features": """
@@ -2316,7 +2334,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fv_batch_query": """
             WITH spine AS (SELECT event_id, user_id, ts FROM events),
-                 feat AS (SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus FROM orders)
+                 feat AS (
+                   SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus FROM (
+                     SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus,
+                            row_number() OVER (
+                              PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_totalprice DESC, o_orderstatus DESC
+                            ) AS rn
+                     FROM orders
+                   ) WHERE rn = 1
+                 )
             SELECT spine.event_id, spine.user_id, spine.ts,
                    feat.o_totalprice AS ord_o_totalprice,
                    feat.o_orderstatus AS ord_o_orderstatus
@@ -2347,7 +2374,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spine_pit_join": """
             WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0),
-                 feat AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders)
+                 feat AS (SELECT o_custkey, o_orderdate,
+                                 MAX(o_totalprice) AS o_totalprice
+                          FROM orders GROUP BY 1, 2)
             SELECT spine.event_id, spine.user_id, spine.ts,
                    feat.o_totalprice AS ord_o_totalprice
             FROM spine ASOF LEFT JOIN feat

@@ -109,10 +109,18 @@ def _pit_union_window(
 
     # feature rows (side=0) sort before spine rows (side=1) at equal ts,
     # so an exact-tie feature row IS visible to the spine row (<= match);
-    # among same-ts feature rows the max precombine wins.
+    # among same-ts feature rows the max precombine wins, and full ties
+    # on (ts, precombine) resolve by the payload struct itself — a TOTAL
+    # deterministic order, so duplicate feature rows can never flip the
+    # answer between runs (or against the SQL oracle).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__pre").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__pre").asc(),
+            F.col("__payload").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = fg_side.unionByName(spine_side)
@@ -152,6 +160,11 @@ def _pit_range_join(
     order = [F.col("__r_ts").desc_nulls_last()]
     if precombine:
         order.append(F.col(f"__r_{precombine}").desc_nulls_last())
+    # full-tie determinism: the carried payload itself breaks remaining
+    # ties, matching the union+window strategy and the SQL oracles
+    order.append(
+        F.struct(*[F.col(f"__r_{f}") for f in carry]).desc_nulls_last()
+    )
     w = Window.partitionBy(_SPINE_UID).orderBy(*order)
     picked = (
         joined.withColumn("__rn", F.row_number().over(w))

@@ -64,13 +64,25 @@ def rolling_features(
     entity's events in ``[t - trailing, t]`` (both ends inclusive —
     Spark ``RANGE BETWEEN`` semantics, mirrored by the SQL oracle).
 
-    Implemented as a RANGE window over epoch seconds, so rows with equal
-    timestamps share one frame regardless of sort ties."""
-    seconds = _interval_seconds(trailing)
+    Implemented as a RANGE window over epoch MICROSECONDS (whole-second
+    truncation would flip boundary rows vs sub-second-precise engines),
+    so rows with equal timestamps share one frame regardless of sort
+    ties."""
+    from pyspark.sql import types as T
+
+    micros = _interval_seconds(trailing) * 1_000_000
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        # TZ-free epoch for naive timestamps
+        epoch = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        epoch = F.unix_micros(F.col(ts_col))
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_timestamp(F.col(ts_col)))
-        .rangeBetween(-seconds, 0)
+        .orderBy(epoch)
+        .rangeBetween(-micros, 0)
     )
     out = df
     named = aggs or {

@@ -114,3 +114,31 @@ def test_pit_many(spark, frames):
     )
     assert {"v", "b_w"} <= set(out.columns)
     assert out.count() == 5
+
+
+def test_pit_full_tie_resolves_by_payload(spark):
+    """Duplicate feature rows at the same (key, ts) differing only in a
+    payload field must resolve identically (max payload tuple) in BOTH
+    physical strategies — the 10x-scale sweep caught this as a
+    nondeterminism between engine and oracle."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    t = dt.datetime(2024, 1, 5)
+    spine = spark.createDataFrame([(1, 100, dt.datetime(2024, 1, 9))], "sid long, k long, ts timestamp")
+    feat = spark.createDataFrame(
+        [
+            (100, t, 50.0, "A"),
+            (100, t, 50.0, "F"),   # same price, different status
+            (100, t, 49.0, "Z"),   # lower price loses regardless of status
+        ],
+        "k long, fts timestamp, price double, status string",
+    )
+    for strategy in ("union_window", "range_join"):
+        out = point_in_time_join(
+            spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+            features=["price", "status"], strategy=strategy,
+        ).collect()
+        assert len(out) == 1
+        assert (out[0]["price"], out[0]["status"]) == (50.0, "F"), strategy

@@ -85,6 +85,7 @@ def ewma_stream(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
+    idle_timeout: Optional[str] = None,
 ) -> DataFrame:
     """Streaming EWMA with O(1) state per key.
 
@@ -94,6 +95,13 @@ def ewma_stream(
     persisted state. Back it with ``foreachBatch`` →
     :class:`~feature_store_api_spark.online.store.OnlineStore` upsert to
     keep an online feature fresh incrementally.
+
+    ``idle_timeout`` (e.g. ``"30 days"``) bounds TOTAL state for
+    unbounded key cardinality: a key not seen for that long is evicted
+    (processing-time timeout) — the next event for it restarts the fold
+    from scratch. Without it, state grows with the number of distinct
+    keys ever seen (fine when keys are entities, ruinous when keys are
+    e.g. session ids).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -108,10 +116,22 @@ def ewma_stream(
     )
     out_schema = f"{key_fields}, {out_col} double, n bigint"
     state_schema = "ewma double, n bigint"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    if idle_timeout:
+        from ..operators.time_series import _interval_seconds
+
+        idle_ms = _interval_seconds(idle_timeout) * 1000
 
     def fold(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ew, n = state.get
         else:
@@ -122,12 +142,14 @@ def ewma_stream(
                 ew = v if ew is None else a * v + (1.0 - a) * ew
                 n += 1
         state.update((ew, n))
+        if idle_timeout:
+            state.setTimeoutDuration(idle_ms)
         yield pd.DataFrame(
             [list(key) + [ew, n]], columns=keys + [out_col, "n"]
         )
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
-        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fold, out_schema, state_schema, "update", timeout
     )
 
 

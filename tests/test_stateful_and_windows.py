@@ -231,3 +231,30 @@ def test_lag_and_rolling_features(spark, events_df):
 
     with _pytest.raises(ValueError):
         rolling_features(events_df, ["user_id"], "ts", "value", trailing="fortnight")
+
+
+def test_ewma_stream_with_idle_timeout_runs(spark, tmp_path, events_df):
+    """State-TTL wiring: the ProcessingTimeTimeout variant folds and
+    emits identically within one run (eviction fires across runs)."""
+    src = str(tmp_path / "ttlsrc")
+    events_df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    out = ewma_stream(sdf, ["user_id"], "ts", "value", 0.5, idle_timeout="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_ttl_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttlckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["ewma"] for r in spark.sql(
+        "SELECT user_id, ewma FROM ewma_ttl_sink"
+    ).collect()}
+    expect = {
+        r["user_id"]: r["ewma"]
+        for r in ewma_batch(events_df, ["user_id"], "ts", "value", 0.5).collect()
+    }
+    for k in expect:
+        assert math.isclose(got[k], expect[k])

@@ -104,6 +104,39 @@ class VectorServer:
             if pending:
                 base = _apply(base, pending)
             self._stats = transformation_stats_for(tfs, base)
+            # model-input column order = the transformed training frame's
+            # columns (labels removed) — computed on a zero-row slice so
+            # list-shaped vectors line up with training exactly.
+            # Request-parameter UDFs (inputs only exist per request) are
+            # appended after the frame-derived columns by output name.
+            frameable = [
+                t for t in tfs
+                if all(
+                    f in base.columns or any(
+                        f in u.output_names() for u in tfs if u is not t
+                    )
+                    for f in t.features
+                )
+            ]
+            ordered = _apply(
+                base.limit(0), frameable, stats=self._stats
+            ).columns
+            request_only = sorted(
+                n
+                for t in tfs
+                if t not in frameable
+                for n in t.output_names()
+            )
+            self._feature_order = [
+                c for c in ordered if c not in self.fv.labels
+            ] + request_only
+        else:
+            base = training_df
+            if base is None:
+                base = self.fv._pit_plan(spark)
+            self._feature_order = [
+                c for c in base.columns if c not in self.fv.labels
+            ]
         self._initialized = True
         return self
 
@@ -115,11 +148,13 @@ class VectorServer:
         passed_features: Optional[Dict] = None,
         apply_transformations: bool = True,
         request_parameters: Optional[Dict] = None,
+        return_type: str = "dict",
     ) -> Optional[Dict]:
         out = self.get_feature_vectors(
             spark, [entry], [passed_features] if passed_features else None,
             apply_transformations=apply_transformations,
             request_parameters=[request_parameters] if request_parameters else None,
+            return_type=return_type,
         )
         return out[0]
 
@@ -130,6 +165,7 @@ class VectorServer:
         passed_features: Optional[Sequence[Optional[Dict]]] = None,
         apply_transformations: bool = True,
         request_parameters: Optional[Sequence[Optional[Dict]]] = None,
+        return_type: str = "dict",
     ) -> List[Optional[Dict]]:
         if not self._initialized:
             raise RuntimeError("call init_serving() first")
@@ -173,6 +209,17 @@ class VectorServer:
 
         if apply_transformations and self.fv.transformation_functions:
             rows = self._transform(spark, rows)
+        if return_type == "list":
+            # ordered model-input form (reference default shape): values
+            # in the transformed training frame's column order
+            order = [
+                c for c in self._feature_order
+                if c not in self._serving_keys
+            ]
+            return [
+                None if r is None else [r.get(c) for c in order]
+                for r in rows
+            ]
         return rows
 
     def _transform(self, spark, rows: List[Optional[Dict]]) -> List[Optional[Dict]]:

@@ -148,3 +148,25 @@ def test_request_parameters_feed_on_demand_udf(spark, served):
     )
     latest = _latest_row(served["ev"], 3)
     assert vec["boosted_value_boost"] == pytest.approx(latest["value"] * 4.0)
+
+
+def test_list_return_type_matches_training_order(spark, served):
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    fv = FeatureView(
+        "sv_list", served["q"],
+        transformation_functions=[min_max_scaler("value")],
+    )
+    server = fv.init_serving(spark)
+    d = server.get_feature_vector(spark, {"user_id": 3})
+    l = server.get_feature_vector(spark, {"user_id": 3}, return_type="list")
+    order = [c for c in server._feature_order if c not in server._serving_keys]
+    assert l == [d.get(c) for c in order]
+    assert "min_max_scaler_value" in order  # transformed name, training order
+    # misses stay None in list form
+    ls = server.get_feature_vectors(
+        spark, [{"user_id": 999999}], return_type="list"
+    )
+    assert ls == [None]

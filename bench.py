@@ -201,15 +201,29 @@ def main():
     read_parquet(spark, f"{SF_DIR}/nation.parquet").count()
 
     only = set(sys.argv[1:])
-    timings = {}
-    for name, fn in QUERIES.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        fn(spark, SF_DIR)
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # median-of-N: single runs swing ±50% on this box (codegen compile
+    # on first shape use + machine noise), which made round-2 regression
+    # triage impossible from one sample. Run the full sequence N times
+    # and report per-query medians; the first sequence additionally pays
+    # the cold costs, which the median then discards.
+    samples = {name: [] for name in QUERIES if not only or name in only}
+    for i in range(runs):
+        for name, fn in QUERIES.items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            fn(spark, SF_DIR)
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            print(f"# run{i + 1} {name}: {dt}s", file=sys.stderr)
 
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in samples.items()}
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -218,6 +232,8 @@ def main():
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

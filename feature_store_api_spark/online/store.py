@@ -216,15 +216,22 @@ class OnlineStore:
     def _resolve(self, df: DataFrame) -> DataFrame:
         order = [c for c in (self.event_time,) if c]
         ties = [c for c in (self.precombine_key,) if c] + [_SEQ]
-        # agg strategy: the ordering ends in the unique upsert sequence,
-        # so it is total — and a hot primary key collapses map-side
-        # (partial max_by) instead of funneling into one window task
+        # The ordering ends in the unique upsert sequence, so it is
+        # total under BOTH strategies. Strategy choice: the delta tail
+        # length is known driver-side (the _upserts_since_compact
+        # counter; auto-compaction keeps it ≤ auto_compact_every), and
+        # a key appears at most ~once per upsert batch, so with a short
+        # tail a window-sort partition holds a handful of rows per key —
+        # no hot key possible, and the window plan skips the agg path's
+        # per-row struct buffers (the b7 regression). An unbounded tail
+        # (auto-compaction off) keeps the skew-immune map-side max_by.
+        tail = self._counter("_upserts_since_compact")
         return latest_per_key(
             df,
             self.primary_key,
             order_by=order or [_SEQ],
             tie_breakers=ties,
-            strategy="agg",
+            strategy="window" if tail <= 64 else "agg",
         )
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -11,14 +11,17 @@ semantics (no match → NULL features).
 Two physical strategies, both pure DataFrame ops:
 
 * ``union_window`` (default, the 100 TB path): tag spine and feature
-  rows, union them, and run one ``last_value(..., ignoreNulls)`` window
-  per key ordered by event time. Cost = ONE hash shuffle of
-  (spine + features) on the join key — no range-join row explosion,
-  no matter how many feature rows precede each spine row. Ties
+  rows, union them, and run one running ``max(struct(ts, precombine,
+  payload))`` window per key ordered by (event time, side). Cost = ONE
+  hash shuffle of (spine + features) on the join key — no range-join
+  row explosion, no matter how many feature rows precede each spine
+  row — and the sort key is just (ts, side): the payload rides in the
+  commutative agg buffer, not in every sort record. Ties
   (right.ts == left.ts) are included by sorting feature rows before
   spine rows at equal timestamps; multiple feature rows at the same
   timestamp resolve by the precombine tie-break
-  (``core/hudi_engine.py:141-149``).
+  (``core/hudi_engine.py:141-149``), then by the lexicographic max
+  payload (total deterministic order).
 
 * ``range_join``: left join on ``key AND right.ts <= left.ts`` then
   ``row_number() == 1`` per spine row ordered by right.ts desc. Quadratic
@@ -80,21 +83,25 @@ def point_in_time_join(
 def _pit_union_window(
     spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
 ) -> DataFrame:
-    # one struct column carrying the feature payload; NULL on spine rows
-    # so last_value(ignoreNulls) skips them
+    # one struct column carrying (ts, precombine, payload) for feature
+    # rows; NULL on spine rows so the running max skips them
     payload = F.struct(*[F.col(f) for f in features])
     pre = (
         F.col(precombine)
         if precombine
         else F.lit(0)
     )
+    cand = F.struct(
+        F.col(feature_ts).alias("t"),
+        pre.cast("double").alias("p"),
+        payload.alias("v"),
+    )
 
     fg_side = feature_df.select(
         *[F.col(k) for k in keys],
         F.col(feature_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        pre.cast("double").alias("__pre"),
-        payload.alias("__payload"),
+        cand.alias("__cand"),
         *[F.lit(None).cast(spine.schema[c].dataType).alias(f"__s_{c}")
           for c in spine.columns],
     )
@@ -102,36 +109,35 @@ def _pit_union_window(
         *[F.col(k) for k in keys],
         F.col(spine_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(0.0).alias("__pre"),
-        F.lit(None).cast(fg_side.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast(fg_side.schema["__cand"].dataType).alias("__cand"),
         *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
     )
 
     # feature rows (side=0) sort before spine rows (side=1) at equal ts,
-    # so an exact-tie feature row IS visible to the spine row (<= match);
-    # among same-ts feature rows the max precombine wins, and full ties
-    # on (ts, precombine) resolve by the payload struct itself — a TOTAL
-    # deterministic order, so duplicate feature rows can never flip the
-    # answer between runs (or against the SQL oracle).
+    # so an exact-tie feature row IS visible to the spine row (<= match).
+    # The match is the running lexicographic MAX of (ts, precombine,
+    # payload) over the expanding frame: latest ts wins, then max
+    # precombine, then max payload — a TOTAL deterministic pick, so
+    # duplicate feature rows can never flip the answer between runs (or
+    # against the SQL oracle). Because max is commutative, tie ORDER
+    # among equal-(ts, side) rows is irrelevant, which keeps the window
+    # SORT KEY at just (ts, side) — the payload rides in the O(1)/row
+    # incremental agg buffer instead of fattening every sort record
+    # (round 2 sorted by the full payload struct: +60% on b4).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(
-            F.col("__ts").asc(),
-            F.col("__side").asc(),
-            F.col("__pre").asc(),
-            F.col("__payload").asc_nulls_first(),
-        )
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = fg_side.unionByName(spine_side)
     matched = unioned.withColumn(
-        "__match", F.last(F.col("__payload"), ignorenulls=True).over(w)
+        "__match", F.max(F.col("__cand")).over(w)
     ).where(F.col("__side") == 1)
 
     return matched.select(
         *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
         *[
-            F.col("__match").getField(f).alias(n)
+            F.col("__match").getField("v").getField(f).alias(n)
             for f, n in zip(features, out_names)
         ],
     )

@@ -44,64 +44,87 @@ def describe(
     """Column profiles in one aggregation pass.
 
     Returns ``{column: {stat: value}}`` with the §2.4 stat fields.
-    ``approx_count_distinct`` (HLL) by default; ``exact_distinct=True``
-    adds an exact ``count(distinct)`` per column (same single pass —
-    Spark expands multi-distinct aggs via expand + one extra shuffle).
-    ``approx_distinct=False`` skips the HLL pass (callers that only need
-    scalar stats save a full scan of the input plan).
+    ``approx_count_distinct`` (HLL) by default; with
+    ``exact_distinct=True`` the HLL pass is skipped entirely and the
+    approx field is served from the exact count (an exact count is the
+    best possible approximation — one full pass saved).
     """
     cols = list(columns) if columns else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
-
-    # Three SMALL aggregation passes instead of one mega-agg. Empirically
-    # (local[32], Spark 4.1): a single aggregate mixing dozens of
-    # declarative + HLL + multi-distinct expressions generates code big
-    # enough to poison the JVM's JIT for the rest of the session
-    # (every later query runs 20-40x slower); three narrow scans each
-    # stay in fast codegen and the scans themselves are cheap.
-    basic = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
-        dt = schema[c]
-        basic.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
-        if _is_numeric(dt):
-            basic.append(F.min(F.col(c)).alias(f"{c}__min"))
-            basic.append(F.max(F.col(c)).alias(f"{c}__max"))
-            basic.append(F.sum(F.col(c)).alias(f"{c}__sum"))
-            basic.append(F.avg(F.col(c)).alias(f"{c}__mean"))
-            basic.append(F.stddev(F.col(c)).alias(f"{c}__stddev"))
-        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.StringType, T.BooleanType)):
-            basic.append(F.min(F.col(c)).alias(f"{c}__min"))
-            basic.append(F.max(F.col(c)).alias(f"{c}__max"))
-
-    row = df.agg(*basic).collect()[0].asDict()
-    if approx_distinct:
-        row.update(
-            df.agg(
-                *[
-                    F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct")
-                    for c in cols
-                ]
-            ).collect()[0].asDict()
-        )
-    if exact_distinct:
-        row.update(
-            df.agg(
-                *[
-                    F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")
-                    for c in cols
-                ]
-            ).collect()[0].asDict()
-        )
-    total = row["__total"]
-
     num_cols = [c for c in cols if _is_numeric(schema[c])]
-    if num_cols and percentiles:
-        minmax = {
-            c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
-        }
-        pctls = approx_percentiles_multi(df, num_cols, list(percentiles), minmax)
-        for c in num_cols:
-            row[f"{c}__percentiles"] = pctls.get(c)
+
+    # Pass structure (measured on local[32], Spark 4.1 — see BENCH b6):
+    # small SEPARATE aggregates beat one mega-agg twice over. Mixing the
+    # HLL sketch (an ImperativeAggregate) into the declarative scalar
+    # agg forces the whole aggregate off the fast codegen path (fused:
+    # 1.28s steady vs 0.57+0.43 separate at sf0.1), and mixing the
+    # multi-distinct expand in generates code big enough to poison the
+    # JVM JIT for the session (empirically 20-40x slowdowns on later
+    # queries). So: one scalar pass, then only the passes the caller
+    # demanded — exact-distinct (expand + extra shuffle) and the
+    # percentile bin-count (needs min/max from pass 1, inherently
+    # sequential). With >1 pass they all read a lazily persisted narrow
+    # projection: the first pass materializes the columnar cache as a
+    # side effect (no separate count job) and later passes scan cache,
+    # not source — N parquet re-reads collapse to one, and
+    # MEMORY_AND_DISK spills instead of OOMing at warehouse scale.
+    multi_pass = bool(
+        exact_distinct or approx_distinct or (num_cols and percentiles)
+    )
+    src = df.select(*cols)
+    if multi_pass:
+        src = src.persist()
+    try:
+        basic = [F.count(F.lit(1)).alias("__total")]
+        for c in cols:
+            dt = schema[c]
+            basic.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+            if _is_numeric(dt):
+                basic.append(F.min(F.col(c)).alias(f"{c}__min"))
+                basic.append(F.max(F.col(c)).alias(f"{c}__max"))
+                basic.append(F.sum(F.col(c)).alias(f"{c}__sum"))
+                basic.append(F.avg(F.col(c)).alias(f"{c}__mean"))
+                basic.append(F.stddev(F.col(c)).alias(f"{c}__stddev"))
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.StringType, T.BooleanType)):
+                basic.append(F.min(F.col(c)).alias(f"{c}__min"))
+                basic.append(F.max(F.col(c)).alias(f"{c}__max"))
+
+        row = src.agg(*basic).collect()[0].asDict()
+        if exact_distinct:
+            row.update(
+                src.agg(
+                    *[
+                        F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")
+                        for c in cols
+                    ]
+                ).collect()[0].asDict()
+            )
+            if approx_distinct:
+                for c in cols:
+                    row[f"{c}__approx_distinct"] = row[f"{c}__exact_distinct"]
+        elif approx_distinct:
+            row.update(
+                src.agg(
+                    *[
+                        F.approx_count_distinct(F.col(c)).alias(
+                            f"{c}__approx_distinct"
+                        )
+                        for c in cols
+                    ]
+                ).collect()[0].asDict()
+            )
+        total = row["__total"]
+
+        if num_cols and percentiles:
+            minmax = {
+                c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
+            }
+            pctls = approx_percentiles_multi(src, num_cols, list(percentiles), minmax)
+            for c in num_cols:
+                row[f"{c}__percentiles"] = pctls.get(c)
+    finally:
+        if multi_pass:
+            src.unpersist()
 
     out: Dict[str, Dict] = {}
     for c in cols:
@@ -150,34 +173,37 @@ def approx_percentiles_multi(
     cols = [c for c in columns if minmax.get(c) and minmax[c][0] is not None]
     if not cols:
         return {}
+
+    # bin assignment happens INSIDE the per-column struct (each column's
+    # min/width inlined as constants) so the exploded rows carry just
+    # (name, bin) ints — no post-explode CASE chain to compile, and the
+    # shuffle rows are 2 small ints instead of (string, double)
+    def _bin(c):
+        mn, mx = (float(minmax[c][0]), float(minmax[c][1]))
+        width = (mx - mn) or 1.0
+        return F.when(
+            F.col(c).isNotNull(),
+            F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * buckets
+                ).cast("int"),
+            ),
+        )
+
     melted = df.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("c"), F.col(c).cast("double").alias("v")
-                    )
+                    F.struct(F.lit(c).alias("c"), _bin(c).alias("b"))
                     for c in cols
                 ]
             )
         ).alias("p")
-    ).select("p.c", "p.v").where(F.col("v").isNotNull())
+    ).select("p.c", "p.b").where(F.col("b").isNotNull())
 
-    bucket = None
-    for c in cols:
-        mn, mx = (float(minmax[c][0]), float(minmax[c][1]))
-        width = (mx - mn) or 1.0
-        expr = F.least(
-            F.lit(buckets - 1),
-            F.floor((F.col("v") - F.lit(mn)) / F.lit(width) * buckets).cast("int"),
-        )
-        bucket = (
-            F.when(F.col("c") == c, expr) if bucket is None
-            else bucket.when(F.col("c") == c, expr)
-        )
     counts = (
-        melted.withColumn("b", bucket)
-        .groupBy("c", "b")
+        melted.groupBy("c", "b")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )

@@ -527,6 +527,13 @@ class FeatureGroup(FeatureGroupBase):
         details = self.commit_store.commit_details()
         return details[:limit] if limit else details
 
+    def vacuum(self, retain_hours: float = 168.0) -> List[int]:
+        """Delete commit history outside the retention window that a
+        compaction base has superseded (parity: Delta ``VACUUM`` /
+        Hudi cleaner, default 168h horizon). Time travel within
+        retention is unaffected; reads before the horizon raise."""
+        return self.commit_store.vacuum(retain_hours=retain_hours)
+
     def as_of(self, wallclock_time=None, exclude_until=None) -> Query:
         return self.select_all().as_of(wallclock_time, exclude_until)
 

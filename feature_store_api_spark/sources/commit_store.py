@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -113,11 +115,12 @@ class CommitStore:
         with open(self._log_path) as fh:
             return json.load(fh)
 
-    def _append_log(self, commit: FeatureGroupCommit) -> None:
-        # serialize concurrent writers: the read-modify-write below is a
+    @contextmanager
+    def _log_lock(self):
+        # serialize concurrent log writers: read-modify-write is a
         # lost-update hazard if two processes commit at once (the
         # reference offloads this to Hudi/Delta's transaction log). An
-        # O_EXCL lockfile with a staleness bound keeps appends atomic
+        # O_EXCL lockfile with a staleness bound keeps mutations atomic
         # without a dependency; within one lock the tmp+rename write
         # stays crash-safe.
         lock = self._log_path + ".lock"
@@ -130,7 +133,14 @@ class CommitStore:
             except FileExistsError:
                 try:
                     if os.path.getmtime(lock) < time.time() - 60.0:
-                        os.remove(lock)  # stale: holder died
+                        # stale: holder died. Reclaim ATOMICALLY via
+                        # rename-aside — exactly one waiter wins the
+                        # rename; a plain remove would let two waiters
+                        # both "reclaim" (the second deleting the
+                        # winner's fresh lock → two holders).
+                        stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                        os.rename(lock, stale)
+                        os.remove(stale)
                         continue
                 except OSError:
                     continue
@@ -140,17 +150,24 @@ class CommitStore:
                     )
                 time.sleep(0.05)
         try:
-            log = self._read_log()
-            log.append(commit.to_dict())
-            tmp = self._log_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(log, fh, indent=1)
-            os.replace(tmp, self._log_path)
+            yield
         finally:
             try:
                 os.remove(lock)
             except OSError:
                 pass
+
+    def _write_log(self, log: List[Dict]) -> None:
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh, indent=1)
+        os.replace(tmp, self._log_path)
+
+    def _append_log(self, commit: FeatureGroupCommit) -> None:
+        with self._log_lock():
+            log = self._read_log()
+            log.append(commit.to_dict())
+            self._write_log(log)
 
     def commit_details(self) -> List[Dict]:
         return sorted(self._read_log(), key=lambda c: -c["commit_time"])
@@ -237,6 +254,37 @@ class CommitStore:
             self.compact(spark)
         return commit
 
+    def _commits_in_window(
+        self, start_commit: Optional[int], end_commit: Optional[int]
+    ) -> int:
+        """Number of commit partitions a snapshot/incremental read will
+        merge — mirrors :meth:`snapshot`'s pruning. Each commit holds at
+        most one row per record key, so this is a hard upper bound on
+        rows-per-key entering the latest-per-key resolve, computable
+        driver-side from the log alone."""
+        log = self._read_log()
+        if start_commit is None:
+            bases = [
+                c["commit_time"]
+                for c in log
+                if c.get("base")
+                and (end_commit is None or c["commit_time"] <= end_commit)
+            ]
+            lo = max(bases) if bases else None
+            return sum(
+                1
+                for c in log
+                if (lo is None or c["commit_time"] >= lo)
+                and (end_commit is None or c["commit_time"] <= end_commit)
+            )
+        return sum(
+            1
+            for c in log
+            if not c.get("base")
+            and c["commit_time"] > start_commit
+            and (end_commit is None or c["commit_time"] <= end_commit)
+        )
+
     def _commits_since_base(self) -> int:
         """Delta commits on top of the newest compaction base — the
         merge-on-read tail length a snapshot read has to window over."""
@@ -273,13 +321,41 @@ class CommitStore:
         df = self._data_df(spark)
         if df is None:
             raise FileNotFoundError(f"No data written to {self.location}")
+        log = self._read_log()
+
+        # retention guard: a read that would touch vacuumed commits must
+        # fail loudly, never silently return partial state (Delta VACUUM
+        # raises the same way on a timestampAsOf before the horizon)
+        vacuumed = [c["commit_time"] for c in log if c.get("vacuumed")]
+        if vacuumed:
+            vmax = max(vacuumed)
+            if start_commit is None and end_commit is not None and end_commit <= vmax:
+                raise ValueError(
+                    f"Cannot time-travel to commit {end_commit}: history up "
+                    f"to {vmax} was vacuumed (out of retention)"
+                )
+            lost = [
+                c["commit_time"]
+                for c in log
+                if c.get("vacuumed") and not c.get("base")
+            ]
+            if start_commit is not None and any(
+                start_commit < v and (end_commit is None or v <= end_commit)
+                for v in lost
+            ):
+                raise ValueError(
+                    f"Cannot pull changes after commit {start_commit}: "
+                    f"commits in the window were vacuumed (retention floor "
+                    f"{vmax})"
+                )
 
         # start from the newest compaction base ≤ end (skip merged history)
         if start_commit is None:
             bases = [
                 c["commit_time"]
-                for c in self._read_log()
+                for c in log
                 if c.get("base")
+                and not c.get("vacuumed")
                 and (end_commit is None or c["commit_time"] <= end_commit)
             ]
             if bases:
@@ -290,7 +366,7 @@ class CommitStore:
             # Delta partitions survive compaction, so excluding bases
             # leaves exactly the real changes (partition-prunable NOT IN).
             base_times = [
-                c["commit_time"] for c in self._read_log() if c.get("base")
+                c["commit_time"] for c in log if c.get("base")
             ]
             if base_times:
                 df = df.where(~F.col(COMMIT_COL).isin(base_times))
@@ -303,11 +379,20 @@ class CommitStore:
         key = [k for k in self.record_key if k in df.columns]
         if key:
             order = [COMMIT_COL] + ([self.precombine_key] if self.precombine_key else [])
-            # agg strategy: one commit holds at most one row per record
-            # key (upsert grain), so ordering by commit time is total —
-            # and a hot record key collapses map-side instead of
-            # funneling into a single window-sort task
-            df = latest_per_key(df, key, order_by=order, strategy="agg")
+            # One commit holds at most one row per record key (upsert
+            # grain), so ordering by commit time is total — and rows per
+            # key in this read are bounded by the number of commits in
+            # the merge window, known driver-side from the log. With a
+            # short tail (auto-compaction keeps it ≤ auto_compact_every)
+            # a window sort partition holds ≤ tail_len rows per key —
+            # no hot-key risk BY CONSTRUCTION, and the window plan skips
+            # the agg path's per-row struct buffers (~70% of b3's cost
+            # at benign skew). Only an unbounded tail (auto-compaction
+            # off, hundreds of commits) falls back to the skew-immune
+            # map-side max_by.
+            tail = self._commits_in_window(start_commit, end_commit)
+            strategy = "window" if tail <= 64 else "agg"
+            df = latest_per_key(df, key, order_by=order, strategy=strategy)
         df = df.where(F.col(OP_COL) != "delete")
         return df.drop(COMMIT_COL, OP_COL)
 
@@ -332,3 +417,49 @@ class CommitStore:
         commit = FeatureGroupCommit(commit_time=ct, operation="compaction", base=True)
         self._append_log(commit)
         return commit
+
+    def vacuum(
+        self,
+        retain_hours: float = 168.0,
+        now_ms: Optional[int] = None,
+    ) -> List[int]:
+        """Physically delete commit partitions that are BOTH outside the
+        retention window AND superseded by a compaction base (parity:
+        Hudi cleaner / Delta ``VACUUM`` with its default 168h horizon —
+        the reference delegates to ``core/delta_engine.py`` retention).
+
+        Anchor = the newest base commit at-or-before ``now - retain``;
+        every commit strictly older than the anchor is removed (its
+        state is folded into the anchor base), so ``as_of(t)`` for any
+        ``t >= anchor`` — i.e. the whole retention window — stays
+        byte-exact, while reads before the anchor raise. Without an
+        eligible base nothing is deleted (time-travel safety beats
+        space). Log entries are kept, flagged ``vacuumed`` — commit
+        history stays auditable and pre-horizon reads fail loudly.
+        Returns the removed commit times."""
+        now = int(now_ms if now_ms is not None else time.time() * 1000)
+        cutoff = now - int(retain_hours * 3600 * 1000)
+        with self._log_lock():
+            log = self._read_log()
+            bases = [
+                c["commit_time"]
+                for c in log
+                if c.get("base") and not c.get("vacuumed")
+            ]
+            anchor = max((b for b in bases if b <= cutoff), default=None)
+            if anchor is None:
+                return []
+            removed: List[int] = []
+            for c in log:
+                if c.get("vacuumed") or c["commit_time"] >= anchor:
+                    continue
+                part = os.path.join(
+                    self.location, _DATA, f"{COMMIT_COL}={c['commit_time']}"
+                )
+                if os.path.exists(part):
+                    shutil.rmtree(part)
+                c["vacuumed"] = True
+                removed.append(c["commit_time"])
+            if removed:
+                self._write_log(log)
+        return removed

@@ -274,3 +274,68 @@ def test_commit_log_lock_serializes_appends(spark, tmp_path):
         t.join()
     times = [c["commit_time"] for c in store._read_log()]
     assert len([t for t in times if 10_000_000 <= t < 10_000_100]) == 16  # no lost update
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """25 commits + compaction + vacuum: pre-anchor partitions are
+    physically deleted, as_of within retention stays oracle-exact, and
+    time travel before the horizon raises (Delta VACUUM / Hudi cleaner
+    parity)."""
+    import os
+    from feature_store_api_spark.sources.commit_store import CommitStore, COMMIT_COL
+
+    store = CommitStore(
+        str(tmp_path), primary_key=["id"], auto_compact_every=10,
+    )
+    commits = []
+    for i in range(25):
+        df = spark.createDataFrame([(j, i) for j in range(4)], "id long, v long")
+        commits.append(store.write(df, compute_stats=False))
+
+    log = store.commit_details()
+    bases = sorted(c["commit_time"] for c in log if c.get("base"))
+    assert len(bases) >= 2
+    anchor = bases[-1]
+
+    # retention window ending right after the newest base → everything
+    # strictly older than it is vacuumable
+    data_dir = os.path.join(str(tmp_path), "data")
+    before_dirs = {d for d in os.listdir(data_dir) if d.startswith(COMMIT_COL)}
+    removed = store.vacuum(retain_hours=0.0, now_ms=anchor + 1)
+    assert removed and max(removed) < anchor
+
+    # (a) old partition dirs physically gone, anchor + tail retained
+    after_dirs = {d for d in os.listdir(data_dir) if d.startswith(COMMIT_COL)}
+    assert after_dirs == {
+        d for d in before_dirs if int(d.split("=")[1]) >= anchor
+    }
+    assert len(after_dirs) < len(before_dirs)
+
+    # (b) snapshot and as_of WITHIN retention stay exact
+    got = {r["id"]: r["v"] for r in store.snapshot(spark).collect()}
+    assert got == {j: 24 for j in range(4)}
+    mid = commits[21].commit_time  # within retention (>= anchor)
+    assert mid >= anchor
+    got_mid = {r["id"]: r["v"] for r in store.snapshot(spark, end_commit=mid).collect()}
+    assert got_mid == {j: 21 for j in range(4)}
+
+    # (c) reads before the horizon raise instead of silently emptying
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="vacuum"):
+        store.snapshot(spark, end_commit=commits[3].commit_time)
+    with _pytest.raises(ValueError, match="vacuum"):
+        store.snapshot(
+            spark,
+            start_commit=commits[2].commit_time,
+            end_commit=commits[8].commit_time,
+        )
+
+    # idempotent: nothing left to remove at the same horizon
+    assert store.vacuum(retain_hours=0.0, now_ms=anchor + 1) == []
+
+    # incremental pull AFTER the horizon still works
+    changed = store.snapshot(
+        spark, start_commit=commits[22].commit_time,
+        end_commit=commits[24].commit_time,
+    )
+    assert changed.count() == 4  # ids re-upserted in (22, 24]

@@ -276,9 +276,17 @@ class FeatureStore:
 
         spark = spark or get_spark()
         for (name, version), fg in self._registry.items():
+            if online and not getattr(fg, "online_enabled", False):
+                # An online query must never silently serve OFFLINE
+                # history: drop any temp view a previous offline
+                # fs.sql() bound under this name, so referencing a
+                # non-online group fails with TABLE_OR_VIEW_NOT_FOUND
+                # instead of returning full history.
+                spark.catalog.dropTempView(f"{name}_{version}")
+                if version == 1:
+                    spark.catalog.dropTempView(name)
+                continue
             if online:
-                if not getattr(fg, "online_enabled", False):
-                    continue
                 from .online.store import OnlineStore
 
                 df = OnlineStore.for_feature_group(fg).read(spark)

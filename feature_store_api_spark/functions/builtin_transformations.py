@@ -23,9 +23,10 @@ def _stats_of(stats, feature):
 
 
 def _make(name, column_expr, return_type="double", output_column_names=None,
-          stat_fields=None):
+          stat_fields=None, pandas_expr=None):
     # fn body used only in the (never-taken) pandas fallback; the
-    # column_expr fast path is authoritative
+    # column_expr fast path is authoritative for Spark plans and the
+    # pandas_expr twin for driver-side serving
     def fn(feature, statistics=None):  # pragma: no cover
         raise NotImplementedError(f"{name} runs via its Column expression")
 
@@ -39,6 +40,7 @@ def _make(name, column_expr, return_type="double", output_column_names=None,
         column_expr=column_expr,
         output_column_names=output_column_names,
         stat_fields=stat_fields,
+        pandas_expr=pandas_expr,
     )
     tf.arity = 1
     return tf
@@ -93,22 +95,65 @@ def _one_hot_names(features, stats):
     return [f"{base}_{i}" for i in range(len(vals))] or [base]
 
 
+# -- driver-side pandas twins (ms-latency serving; formula parity with
+# the Column expressions is pinned by tests/test_udf.py) ---------------
+
+def _min_max_pd(series, stats):
+    s = _stats_of(stats, "feature")
+    lo, hi = float(s["min"]), float(s["max"])
+    return [(series[0] - lo) / ((hi - lo) or 1.0)]
+
+
+def _standard_pd(series, stats):
+    s = _stats_of(stats, "feature")
+    mean, std = float(s["mean"]), float(s["stddev"] or 1.0)
+    return [(series[0] - mean) / (std or 1.0)]
+
+
+def _robust_pd(series, stats):
+    s = _stats_of(stats, "feature")
+    p25, p50, p75 = [float(p) for p in s["percentiles"]]
+    return [(series[0] - p50) / ((p75 - p25) or 1.0)]
+
+
+def _label_encode_pd(series, stats):
+    s = _stats_of(stats, "feature")
+    vals = sorted(v for v in s.get("unique_values", []) if v is not None)
+    mapping = {v: i for i, v in enumerate(vals)}
+    return [series[0].map(lambda v: mapping.get(v, -1))]
+
+
+def _one_hot_pd(series, stats):
+    s = _stats_of(stats, "feature")
+    vals = sorted(v for v in s.get("unique_values", []) if v is not None)
+    return [(series[0] == v).fillna(False) for v in vals]
+
+
 # each builtin declares EXACTLY the stat fields its formula reads, so
 # the shared train-split stats pass computes nothing else (a
 # min_max+standard list = one narrow aggregate, zero extra scans)
-min_max_scaler = _make("min_max_scaler", _min_max, stat_fields=("min", "max"))
-standard_scaler = _make(
-    "standard_scaler", _standard, stat_fields=("mean", "stddev")
+min_max_scaler = _make(
+    "min_max_scaler", _min_max, stat_fields=("min", "max"),
+    pandas_expr=_min_max_pd,
 )
-robust_scaler = _make("robust_scaler", _robust, stat_fields=("percentiles",))
+standard_scaler = _make(
+    "standard_scaler", _standard, stat_fields=("mean", "stddev"),
+    pandas_expr=_standard_pd,
+)
+robust_scaler = _make(
+    "robust_scaler", _robust, stat_fields=("percentiles",),
+    pandas_expr=_robust_pd,
+)
 label_encoder = _make(
     "label_encoder", _label_encode, return_type="bigint",
     stat_fields=("unique_values",),
+    pandas_expr=_label_encode_pd,
 )
 one_hot_encoder = _make(
     "one_hot_encoder", _one_hot, return_type="boolean",
     output_column_names=_one_hot_names,
     stat_fields=("unique_values",),
+    pandas_expr=_one_hot_pd,
 )
 # one_hot's output count depends on statistics; mark multi_output so the
 # apply path expands correctly

@@ -69,6 +69,7 @@ class TransformationFunction:
         column_expr: Optional[Callable] = None,
         output_column_names: Optional[Callable] = None,
         stat_fields: Optional[Sequence[str]] = None,
+        pandas_expr: Optional[Callable] = None,
     ) -> None:
         self.fn = fn
         self.name = fn.__name__
@@ -81,6 +82,12 @@ class TransformationFunction:
         self.mode = mode
         self.statistics = statistics
         self._column_expr = column_expr  # fast path: fn(cols, stats) -> [Column]
+        # driver-side twin of column_expr for ms-latency serving:
+        # (list[pd.Series], bound_stats) -> list[pd.Series]. The
+        # reference keeps the same python/spark engine duality
+        # (builtin_transformations.py runs under both engines); parity
+        # of the twins is pinned by tests.
+        self._pandas_expr = pandas_expr
         self._output_column_names = output_column_names
         # which stat fields this UDF actually reads (None = unknown →
         # compute the full profile). Builtins declare exactly what they
@@ -110,6 +117,7 @@ class TransformationFunction:
             column_expr=self._column_expr,
             output_column_names=self._output_column_names,
             stat_fields=self.stat_fields,
+            pandas_expr=self._pandas_expr,
         )
         bound.features = [f.lower() for f in features]
         if len(bound.features) != self.arity:
@@ -154,18 +162,23 @@ class TransformationFunction:
             out.append(self.features[idx])
         return out
 
+    def _bind_stats(self, stats: Optional[Dict]):
+        """Re-key column-name-keyed ``stats`` to the UDF's declared arg
+        names (statistics args mirror UDF parameters)."""
+        if self.statistics is None:
+            return None
+        rekeyed = {}
+        for decl in self.statistics.features:
+            col = self.features[self.param_names.index(decl)]
+            if col in (stats or {}):
+                rekeyed[decl] = stats[col]
+        return self.statistics.bind(rekeyed)
+
     def columns(self, stats: Optional[Dict] = None) -> List:
         """Output Columns for one DataFrame select. ``stats`` is keyed by
         actual column name; statistics binding re-keys them to the UDF's
         declared arg names."""
-        bound_stats = None
-        if self.statistics is not None:
-            rekeyed = {}
-            for decl in self.statistics.features:
-                col = self.features[self.param_names.index(decl)]
-                if col in (stats or {}):
-                    rekeyed[decl] = stats[col]
-            bound_stats = self.statistics.bind(rekeyed)
+        bound_stats = self._bind_stats(stats)
         names = self.output_names(stats)
 
         if self._column_expr is not None:
@@ -211,6 +224,54 @@ class TransformationFunction:
         if self.multi_output:
             return [applied.getField(n).alias(n) for n in names]
         return [applied.alias(names[0])]
+
+    # -- driver-side (pandas) application ----------------------------------
+    def supports_pandas(self) -> bool:
+        """True when this transformation can run on the driver without a
+        Spark job: python UDFs are pandas-native already; builtins need
+        their declared ``pandas_expr`` twin."""
+        return self._pandas_expr is not None or self._column_expr is None
+
+    def pandas_outputs(self, pdf, stats: Optional[Dict] = None) -> List:
+        """Output Series computed driver-side — the ms-latency serving
+        twin of :meth:`columns`. Same stats binding, same output naming,
+        outputs coerced to the declared return types."""
+        bound_stats = self._bind_stats(stats)
+        names = self.output_names(stats)
+        series = [pdf[f] for f in self.features]
+        if self._pandas_expr is not None:
+            outs = list(self._pandas_expr(series, bound_stats))
+        elif self._column_expr is not None:
+            raise NotImplementedError(
+                f"{self.name} has no pandas twin; use the Spark path"
+            )
+        else:
+            out = (
+                self.fn(*series, statistics=bound_stats)
+                if bound_stats is not None
+                else self.fn(*series)
+            )
+            if self.multi_output:
+                outs = (
+                    list(out)
+                    if isinstance(out, (tuple, list))
+                    else [out.iloc[:, i] for i in range(out.shape[1])]
+                )
+            else:
+                outs = [out]
+        rts = list(self.return_types)
+        if len(rts) < len(outs):  # dynamic arity (one-hot): one type for all
+            rts = rts + [rts[-1]] * (len(outs) - len(rts))
+        coerced = []
+        for s, rt in zip(outs, rts):
+            dtype = _pandas_dtype_for(rt)
+            if dtype is not None:
+                try:
+                    s = s.astype(dtype)
+                except (ValueError, TypeError):
+                    pass  # nulls in int columns etc. — keep as computed
+            coerced.append(s)
+        return coerced
 
 
     # -- serialization (parity hopsworks_udf.py:353-566) -------------------
@@ -392,6 +453,74 @@ def apply_transformations(
             transformations, train_df if train_df is not None else df
         )
     return _apply_one_phase(df, transformations, stats)
+
+
+def _pandas_dtype_for(dt: T.DataType) -> Optional[str]:
+    """numpy dtype matching a Spark scalar type (None = leave as-is)."""
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return None
+
+
+def supports_pandas_path(
+    transformations: Sequence[TransformationFunction],
+) -> bool:
+    """True when every transformation can run driver-side in pandas."""
+    return all(t.supports_pandas() for t in transformations)
+
+
+def apply_transformations_pandas(
+    pdf,
+    transformations: Sequence[TransformationFunction],
+    stats: Optional[Dict[str, Dict]] = None,
+):
+    """Driver-side twin of :func:`apply_transformations` for ms-latency
+    serving: SAME TransformationFunction objects, SAME phase order
+    (pending on-demand first, then the rest sorted by output name), SAME
+    drop semantics — applied to a pandas frame with zero Spark jobs.
+    ``stats`` must be the precomputed (train-split) statistics; this
+    path never computes stats itself (a serving request is not a
+    statistical population)."""
+    transformations = [
+        t for t in transformations
+        if not (
+            t.mode == TransformationFunction.ON_DEMAND
+            and all(n in pdf.columns for n in t.output_names())
+        )
+    ]
+    pending_od = [
+        t for t in transformations
+        if t.mode == TransformationFunction.ON_DEMAND
+        and t.output_names()[0] not in pdf.columns
+    ]
+    rest = [t for t in transformations if t not in pending_od]
+    if pending_od and rest:
+        pdf = _apply_one_phase_pandas(pdf, pending_od, stats)
+        transformations = rest
+    return _apply_one_phase_pandas(pdf, transformations, stats)
+
+
+def _apply_one_phase_pandas(
+    pdf,
+    transformations: Sequence[TransformationFunction],
+    stats: Optional[Dict[str, Dict]],
+):
+    ordered = sorted(transformations, key=lambda t: t.output_names(stats)[0])
+    drop = {d for t in ordered for d in t.dropped_features()}
+    out = pdf[[c for c in pdf.columns if c not in drop]].copy()
+    # all outputs evaluate against the INPUT frame — one-select parity
+    for t in ordered:
+        for n, s in zip(t.output_names(stats), t.pandas_outputs(pdf, stats)):
+            out[n] = s
+    return out
 
 
 def _apply_one_phase(

@@ -193,11 +193,20 @@ class VectorServer:
         # request_parameters feed ON_DEMAND UDF inputs that are not
         # stored features (parity vector_server.py request_parameters):
         # merged BEFORE transformation so on-demand UDFs see them;
-        # passed_features merged after lookups to OVERRIDE stored values
+        # passed_features merged after lookups to OVERRIDE stored values.
+        # A row that missed EVERY lookup stays None — request parameters
+        # are UDF inputs, not feature values, so they must not resurrect
+        # a missed key into a mostly-None vector (the miss signal is the
+        # caller's cue to fall back). Exception: a view with no stored
+        # lookups at all is fully on-demand, and rows are then built
+        # from the entry + request parameters alone. passed_features DO
+        # resurrect a missed row: they are explicit feature values.
         if request_parameters:
             for i, rp in enumerate(request_parameters):
                 if rp:
                     if rows[i] is None:
+                        if self._plans:
+                            continue
                         rows[i] = dict(entries[i])
                     rows[i].update(rp)
         if passed_features:
@@ -223,24 +232,39 @@ class VectorServer:
         return rows
 
     def _transform(self, spark, rows: List[Optional[Dict]]) -> List[Optional[Dict]]:
-        """Apply the view's transformations to the assembled vectors via
-        the SAME apply path as training (one code path, no skew)."""
+        """Apply the view's transformations to the assembled vectors.
+
+        Fast path: when every transformation has a driver-side pandas
+        form (python UDFs natively; builtins via their pandas twins),
+        the SAME TransformationFunction objects with the SAME pinned
+        train-split stats apply in-process — a single vector serves in
+        milliseconds with ZERO Spark jobs. Large batches (or a
+        transformation with no pandas twin) take the Spark path, which
+        is byte-identical to training (one code path, no skew)."""
         import pandas as pd
 
-        from ..functions.udf import apply_transformations as _apply
+        from ..functions.udf import (
+            apply_transformations as _apply,
+            apply_transformations_pandas,
+            supports_pandas_path,
+        )
 
         live = [(i, r) for i, r in enumerate(rows) if r is not None]
         if not live:
             return rows
         pdf = pd.DataFrame([r for _, r in live])
-        df = spark.createDataFrame(pdf)
+        tfs = self.fv.transformation_functions
         # apply_transformations runs pending on-demand UDFs first, then
         # model-dependent — the reference's serving order
         # (core/vector_server.py:924-978); on-demand features already
         # materialized in the stored row (ingest-time) are not recomputed
-        out = _apply(
-            df, self.fv.transformation_functions, stats=self._stats
-        ).toPandas()
+        stats_ready = self._stats or not any(t.statistics for t in tfs)
+        if len(live) <= 1024 and stats_ready and supports_pandas_path(tfs):
+            out = apply_transformations_pandas(pdf, tfs, stats=self._stats)
+        else:
+            out = _apply(
+                spark.createDataFrame(pdf), tfs, stats=self._stats
+            ).toPandas()
         for (i, _), (_, rec) in zip(live, out.iterrows()):
             rows[i] = {k: v for k, v in rec.to_dict().items()}
         return rows

@@ -163,6 +163,57 @@ def find_neighbors_ann(
     )
 
 
+def find_neighbors_ann_retry(
+    index_df: DataFrame,
+    embedding: Sequence[float],
+    col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    num_planes: int = 12,
+    seed: int = 7,
+    max_hamming: int = 2,
+    filter: Optional[Column] = None,
+) -> DataFrame:
+    """ANN probe with k-limit retry (parity: the reference widens k and
+    re-queries when filters starve the result set,
+    ``core/vector_db_client.py:107-200``). Here the widening knob is the
+    Hamming radius: if the (optionally filtered) probe yields <k rows,
+    double the radius and re-probe; at radius = num_planes every bucket
+    qualifies, so the final fallback is exact brute force over the
+    filter — never silently fewer than min(k, |matching rows|).
+
+    Each retry is one more pruned probe (cheap with a bucket-partitioned
+    index); retries only happen when the thin-bucket case actually
+    occurs, so the common path stays single-probe."""
+    qsig = _qsig(embedding, num_planes, seed)
+    h = max_hamming
+    while True:
+        cand = index_df.where(
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qsig))) <= h
+        )
+        if filter is not None:
+            cand = cand.where(filter)
+        dist = distance_expr(F.col(col), embedding, metric)
+        out = (
+            cand.withColumn("distance", F.round(dist.cast("double"), 6))
+            .orderBy(F.col("distance").asc())
+            .limit(k)
+            .drop("__bucket")
+        )
+        if h >= num_planes or out.count() >= k:
+            return out
+        h = min(num_planes, max(h * 2, h + 1))
+
+
+def _qsig(embedding: Sequence[float], num_planes: int, seed: int) -> int:
+    planes = _hyperplanes(len(embedding), num_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(embedding, p)) >= 0:
+            qsig |= 1 << i
+    return qsig
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame, id_col: str, col: str, dim: int, threshold: float = 0.95,
     num_planes: int = 6, seed: int = 7, num_tables: int = 8,
@@ -268,6 +319,7 @@ def find_neighbors_ivf(
     k: int = 10,
     nprobe: int = 4,
     metric: str = "cosine",
+    filter: Optional[Column] = None,
 ) -> DataFrame:
     """Probe the IVF index: rank cells by centroid distance to the
     query (driver-side, |centroids| is tiny), scan only the ``nprobe``
@@ -281,6 +333,8 @@ def find_neighbors_ivf(
     order = sorted(range(len(index.centroids)), key=lambda i: (d2(index.centroids[i]), i))
     cells = order[:nprobe]
     cand = index.df.where(F.col("__cell").isin(cells))
+    if filter is not None:
+        cand = cand.where(filter)
     dist = distance_expr(F.col(col), embedding, metric)
     return (
         cand.withColumn("distance", F.round(dist.cast("double"), 6))
@@ -288,3 +342,27 @@ def find_neighbors_ivf(
         .limit(k)
         .drop("__cell")
     )
+
+
+def find_neighbors_ivf_retry(
+    index: IvfIndex,
+    embedding: Sequence[float],
+    col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    filter: Optional[Column] = None,
+) -> DataFrame:
+    """IVF probe with k-limit retry: when the (optionally filtered)
+    probe returns <k rows, double ``nprobe`` and re-probe; at
+    nprobe = |centroids| the scan is exhaustive, so the result is never
+    silently short (parity ``core/vector_db_client.py:107-200``)."""
+    n = nprobe
+    total = len(index.centroids)
+    while True:
+        out = find_neighbors_ivf(
+            index, embedding, col, k=k, nprobe=n, metric=metric, filter=filter
+        )
+        if n >= total or out.count() >= k:
+            return out
+        n = min(total, n * 2)

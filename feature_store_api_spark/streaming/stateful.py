@@ -30,7 +30,7 @@ recursion.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import pandas as pd
 

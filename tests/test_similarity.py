@@ -1,0 +1,70 @@
+"""ANN probes: k-limit retry parity (the reference widens the query
+when filters starve the result set, core/vector_db_client.py:107-200)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)], "keep" if i % 50 == 0 else "drop")
+        for i in range(500)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_ann_retry_widens_until_k(emb):
+    q = [0.1] * 16
+    idx = sim.build_ann_index(emb, "embedding", dim=16, num_planes=10)
+    flt = F.col("label") == "keep"  # only 10 of 500 rows qualify
+    # tight first probe: radius 0 almost surely starves a 10-row filter
+    starved = sim.find_neighbors_ann(
+        idx.where(flt), q, col="embedding", k=8, num_planes=10, max_hamming=0
+    )
+    retried = sim.find_neighbors_ann_retry(
+        idx, q, col="embedding", k=8, num_planes=10, max_hamming=0, filter=flt
+    )
+    assert retried.count() == 8 >= starved.count()
+    # retry results are genuine top-k under the filter: match brute force
+    brute = sim.find_neighbors(
+        emb.where(flt), q, col="embedding", k=8, metric="cosine"
+    )
+    assert sorted(r["distance"] for r in retried.collect()) == sorted(
+        r["distance"] for r in brute.collect()
+    )
+
+
+def test_ivf_retry_widens_until_k(emb):
+    q = [0.1] * 16
+    idx = sim.build_ivf_index(emb, "embedding", id_col="vec_id", num_centroids=8)
+    flt = F.col("label") == "keep"
+    retried = sim.find_neighbors_ivf_retry(
+        idx, q, col="embedding", k=8, nprobe=1, filter=flt
+    )
+    assert retried.count() == 8
+    brute = sim.find_neighbors(
+        emb.where(flt), q, col="embedding", k=8, metric="cosine"
+    )
+    assert sorted(r["distance"] for r in retried.collect()) == sorted(
+        r["distance"] for r in brute.collect()
+    )
+
+
+def test_retry_caps_at_exhaustive(emb):
+    """Fewer matching rows than k: the widened probe ends exhaustive and
+    returns every match instead of looping forever."""
+    q = [0.1] * 16
+    idx = sim.build_ann_index(emb, "embedding", dim=16, num_planes=10)
+    flt = F.col("vec_id") < 3  # only 3 rows exist
+    out = sim.find_neighbors_ann_retry(
+        idx, q, col="embedding", k=8, num_planes=10, max_hamming=0, filter=flt
+    )
+    assert out.count() == 3

@@ -1553,6 +1553,135 @@ def _q_session_windows(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-3 additions: vacuum retention, row sampling, split statistics,
+# cast-to-schema, ANN k-limit retry
+# ---------------------------------------------------------------------------
+
+def _q_vacuum_retention(spark, sf_dir):
+    """Compact + vacuum, then prove (a) the post-vacuum snapshot is
+    byte-exact and (b) pre-horizon time travel raises — encoded as a
+    literal column so the oracle can assert it."""
+    tmp = _scratch("fsas_vac_")
+    fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
+    fg.commit_store.compact(spark)
+    base = max(c["commit_time"] for c in fg.commit_details() if c.get("base"))
+    removed = fg.commit_store.vacuum(retain_hours=0.0, now_ms=base + 1)
+    try:
+        fg.as_of(c1.commit_time).read(spark)
+        raises = False
+    except ValueError:
+        raises = True
+    snap = fg.read(spark).select("o_orderkey", "o_totalprice")
+    return snap.withColumn(
+        "history_vacuumed", F.lit(bool(removed) and raises)
+    )
+
+
+def _q_row_sampling(spark, sf_dir):
+    """Seeded monitoring-window row sampling: same seed → identical
+    sample; fraction lands near the requested 0.5; the window itself is
+    exact. All three facts reduce to oracle-checkable scalars."""
+    from datetime import datetime
+
+    from feature_store_api_spark.operators.monitoring import (
+        MonitoringWindowConfig, fetch_window,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "value"
+    )
+    now = datetime(2024, 1, 29)
+    full = MonitoringWindowConfig(
+        window_type="ROLLING_TIME", time_offset="2w", window_length="1w"
+    )
+    samp = MonitoringWindowConfig(
+        window_type="ROLLING_TIME", time_offset="2w", window_length="1w",
+        row_percentage=0.5,
+    )
+    full_n = fetch_window(ev, "ts", full, now).count()
+    s1 = fetch_window(ev, "ts", samp, now, seed=99)
+    s2 = fetch_window(ev, "ts", samp, now, seed=99)
+    n1 = s1.count()
+    deterministic = n1 == s2.count() and s1.exceptAll(s2).count() == 0
+    frac_ok = (0.35 <= n1 / full_n <= 0.65) if full_n else True
+    return spark.createDataFrame(
+        [(full_n, bool(deterministic), bool(frac_ok))],
+        "window_rows long, sample_deterministic boolean, sample_frac_in_bounds boolean",
+    )
+
+
+def _q_split_statistics(spark, sf_dir):
+    """Per-split descriptive statistics over a time-series split
+    (parity: the reference computes statistics per training split)."""
+    from feature_store_api_spark.operators.statistics import describe_df
+    from feature_store_api_spark.operators.training import prepare_training_data
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "value"
+    )
+    with prepare_training_data(
+        ev,
+        time_splits=[
+            ("train", "2024-01-01", "2024-07-01"),
+            ("test", "2024-07-01", None),
+        ],
+        event_time="ts",
+    ) as td:
+        parts = []
+        for name in ("train", "test"):
+            parts.append(
+                describe_df(td[name], ["value"]).withColumn(
+                    "split", F.lit(name)
+                )
+            )
+        out = parts[0].unionByName(parts[1])
+        # materialize before release() drops the backing cache
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+def _q_cast_schema(spark, sf_dir):
+    """Ingest-time cast to the declared feature schema
+    (parity engine/spark.py:1464-1474)."""
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.ingestion import cast_to_schema
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    feats = [
+        Feature("o_orderkey", type="string"),
+        Feature("o_custkey", type="int"),
+        Feature("o_orderstatus"),
+    ]
+    return cast_to_schema(o, feats)
+
+
+def _q_knn_ann_retry(spark, sf_dir):
+    """Filtered ANN probe that starves the first bucket probe: the
+    k-limit retry widens to the exhaustive scan, so the result equals
+    exact brute force under the filter (reference retry parity,
+    core/vector_db_client.py:107-200)."""
+    from feature_store_api_spark.operators.similarity import (
+        build_ann_index, find_neighbors_ann_retry,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    idx = build_ann_index(e, "embedding", dim=_EMB_DIM)
+    out = find_neighbors_ann_retry(
+        idx,
+        [0.1] * _EMB_DIM,
+        col="embedding",
+        k=64,
+        max_hamming=0,
+        filter=F.col("vec_id") % 100 == 0,
+    )
+    return out.select("vec_id", "label", "distance")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a harness that caps how many
     # entries it checks per round (~50): (1) entries that have NEVER
@@ -1572,6 +1701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_features": _q_ewma_features,
         "windowed_agg_hourly": _q_windowed_agg_hourly,
         "session_windows": _q_session_windows,
+        # --- (1b) NEW in round 3 (no verdict yet by definition) ---
+        "vacuum_retention": _q_vacuum_retention,
+        "row_sampling": _q_row_sampling,
+        "split_statistics": _q_split_statistics,
+        "cast_schema": _q_cast_schema,
+        "knn_ann_retry": _q_knn_ann_retry,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -1700,6 +1835,45 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vacuum_retention": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+                     AS o_totalprice,
+                   TRUE AS history_vacuumed
+            FROM orders WHERE o_orderkey % 100 != 7
+        """,
+        "row_sampling": """
+            SELECT COUNT(*) AS window_rows,
+                   TRUE AS sample_deterministic,
+                   TRUE AS sample_frac_in_bounds
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        """,
+        "split_statistics": """
+            SELECT 'value' AS feature, COUNT(*) AS cnt, COUNT(value) AS non_null,
+                   ROUND(MIN(value)::DOUBLE,6) AS min_val, ROUND(MAX(value)::DOUBLE,6) AS max_val,
+                   ROUND(SUM(value)::DOUBLE,4) AS sum_val, ROUND(AVG(value),6) AS mean_val,
+                   ROUND(STDDEV_SAMP(value),6) AS stddev_val, 'train' AS split
+            FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-07-01'
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(value),
+                   ROUND(MIN(value)::DOUBLE,6), ROUND(MAX(value)::DOUBLE,6),
+                   ROUND(SUM(value)::DOUBLE,4), ROUND(AVG(value),6),
+                   ROUND(STDDEV_SAMP(value),6), 'test'
+            FROM events WHERE ts >= TIMESTAMP '2024-07-01'
+        """,
+        "cast_schema": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+                   CAST(o_custkey AS INTEGER) AS o_custkey,
+                   o_orderstatus
+            FROM orders
+        """,
+        "knn_ann_retry": f"""
+            SELECT vec_id, label,
+                   ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6) AS distance
+            FROM embeddings WHERE vec_id % 100 = 0
+            ORDER BY distance ASC, vec_id ASC LIMIT 64
+        """,
         "registry_roundtrip": """
             SELECT c_custkey, c_mktsegment AS seg,
                    round(c_acctbal / 1000.0, 6) AS ratio

@@ -13,7 +13,7 @@ the storage layer, not by watermarks — ``core/hudi_engine.py:126-149``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
@@ -29,6 +29,8 @@ def insert_stream(
     checkpoint_dir: Optional[str] = None,
     write_options: Optional[Dict[str, Any]] = None,
     trigger: Optional[Dict[str, Any]] = None,
+    dedup_watermark: Optional[str] = None,
+    dedup_keys: Optional[Sequence[str]] = None,
 ) -> StreamingQuery:
     """Start a streaming upsert into a managed feature group.
 
@@ -37,12 +39,30 @@ def insert_stream(
     ``DataStreamWriter.trigger`` (e.g. ``{"availableNow": True}`` for
     the bounded-backfill materialization job pattern,
     ``engine/python.py:1411-1421``).
+
+    ``dedup_watermark`` (e.g. ``"10 minutes"``) enables the planned
+    SURVEY §2.8 enhancement: ``withWatermark(event_time) +
+    dropDuplicates`` upstream of the sink, so exact in-flight duplicates
+    are dropped BEFORE they cost a commit — state is bounded by the
+    watermark delay. Correctness never depends on it (the storage-level
+    upsert by record key already absorbs duplicates, matching the
+    reference); it is purely a write-amplification saver.
+    ``dedup_keys`` defaults to the record key (primary key + event
+    time).
     """
     if not df.isStreaming:
         raise ValueError(
             "insert_stream expects a streaming DataFrame; use fg.insert for batch"
         )
     store = fg.commit_store  # validates the FG is managed
+    if dedup_watermark:
+        if not fg.event_time:
+            raise ValueError("dedup_watermark requires the FG to declare event_time")
+        keys = list(
+            dedup_keys
+            or (fg.primary_key + [fg.event_time])
+        )
+        df = df.withWatermark(fg.event_time, dedup_watermark).dropDuplicates(keys)
     online = None
     if fg.online_enabled:
         from ..online.store import OnlineStore

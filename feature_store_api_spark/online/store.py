@@ -255,7 +255,15 @@ class OnlineStore:
         self, spark: SparkSession, key: Dict, return_type: str = "dict"
     ) -> Optional[Dict]:
         """Single lookup: ``WHERE pk1 = v1 AND pk2 = v2`` (prepared-
-        statement parity, serving_prepared_statement_fixtures.json:40)."""
+        statement parity, serving_prepared_statement_fixtures.json:40).
+
+        Prefers the driver-side pyarrow path (ms latency, zero Spark
+        jobs); falls back to the Spark plan when the key is unprunable
+        or the layout defeats a plain arrow read."""
+        if return_type == "dict":
+            fast = self._arrow_lookup([key])
+            if fast is not None:
+                return fast[0]
         df = self._pruned(spark, [key])
         cond = None
         for k in self.primary_key:
@@ -271,8 +279,108 @@ class OnlineStore:
     ) -> List[Optional[Dict]]:
         """Batch lookup: single-pk → ``IN`` list; composite pk → semi
         join on a literal frame. Results stitched back in request order
-        (parity ``core/online_store_sql_engine.py:337-437``)."""
+        (parity ``core/online_store_sql_engine.py:337-437``). Small
+        batches take the driver-side pyarrow path (no Spark job)."""
+        if len(keys) <= 1024:
+            fast = self._arrow_lookup(keys)
+            if fast is not None:
+                return fast
         return self.lookup(self._pruned(spark, keys), keys)
+
+    def _arrow_lookup(self, keys: List[Dict]) -> Optional[List[Optional[Dict]]]:
+        """Point/batch lookup WITHOUT Spark: the bucket of each key is
+        crc32-computable in Python (that is WHY the bucket hash is
+        crc32), so the read is (a) the matching ``base/_bucket=N``
+        directories and (b) the small delta pile, both through pyarrow
+        with the pk predicate pushed to row groups — the same pruning
+        the Spark plan does, minus the job-scheduling floor. The
+        newest-per-key resolve replays ``_resolve``'s total order
+        (event_time, precombine, arrival seq; nulls lowest) in pandas.
+
+        Returns None (→ Spark fallback) for unprunable key types or any
+        arrow-side surprise (e.g. schema widening mid-pile)."""
+        try:
+            import pyarrow.dataset as ds
+        except ImportError:  # pragma: no cover
+            return None
+        buckets = set()
+        for k in keys:
+            b = self._bucket_of(k)
+            if b is None:
+                return None
+            buckets.add(b)
+        if not self._exists():
+            raise FileNotFoundError(f"Online store empty at {self.location}")
+        try:
+            pk = self.primary_key
+            vals = {p: list({k[p] for k in keys}) for p in pk}
+
+            def _pk_filter():
+                f = None
+                for p in pk:
+                    e = ds.field(p).isin(vals[p])
+                    f = e if f is None else f & e
+                return f
+
+            # to_pylist gives python natives and None for nulls — the
+            # same value semantics as the Spark Row path (no pandas NaN
+            # / int→float coercion); widened-schema rows simply lack
+            # keys, which .get() maps to None like allowMissingColumns
+            rows: List[Dict] = []
+            columns: List[str] = []
+            for b in sorted(buckets):
+                part = os.path.join(self._base_path, f"{_BUCKET}={b}")
+                if self._has_parquet(part):
+                    t = ds.dataset(part, format="parquet").to_table(
+                        filter=_pk_filter()
+                    )
+                    rows.extend(t.to_pylist())
+                    columns = columns or t.column_names
+            if self._has_parquet(self._delta_path):
+                t = ds.dataset(self._delta_path, format="parquet").to_table(
+                    filter=_pk_filter() & ds.field(_BUCKET).isin(sorted(buckets))
+                )
+                rows.extend(t.to_pylist())
+                for c in t.column_names:
+                    if c not in columns:
+                        columns.append(c)
+            if not rows:
+                return [None] * len(keys)
+            order = (
+                ([self.event_time] if self.event_time else [])
+                + ([self.precombine_key] if self.precombine_key else [])
+                + [_SEQ]
+            )
+
+            def _sort_key(rec):
+                # ascending, nulls first (≡ pick-max desc_nulls_last);
+                # the 0 placeholder is only ever compared against other
+                # placeholders (the presence flag decides first)
+                return tuple(
+                    (v is not None, v if v is not None else 0)
+                    for v in (rec.get(c) for c in order)
+                )
+
+            rows.sort(key=_sort_key)
+            by_key: Dict = {}
+            for rec in rows:  # later (greater) rows overwrite → max wins
+                by_key[tuple(rec.get(p) for p in pk)] = rec
+            drop = {_SEQ, _BUCKET}
+            out: List[Optional[Dict]] = []
+            for k in keys:
+                rec = by_key.get(tuple(k[p] for p in pk))
+                if rec is None:
+                    out.append(None)
+                else:
+                    out.append(
+                        {c: rec.get(c) for c in columns if c not in drop}
+                    )
+            return out
+        except FileNotFoundError:
+            raise
+        except Exception:
+            # any layout/type surprise → let the Spark plan handle it
+            return None
 
     def lookup(self, df: DataFrame, keys: List[Dict]) -> List[Optional[Dict]]:
         """The IN / semi-join lookup against a given resolved snapshot —

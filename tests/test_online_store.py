@@ -139,3 +139,53 @@ def test_fs_sql_online_binds_latest_state(spark, tmp_path):
     online = fs.sql("SELECT uid, v FROM clicks", spark, online=True).collect()
     assert offline == 3  # full history
     assert {r["uid"]: r["v"] for r in online} == {1: 5.0, 2: 3.0}  # latest per key
+
+
+def test_arrow_lookup_matches_spark_and_runs_no_job(spark, store_dir):
+    """The pyarrow point-lookup path must (a) return exactly what the
+    Spark plan returns — latest per key across base ∪ delta with the
+    precombine/seq tie order — and (b) launch ZERO Spark jobs."""
+    import datetime as dt
+
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], event_time="ets",
+        num_buckets=8, auto_compact_every=None,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    rows = [(i, t0, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "uid long, ets timestamp, v double")
+    store.upsert(df)
+    store.compact(spark)  # base
+    # delta on top: update some keys, later event time; one null-ts row
+    upd = spark.createDataFrame(
+        [(3, t1, 300.0), (7, t1, 700.0), (3, None, -1.0)],
+        "uid long, ets timestamp, v double",
+    )
+    store.upsert(upd)
+
+    keys = [{"uid": 3}, {"uid": 7}, {"uid": 11}, {"uid": 9999}]
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    fast = store._arrow_lookup(keys)
+    assert tracker.getJobIdsForGroup(None) == before  # no Spark job
+    assert fast is not None
+
+    slow = store.lookup(store._pruned(spark, keys), keys)
+    assert len(fast) == len(slow) == 4
+    assert fast[3] is None and slow[3] is None
+    for f, s in zip(fast, slow):
+        if s is None:
+            assert f is None
+            continue
+        assert set(f) == set(s)
+        for c in s:
+            assert f[c] == s[c], c
+    # the null-ts duplicate must NOT beat the real event time
+    assert fast[0]["v"] == 300.0 and fast[1]["v"] == 700.0
+
+    # the public API routes through the fast path for dict returns
+    before = tracker.getJobIdsForGroup(None)
+    one = store.get_feature_vector(spark, {"uid": 3})
+    assert tracker.getJobIdsForGroup(None) == before
+    assert one["v"] == 300.0

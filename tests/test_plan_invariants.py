@@ -1,0 +1,132 @@
+"""Machine-checked physical-plan invariants for the headline operators.
+
+These are the `.explain("formatted")` audits from README pinned as
+tests, so a regression that silently adds a shuffle, drops a pushed
+filter, or sneaks Python into a JVM-only pipeline fails CI instead of
+the 100 TB run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark.sources.readers import read_parquet
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fused_multi_fg_pit_has_one_exchange(spark, sf_dir):
+    """N feature groups over shared keys = ONE hash exchange total."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join_many
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    f1 = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    f2 = orders.select(
+        F.col("o_custkey").alias("ck"), "o_orderdate",
+        F.col("o_totalprice").alias("p2"),
+    )
+    out = point_in_time_join_many(
+        spine,
+        [
+            {"df": f1, "feature_ts": "o_orderdate", "features": ["o_totalprice"], "prefix": "a_"},
+            {"df": f2, "feature_ts": "o_orderdate", "features": ["p2"], "prefix": "b_"},
+        ],
+        spine_keys_default=["ck"],
+        spine_ts="ts",
+    )
+    plan = _plan(out)
+    # AQE wraps the plan; count the shuffle exchanges it declares
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_single_fg_pit_sort_key_excludes_payload(spark, sf_dir):
+    """The window sort orders by (ts, side) only — the payload struct
+    must NOT appear in the Sort node (round-2's +60% regression)."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    out = point_in_time_join(
+        ev.select("event_id", F.col("user_id").alias("ck"), "ts"),
+        orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice"),
+        keys=["ck"], spine_ts="ts", feature_ts="o_orderdate",
+        features=["o_totalprice"], prefix="o_",
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Sort") or line.strip().startswith("Sort"):
+            assert "__cand" not in line, line
+
+
+def test_multi_join_broadcasts_dims_no_shuffle(spark, sf_dir):
+    """b2 shape: both dimension joins broadcast; zero shuffle exchanges."""
+    from feature_store_api_spark import testdata_catalog
+
+    cat = testdata_catalog(spark, sf_dir)
+    o, c, n = (cat.get_feature_group(x) for x in ("orders", "customer", "nation"))
+    q = (
+        o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        .join(c.select(["c_custkey", "c_name", "c_nationkey"]),
+              left_on=["o_custkey"], right_on=["c_custkey"])
+        .join(n.select(["n_name"]),
+              left_on=["c_nationkey"], right_on=["n_nationkey"], prefix="nat_")
+        .filter(o.o_totalprice > 100000)
+    )
+    plan = _plan(q.read(spark))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    """b1 shape: ReadSchema carries only the projected columns and the
+    filters reach the parquet scan."""
+    from feature_store_api_spark import testdata_catalog
+
+    cat = testdata_catalog(spark, sf_dir)
+    li = cat.get_feature_group("lineitem")
+    q = (
+        li.select(["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .filter((li.l_shipdate < "1996-01-01") & (li.l_discount >= 0.05))
+    )
+    plan = _plan(q.read(spark))
+    assert "PushedFilters" in plan and "l_discount" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_comment" not in read_schema[0]
+    assert "l_quantity" not in read_schema[0]
+
+
+def test_text_ops_have_no_python_stage(spark, sf_dir):
+    """Text analysis is pure Column expressions — no Arrow/Python eval
+    node may appear in the plan."""
+    from feature_store_api_spark.operators.text import analyze_documents
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(analyze_documents(d, "text", "doc_id"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_online_lookup_prunes_bucket_partitions(spark, tmp_path):
+    """A point lookup's Spark fallback plan prunes the base scan to the
+    key's bucket directory."""
+    from feature_store_api_spark.online.store import OnlineStore, _BUCKET
+
+    store = OnlineStore(
+        str(tmp_path), primary_key=["uid"], num_buckets=8,
+        auto_compact_every=None,
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").alias("uid"), (F.col("id") * 2.0).alias("v")
+    )
+    store.upsert(df)
+    store.compact(spark)
+    b = store._bucket_of({"uid": 7})
+    pruned = store._pruned(spark, [{"uid": 7}])
+    plan = _plan(pruned)
+    assert f"{_BUCKET} = {b}" in plan or f"{_BUCKET}#" in plan  # partition filter present

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from .constructor.query import Query
 from .feature_group import SpineGroup
 from .functions.event_time import to_epoch_millis
-from .operators.pit_join import point_in_time_join
+from .operators.pit_join import point_in_time_join_many
 from .operators.splits import random_split, split_labels, time_series_split
 
 
@@ -99,7 +99,16 @@ class FeatureView:
         if not left_fg.event_time:
             return self.query.read(spark)
 
+        # plain equi-joins apply first, PIT joins are collected and
+        # handed to point_in_time_join_many as one batch: when all PIT
+        # feature groups share the spine keys (the common FeatureView
+        # shape) that fuses them into ONE union + window — a single
+        # shuffle for the whole view instead of one per feature group.
+        # Every join only ADDS prefixed feature columns (keys always
+        # refer to spine/FG columns), so this regrouping cannot change
+        # the result.
         out = left_df
+        pit_specs = []
         for join in self.query.joins:
             sub = join.query
             fg = sub.left_feature_group
@@ -114,15 +123,15 @@ class FeatureView:
                     rdf = rdf.withColumnRenamed(rk, lk)
             feats = [f.name for f in sub.left_features if f.name not in keys]
             if fg.event_time:
-                out = point_in_time_join(
-                    out,
-                    rdf,
-                    keys=keys,
-                    spine_ts=left_fg.event_time,
-                    feature_ts=fg.event_time,
-                    features=[f for f in feats if f != fg.event_time],
-                    prefix=join.prefix,
-                    precombine=fg.precombine_key if hasattr(fg, "precombine_key") else None,
+                pit_specs.append(
+                    {
+                        "df": rdf,
+                        "keys": keys,
+                        "feature_ts": fg.event_time,
+                        "features": [f for f in feats if f != fg.event_time],
+                        "prefix": join.prefix,
+                        "precombine": getattr(fg, "precombine_key", None),
+                    }
                 )
             else:
                 sel = [(join.prefix + f) if join.prefix else f for f in feats]
@@ -134,6 +143,10 @@ class FeatureView:
                     ],
                 )
                 out = out.join(renamed, on=keys, how="left")
+        if pit_specs:
+            out = point_in_time_join_many(
+                out, pit_specs, spine_ts=left_fg.event_time
+            )
 
         logic = self.query.filters
         if logic is not None:

@@ -41,6 +41,13 @@ def latest_per_key(
     an arbitrary survivor where the window picks a deterministic one.
     Null ordering fields sort lowest under both strategies
     (``desc_nulls_last`` ≡ max-of-struct with nulls-smallest).
+
+    Choosing: when the caller can BOUND rows-per-key driver-side (the
+    commit store bounds it by merge-tail length, the online store by
+    its upserts-since-compaction counter), the window is both skew-safe
+    by construction and ~1.7× cheaper at benign skew (flat rows, no
+    per-row struct buffers — measured, BENCH b3/b7). Reserve ``agg``
+    for genuinely unbounded duplication.
     """
     order_cols = list(order_by) + list(tie_breakers)
     if strategy == "agg":

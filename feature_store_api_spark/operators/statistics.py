@@ -89,30 +89,38 @@ def describe(
                 basic.append(F.min(F.col(c)).alias(f"{c}__min"))
                 basic.append(F.max(F.col(c)).alias(f"{c}__max"))
 
-        row = src.agg(*basic).collect()[0].asDict()
+        # the distinct pass is independent of the scalar pass — submit it
+        # from a second thread so the two Spark jobs overlap (the
+        # scheduler interleaves their stages across cores; per-shape
+        # codegen compile, the dominant cost on short inputs, overlaps
+        # too). The percentile pass still waits on min/max from pass 1.
+        distinct_exprs = None
         if exact_distinct:
-            row.update(
-                src.agg(
-                    *[
-                        F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")
-                        for c in cols
-                    ]
-                ).collect()[0].asDict()
-            )
-            if approx_distinct:
-                for c in cols:
-                    row[f"{c}__approx_distinct"] = row[f"{c}__exact_distinct"]
+            distinct_exprs = [
+                F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")
+                for c in cols
+            ]
         elif approx_distinct:
-            row.update(
-                src.agg(
-                    *[
-                        F.approx_count_distinct(F.col(c)).alias(
-                            f"{c}__approx_distinct"
-                        )
-                        for c in cols
-                    ]
-                ).collect()[0].asDict()
+            distinct_exprs = [
+                F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct")
+                for c in cols
+            ]
+        fut = None
+        if distinct_exprs is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(
+                lambda: src.agg(*distinct_exprs).collect()[0].asDict()
             )
+            pool.shutdown(wait=False)
+
+        row = src.agg(*basic).collect()[0].asDict()
+        if fut is not None:
+            row.update(fut.result())
+        if exact_distinct and approx_distinct:
+            for c in cols:
+                row[f"{c}__approx_distinct"] = row[f"{c}__exact_distinct"]
         total = row["__total"]
 
         if num_cols and percentiles:

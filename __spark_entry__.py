@@ -1658,6 +1658,22 @@ def _q_cast_schema(spark, sf_dir):
     return cast_to_schema(o, feats)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the (engine-portable) MinHash pair
+    graph: transitive near-dups collapse to one cluster id = min doc_id
+    in the component — the survivor-selection step of a dedup
+    pipeline. Oracle = DuckDB recursive CTE over the same pairs."""
+    from feature_store_api_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_duplicate_pairs,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_duplicate_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
+    )
+    return duplicate_clusters(pairs)
+
+
 def _q_knn_ann_retry(spark, sf_dir):
     """Filtered ANN probe that starves the first bucket probe: the
     k-limit retry widens to the exhaustive scan, so the result equals
@@ -1707,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_statistics": _q_split_statistics,
         "cast_schema": _q_cast_schema,
         "knn_ann_retry": _q_knn_ann_retry,
+        "dedup_clusters": _q_dedup_clusters,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -1786,6 +1803,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_udf_stats": _q_custom_udf_stats,
         "on_demand_ingest": _q_on_demand_ingest,
     }
+
+
+_MINHASH_PAIRS_SQL = r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+                                           i -> substr(t, i + 1, 5))) AS s
+              FROM d
+            ),
+            h AS (
+              SELECT doc_id, j.i AS hi,
+                     min(CAST('0x' || substr(md5(s || chr(31) || CAST(j.i AS VARCHAR)), 1, 15) AS BIGINT)) AS m
+              FROM sh, range(0, 32) j(i)
+              GROUP BY doc_id, j.i
+            ),
+            sig AS (
+              SELECT doc_id, hi // 4 AS band, list(m ORDER BY hi) AS bucket
+              FROM h GROUP BY doc_id, hi // 4
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """
 
 
 def _ann_oracle_sql() -> str:
@@ -1873,6 +1917,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6) AS distance
             FROM embeddings WHERE vec_id % 100 = 0
             ORDER BY distance ASC, vec_id ASC LIMIT 64
+        """,
+        # connected components over the minhash pair graph: min doc_id
+        # reachable = cluster id (recursive CTE; UNION dedup bounds it)
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+            e AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.d, r.label FROM reach r JOIN e ON r.id = e.s
+            )
+            SELECT id AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "registry_roundtrip": """
             SELECT c_custkey, c_mktsegment AS seg,
@@ -2251,31 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         # mirrors dedup.minhash_signatures/minhash_lsh_duplicate_pairs
         # with hash_fn='md5_64': shingle size 5, 32 hashes, 8 bands of 4
         # rows; hash of (shingle,i) = 60-bit md5 prefix of shingle||US||i
-        "minhash_pairs": r"""
-            WITH d AS (
-              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
-              FROM documents WHERE text IS NOT NULL
-            ),
-            sh AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
-                                           i -> substr(t, i + 1, 5))) AS s
-              FROM d
-            ),
-            h AS (
-              SELECT doc_id, j.i AS hi,
-                     min(CAST('0x' || substr(md5(s || chr(31) || CAST(j.i AS VARCHAR)), 1, 15) AS BIGINT)) AS m
-              FROM sh, range(0, 32) j(i)
-              GROUP BY doc_id, j.i
-            ),
-            sig AS (
-              SELECT doc_id, hi // 4 AS band, list(m ORDER BY hi) AS bucket
-              FROM h GROUP BY doc_id, hi // 4
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sig a JOIN sig b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        """,
+        "minhash_pairs": _MINHASH_PAIRS_SQL,
         # mirrors dedup.simhash with hash_fn='md5_64': distinct 4-char
         # shingles of whitespace-collapsed lowercase text, 60-bit md5
         # hash, per-bit majority vote (strictly positive => bit set)

@@ -255,6 +255,71 @@ def minhash_lsh_duplicate_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate pairs → one canonical
+    cluster id per document: ``(id, cluster_id)`` with ``cluster_id``
+    = the smallest id in the component. This is the step a dedup
+    pipeline needs AFTER pair generation (MinHash/SimHash/embedding
+    LSH): transitive duplicates (A~B, B~C) must collapse into one
+    cluster so exactly one survivor per cluster is kept.
+
+    Iterative min-label propagation, all DataFrame ops: each round
+    joins labels across edges and takes the min neighbor label — one
+    shuffle per round, rounds = component diameter (near-dup clusters
+    are shallow: a chain of k near-identical docs has diameter ≤ k,
+    and LSH banding tends to connect them densely, so 3-5 rounds is
+    typical; pathological long chains would want the large-star/
+    small-star variant). ``localCheckpoint`` truncates the iterative
+    lineage each round so the plan does not grow with iterations.
+    Convergence is detected with a per-round changed-count aggregate
+    and the result is deterministic (min is order-insensitive).
+    """
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__nbr_min"), F.col("label")),
+                ).alias("label"),
+                (F.col("__nbr_min") < F.col("label")).alias("__chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

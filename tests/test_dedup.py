@@ -125,3 +125,25 @@ def test_latest_per_key_agg_plan_has_partial_aggregation(spark):
     plan = latest_per_key(df, ["k"], ["ts"], ["seq"], strategy="agg")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan  # map-side combine before the exchange
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B, B~C, D~E → {A,B,C} one cluster, {D,E} another; cluster id =
+    min member; long chain converges."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4}
+    # chain of 12 (diameter > a couple of rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(chain).collect()
+    }
+    assert set(got.values()) == {100} and len(got) == 13

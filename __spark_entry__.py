@@ -1658,6 +1658,26 @@ def _q_cast_schema(spark, sf_dir):
     return cast_to_schema(o, feats)
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing of the documents table into
+    2048-token context windows, in canonical doc_id order — the layout
+    step of an LLM training pipeline. The global prefix sum runs as the
+    scalable two-phase form (range partition + local cumsum + broadcast
+    partition offsets); the oracle is the plain window cumsum."""
+    from feature_store_api_spark.operators.packing import pack_documents
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda w: F.length(w) > 0
+    )
+    toks = d.select("doc_id", F.size(words).alias("n_tokens"))
+    out = pack_documents(toks, "n_tokens", "doc_id", budget=2048, num_partitions=8)
+    return out.select(
+        "doc_id", "n_tokens", "start_token", "pack_id", "pack_offset",
+        "spans_boundary",
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected components over the (engine-portable) MinHash pair
     graph: transitive near-dups collapse to one cluster id = min doc_id
@@ -1724,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_schema": _q_cast_schema,
         "knn_ann_retry": _q_knn_ann_retry,
         "dedup_clusters": _q_dedup_clusters,
+        "sequence_packing": _q_sequence_packing,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -1917,6 +1938,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6) AS distance
             FROM embeddings WHERE vec_id % 100 = 0
             ORDER BY distance ASC, vec_id ASC LIMIT 64
+        """,
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9'']+'),
+                                     x -> LENGTH(x) > 0)) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token,
+                   CAST(start_token // 2048 AS BIGINT) AS pack_id,
+                   CAST(start_token % 2048 AS BIGINT) AS pack_offset,
+                   (start_token % 2048) + n_tokens > 2048 AS spans_boundary
+            FROM t
         """,
         # connected components over the minhash pair graph: min doc_id
         # reachable = cluster id (recursive CTE; UNION dedup bounds it)

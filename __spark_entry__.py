@@ -1658,6 +1658,25 @@ def _q_cast_schema(spark, sf_dir):
     return cast_to_schema(o, feats)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language corpus rebalancing with the engine-portable md5
+    draw: the EXACT selected row set matches the oracle (not just
+    count bounds — same hash, same threshold, both engines)."""
+    from feature_store_api_spark.operators.splits import stratified_sample
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        key_cols=["doc_id"],
+        seed=13,
+        default_fraction=0.1,
+        hash_fn="md5_64",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def _q_sequence_packing(spark, sf_dir):
     """Concat-then-chunk sequence packing of the documents table into
     2048-token context windows, in canonical doc_id order — the layout
@@ -1745,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ann_retry": _q_knn_ann_retry,
         "dedup_clusters": _q_dedup_clusters,
         "sequence_packing": _q_sequence_packing,
+        "stratified_sample": _q_stratified_sample,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -1938,6 +1958,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6) AS distance
             FROM embeddings WHERE vec_id % 100 = 0
             ORDER BY distance ASC, vec_id ASC LIMIT 64
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15) AS BIGINT)
+                   % 1000000000) / 1000000000.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
         """,
         "sequence_packing": """
             WITH t AS (

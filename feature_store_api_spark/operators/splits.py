@@ -56,6 +56,51 @@ def random_split(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 13,
+    default_fraction: float = 0.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — rebalance a training corpus
+    by class (e.g. language) with an exact, reproducible row set.
+
+    The keep/drop draw is a uniform in [0,1) from a hash of
+    ``key_cols`` + ``seed``, compared against the stratum's fraction:
+    no per-partition RNG state, so the selected set is identical across
+    partitionings, retries, and engines. ``hash_fn='md5_64'`` uses the
+    md5-prefix hash other engines can reproduce byte-for-byte (the
+    correctness-oracle path; same trick as the MinHash operators);
+    ``'xxhash64'`` is the fast JVM path. One scan, no shuffle — the
+    filter pushes down like any predicate.
+    """
+    from .dedup import _md5_64
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+    )
+    if hash_fn == "md5_64":
+        h = _md5_64(key)  # non-negative 60-bit
+    else:
+        h = F.abs(F.xxhash64(key))
+    u = (h % F.lit(1_000_000_000)) / F.lit(1_000_000_000.0)
+    frac = None
+    for k, v in fractions.items():
+        clause = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v)))
+        frac = clause if frac is None else frac.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(v))
+        )
+    frac = (
+        frac.otherwise(F.lit(float(default_fraction)))
+        if frac is not None
+        else F.lit(float(default_fraction))
+    )
+    return df.where(u < frac)
+
+
 def time_series_split(
     df: DataFrame,
     event_time: str,

@@ -151,3 +151,28 @@ def test_get_batch_data_applies_transformations(spark, pit_fixtures):
     assert got[1] in (0.25, 0.5)  # 10/40 or 20/40 under injected range
     raw = fv.get_batch_data(spark, transformed=False)
     assert "bal" in raw.columns
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    from feature_store_api_spark.operators.splits import stratified_sample
+    from feature_store_api_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    kw = dict(strata_col="lang", fractions={"en": 0.6}, key_cols=["doc_id"],
+              seed=7, default_fraction=0.05)
+    s1 = stratified_sample(d, **kw)
+    s2 = stratified_sample(d, **kw)
+    assert s1.count() == s2.count()
+    assert s1.exceptAll(s2).count() == 0  # identical row set
+    # per-stratum fraction lands near target
+    import pyspark.sql.functions as F
+    tot = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    if tot.get("en", 0) >= 50:
+        assert 0.4 <= got.get("en", 0) / tot["en"] <= 0.8
+    # xxhash fast path also deterministic
+    f1 = stratified_sample(d, "lang", {"en": 0.6}, ["doc_id"], seed=7,
+                           default_fraction=0.05, hash_fn="xxhash64")
+    f2 = stratified_sample(d, "lang", {"en": 0.6}, ["doc_id"], seed=7,
+                           default_fraction=0.05, hash_fn="xxhash64")
+    assert f1.exceptAll(f2).count() == 0

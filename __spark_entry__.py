@@ -1658,6 +1658,29 @@ def _q_cast_schema(spark, sf_dir):
     return cast_to_schema(o, feats)
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end curation: quality gate (length + language) THEN
+    near-dup cluster survivor selection (keep the smallest doc_id of
+    each MinHash cluster) — the composed shape of a real training-data
+    curation run, oracle-checked through the recursive-CTE clusters."""
+    from feature_store_api_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_duplicate_pairs,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    gated = d.where(
+        (F.length("text") >= 100) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    pairs = minhash_lsh_duplicate_pairs(
+        gated, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
+    )
+    clusters = duplicate_clusters(pairs)
+    survivors = gated.join(clusters, on="doc_id", how="left").where(
+        F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -1765,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
+        "corpus_curation": _q_corpus_curation,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -1873,6 +1897,35 @@ _MINHASH_PAIRS_SQL = r"""
         """
 
 
+_GATED_PAIRS_SQL = _MINHASH_PAIRS_SQL.replace(
+    "FROM documents WHERE text IS NOT NULL",
+    "FROM documents WHERE text IS NOT NULL "
+    "AND LENGTH(text) >= 100 AND lang IN ('en','de','fr','es')",
+)
+
+_CURATION_SQL = f"""
+    WITH RECURSIVE gated AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE LENGTH(text) >= 100 AND lang IN ('en','de','fr','es')
+    ),
+    pairs AS ({_GATED_PAIRS_SQL}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN e ON r.id = e.s
+    ),
+    cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT g.doc_id, g.lang, g.source
+    FROM gated g LEFT JOIN cc ON g.doc_id = cc.id
+    WHERE cc.id IS NULL OR g.doc_id = cc.cluster_id
+"""
+
+
 def _ann_oracle_sql() -> str:
     """knn_ann oracle: replicates the seeded random-hyperplane LSH of
     operators/similarity.py (build_ann_index/find_neighbors_ann with
@@ -1959,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 100 = 0
             ORDER BY distance ASC, vec_id ASC LIMIT 64
         """,
+        "corpus_curation": _CURATION_SQL,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents
             WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15) AS BIGINT)

@@ -1658,6 +1658,14 @@ def _q_cast_schema(spark, sf_dir):
     return cast_to_schema(o, feats)
 
 
+def _q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals per document."""
+    from feature_store_api_spark.operators.text import repetition_metrics
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return repetition_metrics(d, "text", "doc_id")
+
+
 def _q_corpus_curation(spark, sf_dir):
     """End-to-end curation: quality gate (length + language) THEN
     near-dup cluster survivor selection (keep the smallest doc_id of
@@ -1789,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
+        "repetition_metrics": _q_repetition_metrics,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -2013,6 +2022,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY distance ASC, vec_id ASC LIMIT 64
         """,
         "corpus_curation": _CURATION_SQL,
+        "repetition_metrics": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'),
+                                 l -> LENGTH(TRIM(l)) > 0) AS lines,
+                     LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9'']+'),
+                                 w -> LENGTH(w) > 0) AS words
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     LEN(lines) AS n_lines,
+                     ROUND(CASE WHEN LEN(lines) > 0
+                           THEN 1.0 - LEN(LIST_DISTINCT(lines))::DOUBLE / LEN(lines)
+                           ELSE 0.0 END, 6) AS dup_line_ratio,
+                     LEN(words) AS n_words,
+                     ROUND(CASE WHEN LEN(words) > 0
+                           THEN 1.0 - LEN(LIST_DISTINCT(words))::DOUBLE / LEN(words)
+                           ELSE 0.0 END, 6) AS dup_word_ratio
+              FROM t
+            ),
+            wc AS (
+              SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, UNNEST(words) AS w FROM t)
+              GROUP BY doc_id, w
+            ),
+            top AS (
+              SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac
+              FROM wc GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_lines, b.dup_line_ratio, b.n_words,
+                   b.dup_word_ratio, COALESCE(top.top_word_frac, 0.0) AS top_word_frac
+            FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents
             WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15) AS BIGINT)

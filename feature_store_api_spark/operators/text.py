@@ -97,6 +97,67 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def repetition_metrics(df, text_col: str, id_col: str):
+    """Gopher/MassiveText-style repetition filters per document:
+    duplicate-line ratio, duplicate-word ratio, and the fraction of
+    tokens taken by the single most frequent word — the standard
+    signals for dropping boilerplate / spam / degenerate pages from a
+    training corpus.
+
+    Line and word dup ratios are pure Column expressions (array ops,
+    whole-stage codegen). The top-word fraction needs per-word counts,
+    so it runs as explode → groupBy(id, word) → groupBy(id) — partial
+    aggregation collapses repeated words map-side, and the final join
+    is on the id key. Tokenization uses the engine-portable
+    ``[a-z0-9']`` word class so the whole row is oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    words = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9']+"), lambda w: F.length(w) > 0
+    )
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    base = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(
+            F.when(
+                n_lines > 0,
+                1.0 - F.size(F.array_distinct(lines)) / n_lines,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_ratio"),
+        n_words.alias("n_words"),
+        F.round(
+            F.when(
+                n_words > 0,
+                1.0 - F.size(F.array_distinct(words)) / n_words,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_ratio"),
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(words).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.round((F.max("__c") / F.sum("__c")), 6).alias("top_word_frac")
+        )
+    )
+    return base.join(counts, on=id_col, how="left").select(
+        id_col,
+        "n_lines",
+        "dup_line_ratio",
+        "n_words",
+        "dup_word_ratio",
+        F.coalesce(F.col("top_word_frac"), F.lit(0.0)).alias("top_word_frac"),
+    )
+
+
 def _md5_64(col: Column) -> Column:
     """60-bit hash from the md5 hex prefix — exactly reproducible in
     other engines (DuckDB: ``CAST('0x' || substr(md5(x),1,15) AS

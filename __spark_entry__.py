@@ -1658,6 +1658,74 @@ def _q_cast_schema(spark, sf_dir):
     return cast_to_schema(o, feats)
 
 
+def _q_knn_batch(spark, sf_dir):
+    """Batch ANN: two query vectors scored against the LSH index in one
+    plan — the bulk-serving pattern (one index scan for M probes)."""
+    from feature_store_api_spark.operators.similarity import (
+        build_ann_index, find_neighbors_batch,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "label", "embedding")
+    idx = build_ann_index(e, "embedding", dim=_EMB_DIM)
+    out = find_neighbors_batch(
+        idx,
+        [("q1", [0.1] * _EMB_DIM), ("q2", [-0.2] * _EMB_DIM)],
+        col="embedding",
+        k=10,
+    )
+    return out.select("query_id", "vec_id", "label", "distance", "rank")
+
+
+def _ann_batch_oracle_sql() -> str:
+    """Oracle for knn_batch: same plane literals as the single-probe
+    ANN oracle, one ranked block per query vector."""
+    import random
+
+    dim, num_planes, seed = _EMB_DIM, 12, 7
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    terms = "\n               + ".join(
+        "(CASE WHEN list_inner_product(e, [%s]::DOUBLE[]) >= 0 THEN %d ELSE 0 END)"
+        % (",".join(repr(v) for v in p), 1 << i)
+        for i, p in enumerate(planes)
+    )
+
+    def qsig_of(q):
+        sig = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(q, p)) >= 0:
+                sig |= 1 << i
+        return sig
+
+    blocks = []
+    for qid, q in (("q1", [0.1] * dim), ("q2", [-0.2] * dim)):
+        qv = "[" + ",".join(repr(float(v)) for v in q) + "]::DOUBLE[]"
+        blocks.append(f"""
+            SELECT '{qid}' AS query_id, vec_id, label, distance, rank FROM (
+              SELECT vec_id, label,
+                     ROUND(-LIST_COSINE_SIMILARITY(e, {qv})::DOUBLE, 6) AS distance,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ROUND(-LIST_COSINE_SIMILARITY(e, {qv})::DOUBLE, 6) ASC,
+                                vec_id ASC
+                     ) AS rank
+              FROM s
+              WHERE bit_count(xor(bucket, CAST({qsig_of(q)} AS BIGINT))) <= 2
+            ) WHERE rank <= 10""")
+    union = "\n            UNION ALL".join(blocks)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ), s AS (
+          SELECT vec_id, label, e,
+                 CAST({terms} AS BIGINT) AS bucket
+          FROM v
+        )
+        {union}
+    """
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher-style repetition quality signals per document."""
     from feature_store_api_spark.operators.text import repetition_metrics
@@ -1798,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
         "repetition_metrics": _q_repetition_metrics,
+        "knn_batch": _q_knn_batch,
         # --- (2) r01-green rows whose underlying code changed in r02
         # (commit store strategy="agg", LSM online store, stats rework)
         # and r03 perf rework — need fresh verdicts ---
@@ -2022,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY distance ASC, vec_id ASC LIMIT 64
         """,
         "corpus_curation": _CURATION_SQL,
+        "knn_batch": _ann_batch_oracle_sql(),
         "repetition_metrics": r"""
             WITH t AS (
               SELECT doc_id,

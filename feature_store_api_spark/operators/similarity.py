@@ -205,6 +205,68 @@ def find_neighbors_ann_retry(
         h = min(num_planes, max(h * 2, h + 1))
 
 
+def find_neighbors_batch(
+    index_df: DataFrame,
+    queries: Sequence,
+    col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    num_planes: int = 12,
+    seed: int = 7,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Batch ANN: score M query vectors against the LSH index in ONE
+    plan (the bulk-scoring / batch-serving pattern — M sequential
+    probes would scan the index M times).
+
+    ``queries`` = [(query_id, vector), ...]. The query frame (tiny: M
+    rows of id + signature + vector) is broadcast; candidates survive
+    the per-query Hamming bucket predicate; the exact re-rank is a
+    row_number window per query_id ordered by (distance, row id) — one
+    scan of the index, one shuffle on query_id, results for all M
+    probes. Returns (query_id, <index columns>, distance, rank).
+    """
+    from pyspark.sql import Window
+
+    spark = index_df.sparkSession
+    rows = []
+    for qid, vec in queries:
+        rows.append((qid, _qsig(vec, num_planes, seed), [float(v) for v in vec]))
+    qdf = spark.createDataFrame(
+        rows, "query_id string, __qsig long, __qv array<double>"
+    )
+    cand = index_df.join(
+        F.broadcast(qdf),
+        F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qsig"))) <= max_hamming,
+    )
+    v = F.col(col)
+    qv = F.col("__qv")
+    if metric == "l2":
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, qv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    elif metric == "cosine":
+        dist = -(_dot(v, qv) / (_norm(v) * _norm(qv)))
+    elif metric == "dot":
+        dist = -_dot(v, qv)
+    else:
+        raise ValueError(f"Unknown similarity metric {metric!r}")
+    scored = cand.withColumn("distance", F.round(dist.cast("double"), 6))
+    order = [F.col("distance").asc()] + [
+        F.col(c).asc() for c in index_df.columns if c != "__bucket"
+    ][:1]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("__bucket", "__qsig", "__qv")
+    )
+
+
 def _qsig(embedding: Sequence[float], num_planes: int, seed: int) -> int:
     planes = _hyperplanes(len(embedding), num_planes, seed)
     qsig = 0

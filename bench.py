@@ -182,6 +182,39 @@ def b9_ann_topk(spark, sf_dir):
         idx.unpersist()
 
 
+def b10_corpus_curation(spark, sf_dir):
+    """Quality gate → MinHash pairs → connected-component clusters →
+    survivor selection (fast xxhash path; the oracle uses md5)."""
+    from feature_store_api_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_duplicate_pairs,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    gated = d.where(F.length("text") >= 100)
+    pairs = minhash_lsh_duplicate_pairs(gated, "text", "doc_id", num_hashes=64, bands=16)
+    clusters = duplicate_clusters(pairs)
+    survivors = gated.join(clusters, on="doc_id", how="left").where(
+        F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
+    )
+    _force(survivors.select("doc_id", "lang", "source"))
+
+
+def b11_knn_batch(spark, sf_dir):
+    """16 ANN probes in one plan (bulk scoring)."""
+    from feature_store_api_spark.operators.similarity import (
+        build_ann_index, find_neighbors_batch,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    idx = build_ann_index(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        "embedding", dim=dim,
+    )
+    qs = [(f"q{i}", [0.03 * (i % 7 + 1)] * dim) for i in range(16)]
+    find_neighbors_batch(idx, qs, col="embedding", k=10).collect()
+
+
 QUERIES = {
     "b1_scan_filter": b1_scan_filter,
     "b2_multi_join": b2_multi_join,
@@ -192,6 +225,8 @@ QUERIES = {
     "b7_stream_online": b7_stream_online,
     "b8_minhash_dedup": b8_minhash_dedup,
     "b9_ann_topk": b9_ann_topk,
+    "b10_corpus_curation": b10_corpus_curation,
+    "b11_knn_batch": b11_knn_batch,
 }
 
 

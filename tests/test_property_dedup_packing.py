@@ -1,0 +1,122 @@
+"""Property-based checks for the iterative/distributed round-3
+operators: duplicate clustering vs a brute-force union-find, sequence
+packing vs a sequential scan, and the fused multi-FG PIT vs the
+sequential per-FG joins."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    from feature_store_api_spark.operators.dedup import duplicate_clusters
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
+tokens_strategy = st.lists(st.integers(0, 500), min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tokens_strategy, st.integers(1, 4))
+def test_pack_documents_matches_sequential_scan(spark, tokens, nparts):
+    from feature_store_api_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(list(enumerate(tokens)), "doc_id long, n long")
+    out = {
+        r["doc_id"]: (r["start_token"], r["pack_id"], r["spans_boundary"])
+        for r in pack_documents(
+            df, "n", "doc_id", budget=700, num_partitions=nparts
+        ).collect()
+    }
+    acc = 0
+    for i, n in enumerate(tokens):
+        assert out[i] == (acc, acc // 700, acc % 700 + n > 700), i
+        acc += n
+
+
+pit_feat = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 4), st.integers(0, 99)),
+    min_size=0,
+    max_size=10,
+)
+pit_spine = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 4)), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pit_spine, pit_feat, pit_feat)
+def test_fused_multi_pit_equals_sequential(spark, spine_rows, f1_rows, f2_rows):
+    """The fused one-window multi-FG PIT must return exactly what the
+    sequential per-FG joins return, including on ties/duplicates."""
+    from feature_store_api_spark.operators.pit_join import (
+        _pit_union_window_many, point_in_time_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(d):
+        return base + dt.timedelta(days=d)
+
+    spine = spark.createDataFrame(
+        [(k, ts(d), i) for i, (k, d) in enumerate(spine_rows)],
+        "k long, ts timestamp, row_id long",
+    )
+    f1 = spark.createDataFrame(
+        [(k, ts(d), float(v)) for k, d, v in f1_rows] or [(99, ts(0), 0.0)],
+        "k long, fts timestamp, v double",
+    )
+    f2 = spark.createDataFrame(
+        [(k, ts(d), float(v)) for k, d, v in f2_rows] or [(99, ts(0), 0.0)],
+        "k long, gts timestamp, w double",
+    )
+    specs = [
+        {"df": f1, "feature_ts": "fts", "features": ["v"], "prefix": "a_"},
+        {"df": f2, "feature_ts": "gts", "features": ["w"], "prefix": "b_"},
+    ]
+    fused = _pit_union_window_many(spine, specs, ["k"], "ts")
+    seq = spine
+    for s in specs:
+        seq = point_in_time_join(
+            seq, s["df"], keys=["k"], spine_ts="ts",
+            feature_ts=s["feature_ts"], features=s["features"],
+            prefix=s["prefix"],
+        )
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, seq.collect()))
+    assert a == b

@@ -406,6 +406,66 @@ def find_neighbors_ivf(
     )
 
 
+def find_neighbors_ivf_batch(
+    index: IvfIndex,
+    queries: Sequence,
+    col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Batch IVF probe: M query vectors in ONE plan. Cell ranking per
+    query happens driver-side (|centroids| tiny); the broadcast query
+    frame carries each query's probe-cell list, candidates survive an
+    ``array_contains`` on their cell, and the exact re-rank is a
+    row_number window per query_id — one index scan for all probes."""
+    from pyspark.sql import Window
+
+    spark = index.df.sparkSession
+
+    def d2(c, q):
+        return sum(x * x for x in c) - 2.0 * sum(a * b for a, b in zip(q, c))
+
+    rows = []
+    for qid, vec in queries:
+        order = sorted(
+            range(len(index.centroids)),
+            key=lambda i: (d2(index.centroids[i], vec), i),
+        )
+        rows.append((qid, order[:nprobe], [float(v) for v in vec]))
+    qdf = spark.createDataFrame(
+        rows, "query_id string, __cells array<int>, __qv array<double>"
+    )
+    cand = index.df.join(
+        F.broadcast(qdf), F.array_contains(F.col("__cells"), F.col("__cell"))
+    )
+    v, qv = F.col(col), F.col("__qv")
+    if metric == "l2":
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, qv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    elif metric == "cosine":
+        dist = -(_dot(v, qv) / (_norm(v) * _norm(qv)))
+    elif metric == "dot":
+        dist = -_dot(v, qv)
+    else:
+        raise ValueError(f"Unknown similarity metric {metric!r}")
+    scored = cand.withColumn("distance", F.round(dist.cast("double"), 6))
+    first_id = [c for c in index.df.columns if c != "__cell"][:1]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), *[F.col(c).asc() for c in first_id]
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("__cell", "__cells", "__qv")
+    )
+
+
 def find_neighbors_ivf_retry(
     index: IvfIndex,
     embedding: Sequence[float],

@@ -68,3 +68,37 @@ def test_retry_caps_at_exhaustive(emb):
         idx, q, col="embedding", k=8, num_planes=10, max_hamming=0, filter=flt
     )
     assert out.count() == 3
+
+
+def test_batch_probes_match_single_probes(emb):
+    """Batch LSH and batch IVF must return exactly the per-query single
+    probes' results (same candidates, same ranking)."""
+    qs = [("a", [0.1] * 16), ("b", [-0.3] * 16), ("c", [0.25] * 16)]
+
+    idx = sim.build_ann_index(emb, "embedding", dim=16, num_planes=10)
+    batch = sim.find_neighbors_batch(
+        idx, qs, col="embedding", k=5, num_planes=10
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["distance"]))
+    for qid, vec in qs:
+        single = sim.find_neighbors_ann(
+            idx, vec, col="embedding", k=5, num_planes=10
+        ).collect()
+        assert sorted(by_q.get(qid, [])) == sorted(
+            (r["vec_id"], r["distance"]) for r in single
+        ), qid
+
+    ivf = sim.build_ivf_index(emb, "embedding", id_col="vec_id", num_centroids=8)
+    ibatch = sim.find_neighbors_ivf_batch(ivf, qs, col="embedding", k=5, nprobe=3)
+    by_q = {}
+    for r in ibatch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["distance"]))
+    for qid, vec in qs:
+        single = sim.find_neighbors_ivf(
+            ivf, vec, col="embedding", k=5, nprobe=3
+        ).collect()
+        assert sorted(by_q.get(qid, [])) == sorted(
+            (r["vec_id"], r["distance"]) for r in single
+        ), qid

@@ -220,10 +220,17 @@ class FeatureView:
         return x_train, x_test, y_train, y_test
 
     # -- online serving (parity feature_view.py:286, vector_server.py) -----
-    def init_serving(self, spark: SparkSession, training_df: Optional[DataFrame] = None):
+    def init_serving(
+        self,
+        spark: SparkSession,
+        training_df: Optional[DataFrame] = None,
+        pin_snapshots: bool = True,
+    ):
         from .online.serving import VectorServer
 
-        self._vector_server = VectorServer(self).init_serving(spark, training_df)
+        self._vector_server = VectorServer(self).init_serving(
+            spark, training_df, pin_snapshots=pin_snapshots
+        )
         return self._vector_server
 
     def get_feature_vector(self, spark: SparkSession, entry, **kw):

@@ -38,11 +38,24 @@ class VectorServer:
         self._initialized = False
 
     # -- setup (parity vector_server.py:133-188) ---------------------------
-    def init_serving(self, spark: SparkSession, training_df=None) -> "VectorServer":
+    def init_serving(
+        self,
+        spark: SparkSession,
+        training_df=None,
+        pin_snapshots: bool = True,
+    ) -> "VectorServer":
         """Resolve per-FG online stores + serving-key maps; precompute
         the statistics every statistics-bound transformation needs
         (on ``training_df`` when given — the train split — else on the
-        view's batch data)."""
+        view's batch data).
+
+        ``pin_snapshots=True`` (default) persists each FG's resolved
+        latest state in executor memory — snapshot-isolated serving,
+        lookups filter the cached frame. ``pin_snapshots=False`` serves
+        LIVE state through the store's driver-side pyarrow lookups
+        (the reference's model: the online DB is always live): combined
+        with the pandas transformation fast path, a whole single-vector
+        request then completes in milliseconds with ZERO Spark jobs."""
         q = self.fv.query
         left_fg = q.left_feature_group
         left_feats = [f.name for f in q.left_features]
@@ -76,10 +89,11 @@ class VectorServer:
         # statements + connection pool resolved once at init,
         # vector_server.py:133-188). Re-run init_serving to pick up
         # upserts written after this point.
-        for plan in self._plans:
-            snap = plan["store"].read(spark).persist()
-            snap.count()  # materialize now, not on the first request
-            plan["df"] = snap
+        if pin_snapshots:
+            for plan in self._plans:
+                snap = plan["store"].read(spark).persist()
+                snap.count()  # materialize now, not on the first request
+                plan["df"] = snap
         tfs = self.fv.transformation_functions
         if tfs:
             from ..functions.udf import (
@@ -181,7 +195,12 @@ class VectorServer:
             keys = [
                 {pk: e[sk] for sk, pk in plan["keymap"].items()} for e in entries
             ]
-            hits = plan["store"].lookup(plan["df"], keys)
+            if plan.get("df") is not None:
+                hits = plan["store"].lookup(plan["df"], keys)
+            else:
+                # live mode (pin_snapshots=False): store-direct lookup,
+                # which prefers the jobless pyarrow path
+                hits = plan["store"].get_feature_vectors(spark, keys)
             for i, hit in enumerate(hits):
                 if hit is None:
                     continue

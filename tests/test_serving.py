@@ -233,3 +233,36 @@ def test_list_return_type_matches_training_order(spark, served):
         spark, [{"user_id": 999999}], return_type="list"
     )
     assert ls == [None]
+
+
+def test_live_serving_full_request_runs_no_spark_job(spark, served):
+    """pin_snapshots=False + pandas transforms: a complete single-vector
+    request (lookup through pyarrow + driver-side transform) launches
+    ZERO Spark jobs and returns the same vector as pinned mode."""
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    fv_pinned = FeatureView(
+        "sv_live_a", served["q"],
+        transformation_functions=[min_max_scaler("value")],
+    )
+    pinned = fv_pinned.init_serving(spark, training_df=served["ev"])
+    want = pinned.get_feature_vector(spark, {"user_id": 3})
+
+    fv_live = FeatureView(
+        "sv_live_b", served["q"],
+        transformation_functions=[min_max_scaler("value")],
+    )
+    live = fv_live.init_serving(
+        spark, training_df=served["ev"], pin_snapshots=False
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    got = live.get_feature_vector(spark, {"user_id": 3})
+    assert tracker.getJobIdsForGroup(None) == before  # zero jobs end-to-end
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c]) if isinstance(want[c], float) else got[c] == want[c], c
+    # misses still surface as None in live mode
+    assert live.get_feature_vector(spark, {"user_id": 999999}) is None

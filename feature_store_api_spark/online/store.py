@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import warnings
 import zlib
 from typing import Dict, List, Optional, Sequence
 
@@ -44,6 +45,12 @@ from ..operators.dedup import latest_per_key
 
 _SEQ = "_online_seq"
 _BUCKET = "_online_bucket"
+
+# once-per-process flag: the arrow→Spark degradation is availability-
+# preserving but must not be SILENT — a permanent arrow-path breakage
+# (e.g. a filter type pyarrow can't push) would otherwise quietly turn
+# every ms-latency lookup into a Spark job with zero signal
+_ARROW_FALLBACK_WARNED = False
 
 
 def _portable_str(v) -> Optional[str]:
@@ -73,6 +80,9 @@ class OnlineStore:
         self.event_time = event_time
         self.precombine_key = precombine_key
         self.auto_compact_every = auto_compact_every
+        # observability: how many times _arrow_lookup degraded to the
+        # Spark fallback on this instance (see _ARROW_FALLBACK_WARNED)
+        self.arrow_fallback_count = 0
         os.makedirs(location, exist_ok=True)
         # bucket count must stay stable for the life of the table: a
         # sidecar records it at creation and wins over the ctor arg
@@ -162,11 +172,13 @@ class OnlineStore:
             _BUCKET, self._bucket_expr()
         )
         batch.write.mode("append").parquet(self._delta_path)
-        if (
-            self.auto_compact_every
-            and self._counter("_upserts_since_compact", bump=True)
-            >= self.auto_compact_every
-        ):
+        # bump unconditionally: _resolve keys its window-vs-agg strategy
+        # choice off this counter, so with auto-compaction DISABLED the
+        # counter must still track the (now unbounded) delta tail —
+        # otherwise a permanently-zero counter would keep picking the
+        # window path in exactly the case the skew-immune agg exists for
+        since = self._counter("_upserts_since_compact", bump=True)
+        if self.auto_compact_every and since >= self.auto_compact_every:
             self.compact(df.sparkSession)
 
     def compact(self, spark: SparkSession) -> None:
@@ -335,7 +347,13 @@ class OnlineStore:
                         filter=_pk_filter()
                     )
                     rows.extend(t.to_pylist())
-                    columns = columns or t.column_names
+                    # union across buckets: schema widening can leave a
+                    # new column present in some buckets only; keeping
+                    # just the first bucket's names would silently drop
+                    # it (the Spark path reads with mergeSchema=true)
+                    for c in t.column_names:
+                        if c not in columns:
+                            columns.append(c)
             if self._has_parquet(self._delta_path):
                 t = ds.dataset(self._delta_path, format="parquet").to_table(
                     filter=_pk_filter() & ds.field(_BUCKET).isin(sorted(buckets))
@@ -346,8 +364,13 @@ class OnlineStore:
                         columns.append(c)
             if not rows:
                 return [None] * len(keys)
+            # EXACTLY _resolve's order: order_by = event_time or [_SEQ],
+            # then ties = (precombine, _SEQ). With precombine set and no
+            # event_time, arrival sequence must decide FIRST (latest
+            # upsert wins) — putting precombine first here would make
+            # serving disagree with batch reads (training-serving skew).
             order = (
-                ([self.event_time] if self.event_time else [])
+                ([self.event_time] if self.event_time else [_SEQ])
                 + ([self.precombine_key] if self.precombine_key else [])
                 + [_SEQ]
             )
@@ -378,8 +401,20 @@ class OnlineStore:
             return out
         except FileNotFoundError:
             raise
-        except Exception:
-            # any layout/type surprise → let the Spark plan handle it
+        except Exception as exc:
+            # any layout/type surprise → let the Spark plan handle it,
+            # but SAY SO: count every degradation, warn once per process
+            global _ARROW_FALLBACK_WARNED
+            self.arrow_fallback_count += 1
+            if not _ARROW_FALLBACK_WARNED:
+                _ARROW_FALLBACK_WARNED = True
+                warnings.warn(
+                    "online-store arrow lookup degraded to the Spark "
+                    f"fallback ({type(exc).__name__}: {exc}); further "
+                    "lookups on this layout will pay Spark job latency",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return None
 
     def lookup(self, df: DataFrame, keys: List[Dict]) -> List[Optional[Dict]]:

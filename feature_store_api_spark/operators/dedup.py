@@ -258,6 +258,7 @@ def minhash_lsh_duplicate_pairs(
 def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Connected components over duplicate pairs → one canonical
     cluster id per document: ``(id, cluster_id)`` with ``cluster_id``
@@ -266,16 +267,27 @@ def duplicate_clusters(
     LSH): transitive duplicates (A~B, B~C) must collapse into one
     cluster so exactly one survivor per cluster is kept.
 
-    Iterative min-label propagation, all DataFrame ops: each round
-    joins labels across edges and takes the min neighbor label — one
-    shuffle per round, rounds = component diameter (near-dup clusters
-    are shallow: a chain of k near-identical docs has diameter ≤ k,
-    and LSH banding tends to connect them densely, so 3-5 rounds is
-    typical; pathological long chains would want the large-star/
-    small-star variant). ``localCheckpoint`` truncates the iterative
-    lineage each round so the plan does not grow with iterations.
-    Convergence is detected with a per-round changed-count aggregate
-    and the result is deterministic (min is order-insensitive).
+    ``algorithm="min_label"`` (default): iterative min-label
+    propagation, all DataFrame ops. Each round is TWO shuffles — one
+    join of labels across edges, one ``groupBy(id).min(label)`` over
+    (neighbor candidates ∪ current labels) — and rounds = component
+    diameter (near-dup clusters are shallow: LSH banding connects them
+    densely, so 3-5 rounds is typical). Convergence is exact and free:
+    labels only ever decrease, so ``sum(label)`` is strictly monotone
+    until the fixpoint — an unchanged sum (one tiny agg over the
+    checkpointed round output, no extra join and no separate changed
+    scan) IS convergence.
+
+    ``algorithm="two_phase"``: alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm), converging in O(log n) rounds independent of
+    component diameter — the right choice for pathological long-chain
+    graphs where min-label would need diameter rounds.
+
+    ``localCheckpoint`` truncates the iterative lineage each round so
+    the plan does not grow with iterations; both variants RAISE if the
+    iteration cap is hit before the fixpoint (an unconverged labeling
+    silently keeps transitive duplicates — fail loudly instead).
     """
     edges = pairs.select(
         F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
@@ -287,36 +299,128 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if algorithm == "two_phase":
+        return _cc_two_phase(edges, max_iterations)
+    if algorithm != "min_label":
+        raise ValueError(f"Unknown clustering algorithm {algorithm!r}")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = object()  # sentinel: no round has completed yet
+    converged = False
     for _ in range(max_iterations):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("__nbr_min"))
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"), F.col("label")
         )
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                F.col("id"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("__nbr_min"), F.col("label")),
-                ).alias("label"),
-                (F.col("__nbr_min") < F.col("label")).alias("__chg"),
-            )
+        labels = (
+            nbr.unionByName(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        # decimal(38,0): exact (no long overflow) for any realistic id
+        # space; the agg runs over the just-checkpointed partitions
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "iterations (component diameter exceeds the cap); returning "
+            "partial labels would silently keep transitive duplicates — "
+            "raise max_iterations or use algorithm='two_phase'"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_two_phase(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star connected components (public algorithm:
+    Kiveris et al. 2014). Operates on a symmetric distinct edge set;
+    each round is one large-star then one small-star, each = one
+    groupBy + one join; the edge set converges to stars centered at
+    each component's minimum id in O(log n) rounds regardless of
+    diameter. Convergence is checked EXACTLY: the round output is a
+    distinct oriented (big→small) edge set, so equal counts plus an
+    empty ``exceptAll`` against the previous round's set ⟺ set
+    equality ⟺ fixpoint. Both sides are localCheckpointed, so the
+    check runs over cached partitions, and the count gate skips the
+    except entirely on non-converged rounds.
+    """
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    # oriented representation: (u, v) with u > v ("u points to v")
+    e = (
+        edges.where(F.col("src") > F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    converged = False
+    for _ in range(max_iterations):
+        # -- large-star: for each u, m = min(N(u) ∪ {u}); link every
+        # strictly-larger neighbor v > u to m
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: on (u > v) edges, m = min(v); link u and each
+        # smaller neighbor v to m
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        with_m = large.join(mins2, "src")
+        small = (
+            with_m.select(F.col("src"), F.col("m").alias("dst"))
+            .unionByName(
+                with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev_e, e = e, small
+        n = e.count()
+        if (
+            prev_fp is not None
+            and n == prev_fp
+            and e.exceptAll(prev_e).limit(1).count() == 0
+        ):
+            converged = True
+            break
+        prev_fp = n
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters(two_phase) did not converge within "
+            f"{max_iterations} rounds — raise max_iterations"
+        )
+    # fixpoint edges are stars (node → component min); isolated-in-e
+    # nodes (the roots themselves) label as their own id
+    stars = e.groupBy("src").agg(F.min("dst").alias("label"))
+    return (
+        nodes.join(stars, nodes["id"] == stars["src"], "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
     )
 
 

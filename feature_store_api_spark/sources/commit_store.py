@@ -329,10 +329,26 @@ class CommitStore:
         vacuumed = [c["commit_time"] for c in log if c.get("vacuumed")]
         if vacuumed:
             vmax = max(vacuumed)
-            if start_commit is None and end_commit is not None and end_commit <= vmax:
+            # the retention floor is the oldest SURVIVING commit (after a
+            # vacuum that is the anchor base): any as_of strictly before
+            # it has no base to read from — even if it is later than the
+            # newest vacuumed commit (the gap between max(vacuumed) and
+            # the anchor can span days). Guarding only on end <= vmax
+            # would let such reads silently return an empty snapshot.
+            surviving = [
+                c["commit_time"] for c in log if not c.get("vacuumed")
+            ]
+            floor = min(surviving) if surviving else None
+            if (
+                start_commit is None
+                and end_commit is not None
+                and (floor is None or end_commit < floor)
+            ):
                 raise ValueError(
-                    f"Cannot time-travel to commit {end_commit}: history up "
-                    f"to {vmax} was vacuumed (out of retention)"
+                    f"Cannot time-travel to commit {end_commit}: history "
+                    f"before the retention floor "
+                    f"{floor if floor is not None else '(all commits)'} was "
+                    f"vacuumed (out of retention)"
                 )
             lost = [
                 c["commit_time"]

@@ -339,3 +339,39 @@ def test_vacuum_retention(spark, tmp_path):
         end_commit=commits[24].commit_time,
     )
     assert changed.count() == 4  # ids re-upserted in (22, 24]
+
+
+def test_vacuum_gap_before_anchor_raises_not_empty(spark, tmp_path):
+    """as_of(t) with t strictly BETWEEN the newest vacuumed commit and
+    the anchor base (a gap that can span days of wall time) must raise:
+    the base that would serve it was vacuumed, so silently returning an
+    empty snapshot would corrupt time-travel training reads."""
+    import pytest as _pytest
+    from feature_store_api_spark.sources.commit_store import CommitStore
+
+    store = CommitStore(str(tmp_path), primary_key=["id"], auto_compact_every=None)
+    c0 = store.write(
+        spark.createDataFrame([(1, 0)], "id long, v long"), compute_stats=False
+    )
+    c1 = store.write(
+        spark.createDataFrame([(1, 1)], "id long, v long"), compute_stats=False
+    )
+    store.compact(spark)
+    c2 = store.write(
+        spark.createDataFrame([(1, 2)], "id long, v long"), compute_stats=False
+    )
+    import time as _time
+
+    _time.sleep(0.05)  # guarantee a real ms gap below the next commit
+    base = store.compact(spark)  # second base = future vacuum anchor
+    removed = store.vacuum(retain_hours=0.0, now_ms=base.commit_time + 1)
+    assert removed and max(removed) < base.commit_time
+
+    # t in the open gap (max(vacuumed), anchor): no surviving base <= t
+    gap_t = base.commit_time - 1
+    assert gap_t > max(removed)
+    with _pytest.raises(ValueError, match="retention"):
+        store.snapshot(spark, end_commit=gap_t)
+    # exactly at / after the anchor still reads fine
+    got = {r["id"]: r["v"] for r in store.snapshot(spark, end_commit=base.commit_time).collect()}
+    assert got == {1: 2}

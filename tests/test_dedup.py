@@ -147,3 +147,39 @@ def test_duplicate_clusters_transitive(spark):
         for r in dedup.duplicate_clusters(chain).collect()
     }
     assert set(got.values()) == {100} and len(got) == 13
+
+
+def test_duplicate_clusters_two_phase_matches_min_label(spark):
+    """large-star/small-star must agree with min-label propagation —
+    including on a 120-node chain whose diameter (120) far exceeds the
+    two-phase round budget (O(log n))."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(200, 320)]  # chain, diameter 120
+    edges += [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(40)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    two = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            pairs, algorithm="two_phase", max_iterations=15
+        ).collect()
+    }
+    ml = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, max_iterations=200).collect()
+    }
+    assert two == ml
+    assert two[320] == 200  # chain collapses to its min
+
+
+def test_duplicate_clusters_raises_on_iteration_cap(spark):
+    """Exiting on max_iterations without convergence must raise — an
+    unconverged labeling silently keeps transitive duplicates."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_clusters(chain, max_iterations=3)

@@ -189,3 +189,122 @@ def test_arrow_lookup_matches_spark_and_runs_no_job(spark, store_dir):
     one = store.get_feature_vector(spark, {"uid": 3})
     assert tracker.getJobIdsForGroup(None) == before
     assert one["v"] == 300.0
+
+
+def test_arrow_lookup_precombine_without_event_time_matches_spark(spark, store_dir):
+    """With a precombine key but NO event time, the resolve order is
+    arrival-sequence-first (latest upsert wins) — the arrow path must
+    mirror the Spark path exactly or serving diverges from training."""
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], event_time=None,
+        precombine_key="ver", num_buckets=4, auto_compact_every=None,
+    )
+    # first upsert carries the HIGHER precombine value: a precombine-
+    # first order would wrongly keep it; arrival order keeps the second
+    store.upsert(spark.createDataFrame([(1, 9, "first")], "uid long, ver long, v string"))
+    store.upsert(spark.createDataFrame([(1, 2, "second")], "uid long, ver long, v string"))
+
+    slow = store.lookup(store._pruned(spark, [{"uid": 1}]), [{"uid": 1}])
+    fast = store._arrow_lookup([{"uid": 1}])
+    assert slow[0]["v"] == "second"
+    assert fast is not None and fast[0]["v"] == "second"
+
+    # within ONE batch (same seq) the precombine key is the tiebreak
+    store.upsert(spark.createDataFrame(
+        [(2, 1, "low"), (2, 5, "high")], "uid long, ver long, v string"
+    ))
+    slow = store.lookup(store._pruned(spark, [{"uid": 2}]), [{"uid": 2}])
+    fast = store._arrow_lookup([{"uid": 2}])
+    assert slow[0]["v"] == "high" and fast[0]["v"] == "high"
+
+
+def test_upsert_counter_tracks_tail_with_autocompact_disabled(spark, store_dir):
+    """The window-vs-agg strategy choice reads _upserts_since_compact;
+    it must keep counting when auto-compaction is off (the unbounded-
+    tail case is exactly when the skew-immune agg path matters)."""
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], num_buckets=4, auto_compact_every=None,
+    )
+    for i in range(3):
+        store.upsert(spark.createDataFrame([(1, i)], "uid long, v long"))
+    assert store._counter("_upserts_since_compact") == 3
+    # compaction resets the tail
+    store.compact(spark)
+    assert store._counter("_upserts_since_compact") == 0
+
+
+def test_arrow_lookup_unions_columns_across_base_buckets(spark, store_dir):
+    """Schema widening can leave a column present only in later-scanned
+    base buckets; the arrow path must take the union of bucket schemas
+    (the Spark path reads with mergeSchema=true)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], num_buckets=4, auto_compact_every=None,
+    )
+    # two keys in different buckets
+    k_narrow = k_wide = None
+    for cand in range(100):
+        b = store._bucket_of({"uid": cand})
+        if k_narrow is None:
+            k_narrow, b_narrow = cand, b
+        elif b != b_narrow:
+            k_wide, b_wide = cand, b
+            break
+    assert b_narrow < b_wide  # narrow bucket scanned first
+
+    def _write(bucket, rows, schema):
+        d = os.path.join(store._base_path, f"{_BUCKET}={bucket}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table(rows, schema=schema), os.path.join(d, "part0.parquet"))
+
+    _write(
+        b_narrow,
+        {"uid": [k_narrow], "v": [10], "_online_seq": [1]},
+        pa.schema([("uid", pa.int64()), ("v", pa.int64()), ("_online_seq", pa.int64())]),
+    )
+    _write(
+        b_wide,
+        {"uid": [k_wide], "v": [20], "extra": ["x"], "_online_seq": [1]},
+        pa.schema([
+            ("uid", pa.int64()), ("v", pa.int64()),
+            ("extra", pa.string()), ("_online_seq", pa.int64()),
+        ]),
+    )
+    out = store._arrow_lookup([{"uid": k_narrow}, {"uid": k_wide}])
+    assert out is not None
+    assert out[0] == {"uid": k_narrow, "v": 10, "extra": None}
+    assert out[1] == {"uid": k_wide, "v": 20, "extra": "x"}
+
+
+def test_arrow_fallback_warns_once_and_counts(spark, store_dir, monkeypatch):
+    """A degraded arrow path must not be silent: once-per-process
+    RuntimeWarning + a per-store counter, and the Spark fallback still
+    returns the correct row."""
+    import warnings
+
+    import pyarrow.dataset as ds
+
+    import feature_store_api_spark.online.store as mod
+
+    store = OnlineStore(
+        store_dir, primary_key=["uid"], num_buckets=4, auto_compact_every=None,
+    )
+    store.upsert(spark.createDataFrame([(7, 70)], "uid long, v long"))
+
+    def boom(*a, **k):
+        raise RuntimeError("forced arrow failure")
+
+    monkeypatch.setattr(ds, "dataset", boom)
+    monkeypatch.setattr(mod, "_ARROW_FALLBACK_WARNED", False)
+    with pytest.warns(RuntimeWarning, match="degraded"):
+        got = store.get_feature_vector(spark, {"uid": 7})
+    assert got["v"] == 70  # Spark fallback served it
+    assert store.arrow_fallback_count == 1
+    # second degradation: counted, but no second process-level warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = store.get_feature_vector(spark, {"uid": 7})
+    assert got["v"] == 70
+    assert store.arrow_fallback_count == 2

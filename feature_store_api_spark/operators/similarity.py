@@ -184,7 +184,11 @@ def find_neighbors_ann_retry(
 
     Each retry is one more pruned probe (cheap with a bucket-partitioned
     index); retries only happen when the thin-bucket case actually
-    occurs, so the common path stays single-probe."""
+    occurs, so the common path stays single-probe. The convergence check
+    persists the scored candidate frame and counts THAT — one scan total:
+    the returned top-k reads the cached candidates, so the caller's
+    action does not re-run the probe (the candidate set is small by
+    construction — that is what the bucket pruning is for)."""
     qsig = _qsig(embedding, num_planes, seed)
     h = max_hamming
     while True:
@@ -194,14 +198,17 @@ def find_neighbors_ann_retry(
         if filter is not None:
             cand = cand.where(filter)
         dist = distance_expr(F.col(col), embedding, metric)
-        out = (
-            cand.withColumn("distance", F.round(dist.cast("double"), 6))
-            .orderBy(F.col("distance").asc())
-            .limit(k)
-            .drop("__bucket")
-        )
-        if h >= num_planes or out.count() >= k:
-            return out
+        scored = cand.withColumn(
+            "distance", F.round(dist.cast("double"), 6)
+        ).persist()
+        n = scored.count()  # the ONE probe scan; materializes the cache
+        if h >= num_planes or n >= k:
+            return (
+                scored.orderBy(F.col("distance").asc())
+                .limit(k)
+                .drop("__bucket")
+            )
+        scored.unpersist()
         h = min(num_planes, max(h * 2, h + 1))
 
 
@@ -345,33 +352,70 @@ class IvfIndex:
         self.centroids = centroids
 
 
-def build_ivf_index(
-    df: DataFrame, col: str, id_col: str = "vec_id", num_centroids: int = 16
-) -> IvfIndex:
-    """IVF-Flat build. The coarse quantizer is a DETERMINISTIC sample —
-    the vectors with the smallest ids — rather than k-means: fully
-    reproducible across engines and runs (an oracle can re-derive it),
-    and at pipeline scale the sample is as good a Voronoi seed as any
-    single k-means pass on skewless embedding data.
-
-    Assignment = argmin over centroids of ``|c|² − 2·v·c`` (the
-    ``|v|²`` term is common to all cells). Each dot product is a JVM
-    fold against a literal array; the whole assignment is scan-side,
-    no shuffle. Write ``df`` partitioned by ``__cell`` and a probe
-    reads only ``nprobe`` directories.
-    """
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(id_col, col).orderBy(id_col).limit(num_centroids).collect()
-    ]
+def _assign_cell_expr(col: str, centroids: List[List[float]]) -> Column:
+    """argmin over centroids of ``|c|² − 2·v·c`` (the ``|v|²`` term is
+    common to all cells) — each dot product a JVM fold against a
+    literal array, ties broken by centroid index."""
     scored = []
-    for i, (_cid, c) in enumerate(cents):
+    for i, c in enumerate(centroids):
         norm2 = sum(x * x for x in c)
         score = F.lit(norm2) - 2.0 * _dot(F.col(col), F.array(*[F.lit(x) for x in c]))
         scored.append(F.struct(score.alias("d"), F.lit(i).alias("cell")))
-    best = F.array_min(F.array(*scored))
-    out = df.withColumn("__cell", best.getField("cell"))
-    return IvfIndex(out, [c for _id, c in cents])
+    return F.array_min(F.array(*scored)).getField("cell")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    col: str,
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    kmeans_iterations: int = 0,
+) -> IvfIndex:
+    """IVF-Flat build. The coarse quantizer starts from a DETERMINISTIC
+    sample — the vectors with the smallest ids — fully reproducible
+    across engines and runs (an oracle can re-derive it).
+
+    ``kmeans_iterations > 0`` adds that many Lloyd refinement rounds as
+    DataFrame aggregations: re-assign every vector to its nearest
+    centroid (scan-side argmin, no shuffle), then recompute each
+    centroid as the element-wise mean of its cell via ``posexplode`` →
+    ``groupBy(cell, pos).avg`` — one shuffle carrying
+    ``num_centroids × dim`` aggregated rows, collected driver-side
+    (tiny). Means are rounded to 9 dp so float summation order cannot
+    perturb assignments — the refinement stays deterministic given the
+    seed sample. On clustered real-world embedding distributions the
+    first-N seeds give unbalanced Voronoi cells (fat cells defeat
+    nprobe pruning); 2-3 Lloyd rounds restore balanced cells and
+    measurably better recall@k (see tests/test_similarity.py).
+
+    Assignment is scan-side; write ``df`` partitioned by ``__cell``
+    and a probe reads only ``nprobe`` directories.
+    """
+    cents = [
+        [float(x) for x in r[1]]
+        for r in df.select(id_col, col).orderBy(id_col).limit(num_centroids).collect()
+    ]
+    for _ in range(kmeans_iterations):
+        # two projections: a generator (posexplode) sharing a SELECT
+        # with the struct-argmin loses the struct's field names
+        assigned = df.select(
+            _assign_cell_expr(col, cents).alias("__cell"),
+            F.col(col).alias("__v"),
+        ).select("__cell", F.posexplode("__v").alias("__p", "__x"))
+        means = (
+            assigned.groupBy("__cell", "__p")
+            .agg(F.round(F.avg("__x"), 9).alias("__m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__p"]] = float(r["__m"])
+        cents = [
+            [by_cell[i][p] for p in range(len(c))] if i in by_cell else c
+            for i, c in enumerate(cents)
+        ]
+    out = df.withColumn("__cell", _assign_cell_expr(col, cents))
+    return IvfIndex(out, cents)
 
 
 def find_neighbors_ivf(
@@ -387,23 +431,40 @@ def find_neighbors_ivf(
     query (driver-side, |centroids| is tiny), scan only the ``nprobe``
     nearest cells, exact re-rank inside them. With a ``__cell``-
     partitioned index the cell predicate is partition pruning."""
+    return (
+        _ivf_candidates(index, embedding, col, nprobe, metric, filter)
+        .orderBy(F.col("distance").asc())
+        .limit(k)
+        .drop("__cell")
+    )
+
+
+def _ivf_candidates(
+    index: "IvfIndex",
+    embedding: Sequence[float],
+    col: str,
+    nprobe: int,
+    metric: str,
+    filter: Optional[Column],
+) -> DataFrame:
+    """Scored candidate frame of one IVF probe (pre-top-k): the
+    ``nprobe`` nearest cells by driver-side centroid ranking, the
+    optional filter, and the exact distance column."""
+
     def d2(c):
         return sum(x * x for x in c) - 2.0 * sum(
             a * b for a, b in zip(embedding, c)
         )
 
-    order = sorted(range(len(index.centroids)), key=lambda i: (d2(index.centroids[i]), i))
+    order = sorted(
+        range(len(index.centroids)), key=lambda i: (d2(index.centroids[i]), i)
+    )
     cells = order[:nprobe]
     cand = index.df.where(F.col("__cell").isin(cells))
     if filter is not None:
         cand = cand.where(filter)
     dist = distance_expr(F.col(col), embedding, metric)
-    return (
-        cand.withColumn("distance", F.round(dist.cast("double"), 6))
-        .orderBy(F.col("distance").asc())
-        .limit(k)
-        .drop("__cell")
-    )
+    return cand.withColumn("distance", F.round(dist.cast("double"), 6))
 
 
 def find_neighbors_ivf_batch(
@@ -478,13 +539,23 @@ def find_neighbors_ivf_retry(
     """IVF probe with k-limit retry: when the (optionally filtered)
     probe returns <k rows, double ``nprobe`` and re-probe; at
     nprobe = |centroids| the scan is exhaustive, so the result is never
-    silently short (parity ``core/vector_db_client.py:107-200``)."""
+    silently short (parity ``core/vector_db_client.py:107-200``).
+
+    Like :func:`find_neighbors_ann_retry`, the convergence check counts
+    a persisted scored-candidate frame — ONE scan per probe, and the
+    returned top-k reads the cache instead of re-running it."""
     n = nprobe
     total = len(index.centroids)
     while True:
-        out = find_neighbors_ivf(
-            index, embedding, col, k=k, nprobe=n, metric=metric, filter=filter
-        )
-        if n >= total or out.count() >= k:
-            return out
+        scored = _ivf_candidates(
+            index, embedding, col, nprobe=n, metric=metric, filter=filter
+        ).persist()
+        cnt = scored.count()  # the ONE probe scan; materializes the cache
+        if n >= total or cnt >= k:
+            return (
+                scored.orderBy(F.col("distance").asc())
+                .limit(k)
+                .drop("__cell")
+            )
+        scored.unpersist()
         n = min(total, n * 2)

@@ -95,6 +95,7 @@ class FeatureView:
             left_cols = [f.name for f in self.query.left_features]
             left_df = left_df.select(*left_cols) if left_cols else left_df
         else:
+            self._validate_spine(spine, left_fg)
             left_df = spine
         if not left_fg.event_time:
             return self.query.read(spark)
@@ -152,6 +153,42 @@ class FeatureView:
         if logic is not None:
             out = out.where(logic.to_column(lambda feat: F.col(feat.name)))
         return out
+
+    @staticmethod
+    def _validate_spine(spine: DataFrame, left_fg) -> None:
+        """Schema contract for a passed spine (parity
+        ``core/feature_view_engine.py:218-234``: the reference verifies
+        a spine's schema against the left feature group before
+        substituting it): every join key and the event-time column must
+        be present with the left group's dtype — a silently missing key
+        would surface as an unintelligible analysis error deep in the
+        PIT plan, and a mismatched key dtype (e.g. string vs bigint)
+        would make every as-of join miss."""
+        required = list(left_fg.primary_key)
+        if left_fg.event_time and left_fg.event_time not in required:
+            required.append(left_fg.event_time)
+        missing = [c for c in required if c not in spine.columns]
+        if missing:
+            raise ValueError(
+                f"Spine is missing required column(s) {missing}: it must "
+                f"carry the left feature group's keys {left_fg.primary_key} "
+                f"and event time {left_fg.event_time!r}"
+            )
+        expected = {
+            f.name: f.type for f in left_fg.features if f.type is not None
+        }
+        spine_types = {f.name: f.dataType for f in spine.schema.fields}
+        mismatched = [
+            (c, str(spine_types[c]), str(expected[c]))
+            for c in required
+            if c in expected and spine_types[c] != expected[c]
+        ]
+        if mismatched:
+            detail = "; ".join(
+                f"{c}: spine {got} vs feature group {want}"
+                for c, got, want in mismatched
+            )
+            raise ValueError(f"Spine key dtype mismatch — {detail}")
 
     # -- batch scoring read (parity core/feature_view_engine.py:187-244) --
     def get_batch_data(
@@ -385,6 +422,220 @@ class FeatureView:
             s: _read(spark, fmt, d, schema=schema)
             for s, d in meta["split_dirs"].items()
         }
+
+    # -- feature logging (parity feature_view.py:3573-3790, core/
+    # feature_logging.py, core/feature_view_engine.py:959-1100): served
+    # vectors are logged back into dedicated feature groups — one for
+    # untransformed, one for transformed values — with request-time
+    # metadata, and read back for drift/audit monitoring. The reference
+    # buffers through Kafka and materializes on a schedule; here the log
+    # FG's commit store IS the buffer (append-only O(batch) inserts) and
+    # materialize = compaction, so the same API maps onto fewer moving
+    # parts without losing the read-back contract. --------------------------
+    _LOG_ID = "log_id"
+    _LOG_TIME = "log_time"
+    _LOG_TD_VERSION = "td_version"
+    _LOG_MODEL = "hsml_model"
+
+    def _log_fg_name(self, transformed: bool) -> str:
+        kind = "transformed" if transformed else "untransformed"
+        return f"{self.name}_{self.version}_log_{kind}"
+
+    def _log_fg(self, transformed: bool):
+        fs = self._feature_store
+        if fs is None:
+            raise ValueError(
+                "Feature logging needs a store-backed view; create it via "
+                "FeatureStore.create_feature_view"
+            )
+        return fs.get_or_create_feature_group(
+            self._log_fg_name(transformed),
+            version=1,
+            primary_key=[self._LOG_ID],
+            event_time=self._LOG_TIME,
+            # append-only audit log: no upsert dedupe pressure, so a
+            # longer tail before compaction is fine
+            auto_compact_every=None,
+        )
+
+    @property
+    def logging_enabled(self) -> bool:
+        return getattr(self, "_logging_enabled", False)
+
+    def enable_logging(self) -> None:
+        """Create (or re-attach) the two log feature groups (parity
+        ``feature_view.py:3573``)."""
+        self._log_fg(transformed=False)
+        self._log_fg(transformed=True)
+        self._logging_enabled = True
+
+    def log(
+        self,
+        features,
+        predictions=None,
+        transformed: bool = False,
+        training_dataset_version: Optional[int] = None,
+        model=None,
+        spark: Optional[SparkSession] = None,
+    ):
+        """Log served features (+ optional predictions) into the view's
+        log feature group (parity ``feature_view.py:3595``).
+
+        ``features``: a Spark DataFrame, or a list of dicts (the shape
+        ``get_feature_vectors(return_type='dict')`` returns).
+        ``predictions``: only with list input — an aligned list of
+        dicts merged per row (with a DataFrame, include prediction
+        columns in the frame, as the reference documents). ``model``:
+        anything with ``name``/``version`` attributes, or a string.
+        Metadata columns ``log_id``/``log_time``/``td_version``/
+        ``hsml_model`` ride along; ``read_log`` strips the first two.
+        """
+        import warnings as _warnings
+
+        if not self.logging_enabled:
+            _warnings.warn(
+                "Feature logging is not enabled; enabling it now — call "
+                "feature_view.enable_logging() beforehand to avoid the "
+                "setup cost on the serving path",
+                stacklevel=2,
+            )
+            self.enable_logging()
+        if isinstance(features, DataFrame):
+            if predictions is not None:
+                raise ValueError(
+                    "With a DataFrame, pass predictions as columns of the "
+                    "frame (positional alignment of two distributed frames "
+                    "is not well-defined)"
+                )
+            df = features
+        else:
+            rows = [dict(r) for r in features]
+            if predictions is not None:
+                if len(predictions) != len(rows):
+                    raise ValueError(
+                        f"{len(rows)} feature rows but "
+                        f"{len(predictions)} prediction rows"
+                    )
+                for r, p in zip(rows, predictions):
+                    r.update(p)
+            if not rows:
+                return None
+            if spark is None:
+                from .session import get_spark
+
+                spark = get_spark()
+            cols = list(rows[0])
+            df = spark.createDataFrame(
+                [tuple(r.get(c) for c in cols) for r in rows], cols
+            )
+        model_val = None
+        if model is not None:
+            model_val = (
+                f"{model.name}_{model.version}"
+                if hasattr(model, "name")
+                else str(model)
+            )
+        out = (
+            df.withColumn(self._LOG_ID, F.expr("uuid()"))
+            .withColumn(self._LOG_TIME, F.current_timestamp())
+            .withColumn(
+                self._LOG_TD_VERSION,
+                F.lit(training_dataset_version).cast("long"),
+            )
+            .withColumn(self._LOG_MODEL, F.lit(model_val).cast("string"))
+        )
+        return self._log_fg(transformed).insert(
+            out, operation="insert", compute_stats=False
+        )
+
+    def read_log(
+        self,
+        spark: Optional[SparkSession] = None,
+        start_time=None,
+        end_time=None,
+        filter=None,
+        transformed: bool = False,
+        training_dataset_version: Optional[int] = None,
+        model=None,
+    ) -> DataFrame:
+        """Read logged vectors back, optionally filtered by log-time
+        range / training-dataset version / model / feature predicate
+        (parity ``feature_view.py:3671``; like the reference, the
+        ``log_id`` and ``log_time`` plumbing columns are dropped)."""
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        fg = self._log_fg(transformed)
+        df = fg.read_source(spark)
+        if start_time is not None:
+            df = df.where(
+                F.col(self._LOG_TIME)
+                >= F.timestamp_millis(F.lit(to_epoch_millis(start_time)))
+            )
+        if end_time is not None:
+            df = df.where(
+                F.col(self._LOG_TIME)
+                <= F.timestamp_millis(F.lit(to_epoch_millis(end_time)))
+            )
+        if training_dataset_version is not None:
+            df = df.where(
+                F.col(self._LOG_TD_VERSION) == training_dataset_version
+            )
+        if model is not None:
+            model_val = (
+                f"{model.name}_{model.version}"
+                if hasattr(model, "name")
+                else str(model)
+            )
+            df = df.where(F.col(self._LOG_MODEL) == model_val)
+        if filter is not None:
+            from pyspark.sql import Column as _Column
+
+            if isinstance(filter, _Column):
+                df = df.where(filter)
+            else:
+                df = df.where(filter.to_column(lambda feat: F.col(feat.name)))
+        return df.drop(self._LOG_ID, self._LOG_TIME)
+
+    def get_log_timeline(
+        self, limit: Optional[int] = None, transformed: bool = False
+    ):
+        """Commit timeline of the log FG (parity ``feature_view.py:3645``)."""
+        return self._log_fg(transformed).commit_details(limit=limit)
+
+    def pause_logging(self) -> None:
+        """Pause log materialization (parity ``feature_view.py:3719``:
+        the reference pauses the scheduled materialization job, NOT the
+        logging itself — entries keep accumulating in the buffer)."""
+        self._logging_paused = True
+
+    def resume_logging(self) -> None:
+        self._logging_paused = False
+
+    def materialize_log(self, spark: Optional[SparkSession] = None, wait: bool = False):
+        """Fold the append-only log tail into compacted bases (parity
+        ``feature_view.py:3747``; compaction is our materialization —
+        synchronous, so ``wait`` is honored trivially)."""
+        if getattr(self, "_logging_paused", False):
+            return []
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        out = []
+        for t in (False, True):
+            store = self._log_fg(t).commit_store
+            if store.snapshot_or_none(spark) is not None:
+                out.append(store.compact(spark))
+        return out
+
+    def delete_log(self, transformed: Optional[bool] = None) -> None:
+        """Drop logged data (parity ``feature_view.py:3764``;
+        ``transformed=None`` deletes both logs)."""
+        kinds = [transformed] if transformed is not None else [False, True]
+        for t in kinds:
+            self._feature_store.delete_feature_group(self._log_fg_name(t), 1)
 
     def train_test_split_by_time(
         self,

@@ -176,3 +176,29 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
     f2 = stratified_sample(d, "lang", {"en": 0.6}, ["doc_id"], seed=7,
                            default_fraction=0.05, hash_fn="xxhash64")
     assert f1.exceptAll(f2).count() == 0
+
+
+def test_spine_schema_contract(spark, pit_fixtures):
+    """A passed spine missing a join key or carrying a wrong key dtype
+    must fail loudly up front (parity core/feature_view_engine.py:
+    218-234), not as an opaque analysis error inside the PIT plan."""
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv_contract", q, labels=["label"])
+
+    # missing key column
+    bad = spark.createDataFrame([(ts("2024-01-10"),)], "ts timestamp")
+    with pytest.raises(ValueError, match="missing required column"):
+        fv.training_data(spark, spine=bad)
+    # wrong key dtype
+    bad2 = spark.createDataFrame(
+        [("1", ts("2024-01-10"))], "cid string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        fv.training_data(spark, spine=bad2)
+    # a conforming spine still works
+    good = spark.createDataFrame(
+        [(1, ts("2024-01-10"))], "cid long, ts timestamp"
+    )
+    out = fv.training_data(spark, spine=good).collect()
+    assert len(out) == 1 and out[0]["bal"] == 20.0

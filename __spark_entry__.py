@@ -1812,6 +1812,58 @@ def _q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs)
 
 
+def _q_dedup_clusters_two_phase(spark, sf_dir):
+    """Same component problem, solved by the large-star/small-star
+    alternation (Kiveris et al. 2014): O(log n) rounds independent of
+    component diameter — the scale path for pathological pair graphs.
+    Must agree exactly with the min-label result / recursive-CTE
+    oracle."""
+    from feature_store_api_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_duplicate_pairs,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_duplicate_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
+    )
+    return duplicate_clusters(pairs, algorithm="two_phase")
+
+
+def _q_serving_log_roundtrip(spark, sf_dir):
+    """Feature logging round-trip (reference feature_view.log()/
+    read_log(), core/feature_logging.py): served vectors + prediction
+    column logged into the view's log feature group with td-version and
+    model metadata, read back filtered on both. Only deterministic
+    columns are returned (log_id/log_time plumbing is stripped by
+    read_log, as in the reference)."""
+    from feature_store_api_spark import FeatureStore
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    tmp = _scratch("fsas_flog_")
+    fs = FeatureStore(root=tmp)
+    fg = fs.create_feature_group("ulog_base", primary_key=["user_id"])
+    agg = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    fg.insert(agg, compute_stats=False)
+    fv = fs.create_feature_view("ulog_view", fg.select_all())
+    fv.enable_logging()
+    served = agg.withColumn("score", F.round(F.col("avg_value") * 2, 6))
+    fv.log(served, training_dataset_version=1, model="m_1")
+    # a second batch under a different model: the read filter must
+    # exclude it
+    fv.log(
+        agg.limit(7).withColumn("score", F.lit(-1.0)),
+        training_dataset_version=2,
+        model="m_2",
+    )
+    back = fv.read_log(spark, training_dataset_version=1, model="m_1")
+    return back.select(
+        "user_id", "avg_value", "n_events", "score", "td_version", "hsml_model"
+    )
+
+
 def _q_knn_ann_retry(spark, sf_dir):
     """Filtered ANN probe that starves the first bucket probe: the
     k-limit retry widens to the exhaustive scan, so the result equals
@@ -1838,80 +1890,47 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a harness that caps how many
-    # entries it checks per round (~50): (1) entries that have NEVER
-    # received a driver verdict; (2)+(3) r01-green rows whose underlying
-    # code changed since their last verdict (commit store, stats, PIT
-    # sort key, agg payload); (4) remaining r01-green rotation; (5) the
-    # r02-green tail, re-checked last.
+    # entries it checks per round (~50): (1) entries with NO verdict yet;
+    # (2) entries whose underlying code changed this round; (3) the
+    # rotation tail still carrying r01/r02 verdicts (oldest first — the
+    # goal is every entry's newest verdict <= 2 rounds old); (4) entries
+    # re-verified green in r03 with code untouched since.
     return {
-        # --- (1) NEVER driver-checked (missed the ~50-entry cap in both
-        # rounds; all verified green locally via tools/check_correctness.py)
-        # — these MUST be first so round 3 finally gives them a verdict ---
-        "rolling_features": _q_rolling_features,
-        "knn_ivf": _q_knn_ivf,
-        "kafka_materialize": _q_kafka_materialize,
-        "td_avro_roundtrip": _q_td_avro_roundtrip,
-        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "ewma_features": _q_ewma_features,
-        "windowed_agg_hourly": _q_windowed_agg_hourly,
-        "session_windows": _q_session_windows,
-        # --- (1b) NEW in round 3 (no verdict yet by definition) ---
-        "vacuum_retention": _q_vacuum_retention,
-        "row_sampling": _q_row_sampling,
-        "split_statistics": _q_split_statistics,
-        "cast_schema": _q_cast_schema,
-        "knn_ann_retry": _q_knn_ann_retry,
+        # --- (1) NEW in round 4 (no verdict yet by definition) ---
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
+        # --- (2) r03-green rows whose underlying code changed in r04
+        # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
+        # guard + snapshot path, online-store resolve-order/counter fixes,
+        # FeatureView spine validation) — must be re-verdicted ---
         "dedup_clusters": _q_dedup_clusters,
-        "sequence_packing": _q_sequence_packing,
-        "stratified_sample": _q_stratified_sample,
         "corpus_curation": _q_corpus_curation,
-        "repetition_metrics": _q_repetition_metrics,
-        "knn_batch": _q_knn_batch,
-        # --- (2) r01-green rows whose underlying code changed in r02
-        # (commit store strategy="agg", LSM online store, stats rework)
-        # and r03 perf rework — need fresh verdicts ---
+        "knn_ivf": _q_knn_ivf,
+        "knn_ann_retry": _q_knn_ann_retry,
+        "vacuum_retention": _q_vacuum_retention,
         "time_travel_asof": _q_time_travel_asof,
         "time_travel_snapshot": _q_time_travel_snapshot,
         "incremental_pull": _q_incremental_pull,
-        "stats_commit_window": _q_stats_commit_window,
         "commit_details": _q_commit_details,
-        "stats_profile": _q_stats_profile,
-        "percentiles_exact": _q_percentiles_exact,
-        "correlations": _q_correlations,
-        "value_counts": _q_value_counts,
-        "dedup_exact": _q_dedup_exact,
-        # --- (3) r03 perf-reworked paths (agg payload, PIT sort key) ---
-        "pit_join": _q_pit_join,
-        "pit_join_range": _q_pit_join_range,
-        "pit_join_multi": _q_pit_join_multi,
-        "spine_pit_join": _q_spine_pit_join,
-        "latest_per_key": _q_latest_per_key,
-        "online_lookup": _q_online_lookup,
-        "streaming_upsert": _q_streaming_upsert,
         "compaction_snapshot": _q_compaction_snapshot,
+        "streaming_upsert": _q_streaming_upsert,
+        "online_lookup": _q_online_lookup,
         "serving_vectors": _q_serving_vectors,
-        "entropy_uniqueness": _q_entropy_uniqueness,
-        # --- (4) remaining r01-green rotation ---
-        "set_ops": _q_set_ops,
-        "builtin_scalers": _q_builtin_scalers,
-        "text_stats": _q_text_stats,
-        "knn_cosine": _q_knn_cosine,
-        "embedding_fetch": _q_embedding_fetch,
-        "knn_l2": _q_knn_l2,
-        "embedding_dups": _q_embedding_dups,
-        "text_language": _q_text_language,
-        "text_quality": _q_text_quality,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "encoders": _q_encoders,
+        "spine_pit_join": _q_spine_pit_join,
+        # --- (3) the r01/r02-verdict rotation tail, oldest-proof first:
+        # fv_batch_query leads (its PIT path was rewired in r03 but its
+        # last verdict is r02), then the store/UDF family, robust_scaler
+        # (the only r01 verdict left), then the join/filter family ---
+        "fv_batch_query": _q_fv_batch_query,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "custom_udf": _q_custom_udf,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_preview": _q_online_preview,
+        "schema_evolution": _q_schema_evolution,
+        "external_fg_csv": _q_external_fg_csv,
+        "fs_sql": _q_fs_sql,
         "robust_scaler": _q_robust_scaler,
-        "lag_features": _q_lag_features,
-        # --- (5) r02-green tail (checked last round, code unchanged) ---
-        "multimodal_decode": _q_multimodal_decode,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "text_analysis": _q_text_analysis,
-        "knn_ann": _q_knn_ann,
         "scan_filter_project": _q_scan_filter_project,
         "filter_in_like": _q_filter_in_like,
         "filter_or_tree": _q_filter_or_tree,
@@ -1929,22 +1948,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "online_preview": _q_online_preview,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
-        "fv_batch_query": _q_fv_batch_query,
         "td_csv_roundtrip": _q_td_csv_roundtrip,
-        "fs_sql": _q_fs_sql,
         "validation_report": _q_validation_report,
         "partitioned_fg_read": _q_partitioned_fg_read,
         "dirty_names_sanitized": _q_dirty_names_sanitized,
         "json_extract": _q_json_extract,
-        "schema_evolution": _q_schema_evolution,
-        "external_fg_csv": _q_external_fg_csv,
-        "custom_udf": _q_custom_udf,
-        "custom_udf_stats": _q_custom_udf_stats,
-        "on_demand_ingest": _q_on_demand_ingest,
+        "lag_features": _q_lag_features,
+        "multimodal_decode": _q_multimodal_decode,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "text_analysis": _q_text_analysis,
+        "knn_ann": _q_knn_ann,
+        # --- (4) r03-green, code unchanged this round — freshest proofs last ---
+        "rolling_features": _q_rolling_features,
+        "kafka_materialize": _q_kafka_materialize,
+        "td_avro_roundtrip": _q_td_avro_roundtrip,
+        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
+        "ewma_features": _q_ewma_features,
+        "windowed_agg_hourly": _q_windowed_agg_hourly,
+        "session_windows": _q_session_windows,
+        "row_sampling": _q_row_sampling,
+        "split_statistics": _q_split_statistics,
+        "cast_schema": _q_cast_schema,
+        "sequence_packing": _q_sequence_packing,
+        "stratified_sample": _q_stratified_sample,
+        "repetition_metrics": _q_repetition_metrics,
+        "knn_batch": _q_knn_batch,
+        "stats_commit_window": _q_stats_commit_window,
+        "stats_profile": _q_stats_profile,
+        "percentiles_exact": _q_percentiles_exact,
+        "correlations": _q_correlations,
+        "value_counts": _q_value_counts,
+        "dedup_exact": _q_dedup_exact,
+        "pit_join": _q_pit_join,
+        "pit_join_range": _q_pit_join_range,
+        "pit_join_multi": _q_pit_join_multi,
+        "latest_per_key": _q_latest_per_key,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "set_ops": _q_set_ops,
+        "builtin_scalers": _q_builtin_scalers,
+        "text_stats": _q_text_stats,
+        "knn_cosine": _q_knn_cosine,
+        "embedding_fetch": _q_embedding_fetch,
+        "knn_l2": _q_knn_l2,
+        "embedding_dups": _q_embedding_dups,
+        "text_language": _q_text_language,
+        "text_quality": _q_text_quality,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "encoders": _q_encoders,
     }
 
 
@@ -2163,6 +2217,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        # two-phase CC must produce the exact same clustering
+        "dedup_clusters_two_phase": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+            e AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.d, r.label FROM reach r JOIN e ON r.id = e.s
+            )
+            SELECT id AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "serving_log_roundtrip": """
+            SELECT user_id, ROUND(AVG(value), 6) AS avg_value,
+                   COUNT(*) AS n_events,
+                   ROUND(ROUND(AVG(value), 6) * 2, 6) AS score,
+                   CAST(1 AS BIGINT) AS td_version,
+                   'm_1' AS hsml_model
+            FROM events GROUP BY user_id
         """,
         "registry_roundtrip": """
             SELECT c_custkey, c_mktsegment AS seg,

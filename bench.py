@@ -215,6 +215,85 @@ def b11_knn_batch(spark, sf_dir):
     find_neighbors_batch(idx, qs, col="embedding", k=10).collect()
 
 
+# ---------------------------------------------------------------------------
+# DuckDB yardstick: single-node analytic-engine equivalents of the pure
+# query-shaped benchmarks (scan/filter, multi-join, stats profile). The
+# reference publishes no offline numbers, so this manufactures a tracked
+# local baseline: vs_oracle = spark_median / duckdb_median per query.
+# DuckDB is expected to win at sf0.1 — it has no job-scheduling floor and
+# a fused vectorized pipeline; the 100 TB argument is partitioning +
+# cluster scale-out, which this number deliberately does not capture.
+# Each query materializes fully engine-side (CREATE TEMP TABLE ≈ the
+# Spark noop sink's full-column materialization, no client transfer).
+# ---------------------------------------------------------------------------
+
+ORACLE_QUERIES = {
+    "b1_scan_filter": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount >= 0.05
+    """,
+    "b2_multi_join": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_name, c.c_nationkey, n.n_name AS nat_n_name
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice > 100000
+    """,
+    "b6_stats_profile": """
+        SELECT
+          COUNT(*) AS cnt,
+          COUNT(l_quantity) AS nn1, MIN(l_quantity) AS mn1, MAX(l_quantity) AS mx1,
+          AVG(l_quantity) AS av1, STDDEV_SAMP(l_quantity) AS sd1,
+          COUNT(DISTINCT l_quantity) AS d1,
+          quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q1,
+          COUNT(l_extendedprice) AS nn2, MIN(l_extendedprice) AS mn2,
+          MAX(l_extendedprice) AS mx2, AVG(l_extendedprice) AS av2,
+          STDDEV_SAMP(l_extendedprice) AS sd2,
+          COUNT(DISTINCT l_extendedprice) AS d2,
+          quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS q2,
+          COUNT(l_discount) AS nn3, MIN(l_discount) AS mn3, MAX(l_discount) AS mx3,
+          AVG(l_discount) AS av3, STDDEV_SAMP(l_discount) AS sd3,
+          COUNT(DISTINCT l_discount) AS d3,
+          quantile_cont(l_discount, [0.25, 0.5, 0.75]) AS q3,
+          COUNT(l_tax) AS nn4, MIN(l_tax) AS mn4, MAX(l_tax) AS mx4,
+          AVG(l_tax) AS av4, STDDEV_SAMP(l_tax) AS sd4,
+          COUNT(DISTINCT l_tax) AS d4,
+          quantile_cont(l_tax, [0.25, 0.5, 0.75]) AS q4,
+          COUNT(l_returnflag) AS nn5, MIN(l_returnflag) AS mn5,
+          MAX(l_returnflag) AS mx5, COUNT(DISTINCT l_returnflag) AS d5
+        FROM lineitem
+    """,
+}
+
+
+def run_oracle(sf_dir: str, names, runs: int):
+    """Median DuckDB wall time per yardstick query (same run count as
+    the Spark side; first run pays its own cold costs and the median
+    discards them the same way)."""
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover
+        return {}
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    samples = {n: [] for n in names if n in ORACLE_QUERIES}
+    for _ in range(runs):
+        for n in samples:
+            t0 = time.time()
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE bench_out AS ({ORACLE_QUERIES[n]})"
+            )
+            samples[n].append(round(time.time() - t0, 3))
+    con.close()
+    return samples
+
+
 QUERIES = {
     "b1_scan_filter": b1_scan_filter,
     "b2_multi_join": b2_multi_join,
@@ -259,6 +338,12 @@ def main():
         return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
 
     timings = {name: median(xs) for name, xs in samples.items()}
+    oracle_samples = run_oracle(SF_DIR, list(timings), runs)
+    oracle = {n: median(xs) for n, xs in oracle_samples.items()}
+    vs_oracle = {
+        n: round(timings[n] / oracle[n], 2) if oracle[n] > 0 else None
+        for n in oracle
+    }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -269,6 +354,10 @@ def main():
                 "queries": timings,
                 "runs": runs,
                 "samples": samples,
+                # single-node DuckDB yardstick (see ORACLE_QUERIES):
+                # ratio = spark_median / duckdb_median, tracked per round
+                "oracle_sec": oracle,
+                "vs_oracle": vs_oracle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

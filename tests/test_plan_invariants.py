@@ -130,3 +130,54 @@ def test_online_lookup_prunes_bucket_partitions(spark, tmp_path):
     pruned = store._pruned(spark, [{"uid": 7}])
     plan = _plan(pruned)
     assert f"{_BUCKET} = {b}" in plan or f"{_BUCKET}#" in plan  # partition filter present
+
+
+def test_stats_profile_later_passes_read_cache_not_source(spark, sf_dir, monkeypatch):
+    """b6 invariant: describe()'s percentile pass (the last of the
+    overlapped passes) must scan the persisted narrow projection, not
+    re-read the parquet source — N passes, ONE file scan."""
+    import feature_store_api_spark.operators.statistics as stats_mod
+
+    captured = {}
+    orig = stats_mod.approx_percentiles_multi
+
+    def spy(src, num_cols, pct, minmax):
+        # at this point the scalar pass has materialized the cache
+        captured["cached"] = src.storageLevel.useMemory
+        captured["plan"] = _plan(src.agg(F.min(num_cols[0])))
+        return orig(src, num_cols, pct, minmax)
+
+    monkeypatch.setattr(stats_mod, "approx_percentiles_multi", spy)
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    stats_mod.describe(
+        li, ["l_quantity", "l_extendedprice"], exact_distinct=True
+    )
+    assert captured["cached"]
+    plan = captured["plan"]
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    # the only FileScan mention is the cache's own build plan, nested
+    # under InMemoryRelation — no live parquet scan above the cache
+    assert plan.index("InMemoryTableScan") < plan.index("FileScan"), plan[:1500]
+
+
+def test_online_resolve_strategy_tracks_tail_bound(spark, tmp_path):
+    """b7 invariant: the merge resolve uses the window plan only while
+    the delta tail is provably short (counter <= 64); an unbounded tail
+    must flip to the skew-immune partial max_by aggregation."""
+    import os
+
+    from feature_store_api_spark.online.store import OnlineStore
+
+    store = OnlineStore(
+        str(tmp_path), primary_key=["uid"], num_buckets=4,
+        auto_compact_every=None,
+    )
+    store.upsert(spark.createDataFrame([(1, 10)], "uid long, v long"))
+    short = _plan(store._resolve(store._raw(spark)))
+    assert "Window" in short and "max_by" not in short
+
+    with open(os.path.join(str(tmp_path), "_upserts_since_compact"), "w") as fh:
+        fh.write("100")  # simulate a long un-compacted tail
+    unbounded = _plan(store._resolve(store._raw(spark)))
+    assert "Window" not in unbounded
+    assert "partial_max_by" in unbounded  # map-side combine pre-shuffle

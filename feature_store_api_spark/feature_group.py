@@ -196,6 +196,9 @@ class FeatureGroup(FeatureGroupBase):
         self.transformation_functions = list(transformation_functions)
         self.expectation_suite = None  # set via save_expectation_suite
         self._store = None
+        # backref set by FeatureStore.create/_rehydrate: resolves
+        # provenance links and generated views against the registry
+        self._feature_store = None
 
     # -- managed storage ---------------------------------------------------
     @property
@@ -224,12 +227,30 @@ class FeatureGroup(FeatureGroupBase):
         operation: str = "upsert",
         write_options: Optional[Dict[str, Any]] = None,
         compute_stats: bool = True,
+        parents: Optional[Sequence] = None,
     ) -> "FeatureGroupCommit":
         """Ingest a DataFrame (parity ``feature_group.py:2623`` →
         ``engine/spark.py:349-396``). Infers/validates schema, sanitizes
-        names, writes a commit (upsert/insert/delete semantics in the
-        commit store)."""
+        names, writes a commit (upsert/delete semantics in the commit
+        store).
+
+        Provenance: the ingested frame's physical plan is matched
+        against the store's managed feature-group locations and any hit
+        is recorded as a parent link (``provenance.parents_from_plan``);
+        ``parents`` adds explicit links (FeatureGroups or (name,
+        version) pairs) for plans whose lineage was truncated."""
+        from . import provenance as _prov
         from .sources.ingestion import convert_to_default_dataframe
+
+        derived = _prov.parents_from_plan(df, self._feature_store, exclude=self)
+        if parents:
+            for p in parents:
+                if isinstance(p, tuple):
+                    derived.append((p[0], int(p[1])))
+                else:
+                    derived.append((p.name, getattr(p, "version", 1)))
+        if derived:
+            _prov.record_parents(self, derived)
 
         df = convert_to_default_dataframe(df)
         on_demand = [
@@ -270,6 +291,23 @@ class FeatureGroup(FeatureGroupBase):
 
             OnlineStore.for_feature_group(self).upsert(df)
         return commit
+
+    # -- provenance (parity feature_group.py:534-601) ----------------------
+    def get_parent_feature_groups(self):
+        """Upstream feature groups this group was derived from (links
+        recorded at insert time from the ingested frame's plan, or
+        passed explicitly via ``insert(parents=)``). Returns a
+        :class:`~feature_store_api_spark.provenance.Links`."""
+        from . import provenance as _prov
+
+        return _prov.fg_parent_feature_groups(self, self._feature_store)
+
+    def get_generated_feature_views(self):
+        """Feature views built over this group (registered or persisted
+        in the store root). Returns a ``Links``."""
+        from . import provenance as _prov
+
+        return _prov.fg_generated_feature_views(self, self._feature_store)
 
     def commit_delete_record(self, df: DataFrame) -> "FeatureGroupCommit":
         """Parity ``core/hudi_engine.py:94-100`` / ``core/delta_engine.py:87-114``."""

@@ -67,6 +67,7 @@ class FeatureStore:
             transformation_functions=transformation_functions,
             auto_compact_every=auto_compact_every,
         )
+        fg._feature_store = self  # provenance + log-FG resolution backref
         self._registry[(name, version)] = fg
         if location is not None:
             # persist metadata so a fresh FeatureStore over the same root
@@ -133,6 +134,7 @@ class FeatureStore:
             ],
             auto_compact_every=meta.get("auto_compact_every", 10),
         )
+        fg._feature_store = self
 
         if meta.get("features"):
             # declared schema recorded (append_features evolution) wins

@@ -423,6 +423,16 @@ class FeatureView:
             for s, d in meta["split_dirs"].items()
         }
 
+    # -- provenance (parity feature_view.py:1145-1155) ---------------------
+    def get_parent_feature_groups(self):
+        """The feature groups this view's query reads from — walked off
+        the logical Query tree, exact by construction. Returns a
+        :class:`~feature_store_api_spark.provenance.Links` with gone
+        groups under ``.deleted``."""
+        from . import provenance as _prov
+
+        return _prov.view_parent_feature_groups(self)
+
     # -- feature logging (parity feature_view.py:3573-3790, core/
     # feature_logging.py, core/feature_view_engine.py:959-1100): served
     # vectors are logged back into dedicated feature groups — one for

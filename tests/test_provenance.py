@@ -1,0 +1,76 @@
+"""Explicit provenance links (parity core/explicit_provenance.py,
+feature_group.py:534-601, feature_view.py:1145-1155)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+
+
+@pytest.fixture()
+def fs(tmp_path):
+    return FeatureStore(root=str(tmp_path))
+
+
+def test_view_parent_feature_groups(spark, fs):
+    a = fs.create_feature_group("fg_a", primary_key=["k"])
+    a.insert(spark.createDataFrame([(1, 10.0)], "k long, x double"))
+    b = fs.create_feature_group("fg_b", primary_key=["k"])
+    b.insert(spark.createDataFrame([(1, 5.0)], "k long, y double"))
+    fv = fs.create_feature_view(
+        "ab_view", a.select_all().join(b.select(["y"]), on=["k"])
+    )
+    links = fv.get_parent_feature_groups()
+    assert {g.name for g in links.accessible} == {"fg_a", "fg_b"}
+    assert links.deleted == []
+
+
+def test_fg_generated_feature_views_incl_persisted(spark, fs, tmp_path):
+    a = fs.create_feature_group("fg_a", primary_key=["k"])
+    a.insert(spark.createDataFrame([(1, 10.0)], "k long, x double"))
+    fs.create_feature_view("v1", a.select_all())
+    links = a.get_generated_feature_views()
+    assert [v.name for v in links.accessible] == ["v1"]
+
+    # a FRESH store over the same root resolves the persisted view too
+    fs2 = FeatureStore(root=str(tmp_path))
+    a2 = fs2.get_feature_group("fg_a")
+    links2 = a2.get_generated_feature_views()
+    assert [v.name for v in links2.accessible] == ["v1"]
+
+
+def test_fg_parents_derived_from_ingest_plan(spark, fs):
+    """insert(df) where df reads other managed groups records those
+    groups as parents — lineage straight from the physical plan."""
+    src = fs.create_feature_group("src_fg", primary_key=["k"])
+    src.insert(spark.createDataFrame([(1, 10.0), (2, 4.0)], "k long, x double"))
+    other = fs.create_feature_group("other_fg", primary_key=["k"])
+    other.insert(spark.createDataFrame([(1, 1.0)], "k long, z double"))
+
+    derived = fs.create_feature_group("derived_fg", primary_key=["k"])
+    derived.insert(
+        src.read(spark).withColumn("x2", F.col("x") * 2).drop("x")
+    )
+    parents = derived.get_parent_feature_groups()
+    assert [g.name for g in parents.accessible] == ["src_fg"]
+
+    # explicit parents= augments (e.g. lineage-truncated plans)
+    derived.insert(
+        spark.createDataFrame([(9, 0.0)], "k long, x2 double"),
+        parents=[other],
+    )
+    parents = derived.get_parent_feature_groups()
+    assert {g.name for g in parents.accessible} == {"src_fg", "other_fg"}
+
+
+def test_deleted_parent_shows_in_deleted_bucket(spark, fs):
+    src = fs.create_feature_group("gone_fg", primary_key=["k"])
+    src.insert(spark.createDataFrame([(1, 1.0)], "k long, x double"))
+    derived = fs.create_feature_group("child_fg", primary_key=["k"])
+    derived.insert(src.read(spark))
+    fs.delete_feature_group("gone_fg")
+    links = derived.get_parent_feature_groups()
+    assert links.accessible == []
+    assert [(a.name, a.artifact_type) for a in links.deleted] == [
+        ("gone_fg", "FEATURE_GROUP")
+    ]

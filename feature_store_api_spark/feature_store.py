@@ -173,6 +173,33 @@ class FeatureStore:
         except KeyError:
             return self.create_feature_group(name, version=version, **kw)
 
+    def get_feature_groups(self, name: str) -> List[FeatureGroup]:
+        """All versions of a named feature group, ascending (parity
+        ``feature_store.py:168``): registered versions plus any managed
+        ``<name>_<version>`` directory under the store root."""
+        name = autofix_feature_name(name)
+        versions = {v for (n, v) in self._registry if n == name}
+        if self.root and os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                if d.startswith(f"{name}_") and d[len(name) + 1 :].isdigit():
+                    if os.path.exists(os.path.join(self.root, d, "_fg_meta.json")):
+                        versions.add(int(d[len(name) + 1 :]))
+        return [self.get_feature_group(name, v) for v in sorted(versions)]
+
+    def get_feature_views(self, name: str) -> List:
+        """All versions of a named feature view, ascending (parity
+        ``feature_store.py:1725``): registered plus persisted views."""
+        name = autofix_feature_name(name)
+        versions = {v for (n, v) in self._views if n == name}
+        if self.root:
+            vdir = os.path.join(self.root, "_feature_views")
+            if os.path.isdir(vdir):
+                for f in os.listdir(vdir):
+                    stem = f[: -len(".json")] if f.endswith(".json") else None
+                    if stem and stem.startswith(f"{name}_") and stem[len(name) + 1 :].isdigit():
+                        versions.add(int(stem[len(name) + 1 :]))
+        return [self.get_feature_view(name, v) for v in sorted(versions)]
+
     def delete_feature_group(self, name: str, version: int = 1) -> None:
         """Drop a feature group: registry entry and, for managed groups,
         every stored artifact (data, commit log, online store,

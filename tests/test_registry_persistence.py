@@ -171,3 +171,25 @@ def test_multi_version_feature_groups(spark, tmp_path):
     fresh = FeatureStore(root=fs.root)
     assert fresh.get_feature_group("prices", 2).read(spark).count() == 2
     assert fresh.get_feature_group("prices", 1).read(spark).count() == 1
+
+
+def test_get_all_versions_of_groups_and_views(spark, tmp_path):
+    """fs.get_feature_groups/get_feature_views return every version,
+    ascending — registered AND persisted-on-disk (parity
+    feature_store.py:168,1725)."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    for v in (1, 2):
+        fg = fs.create_feature_group("multi", version=v, primary_key=["k"])
+        fg.insert(spark.createDataFrame([(1, v)], "k long, x long"))
+        fs.create_feature_view("mview", fg.select_all(), version=v)
+    # name-prefix cousin must not leak into the version list
+    fs.create_feature_group("multi_extra", primary_key=["k"])
+
+    fresh = FeatureStore(root=str(tmp_path))  # nothing registered in memory
+    groups = fresh.get_feature_groups("multi")
+    assert [(g.name, g.version) for g in groups] == [("multi", 1), ("multi", 2)]
+    views = fresh.get_feature_views("mview")
+    assert [(v.name, v.version) for v in views] == [("mview", 1), ("mview", 2)]
+    assert fresh.get_feature_groups("nope") == []

@@ -199,6 +199,7 @@ class FeatureView:
         spine: Optional[DataFrame] = None,
         transformed: bool = True,
         stats=None,
+        inference_helper_columns: bool = False,
     ) -> DataFrame:
         """Scoring-time batch frame: PIT plan, optional event-time range,
         labels dropped. ``transformed=True`` (reference default,
@@ -206,7 +207,16 @@ class FeatureView:
         model-dependent transformations; pass ``stats`` (the training
         run's statistics dict) to guarantee training/serving-consistent
         scaling — without it, statistics-bound transformations fall back
-        to stats over this batch frame."""
+        to stats over this batch frame.
+
+        Helper columns (parity ``feature_view.py:974-983``): declared
+        ``training_helper_columns`` are always dropped from batch data;
+        declared ``inference_helper_columns`` are dropped unless
+        ``inference_helper_columns=True``. (Primary-key/event-time
+        inclusion is governed by the view's own ``select`` in this
+        engine — the selection IS the projection — so the reference's
+        ``primary_key``/``event_time`` re-add flags have no analogue.)
+        """
         df = self._pit_plan(spark, spine)
         et = self.query.left_feature_group.event_time
         if et and (start_time is not None or end_time is not None):
@@ -220,6 +230,11 @@ class FeatureView:
 
             df = _apply(df, self.transformation_functions, stats=stats)
         drop = [c for c in self.labels if c in df.columns]
+        drop += [c for c in self.training_helper_columns if c in df.columns]
+        if not inference_helper_columns:
+            drop += [
+                c for c in self.inference_helper_columns if c in df.columns
+            ]
         return df.drop(*drop) if drop else df
 
     # -- training data -----------------------------------------------------
@@ -228,13 +243,23 @@ class FeatureView:
         spark: SparkSession,
         spine: Optional[DataFrame] = None,
         apply_transformations: bool = True,
+        training_helper_columns: bool = False,
     ) -> DataFrame:
+        """Training frame. Declared ``inference_helper_columns`` are
+        always dropped; declared ``training_helper_columns`` only
+        survive with ``training_helper_columns=True`` (parity
+        ``feature_view.py:2118-2130`` defaults)."""
         df = self._pit_plan(spark, spine)
         if apply_transformations and self.transformation_functions:
             from .functions.udf import apply_transformations as _apply
 
             df = _apply(df, self.transformation_functions, train_df=df)
-        return df
+        drop = [c for c in self.inference_helper_columns if c in df.columns]
+        if not training_helper_columns:
+            drop += [
+                c for c in self.training_helper_columns if c in df.columns
+            ]
+        return df.drop(*drop) if drop else df
 
     def train_test_split(
         self,
@@ -279,6 +304,19 @@ class FeatureView:
         if not hasattr(self, "_vector_server"):
             self.init_serving(spark)
         return self._vector_server.get_feature_vectors(spark, entries, **kw)
+
+    def get_inference_helper(self, spark: SparkSession, entry, **kw):
+        """Assembled inference-helper column vector for one entry
+        (parity ``feature_view.py:735``)."""
+        if not hasattr(self, "_vector_server"):
+            self.init_serving(spark)
+        return self._vector_server.get_inference_helper(spark, entry, **kw)
+
+    def get_inference_helpers(self, spark: SparkSession, entries, **kw):
+        """Batch inference-helper vectors (parity ``feature_view.py:783``)."""
+        if not hasattr(self, "_vector_server"):
+            self.init_serving(spark)
+        return self._vector_server.get_inference_helpers(spark, entries, **kw)
 
     def train_validation_test_split(
         self,

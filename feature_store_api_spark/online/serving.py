@@ -237,17 +237,82 @@ class VectorServer:
 
         if apply_transformations and self.fv.transformation_functions:
             rows = self._transform(spark, rows)
+        # inference helper columns are served via get_inference_helper(s),
+        # never inside the model-input vector (parity vector_server.py:
+        # 96-106 — helpers are excluded from the feature-vector column
+        # set). They stay present through _transform (an on-demand UDF
+        # may consume them) and drop here.
+        helpers = set(self.fv.inference_helper_columns)
+        if helpers:
+            rows = [
+                None if r is None else {
+                    k: v for k, v in r.items() if k not in helpers
+                }
+                for r in rows
+            ]
         if return_type == "list":
             # ordered model-input form (reference default shape): values
             # in the transformed training frame's column order
             order = [
                 c for c in self._feature_order
-                if c not in self._serving_keys
+                if c not in self._serving_keys and c not in helpers
             ]
             return [
                 None if r is None else [r.get(c) for c in order]
                 for r in rows
             ]
+        return rows
+
+    # -- inference helpers (parity feature_view.py:735-830) ----------------
+    def get_inference_helper(
+        self, spark: SparkSession, entry: Dict, return_type: str = "dict"
+    ) -> Optional[Dict]:
+        return self.get_inference_helpers(spark, [entry], return_type)[0]
+
+    def get_inference_helpers(
+        self,
+        spark: SparkSession,
+        entries: Sequence[Dict],
+        return_type: str = "dict",
+    ) -> List[Optional[Dict]]:
+        """Assembled vectors of ONLY the view's declared inference
+        helper columns (parity ``feature_view.py:783``): same per-FG
+        lookups and stitching as feature vectors, projected to the
+        helper set — the reference serves these separately so the model
+        input stays clean while the application still gets its
+        request-time context columns."""
+        if not self._initialized:
+            raise RuntimeError("call init_serving() first")
+        helpers = list(self.fv.inference_helper_columns)
+        if not helpers:
+            raise ValueError(
+                f"Feature view {self.fv.name!r} declares no "
+                "inference_helper_columns"
+            )
+        rows: List[Optional[Dict]] = [None] * len(entries)
+        for plan in self._plans:
+            wanted = [
+                f
+                for f in plan["features"]
+                if (plan["prefix"] + f) in helpers
+            ]
+            if not wanted:
+                continue
+            keys = [
+                {pk: e[sk] for sk, pk in plan["keymap"].items()} for e in entries
+            ]
+            if plan.get("df") is not None:
+                hits = plan["store"].lookup(plan["df"], keys)
+            else:
+                hits = plan["store"].get_feature_vectors(spark, keys)
+            for i, hit in enumerate(hits):
+                if hit is None:
+                    continue
+                vec = rows[i] if rows[i] is not None else {}
+                for f in wanted:
+                    if f in hit:
+                        vec[plan["prefix"] + f] = hit[f]
+                rows[i] = vec
         return rows
 
     def _transform(self, spark, rows: List[Optional[Dict]]) -> List[Optional[Dict]]:

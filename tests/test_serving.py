@@ -266,3 +266,57 @@ def test_live_serving_full_request_runs_no_spark_job(spark, served):
         assert got[c] == pytest.approx(want[c]) if isinstance(want[c], float) else got[c] == want[c], c
     # misses still surface as None in live mode
     assert live.get_feature_vector(spark, {"user_id": 999999}) is None
+
+
+def test_inference_helper_columns_served_separately(spark, tmp_path):
+    """Declared inference helpers are excluded from feature vectors and
+    served via get_inference_helper(s) (parity feature_view.py:735-830,
+    vector_server.py:96-106); training/batch frames drop helpers per
+    the reference's default flags."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "prof_h", primary_key=["uid"], online_enabled=True
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10.0, "ctx-a", 7), (2, 20.0, "ctx-b", 8)],
+        "uid long, bal double, context string, thelp long",
+    ))
+    fv = fs.create_feature_view(
+        "hview",
+        fg.select(["uid", "bal", "context", "thelp"]),
+        inference_helper_columns=["context"],
+        training_helper_columns=["thelp"],
+    )
+    fv.init_serving(spark)
+
+    vec = fv.get_feature_vector(spark, {"uid": 1})
+    assert "context" not in vec and vec["bal"] == 10.0
+
+    helper = fv.get_inference_helper(spark, {"uid": 1})
+    assert helper == {"context": "ctx-a"}
+    helpers = fv.get_inference_helpers(spark, [{"uid": 2}, {"uid": 99}])
+    assert helpers[0] == {"context": "ctx-b"} and helpers[1] is None
+
+    # list-form vectors exclude helpers too
+    lst = fv.get_feature_vector(spark, {"uid": 1}, return_type="list")
+    assert "ctx-a" not in lst
+
+    # batch data: helpers dropped by default, inference helpers on demand
+    bd = fv.get_batch_data(spark)
+    assert "context" not in bd.columns and "thelp" not in bd.columns
+    bd2 = fv.get_batch_data(spark, inference_helper_columns=True)
+    assert "context" in bd2.columns and "thelp" not in bd2.columns
+
+    # training data: inference helpers always out, training helpers opt-in
+    td = fv.training_data(spark)
+    assert "context" not in td.columns and "thelp" not in td.columns
+    td2 = fv.training_data(spark, training_helper_columns=True)
+    assert "thelp" in td2.columns and "context" not in td2.columns
+
+    # undeclared helpers -> clear error
+    fv2 = fs.create_feature_view("hview2", fg.select(["uid", "bal"]))
+    fv2.init_serving(spark)
+    with pytest.raises(ValueError, match="no\\s+inference_helper"):
+        fv2.get_inference_helper(spark, {"uid": 1})

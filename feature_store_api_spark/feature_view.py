@@ -381,11 +381,14 @@ class FeatureView:
         path: Optional[str] = None,
         coalesce: bool = False,
         spine: Optional[DataFrame] = None,
+        training_helper_columns: bool = False,
     ) -> dict:
         """Materialize the view query to versioned split files
         (parity ``engine/spark.py:633-721,865-919``): PIT plan → split →
         one shared stats pass → transform per split → write per split
-        under ``<root>/td_<version>/<split>``. Returns the TD metadata."""
+        under ``<root>/td_<version>/<split>``. Returns the TD metadata.
+        Helper columns follow ``training_data``'s defaults: inference
+        helpers never land in a TD, training helpers only on request."""
         import json
         import os
 
@@ -403,6 +406,13 @@ class FeatureView:
         td_dir = os.path.join(root, f"td_{version}")
 
         df = self._pit_plan(spark, spine)
+        drop = [c for c in self.inference_helper_columns if c in df.columns]
+        if not training_helper_columns:
+            drop += [
+                c for c in self.training_helper_columns if c in df.columns
+            ]
+        if drop:
+            df = df.drop(*drop)
         with prepare_training_data(
             df,
             transformations=self.transformation_functions,

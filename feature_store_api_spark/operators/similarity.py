@@ -132,6 +132,46 @@ def build_ann_index(
     return df.withColumn("__bucket", signature_expr(F.col(col), planes))
 
 
+def write_ann_index(index_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize an LSH index partitioned by ``__bucket`` — the 100 TB
+    layout the probe functions are designed for: the Hamming-radius
+    bucket predicate becomes DIRECTORY-level partition pruning at the
+    scan (asserted in tests/test_similarity.py), so a probe reads only
+    candidate buckets instead of the full index."""
+    index_df.write.partitionBy("__bucket").mode(mode).parquet(path)
+
+
+def read_ann_index(spark, path: str) -> DataFrame:
+    """Load a persisted LSH index. ``__bucket`` comes back as a
+    partition column; cast to long so the probes' bitwise expressions
+    type-match the in-memory index."""
+    df = spark.read.parquet(path)
+    return df.withColumn("__bucket", F.col("__bucket").cast("long"))
+
+
+def write_ivf_index(index: "IvfIndex", path: str, mode: str = "overwrite") -> None:
+    """Materialize an IVF index partitioned by ``__cell`` (probes prune
+    to the nprobe nearest cell directories) plus a centroid sidecar."""
+    import json
+    import os
+
+    index.df.write.partitionBy("__cell").mode(mode).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(index.centroids, fh)
+
+
+def read_ivf_index(spark, path: str) -> "IvfIndex":
+    import json
+    import os
+
+    df = spark.read.parquet(path).withColumn(
+        "__cell", F.col("__cell").cast("int")
+    )
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centroids = json.load(fh)
+    return IvfIndex(df, centroids)
+
+
 def find_neighbors_ann(
     index_df: DataFrame,
     embedding: Sequence[float],

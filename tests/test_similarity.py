@@ -191,3 +191,45 @@ def test_ivf_kmeans_refinement_improves_recall_on_clustered_data(spark):
         df, "embedding", num_centroids=16, kmeans_iterations=3
     )
     assert again.centroids == refined.centroids
+
+
+def test_persisted_indexes_prune_partitions_and_match(emb, spark, tmp_path):
+    """The persisted bucket/cell-partitioned layouts deliver the scale
+    contract the probe docstrings promise: the probe predicate appears
+    as a PartitionFilter (directory pruning, no full-index scan) and
+    results match the in-memory index exactly."""
+    q = [0.1] * 16
+
+    # -- LSH: Hamming predicate over the __bucket partition column
+    mem_idx = sim.build_ann_index(emb, "embedding", dim=16, num_planes=6)
+    sim.write_ann_index(mem_idx, str(tmp_path / "ann"))
+    disk_idx = sim.read_ann_index(spark, str(tmp_path / "ann"))
+    got = sim.find_neighbors_ann(
+        disk_idx, q, col="embedding", k=7, num_planes=6, max_hamming=1
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    assert "bit_count" in pf  # pruned at directory level, not post-scan
+    want = sim.find_neighbors_ann(
+        mem_idx, q, col="embedding", k=7, num_planes=6, max_hamming=1
+    )
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]
+
+    # -- IVF: cell IN-list over the __cell partition column
+    mem_ivf = sim.build_ivf_index(emb, "embedding", id_col="vec_id", num_centroids=8)
+    sim.write_ivf_index(mem_ivf, str(tmp_path / "ivf"))
+    disk_ivf = sim.read_ivf_index(spark, str(tmp_path / "ivf"))
+    assert disk_ivf.centroids == mem_ivf.centroids
+    got = sim.find_neighbors_ivf(disk_ivf, q, col="embedding", k=7, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    assert "__cell" in pf
+    want = sim.find_neighbors_ivf(mem_ivf, q, col="embedding", k=7, nprobe=2)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]

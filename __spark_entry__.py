@@ -1757,6 +1757,29 @@ def _q_corpus_curation(spark, sf_dir):
     return survivors.select("doc_id", "lang", "source")
 
 
+def _q_corpus_curation_quality(spark, sf_dir):
+    """Curation with a QUALITY-RANKED survivor policy: within each
+    near-dup cluster keep the longest text (tie: highest doc_id) via
+    select_survivors' per-cluster max_by — real pipelines keep the best
+    duplicate, not the canonical min-id member."""
+    from feature_store_api_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_duplicate_pairs, select_survivors,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    gated = d.where(
+        (F.length("text") >= 100) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    pairs = minhash_lsh_duplicate_pairs(
+        gated, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
+    )
+    clusters = duplicate_clusters(pairs)
+    survivors = select_survivors(
+        gated, clusters, order_by=[F.length("text")]
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -1899,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) NEW in round 4 (no verdict yet by definition) ---
         "serving_log_roundtrip": _q_serving_log_roundtrip,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
+        "corpus_curation_quality": _q_corpus_curation_quality,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -2057,6 +2081,37 @@ _CURATION_SQL = f"""
     WHERE cc.id IS NULL OR g.doc_id = cc.cluster_id
 """
 
+# quality-ranked survivor policy: within each cluster keep the LONGEST
+# text (tie: highest doc_id) instead of the canonical min-id member
+_CURATION_QUALITY_SQL = f"""
+    WITH RECURSIVE gated AS (
+      SELECT doc_id, lang, source, LENGTH(text) AS tl FROM documents
+      WHERE LENGTH(text) >= 100 AND lang IN ('en','de','fr','es')
+    ),
+    pairs AS ({_GATED_PAIRS_SQL}),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN e ON r.id = e.s
+    ),
+    cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, lang, source FROM (
+      SELECT g.doc_id, g.lang, g.source,
+             CASE WHEN cc.id IS NULL THEN 1 ELSE
+               row_number() OVER (
+                 PARTITION BY cc.cluster_id
+                 ORDER BY g.tl DESC, g.doc_id DESC
+               )
+             END AS rn
+      FROM gated g LEFT JOIN cc ON g.doc_id = cc.id
+    ) WHERE rn = 1
+"""
+
 
 def _ann_oracle_sql() -> str:
     """knn_ann oracle: replicates the seeded random-hyperplane LSH of
@@ -2145,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY distance ASC, vec_id ASC LIMIT 64
         """,
         "corpus_curation": _CURATION_SQL,
+        "corpus_curation_quality": _CURATION_QUALITY_SQL,
         "knn_batch": _ann_batch_oracle_sql(),
         "repetition_metrics": r"""
             WITH t AS (

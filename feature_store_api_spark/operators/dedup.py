@@ -435,6 +435,66 @@ def _cc_two_phase(edges: DataFrame, max_iterations: int) -> DataFrame:
     )
 
 
+def select_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    order_by: Optional[Sequence] = (),
+    descending: bool = True,
+) -> DataFrame:
+    """Pick ONE survivor per duplicate cluster (the step after
+    :func:`duplicate_clusters`): documents in no cluster survive
+    unconditionally; within a cluster, the survivor is
+
+    * the canonical member (``id == cluster_id``) when ``order_by`` is
+      empty — free: a filter, no extra shuffle; or
+    * the best row by ``order_by`` (e.g. a quality score, text length —
+      ``descending=True`` keeps the HIGHEST) with ``id_col`` as the
+      deterministic tie-break — real curation keeps the best duplicate,
+      not the smallest id. One ``max_by`` aggregation per cluster
+      (partial agg before the shuffle, skew-immune) + a semi-join of
+      survivor ids back onto the docs.
+
+    ``clusters`` is ``(doc_id, cluster_id)`` as produced by
+    :func:`duplicate_clusters`.
+    """
+    cl = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col(clusters.columns[1]).alias("__cluster_id"),
+    )
+    joined = df.join(cl, on=id_col, how="left")
+    if not order_by:
+        return joined.where(
+            F.col("__cluster_id").isNull()
+            | (F.col(id_col) == F.col("__cluster_id"))
+        ).drop("__cluster_id")
+    order_cols = [
+        F.col(c) if isinstance(c, str) else c for c in list(order_by)
+    ]
+    if not descending:
+        # max_by keeps the maximum of the struct; negate via sort keys
+        # is not generally possible for non-numeric columns, so flip by
+        # using min_by instead
+        pick = F.min_by(
+            F.col(id_col), F.struct(*order_cols, F.col(id_col))
+        )
+    else:
+        pick = F.max_by(
+            F.col(id_col), F.struct(*order_cols, F.col(id_col))
+        )
+    winners = (
+        joined.where(F.col("__cluster_id").isNotNull())
+        .groupBy("__cluster_id")
+        .agg(pick.alias("__winner"))
+        .select(F.col("__winner").alias(id_col))
+    )
+    survivors = joined.where(F.col("__cluster_id").isNull()).drop(
+        "__cluster_id"
+    )
+    kept = df.join(winners, on=id_col, how="left_semi")
+    return survivors.unionByName(kept)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -183,3 +183,42 @@ def test_duplicate_clusters_raises_on_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         dedup.duplicate_clusters(chain, max_iterations=3)
+
+
+def test_select_survivors_policies(spark):
+    """Survivor selection: canonical (min-id) policy is a filter;
+    quality policy keeps the best row per cluster with deterministic
+    ties; unclustered docs always survive; ascending flips to min_by."""
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "a much longer text", 18),
+            (3, "medium text!", 12),
+            (9, "standalone", 10),
+        ],
+        "doc_id long, text string, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    canonical = dedup.select_survivors(docs, clusters)
+    assert {r["doc_id"] for r in canonical.collect()} == {1, 9}
+
+    best = dedup.select_survivors(docs, clusters, order_by=["quality"])
+    assert {r["doc_id"] for r in best.collect()} == {2, 9}
+
+    worst = dedup.select_survivors(
+        docs, clusters, order_by=["quality"], descending=False
+    )
+    assert {r["doc_id"] for r in worst.collect()} == {1, 9}
+
+    # column-expression order key + tie-break by highest doc_id
+    tied = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbb"), (7, "c")], "doc_id long, text string"
+    )
+    tclusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    from pyspark.sql import functions as F2
+    out = dedup.select_survivors(tied, tclusters, order_by=[F2.length("text")])
+    assert {r["doc_id"] for r in out.collect()} == {2, 7}

@@ -471,6 +471,88 @@ class FeatureView:
             for s, d in meta["split_dirs"].items()
         }
 
+    # -- feature monitoring (parity feature_view.py:3303-3430: the same
+    # drift-config machinery the reference attaches to views; ours runs
+    # the named config against the view's compiled batch frame) ------------
+    def _monitoring_path(self) -> Optional[str]:
+        fs = self._feature_store
+        if fs is None or fs.root is None:
+            return None
+        import os
+
+        return os.path.join(
+            fs.root, "_feature_views", f"{self.name}_{self.version}_monitoring.json"
+        )
+
+    def _load_monitoring_configs(self) -> Dict:
+        import json
+        import os
+
+        p = self._monitoring_path()
+        if p and os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return dict(getattr(self, "_mem_monitoring", {}))
+
+    def create_feature_monitoring_config(self, config) -> None:
+        """Attach a named monitoring config to the view (persisted with
+        the view when store-backed)."""
+        import json
+        import os
+
+        configs = self._load_monitoring_configs()
+        configs[config.name] = config.to_dict()
+        p = self._monitoring_path()
+        if p is not None:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w") as fh:
+                json.dump(configs, fh, indent=1)
+        else:
+            self._mem_monitoring = configs
+
+    def run_feature_monitoring(
+        self, name: str, spark: Optional[SparkSession] = None, now=None
+    ) -> Dict:
+        """Run one named config against the view's compiled (PIT) batch
+        frame — detection vs reference window + comparison, appended to
+        the view's monitoring history."""
+        import json
+        import os
+        import time as _time
+        from datetime import datetime
+
+        from .operators.monitoring import (
+            FeatureMonitoringConfig,
+            run_monitoring,
+        )
+
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        configs = self._load_monitoring_configs()
+        if name not in configs:
+            raise KeyError(f"No monitoring config {name!r}")
+        cfg = FeatureMonitoringConfig.from_dict(configs[name])
+        et = self.query.left_feature_group.event_time
+        if not et:
+            raise ValueError(
+                "feature monitoring requires an event_time on the view's "
+                "left feature group"
+            )
+        result = run_monitoring(
+            self._pit_plan(spark), et, cfg, now or datetime.utcnow()
+        )
+        p = self._monitoring_path()
+        if p is not None:
+            d = p[: -len(".json")] + "_results"
+            os.makedirs(d, exist_ok=True)
+            with open(
+                os.path.join(d, f"{name}_{int(_time.time() * 1000)}.json"), "w"
+            ) as fh:
+                json.dump(result, fh, indent=1, default=str)
+        return result
+
     # -- provenance (parity feature_view.py:1145-1155) ---------------------
     def get_parent_feature_groups(self):
         """The feature groups this view's query reads from — walked off

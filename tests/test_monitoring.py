@@ -189,3 +189,52 @@ def test_fg_monitoring_config_lifecycle(spark, tmp_path):
     assert len(results) == 2
     with pytest.raises(KeyError):
         fg.run_feature_monitoring("nope", spark)
+
+
+def test_fv_monitoring_config_lifecycle(spark, tmp_path):
+    """Feature-view-level monitoring (parity feature_view.py:3303-3430):
+    the named config runs against the view's compiled PIT batch frame,
+    persists with the view, and records result history."""
+    import os
+    from datetime import datetime
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.operators.monitoring import (
+        FeatureMonitoringConfig,
+        MonitoringWindowConfig,
+    )
+
+    fs = FeatureStore(root=str(tmp_path / "fvmon"))
+    fg = fs.create_feature_group("mfg", primary_key=["k"], event_time="ts")
+    rows = [(i, float(10 + (i % 3)), "2024-01-0%d" % (1 + i % 7)) for i in range(70)]
+    fg.insert(
+        spark.createDataFrame(rows, "k long, v double, day string").selectExpr(
+            "k", "v", "to_timestamp(day) AS ts"
+        )
+    )
+    fv = fs.create_feature_view("mview", fg.select(["k", "v", "ts"]))
+    fv.create_feature_monitoring_config(FeatureMonitoringConfig(
+        name="v_drift",
+        feature_name="v",
+        statistic="mean_val",
+        detection_window=MonitoringWindowConfig(
+            window_type="ROLLING_TIME", time_offset="3d"
+        ),
+        reference_window=MonitoringWindowConfig(
+            window_type="SPECIFIC_VALUE", specific_value=11.0
+        ),
+        threshold=0.5,
+    ))
+    out = fv.run_feature_monitoring("v_drift", spark, now=datetime(2024, 1, 8))
+    assert out["reference_value"] == 11.0 and out["detection_value"] is not None
+
+    # config survives a fresh store over the same root
+    fv2 = FeatureStore(root=fs.root).get_feature_view("mview")
+    out2 = fv2.run_feature_monitoring("v_drift", spark, now=datetime(2024, 1, 8))
+    assert out2["detection_value"] == out["detection_value"]
+    rd = os.path.join(
+        fs.root, "_feature_views", "mview_1_monitoring_results"
+    )
+    assert len(os.listdir(rd)) == 2
+    with pytest.raises(KeyError):
+        fv.run_feature_monitoring("nope", spark)

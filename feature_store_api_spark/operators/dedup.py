@@ -303,15 +303,19 @@ def duplicate_clusters(
         return _cc_two_phase(edges, max_iterations)
     if algorithm != "min_label":
         raise ValueError(f"Unknown clustering algorithm {algorithm!r}")
+    # label init = the FIRST propagation hop for free: min(id, min N(id))
+    # via one groupBy over the symmetrized edges — the same single
+    # shuffle a plain `select(src).distinct()` init would cost, but one
+    # hop further along (star-shaped clusters converge at init)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
         .localCheckpoint(eager=True)
     )
     prev_sum = object()  # sentinel: no round has completed yet
     converged = False
-    hops_left = max_iterations
+    hops_left = max(1, max_iterations - 1)  # init consumed one hop
     while hops_left > 0:
         # two propagation hops per materialized round: each round's
         # fixed cost (job scheduling + checkpoint + convergence agg)

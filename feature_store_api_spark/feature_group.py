@@ -178,11 +178,14 @@ class FeatureGroup(FeatureGroupBase):
         stream: bool = False,
         transformation_functions: Sequence = (),
         auto_compact_every: Optional[int] = 10,
+        statistics_config=None,
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
             description, online_enabled,
         )
+        self.statistics_config = statistics_config
+        self.deprecated = False
         self.path = path  # immutable parquet source
         self.location = location  # managed commit-store dir
         self.precombine_key = (
@@ -292,7 +295,131 @@ class FeatureGroup(FeatureGroupBase):
             OnlineStore.for_feature_group(self).upsert(df)
         return commit
 
+    # -- metadata updates (persisted in the managed sidecar) ---------------
+    def _update_meta(self, **changes) -> None:
+        import json as _json
+
+        if self.location is None:
+            return
+        p = os.path.join(self.location, "_fg_meta.json")
+        if not os.path.exists(p):
+            return
+        with open(p) as fh:
+            meta = _json.load(fh)
+        meta.update(changes)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh, indent=1)
+        os.replace(tmp, p)
+
+    def update_description(self, description: str) -> "FeatureGroup":
+        """Parity ``feature_group.py`` ``update_description``."""
+        self.description = description
+        self._update_meta(description=description)
+        return self
+
+    def update_feature_description(
+        self, feature_name: str, description: str
+    ) -> "FeatureGroup":
+        """Parity ``update_feature_description``: annotate one feature."""
+        feat = self.get_feature(feature_name)
+        feat.description = description
+        self._persist_declared_schema()
+        return self
+
+    def update_statistics_config(self, config) -> "FeatureGroup":
+        """Parity ``update_statistics_config``: replaces the profiling
+        config used by future ``compute_statistics`` runs."""
+        self.statistics_config = config
+        self._update_meta(
+            statistics_config=config.to_dict() if config else None
+        )
+        return self
+
+    def update_deprecated(self, deprecated: bool = True) -> "FeatureGroup":
+        """Parity ``update_deprecated``: reads of a deprecated group
+        warn (but keep working) so downstream users migrate."""
+        self.deprecated = bool(deprecated)
+        self._update_meta(deprecated=self.deprecated)
+        return self
+
+    def delete(self) -> None:
+        """Drop this group and its artifacts (parity ``delete``)."""
+        if self._feature_store is None:
+            raise ValueError("Feature group is not attached to a store")
+        self._feature_store.delete_feature_group(self.name, self.version)
+
+    # -- expectation suite accessors (parity feature_group.py) -------------
+    def get_expectation_suite(self):
+        return self.expectation_suite
+
+    def delete_expectation_suite(self) -> None:
+        self.expectation_suite = None
+
+    def get_latest_validation_report(self):
+        """Parity ``get_latest_validation_report``."""
+        hist = self.get_validation_history(limit=1)
+        return hist[0] if hist else None
+
+    def get_all_validation_reports(self):
+        """Parity ``get_all_validation_reports``."""
+        return self.get_validation_history()
+
+    # -- monitoring accessors (parity get_feature_monitoring_configs /
+    # get_feature_monitoring_history) --------------------------------------
+    def get_feature_monitoring_configs(self) -> List[Dict]:
+        return list(self._load_monitoring_configs().values())
+
+    def get_feature_monitoring_history(self, name: str) -> List[Dict]:
+        """Result history of one named config, newest first."""
+        import json as _json
+
+        if self.location is None:
+            return []
+        d = os.path.join(self.location, "monitoring_results")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d), reverse=True):
+            if f.startswith(f"{name}_") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(_json.load(fh))
+        return out
+
     # -- provenance (parity feature_group.py:534-601) ----------------------
+    def get_generated_feature_groups(self):
+        """Downstream feature groups derived FROM this one — the child
+        direction of the ingest-plan lineage (parity
+        ``feature_group.py`` ``get_generated_feature_groups``): scans
+        the store's managed groups' provenance sidecars for links to
+        (name, version)."""
+        from . import provenance as _prov
+
+        links = _prov.Links()
+        fs = self._feature_store
+        if fs is None:
+            return links
+        names = set()
+        if fs.root and os.path.isdir(fs.root):
+            for d in os.listdir(fs.root):
+                if os.path.exists(os.path.join(fs.root, d, "_fg_meta.json")):
+                    stem, _, ver = d.rpartition("_")
+                    if stem and ver.isdigit():
+                        names.add((stem, int(ver)))
+        names |= set(fs._registry.keys())
+        for key in sorted(names):
+            if key == (self.name, self.version):
+                continue
+            try:
+                child = fs.get_feature_group(*key)
+            except Exception:
+                continue
+            if (self.name, self.version) in {
+                (n, int(v)) for n, v in _prov.load_parents(child)
+            }:
+                links.accessible.append(child)
+        return links
+
     def get_parent_feature_groups(self):
         """Upstream feature groups this group was derived from (links
         recorded at insert time from the ingested frame's plan, or
@@ -508,6 +635,7 @@ class FeatureGroup(FeatureGroupBase):
                 "name": f.name,
                 "type": spark_type_to_ddl(f.type) if f.type is not None else None,
                 "default_value": f.default_value,
+                "description": f.description,
             }
             for f in self._resolved_features()
         ]
@@ -516,6 +644,37 @@ class FeatureGroup(FeatureGroupBase):
             _json.dump(meta, fh, indent=1)
         os.replace(tmp, meta_path)
 
+    def _profile(self, df) -> Dict:
+        """describe() honoring the group's ``statistics_config``
+        (parity ``statistics_config.py``: enabled / columns restriction /
+        exactUniqueness / correlations / histograms)."""
+        from .operators.statistics import correlations, describe, value_counts
+
+        cfg = self.statistics_config
+        if cfg is not None and not cfg.enabled:
+            return {}
+        cols = [f.name for f in df.schema.fields]
+        if cfg is not None and cfg.columns:
+            cols = [c for c in cols if c in set(cfg.columns)]
+        exact = bool(cfg.exact_uniqueness) if cfg is not None else False
+        stats = describe(df, cols, exact_distinct=exact)
+        if cfg is not None and cfg.correlations:
+            num = [
+                c for c in cols
+                if str(df.schema[c].dataType) in
+                ("DoubleType()", "FloatType()", "LongType()", "IntegerType()")
+            ]
+            if len(num) >= 2:
+                stats["_correlations"] = [
+                    r.asDict() for r in correlations(df, num).collect()
+                ]
+        if cfg is not None and cfg.histograms:
+            stats["_histograms"] = {
+                c: [r.asDict() for r in value_counts(df, c, k=20).collect()]
+                for c in cols
+            }
+        return stats
+
     def compute_statistics(self, spark: Optional[SparkSession] = None) -> Dict:
         """Profile the current snapshot and persist it next to the data,
         keyed by the newest commit time (parity
@@ -523,13 +682,10 @@ class FeatureGroup(FeatureGroupBase):
         commit; ours is a JSON sidecar under ``<location>/statistics``)."""
         import json as _json
 
-        from .operators.statistics import describe
         from .session import get_spark
 
         spark = spark or get_spark()
-        df = self.read_source(spark)
-        numeric_and_more = [f.name for f in df.schema.fields]
-        stats = describe(df, numeric_and_more)
+        stats = self._profile(self.read_source(spark))
         details = self.commit_details(limit=1)
         commit_time = details[0]["commit_time"] if details else 0
         if self.location is not None:
@@ -538,6 +694,42 @@ class FeatureGroup(FeatureGroupBase):
             with open(os.path.join(d, f"{commit_time}.json"), "w") as fh:
                 _json.dump(stats, fh, indent=1, default=str)
         return stats
+
+    def get_statistics_by_commit_window(
+        self,
+        start_commit_time: Optional[int] = None,
+        end_commit_time: Optional[int] = None,
+        spark: Optional[SparkSession] = None,
+    ) -> Dict:
+        """Profile the rows changed in ``(start, end]`` — an incremental
+        read — or the snapshot AT ``end`` when no start is given (parity
+        ``feature_group.py:3212``, ``core/statistics_engine.py:325-367``)."""
+        from .session import get_spark
+
+        spark = spark or get_spark()
+        df = self.commit_store.snapshot(
+            spark, start_commit=start_commit_time, end_commit=end_commit_time
+        )
+        return self._profile(df)
+
+    def get_all_statistics(self) -> List[Dict]:
+        """Every persisted profile, newest first, each wrapped with its
+        commit time (parity ``feature_group.py`` ``get_all_statistics``)."""
+        import json as _json
+
+        if self.location is None:
+            return []
+        d = os.path.join(self.location, "statistics")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d), reverse=True):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(
+                        {"commit_time": int(f[:-5]), "statistics": _json.load(fh)}
+                    )
+        return out
 
     def get_statistics(self, commit_time: Optional[int] = None) -> Optional[Dict]:
         """Latest persisted profile, or the newest one at/before
@@ -584,6 +776,15 @@ class FeatureGroup(FeatureGroupBase):
 
     # -- source resolution -------------------------------------------------
     def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+        if self.deprecated:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"Feature group {self.name!r} v{self.version} is "
+                "deprecated; migrate readers to its replacement",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         if self.location is not None:
             df = self.commit_store.snapshot(
                 spark, start_commit=start_time, end_commit=end_time

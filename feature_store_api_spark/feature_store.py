@@ -41,6 +41,7 @@ class FeatureStore:
         stream: bool = False,
         transformation_functions: Sequence = (),
         auto_compact_every: Optional[int] = 10,
+        statistics_config=None,
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -66,6 +67,7 @@ class FeatureStore:
             stream=stream,
             transformation_functions=transformation_functions,
             auto_compact_every=auto_compact_every,
+            statistics_config=statistics_config,
         )
         fg._feature_store = self  # provenance + log-FG resolution backref
         self._registry[(name, version)] = fg
@@ -90,6 +92,9 @@ class FeatureStore:
                 "transformation_functions": [
                     t.to_dict() for t in transformation_functions
                 ],
+                "statistics_config": (
+                    statistics_config.to_dict() if statistics_config else None
+                ),
             }
             with open(os.path.join(location, "_fg_meta.json"), "w") as fh:
                 json.dump(meta, fh, indent=1)
@@ -116,6 +121,7 @@ class FeatureStore:
         with open(meta_path) as fh:
             meta = json.load(fh)
         from .functions.udf import TransformationFunction
+        from .operators.statistics import StatisticsConfig
 
         fg = FeatureGroup(
             meta["name"],
@@ -133,15 +139,21 @@ class FeatureStore:
                 for t in meta.get("transformation_functions", [])
             ],
             auto_compact_every=meta.get("auto_compact_every", 10),
+            statistics_config=StatisticsConfig.from_dict(
+                meta.get("statistics_config")
+            ),
         )
         fg._feature_store = self
+        fg.deprecated = bool(meta.get("deprecated", False))
 
         if meta.get("features"):
             # declared schema recorded (append_features evolution) wins
             fg.set_features(
                 [
                     Feature(
-                        f["name"], f["type"], default_value=f.get("default_value")
+                        f["name"], f["type"],
+                        default_value=f.get("default_value"),
+                        description=f.get("description"),
                     )
                     for f in meta["features"]
                 ]

@@ -30,6 +30,46 @@ _NUMERIC = (
 )
 
 
+class StatisticsConfig:
+    """What to compute when profiling a feature group (parity
+    ``/root/reference/python/hsfs/statistics_config.py:25-56``)."""
+
+    def __init__(
+        self,
+        enabled: bool = True,
+        correlations: bool = False,
+        histograms: bool = False,
+        exact_uniqueness: bool = False,
+        columns: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.enabled = enabled
+        self.correlations = correlations
+        self.histograms = histograms
+        self.exact_uniqueness = exact_uniqueness
+        self.columns = list(columns or [])
+
+    def to_dict(self) -> Dict:
+        return {
+            "enabled": self.enabled,
+            "correlations": self.correlations,
+            "histograms": self.histograms,
+            "exact_uniqueness": self.exact_uniqueness,
+            "columns": list(self.columns),
+        }
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict]) -> Optional["StatisticsConfig"]:
+        if d is None:
+            return None
+        return cls(
+            enabled=d.get("enabled", True),
+            correlations=d.get("correlations", False),
+            histograms=d.get("histograms", False),
+            exact_uniqueness=d.get("exact_uniqueness", False),
+            columns=d.get("columns") or [],
+        )
+
+
 def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC)
 

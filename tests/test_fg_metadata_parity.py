@@ -1,0 +1,96 @@
+"""FeatureGroup metadata/statistics parity batch: StatisticsConfig,
+commit-window stats, metadata updates, deprecation, validation/
+monitoring accessors, child-direction provenance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+from feature_store_api_spark.operators.statistics import StatisticsConfig
+
+
+@pytest.fixture()
+def fs(tmp_path):
+    return FeatureStore(root=str(tmp_path))
+
+
+def test_statistics_config_honored_and_persisted(spark, fs, tmp_path):
+    cfg = StatisticsConfig(
+        correlations=True, histograms=True, exact_uniqueness=True,
+        columns=["a", "b"],
+    )
+    fg = fs.create_feature_group("sfg", primary_key=["k"], statistics_config=cfg)
+    fg.insert(spark.createDataFrame(
+        [(i, float(i), float(i * 2), "x" * (i % 3)) for i in range(20)],
+        "k long, a double, b double, c string",
+    ))
+    stats = fg.compute_statistics(spark)
+    # column restriction: only a/b profiled, c and k excluded
+    assert set(k for k in stats if not k.startswith("_")) == {"a", "b"}
+    assert stats["a"]["exactNumDistinctValues"] == 20
+    assert "_correlations" in stats and "_histograms" in stats
+    assert {r["a"] for r in stats["_histograms"]["a"]} == {
+        float(i) for i in range(20)
+    }
+
+    # config survives rehydration; disabled config yields empty stats
+    fg2 = FeatureStore(root=str(tmp_path)).get_feature_group("sfg")
+    assert fg2.statistics_config.columns == ["a", "b"]
+    fg2.update_statistics_config(StatisticsConfig(enabled=False))
+    assert fg2.compute_statistics(spark) == {}
+    # stats are keyed per commit: the re-run overwrote the same commit
+    allstats = fg.get_all_statistics()
+    assert len(allstats) == 1 and allstats[0]["statistics"] == {}
+
+
+def test_commit_window_statistics(spark, fs):
+    fg = fs.create_feature_group("wfg", primary_key=["k"], auto_compact_every=None)
+    c1 = fg.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    c2 = fg.insert(spark.createDataFrame([(3, 30.0)], "k long, v double"))
+    win = fg.get_statistics_by_commit_window(
+        start_commit_time=c1.commit_time, end_commit_time=c2.commit_time,
+        spark=spark,
+    )
+    assert win["v"]["count"] == 1 and win["v"]["mean"] == 30.0
+    snap = fg.get_statistics_by_commit_window(
+        end_commit_time=c1.commit_time, spark=spark
+    )
+    assert snap["v"]["count"] == 2
+
+
+def test_metadata_updates_and_deprecation(spark, fs, tmp_path):
+    fg = fs.create_feature_group("mfg", primary_key=["k"], description="old")
+    fg.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    fg.update_description("new words")
+    fg.update_feature_description("v", "the value")
+    fg.update_deprecated(True)
+
+    fresh = FeatureStore(root=str(tmp_path)).get_feature_group("mfg")
+    assert fresh.description == "new words"
+    assert fresh.get_feature("v").description == "the value"
+    assert fresh.deprecated
+    with pytest.warns(DeprecationWarning, match="deprecated"):
+        assert fresh.read(spark).count() == 1
+
+    fg.delete()
+    with pytest.raises(KeyError):
+        FeatureStore(root=str(tmp_path)).get_feature_group("mfg")
+
+
+def test_validation_and_monitoring_accessors(spark, fs):
+    fg = fs.create_feature_group("vfg", primary_key=["k"])
+    assert fg.get_latest_validation_report() is None
+    assert fg.get_all_validation_reports() == []
+    assert fg.get_feature_monitoring_configs() == []
+    assert fg.get_feature_monitoring_history("any") == []
+    assert fg.get_expectation_suite() is None
+
+
+def test_generated_feature_groups_child_links(spark, fs):
+    src = fs.create_feature_group("srcg", primary_key=["k"])
+    src.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    child = fs.create_feature_group("childg", primary_key=["k"])
+    child.insert(src.read(spark))
+    links = src.get_generated_feature_groups()
+    assert [g.name for g in links.accessible] == ["childg"]
+    assert child.get_generated_feature_groups().accessible == []

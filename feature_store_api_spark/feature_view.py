@@ -430,6 +430,10 @@ class FeatureView:
                 "splits": sorted(td.splits),
                 "split_dirs": written,
                 "seed": seed,
+                # the full recipe, so recreate_training_dataset can
+                # re-materialize this version byte-for-byte
+                "random": random,
+                "time_splits": time_splits,
                 "statistics": td.statistics,
             }
         with open(os.path.join(td_dir, "_td_meta.json"), "w") as fh:
@@ -776,6 +780,305 @@ class FeatureView:
         kinds = [transformed] if transformed is not None else [False, True]
         for t in kinds:
             self._feature_store.delete_feature_group(self._log_fg_name(t), 1)
+
+    # -- training-dataset lifecycle (parity feature_view.py create_*/
+    # get_*/delete_*/purge_* training data family) -------------------------
+    def create_train_test_split(
+        self,
+        spark: SparkSession,
+        test_size: float = 0.2,
+        seed: Optional[int] = None,
+        data_format: str = "parquet",
+        **kw,
+    ) -> dict:
+        """Materialize a versioned train/test TD (parity
+        ``feature_view.py`` ``create_train_test_split``)."""
+        return self.create_training_dataset(
+            spark,
+            data_format=data_format,
+            random={"train": 1 - test_size, "test": test_size},
+            seed=seed,
+            **kw,
+        )
+
+    def create_train_validation_test_split(
+        self,
+        spark: SparkSession,
+        validation_size: float = 0.1,
+        test_size: float = 0.2,
+        seed: Optional[int] = None,
+        data_format: str = "parquet",
+        **kw,
+    ) -> dict:
+        if validation_size + test_size >= 1.0:
+            raise ValueError("validation_size + test_size must be < 1.0")
+        return self.create_training_dataset(
+            spark,
+            data_format=data_format,
+            random={
+                "train": 1 - validation_size - test_size,
+                "validation": validation_size,
+                "test": test_size,
+            },
+            seed=seed,
+            **kw,
+        )
+
+    def get_training_datasets(self) -> List[dict]:
+        """Metadata of every materialized TD version, ascending (parity
+        ``get_training_datasets``)."""
+        import json
+        import os
+
+        root = self._td_root(None)
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in sorted(os.listdir(root)):
+            meta = os.path.join(root, d, "_td_meta.json")
+            if d.startswith("td_") and os.path.exists(meta):
+                with open(meta) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["version"])
+
+    def get_training_dataset_statistics(self, version: int) -> Optional[Dict]:
+        """The per-split statistics captured when the TD materialized
+        (parity ``get_training_dataset_statistics``)."""
+        for meta in self.get_training_datasets():
+            if meta["version"] == version:
+                return meta.get("statistics")
+        raise FileNotFoundError(f"No training dataset version {version}")
+
+    def get_training_data(
+        self, spark: SparkSession, version: Optional[int] = None
+    ):
+        """Read back a materialized TD's single frame, or its splits as
+        ``(X, y)`` per split when the TD was split (parity
+        ``get_training_data`` / ``get_train_test_split`` /
+        ``get_train_validation_test_split`` read-back family)."""
+        splits = self.read_training_dataset(spark, version=version)
+        if isinstance(splits, dict) and set(splits) == {"train"}:
+            splits = splits["train"]
+        return splits
+
+    def get_train_test_split(
+        self, spark: SparkSession, version: Optional[int] = None
+    ):
+        splits = self.read_training_dataset(spark, version=version)
+        x_train, y_train = split_labels(splits["train"], self.labels)
+        x_test, y_test = split_labels(splits["test"], self.labels)
+        return x_train, x_test, y_train, y_test
+
+    def get_train_validation_test_split(
+        self, spark: SparkSession, version: Optional[int] = None
+    ):
+        splits = self.read_training_dataset(spark, version=version)
+        xs = [
+            split_labels(splits[s], self.labels)
+            for s in ("train", "validation", "test")
+        ]
+        return (
+            xs[0][0], xs[1][0], xs[2][0], xs[0][1], xs[1][1], xs[2][1]
+        )
+
+    def recreate_training_dataset(
+        self, spark: SparkSession, version: int
+    ) -> dict:
+        """Re-materialize a TD version from its recorded recipe (splits
+        + seed + format) — byte-reproducible because our splits are
+        seed-deterministic (parity ``recreate_training_dataset``)."""
+        import json
+        import os
+        import shutil
+
+        root = self._td_root(None)
+        td_dir = os.path.join(root, f"td_{version}")
+        meta_path = os.path.join(td_dir, "_td_meta.json")
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"No training dataset version {version}")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        splits = meta["splits"]
+        random = meta.get("random")
+        if random is None and set(splits) == {"test", "train"}:
+            # pre-recipe metadata: assume the default 80/20
+            random = {"train": 0.8, "test": 0.2}
+        time_splits = meta.get("time_splits")
+        if time_splits is not None:
+            time_splits = [tuple(t) for t in time_splits]
+        shutil.rmtree(td_dir, ignore_errors=True)
+        return self.create_training_dataset(
+            spark,
+            version=version,
+            data_format=meta["data_format"],
+            random=random,
+            time_splits=time_splits,
+            seed=meta.get("seed"),
+        )
+
+    def delete_training_dataset(self, version: int) -> None:
+        """Drop one materialized TD version (parity
+        ``delete_training_dataset``)."""
+        import os
+        import shutil
+
+        td_dir = os.path.join(self._td_root(None), f"td_{version}")
+        if not os.path.isdir(td_dir):
+            raise FileNotFoundError(f"No training dataset version {version}")
+        shutil.rmtree(td_dir)
+
+    def delete_all_training_datasets(self) -> None:
+        import os
+        import shutil
+
+        root = self._td_root(None)
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+
+    # purge_* = delete the data files, keep the metadata (parity)
+    def purge_training_data(self, version: int) -> None:
+        import json
+        import os
+        import shutil
+
+        td_dir = os.path.join(self._td_root(None), f"td_{version}")
+        meta_path = os.path.join(td_dir, "_td_meta.json")
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"No training dataset version {version}")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        for d in meta["split_dirs"].values():
+            shutil.rmtree(d, ignore_errors=True)
+
+    def purge_all_training_data(self) -> None:
+        for meta in self.get_training_datasets():
+            self.purge_training_data(meta["version"])
+
+    # -- tags (parity feature_view.py add_tag/get_tag/... + per-TD tags) ---
+    def _tags_path(self, td_version: Optional[int] = None) -> Optional[str]:
+        fs = self._feature_store
+        if fs is None or fs.root is None:
+            return None
+        import os
+
+        suffix = f"_td{td_version}" if td_version is not None else ""
+        return os.path.join(
+            fs.root, "_feature_views",
+            f"{self.name}_{self.version}{suffix}_tags.json",
+        )
+
+    def _load_tags(self, td_version=None) -> Dict:
+        import json
+        import os
+
+        p = self._tags_path(td_version)
+        if p and os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return dict(getattr(self, "_mem_tags", {}).get(td_version or 0, {}))
+
+    def _save_tags(self, tags: Dict, td_version=None) -> None:
+        import json
+        import os
+
+        p = self._tags_path(td_version)
+        if p is None:
+            mem = getattr(self, "_mem_tags", {})
+            mem[td_version or 0] = tags
+            self._mem_tags = mem
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            json.dump(tags, fh, indent=1)
+
+    def add_tag(self, name: str, value) -> None:
+        tags = self._load_tags()
+        tags[name] = value
+        self._save_tags(tags)
+
+    def get_tag(self, name: str):
+        return self._load_tags().get(name)
+
+    def get_tags(self) -> Dict:
+        return dict(self._load_tags())
+
+    def delete_tag(self, name: str) -> None:
+        tags = self._load_tags()
+        tags.pop(name, None)
+        self._save_tags(tags)
+
+    def add_training_dataset_tag(self, version: int, name: str, value) -> None:
+        tags = self._load_tags(version)
+        tags[name] = value
+        self._save_tags(tags, version)
+
+    def get_training_dataset_tag(self, version: int, name: str):
+        return self._load_tags(version).get(name)
+
+    def get_training_dataset_tags(self, version: int) -> Dict:
+        return dict(self._load_tags(version))
+
+    def delete_training_dataset_tag(self, version: int, name: str) -> None:
+        tags = self._load_tags(version)
+        tags.pop(name, None)
+        self._save_tags(tags, version)
+
+    # -- misc parity -------------------------------------------------------
+    @property
+    def primary_keys(self) -> List[str]:
+        """Serving keys (parity ``feature_view.py`` ``primary_keys``)."""
+        return list(self.query.left_feature_group.primary_key)
+
+    @property
+    def serving_keys(self) -> List[str]:
+        return self.primary_keys
+
+    def transform(self, df: DataFrame, stats=None) -> DataFrame:
+        """Apply the view's model-dependent transformations to an
+        arbitrary frame (parity ``feature_view.py`` ``transform``)."""
+        from .functions.udf import TransformationFunction, apply_transformations
+
+        tfs = [
+            t for t in self.transformation_functions
+            if getattr(t, "mode", None) != TransformationFunction.ON_DEMAND
+        ]
+        if not tfs:
+            return df
+        return apply_transformations(df, tfs, stats=stats, train_df=df)
+
+    def compute_on_demand_features(self, df: DataFrame) -> DataFrame:
+        """Apply only the view's on-demand transformations (parity
+        ``compute_on_demand_features``)."""
+        from .functions.udf import TransformationFunction, apply_transformations
+
+        tfs = [
+            t for t in self.transformation_functions
+            if getattr(t, "mode", None) == TransformationFunction.ON_DEMAND
+            and all(f in df.columns for f in t.features)
+        ]
+        return apply_transformations(df, tfs) if tfs else df
+
+    def find_neighbors(
+        self, embedding, col=None, k=10, filter=None, metric="l2"
+    ):
+        """kNN against the view's left feature group's embedding column
+        (parity ``feature_view.py`` ``find_neighbors``)."""
+        return self.query.left_feature_group.find_neighbors(
+            embedding, col=col, k=k, filter=filter, metric=metric
+        )
+
+    def get_batch_query(self) -> str:
+        """The view's query as ANSI SQL (parity ``get_batch_query`` —
+        the reference returns the server-generated batch SQL string;
+        ours emits from the local plan; PIT semantics are a plan-level
+        rewrite, so this is the plain-join form)."""
+        return self.query.to_string()
+
+    def delete(self) -> None:
+        """Drop the view and its artifacts (parity ``clean``/``delete``)."""
+        self.delete_all_training_datasets()
+        if self._feature_store is not None:
+            self._feature_store.delete_feature_view(self.name, self.version)
 
     def train_test_split_by_time(
         self,

@@ -1,0 +1,90 @@
+"""FeatureView training-dataset lifecycle + tags + misc parity
+(reference feature_view.py create_*/get_*/delete_*/purge_*,
+add_tag family, transform/compute_on_demand_features, primary_keys)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark import FeatureStore
+
+
+@pytest.fixture()
+def fv(spark, tmp_path):
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("base", primary_key=["k"])
+    fg.insert(spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(100)], "k long, x double, label int"
+    ))
+    return fs.create_feature_view("v", fg.select_all(), labels=["label"])
+
+
+def test_td_lifecycle(spark, fv):
+    m1 = fv.create_train_test_split(spark, test_size=0.3, seed=7)
+    m2 = fv.create_train_validation_test_split(
+        spark, validation_size=0.2, test_size=0.2, seed=7
+    )
+    assert [m["version"] for m in fv.get_training_datasets()] == [1, 2]
+    assert set(m2["splits"]) == {"test", "train", "validation"}
+
+    # read-back wrappers
+    x_tr, x_te, y_tr, y_te = fv.get_train_test_split(spark, version=1)
+    assert "label" not in x_tr.columns and y_te.columns == ["label"]
+    assert x_tr.count() + x_te.count() == 100
+    six = fv.get_train_validation_test_split(spark, version=2)
+    assert sum(s.count() for s in six[:3]) == 100
+
+    # statistics getter + recreate determinism
+    assert fv.get_training_dataset_statistics(1) is not None
+    before = sorted(r["k"] for r in fv.read_training_dataset(spark, 1, "train").collect())
+    fv.recreate_training_dataset(spark, version=1)
+    after = sorted(r["k"] for r in fv.read_training_dataset(spark, 1, "train").collect())
+    assert before == after
+
+    # purge keeps metadata, delete removes the version
+    fv.purge_training_data(1)
+    assert fv.get_training_dataset_statistics(1) is not None
+    with pytest.raises(Exception):
+        fv.read_training_dataset(spark, 1, "train").count()
+    fv.delete_training_dataset(2)
+    assert [m["version"] for m in fv.get_training_datasets()] == [1]
+    fv.delete_all_training_datasets()
+    assert fv.get_training_datasets() == []
+    with pytest.raises(FileNotFoundError):
+        fv.delete_training_dataset(9)
+
+
+def test_fv_tags_and_td_tags(fv):
+    fv.add_tag("owner", "ml-team")
+    fv.add_tag("tier", 1)
+    assert fv.get_tag("owner") == "ml-team"
+    assert fv.get_tags() == {"owner": "ml-team", "tier": 1}
+    fv.delete_tag("tier")
+    assert fv.get_tags() == {"owner": "ml-team"}
+
+    fv.add_training_dataset_tag(3, "purpose", "eval")
+    assert fv.get_training_dataset_tag(3, "purpose") == "eval"
+    assert fv.get_training_dataset_tags(3) == {"purpose": "eval"}
+    assert fv.get_tags() == {"owner": "ml-team"}  # TD tags are separate
+    fv.delete_training_dataset_tag(3, "purpose")
+    assert fv.get_training_dataset_tags(3) == {}
+
+
+def test_misc_parity(spark, fv, tmp_path):
+    assert fv.primary_keys == ["k"] == fv.serving_keys
+    assert "base" in fv.get_batch_query().lower()
+
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    fv.transformation_functions.append(min_max_scaler("x"))
+    out = fv.transform(spark.createDataFrame([(0.0,), (50.0,), (100.0,)], "x double"))
+    vals = [r["min_max_scaler_x"] for r in out.orderBy("min_max_scaler_x").collect()]
+    assert vals == [0.0, 0.5, 1.0]
+
+    # delete() drops view + TDs
+    fv.create_train_test_split(spark, seed=1)
+    fv.delete()
+    fs = FeatureStore(root=str(tmp_path))
+    with pytest.raises(Exception):
+        fs.get_feature_view("v")

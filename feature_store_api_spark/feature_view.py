@@ -557,6 +557,29 @@ class FeatureView:
                 json.dump(result, fh, indent=1, default=str)
         return result
 
+    def get_feature_monitoring_configs(self) -> List[Dict]:
+        """Parity ``feature_view.py`` ``get_feature_monitoring_configs``."""
+        return list(self._load_monitoring_configs().values())
+
+    def get_feature_monitoring_history(self, name: str) -> List[Dict]:
+        """Result history of one named config, newest first (parity
+        ``get_feature_monitoring_history``)."""
+        import json
+        import os
+
+        p = self._monitoring_path()
+        if p is None:
+            return []
+        d = p[: -len(".json")] + "_results"
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d), reverse=True):
+            if f.startswith(f"{name}_") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
     # -- provenance (parity feature_view.py:1145-1155) ---------------------
     def get_parent_feature_groups(self):
         """The feature groups this view's query reads from — walked off

@@ -238,3 +238,34 @@ def test_fv_monitoring_config_lifecycle(spark, tmp_path):
     assert len(os.listdir(rd)) == 2
     with pytest.raises(KeyError):
         fv.run_feature_monitoring("nope", spark)
+
+
+def test_fv_monitoring_accessors(spark, tmp_path):
+    from datetime import datetime
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.operators.monitoring import (
+        FeatureMonitoringConfig,
+        MonitoringWindowConfig,
+    )
+
+    fs = FeatureStore(root=str(tmp_path / "acc"))
+    fg = fs.create_feature_group("afg", primary_key=["k"], event_time="ts")
+    fg.insert(
+        spark.createDataFrame([(1, 5.0, "2024-01-03")], "k long, v double, d string")
+        .selectExpr("k", "v", "to_timestamp(d) AS ts")
+    )
+    fv = fs.create_feature_view("aview", fg.select(["k", "v", "ts"]))
+    assert fv.get_feature_monitoring_configs() == []
+    fv.create_feature_monitoring_config(FeatureMonitoringConfig(
+        name="c1", feature_name="v", statistic="mean_val",
+        detection_window=MonitoringWindowConfig(window_type="ALL_TIME"),
+        reference_window=MonitoringWindowConfig(
+            window_type="SPECIFIC_VALUE", specific_value=5.0
+        ),
+        threshold=1.0,
+    ))
+    assert [c["name"] for c in fv.get_feature_monitoring_configs()] == ["c1"]
+    assert fv.get_feature_monitoring_history("c1") == []
+    fv.run_feature_monitoring("c1", spark, now=datetime(2024, 1, 5))
+    assert len(fv.get_feature_monitoring_history("c1")) == 1

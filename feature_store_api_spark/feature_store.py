@@ -232,6 +232,18 @@ class FeatureStore:
         if location and os.path.isdir(location):
             shutil.rmtree(location, ignore_errors=True)
 
+    def get_or_create_feature_view(self, name: str, query=None, version: int = 1, **kw):
+        """Parity ``feature_store.py`` ``get_or_create_feature_view``."""
+        try:
+            return self.get_feature_view(name, version)
+        except KeyError:
+            if query is None:
+                raise ValueError(
+                    f"Feature view {name!r} v{version} does not exist and "
+                    "no query was given to create it"
+                )
+            return self.create_feature_view(name, query, version=version, **kw)
+
     def get_or_create_spine_group(
         self,
         name: str,
@@ -250,8 +262,120 @@ class FeatureStore:
 
     def create_external_feature_group(self, name: str, storage_connector, **kw) -> ExternalFeatureGroup:
         fg = ExternalFeatureGroup(name, storage_connector, **kw)
+        fg._feature_store = self
         self._registry[(fg.name, fg.version)] = fg
         return fg
+
+    # deprecated-name aliases (parity feature_store.py
+    # create_on_demand_feature_group / get_on_demand_feature_group(s) —
+    # the reference keeps both names; "external" is current)
+    def create_on_demand_feature_group(self, name, storage_connector, **kw):
+        return self.create_external_feature_group(name, storage_connector, **kw)
+
+    def get_external_feature_group(self, name: str, version: int = 1) -> ExternalFeatureGroup:
+        fg = self.get_feature_group(name, version)
+        if not isinstance(fg, ExternalFeatureGroup):
+            raise TypeError(f"{name!r} v{version} is not an external feature group")
+        return fg
+
+    def get_external_feature_groups(self, name: str) -> List[ExternalFeatureGroup]:
+        name = autofix_feature_name(name)
+        return [
+            self._registry[k]
+            for k in sorted(self._registry)
+            if k[0] == name and isinstance(self._registry[k], ExternalFeatureGroup)
+        ]
+
+    get_on_demand_feature_group = get_external_feature_group
+    get_on_demand_feature_groups = get_external_feature_groups
+
+    # -- storage connectors (parity feature_store.py get_storage_connector
+    # / get_online_storage_connector: the reference resolves named
+    # connectors from its metadata service; ours is a store-level
+    # registry) ------------------------------------------------------------
+    def register_storage_connector(self, connector) -> None:
+        if not hasattr(self, "_connectors"):
+            self._connectors: Dict[str, object] = {}
+        self._connectors[connector.name] = connector
+
+    def get_storage_connector(self, name: str):
+        reg = getattr(self, "_connectors", {})
+        if name not in reg:
+            raise KeyError(f"No storage connector {name!r} registered")
+        return reg[name]
+
+    def get_online_storage_connector(self):
+        """The connector serving the online store. Our online store is
+        the local LSM materialization, not a JDBC service — there is no
+        connector object to return, and fabricating one would invite
+        code that cannot work offline."""
+        raise NotImplementedError(
+            "The online store is the engine's built-in latest-per-key "
+            "materialization (online/store.py); no JDBC connector exists"
+        )
+
+    # -- transformation-function registry (parity feature_store.py
+    # create_transformation_function / get_transformation_function(s):
+    # named, versioned, persisted UDF sources) -----------------------------
+    def _tf_dir(self) -> Optional[str]:
+        if self.root is None:
+            return None
+        return os.path.join(self.root, "_transformation_functions")
+
+    def create_transformation_function(self, fn, version: int = 1):
+        """Register (and persist) a named transformation function."""
+        import json
+
+        key = (fn.name, version)
+        if not hasattr(self, "_transformation_fns"):
+            self._transformation_fns: Dict[tuple, object] = {}
+        self._transformation_fns[key] = fn
+        d = self._tf_dir()
+        if d is not None:
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{fn.name}_{version}.json"), "w") as fh:
+                json.dump(fn.to_dict(), fh, indent=1)
+        return fn
+
+    def get_transformation_function(self, name: str, version: int = 1):
+        import json
+
+        key = (name, version)
+        mem = getattr(self, "_transformation_fns", {})
+        if key in mem:
+            return mem[key]
+        d = self._tf_dir()
+        p = os.path.join(d, f"{name}_{version}.json") if d else None
+        if p and os.path.exists(p):
+            from .functions.udf import TransformationFunction
+
+            with open(p) as fh:
+                fn = TransformationFunction.from_dict(json.load(fh))
+            mem[key] = fn
+            self._transformation_fns = mem
+            return fn
+        raise KeyError(f"No transformation function {name!r} v{version}")
+
+    def get_transformation_functions(self) -> List:
+        """Every registered transformation function (parity
+        ``get_transformation_functions``)."""
+        import json
+
+        out = dict(getattr(self, "_transformation_fns", {}))
+        d = self._tf_dir()
+        if d and os.path.isdir(d):
+            from .functions.udf import TransformationFunction
+
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".json"):
+                    stem, _, ver = f[:-5].rpartition("_")
+                    key = (stem, int(ver)) if ver.isdigit() else (f[:-5], 1)
+                    if key not in out:
+                        with open(os.path.join(d, f)) as fh:
+                            out[key] = TransformationFunction.from_dict(
+                                json.load(fh)
+                            )
+        return [out[k] for k in sorted(out)]
 
     # -- feature views (parity feature_store.py:1476 create_feature_view /
     # get_feature_view; persisted as JSON under the store root so a view

@@ -193,3 +193,48 @@ def test_get_all_versions_of_groups_and_views(spark, tmp_path):
     views = fresh.get_feature_views("mview")
     assert [(v.name, v.version) for v in views] == [("mview", 1), ("mview", 2)]
     assert fresh.get_feature_groups("nope") == []
+
+
+def test_store_level_registries(spark, tmp_path):
+    """Store-level registries: get_or_create_feature_view, named
+    storage connectors, and the persisted transformation-function
+    registry (parity feature_store.py create/get_transformation_function,
+    get_storage_connector)."""
+    import pytest as _pytest
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.functions.udf import udf
+    from feature_store_api_spark.sources.connectors import JdbcConnector
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("g", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(1, 2.0)], "k long, v double"))
+
+    fv1 = fs.get_or_create_feature_view("gv", fg.select_all())
+    fv2 = fs.get_or_create_feature_view("gv")  # existing: query optional
+    assert fv1 is fv2
+    with _pytest.raises(ValueError, match="no\\s+query"):
+        fs.get_or_create_feature_view("missing")
+
+    conn = JdbcConnector("warehouse", "jdbc:postgresql://h/db", user="u", password="p")
+    fs.register_storage_connector(conn)
+    assert fs.get_storage_connector("warehouse") is conn
+    with _pytest.raises(KeyError):
+        fs.get_storage_connector("nope")
+    with _pytest.raises(NotImplementedError):
+        fs.get_online_storage_connector()
+
+    @udf("double")
+    def plus_one(v):
+        return v + 1
+
+    fs.create_transformation_function(plus_one, version=2)
+    got = fs.get_transformation_function("plus_one", version=2)
+    assert got.name == "plus_one"
+    # persisted: a fresh store over the same root revives it from source
+    fresh = FeatureStore(root=str(tmp_path))
+    revived = fresh.get_transformation_function("plus_one", version=2)
+    assert revived.name == "plus_one"
+    assert [f.name for f in fresh.get_transformation_functions()] == ["plus_one"]
+    with _pytest.raises(KeyError):
+        fresh.get_transformation_function("plus_one", version=9)

@@ -12,6 +12,8 @@ from .feature_group import ExternalFeatureGroup, FeatureGroup, SpineGroup
 from .feature_store import FeatureStore, testdata_catalog
 from .feature_view import FeatureView
 from .functions.udf import TransformationStatistics, udf
+from .operators.statistics import StatisticsConfig
+from .provenance import Artifact, Links
 from .session import get_spark
 
 __all__ = [
@@ -22,6 +24,9 @@ __all__ = [
     "FeatureStore",
     "FeatureView",
     "TransformationStatistics",
+    "StatisticsConfig",
+    "Artifact",
+    "Links",
     "udf",
     "testdata_catalog",
     "get_spark",

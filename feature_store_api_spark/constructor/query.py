@@ -50,6 +50,38 @@ class Query:
         return self._joins
 
     @property
+    def features(self) -> List["Feature"]:
+        """All selected features across the plan, depth-first (parity
+        ``constructor/query.py:788-801``)."""
+        out = list(self._left_features)
+        for j in self._joins:
+            out.extend(j.query.features)
+        return out
+
+    @property
+    def left_feature_group_start_time(self):
+        return self.start_time
+
+    @property
+    def left_feature_group_end_time(self):
+        return self.end_time
+
+    def is_time_travel(self) -> bool:
+        """Parity ``constructor/query.py:649-655``."""
+        return bool(
+            self.start_time is not None
+            or self.end_time is not None
+            or any(j.query.is_time_travel() for j in self._joins)
+        )
+
+    def is_cache_feature_group_only(self) -> bool:
+        """Parity ``constructor/query.py:657-659``: True when every
+        feature group in the plan is a cached (managed) group."""
+        from ..feature_group import FeatureGroup as _FG
+
+        return all(isinstance(fg, _FG) for fg in self.featuregroups())
+
+    @property
     def filters(self) -> Optional[Logic]:
         """Conjunction of this query's filter and all sub-query filters.
 

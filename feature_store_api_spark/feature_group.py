@@ -141,6 +141,14 @@ class FeatureGroupBase:
     ) -> DataFrame:
         raise NotImplementedError
 
+    def find_neighbors(self, embedding, col=None, k=10, filter=None, metric="l2"):
+        """kNN over this group's embedding column (parity
+        ``feature_group.py:2394-2459``; available on cached, external,
+        and spine groups alike — anything with a readable source)."""
+        from .operators.similarity import find_neighbors
+
+        return find_neighbors(self, embedding, col=col, k=k, filter=filter, metric=metric)
+
     def read(self, spark: Optional[SparkSession] = None, **kw) -> DataFrame:
         return self.select_all().read(spark, **kw)
 
@@ -823,11 +831,6 @@ class FeatureGroup(FeatureGroupBase):
         from .streaming.insert_stream import insert_stream
 
         return insert_stream(self, df, **kw)
-
-    def find_neighbors(self, embedding, col=None, k=10, filter=None, metric="l2"):
-        from .operators.similarity import find_neighbors
-
-        return find_neighbors(self, embedding, col=col, k=k, filter=filter, metric=metric)
 
 
 class ExternalFeatureGroup(FeatureGroupBase):

@@ -138,6 +138,13 @@ class Feature:
     def ddl_type(self) -> Optional[str]:
         return spark_type_to_ddl(self._type) if self._type is not None else None
 
+    def is_complex(self) -> bool:
+        """True for MAP/ARRAY/STRUCT types (parity ``feature.py:113`` —
+        complex features get Avro-encoded on the online path)."""
+        return isinstance(
+            self._type, (T.ArrayType, T.MapType, T.StructType)
+        )
+
     @property
     def feature_group(self):
         return self._feature_group

@@ -228,6 +228,9 @@ class FeatureView:
         if transformed and self.transformation_functions:
             from .functions.udf import apply_transformations as _apply
 
+            if stats is None:
+                # init_batch_scoring pinned a TD version's train stats
+                stats = getattr(self, "_batch_scoring_stats", None)
             df = _apply(df, self.transformation_functions, stats=stats)
         drop = [c for c in self.labels if c in df.columns]
         drop += [c for c in self.training_helper_columns if c in df.columns]
@@ -438,6 +441,7 @@ class FeatureView:
             }
         with open(os.path.join(td_dir, "_td_meta.json"), "w") as fh:
             json.dump(meta, fh, indent=1, default=str)
+        self._last_accessed_training_dataset = version
         return meta
 
     def read_training_dataset(
@@ -467,6 +471,7 @@ class FeatureView:
         td_dir = os.path.join(root, f"td_{version}")
         with open(os.path.join(td_dir, "_td_meta.json")) as fh:
             meta = json.load(fh)
+        self._last_accessed_training_dataset = version
         fmt = meta["data_format"]
         if split is not None:
             return _read(spark, fmt, meta["split_dirs"][split], schema=schema)
@@ -702,6 +707,10 @@ class FeatureView:
                 if hasattr(model, "name")
                 else str(model)
             )
+        if training_dataset_version is None:
+            # parity feature_view.py:3636: default to the TD most
+            # recently materialized / read / bound for scoring
+            training_dataset_version = self.get_last_accessed_training_dataset()
         out = (
             df.withColumn(self._LOG_ID, F.expr("uuid()"))
             .withColumn(self._LOG_TIME, F.current_timestamp())
@@ -803,6 +812,34 @@ class FeatureView:
         kinds = [transformed] if transformed is not None else [False, True]
         for t in kinds:
             self._feature_store.delete_feature_group(self._log_fg_name(t), 1)
+
+    # -- batch-scoring binding (parity feature_view.py init_batch_scoring
+    # / get_last_accessed_training_dataset: pin a TD version's train-split
+    # statistics so scoring scales EXACTLY like training) ------------------
+    def init_batch_scoring(
+        self, training_dataset_version: Optional[int] = None
+    ) -> None:
+        """Bind batch scoring to a training dataset version: its
+        recorded train-split statistics become the default ``stats`` for
+        ``get_batch_data`` — statistics-bound transformations then scale
+        scoring data exactly as they scaled training data (no skew)."""
+        if training_dataset_version is None:
+            tds = self.get_training_datasets()
+            if not tds:
+                raise FileNotFoundError(
+                    "No materialized training datasets to bind scoring to"
+                )
+            training_dataset_version = tds[-1]["version"]
+        self._batch_scoring_stats = self.get_training_dataset_statistics(
+            training_dataset_version
+        )
+        self._last_accessed_training_dataset = training_dataset_version
+
+    def get_last_accessed_training_dataset(self) -> Optional[int]:
+        """The TD version most recently materialized, read, or bound
+        (parity ``get_last_accessed_training_dataset``; feature logging
+        defaults its td-version metadata to this)."""
+        return getattr(self, "_last_accessed_training_dataset", None)
 
     # -- training-dataset lifecycle (parity feature_view.py create_*/
     # get_*/delete_*/purge_* training data family) -------------------------

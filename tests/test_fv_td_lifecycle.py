@@ -88,3 +88,42 @@ def test_misc_parity(spark, fv, tmp_path):
     fs = FeatureStore(root=str(tmp_path))
     with pytest.raises(Exception):
         fs.get_feature_view("v")
+
+
+def test_init_batch_scoring_pins_td_stats(spark, tmp_path):
+    """get_batch_data scales with the BOUND training dataset's train-
+    split statistics, not the batch frame's own — training/serving
+    consistency (parity init_batch_scoring)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.functions.builtin_transformations import (
+        min_max_scaler,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("sc", primary_key=["k"])
+    fg.insert(spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "k long, x double"  # x in 0..100
+    ))
+    fv = fs.create_feature_view(
+        "scv", fg.select_all(),
+        transformation_functions=[min_max_scaler("x")],
+    )
+    meta = fv.create_train_test_split(spark, test_size=0.2, seed=5)
+    assert fv.get_last_accessed_training_dataset() == meta["version"]
+
+    fv.init_batch_scoring(meta["version"])
+    out = fv.get_batch_data(spark)
+    vals = {r["k"]: r["min_max_scaler_x"] for r in out.collect()}
+    # under pinned train stats the mapping is fixed: x=trainmin -> 0.0;
+    # crucially values OUTSIDE the train split's range can leave [0,1],
+    # which self-computed batch stats would never produce
+    stats = fv.get_training_dataset_statistics(meta["version"])["x"]
+    lo, hi = stats["min"], stats["max"]
+    for k, v in vals.items():
+        assert abs(v - (k - lo) / (hi - lo)) < 1e-9
+
+    # logging now defaults its td-version metadata to the bound TD
+    fv.enable_logging()
+    fv.log(spark.createDataFrame([(1, 0.5)], "k long, score double"))
+    back = fv.read_log(spark).collect()
+    assert back[0]["td_version"] == meta["version"]

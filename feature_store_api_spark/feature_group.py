@@ -303,6 +303,30 @@ class FeatureGroup(FeatureGroupBase):
             OnlineStore.for_feature_group(self).upsert(df)
         return commit
 
+    @property
+    def avro_schema(self) -> str:
+        """Avro record schema JSON for this group's features, every
+        field a ``[null, T]`` union (parity ``feature_group.py:1952`` —
+        the schema the online Kafka path encodes values under)."""
+        import json as _json
+
+        from .sources.avro_codec import avro_schema_of
+
+        fields = []
+        for f in self.features:
+            if f.type is None:
+                raise ValueError(
+                    f"Feature {f.name!r} has no resolved type; ingest "
+                    "data or declare a schema before requesting the "
+                    "Avro schema"
+                )
+            fields.append(
+                {"name": f.name, "type": ["null", avro_schema_of(f.type)]}
+            )
+        return _json.dumps(
+            {"type": "record", "name": self.name, "fields": fields}
+        )
+
     # -- metadata updates (persisted in the managed sidecar) ---------------
     def _update_meta(self, **changes) -> None:
         import json as _json

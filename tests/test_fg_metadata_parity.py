@@ -94,3 +94,25 @@ def test_generated_feature_groups_child_links(spark, fs):
     links = src.get_generated_feature_groups()
     assert [g.name for g in links.accessible] == ["childg"]
     assert child.get_generated_feature_groups().accessible == []
+
+
+def test_avro_schema_property(spark, fs):
+    """avro_schema: nullable-union record over the group's features —
+    and it round-trips through the engine's own Avro codec."""
+    import json
+
+    from feature_store_api_spark.sources.avro_codec import decode, encode
+
+    fg = fs.create_feature_group("avfg", primary_key=["k"])
+    fg.insert(spark.createDataFrame(
+        [(1, 2.5, ["a", "b"])], "k long, v double, tags array<string>"
+    ))
+    schema = json.loads(fg.avro_schema)
+    assert schema["type"] == "record" and schema["name"] == "avfg"
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    assert by_name["k"] == ["null", "long"]
+    assert by_name["v"] == ["null", "double"]
+    assert by_name["tags"][1]["type"] == "array"
+    # codec round-trip under the advertised schema
+    rec = {"k": 1, "v": 2.5, "tags": ["a", "b"]}
+    assert decode(encode(rec, schema), schema) == rec

@@ -181,3 +181,20 @@ def test_online_resolve_strategy_tracks_tail_bound(spark, tmp_path):
     unbounded = _plan(store._resolve(store._raw(spark)))
     assert "Window" not in unbounded
     assert "partial_max_by" in unbounded  # map-side combine pre-shuffle
+
+
+def test_select_survivors_quality_policy_uses_partial_max_by(spark):
+    """Survivor selection's quality policy must be the skew-immune agg
+    formulation: per-cluster winner via max_by with map-side partial
+    aggregation, never a window sort (a viral duplicate cluster would
+    funnel into one task)."""
+    from feature_store_api_spark.operators.dedup import select_survivors
+
+    docs = spark.createDataFrame(
+        [(1, "a", 3), (2, "bb", 5)], "doc_id long, text string, q long"
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    out = select_survivors(docs, clusters, order_by=["q"])
+    plan = _plan(out)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan

@@ -1780,6 +1780,49 @@ def _q_corpus_curation_quality(spark, sf_dir):
     return survivors.select("doc_id", "lang", "source")
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """C4-style boilerplate removal: the corpus is given paragraph
+    structure deterministically (every literal ' table ' becomes a
+    newline in BOTH engines), then any paragraph occurring 2+ times
+    corpus-wide is dropped and documents are reassembled in original
+    paragraph order."""
+    from feature_store_api_spark.operators.text import remove_repeated_paragraphs
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    prepped = d.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("txt")
+    )
+    return remove_repeated_paragraphs(prepped, "txt", "doc_id", min_occurrences=2)
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic email/IP/phone spans are
+    appended to each document (the test corpus carries none), then
+    redacted in fixed category order with per-category match counts —
+    pure Column regexes, identical under Java regex and RE2."""
+    from feature_store_api_spark.operators.text import redact_pii
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(pii, "text", "doc_id")
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "text_redacted")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -1923,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_log_roundtrip": _q_serving_log_roundtrip,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "corpus_curation_quality": _q_corpus_curation_quality,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_redaction": _q_pii_redaction,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -2289,6 +2334,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "paragraph_dedup": """
+            WITH d AS (
+              SELECT doc_id, replace(text, ' table ', chr(10)) AS txt
+              FROM documents WHERE text IS NOT NULL
+            ),
+            p AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(txt, chr(10)), 1) AS idx,
+                     unnest(string_split(txt, chr(10))) AS para
+              FROM d
+            ),
+            rep AS (SELECT para FROM p GROUP BY para HAVING COUNT(*) >= 2),
+            keep AS (SELECT p.* FROM p ANTI JOIN rep USING (para)),
+            agg AS (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS txt_clean,
+                     COUNT(*) AS n_kept
+              FROM keep GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS total FROM p GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(a.txt_clean, '') AS txt_clean,
+                   CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.total - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "pii_redaction": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 80) || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 or call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+                     AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(
+                     regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                                    '([0-9]{1,3}\.){3}[0-9]{1,3}', '', 'g'), '\+?[0-9][0-9()\s.-]{6,}[0-9]'))
+                     AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                     '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+            FROM p
         """,
         "serving_log_roundtrip": """
             SELECT user_id, ROUND(AVG(value), 6) AS avg_value,

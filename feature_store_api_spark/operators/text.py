@@ -198,3 +198,116 @@ def analyze_documents(
         fingerprint(c, hash_fn=hash_fn).alias("fingerprint"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning: paragraph-level dedup + PII redaction (C4-style)
+# ---------------------------------------------------------------------------
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_occurrences: int = 2,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every paragraph whose EXACT
+    text occurs ``min_occurrences``+ times across the corpus (nav bars,
+    cookie banners, license footers), then reassemble each document in
+    original paragraph order. Returns ``(id_col, <text_col>_clean,
+    n_kept, n_removed)``.
+
+    Scale shape: one split+posexplode (no shuffle), one
+    ``groupBy(paragraph)`` count with map-side partial aggregation
+    (the exchange carries one row per DISTINCT paragraph per task),
+    a left-anti join against the (small) repeated-paragraph set — a
+    broadcast at any realistic boilerplate cardinality — and one
+    ``groupBy(doc)`` reassembly; paragraph order is restored via
+    ``array_sort`` over (index, paragraph) structs, not a window.
+    Documents whose every paragraph was boilerplate come back with an
+    empty string (the survivor decision is the caller's).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "__idx", "__para"
+        ),
+    )
+    repeated = (
+        paras.groupBy("__para")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("__para")
+    )
+    kept = paras.join(repeated, on="__para", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__para")))
+                ),
+                lambda s: s["__para"],
+            ),
+            delimiter,
+        ).alias(f"{text_col}_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        totals.join(reassembled, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(f"{text_col}_clean"), F.lit("")).alias(
+                f"{text_col}_clean"
+            ),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB/production scanners): no alternation, greedy
+# character classes only, so leftmost-first and leftmost-longest agree.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    id_col: Optional[str] = None,
+    patterns: Sequence = PII_PATTERNS,
+    with_counts: bool = True,
+) -> DataFrame:
+    """Regex-redact PII spans (emails, IPs, phone numbers by default)
+    in a fixed order, optionally counting matches per category — pure
+    Column expressions, zero Python, scan-side at any scale. Order
+    matters: emails first (their local part looks phone-like), then
+    IPs, then phones."""
+    c = F.col(text_col)
+    cols = [F.col(id_col)] if id_col else []
+    if with_counts:
+        probe = c
+        for name, pat, _token in patterns:
+            cols.append(
+                F.size(F.regexp_extract_all(probe, F.lit(pat), F.lit(0)))
+                .cast("long")
+                .alias(f"n_{name}"),
+            )
+            # later counts run on text with earlier categories already
+            # replaced, mirroring the redaction order exactly
+            probe = F.regexp_replace(probe, pat, "")
+    red = c
+    for _name, pat, token in patterns:
+        red = F.regexp_replace(red, pat, token)
+    cols.append(red.alias(f"{text_col}_redacted"))
+    others = [
+        F.col(x) for x in df.columns if x not in (id_col, text_col)
+    ]
+    return df.select(*cols, *others)

@@ -1,0 +1,66 @@
+"""Paragraph-level dedup + PII redaction (C4-style corpus cleaning)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_api_spark.operators.text import (
+    redact_pii,
+    remove_repeated_paragraphs,
+)
+
+
+def test_remove_repeated_paragraphs(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique intro\n{boiler}\nreal content one"),
+        (2, f"{boiler}\nreal content two"),
+        (3, "all original\nnothing shared"),
+        (4, boiler),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_paragraphs(df, "text", "doc_id").collect()
+    }
+    assert out[1]["text_clean"] == "unique intro\nreal content one"
+    assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "real content two"
+    assert out[3]["text_clean"] == "all original\nnothing shared"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_kept"] == 0
+
+    # order preserved even when kept paragraphs are non-contiguous
+    df2 = spark.createDataFrame(
+        [(1, "z\nX\na"), (2, "X\nq")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_repeated_paragraphs(df2, "text", "doc_id").collect()
+    }
+    assert got[1] == "z\na" and got[2] == "q"
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk please"),
+            (2, "server at 192.168.0.1 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "clean text with no pii"),
+            (5, "both: a@b.io and 10.0.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> please"
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 0
+    assert out[2]["text_redacted"] == "server at <IP> answered"
+    assert out[3]["text_redacted"] == "call <PHONE> now"
+    assert out[3]["n_phone"] == 1
+    assert out[4]["text_redacted"] == "clean text with no pii"
+    assert out[5]["text_redacted"] == "both: <EMAIL> and <IP>"
+    assert out[5]["n_email"] == 1 and out[5]["n_ip"] == 1
+
+    # no Python stages: pure Column expressions
+    plan = redact_pii(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -1823,6 +1823,20 @@ def _q_pii_redaction(spark, sf_dir):
     return out.select("doc_id", "n_email", "n_ip", "n_phone", "text_redacted")
 
 
+def _q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out eval set; every other document is scored for shared word
+    8-grams (the standard pre-training contamination sweep)."""
+    from feature_store_api_spark.operators.text import ngram_contamination
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    eval_df = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, eval_df, "text", "doc_id", n=8)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -1968,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_quality": _q_corpus_curation_quality,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redaction": _q_pii_redaction,
+        "contamination_check": _q_contamination_check,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -2334,6 +2349,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "contamination_check": """
+            WITH d AS (
+              SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            eg AS (
+              SELECT DISTINCT array_to_string(list_slice(w, i + 1, i + 8), ' ') AS gram
+              FROM d, LATERAL unnest(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+              WHERE doc_id % 20 = 0
+            ),
+            cg AS (
+              SELECT doc_id, array_to_string(list_slice(w, i + 1, i + 8), ' ') AS gram
+              FROM d, LATERAL unnest(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+              WHERE doc_id % 20 != 0
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS contaminated_ngrams
+              FROM cg JOIN eg USING (gram)
+              GROUP BY doc_id
+            ),
+            tot AS (
+              SELECT doc_id, greatest(len(w) - 8, 0) + 1 AS total_ngrams
+              FROM d WHERE doc_id % 20 != 0
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+                   CAST(t.total_ngrams AS BIGINT) AS total_ngrams,
+                   ROUND(COALESCE(h.contaminated_ngrams, 0) / t.total_ngrams, 6) AS contamination,
+                   COALESCE(h.contaminated_ngrams, 0) > 0 AS is_contaminated
+            FROM tot t LEFT JOIN hits h USING (doc_id)
         """,
         "paragraph_dedup": """
             WITH d AS (

@@ -311,3 +311,78 @@ def redact_pii(
         F.col(x) for x in df.columns if x not in (id_col, text_col)
     ]
     return df.select(*cols, *others)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    eval_text_col: Optional[str] = None,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count the
+    word ``n``-grams it shares with ANY document of an evaluation set
+    (the standard n-gram-overlap contamination test run before
+    training). Returns ``(id_col, contaminated_ngrams, total_ngrams,
+    contamination, is_contaminated)``.
+
+    Scale shape: both sides shingle scan-side (whitespace-normalized
+    word n-grams via sequence/slice — no Python); the eval side's
+    DISTINCT gram set is orders of magnitude smaller than the corpus
+    (benchmarks are small by definition) and is broadcast, so the
+    membership test is a broadcast hash join against the corpus's
+    exploded grams followed by one groupBy(doc) count — the corpus is
+    scanned once and never shuffled on raw text.
+    """
+    eval_text_col = eval_text_col or text_col
+
+    def grams(df: DataFrame, col: str, keep_id: bool):
+        words = F.split(
+            F.regexp_replace(F.lower(F.col(col)), r"\s+", " "), " "
+        )
+        g = F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(words) - n, F.lit(0)) 
+            ),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(*cols, F.explode(g).alias("__gram"))
+
+    eval_grams = grams(eval_df, eval_text_col, keep_id=False).distinct()
+    corpus_grams = grams(corpus, text_col, keep_id=True)
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), on="__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    words = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "
+    )
+    # the gram generator always yields greatest(size-n, 0)+1 grams (a
+    # short doc contributes one truncated gram), so totals mirror that
+    totals = corpus.select(
+        F.col(id_col),
+        (F.greatest(F.size(words) - n, F.lit(0)) + 1)
+        .cast("long")
+        .alias("total_ngrams"),
+    )
+    return (
+        totals.join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_ngrams"),
+            F.col("total_ngrams").cast("long"),
+            F.round(
+                F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+                / F.col("total_ngrams"),
+                6,
+            ).alias("contamination"),
+            (F.coalesce(F.col("contaminated_ngrams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )

@@ -64,3 +64,34 @@ def test_redact_pii(spark):
     # no Python stages: pure Column expressions
     plan = redact_pii(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_ngram_contamination(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog appears verbatim here"),
+            (2, "completely unrelated writing about query engines and shuffles"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    from feature_store_api_spark.operators.text import ngram_contamination
+
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, eval_df, "text", "doc_id", n=8).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["contaminated_ngrams"] >= 1
+    assert not out[2]["is_contaminated"] and out[2]["contamination"] == 0.0
+    assert out[3]["total_ngrams"] == 1 and not out[3]["is_contaminated"]
+    # fraction bounded and consistent
+    r1 = out[1]
+    assert abs(r1["contamination"] - round(r1["contaminated_ngrams"] / r1["total_ngrams"], 6)) < 1e-9
+
+    # broadcast join: no shuffle of the corpus gram stream
+    plan = ngram_contamination(corpus, eval_df, "text", "doc_id", n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

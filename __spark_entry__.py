@@ -1837,6 +1837,27 @@ def _q_contamination_check(spark, sf_dir):
     return ngram_contamination(corpus, eval_df, "text", "doc_id", n=8)
 
 
+def _q_corpus_rebalance(spark, sf_dir):
+    """Static domain reweighting: downsample the documents corpus to a
+    50/30/20 en/de/fr mixture without upsampling — the binding class
+    stays whole, the rest scale down, the draw is the engine-portable
+    md5 hash so the EXACT selected row set matches the oracle."""
+    from feature_store_api_spark.operators.splits import rebalance_to_mixture
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    out = rebalance_to_mixture(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.3, "fr": 0.2},
+        key_cols=["doc_id"],
+        seed=13,
+        hash_fn="md5_64",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -1983,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redaction": _q_pii_redaction,
         "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -2349,6 +2371,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "corpus_rebalance": """
+            WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+            w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)) t(lang, wt)),
+            tot AS (SELECT MIN(n / wt) AS total FROM c JOIN w USING (lang)),
+            fr AS (
+              SELECT c.lang, LEAST(1.0, ((SELECT total FROM tot) * w.wt) / c.n) AS frac
+              FROM c JOIN w USING (lang)
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM d JOIN fr USING (lang)
+            WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15) AS BIGINT)
+                   % 1000000000) / 1000000000.0 < fr.frac
         """,
         "contamination_check": """
             WITH d AS (

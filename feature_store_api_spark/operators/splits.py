@@ -127,3 +127,52 @@ def split_labels(df: DataFrame, labels: Sequence[str]) -> Tuple[DataFrame, DataF
     x = df.drop(*labels)
     y = df.select(*labels)
     return x, y
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: Dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Downsample a corpus to a TARGET MIXTURE over a domain column
+    (the static domain-reweighting step of LLM data pipelines): given
+    desired proportions per class, derive the largest achievable corpus
+    that meets them WITHOUT upsampling — the binding class is kept
+    whole; every other class's fraction is scaled down — then draw via
+    :func:`stratified_sample`'s deterministic hash (exact, reproducible
+    row set; classes outside the target are dropped).
+
+    Driver math is one tiny ``groupBy(strata).count()`` collect
+    (bounded by the number of domains); the sampling itself is a
+    pushed-down filter — one scan, no shuffle.
+    """
+    wsum = float(sum(target_weights.values()))
+    weights = {k: v / wsum for k, v in target_weights.items()}
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    present = {c: w for c, w in weights.items() if counts.get(c)}
+    if not present:
+        raise ValueError(
+            f"No target class of {sorted(weights)} present in column "
+            f"{strata_col!r}"
+        )
+    total = min(counts[c] / w for c, w in present.items())
+    fractions = {
+        c: min(1.0, (total * w) / counts[c]) for c, w in present.items()
+    }
+    return stratified_sample(
+        df,
+        strata_col,
+        fractions,
+        key_cols,
+        seed=seed,
+        default_fraction=0.0,
+        hash_fn=hash_fn,
+    )

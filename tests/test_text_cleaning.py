@@ -95,3 +95,23 @@ def test_ngram_contamination(spark):
     # broadcast join: no shuffle of the corpus gram stream
     plan = ngram_contamination(corpus, eval_df, "text", "doc_id", n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_rebalance_to_mixture(spark):
+    from feature_store_api_spark.operators.splits import rebalance_to_mixture
+
+    rows = [(i, "a" if i < 1000 else ("b" if i < 1200 else "c")) for i in range(1300)]
+    df = spark.createDataFrame(rows, "k long, cls string")
+    # target 50/50 a/b: b (200 rows) binds -> keep all b, ~200 of a; c dropped
+    out = rebalance_to_mixture(df, "cls", {"a": 0.5, "b": 0.5}, key_cols=["k"])
+    got = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert "c" not in got
+    assert got["b"] == 200
+    assert 150 <= got["a"] <= 250  # hash draw approximates the fraction
+    # deterministic: same seed -> same exact row set
+    again = rebalance_to_mixture(df, "cls", {"a": 0.5, "b": 0.5}, key_cols=["k"])
+    assert sorted(r["k"] for r in out.collect()) == sorted(r["k"] for r in again.collect())
+    # absent target classes raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="No target class"):
+        rebalance_to_mixture(df, "cls", {"zz": 1.0}, key_cols=["k"])

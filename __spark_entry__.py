@@ -1858,6 +1858,27 @@ def _q_corpus_rebalance(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def _q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of L2-normalized embeddings: the cluster-
+    prototype summary step of an embedding pipeline (normalize -> one
+    posexplode + groupBy(label, position) mean -> ordered reassembly)."""
+    from feature_store_api_spark.operators.similarity import (
+        group_centroids, normalize_embeddings,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    normed = normalize_embeddings(e, "embedding")
+    cents = group_centroids(normed, "label", "embedding")
+    # flatten for the value-hash compare (scalar cells only)
+    return cents.select(
+        "label",
+        "n_members",
+        F.posexplode("centroid").alias("pos", "centroid_val"),
+    ).withColumn("pos", F.col("pos") + 1)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -2005,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "contamination_check": _q_contamination_check,
         "corpus_rebalance": _q_corpus_rebalance,
+        "embedding_centroids": _q_embedding_centroids,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -2371,6 +2393,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "embedding_centroids": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, label,
+                     CASE WHEN sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) = 0
+                          THEN v
+                          ELSE list_transform(
+                            v, x -> round(x / sqrt(list_aggregate(
+                                 list_transform(v, y -> y * y), 'sum')), 6))
+                     END AS nv
+              FROM e
+            ),
+            p AS (
+              SELECT label, generate_subscripts(nv, 1) AS pos, unnest(nv) AS x FROM n
+            ),
+            m AS (
+              SELECT label, pos, round(avg(x), 6) AS mx FROM p GROUP BY label, pos
+            )
+            SELECT m.label, c.n_members, m.pos,
+                   m.mx AS centroid_val
+            FROM m JOIN (SELECT label, COUNT(*) AS n_members FROM n GROUP BY label) c
+              USING (label)
         """,
         "corpus_rebalance": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),

@@ -599,3 +599,45 @@ def find_neighbors_ivf_retry(
             )
         scored.unpersist()
         n = min(total, n * 2)
+
+
+def normalize_embeddings(df: DataFrame, col: str, out_col: Optional[str] = None) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine = dot
+    and let downstream ANN skip per-row norms) — one JVM fold + one
+    transform per row, scan-side, zero Python. Zero vectors pass
+    through unchanged (no divide-by-zero NaNs). Values round to 6 dp so
+    the result is engine-portable."""
+    out_col = out_col or col
+    c = F.col(col)
+    norm = _norm(c)
+    normalized = F.when(
+        norm == 0, c
+    ).otherwise(F.transform(c, lambda x: F.round(x / norm, 6)))
+    return df.withColumn(out_col, normalized)
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, col: str, out_col: str = "centroid"
+) -> DataFrame:
+    """Element-wise mean embedding per group (cluster summaries, class
+    prototypes, IVF refinement): ``posexplode`` → one
+    ``groupBy(group, position).avg`` with map-side partial aggregation
+    (the shuffle carries ``groups × dim`` aggregated rows, not
+    vectors) → per-group reassembly ordered by position. Returns
+    ``(group_col, out_col, n_members)``."""
+    pos = df.select(
+        F.col(group_col), F.col(col).alias("__v")
+    ).select(group_col, F.posexplode("__v").alias("__p", "__x"))
+    means = pos.groupBy(group_col, "__p").agg(
+        F.round(F.avg("__x"), 6).alias("__m")
+    )
+    members = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    vecs = means.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+            lambda s: s["__m"],
+        ).alias(out_col)
+    )
+    return members.join(vecs, on=group_col)

@@ -233,3 +233,33 @@ def test_persisted_indexes_prune_partitions_and_match(emb, spark, tmp_path):
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in want.collect()
     ]
+
+
+def test_normalize_and_group_centroids(spark):
+    from feature_store_api_spark.operators.similarity import (
+        group_centroids, normalize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [3.0, 4.0]),
+            (2, "a", [0.0, 2.0]),
+            (3, "b", [1.0, 0.0]),
+            (4, "z", [0.0, 0.0]),  # zero vector passes through
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    n = {r["vec_id"]: r["embedding"] for r in normalize_embeddings(df, "embedding").collect()}
+    assert n[1] == [0.6, 0.8]
+    assert n[2] == [0.0, 1.0]
+    assert n[4] == [0.0, 0.0]
+
+    cents = {
+        r["label"]: r
+        for r in group_centroids(
+            normalize_embeddings(df, "embedding"), "label", "embedding"
+        ).collect()
+    }
+    assert cents["a"]["n_members"] == 2
+    assert cents["a"]["centroid"] == [0.3, 0.9]  # mean of (.6,.8),(0,1)
+    assert cents["b"]["centroid"] == [1.0, 0.0]

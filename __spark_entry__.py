@@ -1879,6 +1879,17 @@ def _q_embedding_centroids(spark, sf_dir):
     ).withColumn("pos", F.col("pos") + 1)
 
 
+def _q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic corpus keyword
+    summary, fully portable (ln on identical doubles both engines)."""
+    from feature_store_api_spark.operators.text import tfidf_top_terms
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -2027,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination_check,
         "corpus_rebalance": _q_corpus_rebalance,
         "embedding_centroids": _q_embedding_centroids,
+        "tfidf_terms": _q_tfidf_terms,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -2393,6 +2405,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "tfidf_terms": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            p AS (
+              SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS term
+              FROM d
+            ),
+            pnz AS (SELECT * FROM p WHERE length(term) > 0),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pnz GROUP BY doc_id, term),
+            dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+                     ROUND(tf.tf * ln((SELECT COUNT(*) FROM d)::DOUBLE / dfq.doc_freq), 6) AS score
+              FROM tf JOIN dfq USING (term)
+            )
+            SELECT doc_id, term, tf, doc_freq, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+              ) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
         "embedding_centroids": """
             WITH e AS (

@@ -386,3 +386,51 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the classic keyword/
+    topic summary over a corpus. Returns ``(id_col, term, tf, doc_freq,
+    score, rank)`` with ``score = tf · ln(N / doc_freq)`` rounded to 6
+    dp and deterministic tie-breaks (score desc, term asc).
+
+    Scale shape: one explode of whitespace words; term frequencies =
+    one ``groupBy(doc, term)`` with map-side combine; document
+    frequencies = one ``groupBy(term)`` over the distinct (doc, term)
+    pairs already in hand (no second scan of text); the per-doc top-k
+    is a window over (doc) — each doc's term list is small, so no
+    skew concern."""
+    from pyspark.sql import Window
+
+    words = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "
+    )
+    pairs = df.select(
+        F.col(id_col), F.explode(words).alias("term")
+    ).where(F.length("term") > 0)
+    tf = pairs.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    scored = tf.join(docfreq, on="term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score", "rank")
+    )

@@ -115,3 +115,33 @@ def test_rebalance_to_mixture(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="No target class"):
         rebalance_to_mixture(df, "cls", {"zz": 1.0}, key_cols=["k"])
+
+
+def test_tfidf_top_terms(spark):
+    from feature_store_api_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),
+            (2, "spark window"),
+            (3, "window window filter"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # 'spark' appears in 2/3 docs, 'shuffle' in 1/3: doc1's top term is
+    # the one with the higher tf*ln(N/df)
+    import math
+    s_spark = 3 * math.log(3 / 2)
+    s_shuffle = 1 * math.log(3 / 1)
+    top = rows[(1, 1)]
+    assert top["term"] == ("spark" if s_spark > s_shuffle else "shuffle")
+    assert abs(top["score"] - round(max(s_spark, s_shuffle), 6)) < 1e-9
+    # ubiquitous terms score ln(1)=0
+    assert all(
+        r["score"] == 0.0 for r in out.collect() if r["doc_freq"] == 3
+    )
+    # rarity wins: 1*ln(3) for 'filter' beats 2*ln(3/2) for 'window'
+    assert rows[(3, 1)]["term"] == "filter"
+    assert rows[(3, 2)]["term"] == "window"

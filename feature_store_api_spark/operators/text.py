@@ -227,11 +227,13 @@ def remove_repeated_paragraphs(
     Documents whose every paragraph was boilerplate come back with an
     empty string (the survivor decision is the caller's).
     """
+    # \Q...\E quoting: the delimiter is a LITERAL (reassembly joins with
+    # the same literal), so regex metacharacters must not fire in split
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "__idx", "__para"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+        ).alias("__idx", "__para"),
     )
     repeated = (
         paras.groupBy("__para")
@@ -336,6 +338,10 @@ def ngram_contamination(
     scanned once and never shuffled on raw text.
     """
     eval_text_col = eval_text_col or text_col
+    # null-text rows carry no n-grams: drop them up front (otherwise
+    # size(null)=-1 arithmetic would fabricate a 1-gram total)
+    corpus = corpus.where(F.col(text_col).isNotNull())
+    eval_df = eval_df.where(F.col(eval_text_col).isNotNull())
 
     def grams(df: DataFrame, col: str, keep_id: bool):
         words = F.split(

@@ -680,6 +680,25 @@ def _q_encoders(spark, sf_dir):
     )
 
 
+def _q_quantile_binning(spark, sf_dir):
+    """Quartile binning of a numeric feature against TRAIN-split
+    percentile statistics: ordinal bins 0-3 with null passthrough."""
+    from feature_store_api_spark.functions.builtin_transformations import (
+        quantile_binner,
+    )
+    from feature_store_api_spark.functions.udf import apply_transformations
+    from feature_store_api_spark.operators.statistics import (
+        transformation_statistics,
+    )
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    stats = transformation_statistics(c, ["c_acctbal"], exact_pctl=True)
+    out = apply_transformations(c, [quantile_binner("c_acctbal")], stats=stats)
+    return out.select("c_custkey", F.col("quantile_binner_c_acctbal").alias("bin"))
+
+
 def _q_robust_scaler(spark, sf_dir):
     from feature_store_api_spark.functions.builtin_transformations import robust_scaler
     from feature_store_api_spark.functions.udf import apply_transformations
@@ -2039,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rebalance": _q_corpus_rebalance,
         "embedding_centroids": _q_embedding_centroids,
         "tfidf_terms": _q_tfidf_terms,
+        "quantile_binning": _q_quantile_binning,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -3128,6 +3148,21 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment = 'HOUSEHOLD'  AS one_hot_encoder_c_mktsegment_3,
                    c_mktsegment = 'MACHINERY'  AS one_hot_encoder_c_mktsegment_4
             FROM customer
+        """,
+        "quantile_binning": """
+            WITH s AS (
+              SELECT quantile_cont(c_acctbal, 0.25) AS p25,
+                     quantile_cont(c_acctbal, 0.50) AS p50,
+                     quantile_cont(c_acctbal, 0.75) AS p75
+              FROM customer
+            )
+            SELECT c_custkey,
+                   CAST(CASE WHEN c_acctbal IS NULL THEN NULL
+                             WHEN c_acctbal <= p25 THEN 0
+                             WHEN c_acctbal <= p50 THEN 1
+                             WHEN c_acctbal <= p75 THEN 2
+                             ELSE 3 END AS BIGINT) AS bin
+            FROM customer, s
         """,
         "robust_scaler": """
             WITH s AS (

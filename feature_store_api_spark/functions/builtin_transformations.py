@@ -116,6 +116,38 @@ def _robust_pd(series, stats):
     return [(series[0] - p50) / ((p75 - p25) or 1.0)]
 
 
+def _quantile_bin(cols, stats):
+    s = _stats_of(stats, "feature")
+    p25, p50, p75 = [float(p) for p in s["percentiles"]]
+    c = cols[0]
+    return [
+        F.when(c.isNull(), F.lit(None))
+        .when(c <= F.lit(p25), F.lit(0))
+        .when(c <= F.lit(p50), F.lit(1))
+        .when(c <= F.lit(p75), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    ]
+
+
+def _quantile_bin_pd(series, stats):
+    s = _stats_of(stats, "feature")
+    p25, p50, p75 = [float(p) for p in s["percentiles"]]
+
+    def bin_of(v):
+        if v is None or v != v:  # None / NaN
+            return None
+        if v <= p25:
+            return 0
+        if v <= p50:
+            return 1
+        if v <= p75:
+            return 2
+        return 3
+
+    return [series[0].map(bin_of)]
+
+
 def _label_encode_pd(series, stats):
     s = _stats_of(stats, "feature")
     vals = sorted(v for v in s.get("unique_values", []) if v is not None)
@@ -143,6 +175,15 @@ standard_scaler = _make(
 robust_scaler = _make(
     "robust_scaler", _robust, stat_fields=("percentiles",),
     pandas_expr=_robust_pd,
+)
+# quartile binning (beyond the reference's five builtins): train-split
+# quartile edges -> ordinal bins 0-3, nulls stay null; shares the
+# percentile stat field with robust_scaler so combining them costs no
+# extra stats pass
+quantile_binner = _make(
+    "quantile_binner", _quantile_bin, return_type="bigint",
+    stat_fields=("percentiles",),
+    pandas_expr=_quantile_bin_pd,
 )
 label_encoder = _make(
     "label_encoder", _label_encode, return_type="bigint",

@@ -210,3 +210,39 @@ def test_stats_bound_udf_registry_roundtrip(spark):
     df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
     out = {r["demean_x"] for r in apply_transformations(df, [revived]).collect()}
     assert out == {-5.0, 5.0}
+
+
+def test_quantile_binner_spark_and_pandas_parity(spark):
+    """Quartile binner: bins 0-3 against train percentiles, nulls pass
+    through, and the driver-side pandas twin matches the Column path."""
+    import pandas as pd
+
+    from feature_store_api_spark.functions.builtin_transformations import (
+        quantile_binner,
+    )
+    from feature_store_api_spark.functions.udf import (
+        apply_transformations,
+        apply_transformations_pandas,
+    )
+    from feature_store_api_spark.operators.statistics import (
+        transformation_statistics,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)],
+        "k long, v double",
+    )
+    tf = quantile_binner("v")
+    stats = transformation_statistics(df, ["v"], exact_pctl=True)
+    out = {r["k"]: r["quantile_binner_v"]
+           for r in apply_transformations(df, [tf], stats=stats).collect()}
+    assert out[1] == 0 and out[25] == 0
+    assert out[26] == 1 and out[50] == 1
+    assert out[51] == 2 and out[75] == 2
+    assert out[76] == 3 and out[100] == 3
+    assert out[999] is None
+
+    pdf = pd.DataFrame({"k": [1, 50, 100, 2], "v": [1.0, 50.0, 100.0, None]})
+    pd_out = apply_transformations_pandas(pdf, [tf], stats=stats)
+    assert list(pd_out["quantile_binner_v"][:3]) == [0, 1, 3]
+    assert pd_out["quantile_binner_v"][3] is None or pd_out["quantile_binner_v"].isna()[3]

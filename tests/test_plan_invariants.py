@@ -198,3 +198,19 @@ def test_select_survivors_quality_policy_uses_partial_max_by(spark):
     plan = _plan(out)
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_paragraph_dedup_no_window_partial_agg(spark):
+    """Paragraph dedup reassembles via array_sort inside a hash
+    aggregate (partial-aggregated), never a per-doc window sort, and
+    the repeated-paragraph membership test is a broadcast/anti join —
+    no full-corpus shuffle on raw text."""
+    from feature_store_api_spark.operators.text import remove_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = _plan(remove_repeated_paragraphs(df, "text", "doc_id"))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "EvalPython" not in plan

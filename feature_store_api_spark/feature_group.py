@@ -41,6 +41,9 @@ class FeatureGroupBase:
         self.event_time = autofix_feature_name(event_time) if event_time else None
         self.description = description
         self.online_enabled = online_enabled
+        # backref set by FeatureStore.create/_rehydrate: resolves
+        # provenance links, log groups, and online homes
+        self._feature_store = None
         self._features: List[Feature] = []
         # deferred schema: a zero-arg callable returning List[Feature],
         # invoked on first feature access — catalogs over many tables
@@ -207,9 +210,6 @@ class FeatureGroup(FeatureGroupBase):
         self.transformation_functions = list(transformation_functions)
         self.expectation_suite = None  # set via save_expectation_suite
         self._store = None
-        # backref set by FeatureStore.create/_rehydrate: resolves
-        # provenance links and generated views against the registry
-        self._feature_store = None
 
     # -- managed storage ---------------------------------------------------
     @property
@@ -878,6 +878,18 @@ class ExternalFeatureGroup(FeatureGroupBase):
         self.path = path
         self.data_format = data_format
         self.options = options or {}
+        if not self._features:
+            # deferred schema from the external source: paid only when
+            # a projection actually needs the feature list
+            def _load():
+                from .session import get_spark
+
+                return [
+                    Feature(f.name, f.dataType)
+                    for f in self.read_source(get_spark()).schema.fields
+                ]
+
+            self.set_features_loader(_load)
 
     def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
         return self.storage_connector.read(
@@ -887,6 +899,39 @@ class ExternalFeatureGroup(FeatureGroupBase):
             options=self.options,
             path=self.path,
         )
+
+    @property
+    def location(self) -> Optional[str]:
+        """Managed home for the ONLINE materialization only — external
+        groups keep their offline data in the external system, but an
+        online-enabled one needs somewhere local for its latest-per-key
+        store (the reference's analogue is the Hopsworks online store
+        the external data gets inserted into)."""
+        fs = self._feature_store
+        if fs is None or fs.root is None:
+            return None
+        return os.path.join(fs.root, f"_external_{self.name}_{self.version}")
+
+    def insert(self, df: DataFrame) -> None:
+        """ONLINE-ONLY ingest (parity ``feature_group.py`` external
+        ``insert``: offline values live in the external system; this
+        populates the online store so the group can serve real-time
+        feature vectors — single entry per primary key, newest wins)."""
+        if not self.online_enabled:
+            raise ValueError(
+                f"External feature group {self.name!r} is not "
+                "online_enabled; its offline data lives in the external "
+                "system and insert() only populates the online store"
+            )
+        if self.location is None:
+            raise ValueError(
+                "Online ingest for an external group needs a store-backed "
+                "group (create it via FeatureStore.create_external_"
+                "feature_group on a store with a root)"
+            )
+        from .online.store import OnlineStore
+
+        OnlineStore.for_feature_group(self).upsert(df)
 
 
 class SpineGroup(FeatureGroupBase):

@@ -308,3 +308,48 @@ def test_arrow_fallback_warns_once_and_counts(spark, store_dir, monkeypatch):
         got = store.get_feature_vector(spark, {"uid": 7})
     assert got["v"] == 70
     assert store.arrow_fallback_count == 2
+
+
+def test_external_fg_online_only_insert_and_serving(spark, tmp_path):
+    """External groups: offline data stays external; insert() populates
+    ONLY the online store (single entry per pk, newest wins) so the
+    group can serve vectors (reference ExternalFeatureGroup.insert)."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.connectors import HopsFsConnector
+
+    csv_dir = tmp_path / "ext"
+    os.makedirs(csv_dir)
+    with open(csv_dir / "data.csv", "w") as fh:
+        fh.write("uid,score\n1,0.5\n2,0.7\n")
+
+    fs = FeatureStore(root=str(tmp_path / "store"))
+    conn = HopsFsConnector("files")
+    fg = fs.create_external_feature_group(
+        "ext_scores", conn, path=str(csv_dir / "data.csv"),
+        data_format="csv", options={"header": "true", "inferSchema": "true"},
+        primary_key=["uid"], online_enabled=True,
+    )
+    fg.insert(spark.createDataFrame([(1, 0.9), (3, 0.1)], "uid long, score double"))
+    fg.insert(spark.createDataFrame([(1, 0.95)], "uid long, score double"))
+
+    from feature_store_api_spark.online.store import OnlineStore
+
+    store = OnlineStore.for_feature_group(fg)
+    got = store.get_feature_vectors(spark, [{"uid": 1}, {"uid": 3}, {"uid": 9}])
+    assert got[0]["score"] == 0.95  # newest wins
+    assert got[1]["score"] == 0.1 and got[2] is None
+
+    # offline read still comes from the external source, untouched
+    offline = {r["uid"]: r["score"] for r in fg.read(spark).collect()}
+    assert offline == {1: 0.5, 2: 0.7}
+
+    # not-online-enabled groups refuse
+    fg2 = fs.create_external_feature_group(
+        "ext_plain", conn, path=str(csv_dir / "data.csv"),
+        data_format="csv", primary_key=["uid"],
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="online_enabled"):
+        fg2.insert(spark.createDataFrame([(1, 0.9)], "uid long, score double"))

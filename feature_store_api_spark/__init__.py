@@ -7,6 +7,7 @@ locally to DataFrame operations, Catalyst-optimized, with a parquet
 commit-log store for time travel and Structured Streaming for streams.
 """
 
+from .embedding import EmbeddingFeature, EmbeddingIndex, SimilarityFunctionType
 from .feature import Feature
 from .feature_group import ExternalFeatureGroup, FeatureGroup, SpineGroup
 from .feature_store import FeatureStore, testdata_catalog
@@ -18,6 +19,9 @@ from .session import get_spark
 
 __all__ = [
     "Feature",
+    "EmbeddingFeature",
+    "EmbeddingIndex",
+    "SimilarityFunctionType",
     "FeatureGroup",
     "ExternalFeatureGroup",
     "SpineGroup",

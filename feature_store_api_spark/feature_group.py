@@ -144,13 +144,33 @@ class FeatureGroupBase:
     ) -> DataFrame:
         raise NotImplementedError
 
-    def find_neighbors(self, embedding, col=None, k=10, filter=None, metric="l2"):
+    def find_neighbors(self, embedding, col=None, k=10, filter=None, metric=None):
         """kNN over this group's embedding column (parity
         ``feature_group.py:2394-2459``; available on cached, external,
-        and spine groups alike — anything with a readable source)."""
+        and spine groups alike). A declared ``embedding_index``
+        (``embedding.EmbeddingIndex``) supplies the default column and
+        similarity function and validates the query dimension; with no
+        index, ``col`` falls back to the first array column and
+        ``metric`` to L2."""
         from .operators.similarity import find_neighbors
 
-        return find_neighbors(self, embedding, col=col, k=k, filter=filter, metric=metric)
+        idx = getattr(self, "embedding_index", None)
+        if idx is not None and idx.get_embeddings():
+            feats = idx.get_embeddings()
+            if col is None:
+                col = feats[0].name
+            ef = idx.get_embedding(col)
+            if ef is not None:
+                if metric is None:
+                    metric = ef.metric
+                if len(embedding) != ef.dimension:
+                    raise ValueError(
+                        f"Query vector has {len(embedding)} dimensions but "
+                        f"embedding feature {col!r} declares {ef.dimension}"
+                    )
+        return find_neighbors(
+            self, embedding, col=col, k=k, filter=filter, metric=metric or "l2"
+        )
 
     def read(self, spark: Optional[SparkSession] = None, **kw) -> DataFrame:
         return self.select_all().read(spark, **kw)
@@ -190,12 +210,14 @@ class FeatureGroup(FeatureGroupBase):
         transformation_functions: Sequence = (),
         auto_compact_every: Optional[int] = 10,
         statistics_config=None,
+        embedding_index=None,
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
             description, online_enabled,
         )
         self.statistics_config = statistics_config
+        self.embedding_index = embedding_index
         self.deprecated = False
         self.path = path  # immutable parquet source
         self.location = location  # managed commit-store dir

@@ -42,6 +42,7 @@ class FeatureStore:
         transformation_functions: Sequence = (),
         auto_compact_every: Optional[int] = 10,
         statistics_config=None,
+        embedding_index=None,
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -68,6 +69,7 @@ class FeatureStore:
             transformation_functions=transformation_functions,
             auto_compact_every=auto_compact_every,
             statistics_config=statistics_config,
+            embedding_index=embedding_index,
         )
         fg._feature_store = self  # provenance + log-FG resolution backref
         self._registry[(name, version)] = fg
@@ -95,6 +97,9 @@ class FeatureStore:
                 "statistics_config": (
                     statistics_config.to_dict() if statistics_config else None
                 ),
+                "embedding_index": (
+                    embedding_index.to_dict() if embedding_index else None
+                ),
             }
             with open(os.path.join(location, "_fg_meta.json"), "w") as fh:
                 json.dump(meta, fh, indent=1)
@@ -121,6 +126,7 @@ class FeatureStore:
         with open(meta_path) as fh:
             meta = json.load(fh)
         from .functions.udf import TransformationFunction
+        from .embedding import EmbeddingIndex
         from .operators.statistics import StatisticsConfig
 
         fg = FeatureGroup(
@@ -141,6 +147,9 @@ class FeatureStore:
             auto_compact_every=meta.get("auto_compact_every", 10),
             statistics_config=StatisticsConfig.from_dict(
                 meta.get("statistics_config")
+            ),
+            embedding_index=EmbeddingIndex.from_dict(
+                meta.get("embedding_index")
             ),
         )
         fg._feature_store = self

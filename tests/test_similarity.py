@@ -263,3 +263,43 @@ def test_normalize_and_group_centroids(spark):
     assert cents["a"]["n_members"] == 2
     assert cents["a"]["centroid"] == [0.3, 0.9]  # mean of (.6,.8),(0,1)
     assert cents["b"]["centroid"] == [1.0, 0.0]
+
+
+def test_embedding_index_drives_find_neighbors(spark, tmp_path):
+    """A declared EmbeddingIndex supplies the default search column and
+    similarity function, validates query dimension, and survives store
+    rehydration (parity embedding.py:31-143,234-330)."""
+    from feature_store_api_spark import (
+        EmbeddingFeature, EmbeddingIndex, FeatureStore, SimilarityFunctionType,
+    )
+
+    idx = EmbeddingIndex(features=[
+        EmbeddingFeature("vec", 4, SimilarityFunctionType.COSINE),
+    ])
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "emb_fg", primary_key=["vid"], embedding_index=idx,
+    )
+    fg.insert(spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vid long, vec array<double>",
+    ))
+    # no col/metric passed: the index supplies both (cosine => doc 3
+    # is FARTHEST despite equal L2-to-origin symmetry games)
+    got = [r["vid"] for r in fg.find_neighbors([1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert got == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="dimensions"):
+        fg.find_neighbors([1.0, 0.0])
+
+    # rehydrated store keeps the index
+    fg2 = FeatureStore(root=str(tmp_path)).get_feature_group("emb_fg")
+    ef = fg2.embedding_index.get_embedding("vec")
+    assert ef.dimension == 4 and ef.metric == "cosine"
+    # add_embedding extends the index
+    fg2.embedding_index.add_embedding("vec2", 8)
+    assert fg2.embedding_index.get_embedding("vec2").metric == "l2"

@@ -1119,10 +1119,11 @@ class FeatureView:
         return apply_transformations(df, tfs) if tfs else df
 
     def find_neighbors(
-        self, embedding, col=None, k=10, filter=None, metric="l2"
+        self, embedding, col=None, k=10, filter=None, metric=None
     ):
         """kNN against the view's left feature group's embedding column
-        (parity ``feature_view.py`` ``find_neighbors``)."""
+        (parity ``feature_view.py`` ``find_neighbors``). ``metric=None``
+        defers to the group's declared EmbeddingIndex (L2 fallback)."""
         return self.query.left_feature_group.find_neighbors(
             embedding, col=col, k=k, filter=filter, metric=metric
         )

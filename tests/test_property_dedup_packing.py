@@ -120,3 +120,21 @@ def test_fused_multi_pit_equals_sequential(spark, spine_rows, f1_rows, f2_rows):
     a = sorted(map(tuple, fused.collect()))
     b = sorted(map(tuple, seq.collect()))
     assert a == b
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_two_phase_clusters_match_union_find(spark, edges):
+    """large-star/small-star must agree with brute-force union-find on
+    arbitrary random graphs (not just chains)."""
+    from feature_store_api_spark.operators.dedup import duplicate_clusters
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(df, algorithm="two_phase").collect()
+    }
+    assert got == _union_find(edges)

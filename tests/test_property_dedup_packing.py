@@ -138,3 +138,89 @@ def test_two_phase_clusters_match_union_find(spark, edges):
         for r in duplicate_clusters(df, algorithm="two_phase").collect()
     }
     assert got == _union_find(edges)
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="abc\n", min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.integers(2, 3))
+def test_paragraph_dedup_matches_bruteforce(spark, texts, min_occ):
+    """remove_repeated_paragraphs vs a straight Python reimplementation
+    on arbitrary newline-structured corpora."""
+    from collections import Counter
+
+    from feature_store_api_spark.operators.text import remove_repeated_paragraphs
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in remove_repeated_paragraphs(
+            df, "text", "doc_id", min_occurrences=min_occ
+        ).collect()
+    }
+    counts = Counter(p for _i, t in rows for p in t.split("\n"))
+    for i, t in rows:
+        paras = t.split("\n")
+        kept = [p for p in paras if counts[p] < min_occ]
+        assert got[i] == ("\n".join(kept), len(kept), len(paras) - len(kept)), (
+            i, t, got[i]
+        )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 5)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    )
+)
+def test_select_survivors_matches_bruteforce(spark, rows):
+    """Quality-policy survivor selection vs a Python argmax per cluster
+    (docs: (id, cluster, quality); cluster c applies to ids with that
+    cluster value; singletons pass through)."""
+    from feature_store_api_spark.operators.dedup import select_survivors
+
+    docs = spark.createDataFrame(
+        [(i, q) for i, _c, q in rows], "doc_id long, quality long"
+    )
+    # only ids appearing in a multi-member cluster get a cluster row
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, c, _q in rows:
+        groups[c].append(i)
+    cluster_rows = [
+        (i, min(members))
+        for c, members in groups.items()
+        if len(members) > 1
+        for i in members
+    ]
+    expected = {i for c, members in groups.items() if len(members) == 1 for i in members}
+    by_id = {i: q for i, _c, q in rows}
+    for c, members in groups.items():
+        if len(members) > 1:
+            expected.add(max(members, key=lambda i: (by_id[i], i)))
+    if cluster_rows:
+        clusters = spark.createDataFrame(cluster_rows, "doc_id long, cluster_id long")
+    else:
+        from pyspark.sql import types as T
+
+        clusters = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("cluster_id", T.LongType()),
+            ])
+        )
+    got = {
+        r["doc_id"]
+        for r in select_survivors(
+            docs, clusters, order_by=["quality"]
+        ).collect()
+    }
+    assert got == expected, (rows, got, expected)

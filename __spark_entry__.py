@@ -1909,6 +1909,17 @@ def _q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(d, "text", "doc_id", k=3)
 
 
+def _q_gopher_gates(spark, sf_dir):
+    """Gopher-style quality gates over the documents corpus: metrics +
+    one boolean per published rule + the conjunction."""
+    from feature_store_api_spark.operators.text import gopher_quality_flags
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return gopher_quality_flags(d, "text", "doc_id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -2059,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "tfidf_terms": _q_tfidf_terms,
         "quantile_binning": _q_quantile_binning,
+        "gopher_gates": _q_gopher_gates,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -3148,6 +3160,55 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment = 'HOUSEHOLD'  AS one_hot_encoder_c_mktsegment_3,
                    c_mktsegment = 'MACHINERY'  AS one_hot_encoder_c_mktsegment_4
             FROM customer
+        """,
+        "gopher_gates": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '),
+                                 w -> length(w) > 0) AS w,
+                     list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ln
+              FROM documents WHERE text IS NOT NULL
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     CASE WHEN len(w) > 0
+                          THEN list_aggregate(list_transform(w, x -> length(x)), 'sum') / len(w)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(w) > 0
+                          THEN ((len(string_split(text, '#')) - 1)
+                               + (length(text) - length(replace(text, '...', ''))) / 3) / len(w)
+                          ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN len(ln) > 0
+                          THEN len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) / len(ln)
+                          ELSE 0.0 END AS bullet_ratio,
+                     CASE WHEN len(ln) > 0
+                          THEN len(list_filter(ln, l -> regexp_matches(trim(l), '\.\.\.$'))) / len(ln)
+                          ELSE 0.0 END AS ellipsis_ratio,
+                     CASE WHEN len(w) > 0
+                          THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w)
+                          ELSE 0.0 END AS alpha_ratio
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mean_wl, 6) AS mean_word_len,
+                   ROUND(symbol_ratio, 6) AS symbol_ratio,
+                   ROUND(bullet_ratio, 6) AS bullet_line_ratio,
+                   ROUND(ellipsis_ratio, 6) AS ellipsis_line_ratio,
+                   ROUND(alpha_ratio, 6) AS alpha_word_ratio,
+                   n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+                   mean_wl >= 3.0 AND mean_wl <= 10.0 AS pass_mean_word_len,
+                   symbol_ratio <= 0.1 AS pass_symbol_ratio,
+                   ellipsis_ratio <= 0.3 AS pass_ellipsis_lines,
+                   bullet_ratio <= 0.9 AS pass_bullet_lines,
+                   alpha_ratio >= 0.8 AS pass_alpha_words,
+                   (n_words >= 50 AND n_words <= 100000)
+                     AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                     AND symbol_ratio <= 0.1 AND ellipsis_ratio <= 0.3
+                     AND bullet_ratio <= 0.9 AND alpha_ratio >= 0.8
+                     AS passes_gopher
+            FROM m
         """,
         "quantile_binning": """
             WITH s AS (

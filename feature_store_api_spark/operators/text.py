@@ -440,3 +440,79 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "doc_freq", "score", "rank")
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_ellipsis_line_ratio: float = 0.3,
+    max_bullet_line_ratio: float = 0.9,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher/MassiveText-style document quality gates: the standard
+    rule set used to drop degenerate pages before training (word-count
+    band, mean word length band, symbol-to-word ratio, bullet/ellipsis
+    line fractions, alphabetic-word ratio). Returns the metrics, one
+    boolean per rule, and ``passes_gopher`` = conjunction — pure Column
+    expressions over whitespace tokens, zero Python, scan-side at any
+    scale. Thresholds are the published defaults; all overridable."""
+    c = F.col(text_col)
+    words = F.filter(
+        F.split(F.regexp_replace(c, r"\s+", " "), " "),
+        lambda w: F.length(w) > 0,
+    )
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(c, "#")) - 1
+    n_ellipsis = F.size(F.split(c, r"\.\.\.")) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+
+    flags = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "pass_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "pass_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "pass_ellipsis_lines": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "pass_bullet_lines": bullet_ratio <= max_bullet_line_ratio,
+        "pass_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+    }
+    all_pass = None
+    for expr in flags.values():
+        all_pass = expr if all_pass is None else (all_pass & expr)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        all_pass.alias("passes_gopher"),
+    )

@@ -145,3 +145,21 @@ def test_tfidf_top_terms(spark):
     # rarity wins: 1*ln(3) for 'filter' beats 2*ln(3/2) for 'window'
     assert rows[(3, 1)]["term"] == "filter"
     assert rows[(3, 2)]["term"] == "window"
+
+
+def test_gopher_quality_flags(spark):
+    from feature_store_api_spark.operators.text import gopher_quality_flags
+
+    good = " ".join(f"word{i}" for i in range(60))  # 60 alpha words
+    rows = [
+        (1, good),
+        (2, "too few words here"),                    # fails word count
+        (3, " ".join(["####"] * 60)),                 # symbols, no alpha
+        (4, "- a\n- b\n- c\n" + good),                # bullets but <=0.9? 3/4 lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert out[1]["passes_gopher"]
+    assert not out[2]["pass_word_count"] and not out[2]["passes_gopher"]
+    assert not out[3]["pass_symbol_ratio"] and not out[3]["pass_alpha_words"]
+    assert out[4]["bullet_line_ratio"] == 0.75 and out[4]["pass_bullet_lines"]

@@ -1920,6 +1920,24 @@ def _q_gopher_gates(spark, sf_dir):
     return gopher_quality_flags(d, "text", "doc_id")
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """8-bit scalar quantization of the embeddings table against
+    corpus-wide per-dimension ranges, flattened to (vec_id, pos, code)
+    for the value-hash compare."""
+    from feature_store_api_spark.operators.similarity import (
+        quantization_params, quantize_embeddings,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = quantization_params(e, "embedding")
+    q = quantize_embeddings(e, "embedding", params)
+    return q.select(
+        "vec_id", F.posexplode("embedding_q8").alias("pos", "code")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
     draw: the EXACT selected row set matches the oracle (not just
@@ -2071,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "quantile_binning": _q_quantile_binning,
         "gopher_gates": _q_gopher_gates,
+        "embedding_quantize": _q_embedding_quantize,
         # --- (2) r03-green rows whose underlying code changed in r04
         # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
         # guard + snapshot path, online-store resolve-order/counter fixes,
@@ -3160,6 +3179,24 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment = 'HOUSEHOLD'  AS one_hot_encoder_c_mktsegment_3,
                    c_mktsegment = 'MACHINERY'  AS one_hot_encoder_c_mktsegment_4
             FROM customer
+        """,
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (
+              SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+              FROM e
+            ),
+            st AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM p GROUP BY pos),
+            sc AS (
+              SELECT pos, lo,
+                     CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS s
+              FROM st
+            )
+            SELECT p.vec_id, p.pos,
+                   CAST(GREATEST(0, LEAST(255,
+                     CAST(FLOOR((p.x - sc.lo) / sc.s + 0.5) AS INTEGER)
+                   )) AS INTEGER) AS code
+            FROM p JOIN sc USING (pos)
         """,
         "gopher_gates": """
             WITH d AS (

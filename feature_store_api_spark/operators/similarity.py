@@ -641,3 +641,59 @@ def group_centroids(
         ).alias(out_col)
     )
     return members.join(vecs, on=group_col)
+
+
+def quantization_params(df: DataFrame, col: str) -> List[dict]:
+    """Per-dimension (min, scale) for 8-bit scalar quantization,
+    computed corpus-wide: one posexplode + groupBy(position) min/max
+    (map-side combined; the shuffle carries ``dim`` aggregated rows),
+    collected driver-side (tiny)."""
+    rows = (
+        df.select(F.posexplode(F.col(col)).alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+        .collect()
+    )
+    params = [None] * len(rows)
+    for r in rows:
+        lo, hi = float(r["lo"]), float(r["hi"])
+        scale = (hi - lo) / 255.0 or 1.0
+        params[r["__p"]] = {"lo": lo, "scale": scale}
+    return params
+
+
+def quantize_embeddings(
+    df: DataFrame, col: str, params: List[dict], out_col: Optional[str] = None
+) -> DataFrame:
+    """8-bit scalar quantization: each dimension maps to a 0-255 code
+    via its corpus (min, scale) — a 4× memory cut for ANN candidate
+    storage with the exact re-rank still running on original vectors
+    when kept. Code = floor((x-lo)/scale + 0.5) clamped (floor+0.5
+    rather than round(): identical across engines regardless of
+    half-rounding mode). Pure per-row Column expression, scan-side."""
+    out_col = out_col or f"{col}_q8"
+    los = F.array(*[F.lit(p["lo"]) for p in params])
+    scales = F.array(*[F.lit(p["scale"]) for p in params])
+    code = F.zip_with(
+        F.col(col),
+        F.zip_with(los, scales, lambda lo, s: F.struct(lo.alias("lo"), s.alias("s"))),
+        lambda x, p: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor((x - p["lo"]) / p["s"] + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, code)
+
+
+def dequantize_expr(col: str, params: List[dict]) -> Column:
+    """Approximate reconstruction: code*scale + lo per dimension."""
+    los = F.array(*[F.lit(p["lo"]) for p in params])
+    scales = F.array(*[F.lit(p["scale"]) for p in params])
+    return F.zip_with(
+        F.col(col),
+        F.zip_with(los, scales, lambda lo, s: F.struct(lo.alias("lo"), s.alias("s"))),
+        lambda c, p: c.cast("double") * p["s"] + p["lo"],
+    )

@@ -303,3 +303,44 @@ def test_embedding_index_drives_find_neighbors(spark, tmp_path):
     # add_embedding extends the index
     fg2.embedding_index.add_embedding("vec2", 8)
     assert fg2.embedding_index.get_embedding("vec2").metric == "l2"
+
+
+def test_scalar_quantization_roundtrip_and_recall(spark):
+    """8-bit scalar quantization: codes in [0,255], reconstruction
+    error bounded by scale/2 per dimension, and brute-force kNN over
+    dequantized vectors keeps high recall vs the originals."""
+    import random
+
+    from feature_store_api_spark.operators.similarity import (
+        dequantize_expr, quantization_params, quantize_embeddings,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-2, 2) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = quantization_params(df, "embedding")
+    assert len(params) == 8
+    q = quantize_embeddings(df, "embedding", params)
+    first = q.select("embedding", "embedding_q8").first()
+    assert all(0 <= c <= 255 for c in first["embedding_q8"])
+    deq = q.withColumn("deq", dequantize_expr("embedding_q8", params))
+    r = deq.select("embedding", "deq").first()
+    for orig, rec in zip(r["embedding"], r["deq"]):
+        assert abs(orig - rec) <= 4.0 / 255.0 / 2 + 1e-9  # half a step
+
+    # recall@10 of kNN over dequantized vs original
+    q_vec = rows[0][1]
+    brute = {
+        r2["vec_id"]
+        for r2 in sim.find_neighbors(df, q_vec, col="embedding", k=10, metric="l2").collect()
+    }
+    approx = {
+        r2["vec_id"]
+        for r2 in sim.find_neighbors(
+            deq.select("vec_id", F.col("deq").alias("embedding")),
+            q_vec, col="embedding", k=10, metric="l2",
+        ).collect()
+    }
+    assert len(brute & approx) >= 9

@@ -178,10 +178,27 @@ class FeatureView:
             f.name: f.type for f in left_fg.features if f.type is not None
         }
         spine_types = {f.name: f.dataType for f in spine.schema.fields}
+
+        def _compatible(got, want):
+            # Exact match, or a safe coercion Spark's join would have
+            # handled anyway (int vs bigint, float vs double, either
+            # numeric width on a timestamp/date key). Only genuinely
+            # incompatible families (string vs numeric, …) should fail.
+            if got == want:
+                return True
+            from pyspark.sql.types import (
+                DateType,
+                NumericType,
+                TimestampType,
+            )
+
+            numericish = (NumericType, DateType, TimestampType)
+            return isinstance(got, numericish) and isinstance(want, numericish)
+
         mismatched = [
             (c, str(spine_types[c]), str(expected[c]))
             for c in required
-            if c in expected and spine_types[c] != expected[c]
+            if c in expected and not _compatible(spine_types[c], expected[c])
         ]
         if mismatched:
             detail = "; ".join(

@@ -313,10 +313,20 @@ def duplicate_clusters(
         .select(F.col("src").alias("id"), "label")
         .localCheckpoint(eager=True)
     )
-    prev_sum = object()  # sentinel: no round has completed yet
+    # Sum after the init hop: lets a single confirming round detect that
+    # init already reached the fixpoint (a star with max_iterations=1).
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     converged = False
-    hops_left = max(1, max_iterations - 1)  # init consumed one hop
-    while hops_left > 0:
+    hops_left = max(0, max_iterations - 1)  # init consumed one hop
+    while True:
+        # The confirming round is budgeted SEPARATELY from the
+        # propagation hops: a graph whose labels settle exactly on the
+        # final allowed hop still needs one unchanged-sum round to
+        # prove the fixpoint, and that proof round must not count
+        # against max_iterations (else it spuriously raises).
+        confirming = hops_left <= 0
         # two propagation hops per materialized round: each round's
         # fixed cost (job scheduling + checkpoint + convergence agg)
         # dominates at moderate graph sizes, so folding two hops into
@@ -325,7 +335,7 @@ def duplicate_clusters(
         # (labels only decrease), so an unchanged sum after a 2-hop
         # round implies the 1-hop fixpoint too.
         l = labels
-        for _ in range(min(2, hops_left)):
+        for _ in range(min(2, hops_left) if not confirming else 1):
             hops_left -= 1
             nbr = edges.join(l, edges["dst"] == l["id"]).select(
                 edges["src"].alias("id"), l["label"]
@@ -345,6 +355,10 @@ def duplicate_clusters(
             converged = True
             break
         prev_sum = cur_sum
+        if confirming:
+            # the one extra proof round still changed labels —
+            # genuinely unconverged within max_iterations
+            break
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge within {max_iterations} "

@@ -243,11 +243,15 @@ def find_neighbors_ann_retry(
         ).persist()
         n = scored.count()  # the ONE probe scan; materializes the cache
         if h >= num_planes or n >= k:
-            return (
-                scored.orderBy(F.col("distance").asc())
-                .limit(k)
-                .drop("__bucket")
-            )
+            # Materialize the k rows from the cache, then free it —
+            # persist() registers in Spark's CacheManager and is NOT
+            # GC-freed, so returning the cached frame would leak one
+            # cache entry per serving call. k is small (a serving
+            # top-k), so a driver-side localized result is cheap.
+            out = scored.orderBy(F.col("distance").asc()).limit(k).drop("__bucket")
+            rows, schema = out.collect(), out.schema
+            scored.unpersist()
+            return index_df.sparkSession.createDataFrame(rows, schema)
         scored.unpersist()
         h = min(num_planes, max(h * 2, h + 1))
 
@@ -592,11 +596,13 @@ def find_neighbors_ivf_retry(
         ).persist()
         cnt = scored.count()  # the ONE probe scan; materializes the cache
         if n >= total or cnt >= k:
-            return (
-                scored.orderBy(F.col("distance").asc())
-                .limit(k)
-                .drop("__cell")
-            )
+            # As in find_neighbors_ann_retry: localize the k rows, then
+            # unpersist — otherwise every serving call leaks a
+            # CacheManager entry for the session lifetime.
+            out = scored.orderBy(F.col("distance").asc()).limit(k).drop("__cell")
+            rows, schema = out.collect(), out.schema
+            scored.unpersist()
+            return index.df.sparkSession.createDataFrame(rows, schema)
         scored.unpersist()
         n = min(total, n * 2)
 
@@ -654,11 +660,25 @@ def quantization_params(df: DataFrame, col: str) -> List[dict]:
         .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
         .collect()
     )
-    params = [None] * len(rows)
+    if not rows:
+        return []
+    # Size by the max observed position, not len(rows): with ragged
+    # embedding arrays a middle dimension can be missing entirely, and
+    # indexing by position into a len(rows) list would IndexError (or
+    # leave a None that crashes quantize_embeddings later). Missing
+    # positions are an inconsistent-dimension corpus — fail loudly.
+    params = [None] * (max(r["__p"] for r in rows) + 1)
     for r in rows:
         lo, hi = float(r["lo"]), float(r["hi"])
         scale = (hi - lo) / 255.0 or 1.0
         params[r["__p"]] = {"lo": lo, "scale": scale}
+    holes = [i for i, p in enumerate(params) if p is None]
+    if holes:
+        raise ValueError(
+            f"Inconsistent embedding dimensions in column {col!r}: no "
+            f"vector carries position(s) {holes} although longer vectors "
+            "exist — quantization needs a fixed dimensionality"
+        )
     return params
 
 

@@ -243,8 +243,16 @@ def fg_generated_feature_views(fg, feature_store) -> Links:
         for f in sorted(os.listdir(vdir)):
             if not f.endswith(".json"):
                 continue
+            # The directory also holds monitoring/tag sidecars
+            # ({name}_{ver}_monitoring.json, {name}_{ver}_tags.json) with
+            # different shapes — only read {name}_{digits}.json view files.
+            stem = f[: -len(".json")]
+            if "_" not in stem or not stem.rsplit("_", 1)[1].isdigit():
+                continue
             with open(os.path.join(vdir, f)) as fh:
                 d = json.load(fh)
+            if "name" not in d or "query" not in d:
+                continue
             key = (d["name"], d.get("version", 1))
             if key in seen:
                 continue

@@ -222,3 +222,29 @@ def test_select_survivors_policies(spark):
     from pyspark.sql import functions as F2
     out = dedup.select_survivors(tied, tclusters, order_by=[F2.length("text")])
     assert {r["doc_id"] for r in out.collect()} == {2, 7}
+
+
+def test_duplicate_clusters_confirming_round_budgeted_separately(spark):
+    """The unchanged-sum proof round must not consume a propagation hop:
+    a star already converged at init succeeds with max_iterations=1,
+    and a graph settling exactly on the final allowed hop still
+    converges instead of spuriously raising."""
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(star, max_iterations=1).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    # path of 3 nodes: init hop + 1 propagation hop reaches the
+    # fixpoint exactly on the final allowed hop; max_iterations=2 must
+    # succeed via the separately-budgeted proof round (previously
+    # required budget for a full extra round and raised).
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(path, max_iterations=2).collect()
+    }
+    assert set(got.values()) == {1} and len(got) == 3

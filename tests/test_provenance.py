@@ -74,3 +74,19 @@ def test_deleted_parent_shows_in_deleted_bucket(spark, fs):
     assert [(a.name, a.artifact_type) for a in links.deleted] == [
         ("gone_fg", "FEATURE_GROUP")
     ]
+
+
+def test_generated_views_skip_sidecar_jsons(spark, fs, tmp_path):
+    """_feature_views/ also holds monitoring configs and tags
+    ({name}_{ver}_monitoring.json / _tags.json) with different shapes —
+    get_generated_feature_views must skip them instead of KeyErroring
+    once a view has monitoring or tags attached."""
+    a = fs.create_feature_group("fg_a", primary_key=["k"])
+    a.insert(spark.createDataFrame([(1, 10.0)], "k long, x double"))
+    v = fs.create_feature_view("v1", a.select_all())
+    v.add_tag("owner", "ops")  # writes v1_1_tags.json into _feature_views/
+
+    fs2 = FeatureStore(root=str(tmp_path))
+    a2 = fs2.get_feature_group("fg_a")
+    links = a2.get_generated_feature_views()
+    assert [x.name for x in links.accessible] == ["v1"]

@@ -202,3 +202,18 @@ def test_spine_schema_contract(spark, pit_fixtures):
     )
     out = fv.training_data(spark, spine=good).collect()
     assert len(out) == 1 and out[0]["bal"] == 20.0
+
+
+def test_spine_coercible_key_dtype_accepted(spark, pit_fixtures):
+    """A spine key whose type safely widens to the feature group's
+    (int vs bigint) must pass validation — Spark's join coerces it
+    anyway; only genuinely incompatible families (string vs numeric)
+    should raise."""
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv_coerce", q, labels=["label"])
+    narrow = spark.createDataFrame(
+        [(1, ts("2024-01-10"))], "cid int, ts timestamp"
+    )  # cid int vs FG bigint: safe widening
+    out = fv.training_data(spark, spine=narrow).collect()
+    assert len(out) == 1 and out[0]["bal"] == 20.0

@@ -2077,65 +2077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # goal is every entry's newest verdict <= 2 rounds old); (4) entries
     # re-verified green in r03 with code untouched since.
     return {
-        # --- (1) NEW in round 4 (no verdict yet by definition) ---
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
-        "corpus_curation_quality": _q_corpus_curation_quality,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "pii_redaction": _q_pii_redaction,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "embedding_centroids": _q_embedding_centroids,
-        "tfidf_terms": _q_tfidf_terms,
-        "quantile_binning": _q_quantile_binning,
-        "gopher_gates": _q_gopher_gates,
-        "embedding_quantize": _q_embedding_quantize,
-        # --- (2) r03-green rows whose underlying code changed in r04
-        # (duplicate_clusters rewrite, ANN retry/IVF build rework, vacuum
-        # guard + snapshot path, online-store resolve-order/counter fixes,
-        # FeatureView spine validation) — must be re-verdicted ---
-        "dedup_clusters": _q_dedup_clusters,
-        "corpus_curation": _q_corpus_curation,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ann_retry": _q_knn_ann_retry,
-        "vacuum_retention": _q_vacuum_retention,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "incremental_pull": _q_incremental_pull,
-        "commit_details": _q_commit_details,
-        "compaction_snapshot": _q_compaction_snapshot,
-        "streaming_upsert": _q_streaming_upsert,
-        "online_lookup": _q_online_lookup,
-        "serving_vectors": _q_serving_vectors,
-        "spine_pit_join": _q_spine_pit_join,
-        # --- (3) the r01/r02-verdict rotation tail, oldest-proof first:
-        # fv_batch_query leads (its PIT path was rewired in r03 but its
-        # last verdict is r02), then the store/UDF family, robust_scaler
-        # (the only r01 verdict left), then the join/filter family ---
-        "fv_batch_query": _q_fv_batch_query,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "custom_udf": _q_custom_udf,
-        "custom_udf_stats": _q_custom_udf_stats,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_preview": _q_online_preview,
-        "schema_evolution": _q_schema_evolution,
-        "external_fg_csv": _q_external_fg_csv,
-        "fs_sql": _q_fs_sql,
-        "robust_scaler": _q_robust_scaler,
-        "scan_filter_project": _q_scan_filter_project,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "select_except": _q_select_except,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_inner": _q_join_inner,
-        "join_right": _q_join_right,
-        "join_full": _q_join_full,
-        "join_semi": _q_join_semi,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "event_time_norm": _q_event_time_norm,
+        # --- (1) NEW in round 5 (no verdict yet) are inserted here ---
+        # --- (2) the r02-stale rotation tail: last verdict is 2+ rounds
+        # old, front of the ~50-entry driver window so r05 re-proves them ---
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -2153,7 +2097,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "text_analysis": _q_text_analysis,
         "knn_ann": _q_knn_ann,
-        # --- (4) r03-green, code unchanged this round — freshest proofs last ---
+        # --- (3) entries whose underlying code changed in r05 (ANN retry
+        # unpersist, duplicate_clusters proof round, spine coercion,
+        # quantization ragged guard) — must be re-verdicted ---
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "corpus_curation": _q_corpus_curation,
+        "corpus_curation_quality": _q_corpus_curation_quality,
+        "knn_ann_retry": _q_knn_ann_retry,
+        "knn_ivf": _q_knn_ivf,
+        "spine_pit_join": _q_spine_pit_join,
+        "fv_batch_query": _q_fv_batch_query,
+        "embedding_quantize": _q_embedding_quantize,
+        # --- (4) r03 verdicts, code unchanged — next-oldest proofs ---
         "rolling_features": _q_rolling_features,
         "kafka_materialize": _q_kafka_materialize,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
@@ -2190,6 +2147,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "ngram_jaccard": _q_ngram_jaccard,
         "encoders": _q_encoders,
+        # --- (5) re-verified green in r04, code unchanged — freshest last ---
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "pii_redaction": _q_pii_redaction,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "embedding_centroids": _q_embedding_centroids,
+        "tfidf_terms": _q_tfidf_terms,
+        "quantile_binning": _q_quantile_binning,
+        "gopher_gates": _q_gopher_gates,
+        "vacuum_retention": _q_vacuum_retention,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "incremental_pull": _q_incremental_pull,
+        "commit_details": _q_commit_details,
+        "compaction_snapshot": _q_compaction_snapshot,
+        "streaming_upsert": _q_streaming_upsert,
+        "online_lookup": _q_online_lookup,
+        "serving_vectors": _q_serving_vectors,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "custom_udf": _q_custom_udf,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_preview": _q_online_preview,
+        "schema_evolution": _q_schema_evolution,
+        "external_fg_csv": _q_external_fg_csv,
+        "fs_sql": _q_fs_sql,
+        "robust_scaler": _q_robust_scaler,
+        "scan_filter_project": _q_scan_filter_project,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "select_except": _q_select_except,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_inner": _q_join_inner,
+        "join_right": _q_join_right,
+        "join_full": _q_join_full,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "event_time_norm": _q_event_time_norm,
     }
 
 

@@ -807,34 +807,54 @@ def _q_streaming_upsert(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_multimodal_decode(spark, sf_dir):
-    """Binary content column → mapInPandas feature extraction.
+    """REAL bytes→metadata decode: synthesize valid PNG/BMP/GIF files
+    (stdlib-only encoders, shape and color derived from doc_id), then
+    run the default image decoder — actual magic-byte header parsing,
+    plus full pixel decode (zlib inflate + PNG unfiltering / BMP BGR
+    rows) for the channel-mean feature vector.
 
-    Oracle surface: the array<float> feature vector is exploded to
-    (media_id, idx, v_u16) scalar rows — the deterministic fake decoder
-    emits u16/65536 floats, so v_u16 = vec[idx]*65536 is an exact
-    integer both engines agree on bit-for-bit (no float compare)."""
-    from feature_store_api_spark.operators.multimodal import (
-        attach_basic_metadata, decode_features,
-    )
+    Oracle surface: width/height/format/channels are pure doc_id
+    arithmetic, and the recovered channel means of a solid-color image
+    are exactly the color bytes — all integers, no float compare. GIF
+    is header-only (LZW pixel decode needs a codec), so its channel
+    columns are NULL."""
+    from feature_store_api_spark.operators.multimodal import decode_features
 
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    media = d.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-    )
-    media = attach_basic_metadata(media)
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from feature_store_api_spark.operators.image_codec import (
+            encode_bmp, encode_gif, encode_png,
+        )
+
+        encoders = [encode_png, encode_bmp, encode_gif]
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            contents = [
+                encoders[i % 3](
+                    1 + i % 32,
+                    1 + (i * 3) % 32,
+                    (i % 256, (i * 7) % 256, (i * 13) % 256),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "content": contents}
+            )
+
+    media = d.mapInPandas(synth, "media_id string, content binary")
     dec = decode_features(media, meta_col=None)
     return dec.select(
         "media_id",
-        F.posexplode("feature_vec").alias("idx", "v"),
-        "decoded_width",
-        "decoded_height",
-    ).select(
-        "media_id",
-        F.col("idx").cast("int").alias("idx"),
-        (F.col("v").cast("double") * 65536).cast("long").alias("v_u16"),
-        F.col("decoded_width").cast("int").alias("decoded_width"),
-        F.col("decoded_height").cast("int").alias("decoded_height"),
+        F.col("format").alias("fmt"),
+        F.col("decoded_width").cast("int").alias("width"),
+        F.col("decoded_height").cast("int").alias("height"),
+        F.col("n_channels").cast("int").alias("n_channels"),
+        F.round(F.element_at("feature_vec", 1) * 255).cast("int").alias("mean_r"),
+        F.round(F.element_at("feature_vec", 2) * 255).cast("int").alias("mean_g"),
+        F.round(F.element_at("feature_vec", 3) * 255).cast("int").alias("mean_b"),
     )
 
 
@@ -2949,32 +2969,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tokens_bpe
             FROM w
         """,
-        # replicates the deterministic fake decoder: sha256(content) →
-        # 16 big-endian u16s (vec[i]*65536) + width/height from the
-        # first two digest bytes (hex parsed via strpos, no codec)
+        # the Spark side synthesizes REAL solid-color PNG/BMP/GIF files
+        # (shape + color = doc_id arithmetic) and runs the stdlib image
+        # decoder on them; the decoded header fields and per-channel
+        # pixel means are therefore predictable in pure SQL
         "multimodal_decode": """
-            WITH d AS (
-              SELECT CAST(doc_id AS VARCHAR) AS media_id,
-                     lower(sha256(text)) AS h  -- VARCHAR overload hashes UTF-8 bytes
-              FROM documents
-              WHERE text IS NOT NULL
-            ),
-            u AS (
-              SELECT media_id, CAST(t.i AS INT) AS idx,
-                     (strpos('0123456789abcdef', substr(h, 4*t.i+1, 1)) - 1) * 4096
-                   + (strpos('0123456789abcdef', substr(h, 4*t.i+2, 1)) - 1) * 256
-                   + (strpos('0123456789abcdef', substr(h, 4*t.i+3, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(h, 4*t.i+4, 1)) - 1) AS v_u16,
-                     1 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64 AS decoded_width,
-                     1 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 64 AS decoded_height
-              FROM d, range(0, 16) t(i)
-            )
-            SELECT media_id, idx, CAST(v_u16 AS BIGINT) AS v_u16,
-                   CAST(decoded_width AS INT) AS decoded_width,
-                   CAST(decoded_height AS INT) AS decoded_height
-            FROM u
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                        ELSE 'gif' END AS fmt,
+                   CAST(1 + doc_id % 32 AS INT) AS width,
+                   CAST(1 + (doc_id * 3) % 32 AS INT) AS height,
+                   CAST(3 AS INT) AS n_channels,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE CAST(doc_id % 256 AS INT) END AS mean_r,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE CAST((doc_id * 7) % 256 AS INT) END AS mean_g,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE CAST((doc_id * 13) % 256 AS INT) END AS mean_b
+            FROM documents
         """,
         # mirrors dedup.minhash_signatures/minhash_lsh_duplicate_pairs
         # with hash_fn='md5_64': shingle size 5, 32 hashes, 8 bands of 4

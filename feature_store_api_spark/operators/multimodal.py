@@ -3,10 +3,12 @@
 Driver-mandated extension beyond the reference surface: treat media as
 opaque ``binary`` columns with typed metadata, and run decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas
-functions over ``mapInPandas`` — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested; the
-actual codec step is stubbed (no image/audio libraries in this
-container) behind ``set_decoder`` / a deterministic fake.
+functions over ``mapInPandas``. Image decoding is REAL and stdlib-only
+(:mod:`image_codec`): PNG/GIF/BMP/JPEG headers from magic bytes, full
+pixel decode for 8-bit PNG and 24/32-bit BMP. Audio/video codecs (no
+libraries in this container) stay behind ``set_decoder`` with a
+deterministic fake, with the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) real and tested.
 
 Scale notes (100 TB of media):
 - media bytes ride in parquet binary columns; ``maxPartitionBytes``
@@ -101,12 +103,50 @@ def _fake_decode(content: bytes, meta: dict) -> dict:
     }
 
 
+def decode_image(content: bytes, meta: dict) -> dict:
+    """Default image decoder — REAL, stdlib-only (no PIL):
+
+    - header parse from magic bytes for PNG/GIF/BMP/JPEG (dimensions,
+      channel count, format) via :mod:`image_codec`;
+    - full pixel decode for non-interlaced 8-bit PNG and uncompressed
+      24/32-bit BMP, emitting per-channel mean intensities as the
+      feature vector;
+    - header-only formats (GIF, JPEG — pixel decode needs LZW/DCT
+      codecs this container doesn't ship) return real metadata with
+      ``feature_vec=None``.
+
+    Unrecognized/corrupt bytes raise ``ValueError``, which
+    :func:`decode_features` records per-row as ``decode_error``.
+    """
+    from . import image_codec as ic
+
+    hdr = ic.parse_image_header(content)
+    vec = None
+    try:
+        _, rows = ic.decode_pixels(content)
+        vec = [float(x) for x in ic.channel_means(rows, hdr["n_channels"])]
+    except ValueError:
+        pass  # header-only format: metadata is still genuinely decoded
+    return {
+        "feature_vec": vec,
+        "decoded_width": hdr["width"],
+        "decoded_height": hdr["height"],
+        "n_channels": hdr["n_channels"],
+        "format": hdr["format"],
+    }
+
+
+_DECODERS.setdefault("image", decode_image)
+
+
 _DECODE_OUT = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
         T.StructField("feature_vec", T.ArrayType(T.FloatType()), True),
         T.StructField("decoded_width", T.IntegerType(), True),
         T.StructField("decoded_height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -133,10 +173,15 @@ def decode_features(
     src = df.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fields = [
+            "feature_vec", "decoded_width", "decoded_height",
+            "n_channels", "format",
+        ]
         for pdf in batches:
             out: Dict[str, list] = {
                 "media_id": [], "feature_vec": [], "decoded_width": [],
-                "decoded_height": [], "decode_error": [],
+                "decoded_height": [], "n_channels": [], "format": [],
+                "decode_error": [],
             }
             # column-wise zip, not iterrows(): ~5-10x less per-row overhead
             # on Arrow batches
@@ -148,19 +193,16 @@ def decode_features(
                 meta = dict(raw_meta) if raw_meta is not None else {}
                 try:
                     dec = decoder(content, meta)
-                    out["feature_vec"].append(dec.get("feature_vec"))
-                    out["decoded_width"].append(dec.get("decoded_width"))
-                    out["decoded_height"].append(dec.get("decoded_height"))
+                    for f in fields:
+                        out[f].append(dec.get(f))
                     out["decode_error"].append(None)
                 except NotImplementedError as e:
-                    out["feature_vec"].append(None)
-                    out["decoded_width"].append(None)
-                    out["decoded_height"].append(None)
+                    for f in fields:
+                        out[f].append(None)
                     out["decode_error"].append(str(e) or "decode not implemented")
                 except Exception as e:  # corrupt input — record, don't fail
-                    out["feature_vec"].append(None)
-                    out["decoded_width"].append(None)
-                    out["decoded_height"].append(None)
+                    for f in fields:
+                        out[f].append(None)
                     out["decode_error"].append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(out)
 

@@ -52,20 +52,53 @@ def test_attach_basic_metadata(media_df):
     assert len(by_id["m1"]["content_sha1"]) == 40
 
 
-def test_decode_features_fake_decoder(media_df):
-    out = decode_features(media_df, media_type="image").collect()
+def test_decode_features_real_image_decoder(spark):
+    """The default image decoder is REAL: dimensions/channels/format
+    come from actual magic-byte parsing, and PNG/BMP feature vectors
+    are pixel channel means — not a hash-based stub."""
+    from feature_store_api_spark.operators import image_codec as ic
+
+    rows = [
+        ("png", ic.encode_png(6, 4, (10, 20, 30))),
+        ("bmp", ic.encode_bmp(5, 3, (200, 100, 50))),
+        ("gif", ic.encode_gif(7, 2, (1, 2, 3))),
+        ("jpg", ic.encode_jpeg_header(123, 45, 3)),
+        ("bad", b"not an image at all"),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = decode_features(df, meta_col=None, media_type="image").collect()
     by_id = {r["media_id"]: r for r in out}
-    assert len(out) == 4
-    # deterministic fake: same bytes -> same vector
-    v1 = by_id["m1"]["feature_vec"]
-    assert len(v1) == 16 and all(0.0 <= x < 1.0 for x in v1)
-    again = decode_features(media_df, media_type="image").collect()
-    assert {r["media_id"]: r["feature_vec"] for r in again}["m1"] == v1
-    # null content -> recorded error, not a job failure
-    assert by_id["m4"]["feature_vec"] is None
-    assert by_id["m4"]["decode_error"]
-    # metadata passes through to the decoder
-    assert by_id["m1"]["decoded_width"] == 4
+    assert len(out) == 6
+    png = by_id["png"]
+    assert (png["decoded_width"], png["decoded_height"]) == (6, 4)
+    assert png["n_channels"] == 3 and png["format"] == "png"
+    assert [round(v * 255) for v in png["feature_vec"]] == [10, 20, 30]
+    bmp = by_id["bmp"]
+    assert (bmp["decoded_width"], bmp["decoded_height"]) == (5, 3)
+    assert [round(v * 255) for v in bmp["feature_vec"]] == [200, 100, 50]
+    gif = by_id["gif"]
+    assert (gif["decoded_width"], gif["decoded_height"]) == (7, 2)
+    assert gif["format"] == "gif" and gif["feature_vec"] is None
+    jpg = by_id["jpg"]
+    assert (jpg["decoded_width"], jpg["decoded_height"]) == (123, 45)
+    assert jpg["format"] == "jpeg" and jpg["n_channels"] == 3
+    # corrupt + null content → recorded errors, not job failures
+    assert by_id["bad"]["decode_error"] and by_id["bad"]["feature_vec"] is None
+    assert by_id["nul"]["decode_error"]
+
+
+def test_decode_features_unregistered_type_uses_fake(media_df):
+    """Media types without a registered decoder fall back to the
+    deterministic digest fake, keeping the plumbing testable."""
+    out = decode_features(media_df, media_type="video").collect()
+    by_id = {r["media_id"]: r for r in out}
+    v3 = by_id["m3"]["feature_vec"]
+    assert len(v3) == 16 and all(0.0 <= x < 1.0 for x in v3)
+    again = decode_features(media_df, media_type="video").collect()
+    assert {r["media_id"]: r["feature_vec"] for r in again}["m3"] == v3
+    # metadata passes through to the fake decoder
+    assert by_id["m3"]["decoded_width"] == 8
 
 
 def test_decode_features_custom_decoder(media_df):

@@ -1331,25 +1331,33 @@ def _q_pit_join_multi(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_validation_report(spark, sf_dir):
-    from feature_store_api_spark.operators.validation import (
-        ExpectationSuite,
-        ExpectColumnMeanToBeBetween,
-        ExpectColumnValuesToBeBetween,
-        ExpectColumnValuesToBeInSet,
-        ExpectColumnValuesToBeUnique,
-        ExpectColumnValuesToNotBeNull,
-        ExpectTableRowCountToBeBetween,
-    )
+    """Suite built THROUGH the Great-Expectations-format adapter
+    (canonical GE dict: snake_case, column inside kwargs) and run as one
+    aggregation pass — exercises from_ge_json end-to-end."""
+    from feature_store_api_spark.operators.validation import ExpectationSuite
 
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
-    suite = ExpectationSuite([
-        ExpectColumnValuesToNotBeNull("o_custkey"),
-        ExpectColumnValuesToBeBetween("o_totalprice", min_value=0.0, max_value=1e9),
-        ExpectColumnValuesToBeUnique("o_orderkey"),
-        ExpectColumnValuesToBeInSet("o_orderstatus", value_set=["F", "O", "P"]),
-        ExpectColumnMeanToBeBetween("o_totalprice", min_value=1000.0, max_value=1e7),
-        ExpectTableRowCountToBeBetween(min_value=1, max_value=10**12),
-    ])
+    suite = ExpectationSuite.from_ge_json({
+        "expectation_suite_name": "orders_checks",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "o_custkey"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "o_totalprice", "min_value": 0.0,
+                        "max_value": 1e9}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "o_orderkey"}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "o_orderstatus",
+                        "value_set": ["F", "O", "P"]}},
+            {"expectation_type": "expect_column_mean_to_be_between",
+             "kwargs": {"column": "o_totalprice", "min_value": 1000.0,
+                        "max_value": 1e7}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 10**12}},
+        ],
+        "meta": {"validation_ingestion_policy": "ALWAYS"},
+    })
     report = suite.validate(o)
     scalar_key = {
         "expect_column_values_to_not_be_null": "null_count",

@@ -188,6 +188,80 @@ class ExpectationSuite:
         self.expectations = list(expectations)
         self.validation_ingestion_policy = validation_ingestion_policy
 
+    # -- Great-Expectations-format interchange (parity: the reference
+    # stores suites as GE ExpectationConfiguration lists — see
+    # expectation_suite.py:46 (constructor accepts GE configs/dicts) and
+    # ge_expectation.py:80-99 (expectationType + kwargs/meta, with the
+    # wire variant JSON-encoding kwargs/meta as strings) ------------------
+
+    @classmethod
+    def from_ge_json(cls, d: Dict[str, Any]) -> "ExpectationSuite":
+        """Build a suite from a GE-format dict: canonical GE shape
+        (``expectation_suite_name`` + ``expectations`` with snake_case
+        keys, ``column`` inside ``kwargs``) and the reference's wire
+        variant (camelCase ``expectationType``; ``kwargs``/``meta`` as
+        JSON-encoded strings) both parse. Unknown expectation types
+        raise ``ValueError`` naming the supported set."""
+        import json as _json
+
+        registry = _ge_type_registry()
+        expectations: List[Expectation] = []
+        for e in d.get("expectations", []):
+            etype = e.get("expectation_type") or e.get("expectationType")
+            kwargs = e.get("kwargs", {})
+            if isinstance(kwargs, str):
+                kwargs = _json.loads(kwargs)
+            meta = e.get("meta", {})
+            if isinstance(meta, str):
+                meta = _json.loads(meta)
+            klass = registry.get(etype)
+            if klass is None:
+                raise ValueError(
+                    f"Unsupported expectation type {etype!r}; supported: "
+                    f"{sorted(registry)}"
+                )
+            kwargs = dict(kwargs)
+            column = kwargs.pop("column", None)
+            exp = klass(column=column, **kwargs)
+            exp.meta = dict(meta)
+            expectations.append(exp)
+        policy = (
+            d.get("validation_ingestion_policy")
+            or d.get("validationIngestionPolicy")
+            or (d.get("meta") or {}).get("validation_ingestion_policy")
+            or cls.ALWAYS
+        )
+        return cls(
+            expectations,
+            name=d.get("expectation_suite_name")
+            or d.get("expectationSuiteName")
+            or "default",
+            validation_ingestion_policy=str(policy).upper(),
+        )
+
+    def to_ge_json(self) -> Dict[str, Any]:
+        """Canonical GE suite dict: snake_case keys, ``column`` folded
+        into each expectation's ``kwargs`` — loadable by
+        ``great_expectations`` and by :meth:`from_ge_json`."""
+        return {
+            "expectation_suite_name": self.name,
+            "expectations": [
+                {
+                    "expectation_type": e.expectation_type,
+                    "kwargs": (
+                        {"column": e.column, **e.kwargs}
+                        if e.column is not None
+                        else dict(e.kwargs)
+                    ),
+                    "meta": dict(getattr(e, "meta", {}) or {}),
+                }
+                for e in self.expectations
+            ],
+            "meta": {
+                "validation_ingestion_policy": self.validation_ingestion_policy
+            },
+        }
+
     def validate(self, df: DataFrame) -> ValidationReport:
         """All expectations in ONE aggregation pass."""
         aggs = []
@@ -200,6 +274,19 @@ class ExpectationSuite:
         return ValidationReport(
             all(r.success for r in results), results, len(results)
         )
+
+
+def _ge_type_registry() -> Dict[str, type]:
+    """expectation_type string → Expectation subclass, discovered from
+    the classes defined in this module."""
+    reg: Dict[str, type] = {}
+    stack = [Expectation]
+    while stack:
+        k = stack.pop()
+        for sub in k.__subclasses__():
+            reg[sub.expectation_type] = sub
+            stack.append(sub)
+    return reg
 
 
 class DataValidationError(RuntimeError):

@@ -343,3 +343,61 @@ def test_expectation_suite_gates_ingestion(spark, tmp_path):
     hist = fg.get_validation_history()
     assert len(hist) == 3  # newest first
     assert hist[0]["success"] is False and hist[-1]["success"] is True
+
+
+def test_ge_suite_roundtrip_and_wire_variant(spark):
+    """GE-format interchange: canonical dict → suite → dict round-trip,
+    the reference's camelCase/JSON-string wire shape parses, unknown
+    expectation types fail loudly, and an imported suite validates."""
+    ge = {
+        "expectation_suite_name": "s1",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "a"}, "meta": {"note": "n1"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "b", "min_value": 0, "max_value": 10}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 100}},
+        ],
+        "meta": {"validation_ingestion_policy": "STRICT"},
+    }
+    suite = ExpectationSuite.from_ge_json(ge)
+    assert suite.name == "s1"
+    assert suite.validation_ingestion_policy == "STRICT"
+    assert [e.expectation_type for e in suite.expectations] == [
+        e["expectation_type"] for e in ge["expectations"]
+    ]
+    assert suite.expectations[0].column == "a"
+    assert suite.expectations[1].kwargs == {"min_value": 0, "max_value": 10}
+    assert ExpectationSuite.from_ge_json(suite.to_ge_json()).to_ge_json() == suite.to_ge_json()
+    assert suite.to_ge_json()["expectations"][0]["meta"] == {"note": "n1"}
+
+    # reference wire variant: camelCase type key, kwargs/meta JSON-encoded
+    # strings (ge_expectation.py:80-87)
+    import json
+    wire = {
+        "expectationSuiteName": "s2",
+        "validationIngestionPolicy": "always",
+        "expectations": [
+            {"expectationType": "expect_column_values_to_be_in_set",
+             "kwargs": json.dumps({"column": "c", "value_set": ["x", "y"]}),
+             "meta": json.dumps({"id": 7})},
+        ],
+    }
+    s2 = ExpectationSuite.from_ge_json(wire)
+    assert s2.name == "s2" and s2.validation_ingestion_policy == "ALWAYS"
+    assert s2.expectations[0].kwargs == {"value_set": ["x", "y"]}
+    assert s2.expectations[0].meta == {"id": 7}
+
+    with pytest.raises(ValueError, match="Unsupported expectation type"):
+        ExpectationSuite.from_ge_json({
+            "expectations": [{"expectation_type": "expect_column_kl_divergence",
+                              "kwargs": {}}]
+        })
+
+    # an imported suite actually validates
+    df = spark.createDataFrame([(1, 5.0), (2, 20.0)], "a long, b double")
+    report = suite.validate(df)
+    assert report.evaluated == 3
+    fails = {r.expectation_type for r in report.failures()}
+    assert fails == {"expect_column_values_to_be_between"}  # b=20 > 10

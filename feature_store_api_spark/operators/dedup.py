@@ -520,13 +520,26 @@ def ngram_jaccard_pairs(
     shingle_size: int = 5,
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     If ``candidates`` (id_a, id_b) is given (e.g. from LSH), verify only
-    those — the scalable path. Otherwise all pairs (test scale only).
-    Jaccard via ``array_intersect``/``array_union`` sizes, JVM-side.
+    those — the scalable path (an equi-join, never a cartesian product).
+    The all-pairs fallback is O(n²) — a scale trap on anything but test
+    data — so it must be opted into explicitly with
+    ``allow_all_pairs=True``; calling without either raises instead of
+    silently planning a cartesian join. Jaccard via
+    ``array_intersect``/``array_union`` sizes, JVM-side.
     """
+    if candidates is None and not allow_all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs without `candidates` is an O(n^2) "
+            "cartesian product. Pass candidates from an LSH pre-filter "
+            "(minhash_lsh_duplicate_pairs / simhash_duplicate_pairs), or "
+            "opt into the all-pairs path explicitly with "
+            "allow_all_pairs=True (test scale only)."
+        )
     sh_a = df.select(
         F.col(id_col).alias("id_a"),
         _shingles(F.col(text_col), shingle_size).alias("sh_a"),

@@ -69,7 +69,12 @@ def test_ngram_jaccard_verification(docs):
 
 
 def test_ngram_jaccard_allpairs(docs):
-    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    # the O(n^2) path requires explicit opt-in
+    with pytest.raises(ValueError, match="cartesian"):
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    out = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.9, allow_all_pairs=True
+    )
     rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert rows == {(1, 2)}
 

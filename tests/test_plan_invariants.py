@@ -214,3 +214,22 @@ def test_paragraph_dedup_no_window_partial_agg(spark):
     assert "Window" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "EvalPython" not in plan
+
+
+def test_ngram_jaccard_candidates_path_no_cartesian(spark):
+    """The candidates path must plan as equi-joins — a CartesianProduct
+    anywhere means the verification step degraded to all-pairs."""
+    from feature_store_api_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumped"),
+         (3, "completely different text here")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1, candidates=cand
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert out.count() == 1

@@ -311,6 +311,31 @@ def _q_time_travel_snapshot(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_multi_part_insert(spark, sf_dir):
+    """Chunked multi-part insert (parity feature_group.py:2799,2934 +
+    feature_group_writer.py): three order chunks buffered via the
+    context manager accumulate into ONE commit whose snapshot equals a
+    single whole insert — the oracle is simply the source table with
+    the chunking filter union'd back together, plus the commit count."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("fsas_mpi_"))
+    fg = fs.create_feature_group(
+        "orders_mpi", primary_key=["o_orderkey"], event_time="o_orderdate"
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    with fg.multi_part_insert() as writer:
+        writer.insert(orders.where(F.col("o_orderkey") % 3 == 0))
+        writer.insert(orders.where(F.col("o_orderkey") % 3 == 1))
+        writer.insert(orders.where(F.col("o_orderkey") % 3 == 2))
+    n_commits = len(fg.commit_details())
+    return fg.read(spark).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(n_commits).cast("int").alias("n_commits"),
+    )
+
+
 def _q_commit_details(spark, sf_dir):
     """Exact insert/update/delete counts per commit (parity
     feature_group.py:3115 + core/delta_engine.py:172-204): full insert,
@@ -2105,7 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # goal is every entry's newest verdict <= 2 rounds old); (4) entries
     # re-verified green in r03 with code untouched since.
     return {
-        # --- (1) NEW in round 5 (no verdict yet) are inserted here ---
+        # --- (1) NEW in round 5 (no verdict yet) ---
+        "multi_part_insert": _q_multi_part_insert,
         # --- (2) the r02-stale rotation tail: last verdict is 2+ rounds
         # old, front of the ~50-entry driver window so r05 re-proves them ---
         "time_series_split": _q_time_series_split,
@@ -2976,6 +3002,11 @@ def oracle_sql() -> dict[str, str]:
                                           x -> regexp_full_match(x, '[[:punct:]]+')))
                         AS BIGINT) AS n_tokens_bpe
             FROM w
+        """,
+        # chunked parts accumulate into one commit; snapshot == whole table
+        "multi_part_insert": """
+            SELECT o_orderkey, o_totalprice, CAST(1 AS INT) AS n_commits
+            FROM orders
         """,
         # the Spark side synthesizes REAL solid-color PNG/BMP/GIF files
         # (shape + color = doc_id arithmetic) and runs the stdlib image

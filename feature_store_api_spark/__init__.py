@@ -9,7 +9,12 @@ commit-log store for time travel and Structured Streaming for streams.
 
 from .embedding import EmbeddingFeature, EmbeddingIndex, SimilarityFunctionType
 from .feature import Feature
-from .feature_group import ExternalFeatureGroup, FeatureGroup, SpineGroup
+from .feature_group import (
+    ExternalFeatureGroup,
+    FeatureGroup,
+    FeatureGroupWriter,
+    SpineGroup,
+)
 from .feature_store import FeatureStore, testdata_catalog
 from .feature_view import FeatureView
 from .functions.udf import TransformationStatistics, udf
@@ -23,6 +28,7 @@ __all__ = [
     "EmbeddingIndex",
     "SimilarityFunctionType",
     "FeatureGroup",
+    "FeatureGroupWriter",
     "ExternalFeatureGroup",
     "SpineGroup",
     "FeatureStore",

@@ -232,6 +232,9 @@ class FeatureGroup(FeatureGroupBase):
         self.transformation_functions = list(transformation_functions)
         self.expectation_suite = None  # set via save_expectation_suite
         self._store = None
+        # multi_part_insert buffer (parity feature_group.py:2799,2934)
+        self._multi_part_parts: List[DataFrame] = []
+        self._multi_part_operation: Optional[str] = None
 
     # -- managed storage ---------------------------------------------------
     @property
@@ -324,6 +327,56 @@ class FeatureGroup(FeatureGroupBase):
 
             OnlineStore.for_feature_group(self).upsert(df)
         return commit
+
+    # -- multi-part insert (parity ``feature_group.py:2799`` /
+    # ``:2934`` + ``feature_group_writer.py``): many small DataFrames
+    # accumulate into ONE commit. The reference batches rows into its
+    # streaming producer to skip per-insert metadata round-trips; the
+    # Spark-first equivalent defers the physical write — parts buffer as
+    # logical plans, finalize unions them and runs one insert, so the
+    # commit log gains one commit (not N) and the commit store sees one
+    # write amortizing its snapshot/compaction machinery -----------------
+
+    def multi_part_insert(
+        self,
+        df: Optional[DataFrame] = None,
+        operation: str = "upsert",
+    ):
+        """Chunked ingestion. Two styles (both reference-parity):
+
+        ``with fg.multi_part_insert() as writer: writer.insert(part)``
+        finalizes automatically on context exit; or call
+        ``fg.multi_part_insert(part)`` per chunk and finish with
+        :meth:`finalize_multi_part_insert`. All parts must share one
+        ``operation``; nothing is written until finalization."""
+        if df is None:
+            return FeatureGroupWriter(self)
+        if self._multi_part_parts and self._multi_part_operation != operation:
+            raise ValueError(
+                "multi_part_insert parts must share one operation; got "
+                f"{operation!r} after {self._multi_part_operation!r} — "
+                "finalize_multi_part_insert() before switching"
+            )
+        self._multi_part_operation = operation
+        self._multi_part_parts.append(df)
+        return None
+
+    def finalize_multi_part_insert(self):
+        """Blocking finalize: union every buffered part (by name, so
+        chunks may order columns differently) and ingest once — one
+        commit, one snapshot, stats computed over the whole batch.
+        No-op when nothing was buffered."""
+        parts = self._multi_part_parts
+        if not parts:
+            self._multi_part_operation = None
+            return None
+        self._multi_part_parts = []
+        op = self._multi_part_operation or "upsert"
+        self._multi_part_operation = None
+        whole = parts[0]
+        for p in parts[1:]:
+            whole = whole.unionByName(p, allowMissingColumns=True)
+        return self.insert(whole, operation=op)
 
     @property
     def avro_schema(self) -> str:
@@ -984,3 +1037,24 @@ class SpineGroup(FeatureGroupBase):
 
     def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
         return self._dataframe
+
+
+class FeatureGroupWriter:
+    """Context manager for chunked inserts (parity
+    ``feature_group_writer.py``): buffers each part via
+    ``FeatureGroup.multi_part_insert`` and finalizes — one commit for
+    the whole batch — on context exit, even when the body raises after
+    some parts buffered (matching the reference's exit-flushes
+    guarantee)."""
+
+    def __init__(self, feature_group: FeatureGroup) -> None:
+        self._feature_group = feature_group
+
+    def insert(self, df: DataFrame, operation: str = "upsert"):
+        return self._feature_group.multi_part_insert(df, operation=operation)
+
+    def __enter__(self) -> "FeatureGroupWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self._feature_group.finalize_multi_part_insert()

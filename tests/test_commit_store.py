@@ -375,3 +375,56 @@ def test_vacuum_gap_before_anchor_raises_not_empty(spark, tmp_path):
     # exactly at / after the anchor still reads fine
     got = {r["id"]: r["v"] for r in store.snapshot(spark, end_commit=base.commit_time).collect()}
     assert got == {1: 2}
+
+
+def test_multi_part_insert_one_commit_same_snapshot(spark, tmp_path):
+    """N-part insert ≡ one insert: same commit count, same snapshot
+    content (parity feature_group.py:2799,2934 — chunked parts
+    accumulate into a single transmission)."""
+    fs1 = FeatureStore(root=str(tmp_path / "chunked"))
+    fs2 = FeatureStore(root=str(tmp_path / "whole"))
+    parts = [
+        df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]),
+        df_of(spark, [(2, ts("2024-01-01"), "b", 2.0),
+                      (3, ts("2024-01-02"), "c", 3.0)]),
+        df_of(spark, [(1, ts("2024-01-03"), "a2", 9.0)]),  # same pk, new ets
+    ]
+
+    chunked = fs1.create_feature_group("fg", primary_key=["pk"], event_time="ets")
+    for p in parts:
+        assert chunked.multi_part_insert(p) is None
+    commit = chunked.finalize_multi_part_insert()
+    assert commit is not None
+
+    whole = fs2.create_feature_group("fg", primary_key=["pk"], event_time="ets")
+    whole.insert(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+
+    assert len(chunked.commit_details()) == len(whole.commit_details()) == 1
+    a = sorted(map(tuple, chunked.read(spark).collect()))
+    b = sorted(map(tuple, whole.read(spark).collect()))
+    assert a == b and len(a) == 4  # identity is (pk, ets): both pk=1 rows kept
+
+    # finalize with nothing buffered is a no-op
+    assert chunked.finalize_multi_part_insert() is None
+    assert len(chunked.commit_details()) == 1
+
+
+def test_multi_part_insert_context_manager_and_guards(spark, tmp_path):
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("fg_cm", primary_key=["pk"], event_time="ets")
+    with fg.multi_part_insert() as writer:
+        writer.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+        writer.insert(df_of(spark, [(2, ts("2024-01-01"), "b", 2.0)]))
+        # nothing written until exit
+        assert len(fg.commit_details()) == 0
+    assert len(fg.commit_details()) == 1
+    assert fg.read(spark).count() == 2
+
+    # mixed operations across parts must fail fast
+    fg.multi_part_insert(df_of(spark, [(5, ts("2024-01-05"), "e", 5.0)]))
+    with pytest.raises(ValueError, match="share one operation"):
+        fg.multi_part_insert(
+            df_of(spark, [(5, ts("2024-01-05"), "e", 5.0)]), operation="delete"
+        )
+    fg.finalize_multi_part_insert()
+    assert len(fg.commit_details()) == 2

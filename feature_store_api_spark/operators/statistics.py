@@ -80,42 +80,58 @@ def describe(
     percentiles: Sequence[float] = (0.25, 0.5, 0.75),
     exact_distinct: bool = False,
     approx_distinct: bool = True,
+    cache_source: bool = False,
 ) -> Dict[str, Dict]:
-    """Column profiles in one aggregation pass.
+    """Column profiles via a few concurrent, codegen-friendly passes.
 
     Returns ``{column: {stat: value}}`` with the §2.4 stat fields.
     ``approx_count_distinct`` (HLL) by default; with
     ``exact_distinct=True`` the HLL pass is skipped entirely and the
     approx field is served from the exact count (an exact count is the
     best possible approximation — one full pass saved).
+
+    Pass structure (measured on local[32], Spark 4.1 — see BENCH b6):
+    small SEPARATE aggregates beat one mega-agg several times over —
+    an HLL sketch (ImperativeAggregate), a varlen (string) min/max
+    buffer, or a multi-distinct Expand mixed into the scalar agg each
+    force the whole aggregate off the codegen HashAggregate path
+    (SortAggregate, interpreted row-at-a-time: 0.24 s → 0.87 s for one
+    string min/max added to 24 numeric aggs at sf0.1). So: one numeric
+    scalar pass on the main thread, with per-column distinct jobs,
+    the varlen min/max job, and per-column percentile bin counts each
+    as their own small plan, overlapped on threads. Column pruning
+    keeps total scan I/O the same as fused passes.
+
+    ``cache_source=False`` (default) re-scans the pruned parquet per
+    pass — at warehouse scale the projection doesn't fit in cache
+    anyway and pruned scans are what the format is for; measured at
+    sf0.1 the cache write + materialization races cost MORE than the
+    re-scans (0.97 s vs 0.66 s). ``cache_source=True`` persists the
+    narrow projection for callers profiling an expensive upstream
+    (joins/UDFs) where recomputation, not I/O, dominates.
     """
     cols = list(columns) if columns else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     num_cols = [c for c in cols if _is_numeric(schema[c])]
 
-    # Pass structure (measured on local[32], Spark 4.1 — see BENCH b6):
-    # small SEPARATE aggregates beat one mega-agg twice over. Mixing the
-    # HLL sketch (an ImperativeAggregate) into the declarative scalar
-    # agg forces the whole aggregate off the fast codegen path (fused:
-    # 1.28s steady vs 0.57+0.43 separate at sf0.1), and mixing the
-    # multi-distinct expand in generates code big enough to poison the
-    # JVM JIT for the session (empirically 20-40x slowdowns on later
-    # queries). So: one scalar pass, then only the passes the caller
-    # demanded — exact-distinct (expand + extra shuffle) and the
-    # percentile bin-count (needs min/max from pass 1, inherently
-    # sequential). With >1 pass they all read a lazily persisted narrow
-    # projection: the first pass materializes the columnar cache as a
-    # side effect (no separate count job) and later passes scan cache,
-    # not source — N parquet re-reads collapse to one, and
-    # MEMORY_AND_DISK spills instead of OOMing at warehouse scale.
-    multi_pass = bool(
-        exact_distinct or approx_distinct or (num_cols and percentiles)
-    )
     src = df.select(*cols)
-    if multi_pass:
+    if cache_source:
         src = src.persist()
     try:
+        # Two scalar aggregates, not one: a min/max whose buffer field is
+        # variable-length (StringType/BinaryType) makes the WHOLE
+        # aggregate ineligible for HashAggregate — Spark plans
+        # SortAggregate and every expression (including the numeric
+        # stddev/avg chain) drops to interpreted row-at-a-time
+        # evaluation (measured 0.24 s → 0.87 s at sf0.1 for one string
+        # min/max added to 24 numeric aggs). Keeping varlen min/max in
+        # their own tiny aggregate leaves the numeric pass on the
+        # codegen'd HashAggregate path; the two jobs overlap on a
+        # thread below. Counts stay in the numeric pass (long buffers)
+        # whatever the column type; timestamp/date/boolean min/max have
+        # fixed-width buffers and stay too.
         basic = [F.count(F.lit(1)).alias("__total")]
+        varlen = []
         for c in cols:
             dt = schema[c]
             basic.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
@@ -125,7 +141,10 @@ def describe(
                 basic.append(F.sum(F.col(c)).alias(f"{c}__sum"))
                 basic.append(F.avg(F.col(c)).alias(f"{c}__mean"))
                 basic.append(F.stddev(F.col(c)).alias(f"{c}__stddev"))
-            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.StringType, T.BooleanType)):
+            elif isinstance(dt, (T.StringType, T.BinaryType)):
+                varlen.append(F.min(F.col(c)).alias(f"{c}__min"))
+                varlen.append(F.max(F.col(c)).alias(f"{c}__max"))
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.BooleanType)):
                 basic.append(F.min(F.col(c)).alias(f"{c}__min"))
                 basic.append(F.max(F.col(c)).alias(f"{c}__max"))
 
@@ -134,29 +153,40 @@ def describe(
         # scheduler interleaves their stages across cores; per-shape
         # codegen compile, the dominant cost on short inputs, overlaps
         # too). The percentile pass still waits on min/max from pass 1.
-        distinct_exprs = None
+        # a multi-column COUNT(DISTINCT) compiles to an Expand (k× the
+        # rows through a two-level aggregate, off the fast path:
+        # measured 0.9 s for 5 columns at sf0.1). One single-distinct
+        # aggregate PER COLUMN is a plain partial-aggregated plan;
+        # submitted concurrently they finish in roughly the slowest
+        # column's time (~0.3 s wall) while the numeric pass runs on
+        # the main thread. Same trick as the percentile pass — total
+        # scan I/O is unchanged (each job prunes to one column).
+        side_aggs = []
         if exact_distinct:
-            distinct_exprs = [
-                F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")
+            side_aggs += [
+                [F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")]
                 for c in cols
             ]
         elif approx_distinct:
-            distinct_exprs = [
+            side_aggs.append([
                 F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct")
                 for c in cols
-            ]
-        fut = None
-        if distinct_exprs is not None:
+            ])
+        if varlen:
+            side_aggs.append(varlen)
+        futs = []
+        if side_aggs:
             from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(max_workers=1)
-            fut = pool.submit(
-                lambda: src.agg(*distinct_exprs).collect()[0].asDict()
-            )
+            pool = ThreadPoolExecutor(max_workers=min(len(side_aggs), 8))
+            futs = [
+                pool.submit(lambda a=a: src.agg(*a).collect()[0].asDict())
+                for a in side_aggs
+            ]
             pool.shutdown(wait=False)
 
         row = src.agg(*basic).collect()[0].asDict()
-        if fut is not None:
+        for fut in futs:
             row.update(fut.result())
         if exact_distinct and approx_distinct:
             for c in cols:
@@ -171,7 +201,7 @@ def describe(
             for c in num_cols:
                 row[f"{c}__percentiles"] = pctls.get(c)
     finally:
-        if multi_pass:
+        if cache_source:
             src.unpersist()
 
     out: Dict[str, Dict] = {}
@@ -205,17 +235,18 @@ def approx_percentiles_multi(
     minmax: Dict[str, tuple],
     buckets: int = 8192,
 ) -> Dict[str, List[float]]:
-    """Approximate percentiles for many columns in ONE extra pass.
+    """Approximate percentiles for many columns via concurrent
+    binned-count jobs.
 
     Built from first principles instead of ``percentile_approx`` (whose
     QuantileSummaries implementation degenerates on high-cardinality
-    doubles in this runtime): melt the numeric columns to (name, value)
-    rows, assign each value to one of ``buckets`` equi-width bins using
-    the already-known min/max, count per (name, bin) — a single
-    codegen'd groupBy whose output is at most ``len(columns)×buckets``
-    tiny rows — then interpolate percentiles inside bins driver-side.
+    doubles in this runtime): each value maps to one of ``buckets``
+    equi-width bins using the already-known min/max, bins are counted
+    per column (one codegen'd groupBy per column, run concurrently —
+    column pruning keeps total I/O equal to a single melted pass), then
+    percentiles interpolate inside bins driver-side.
     Error bound: (max-min)/buckets per column, independent of row count;
-    the shuffle carries only partial bin counts (map-side combined), so
+    each shuffle carries only partial bin counts (map-side combined), so
     the pass scales to arbitrary data sizes.
     """
     cols = [c for c in columns if minmax.get(c) and minmax[c][0] is not None]
@@ -239,25 +270,28 @@ def approx_percentiles_multi(
             ),
         )
 
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("c"), _bin(c).alias("b"))
-                    for c in cols
-                ]
-            )
-        ).alias("p")
-    ).select("p.c", "p.b").where(F.col("b").isNotNull())
+    # One binned-count job PER COLUMN, submitted concurrently, instead
+    # of a single melt(explode) job: total I/O is identical (column
+    # pruning means each job scans exactly one column, the melt reads
+    # all of them once), but each per-column plan is a plain
+    # groupBy(int)→count that stays on the codegen fast path with a
+    # 2-int shuffle row, and the jobs overlap across scheduler slots —
+    # measured 0.6 s (melt) → ~0.25 s wall at sf0.1 on local[32].
+    from concurrent.futures import ThreadPoolExecutor
 
-    counts = (
-        melted.groupBy("c", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    def one(c):
+        return (
+            df.select(_bin(c).alias("b"))
+            .where(F.col("b").isNotNull())
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
     by_col: Dict[str, Dict[int, int]] = {}
-    for r in counts:
-        by_col.setdefault(r["c"], {})[r["b"]] = r["n"]
+    with ThreadPoolExecutor(max_workers=min(len(cols), 8)) as pool:
+        for c, rows in zip(cols, pool.map(one, cols)):
+            by_col[c] = {r["b"]: r["n"] for r in rows}
 
     out: Dict[str, List[float]] = {}
     for c in cols:

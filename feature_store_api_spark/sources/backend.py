@@ -1,0 +1,182 @@
+"""Physical storage backends for the time-travel commit store.
+
+:class:`CommitStore` owns the LOGICAL time-travel semantics (record
+identity, merge-on-read window dedupe, commit metadata counts,
+retention guards). Everything PHYSICAL — how commit files land on
+storage, how they are scanned back, how superseded commits are
+destroyed, and where the transaction log lives — goes through this
+interface, so a real lakehouse format is a drop-in when its jars
+exist.
+
+Mapping to the reference's engines (``core/delta_engine.py:116-170``,
+``core/hudi_engine.py:102-224``) and to real formats:
+
+===================  ============================  =========================
+TimeTravelBackend    Delta Lake                    Hudi
+===================  ============================  =========================
+``append_commit``    ``df.write.format("delta")``  upsert/bulk-insert write
+                     append (delta_engine.py:116)  (hudi_engine.py:126-160)
+``scan``             snapshot/``timestampAsOf``    snapshot / incremental
+                     read (delta_engine.py:141)    query (hudi_engine.py:193)
+``drop_commit``      ``VACUUM`` file removal       cleaner service
+                     (delta_engine.py:158-170)
+``read_log`` /       ``_delta_log`` JSON actions   ``.hoodie`` timeline
+``write_log`` /
+``log_lock``
+===================  ============================  =========================
+
+A Delta/Hudi backend would let the FORMAT resolve row versions at scan
+time (its log already orders file groups), returning an
+already-merged frame; :class:`CommitStore` detects that via
+``self_merging`` and skips its own window dedupe. The default
+:class:`CommitLogBackend` is not self-merging: it appends raw commit
+partitions and lets the store merge at read — the Hudi-MOR-like
+design documented in :mod:`.commit_store`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from contextlib import contextmanager
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_commits.json"
+_DATA = "data"
+
+
+class TimeTravelBackend:
+    """Contract for the commit store's physical I/O (see module doc)."""
+
+    #: True when the format merges row versions itself at scan time
+    #: (Delta/Hudi snapshot reads); the store then skips window dedupe.
+    self_merging = False
+
+    def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        """Persist one commit's rows (the frame already carries the
+        commit-time and op columns)."""
+        raise NotImplementedError
+
+    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+        """All live commit rows (schema-unioned), or None before the
+        first commit."""
+        raise NotImplementedError
+
+    def drop_commit(self, commit_time: int) -> bool:
+        """Physically destroy one commit's files (vacuum). Returns
+        whether anything existed."""
+        raise NotImplementedError
+
+    def read_log(self) -> List[Dict]:
+        raise NotImplementedError
+
+    def write_log(self, log: List[Dict]) -> None:
+        raise NotImplementedError
+
+    def log_lock(self):
+        """Context manager serializing log read-modify-write cycles."""
+        raise NotImplementedError
+
+
+class CommitLogBackend(TimeTravelBackend):
+    """Default backend: parquet commit partitions + a JSON commit log.
+
+    * rows land under ``data/_commit_time=<epoch_ms>/`` (plus user
+      partition keys) — the commit id is a real partition column, so
+      time travel is partition pruning;
+    * the log is ``_commits.json``, guarded by an O_EXCL lockfile with
+      stale-holder reclaim (the reference offloads this to Hudi/Delta's
+      transaction log).
+    """
+
+    self_merging = False
+
+    def __init__(self, location: str) -> None:
+        self.location = location
+        os.makedirs(location, exist_ok=True)
+
+    # -- data ---------------------------------------------------------------
+    @property
+    def _data_path(self) -> str:
+        return os.path.join(self.location, _DATA)
+
+    def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        (
+            df.write.partitionBy(list(partition_cols))
+            .mode("append")
+            .parquet(self._data_path)
+        )
+
+    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not os.path.exists(self._data_path):
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(self._data_path)
+
+    def drop_commit(self, commit_time: int) -> bool:
+        from .commit_store import COMMIT_COL
+
+        part = os.path.join(self._data_path, f"{COMMIT_COL}={commit_time}")
+        if os.path.exists(part):
+            shutil.rmtree(part)
+            return True
+        return False
+
+    # -- log ----------------------------------------------------------------
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.location, _LOG)
+
+    def read_log(self) -> List[Dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as fh:
+            return json.load(fh)
+
+    def write_log(self, log: List[Dict]) -> None:
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh, indent=1)
+        os.replace(tmp, self._log_path)
+
+    @contextmanager
+    def log_lock(self):
+        # serialize concurrent log writers: read-modify-write is a
+        # lost-update hazard if two processes commit at once. An O_EXCL
+        # lockfile with a staleness bound keeps mutations atomic without
+        # a dependency; within one lock the tmp+rename write stays
+        # crash-safe.
+        lock = self._log_path + ".lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if os.path.getmtime(lock) < time.time() - 60.0:
+                        # stale: holder died. Reclaim ATOMICALLY via
+                        # rename-aside — exactly one waiter wins the
+                        # rename; a plain remove would let two waiters
+                        # both "reclaim" (the second deleting the
+                        # winner's fresh lock → two holders).
+                        stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                        os.rename(lock, stale)
+                        os.remove(stale)
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"Commit-log lock busy for 30s: {lock}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass

@@ -28,11 +28,8 @@ compaction read only base + tail commits.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
-from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -40,9 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import latest_per_key
+from .backend import CommitLogBackend, TimeTravelBackend
 
-_LOG = "_commits.json"
-_DATA = "data"
 COMMIT_COL = "_commit_time"
 OP_COL = "_op"
 
@@ -72,8 +68,15 @@ class CommitStore:
         partition_key: Sequence[str] = (),
         precombine_key: Optional[str] = None,
         auto_compact_every: Optional[int] = 10,
+        backend: Optional[TimeTravelBackend] = None,
     ) -> None:
         self.location = location
+        # All physical I/O (commit files, scans, vacuum, the txn log)
+        # routes through the backend seam — see sources/backend.py for
+        # the contract and the Delta/Hudi mapping. This class keeps the
+        # LOGICAL semantics: record identity, merge-on-read resolve,
+        # commit metadata, retention guards.
+        self.backend = backend or CommitLogBackend(location)
         self.primary_key = list(primary_key)
         self.event_time = event_time
         self.partition_key = list(partition_key)
@@ -104,64 +107,15 @@ class CommitStore:
                 key.append(k)
         return key
 
-    # -- commit log --------------------------------------------------------
-    @property
-    def _log_path(self) -> str:
-        return os.path.join(self.location, _LOG)
-
+    # -- commit log (thin delegations to the backend's txn log) ------------
     def _read_log(self) -> List[Dict]:
-        if not os.path.exists(self._log_path):
-            return []
-        with open(self._log_path) as fh:
-            return json.load(fh)
+        return self.backend.read_log()
 
-    @contextmanager
     def _log_lock(self):
-        # serialize concurrent log writers: read-modify-write is a
-        # lost-update hazard if two processes commit at once (the
-        # reference offloads this to Hudi/Delta's transaction log). An
-        # O_EXCL lockfile with a staleness bound keeps mutations atomic
-        # without a dependency; within one lock the tmp+rename write
-        # stays crash-safe.
-        lock = self._log_path + ".lock"
-        deadline = time.time() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if os.path.getmtime(lock) < time.time() - 60.0:
-                        # stale: holder died. Reclaim ATOMICALLY via
-                        # rename-aside — exactly one waiter wins the
-                        # rename; a plain remove would let two waiters
-                        # both "reclaim" (the second deleting the
-                        # winner's fresh lock → two holders).
-                        stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
-                        os.rename(lock, stale)
-                        os.remove(stale)
-                        continue
-                except OSError:
-                    continue
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"Commit-log lock busy for 30s: {lock}"
-                    )
-                time.sleep(0.05)
-        try:
-            yield
-        finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+        return self.backend.log_lock()
 
     def _write_log(self, log: List[Dict]) -> None:
-        tmp = self._log_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh, indent=1)
-        os.replace(tmp, self._log_path)
+        self.backend.write_log(log)
 
     def _append_log(self, commit: FeatureGroupCommit) -> None:
         with self._log_lock():
@@ -233,11 +187,7 @@ class CommitStore:
         out = df.withColumn(COMMIT_COL, F.lit(ct)).withColumn(
             OP_COL, F.lit("delete" if operation == "delete" else "upsert")
         )
-        (
-            out.write.partitionBy([COMMIT_COL] + self.partition_key)
-            .mode("append")
-            .parquet(os.path.join(self.location, _DATA))
-        )
+        self.backend.append_commit(out, [COMMIT_COL] + self.partition_key)
         commit = FeatureGroupCommit(
             commit_time=ct,
             operation=operation,
@@ -297,10 +247,7 @@ class CommitStore:
 
     # -- read path ---------------------------------------------------------
     def _data_df(self, spark: SparkSession) -> Optional[DataFrame]:
-        path = os.path.join(self.location, _DATA)
-        if not os.path.exists(path):
-            return None
-        return spark.read.option("mergeSchema", "true").parquet(path)
+        return self.backend.scan(spark)
 
     def snapshot_or_none(self, spark, start_commit=None, end_commit=None):
         try:
@@ -425,11 +372,7 @@ class CommitStore:
             # pk-sorted row groups in the base: parquet min/max stats
             # prune pushed key predicates to matching row groups
             out = out.sortWithinPartitions(*sort_keys)
-        (
-            out.write.partitionBy([COMMIT_COL] + self.partition_key)
-            .mode("append")
-            .parquet(os.path.join(self.location, _DATA))
-        )
+        self.backend.append_commit(out, [COMMIT_COL] + self.partition_key)
         commit = FeatureGroupCommit(commit_time=ct, operation="compaction", base=True)
         self._append_log(commit)
         return commit
@@ -469,11 +412,7 @@ class CommitStore:
             for c in log:
                 if c.get("vacuumed") or c["commit_time"] >= anchor:
                     continue
-                part = os.path.join(
-                    self.location, _DATA, f"{COMMIT_COL}={c['commit_time']}"
-                )
-                if os.path.exists(part):
-                    shutil.rmtree(part)
+                self.backend.drop_commit(c["commit_time"])
                 c["vacuumed"] = True
                 removed.append(c["commit_time"])
             if removed:

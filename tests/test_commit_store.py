@@ -428,3 +428,44 @@ def test_multi_part_insert_context_manager_and_guards(spark, tmp_path):
         )
     fg.finalize_multi_part_insert()
     assert len(fg.commit_details()) == 2
+
+
+def test_backend_seam_custom_backend_drop_in(spark, tmp_path):
+    """All physical I/O routes through the TimeTravelBackend seam: a
+    wrapping backend sees every append/scan/drop/log call while the
+    store's logical semantics (merge, time travel, vacuum) are
+    unchanged — the drop-in contract a Delta/Hudi backend relies on."""
+    from feature_store_api_spark.sources.backend import CommitLogBackend
+    from feature_store_api_spark.sources.commit_store import CommitStore
+
+    calls = []
+
+    class SpyBackend(CommitLogBackend):
+        def append_commit(self, df, partition_cols):
+            calls.append(("append", tuple(partition_cols)))
+            return super().append_commit(df, partition_cols)
+
+        def scan(self, spark):
+            calls.append(("scan",))
+            return super().scan(spark)
+
+        def drop_commit(self, commit_time):
+            calls.append(("drop", commit_time))
+            return super().drop_commit(commit_time)
+
+    loc = str(tmp_path / "seam")
+    store = CommitStore(
+        loc, primary_key=["pk"], event_time="ets",
+        backend=SpyBackend(loc), auto_compact_every=None,
+    )
+    c1 = store.write(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    store.write(df_of(spark, [(1, ts("2024-01-01"), "a2", 2.0)]))
+    store.compact(spark)
+    got = {r["pk"]: r["state"] for r in store.snapshot(spark).collect()}
+    assert got == {1: "a2"}
+    removed = store.vacuum(retain_hours=0.0)
+    assert c1.commit_time in removed
+    kinds = [c[0] for c in calls]
+    assert "append" in kinds and "scan" in kinds and ("drop", c1.commit_time) in calls
+    # partition spec flows through the seam
+    assert ("append", ("_commit_time",)) in calls

@@ -311,6 +311,49 @@ def _q_time_travel_snapshot(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_audio_decode(spark, sf_dir):
+    """REAL bytes→audio-metadata decode: synthesize valid PCM-16 WAV
+    files (square wave, amplitude and length from doc_id arithmetic),
+    run the default RIFF/WAV decoder — actual chunk-walk header parse
+    plus full sample decode. A square wave's RMS equals its amplitude,
+    and PCM-16 quantization is deterministic (round(a*32767)/32768), so
+    ``amp_q = round(rms*32768)`` recovers the exact quantized integer
+    both engines can compute — no float compare."""
+    from feature_store_api_spark.operators.multimodal import decode_features
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from feature_store_api_spark.operators.image_codec import encode_wav
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"].tolist()]
+            contents = []
+            for i in ids:
+                a = ((i % 9) + 1) / 10.0
+                frames = 64 + (i % 64)
+                wave = [a if j % 2 == 0 else -a for j in range(frames)]
+                contents.append(encode_wav([wave], sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "content": contents}
+            )
+
+    media = d.mapInPandas(synth, "media_id string, content binary")
+    dec = decode_features(media, meta_col=None, media_type="audio")
+    return dec.select(
+        "media_id",
+        F.col("format").alias("fmt"),
+        F.col("n_channels").cast("int").alias("n_channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round(F.element_at("feature_vec", 1) * 32768)
+        .cast("long")
+        .alias("amp_q"),
+    )
+
+
 def _q_multi_part_insert(spark, sf_dir):
     """Chunked multi-part insert (parity feature_group.py:2799,2934 +
     feature_group_writer.py): three order chunks buffered via the
@@ -2132,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (1) NEW in round 5 (no verdict yet) ---
         "multi_part_insert": _q_multi_part_insert,
+        "audio_decode": _q_audio_decode,
         # --- (2) the r02-stale rotation tail: last verdict is 2+ rounds
         # old, front of the ~50-entry driver window so r05 re-proves them ---
         "time_series_split": _q_time_series_split,
@@ -3002,6 +3046,17 @@ def oracle_sql() -> dict[str, str]:
                                           x -> regexp_full_match(x, '[[:punct:]]+')))
                         AS BIGINT) AS n_tokens_bpe
             FROM w
+        """,
+        # Spark synthesizes PCM-16 square-wave WAVs (amplitude/length from
+        # doc_id) and really decodes them; everything is exact integer math
+        "audio_decode": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'wav' AS fmt,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(((64 + doc_id % 64) * 1000) // 8000 AS BIGINT) AS duration_ms,
+                   CAST(ROUND(((doc_id % 9) + 1) / 10.0 * 32767) AS BIGINT) AS amp_q
+            FROM documents
         """,
         # chunked parts accumulate into one commit; snapshot == whole table
         "multi_part_insert": """

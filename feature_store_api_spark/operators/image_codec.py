@@ -395,3 +395,120 @@ def encode_jpeg_header(width: int, height: int, n_channels: int = 3) -> bytes:
     )
     sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_channels, 8, height, width, n_channels) + comps
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def resize_nearest(content: bytes, target_width: int, target_height: int) -> Dict:
+    """Nearest-neighbor resize for decodable formats (8-bit PNG,
+    24/32-bit BMP), re-encoded as PNG. Pure stdlib; returns
+    ``{"content", "width", "height"}``. Header-only formats raise
+    ``ValueError`` (their pixels need codecs this container lacks)."""
+    hdr, rows = decode_pixels(content)
+    w, h, ch = hdr["width"], hdr["height"], hdr["n_channels"]
+    if ch not in (1, 3, 4):
+        raise ValueError(f"resize: unsupported channel count {ch}")
+    out_rows: List[bytes] = []
+    for ty in range(target_height):
+        sy = min(h - 1, (ty * h) // target_height)
+        src = rows[sy]
+        line = bytearray(target_width * 3)
+        for tx in range(target_width):
+            sx = min(w - 1, (tx * w) // target_width)
+            px = sx * ch
+            if ch == 1:
+                r = g = b = src[px]
+            else:
+                r, g, b = src[px], src[px + 1], src[px + 2]
+            tp = tx * 3
+            line[tp], line[tp + 1], line[tp + 2] = r, g, b
+        out_rows.append(bytes(line))
+    return {
+        "content": encode_png(target_width, target_height, pixels=out_rows),
+        "width": target_width,
+        "height": target_height,
+    }
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM) — the one audio container fully decodable with stdlib
+# ---------------------------------------------------------------------------
+
+def parse_wav_header(content: bytes) -> Dict:
+    """RIFF/WAVE fmt-chunk parse: channels, sample rate, bit depth,
+    frame count, duration. Raises ``ValueError`` on anything that is
+    not a RIFF/WAVE stream."""
+    if not content or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i, n = 12, len(content)
+    fmt = None
+    data_len = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        (clen,) = struct.unpack("<I", content[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            audio_fmt, channels, rate = struct.unpack("<HHI", content[i + 8 : i + 16])
+            bits = struct.unpack("<H", content[i + 22 : i + 24])[0]
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV: no fmt chunk")
+    audio_fmt, channels, rate, bits = fmt
+    frames = None
+    duration_ms = None
+    if data_len is not None and channels and bits:
+        frames = data_len // (channels * (bits // 8 or 1))
+        if rate:
+            duration_ms = int(frames * 1000 / rate)
+    return {
+        "format": "wav",
+        "codec": "pcm" if audio_fmt == 1 else f"fmt_{audio_fmt}",
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bit_depth": bits,
+        "n_frames": frames,
+        "duration_ms": duration_ms,
+    }
+
+
+def decode_wav_samples(content: bytes) -> Tuple[Dict, List[List[float]]]:
+    """Decode 16-bit PCM WAV to per-channel float samples in [-1, 1].
+    Only PCM-16 (the overwhelmingly common archival format) — anything
+    else raises with the detected codec named."""
+    hdr = parse_wav_header(content)
+    if hdr["codec"] != "pcm" or hdr["bit_depth"] != 16:
+        raise ValueError(
+            f"WAV decode supports PCM-16 only; got {hdr['codec']}/{hdr['bit_depth']}-bit"
+        )
+    i, n = 12, len(content)
+    raw = b""
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        (clen,) = struct.unpack("<I", content[i + 4 : i + 8])
+        if cid == b"data":
+            raw = content[i + 8 : i + 8 + clen]
+            break
+        i += 8 + clen + (clen & 1)
+    ch = hdr["n_channels"]
+    vals = struct.unpack(f"<{len(raw) // 2}h", raw[: (len(raw) // 2) * 2])
+    chans: List[List[float]] = [[] for _ in range(ch)]
+    for j, v in enumerate(vals):
+        chans[j % ch].append(v / 32768.0)
+    return hdr, chans
+
+
+def encode_wav(
+    samples: List[List[float]], sample_rate: int = 16000
+) -> bytes:
+    """Minimal valid PCM-16 WAV from per-channel float samples."""
+    ch = len(samples)
+    frames = len(samples[0]) if ch else 0
+    raw = bytearray()
+    for j in range(frames):
+        for c in range(ch):
+            v = max(-1.0, min(1.0, samples[c][j]))
+            raw += struct.pack("<h", int(round(v * 32767)))
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + bytes(raw)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body

@@ -106,21 +106,66 @@ def test_decode_features_custom_decoder(media_df):
         return {"feature_vec": [float(len(content))], "decoded_width": None,
                 "decoded_height": None}
 
+    prev = _DECODERS.get("audio")
     set_decoder("audio", audio_decoder)
     try:
         out = decode_features(media_df, media_type="audio").collect()
         by_id = {r["media_id"]: r for r in out}
         assert by_id["m2"]["feature_vec"] == [19.0]
     finally:
-        _DECODERS.pop("audio", None)
+        _DECODERS["audio"] = prev  # restore the default WAV decoder
 
 
-def test_resize_requires_codec(media_df):
-    with pytest.raises(Exception) as e:
-        resize_images(media_df, 32, 32).collect()
-    assert "NotImplementedError" in str(e.value) or isinstance(
-        e.value, NotImplementedError
+def test_decode_features_real_wav_decoder(spark):
+    """Default audio decoder really parses RIFF/WAV: header metadata
+    for any WAV, per-channel RMS features for PCM-16."""
+    import math
+
+    from feature_store_api_spark.operators import image_codec as ic
+
+    tone = [[math.sin(i / 5.0) * 0.5 for i in range(400)]]
+    rows = [
+        ("wav", ic.encode_wav(tone, sample_rate=8000)),
+        ("bad", b"RIFF fake wav bytes"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r for r in
+           decode_features(df, meta_col=None, media_type="audio").collect()}
+    wav = out["wav"]
+    assert wav["format"] == "wav" and wav["n_channels"] == 1
+    # RMS of a 0.5-amplitude sine ≈ 0.5/sqrt(2)
+    assert abs(wav["feature_vec"][0] - 0.5 / math.sqrt(2)) < 0.02
+    assert out["bad"]["decode_error"]
+
+
+def test_resize_real_nearest_neighbor(spark):
+    """Default resize really decodes pixels (PNG/BMP) and re-encodes:
+    output parses back with target dims and preserved solid color."""
+    from feature_store_api_spark.operators import image_codec as ic
+
+    df = spark.createDataFrame(
+        [("a", ic.encode_png(8, 8, (100, 150, 200))),
+         ("b", ic.encode_bmp(5, 7, (1, 2, 3)))],
+        "media_id string, content binary",
     )
+    out = {r["media_id"]: r for r in resize_images(df, 4, 2).collect()}
+    for mid, color in (("a", (100, 150, 200)), ("b", (1, 2, 3))):
+        hdr, rows = ic.decode_pixels(bytes(out[mid]["content"]))
+        assert (hdr["width"], hdr["height"]) == (4, 2)
+        assert tuple(round(m * 255) for m in ic.channel_means(rows, 3)) == color
+
+
+def test_resize_requires_codec_when_registry_emptied(media_df):
+    prev = _DECODERS.pop("image_resize", None)
+    try:
+        with pytest.raises(Exception) as e:
+            resize_images(media_df, 32, 32).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError
+        )
+    finally:
+        if prev is not None:
+            _DECODERS["image_resize"] = prev
 
 
 def test_sample_video_frames(media_df):

@@ -1865,7 +1865,7 @@ def _q_corpus_curation(spark, sf_dir):
     pairs = minhash_lsh_duplicate_pairs(
         gated, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
     )
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, algorithm="auto")
     survivors = gated.join(clusters, on="doc_id", how="left").where(
         F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
     )
@@ -1888,7 +1888,7 @@ def _q_corpus_curation_quality(spark, sf_dir):
     pairs = minhash_lsh_duplicate_pairs(
         gated, "text", "doc_id", num_hashes=32, bands=8, hash_fn="md5_64"
     )
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, algorithm="auto")
     survivors = select_survivors(
         gated, clusters, order_by=[F.length("text")]
     )

@@ -203,7 +203,7 @@ def b10_corpus_curation(spark, sf_dir):
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     gated = d.where(F.length("text") >= 100)
     pairs = minhash_lsh_duplicate_pairs(gated, "text", "doc_id", num_hashes=64, bands=16)
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, algorithm="auto")
     survivors = gated.join(clusters, on="doc_id", how="left").where(
         F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
     )
@@ -413,7 +413,7 @@ def b10_corpus_curation_x10(spark, sf_dir):
     docs, _ = _x10_frames(spark, sf_dir)
     gated = docs.where(F.length("text") >= 100)
     pairs = minhash_lsh_duplicate_pairs(gated, "text", "doc_id", num_hashes=64, bands=16)
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, algorithm="auto")
     survivors = gated.join(clusters, on="doc_id", how="left").where(
         F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
     )

@@ -10,10 +10,11 @@ driver-side loops, no Python row UDFs in the hot path).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def latest_per_key(
@@ -259,6 +260,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 25,
     algorithm: str = "min_label",
+    driver_pair_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over duplicate pairs → one canonical
     cluster id per document: ``(id, cluster_id)`` with ``cluster_id``
@@ -284,11 +286,24 @@ def duplicate_clusters(
     component diameter — the right choice for pathological long-chain
     graphs where min-label would need diameter rounds.
 
+    ``algorithm="auto"``: scale-adaptive. LSH candidate pairs are
+    orders of magnitude smaller than the corpus, and at moderate sizes
+    the iterative variants are pure fixed cost (each round ≈ join +
+    shuffle + checkpoint + convergence agg on near-empty data). One
+    ``count()`` decides: at or under ``driver_pair_threshold`` pairs,
+    collect and run exact union-find driver-side (milliseconds,
+    identical output), else distributed ``two_phase``.
+
     ``localCheckpoint`` truncates the iterative lineage each round so
     the plan does not grow with iterations; both variants RAISE if the
     iteration cap is hit before the fixpoint (an unconverged labeling
     silently keeps transitive duplicates — fail loudly instead).
     """
+    if algorithm == "auto":
+        n_pairs = pairs.count()
+        if n_pairs <= driver_pair_threshold:
+            return _cc_driver_union_find(pairs)
+        algorithm = "two_phase"
     edges = pairs.select(
         F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
     )
@@ -369,6 +384,38 @@ def duplicate_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Exact connected components driver-side (path-halving union-find)
+    for candidate-pair sets small enough to collect — the `auto` fast
+    path. Output schema matches the distributed variants."""
+    id_type = pairs.schema[0].dataType
+    parent: Dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    spark = pairs.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("cluster_id", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _cc_two_phase(edges: DataFrame, max_iterations: int) -> DataFrame:

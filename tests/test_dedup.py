@@ -253,3 +253,33 @@ def test_duplicate_clusters_confirming_round_budgeted_separately(spark):
         for r in dedup.duplicate_clusters(path, max_iterations=2).collect()
     }
     assert set(got.values()) == {1} and len(got) == 3
+
+
+def test_duplicate_clusters_auto_matches_distributed(spark):
+    """auto (driver union-find at small scale) must equal the
+    distributed algorithms exactly, and fall back to two_phase above
+    the pair threshold."""
+    import random
+
+    rng = random.Random(5)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randint(0, 80), rng.randint(0, 80))
+                               for _ in range(120)) if a != b})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    auto = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, algorithm="auto").collect()
+    }
+    ml = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert auto == ml
+    # above threshold: routes to two_phase, same answer
+    big = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            pairs, algorithm="auto", driver_pair_threshold=1
+        ).collect()
+    }
+    assert big == ml

@@ -132,25 +132,34 @@ def test_online_lookup_prunes_bucket_partitions(spark, tmp_path):
     assert f"{_BUCKET} = {b}" in plan or f"{_BUCKET}#" in plan  # partition filter present
 
 
-def test_stats_profile_later_passes_read_cache_not_source(spark, sf_dir, monkeypatch):
-    """b6 invariant: describe()'s percentile pass (the last of the
-    overlapped passes) must scan the persisted narrow projection, not
-    re-read the parquet source — N passes, ONE file scan."""
+def test_stats_profile_cache_source_contract(spark, sf_dir, monkeypatch):
+    """b6 invariant: describe()'s passes scan pruned parquet by default
+    (no CacheManager entry — at warehouse scale the projection doesn't
+    fit in cache and the cache write measured costlier than re-scans);
+    with cache_source=True the later passes read the persisted narrow
+    projection — N passes, ONE file scan."""
     import feature_store_api_spark.operators.statistics as stats_mod
 
     captured = {}
     orig = stats_mod.approx_percentiles_multi
 
     def spy(src, num_cols, pct, minmax):
-        # at this point the scalar pass has materialized the cache
         captured["cached"] = src.storageLevel.useMemory
         captured["plan"] = _plan(src.agg(F.min(num_cols[0])))
         return orig(src, num_cols, pct, minmax)
 
     monkeypatch.setattr(stats_mod, "approx_percentiles_multi", spy)
     li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+
+    # default: no persist — passes scan the pruned source directly
+    stats_mod.describe(li, ["l_quantity", "l_extendedprice"], exact_distinct=True)
+    assert not captured["cached"]
+    assert "InMemoryTableScan" not in captured["plan"]
+
+    # opt-in: later passes read the materialized cache, not the source
     stats_mod.describe(
-        li, ["l_quantity", "l_extendedprice"], exact_distinct=True
+        li, ["l_quantity", "l_extendedprice"], exact_distinct=True,
+        cache_source=True,
     )
     assert captured["cached"]
     plan = captured["plan"]

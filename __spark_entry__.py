@@ -354,6 +354,31 @@ def _q_audio_decode(spark, sf_dir):
     )
 
 
+def _q_drift_psi(spark, sf_dir):
+    """Distribution-level drift: PSI / Jensen-Shannon / binned KS
+    between two halves of the events stream (reference = first half of
+    Jan 2024, detection = second half), bins anchored on the reference
+    window's min/max. Both engines run the identical float arithmetic
+    (same operation order), so metrics match at 6 dp."""
+    from feature_store_api_spark.operators.monitoring import distribution_drift
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ref = ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"))
+    det = ev.where(F.col("ts") >= F.lit("2024-01-15").cast("timestamp_ntz"))
+    m = distribution_drift(det, ref, "value", buckets=10)
+    row = [(
+        round(m["psi"], 6),
+        round(m["js_divergence"], 6),
+        round(m["ks_statistic"], 6),
+        m["detection_count"],
+        m["reference_count"],
+    )]
+    return spark.createDataFrame(
+        row,
+        "psi double, js_div double, ks double, n_det long, n_ref long",
+    )
+
+
 def _q_multi_part_insert(spark, sf_dir):
     """Chunked multi-part insert (parity feature_group.py:2799,2934 +
     feature_group_writer.py): three order chunks buffered via the
@@ -2167,17 +2192,19 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a harness that caps how many
-    # entries it checks per round (~50): (1) entries with NO verdict yet;
-    # (2) entries whose underlying code changed this round; (3) the
-    # rotation tail still carrying r01/r02 verdicts (oldest first — the
-    # goal is every entry's newest verdict <= 2 rounds old); (4) entries
-    # re-verified green in r03 with code untouched since.
+    # entries it checks per round (~50): (1) NEW in r05
+    # (multi_part_insert, audio_decode — no verdict yet); (2) the
+    # r02-stale rotation tail (time_series_split … knn_ann) so r05
+    # re-proves it; (3) entries whose underlying code changed in r05
+    # (ANN retry unpersist, duplicate_clusters proof round + auto
+    # strategy, spine coercion, quantization guard, and the
+    # statistics.py pass restructure: stats_profile … custom_udf_stats);
+    # (4) r03 verdicts, code unchanged; (5) re-verified green in r04,
+    # code unchanged — freshest proofs last.
     return {
-        # --- (1) NEW in round 5 (no verdict yet) ---
         "multi_part_insert": _q_multi_part_insert,
+        "drift_psi": _q_drift_psi,
         "audio_decode": _q_audio_decode,
-        # --- (2) the r02-stale rotation tail: last verdict is 2+ rounds
-        # old, front of the ~50-entry driver window so r05 re-proves them ---
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -2195,9 +2222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "text_analysis": _q_text_analysis,
         "knn_ann": _q_knn_ann,
-        # --- (3) entries whose underlying code changed in r05 (ANN retry
-        # unpersist, duplicate_clusters proof round, spine coercion,
-        # quantization ragged guard) — must be re-verdicted ---
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -2208,7 +2232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spine_pit_join": _q_spine_pit_join,
         "fv_batch_query": _q_fv_batch_query,
         "embedding_quantize": _q_embedding_quantize,
-        # --- (4) r03 verdicts, code unchanged — next-oldest proofs ---
+        "stats_profile": _q_stats_profile,
+        "percentiles_exact": _q_percentiles_exact,
+        "correlations": _q_correlations,
+        "value_counts": _q_value_counts,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "split_statistics": _q_split_statistics,
+        "stats_commit_window": _q_stats_commit_window,
+        "custom_udf_stats": _q_custom_udf_stats,
         "rolling_features": _q_rolling_features,
         "kafka_materialize": _q_kafka_materialize,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
@@ -2217,23 +2248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_agg_hourly": _q_windowed_agg_hourly,
         "session_windows": _q_session_windows,
         "row_sampling": _q_row_sampling,
-        "split_statistics": _q_split_statistics,
         "cast_schema": _q_cast_schema,
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
         "repetition_metrics": _q_repetition_metrics,
         "knn_batch": _q_knn_batch,
-        "stats_commit_window": _q_stats_commit_window,
-        "stats_profile": _q_stats_profile,
-        "percentiles_exact": _q_percentiles_exact,
-        "correlations": _q_correlations,
-        "value_counts": _q_value_counts,
         "dedup_exact": _q_dedup_exact,
         "pit_join": _q_pit_join,
         "pit_join_range": _q_pit_join_range,
         "pit_join_multi": _q_pit_join_multi,
         "latest_per_key": _q_latest_per_key,
-        "entropy_uniqueness": _q_entropy_uniqueness,
         "set_ops": _q_set_ops,
         "builtin_scalers": _q_builtin_scalers,
         "text_stats": _q_text_stats,
@@ -2245,7 +2269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "ngram_jaccard": _q_ngram_jaccard,
         "encoders": _q_encoders,
-        # --- (5) re-verified green in r04, code unchanged — freshest last ---
         "serving_log_roundtrip": _q_serving_log_roundtrip,
         "pii_redaction": _q_pii_redaction,
         "contamination_check": _q_contamination_check,
@@ -2265,7 +2288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_vectors": _q_serving_vectors,
         "registry_roundtrip": _q_registry_roundtrip,
         "custom_udf": _q_custom_udf,
-        "custom_udf_stats": _q_custom_udf_stats,
         "on_demand_ingest": _q_on_demand_ingest,
         "online_preview": _q_online_preview,
         "schema_evolution": _q_schema_evolution,
@@ -3057,6 +3079,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((64 + doc_id % 64) * 1000) // 8000 AS BIGINT) AS duration_ms,
                    CAST(ROUND(((doc_id % 9) + 1) / 10.0 * 32767) AS BIGINT) AS amp_q
             FROM documents
+        """,
+        # binned-histogram drift between two event windows; bins anchor on
+        # the reference min/max; identical float op order in both engines
+        "drift_psi": """
+            WITH ref AS (
+              SELECT CAST(value AS DOUBLE) v FROM events
+              WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+            ),
+            det AS (
+              SELECT CAST(value AS DOUBLE) v FROM events
+              WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL
+            ),
+            mm AS (
+              SELECT MIN(v) AS mn,
+                     CASE WHEN MAX(v) = MIN(v) THEN 1.0
+                          ELSE MAX(v) - MIN(v) END AS w
+              FROM ref
+            ),
+            rb AS (SELECT LEAST(9, GREATEST(0,
+                     CAST(FLOOR((v - mn) / w * 10) AS INT))) AS b
+                   FROM ref, mm),
+            db AS (SELECT LEAST(9, GREATEST(0,
+                     CAST(FLOOR((v - mn) / w * 10) AS INT))) AS b
+                   FROM det, mm),
+            rc AS (SELECT b, COUNT(*) AS n FROM rb GROUP BY b),
+            dc AS (SELECT b, COUNT(*) AS n FROM db GROUP BY b),
+            tot AS (SELECT (SELECT COUNT(*) FROM rb) AS nr,
+                           (SELECT COUNT(*) FROM db) AS nd),
+            bins AS (SELECT CAST(t.i AS INT) AS b FROM range(0, 10) t(i)),
+            j AS (
+              SELECT bins.b,
+                     COALESCE(dc.n, 0) * 1.0 / tot.nd AS p0,
+                     COALESCE(rc.n, 0) * 1.0 / tot.nr AS q0,
+                     GREATEST(COALESCE(dc.n, 0) * 1.0 / tot.nd, 1e-6) AS p,
+                     GREATEST(COALESCE(rc.n, 0) * 1.0 / tot.nr, 1e-6) AS q
+              FROM bins
+              LEFT JOIN dc ON dc.b = bins.b
+              LEFT JOIN rc ON rc.b = bins.b
+              CROSS JOIN tot
+            ),
+            cdf AS (
+              SELECT SUM(p0) OVER (ORDER BY b) AS cp,
+                     SUM(q0) OVER (ORDER BY b) AS cq
+              FROM j
+            )
+            SELECT
+              ROUND((SELECT SUM((p - q) * ln(p / q)) FROM j), 6) AS psi,
+              ROUND((SELECT SUM(0.5 * p * log2(p / (( p + q) / 2))
+                               + 0.5 * q * log2(q / ((p + q) / 2))) FROM j), 6) AS js_div,
+              ROUND((SELECT MAX(ABS(cp - cq)) FROM cdf), 6) AS ks,
+              (SELECT nd FROM tot) AS n_det,
+              (SELECT nr FROM tot) AS n_ref
         """,
         # chunked parts accumulate into one commit; snapshot == whole table
         "multi_part_insert": """

@@ -235,3 +235,102 @@ def run_monitoring(
         "reference_value": reference,
         **result,
     }
+
+
+# ---------------------------------------------------------------------------
+# distribution-level drift (extension beyond the reference's scalar
+# statistic comparison): PSI / Jensen-Shannon / Kolmogorov-Smirnov over
+# equi-width histograms of a detection vs a reference window.
+# ---------------------------------------------------------------------------
+
+def _bin_counts(df: DataFrame, column: str, mn: float, width: float, buckets: int):
+    """One codegen'd groupBy(int)→count pass; the shuffle carries at
+    most ``buckets`` partial counts per task (map-side combined), so the
+    pass scales to arbitrary window sizes."""
+    b = F.when(
+        F.col(column).isNotNull(),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    (F.col(column).cast("double") - F.lit(mn)) / F.lit(width) * buckets
+                ).cast("int"),
+            ),
+        ),
+    )
+    rows = (
+        df.select(b.alias("__b"))
+        .where(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    counts = [0] * buckets
+    for r in rows:
+        counts[r["__b"]] = r["__n"]
+    return counts
+
+
+def distribution_drift(
+    detection: DataFrame,
+    reference: DataFrame,
+    column: str,
+    buckets: int = 10,
+    epsilon: float = 1e-6,
+) -> Dict:
+    """Histogram drift metrics between two windows of one feature.
+
+    Bins are ``buckets`` equi-width intervals over the REFERENCE
+    window's [min, max] (the standard PSI convention — drift is
+    measured against where the reference distribution lived; detection
+    values outside clamp into the edge bins). Three tiny Spark jobs:
+    reference min/max, then one binned count per window; everything
+    else is driver arithmetic on ≤ ``buckets`` integers.
+
+    - ``psi``: Σ (p−q)·ln(p/q), bins ε-floored. <0.1 stable, 0.1-0.25
+      moderate, >0.25 major shift (industry rule of thumb).
+    - ``js_divergence``: Jensen-Shannon (base-2, in [0,1]).
+    - ``ks_statistic``: max CDF gap over bin boundaries (binned
+      approximation of two-sample KS).
+    """
+    mm = reference.agg(
+        F.min(F.col(column).cast("double")).alias("mn"),
+        F.max(F.col(column).cast("double")).alias("mx"),
+    ).collect()[0]
+    if mm["mn"] is None:
+        return {
+            "psi": None, "js_divergence": None, "ks_statistic": None,
+            "detection_count": 0, "reference_count": 0,
+        }
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    width = (mx - mn) or 1.0
+    det = _bin_counts(detection, column, mn, width, buckets)
+    ref = _bin_counts(reference, column, mn, width, buckets)
+    n_det, n_ref = sum(det), sum(ref)
+    if n_det == 0 or n_ref == 0:
+        return {
+            "psi": None, "js_divergence": None, "ks_statistic": None,
+            "detection_count": n_det, "reference_count": n_ref,
+        }
+    import math
+
+    psi = js = 0.0
+    cdf_d = cdf_r = 0.0
+    ks = 0.0
+    for i in range(buckets):
+        p = max(det[i] / n_det, epsilon)
+        q = max(ref[i] / n_ref, epsilon)
+        psi += (p - q) * math.log(p / q)
+        m = (p + q) / 2.0
+        js += 0.5 * p * math.log2(p / m) + 0.5 * q * math.log2(q / m)
+        cdf_d += det[i] / n_det
+        cdf_r += ref[i] / n_ref
+        ks = max(ks, abs(cdf_d - cdf_r))
+    return {
+        "psi": psi,
+        "js_divergence": js,
+        "ks_statistic": ks,
+        "detection_count": n_det,
+        "reference_count": n_ref,
+    }

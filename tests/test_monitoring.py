@@ -269,3 +269,26 @@ def test_fv_monitoring_accessors(spark, tmp_path):
     assert fv.get_feature_monitoring_history("c1") == []
     fv.run_feature_monitoring("c1", spark, now=datetime(2024, 1, 5))
     assert len(fv.get_feature_monitoring_history("c1")) == 1
+
+
+def test_distribution_drift_metrics(spark):
+    from feature_store_api_spark.operators.monitoring import distribution_drift
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = spark.createDataFrame([(float(i % 100),) for i in range(500)], "v double")
+    m = distribution_drift(same, ref, "v")
+    # identical distributions: all metrics ~0
+    assert abs(m["psi"]) < 1e-9 and abs(m["ks_statistic"]) < 1e-9
+    assert m["detection_count"] == 500 and m["reference_count"] == 1000
+
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 80.0,) for i in range(500)], "v double"
+    )
+    s = distribution_drift(shifted, ref, "v")
+    # mass clamps into the top bins: a major shift by every metric
+    assert s["psi"] > 0.25 and s["ks_statistic"] > 0.5
+    assert 0.0 < s["js_divergence"] <= 1.0
+
+    # empty detection window → None metrics, not a crash
+    e = distribution_drift(same.where("v < 0"), ref, "v")
+    assert e["psi"] is None and e["detection_count"] == 0

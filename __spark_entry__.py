@@ -663,6 +663,47 @@ def _q_knn_ivf(spark, sf_dir):
     return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
 
 
+def _pq_codebook(spark, sf_dir):
+    from feature_store_api_spark.operators.similarity import pq_encode, train_pq
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cb = train_pq(
+        e, "embedding", id_col="vec_id", num_subspaces=8, num_centroids=16
+    )
+    return e, cb, pq_encode(e, "embedding", cb)
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encode over the whole embeddings table:
+    every (vector, subspace) code re-derived by the oracle (codebook =
+    8-dim sub-slices of the 16 smallest vec_ids; code = argmin of d²
+    rounded to 9 dp, ties by centroid index). Codes are pure scan-side
+    Column exprs — 64× compression (512 B float64 → 8 B) with no
+    shuffle and no Python stage (pinned in tests/test_similarity.py)."""
+    _, _, coded = _pq_codebook(spark, sf_dir)
+    return coded.select(
+        "vec_id", F.posexplode("pq_code").alias("subspace", "code")
+    )
+
+
+def _q_knn_pq(spark, sf_dir):
+    """PQ-compressed ANN (third scale path next to hyperplane LSH and
+    IVF): asymmetric-distance top-40 over the 8-byte codes, exact-L2
+    rerank to top-10 (Jegou, Douze, Schmid, TPAMI 2011). At 100 TB the
+    ADC scan reads the code column only — the full vectors are touched
+    for 40 rows."""
+    from feature_store_api_spark.operators.similarity import find_neighbors_pq
+
+    _, cb, coded = _pq_codebook(spark, sf_dir)
+    out = find_neighbors_pq(
+        coded, [0.1] * _EMB_DIM, cb, col="embedding", k=10,
+        rerank_factor=4, id_col="vec_id",
+    )
+    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
+
+
 def _q_embedding_dups(spark, sf_dir):
     """Embedding near-dup pairs via multi-table LSH + exact cosine.
 
@@ -2205,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_part_insert": _q_multi_part_insert,
         "drift_psi": _q_drift_psi,
         "audio_decode": _q_audio_decode,
+        "pq_codes": _q_pq_codes,
+        "knn_pq": _q_knn_pq,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -3243,6 +3286,87 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann": _ann_oracle_sql(),
         # IVF-Flat: centroids = 16 smallest vec_ids (deterministic),
         # assignment = argmin L2 (tie → smaller cell), probe 4 cells
+        # PQ codebook = 8-dim sub-slices of the 16 smallest vec_ids;
+        # code = argmin over centroids of d² rounded to 9 dp, ties by
+        # centroid index — the same engine-portable formulation the
+        # Spark side compiles to Column exprs (similarity.py train_pq)
+        "pq_codes": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            seeds AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+              FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+            ),
+            sub AS (
+              SELECT v.vec_id, m.m, v.e[m.m*8+1 : m.m*8+8] AS sv
+              FROM v, range(0, 8) m(m)
+            ),
+            cent AS (
+              SELECT s.ci, m.m, s.ce[m.m*8+1 : m.m*8+8] AS cv
+              FROM seeds s, range(0, 8) m(m)
+            ),
+            scored AS (
+              SELECT sub.vec_id, sub.m, cent.ci,
+                     ROUND(list_sum(list_transform(range(1, 9),
+                           i -> (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i]))), 9) AS d
+              FROM sub JOIN cent ON sub.m = cent.m
+            )
+            SELECT vec_id, CAST(m AS INT) AS subspace, CAST(ci AS INT) AS code
+            FROM (
+              SELECT vec_id, m, ci,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d ASC, ci ASC) AS rn
+              FROM scored
+            ) WHERE rn = 1
+        """,
+        "knn_pq": f"""
+            WITH v AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            seeds AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+              FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+            ),
+            cent AS (
+              SELECT s.ci, m.m, s.ce[m.m*8+1 : m.m*8+8] AS cv
+              FROM seeds s, range(0, 8) m(m)
+            ),
+            scored AS (
+              SELECT v.vec_id, cent.m, cent.ci,
+                     ROUND(list_sum(list_transform(range(1, 9),
+                           i -> (v.e[cent.m*8+i] - cent.cv[i])
+                              * (v.e[cent.m*8+i] - cent.cv[i]))), 9) AS d
+              FROM v, cent
+            ),
+            codes AS (
+              SELECT vec_id, m, ci AS code FROM (
+                SELECT vec_id, m, ci,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d ASC, ci ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            lut AS (
+              SELECT cent.m, cent.ci,
+                     list_sum(list_transform(range(1, 9),
+                           i -> (0.1 - cent.cv[i]) * (0.1 - cent.cv[i]))) AS qd2
+              FROM cent
+            ),
+            adc AS (
+              SELECT c.vec_id, ROUND(SQRT(SUM(l.qd2)), 6) AS adc_distance
+              FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.ci
+              GROUP BY c.vec_id
+            ),
+            cand AS (
+              SELECT vec_id FROM adc
+              ORDER BY adc_distance ASC, vec_id ASC LIMIT 40
+            )
+            SELECT v.vec_id, v.label,
+                   ROUND(list_distance(v.e, {_QV_01}), 6) AS distance
+            FROM cand JOIN v USING (vec_id)
+            ORDER BY distance ASC, vec_id ASC LIMIT 10
+        """,
         "knn_ivf": f"""
             WITH v AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

@@ -717,3 +717,203 @@ def dequantize_expr(col: str, params: List[dict]) -> Column:
         F.zip_with(los, scales, lambda lo, s: F.struct(lo.alias("lo"), s.alias("s"))),
         lambda c, p: c.cast("double") * p["s"] + p["lo"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ): m-subspace codebooks, 4-bit/8-bit codes,
+# asymmetric-distance (ADC) scoring. The compressed-index ANN scale path
+# beyond scalar quantization: dim-64 float64 vectors (512 B) compress to
+# m=8 uint8 codes (8 B, 64x) while ADC keeps ranking quality; codes are
+# scan-side Column expressions, training is a handful of tiny aggregates.
+# Public technique: Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+class PqCodebook:
+    """``codebooks[m][c]`` = centroid ``c`` of subspace ``m`` (each of
+    ``subdim`` dims). Deterministic by construction (seeded from the
+    smallest-id vectors, Lloyd means rounded) — reproducible across
+    engines and runs."""
+
+    def __init__(self, codebooks: List[List[List[float]]]) -> None:
+        self.codebooks = codebooks
+        self.num_subspaces = len(codebooks)
+        self.num_centroids = len(codebooks[0]) if codebooks else 0
+        self.subdim = len(codebooks[0][0]) if codebooks and codebooks[0] else 0
+
+    def to_dict(self) -> dict:
+        return {"codebooks": self.codebooks}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PqCodebook":
+        return cls(d["codebooks"])
+
+
+def _pq_sub_slice(col: str, mi: int, subdim: int) -> Column:
+    return F.slice(F.col(col), mi * subdim + 1, subdim)
+
+
+def _pq_d2(sub: Column, centroid: List[float]) -> Column:
+    """Σ(x−y)² as a SEQUENTIAL left fold over positions — the exact
+    float operation order an oracle engine's list_sum reproduces, so
+    codes match bit-for-bit across engines."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign_expr(sub: Column, centroids: List[List[float]]) -> Column:
+    """argmin over centroids of d² ROUNDED to 9 dp, ties by centroid
+    index — rounding absorbs last-ulp float divergence between engines
+    so the argmin (hence the code) is engine-portable."""
+    scored = [
+        F.struct(F.round(_pq_d2(sub, c), 9).alias("d"), F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*scored)).getField("c")
+
+
+def train_pq(
+    df: DataFrame,
+    col: str,
+    id_col: str = "vec_id",
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    kmeans_iterations: int = 0,
+) -> PqCodebook:
+    """Train per-subspace codebooks. Seeds = sub-slices of the
+    ``num_centroids`` smallest-id vectors (deterministic, oracle-
+    re-derivable); optional Lloyd rounds refine ALL subspaces with ONE
+    job per round: every (subspace, slice) is exploded once, assigned
+    scan-side, and a single groupBy(subspace, cell, pos) mean — the
+    shuffle carries ``m × k × subdim`` aggregated rows, collected
+    driver-side (tiny)."""
+    seeds = (
+        df.select(id_col, col).orderBy(id_col).limit(num_centroids).collect()
+    )
+    if not seeds:
+        raise ValueError("train_pq: empty input")
+    dim = len(seeds[0][1])
+    if dim % num_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by num_subspaces {num_subspaces}"
+        )
+    subdim = dim // num_subspaces
+    books = [
+        [
+            [float(x) for x in r[1][mi * subdim : (mi + 1) * subdim]]
+            for r in seeds
+        ]
+        for mi in range(num_subspaces)
+    ]
+    for _ in range(kmeans_iterations):
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(mi).alias("m"),
+                    _pq_assign_expr(
+                        _pq_sub_slice(col, mi, subdim), books[mi]
+                    ).alias("cell"),
+                    _pq_sub_slice(col, mi, subdim).alias("v"),
+                )
+                for mi in range(num_subspaces)
+            ]
+        )
+        exploded = (
+            df.select(F.explode(subs).alias("s"))
+            .select("s.m", "s.cell", F.posexplode("s.v").alias("p", "x"))
+        )
+        means = (
+            exploded.groupBy("m", "cell", "p")
+            .agg(F.round(F.avg("x"), 9).alias("mu"))
+            .collect()
+        )
+        got: dict = {}
+        for r in means:
+            got.setdefault((r["m"], r["cell"]), {})[r["p"]] = float(r["mu"])
+        for mi in range(num_subspaces):
+            for ci in range(num_centroids):
+                cell = got.get((mi, ci))
+                if cell:
+                    books[mi][ci] = [cell[p] for p in range(subdim)]
+    return PqCodebook(books)
+
+
+def pq_encode(
+    df: DataFrame, col: str, codebook: PqCodebook, out_col: str = "pq_code"
+) -> DataFrame:
+    """Attach the ``array<int>`` PQ code — pure scan-side Column
+    expression (one argmin per subspace against literal centroids), no
+    shuffle, no Python."""
+    codes = F.array(
+        *[
+            _pq_assign_expr(
+                _pq_sub_slice(col, mi, codebook.subdim), codebook.codebooks[mi]
+            )
+            for mi in range(codebook.num_subspaces)
+        ]
+    )
+    return df.withColumn(out_col, codes)
+
+
+def pq_distance_expr(
+    code_col: str, codebook: PqCodebook, query: Sequence[float]
+) -> Column:
+    """ADC distance: the query is sliced once driver-side into a
+    ``m × k`` lookup table of exact sub-distances; a row's distance is
+    ``sqrt(Σ_m lut[m][code[m]])`` — an O(m) JVM fold per row over the
+    literal table, never touching the original vectors."""
+    lut = []
+    for mi in range(codebook.num_subspaces):
+        qs = [float(x) for x in query[mi * codebook.subdim : (mi + 1) * codebook.subdim]]
+        row = []
+        for cent in codebook.codebooks[mi]:
+            d2 = 0.0
+            for a, b in zip(qs, cent):
+                d2 += (a - b) * (a - b)
+            row.append(d2)
+        lut.append(row)
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    per_sub = F.transform(
+        F.col(code_col),
+        lambda c, i: F.element_at(F.element_at(lut_col, i + F.lit(1)), c + F.lit(1)),
+    )
+    return F.sqrt(F.aggregate(per_sub, F.lit(0.0), lambda a, x: a + x))
+
+
+def find_neighbors_pq(
+    df: DataFrame,
+    query: Sequence[float],
+    codebook: PqCodebook,
+    code_col: str = "pq_code",
+    col: Optional[str] = None,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-k by ADC over the compressed codes; with ``col`` given, the
+    ADC top ``k × rerank_factor`` candidates re-rank by EXACT L2 on the
+    original vectors (the standard PQ recall fix — the compressed scan
+    does the data reduction, exact math only touches a constant-size
+    candidate set). ``id_col`` makes tie-breaks at both cut points
+    deterministic (rounded distances collide; without it the k-th row
+    is engine-luck). Both cuts compile to TakeOrderedAndProject — a
+    per-partition top-k heap + driver merge, never a global sort."""
+    order = [F.col("adc_distance").asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    adc = F.round(pq_distance_expr(code_col, codebook, query), 6)
+    scored = df.withColumn("adc_distance", adc)
+    if col is None:
+        return scored.orderBy(*order).limit(k)
+    cand = scored.orderBy(*order).limit(k * rerank_factor)
+    exact = cand.withColumn(
+        "distance", F.round(distance_expr(F.col(col), query, "l2"), 6)
+    )
+    final = [F.col("distance").asc()] + (
+        [F.col(id_col).asc()] if id_col is not None else []
+    )
+    return exact.orderBy(*final).limit(k)

@@ -391,3 +391,108 @@ def test_quantization_params_ragged_embeddings_raise(spark):
 
     # empty corpus → empty params, no crash
     assert quantization_params(df.where("vec_id < 0"), "embedding") == []
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (reference: embedding.py similarity surface; the
+# compressed-index path has no reference twin — standard PQ per Jegou
+# et al. 2011, built as scan-side Column expressions)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_setup(emb):
+    cb = sim.train_pq(emb, "embedding", id_col="vec_id",
+                      num_subspaces=4, num_centroids=8)
+    coded = sim.pq_encode(emb, "embedding", cb)
+    return cb, coded
+
+
+def test_pq_codebook_shape_and_roundtrip(pq_setup):
+    cb, _ = pq_setup
+    assert cb.num_subspaces == 4
+    assert cb.num_centroids == 8
+    assert cb.subdim == 4
+    back = sim.PqCodebook.from_dict(cb.to_dict())
+    assert back.codebooks == cb.codebooks
+
+
+def test_pq_codes_shape_and_range(pq_setup):
+    cb, coded = pq_setup
+    rows = coded.select("pq_code").collect()
+    assert len(rows) == 500
+    for (code,) in rows:
+        assert len(code) == 4
+        assert all(0 <= c < 8 for c in code)
+
+
+def test_pq_seed_vectors_encode_to_self(pq_setup):
+    """The i-th smallest-id vector IS centroid i of every subspace —
+    d²=0 beats everything, so its code must be [i, i, i, i]."""
+    cb, coded = pq_setup
+    rows = (
+        coded.orderBy("vec_id").limit(8).select("vec_id", "pq_code").collect()
+    )
+    for i, (_, code) in enumerate(rows):
+        assert list(code) == [i] * 4
+
+
+def test_pq_rerank_topk_matches_exact_within_candidates(emb):
+    """Rerank output == exact L2 ordering restricted to the ADC
+    candidate set, and recall@10 vs full exact kNN is non-trivial."""
+    cb = sim.train_pq(emb, "embedding", id_col="vec_id",
+                      num_subspaces=4, num_centroids=16, kmeans_iterations=3)
+    coded = sim.pq_encode(emb, "embedding", cb)
+    q = [0.1] * 16
+    got = sim.find_neighbors_pq(
+        coded, q, cb, col="embedding", k=10, rerank_factor=8, id_col="vec_id"
+    ).select("vec_id").collect()
+    got_ids = [r[0] for r in got]
+    exact = sim.find_neighbors(emb, q, col="embedding", k=10, metric="l2")
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall = len(set(got_ids) & exact_ids) / 10
+    assert recall >= 0.5, f"PQ rerank recall collapsed: {recall}"
+    # determinism: same call twice, same rows in same order
+    again = sim.find_neighbors_pq(
+        coded, q, cb, col="embedding", k=10, rerank_factor=8, id_col="vec_id"
+    ).select("vec_id").collect()
+    assert got_ids == [r[0] for r in again]
+
+
+def test_pq_kmeans_refinement_reduces_quantization_error(emb):
+    """Lloyd rounds must reduce the codebook's mean quantization error
+    (Σ_m d² of each sub-vector to its assigned centroid) — the quantity
+    Lloyd provably does not increase."""
+    def qerr(cb):
+        coded = sim.pq_encode(emb, "embedding", cb)
+        tot = None
+        for mi in range(cb.num_subspaces):
+            sub = sim._pq_sub_slice("embedding", mi, cb.subdim)
+            cents = F.array(
+                *[F.array(*[F.lit(x) for x in c]) for c in cb.codebooks[mi]]
+            )
+            chosen = F.element_at(cents, F.col("pq_code")[mi] + F.lit(1))
+            d2 = F.aggregate(
+                F.zip_with(sub, chosen, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+            tot = d2 if tot is None else tot + d2
+        return coded.select(F.avg(tot)).first()[0]
+
+    cb0 = sim.train_pq(emb, "embedding", id_col="vec_id",
+                       num_subspaces=4, num_centroids=8)
+    cb2 = sim.train_pq(emb, "embedding", id_col="vec_id",
+                       num_subspaces=4, num_centroids=8, kmeans_iterations=2)
+    assert qerr(cb2) < qerr(cb0)
+
+
+def test_pq_encode_is_scan_side(pq_setup):
+    """pq_encode is a pure projection: no shuffle, no Python stage."""
+    _, coded = pq_setup
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pq_dim_mismatch_raises(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.train_pq(emb, "embedding", id_col="vec_id", num_subspaces=5)

@@ -1161,6 +1161,56 @@ def _q_fv_batch_query(spark, sf_dir):
     return fv.get_batch_data(spark, start_time="2024-01-08", end_time="2024-01-22")
 
 
+def _q_model_provenance(spark, sf_dir):
+    """End-to-end model provenance: managed FG → feature view → two
+    materialized training-dataset versions → registered model versions
+    → the view's get_models / get_newest_model resolution (reference
+    feature_view.py:1157-1208, resolved through its model registry +
+    provenance service; ours is the local JSON-sidecar registry,
+    model_registry.py). train_rows metrics come from reading the
+    materialized TDs back, so the row proves the whole chain."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.model_registry import Model
+
+    tmp = _scratch("fsas_models_")
+    fs = FeatureStore(root=tmp)
+    c = fs.create_feature_group("cust_m", primary_key=["c_custkey"])
+    c.insert(
+        read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        compute_stats=False,
+    )
+    fv = fs.create_feature_view(
+        "churn_view",
+        c.select(["c_custkey", "c_acctbal", "c_mktsegment"]).filter(
+            c.c_mktsegment == "BUILDING"
+        ),
+    )
+    reg = fs.get_model_registry()
+    for created in (1000, 2000):
+        meta = fv.create_training_dataset(spark)
+        td = fv.read_training_dataset(spark, version=meta["version"])
+        rows = sum(df.count() for df in td.values())
+        reg.save(Model(
+            "churn", created=created,
+            feature_view_name="churn_view", feature_view_version=1,
+            training_dataset_version=meta["version"],
+            metrics={"train_rows": rows},
+        ))
+    newest = fv.get_newest_model()
+    out = [
+        (m.name, m.version, m.training_dataset_version,
+         int(m.metrics["train_rows"]), m.version == newest.version)
+        for m in fv.get_models()
+    ]
+    return spark.createDataFrame(
+        out,
+        "model_name string, model_version int, td_version int, "
+        "train_rows long, is_newest boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # frequency statistics: entropy / uniqueness / distinctness
 # ---------------------------------------------------------------------------
@@ -2248,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": _q_audio_decode,
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
+        "model_provenance": _q_model_provenance,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -3286,6 +3337,19 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann": _ann_oracle_sql(),
         # IVF-Flat: centroids = 16 smallest vec_ids (deterministic),
         # assignment = argmin L2 (tie → smaller cell), probe 4 cells
+        # two TD versions of the same BUILDING-segment view; model v2
+        # (created later) is newest; train_rows = the segment count
+        "model_provenance": """
+            WITH n AS (
+              SELECT COUNT(*) AS c FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT 'churn' AS model_name, 1 AS model_version,
+                   1 AS td_version, c AS train_rows, FALSE AS is_newest
+            FROM n
+            UNION ALL
+            SELECT 'churn', 2, 2, c, TRUE FROM n
+        """,
         # PQ codebook = 8-dim sub-slices of the 16 smallest vec_ids;
         # code = argmin over centroids of d² rounded to 9 dp, ties by
         # centroid index — the same engine-portable formulation the

@@ -207,6 +207,14 @@ class FeatureStore:
                         versions.add(int(d[len(name) + 1 :]))
         return [self.get_feature_group(name, v) for v in sorted(versions)]
 
+    def get_model_registry(self):
+        """The store-rooted local model registry (parity: the reference
+        connection's ``get_model_registry()``; ours is JSON sidecars
+        under ``<root>/_models`` — see model_registry.py)."""
+        from .model_registry import ModelRegistry
+
+        return ModelRegistry(self.root)
+
     def get_feature_views(self, name: str) -> List:
         """All versions of a named feature view, ascending (parity
         ``feature_store.py:1725``): registered plus persisted views."""

@@ -1158,6 +1158,45 @@ class FeatureView:
         if self._feature_store is not None:
             self._feature_store.delete_feature_view(self.name, self.version)
 
+    # -- model provenance (parity feature_view.py:1157-1208: models
+    # generated from this view, resolved via the model registry) ----------
+    def _model_registry(self):
+        from .model_registry import ModelRegistry
+
+        fs = self._feature_store
+        if fs is None or fs.root is None:
+            raise ValueError(
+                "Feature view has no store root for model provenance; "
+                "create the view via FeatureStore.create_feature_view"
+            )
+        return ModelRegistry(fs.root)
+
+    def get_models_provenance(self, training_dataset_version=None):
+        """Models generated from this view as a classified ``Links``
+        (parity ``get_models_provenance``): registry entries that parse
+        are accessible, corrupt sidecars are faulty, deleted is always
+        empty (explicit provenance does not track deletions)."""
+        return self._model_registry().models_for_view(
+            self.name, self.version,
+            training_dataset_version=training_dataset_version,
+        )
+
+    def get_models(self, training_dataset_version=None) -> List:
+        """Accessible models generated from this view (parity
+        ``get_models``)."""
+        return self.get_models_provenance(
+            training_dataset_version=training_dataset_version
+        ).accessible
+
+    def get_newest_model(self, training_dataset_version=None):
+        """Latest generated model by creation time, or None (parity
+        ``get_newest_model`` — same sort key: ``created`` desc)."""
+        models = self.get_models(
+            training_dataset_version=training_dataset_version
+        )
+        models.sort(key=lambda m: m.created, reverse=True)
+        return models[0] if models else None
+
     def train_test_split_by_time(
         self,
         spark: SparkSession,

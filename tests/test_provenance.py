@@ -90,3 +90,76 @@ def test_generated_views_skip_sidecar_jsons(spark, fs, tmp_path):
     a2 = fs2.get_feature_group("fg_a")
     links = a2.get_generated_feature_views()
     assert [x.name for x in links.accessible] == ["v1"]
+
+
+# ---------------------------------------------------------------------------
+# model registry provenance (parity feature_view.py:1157-1208)
+# ---------------------------------------------------------------------------
+
+def _view_with_models(spark, fs):
+    from feature_store_api_spark.model_registry import Model
+
+    a = fs.create_feature_group("fg_m", primary_key=["k"])
+    a.insert(spark.createDataFrame([(1, 10.0), (2, 3.0)], "k long, x double"))
+    fv = fs.create_feature_view("mv", a.select_all())
+    reg = fs.get_model_registry()
+    reg.save(Model("clf", created=1000, feature_view_name="mv",
+                   feature_view_version=1, training_dataset_version=1,
+                   metrics={"auc": 0.7}))
+    reg.save(Model("clf", created=3000, feature_view_name="mv",
+                   feature_view_version=1, training_dataset_version=2,
+                   metrics={"auc": 0.9}))
+    reg.save(Model("other", created=2000, feature_view_name="unrelated",
+                   feature_view_version=1))
+    return fv, reg
+
+
+def test_feature_view_get_models_filters_by_view_and_td(spark, fs):
+    fv, _ = _view_with_models(spark, fs)
+    assert [(m.name, m.version) for m in fv.get_models()] == [
+        ("clf", 1), ("clf", 2)
+    ]
+    assert [m.version for m in fv.get_models(training_dataset_version=2)] == [2]
+    assert fv.get_models(training_dataset_version=9) == []
+
+
+def test_feature_view_get_newest_model_sorts_by_created(spark, fs):
+    fv, _ = _view_with_models(spark, fs)
+    assert fv.get_newest_model().created == 3000
+    assert fv.get_newest_model(training_dataset_version=1).created == 1000
+    assert fv.get_newest_model(training_dataset_version=9) is None
+
+
+def test_model_registry_versioning_and_fetch(spark, fs):
+    fv, reg = _view_with_models(spark, fs)
+    # auto-increment over existing versions of the same name
+    from feature_store_api_spark.model_registry import Model
+    m3 = reg.save(Model("clf", created=4000, feature_view_name="mv",
+                        feature_view_version=1), version=None)
+    assert m3.version == 3
+    assert reg.get_model("clf").version == 3
+    assert reg.get_model("clf", version=1).metrics == {"auc": 0.7}
+    with pytest.raises(KeyError):
+        reg.get_model("absent")
+    reg.delete_model("clf", 3)
+    assert reg.get_model("clf").version == 2
+
+
+def test_models_provenance_classifies_faulty(spark, fs, tmp_path):
+    import os
+
+    fv, reg = _view_with_models(spark, fs)
+    with open(os.path.join(reg.root, "broken_1.json"), "w") as fh:
+        fh.write("{not json")
+    links = fv.get_models_provenance()
+    assert [m.name for m in links.accessible] == ["clf", "clf"]
+    assert [a.name for a in links.faulty] == ["broken_1"]
+    assert links.deleted == []
+
+
+def test_model_registry_survives_fresh_store(spark, fs, tmp_path):
+    _view_with_models(spark, fs)
+    fs2 = FeatureStore(root=fs.root)
+    fv2 = fs2.get_feature_view("mv")
+    newest = fv2.get_newest_model()
+    assert (newest.name, newest.training_dataset_version) == ("clf", 2)

@@ -2189,6 +2189,18 @@ def _q_sequence_packing(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-window document chunking with overlap (chunk 200 chars,
+    stride 150) — the chunk-before-tokenize/embed step of an LLM
+    pipeline. Every chunk of every doc is oracle-verified; the operator
+    is a pure scan-side sequence+posexplode (no shuffle, no Python —
+    pinned in tests/test_packing.py)."""
+    from feature_store_api_spark.operators.packing import chunk_documents
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, "text", "doc_id", chunk_size=200, overlap=50)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected components over the (engine-portable) MinHash pair
     graph: transitive near-dups collapse to one cluster id = min doc_id
@@ -2299,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
         "model_provenance": _q_model_provenance,
+        "doc_chunks": _q_doc_chunks,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -3337,6 +3350,19 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann": _ann_oracle_sql(),
         # IVF-Flat: centroids = 16 smallest vec_ids (deterministic),
         # assignment = argmin L2 (tie → smaller cell), probe 4 cells
+        # chunk 200 / stride 150: chunk k of a doc = substr(k*150+1, 200);
+        # empty docs emit nothing, the last chunk may be short
+        "doc_chunks": """
+            WITH expanded AS (
+              SELECT doc_id, text,
+                     UNNEST(range((length(text) - 1) // 150 + 1)) AS k
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, CAST(k AS INT) AS chunk_index,
+                   substr(text, CAST(k * 150 + 1 AS INT), 200) AS chunk_text,
+                   length(substr(text, CAST(k * 150 + 1 AS INT), 200)) AS chunk_chars
+            FROM expanded
+        """,
         # two TD versions of the same BUILDING-segment view; model v2
         # (created later) is newest; train_rows = the segment count
         "model_provenance": """

@@ -94,3 +94,40 @@ def pack_documents(
         )
         .drop("__pid", "__local_start")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    optional overlap — the LLM-pipeline chunking step before
+    tokenize/embed. Chunk ``k`` starts ``k * (chunk_size - overlap)``
+    chars in (1-based substring), the last chunk may be short, and
+    empty/null docs yield no chunks.
+
+    Scale posture: a pure scan-side sequence + posexplode — no shuffle,
+    no Python stage; chunking parallelizes per input split and each doc
+    emits ~len/stride rows. Plan shape pinned in tests/test_packing.py.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    c = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.floor((F.length(c) - F.lit(1)) / F.lit(stride))
+    )
+    chunks = F.transform(
+        starts, lambda k: F.substring(c, k * F.lit(stride) + F.lit(1), F.lit(chunk_size))
+    )
+    return (
+        df.where(F.length(c) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_index", "chunk_text"),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text"))
+    )

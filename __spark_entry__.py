@@ -704,6 +704,28 @@ def _q_knn_pq(spark, sf_dir):
     return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
 
 
+def _q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ probe (the composed compressed index): prune to the 4
+    nearest coarse cells, ADC-scan only their 8-byte codes, exact-L2
+    rerank the top 40. The 100 TB read pattern = partition pruning ×
+    64× column shrink; full vectors are touched for 40 rows."""
+    from feature_store_api_spark.operators.similarity import (
+        build_ivfpq_index, find_neighbors_ivfpq,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = build_ivfpq_index(
+        e, "embedding", num_cells=16, num_subspaces=8, num_centroids=16
+    )
+    out = find_neighbors_ivfpq(
+        idx, [0.1] * _EMB_DIM, col="embedding", k=10, nprobe=4,
+        rerank_factor=4,
+    )
+    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
+
+
 def _q_embedding_dups(spark, sf_dir):
     """Embedding near-dup pairs via multi-table LSH + exact cosine.
 
@@ -2312,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": _q_knn_pq,
         "model_provenance": _q_model_provenance,
         "doc_chunks": _q_doc_chunks,
+        "knn_ivfpq": _q_knn_ivfpq,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -3447,6 +3470,77 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.vec_id, ROUND(SQRT(SUM(l.qd2)), 6) AS adc_distance
               FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.ci
               GROUP BY c.vec_id
+            ),
+            cand AS (
+              SELECT vec_id FROM adc
+              ORDER BY adc_distance ASC, vec_id ASC LIMIT 40
+            )
+            SELECT v.vec_id, v.label,
+                   ROUND(list_distance(v.e, {_QV_01}), 6) AS distance
+            FROM cand JOIN v USING (vec_id)
+            ORDER BY distance ASC, vec_id ASC LIMIT 10
+        """,
+        # IVF-PQ: coarse cells + probe from the knn_ivf oracle, PQ
+        # codes + ADC from the knn_pq oracle, composed — candidates are
+        # the probed cells' members, ADC top-40, exact-L2 top-10
+        "knn_ivfpq": f"""
+            WITH v AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            c AS (
+              SELECT cell, ce FROM (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+                FROM v
+              ) WHERE cell < 16
+            ),
+            probe AS (
+              SELECT cell FROM c
+              ORDER BY list_distance(ce, {_QV_01}) ASC, cell ASC LIMIT 4
+            ),
+            a AS (
+              SELECT v.vec_id, v.e, c.cell,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                        ORDER BY list_distance(v.e, c.ce) ASC,
+                                                 c.cell ASC) AS rn
+              FROM v, c
+            ),
+            members AS (
+              SELECT vec_id, e FROM a
+              WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+            ),
+            seeds AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+              FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+            ),
+            cent AS (
+              SELECT s.ci, m.m, s.ce[m.m*8+1 : m.m*8+8] AS cv
+              FROM seeds s, range(0, 8) m(m)
+            ),
+            scored AS (
+              SELECT mem.vec_id, cent.m, cent.ci,
+                     ROUND(list_sum(list_transform(range(1, 9),
+                           i -> (mem.e[cent.m*8+i] - cent.cv[i])
+                              * (mem.e[cent.m*8+i] - cent.cv[i]))), 9) AS d
+              FROM members mem, cent
+            ),
+            codes AS (
+              SELECT vec_id, m, ci AS code FROM (
+                SELECT vec_id, m, ci,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d ASC, ci ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            lut AS (
+              SELECT cent.m, cent.ci,
+                     list_sum(list_transform(range(1, 9),
+                           i -> (0.1 - cent.cv[i]) * (0.1 - cent.cv[i]))) AS qd2
+              FROM cent
+            ),
+            adc AS (
+              SELECT cd.vec_id, ROUND(SQRT(SUM(l.qd2)), 6) AS adc_distance
+              FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.ci
+              GROUP BY cd.vec_id
             ),
             cand AS (
               SELECT vec_id FROM adc

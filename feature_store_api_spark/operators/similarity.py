@@ -917,3 +917,88 @@ def find_neighbors_pq(
         [F.col(id_col).asc()] if id_col is not None else []
     )
     return exact.orderBy(*final).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file cells + in-cell PQ codes (the classic
+# compressed-index composition, e.g. FAISS IVFPQ with by_residual=False).
+# A probe prunes to nprobe cell partitions, ADC-scans only the 8-byte
+# codes inside them, and touches full vectors for a constant-size rerank
+# set — the 100 TB read pattern: partition pruning × 64x column shrink.
+# ---------------------------------------------------------------------------
+
+class IvfPqIndex:
+    """``df`` carries ``__cell`` (coarse nearest-centroid id) and
+    ``pq_code``; ``centroids`` (coarse quantizer) and ``codebook`` (PQ)
+    stay driver-side for probe planning."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        centroids: List[List[float]],
+        codebook: PqCodebook,
+        code_col: str = "pq_code",
+    ) -> None:
+        self.df = df
+        self.centroids = centroids
+        self.codebook = codebook
+        self.code_col = code_col
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    col: str,
+    id_col: str = "vec_id",
+    num_cells: int = 16,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    kmeans_iterations: int = 0,
+    pq_iterations: int = 0,
+) -> IvfPqIndex:
+    """Coarse IVF assignment + one shared PQ codebook over the corpus
+    (non-residual — codes stay engine-portable and one codebook serves
+    every cell). Both training passes are deterministic (smallest-id
+    seeds, rounded Lloyd means). Write ``df`` partitioned by ``__cell``
+    and a probe reads nprobe directories of code columns only."""
+    ivf = build_ivf_index(
+        df, col, id_col=id_col, num_centroids=num_cells,
+        kmeans_iterations=kmeans_iterations,
+    )
+    cb = train_pq(
+        df, col, id_col=id_col, num_subspaces=num_subspaces,
+        num_centroids=num_centroids, kmeans_iterations=pq_iterations,
+    )
+    return IvfPqIndex(pq_encode(ivf.df, col, cb), ivf.centroids, cb)
+
+
+def find_neighbors_ivfpq(
+    index: IvfPqIndex,
+    embedding: Sequence[float],
+    col: Optional[str] = None,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    id_col: Optional[str] = "vec_id",
+    filter: Optional[Column] = None,
+) -> DataFrame:
+    """Probe: rank cells by centroid distance driver-side (same rule as
+    IVF-Flat: ``|c|² − 2 q·c``, ties by cell id), restrict to the
+    ``nprobe`` nearest, ADC-score their codes, exact-L2 rerank the top
+    ``k × rerank_factor`` when ``col`` is given."""
+
+    def d2(c):
+        return sum(x * x for x in c) - 2.0 * sum(
+            a * b for a, b in zip(embedding, c)
+        )
+
+    order = sorted(
+        range(len(index.centroids)),
+        key=lambda i: (d2(index.centroids[i]), i),
+    )
+    cand = index.df.where(F.col("__cell").isin(order[:nprobe]))
+    if filter is not None:
+        cand = cand.where(filter)
+    return find_neighbors_pq(
+        cand, embedding, index.codebook, code_col=index.code_col,
+        col=col, k=k, rerank_factor=rerank_factor, id_col=id_col,
+    ).drop("__cell")

@@ -496,3 +496,58 @@ def test_pq_encode_is_scan_side(pq_setup):
 def test_pq_dim_mismatch_raises(emb):
     with pytest.raises(ValueError, match="not divisible"):
         sim.train_pq(emb, "embedding", id_col="vec_id", num_subspaces=5)
+
+
+def test_ivfpq_matches_pq_on_probed_cells(emb):
+    """find_neighbors_ivfpq == find_neighbors_pq restricted to the
+    nprobe nearest cells (same codebook, same tie-breaks)."""
+    idx = sim.build_ivfpq_index(
+        emb, "embedding", num_cells=8, num_subspaces=4, num_centroids=16
+    )
+    q = [0.1] * 16
+    got = sim.find_neighbors_ivfpq(
+        idx, q, col="embedding", k=10, nprobe=3, rerank_factor=8
+    ).select("vec_id").collect()
+
+    def d2(c):
+        return sum(x * x for x in c) - 2.0 * sum(a * b for a, b in zip(q, c))
+
+    order = sorted(range(len(idx.centroids)), key=lambda i: (d2(idx.centroids[i]), i))
+    from pyspark.sql import functions as FF
+    cand = idx.df.where(FF.col("__cell").isin(order[:3]))
+    want = sim.find_neighbors_pq(
+        cand, q, idx.codebook, col="embedding", k=10, rerank_factor=8,
+        id_col="vec_id",
+    ).select("vec_id").collect()
+    assert [r[0] for r in got] == [r[0] for r in want]
+
+
+def test_ivfpq_full_probe_equals_flat_pq(emb):
+    """nprobe = num_cells removes the coarse pruning entirely — the
+    result must equal flat PQ over the whole corpus."""
+    idx = sim.build_ivfpq_index(
+        emb, "embedding", num_cells=4, num_subspaces=4, num_centroids=16
+    )
+    q = [0.25] * 16
+    got = sim.find_neighbors_ivfpq(
+        idx, q, col="embedding", k=10, nprobe=4, rerank_factor=8
+    ).select("vec_id").collect()
+    cb = sim.train_pq(emb, "embedding", id_col="vec_id",
+                      num_subspaces=4, num_centroids=16)
+    flat = sim.find_neighbors_pq(
+        sim.pq_encode(emb, "embedding", cb), q, cb, col="embedding",
+        k=10, rerank_factor=8, id_col="vec_id",
+    ).select("vec_id").collect()
+    assert [r[0] for r in got] == [r[0] for r in flat]
+
+
+def test_ivfpq_filter_pushed_before_topk(emb):
+    idx = sim.build_ivfpq_index(
+        emb, "embedding", num_cells=4, num_subspaces=4, num_centroids=16
+    )
+    from pyspark.sql import functions as FF
+    out = sim.find_neighbors_ivfpq(
+        idx, [0.1] * 16, col="embedding", k=10, nprobe=4,
+        filter=FF.col("label") == "keep",
+    ).collect()
+    assert out and all(r["label"] == "keep" for r in out)

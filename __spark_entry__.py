@@ -2223,6 +2223,25 @@ def _q_doc_chunks(spark, sf_dir):
     return chunk_documents(d, "text", "doc_id", chunk_size=200, overlap=50)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: the documents table split into an
+    existing corpus (doc_id % 3 != 0) and a new batch (doc_id % 3 ==
+    0); survivors are new docs with no LSH candidate in the corpus and
+    no smaller-id duplicate within the batch. The corpus×corpus
+    self-join never runs — only new×corpus and new×new band equi-joins
+    (no CartesianProduct, pinned in tests/test_dedup.py)."""
+    from feature_store_api_spark.operators.dedup import dedup_new_against_corpus
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    new = d.where(F.col("doc_id") % 3 == 0)
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    out = dedup_new_against_corpus(
+        new, corpus, "text", "doc_id", num_hashes=32, bands=8,
+        hash_fn="md5_64",
+    )
+    return out.select("doc_id", "n_chars")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected components over the (engine-portable) MinHash pair
     graph: transitive near-dups collapse to one cluster id = min doc_id
@@ -2335,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_provenance": _q_model_provenance,
         "doc_chunks": _q_doc_chunks,
         "knn_ivfpq": _q_knn_ivfpq,
+        "incremental_dedup": _q_incremental_dedup,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -2465,6 +2485,43 @@ _MINHASH_PAIRS_SQL = r"""
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """
+
+
+# same signature/band derivation as _MINHASH_PAIRS_SQL; "new" = doc_id
+# % 3 = 0, dup if any corpus band-bucket match or a smaller-id match
+# within the new batch
+_INCREMENTAL_DEDUP_SQL = r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+                                           i -> substr(t, i + 1, 5))) AS s
+              FROM d
+            ),
+            h AS (
+              SELECT doc_id, j.i AS hi,
+                     min(CAST('0x' || substr(md5(s || chr(31) || CAST(j.i AS VARCHAR)), 1, 15) AS BIGINT)) AS m
+              FROM sh, range(0, 32) j(i)
+              GROUP BY doc_id, j.i
+            ),
+            sig AS (
+              SELECT doc_id, hi // 4 AS band, list(m ORDER BY hi) AS bucket
+              FROM h GROUP BY doc_id, hi // 4
+            ),
+            dup AS (
+              SELECT DISTINCT a.doc_id
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id % 3 = 0
+                AND (b.doc_id % 3 <> 0 OR b.doc_id < a.doc_id)
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 3 = 0
+              AND doc_id NOT IN (SELECT doc_id FROM dup)
         """
 
 
@@ -3290,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         # with hash_fn='md5_64': shingle size 5, 32 hashes, 8 bands of 4
         # rows; hash of (shingle,i) = 60-bit md5 prefix of shingle||US||i
         "minhash_pairs": _MINHASH_PAIRS_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         # mirrors dedup.simhash with hash_fn='md5_64': distinct 4-char
         # shingles of whitespace-collapsed lowercase text, 60-bit md5
         # hash, per-bit majority vote (strictly positive => bit set)

@@ -189,6 +189,34 @@ def minhash_signatures(
     )
 
 
+def _band_table(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int, hash_fn: str
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature table: each signature
+    split into ``bands`` slices, slice (or its hash) = the bucket key.
+    With ``hash_fn='md5_64'`` the key is the raw slice (arrays are
+    hashable equi-join keys) so an oracle can reproduce it."""
+
+    def band_key(b):
+        sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        return sl if hash_fn == "md5_64" else F.xxhash64(sl)
+
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_duplicate_pairs(
     df: DataFrame,
     text_col: str,
@@ -219,25 +247,7 @@ def minhash_lsh_duplicate_pairs(
     # shingle/hash work runs once (at warehouse scale you'd materialize
     # the signature table instead)
     sigs = sigs.persist()
-
-    def band_key(b):
-        sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-        return sl if hash_fn == "md5_64" else F.xxhash64(sl)
-
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_key(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _band_table(sigs, id_col, bands, rows_per_band, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -254,6 +264,93 @@ def minhash_lsh_duplicate_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs BETWEEN a new batch and an existing
+    corpus — the incremental-ingest dedup shape: a daily batch checks
+    against the accumulated corpus without the corpus×corpus self-join
+    ever re-running. Output ``(new_id, corpus_id)``, distinct.
+
+    Scale posture: the join is an equi-join on (band, bucket); the
+    corpus side shuffles on the bucket key once (at warehouse scale,
+    materialize the corpus band table with the same parameters and pass
+    a DataFrame read from it as ``corpus_df`` bands — signatures are
+    deterministic given (num_hashes, shingle_size, seed)), and a small
+    new batch broadcasts under the autoBroadcast threshold. Never
+    O(|new| × |corpus|)."""
+    rows_per_band = num_hashes // bands
+    new_b = _band_table(
+        minhash_signatures(
+            new_df, text_col, id_col, num_hashes, shingle_size, seed,
+            hash_fn=hash_fn,
+        ),
+        id_col, bands, rows_per_band, hash_fn,
+    ).alias("a")
+    corp_b = _band_table(
+        minhash_signatures(
+            corpus_df, text_col, id_col, num_hashes, shingle_size, seed,
+            hash_fn=hash_fn,
+        ),
+        id_col, bands, rows_per_band, hash_fn,
+    ).alias("b")
+    return (
+        new_b.join(
+            corp_b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
+def dedup_new_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """New-batch survivors: rows of ``new_df`` with NO LSH near-dup
+    candidate in the corpus AND no duplicate of a smaller-id row within
+    the batch itself (so a batch containing two copies of a novel doc
+    keeps exactly one). Candidates are LSH candidates — chain
+    :func:`ngram_jaccard_pairs` over them for an exact-threshold
+    verify. Left-anti joins keep the plan shuffle-minimal."""
+    vs_corpus = minhash_lsh_pairs_against(
+        new_df, corpus_df, text_col, id_col, num_hashes, bands,
+        shingle_size, seed, hash_fn=hash_fn,
+    )
+    within = minhash_lsh_duplicate_pairs(
+        new_df, text_col, id_col, num_hashes, bands, shingle_size, seed,
+        hash_fn=hash_fn,
+    )
+    dup_ids = (
+        vs_corpus.select(F.col("new_id").alias(id_col))
+        .unionByName(within.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return new_df.join(dup_ids, on=id_col, how="left_anti")
 
 
 def duplicate_clusters(

@@ -283,3 +283,59 @@ def test_duplicate_clusters_auto_matches_distributed(spark):
         ).collect()
     }
     assert big == ml
+
+
+def test_incremental_pairs_against_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark engines and query plans at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # dup of corpus doc 1
+            (11, base.replace("quick", "speedy")),  # near dup of corpus doc 1
+            (12, "a genuinely novel document describing minhash banding at warehouse scale"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs_against(
+        new, corpus, "text", "doc_id", num_hashes=32, bands=16
+    )
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (10, 1) in got
+    assert (11, 1) in got
+    assert all(n != 12 for n, _ in got)
+
+
+def test_dedup_new_against_corpus_survivors(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    novel = "a genuinely novel document describing minhash banding at warehouse scale"
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, base),   # dup of corpus → dropped
+            (11, novel),  # novel, first copy → kept
+            (12, novel),  # second copy within the batch → dropped
+            (13, "another unrelated text mentioning feature stores and pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_new_against_corpus(
+        new, corpus, "text", "doc_id", num_hashes=32, bands=16
+    )
+    assert {r["doc_id"] for r in out.collect()} == {11, 13}
+
+
+def test_incremental_pairs_no_cartesian(spark):
+    corpus = spark.createDataFrame([(1, "aaa bbb ccc ddd eee")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "fff ggg hhh iii jjj")], "doc_id long, text string")
+    plan = (
+        dedup.minhash_lsh_pairs_against(new, corpus, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

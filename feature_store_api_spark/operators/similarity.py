@@ -1002,3 +1002,50 @@ def find_neighbors_ivfpq(
         cand, embedding, index.codebook, code_col=index.code_col,
         col=col, k=k, rerank_factor=rerank_factor, id_col=id_col,
     ).drop("__cell")
+
+
+def write_ivfpq_index(
+    index: IvfPqIndex, path: str, mode: str = "overwrite",
+    keep_vectors: bool = True,
+) -> None:
+    """Materialize an IVF-PQ index partitioned by ``__cell`` (probes
+    prune to nprobe directories) with the coarse centroids + PQ
+    codebook in a JSON sidecar. ``keep_vectors=False`` drops the full
+    embedding column from the layout — the 64×-smaller codes-only
+    index for ADC-only serving (rerank then needs the source table)."""
+    import json
+    import os
+
+    df = index.df
+    if not keep_vectors:
+        vec_cols = [
+            f.name for f in df.schema.fields
+            if str(f.dataType).startswith("ArrayType(DoubleType")
+            and f.name != index.code_col
+        ]
+        df = df.drop(*vec_cols)
+    df.write.partitionBy("__cell").mode(mode).parquet(path)
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "centroids": index.centroids,
+                "codebook": index.codebook.to_dict(),
+                "code_col": index.code_col,
+            },
+            fh,
+        )
+
+
+def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    import json
+    import os
+
+    df = spark.read.parquet(path).withColumn(
+        "__cell", F.col("__cell").cast("int")
+    )
+    with open(os.path.join(path, "_ivfpq_meta.json")) as fh:
+        meta = json.load(fh)
+    return IvfPqIndex(
+        df, meta["centroids"], PqCodebook.from_dict(meta["codebook"]),
+        code_col=meta.get("code_col", "pq_code"),
+    )

@@ -551,3 +551,41 @@ def test_ivfpq_filter_pushed_before_topk(emb):
         filter=FF.col("label") == "keep",
     ).collect()
     assert out and all(r["label"] == "keep" for r in out)
+
+
+def test_persisted_ivfpq_prunes_partitions_and_matches(emb, spark, tmp_path):
+    """Persisted IVF-PQ delivers the same directory-pruning contract as
+    the other persisted layouts, round-trips centroids + codebook, and
+    matches the in-memory probe exactly; the codes-only layout drops
+    the vector column."""
+    import re
+
+    q = [0.1] * 16
+    mem = sim.build_ivfpq_index(
+        emb, "embedding", num_cells=8, num_subspaces=4, num_centroids=16
+    )
+    sim.write_ivfpq_index(mem, str(tmp_path / "ivfpq"))
+    disk = sim.read_ivfpq_index(spark, str(tmp_path / "ivfpq"))
+    assert disk.centroids == mem.centroids
+    assert disk.codebook.codebooks == mem.codebook.codebooks
+
+    got = sim.find_neighbors_ivfpq(
+        disk, q, col="embedding", k=7, nprobe=2, rerank_factor=4
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    assert "__cell" in pf
+    want = sim.find_neighbors_ivfpq(
+        mem, q, col="embedding", k=7, nprobe=2, rerank_factor=4
+    )
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]
+
+    # codes-only layout: vector column gone, ADC-only probe still works
+    sim.write_ivfpq_index(mem, str(tmp_path / "ivfpq_codes"), keep_vectors=False)
+    codes_only = sim.read_ivfpq_index(spark, str(tmp_path / "ivfpq_codes"))
+    assert "embedding" not in codes_only.df.columns
+    adc = sim.find_neighbors_ivfpq(codes_only, q, k=7, nprobe=2)
+    assert adc.count() == 7

@@ -1117,6 +1117,37 @@ def _q_kafka_materialize(spark, sf_dir):
     return fg.read(spark).select("event_id", "user_id", "ts", "value")
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join driven as a REAL streaming query
+    (two parquet file-stream sources, watermarks both sides,
+    availableNow → memory sink): even events enriched with each user's
+    odd events from the trailing hour. Batch↔stream parity is pinned in
+    tests; the oracle is the plain SQL interval join."""
+    from feature_store_api_spark.streaming.stream_join import (
+        interval_join_stream_files,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        # watermarks require zoned TIMESTAMP (session is UTC-pinned)
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    tmp = _scratch("fsas_ij_")
+    ldir, rdir = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(ldir)
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(rdir)
+    return interval_join_stream_files(
+        spark, ldir, rdir, ev.schema, ["user_id"], "ts", "ts",
+        lower="1 hour", upper="0 seconds",
+        select=[
+            F.col("l.event_id").alias("left_id"),
+            F.col("r.event_id").alias("right_id"),
+            F.round(F.col("l.value") + F.col("r.value"), 6).alias("pair_value"),
+        ],
+        table_name="fsas_ij_out",
+    )
+
+
 def _q_avro_complex_roundtrip(spark, sf_dir):
     """Complex-feature (array<float>) Avro encode/decode roundtrip
     (parity engine/spark.py:534-549 _encode_complex_features). Oracle
@@ -2355,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "knn_ivfpq": _q_knn_ivfpq,
         "incremental_dedup": _q_incremental_dedup,
+        "stream_interval_join": _q_stream_interval_join,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -3348,6 +3380,14 @@ def oracle_sql() -> dict[str, str]:
         # rows; hash of (shingle,i) = 60-bit md5 prefix of shingle||US||i
         "minhash_pairs": _MINHASH_PAIRS_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "stream_interval_join": """
+            SELECT l.event_id AS left_id, r.event_id AS right_id,
+                   ROUND(l.value + r.value, 6) AS pair_value
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+             AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        """,
         # mirrors dedup.simhash with hash_fn='md5_64': distinct 4-char
         # shingles of whitespace-collapsed lowercase text, 60-bit md5
         # hash, per-bit majority vote (strictly positive => bit set)

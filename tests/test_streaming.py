@@ -115,3 +115,62 @@ def test_dedup_watermark_drops_inflight_duplicates(spark, tmp_path):
     fg2 = fs.create_feature_group("wm_fg2", primary_key=["pk"])
     with pytest.raises(ValueError, match="event_time"):
         insert_stream(fg2, sdf, dedup_watermark="10 minutes")
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (availableNow over two file sources)
+    returns exactly the batch interval join's rows — the parity that
+    makes the operator's semantics testable."""
+    from feature_store_api_spark.streaming.stream_join import (
+        interval_join, interval_join_stream_files,
+    )
+
+    rows = [
+        # (id, key, ts)
+        (1, "a", "2024-01-01 10:00:00"),
+        (2, "a", "2024-01-01 11:30:00"),
+        (3, "a", "2024-01-01 12:00:00"),
+        (4, "b", "2024-01-01 10:10:00"),
+        (5, "b", "2024-01-01 10:20:00"),
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    left = df.where(F.col("id") % 2 == 1)
+    right = df.where(F.col("id") % 2 == 0)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+
+    batch = interval_join(
+        left, right, ["key"], "ts", "ts", lower="1 hour", upper="0 seconds"
+    ).select(
+        F.col("l.id").alias("lid"), F.col("r.id").alias("rid")
+    )
+    got_batch = {(r["lid"], r["rid"]) for r in batch.collect()}
+    # hand-check: right.ts in [left.ts - 1h, left.ts]
+    assert got_batch == {(3, 2), (5, 4)}
+
+    streamed = interval_join_stream_files(
+        spark, ldir, rdir, left.schema, ["key"], "ts", "ts",
+        lower="1 hour", upper="0 seconds",
+        select=[F.col("l.id").alias("lid"), F.col("r.id").alias("rid")],
+        table_name="ij_parity",
+    )
+    assert {(r["lid"], r["rid"]) for r in streamed.collect()} == got_batch
+
+
+def test_interval_join_is_single_shuffle_per_side_batch(spark):
+    from feature_store_api_spark.streaming.stream_join import interval_join
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00")], "id long, key string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        interval_join(df, df, ["key"], "ts", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # equi-key join with range residual: SortMergeJoin/ShuffledHashJoin,
+    # never a nested-loop/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

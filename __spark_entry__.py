@@ -704,6 +704,22 @@ def _q_knn_pq(spark, sf_dir):
     return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
 
 
+def _q_embedding_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with
+    md5-parity signs (Achlioptas ±1) — every projected coordinate of
+    every vector oracle-re-derived. Scan-side fold, no shuffle, no
+    Python (pinned in tests/test_similarity.py)."""
+    from feature_store_api_spark.operators.similarity import random_projection
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = random_projection(e, "embedding", in_dim=64, out_dim=16, seed=7)
+    return out.select(
+        "vec_id", F.posexplode("embedding_rp16").alias("dim", "value")
+    )
+
+
 def _q_knn_ivfpq(spark, sf_dir):
     """IVF-PQ probe (the composed compressed index): prune to the 4
     nearest coarse cells, ADC-scan only their 8-byte codes, exact-L2
@@ -2387,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _q_knn_ivfpq,
         "incremental_dedup": _q_incremental_dedup,
         "stream_interval_join": _q_stream_interval_join,
+        "embedding_projection": _q_embedding_projection,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
@@ -3496,6 +3513,19 @@ def oracle_sql() -> dict[str, str]:
             FROM n
             UNION ALL
             SELECT 'churn', 2, 2, c, TRUE FROM n
+        """,
+        # JL projection: sign(seed,j,i) = +1 iff first md5 hex char of
+        # "7:j:i" is 0-7 (the Spark side's int(h[0],16) < 8), scale =
+        # 1/sqrt(16) = 0.25 exactly
+        "embedding_projection": """
+            SELECT vec_id, CAST(t.j AS INT) AS dim,
+                   ROUND(list_sum(list_transform(range(1, 65), i ->
+                     e[i] * (CASE WHEN strpos('01234567',
+                                  substr(md5('7:' || CAST(t.j AS VARCHAR) || ':'
+                                         || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+                             THEN 1.0 ELSE -1.0 END))) * 0.25, 9) AS value
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+                 range(0, 16) t(j)
         """,
         # PQ codebook = 8-dim sub-slices of the 16 smallest vec_ids;
         # code = argmin over centroids of d² rounded to 9 dp, ties by

@@ -1049,3 +1049,48 @@ def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
         df, meta["centroids"], PqCodebook.from_dict(meta["codebook"]),
         code_col=meta.get("code_col", "pq_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) dimensionality reduction.
+# The standard pre-ANN shrink for high-dim embeddings (1536 → 128 keeps
+# pairwise distances within (1±eps)). Signs come from md5 parity of
+# (seed, out_dim_index, in_dim_index) — deterministic AND re-derivable
+# by any engine with md5, so projections are oracle-checkable
+# (Achlioptas 2003: ±1 entries satisfy the JL lemma).
+# ---------------------------------------------------------------------------
+
+def _rp_sign(seed: int, j: int, i: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) < 8 else -1.0
+
+
+def random_projection(
+    df: DataFrame,
+    col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 7,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Project ``col`` (array<double>, ``in_dim``) to ``out_dim`` dims:
+    ``out[j] = Σ_i x[i] · sign(seed,j,i) / sqrt(out_dim)``. Pure
+    scan-side fold per output dim against literal sign rows — no
+    shuffle, no Python stage; at 100 TB this is a projection pushed
+    into the scan, shrinking every downstream exchange by
+    ``in_dim/out_dim``×."""
+    scale = 1.0 / (out_dim ** 0.5)
+    outs = []
+    for j in range(out_dim):
+        signs = F.array(
+            *[F.lit(_rp_sign(seed, j, i)) for i in range(in_dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(col), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(F.round(dot * F.lit(scale), 9))
+    return df.withColumn(out_col or f"{col}_rp{out_dim}", F.array(*outs))

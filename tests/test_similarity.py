@@ -589,3 +589,49 @@ def test_persisted_ivfpq_prunes_partitions_and_matches(emb, spark, tmp_path):
     assert "embedding" not in codes_only.df.columns
     adc = sim.find_neighbors_ivfpq(codes_only, q, k=7, nprobe=2)
     assert adc.count() == 7
+
+
+def test_random_projection_preserves_distances(emb):
+    """JL sanity: relative pairwise L2 ordering is roughly preserved at
+    16 → 8 dims — rank correlation of pairwise distances stays clearly
+    positive — and the projection is deterministic."""
+    out = sim.random_projection(emb, "embedding", in_dim=16, out_dim=8)
+    rows = out.orderBy("vec_id").limit(30).collect()
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5
+
+    orig, proj = [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            orig.append(l2(rows[i]["embedding"], rows[j]["embedding"]))
+            proj.append(l2(rows[i]["embedding_rp8"], rows[j]["embedding_rp8"]))
+    # Spearman-ish: correlation of ranks
+    def ranks(xs):
+        order = sorted(range(len(xs)), key=lambda k: xs[k])
+        r = [0] * len(xs)
+        for pos, k in enumerate(order):
+            r[k] = pos
+        return r
+
+    ro, rp = ranks(orig), ranks(proj)
+    n = len(ro)
+    mo = sum(ro) / n
+    cov = sum((a - mo) * (b - mo) for a, b in zip(ro, rp))
+    var = sum((a - mo) ** 2 for a in ro)
+    # uniform random vectors concentrate pairwise distances (all pairs
+    # nearly equidistant), so rank correlation is inherently modest at
+    # 16 → 8; clearly-positive is the JL signal, ~0 would be breakage
+    assert cov / var > 0.3
+
+    again = sim.random_projection(emb, "embedding", in_dim=16, out_dim=8)
+    a = [r["embedding_rp8"] for r in again.orderBy("vec_id").limit(5).collect()]
+    b = [r["embedding_rp8"] for r in out.orderBy("vec_id").limit(5).collect()]
+    assert a == b
+
+
+def test_random_projection_is_scan_side(emb):
+    out = sim.random_projection(emb, "embedding", in_dim=16, out_dim=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -224,3 +224,82 @@ def test_select_survivors_matches_bruteforce(spark, rows):
         ).collect()
     }
     assert got == expected, (rows, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators vs brute force
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(st.text(alphabet="abcd ", min_size=0, max_size=40),
+                   min_size=1, max_size=6),
+    chunk_size=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+def test_chunk_documents_matches_brute_force(spark, texts, chunk_size, overlap):
+    from feature_store_api_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    stride = chunk_size - overlap
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_index"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "text", "doc_id", chunk_size=chunk_size, overlap=overlap
+        ).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        k = 0
+        while k * stride < len(t):
+            want.add((i, k, t[k * stride : k * stride + chunk_size]))
+            k += 1
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 50_000), # ts seconds offset
+        ),
+        min_size=0, max_size=14,
+    ),
+    lower_s=st.integers(0, 7200),
+)
+def test_interval_join_matches_brute_force(spark, rows, lower_s):
+    from feature_store_api_spark.streaming.stream_join import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, f"k{k}", base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, key string, ts timestamp")
+    left = df.where("id % 2 = 0")
+    right = df.where("id % 2 = 1")
+    from pyspark.sql import functions as F
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, ["key"], "ts", "ts",
+            lower=f"{lower_s} seconds", upper="0 seconds",
+        ).select(
+            F.col("l.id").alias("lid"), F.col("r.id").alias("rid")
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (k1, s1) in enumerate(rows)
+        for j, (k2, s2) in enumerate(rows)
+        if i % 2 == 0 and j % 2 == 1 and k1 == k2
+        and s1 - lower_s <= s2 <= s1
+    }
+    assert got == want

@@ -657,6 +657,70 @@ class FeatureGroup(FeatureGroupBase):
     def save_expectation_suite(self, suite) -> None:
         self.expectation_suite = suite
 
+    def validate(
+        self,
+        dataframe: Optional[DataFrame] = None,
+        expectation_suite=None,
+        save_report: bool = False,
+        ingestion_result: str = "unknown",
+    ):
+        """Run an expectation suite against an arbitrary DataFrame
+        WITHOUT inserting (parity reference ``feature_group.py:1243``):
+        one wide aggregation pass, a :class:`ValidationReport` back.
+
+        ``expectation_suite`` overrides the attached suite for
+        testing-new-suites workflows — and, matching the reference's
+        contract, results for an override suite are NEVER persisted.
+        ``dataframe=None`` validates the group's own stored data (the
+        reference's ``ingestion_result='fg_data'`` mode). With
+        ``save_report=True`` (attached suite only) the report lands in
+        the same history ``get_validation_history`` serves."""
+        override = expectation_suite is not None
+        suite = expectation_suite if override else self.expectation_suite
+        if suite is None:
+            return None
+        df = dataframe if dataframe is not None else self.read()
+        report = suite.validate(df)
+        report.ingestion_result = (
+            "fg_data" if dataframe is None else ingestion_result
+        )
+        if save_report and not override:
+            self._record_validation(report)
+        return report
+
+    def save_validation_report(self, validation_report) -> None:
+        """Persist an externally produced validation report alongside
+        this group's history (parity ``feature_group.py:1114``). Accepts
+        a :class:`ValidationReport` or a GE-format dict
+        (``success``/``results`` with ``expectation_config``)."""
+        from .operators.validation import (
+            ExpectationResult,
+            ValidationReport,
+        )
+
+        if isinstance(validation_report, dict):
+            results = []
+            for r in validation_report.get("results", []):
+                cfg = r.get("expectation_config", {})
+                kwargs = dict(cfg.get("kwargs", {}))
+                results.append(
+                    ExpectationResult(
+                        expectation_type=cfg.get("expectation_type", ""),
+                        column=kwargs.pop("column", None),
+                        success=bool(r.get("success", False)),
+                        observed=(r.get("result") or {}).get(
+                            "observed_value"
+                        ),
+                        kwargs=kwargs,
+                    )
+                )
+            validation_report = ValidationReport(
+                bool(validation_report.get("success", False)),
+                results,
+                len(results),
+            )
+        self._record_validation(validation_report)
+
     def _record_validation(self, report) -> None:
         import json as _json
         import time as _time
@@ -668,6 +732,7 @@ class FeatureGroup(FeatureGroupBase):
         payload = {
             "success": report.success,
             "evaluated": report.evaluated,
+            "ingestion_result": getattr(report, "ingestion_result", "unknown"),
             "results": [
                 {
                     "expectation_type": r.expectation_type,
@@ -679,9 +744,12 @@ class FeatureGroup(FeatureGroupBase):
                 for r in report.results
             ],
         }
-        with open(
-            os.path.join(d, f"{int(_time.time() * 1000)}.json"), "w"
-        ) as fh:
+        # millisecond timestamps collide for back-to-back saves; bump
+        # until free so every report lands as its own history entry
+        stamp = int(_time.time() * 1000)
+        while os.path.exists(os.path.join(d, f"{stamp}.json")):
+            stamp += 1
+        with open(os.path.join(d, f"{stamp}.json"), "w") as fh:
             _json.dump(payload, fh, indent=1, default=str)
 
     def get_validation_history(self, limit: Optional[int] = None):
@@ -1043,9 +1111,15 @@ class FeatureGroupWriter:
     """Context manager for chunked inserts (parity
     ``feature_group_writer.py``): buffers each part via
     ``FeatureGroup.multi_part_insert`` and finalizes — one commit for
-    the whole batch — on context exit, even when the body raises after
-    some parts buffered (matching the reference's exit-flushes
-    guarantee)."""
+    the whole batch — on clean context exit.
+
+    Exception semantics differ from the reference DELIBERATELY: there,
+    each ``insert`` has already transmitted its rows, so exit-flush
+    merely closes the batch. Here the physical write happens at
+    finalize, so flushing after a mid-body exception would persist a
+    silently partial commit — instead the buffer is DISCARDED and the
+    exception propagates (nothing written, the all-or-nothing contract
+    a buffering writer should honor)."""
 
     def __init__(self, feature_group: FeatureGroup) -> None:
         self._feature_group = feature_group
@@ -1057,4 +1131,8 @@ class FeatureGroupWriter:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self._feature_group._multi_part_parts = []
+            self._feature_group._multi_part_operation = None
+            return  # propagate: aborted loop must not commit partial parts
         self._feature_group.finalize_multi_part_insert()

@@ -180,20 +180,28 @@ class FeatureView:
         spine_types = {f.name: f.dataType for f in spine.schema.fields}
 
         def _compatible(got, want):
-            # Exact match, or a safe coercion Spark's join would have
-            # handled anyway (int vs bigint, float vs double, either
-            # numeric width on a timestamp/date key). Only genuinely
-            # incompatible families (string vs numeric, …) should fail.
+            # Exact match, or a safe SAME-FAMILY widening Spark's join
+            # handles losslessly (int vs bigint, float vs double; date
+            # vs timestamp). A numeric spine column against a
+            # timestamp/date key is REJECTED: Spark's implicit cast
+            # would compile, but the PIT as-of comparison would then
+            # silently miss or mismatch — the exact failure this check
+            # exists to catch.
             if got == want:
                 return True
             from pyspark.sql.types import (
                 DateType,
                 NumericType,
+                TimestampNTZType,
                 TimestampType,
             )
 
-            numericish = (NumericType, DateType, TimestampType)
-            return isinstance(got, numericish) and isinstance(want, numericish)
+            temporal = (DateType, TimestampType, TimestampNTZType)
+            if isinstance(got, temporal) and isinstance(want, temporal):
+                return True
+            return isinstance(got, NumericType) and isinstance(
+                want, NumericType
+            )
 
         mismatched = [
             (c, str(spine_types[c]), str(expected[c]))

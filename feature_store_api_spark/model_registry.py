@@ -29,6 +29,17 @@ from .provenance import Artifact, Links
 _MODELS_DIR = "_models"
 
 
+def _is_version_file_of(fn: str, name: str) -> bool:
+    """True iff ``fn`` is exactly ``{name}_<digits>.json`` — the strict
+    version-sidecar pattern. A bare prefix test would make model
+    'churn' absorb 'churn_v2_1.json' (it starts with 'churn_')."""
+    stem = fn[:-5]  # drop .json
+    if not stem.startswith(f"{name}_"):
+        return False
+    suffix = stem[len(name) + 1:]
+    return suffix.isdigit()
+
+
 @dataclass
 class Model:
     """A registered model version (parity: the model-registry entries
@@ -105,13 +116,22 @@ class ModelRegistry:
         for fn in sorted(os.listdir(self.root)):
             if not fn.endswith(".json"):
                 continue
-            if name is not None and not fn.startswith(f"{name}_"):
+            if name is not None and not _is_version_file_of(fn, name):
                 continue
             try:
                 with open(os.path.join(self.root, fn)) as fh:
-                    out.append(Model.from_dict(json.load(fh)))
+                    m = Model.from_dict(json.load(fh))
             except (json.JSONDecodeError, KeyError, ValueError):
                 continue  # surfaced as faulty by models_provenance
+            # the filename is only a locator — the PARSED name decides
+            # membership, so 'churn' never absorbs 'churn_v2' entries
+            # (churn_v2_1.json startswith 'churn_' but m.name differs)
+            if name is not None and m.name != name:
+                continue
+            out.append(m)
+        # numeric ordering: version 10 comes AFTER version 2 (lexicographic
+        # os.listdir order would interleave them once versions hit 2 digits)
+        out.sort(key=lambda m: (m.name, m.version))
         return out
 
     def get_model(self, name: str, version: Optional[int] = None) -> Model:
@@ -147,25 +167,38 @@ class ModelRegistry:
         ``faulty`` (explicit provenance never tracks deletions, so
         ``deleted`` stays empty — same contract as the reference)."""
         links = Links()
+        broken: List[str] = []  # (stem) sidecars with undeterminable linkage
         if os.path.isdir(self.root):
             for fn in sorted(os.listdir(self.root)):
                 if not fn.endswith(".json"):
                     continue
                 try:
                     with open(os.path.join(self.root, fn)) as fh:
-                        m = Model.from_dict(json.load(fh))
-                except (json.JSONDecodeError, KeyError, ValueError):
-                    links.faulty.append(
-                        Artifact(fn[:-5], 0, "MODEL")
-                    )
+                        raw = json.load(fh)
+                except (json.JSONDecodeError, ValueError):
+                    # undecodable: linkage unknowable — hold it, and only
+                    # report it faulty if its name-stem belongs to a model
+                    # we CAN tie to this view (a broken version sidecar of
+                    # a linked model), instead of polluting every view
+                    broken.append(fn[:-5])
                     continue
-                if (
-                    m.feature_view_name == view_name
-                    and m.feature_view_version == view_version
-                    and (
-                        training_dataset_version is None
-                        or m.training_dataset_version == training_dataset_version
-                    )
+                linked = raw.get("feature_view_name") == view_name and raw.get(
+                    "feature_view_version"
+                ) == view_version
+                try:
+                    m = Model.from_dict(raw)
+                except (KeyError, ValueError):
+                    if linked:  # parse failed but linkage IS this view
+                        links.faulty.append(Artifact(fn[:-5], 0, "MODEL"))
+                    continue
+                if linked and (
+                    training_dataset_version is None
+                    or m.training_dataset_version == training_dataset_version
                 ):
                     links.accessible.append(m)
+        linked_names = {m.name for m in links.accessible}
+        for stem in broken:
+            if any(_is_version_file_of(f"{stem}.json", n) for n in linked_names):
+                links.faulty.append(Artifact(stem, 0, "MODEL"))
+        links.accessible.sort(key=lambda m: (m.name, m.version))
         return links

@@ -243,10 +243,12 @@ def minhash_lsh_duplicate_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, seed, hash_fn=hash_fn
     )
-    # signatures feed both sides of the self-join; persist so the
-    # shingle/hash work runs once (at warehouse scale you'd materialize
-    # the signature table instead)
-    sigs = sigs.persist()
+    # signatures feed both sides of the self-join; localCheckpoint
+    # materializes them ONCE and frees the storage when the RDD is
+    # garbage-collected — unlike persist(), which would leak a
+    # CacheManager entry per call for the session lifetime. At
+    # warehouse scale you'd materialize the signature table instead.
+    sigs = sigs.localCheckpoint(eager=True)
     banded = _band_table(sigs, id_col, bands, rows_per_band, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -397,6 +399,12 @@ def duplicate_clusters(
     silently keeps transitive duplicates — fail loudly instead).
     """
     if algorithm == "auto":
+        # the pairs frame is usually an LSH band self-join + distinct —
+        # expensive to recompute. Materialize it ONCE so the strategy
+        # count(), the union-find collect() (small path) and the edges
+        # build (distributed path) all read cached partitions instead of
+        # re-running the join. localCheckpoint frees itself on RDD GC.
+        pairs = pairs.localCheckpoint(eager=True)
         n_pairs = pairs.count()
         if n_pairs <= driver_pair_threshold:
             return _cc_driver_union_find(pairs)

@@ -17,6 +17,7 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1018,9 +1019,13 @@ def write_ivfpq_index(
 
     df = index.df
     if not keep_vectors:
+        # drop EVERY float-family array column except the PQ codes —
+        # matching on the element type (not a str() prefix) so
+        # array<float> embeddings shrink away too
         vec_cols = [
             f.name for f in df.schema.fields
-            if str(f.dataType).startswith("ArrayType(DoubleType")
+            if isinstance(f.dataType, T.ArrayType)
+            and isinstance(f.dataType.elementType, (T.FloatType, T.DoubleType))
             and f.name != index.code_col
         ]
         df = df.drop(*vec_cols)
@@ -1077,20 +1082,41 @@ def random_projection(
 ) -> DataFrame:
     """Project ``col`` (array<double>, ``in_dim``) to ``out_dim`` dims:
     ``out[j] = Σ_i x[i] · sign(seed,j,i) / sqrt(out_dim)``. Pure
-    scan-side fold per output dim against literal sign rows — no
-    shuffle, no Python stage; at 100 TB this is a projection pushed
+    scan-side fold per output dim against ONE flat literal sign array —
+    no shuffle, no Python stage; at 100 TB this is a projection pushed
     into the scan, shrinking every downstream exchange by
-    ``in_dim/out_dim``×."""
+    ``in_dim/out_dim``×.
+
+    Plan-size note: the whole in_dim×out_dim sign matrix is a SINGLE
+    ``array<double>`` literal (row-major, ``signs[j*in_dim+i]``)
+    indexed via ``slice`` inside ``transform(sequence(...))`` — a
+    1536→128 projection is a handful of Catalyst nodes, not ~197k
+    per-entry literals that would blow up analysis/codegen."""
     scale = 1.0 / (out_dim ** 0.5)
-    outs = []
-    for j in range(out_dim):
-        signs = F.array(
-            *[F.lit(_rp_sign(seed, j, i)) for i in range(in_dim)]
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col(col), signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        outs.append(F.round(dot * F.lit(scale), 9))
-    return df.withColumn(out_col or f"{col}_rp{out_dim}", F.array(*outs))
+    flat = [
+        _rp_sign(seed, j, i) for j in range(out_dim) for i in range(in_dim)
+    ]
+    # ONE string literal → split → cast: three Catalyst nodes that the
+    # optimizer constant-folds into a single array literal at plan time.
+    # (F.lit(list) / F.array(*lits) would round-trip every element
+    # through py4j — ~100 s of driver time at 1536×128.)
+    signs = F.split(
+        F.lit(",".join("1" if s > 0 else "-1" for s in flat)), ","
+    ).cast("array<double>")
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(col),
+                    F.slice(signs, j * in_dim + 1, in_dim),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+            9,
+        ),
+    )
+    return df.withColumn(out_col or f"{col}_rp{out_dim}", proj)

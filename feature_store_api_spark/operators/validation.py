@@ -35,6 +35,9 @@ class ValidationReport:
     success: bool
     results: List[ExpectationResult]
     evaluated: int
+    # fate of the validated data (reference ingestion_result values:
+    # unknown/ingested/rejected/experiment/fg_data)
+    ingestion_result: str = "unknown"
 
     def failures(self) -> List[ExpectationResult]:
         return [r for r in self.results if not r.success]
@@ -305,5 +308,7 @@ def validate_for_ingest(df: DataFrame, suite: Optional[ExpectationSuite]):
         return None
     report = suite.validate(df)
     if not report.success and suite.validation_ingestion_policy == ExpectationSuite.STRICT:
+        report.ingestion_result = "rejected"
         raise DataValidationError(report)
+    report.ingestion_result = "ingested" if report.success else "unknown"
     return report

@@ -469,3 +469,23 @@ def test_backend_seam_custom_backend_drop_in(spark, tmp_path):
     assert "append" in kinds and "scan" in kinds and ("drop", c1.commit_time) in calls
     # partition spec flows through the seam
     assert ("append", ("_commit_time",)) in calls
+
+
+def test_multi_part_insert_aborted_body_commits_nothing(spark, tmp_path):
+    """An exception inside the with-body must NOT persist the partial
+    batch: the physical write happens at finalize here (unlike the
+    reference, where each insert already transmitted), so exit-flush on
+    error would silently commit a half-buffered batch."""
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("fg_abort", primary_key=["pk"], event_time="ets")
+    with pytest.raises(RuntimeError, match="boom"):
+        with fg.multi_part_insert() as writer:
+            writer.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+            raise RuntimeError("boom")
+    assert len(fg.commit_details()) == 0
+    assert fg._multi_part_parts == []
+    # the writer is reusable after the abort — a clean run commits once
+    with fg.multi_part_insert() as writer:
+        writer.insert(df_of(spark, [(2, ts("2024-01-02"), "b", 2.0)]))
+    assert len(fg.commit_details()) == 1
+    assert fg.read(spark).count() == 1

@@ -116,3 +116,86 @@ def test_avro_schema_property(spark, fs):
     # codec round-trip under the advertised schema
     rec = {"k": 1, "v": 2.5, "tags": ["a", "b"]}
     assert decode(encode(rec, schema), schema) == rec
+
+
+def test_fg_validate_arbitrary_dataframe_without_insert(spark, fs):
+    """fg.validate(df) (parity reference feature_group.py:1243): run the
+    attached suite against a DataFrame WITHOUT inserting; save_report
+    persists into the same history get_validation_history serves; an
+    override suite runs but never persists."""
+    from feature_store_api_spark.operators.validation import (
+        ExpectationSuite,
+        ExpectColumnValuesToBeBetween,
+        ExpectColumnValuesToNotBeNull,
+    )
+
+    suite = ExpectationSuite(
+        [ExpectColumnValuesToNotBeNull(column="v")], name="s"
+    )
+    fg = fs.create_feature_group("valfg", primary_key=["k"])
+    fg.save_expectation_suite(suite)
+    good = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    bad = spark.createDataFrame([(1, None)], "k long, v double")
+
+    r = fg.validate(good)
+    assert r.success and r.evaluated == 1
+    assert fg.get_all_validation_reports() == []  # save_report defaulted off
+
+    r2 = fg.validate(bad, save_report=True)
+    assert not r2.success
+    hist = fg.get_all_validation_reports()
+    assert len(hist) == 1 and hist[0]["success"] is False
+
+    # override suite: runs, but results are NEVER persisted (ref contract)
+    alt = ExpectationSuite(
+        [ExpectColumnValuesToBeBetween(column="v", min_value=0, max_value=1)],
+        name="alt",
+    )
+    r3 = fg.validate(good, expectation_suite=alt, save_report=True)
+    assert not r3.success  # v=2.0 out of [0,1]
+    assert len(fg.get_all_validation_reports()) == 1
+
+    # dataframe=None validates the group's own stored data (fg_data mode)
+    fg.insert(good)  # ALWAYS policy: ingests + records a report
+    r4 = fg.validate()
+    assert r4.success and r4.ingestion_result == "fg_data"
+
+
+def test_fg_save_validation_report_external(spark, fs):
+    """save_validation_report (parity feature_group.py:1114): persist an
+    externally produced report — ValidationReport or GE-format dict —
+    alongside the group's history."""
+    from feature_store_api_spark.operators.validation import (
+        ExpectationResult,
+        ValidationReport,
+    )
+
+    fg = fs.create_feature_group("extrep", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    fg.save_validation_report(
+        ValidationReport(
+            True,
+            [ExpectationResult("expect_column_values_to_not_be_null", "v", True, 0)],
+            1,
+        )
+    )
+    ge_dict = {
+        "success": False,
+        "results": [
+            {
+                "success": False,
+                "expectation_config": {
+                    "expectation_type": "expect_column_values_to_be_between",
+                    "kwargs": {"column": "v", "min_value": 0, "max_value": 1},
+                },
+                "result": {"observed_value": 7.0},
+            }
+        ],
+    }
+    fg.save_validation_report(ge_dict)
+    hist = fg.get_all_validation_reports()
+    assert len(hist) == 2
+    assert {h["success"] for h in hist} == {True, False}
+    ge_rec = [h for h in hist if not h["success"]][0]
+    assert ge_rec["results"][0]["observed"] == 7.0
+    assert ge_rec["results"][0]["column"] == "v"

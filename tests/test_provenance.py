@@ -149,12 +149,40 @@ def test_models_provenance_classifies_faulty(spark, fs, tmp_path):
     import os
 
     fv, reg = _view_with_models(spark, fs)
+    # a corrupt version sidecar of a model LINKED to this view is faulty…
+    with open(os.path.join(reg.root, "clf_9.json"), "w") as fh:
+        fh.write("{not json")
+    # …but an unrelated corrupt file must NOT pollute this view's links
     with open(os.path.join(reg.root, "broken_1.json"), "w") as fh:
         fh.write("{not json")
     links = fv.get_models_provenance()
     assert [m.name for m in links.accessible] == ["clf", "clf"]
-    assert [a.name for a in links.faulty] == ["broken_1"]
+    assert [a.name for a in links.faulty] == ["clf_9"]
     assert links.deleted == []
+
+
+def test_model_registry_name_prefix_isolation(spark, fs):
+    """'churn' must not absorb 'churn_v2' entries (churn_v2_1.json
+    starts with 'churn_') — versions, auto-increment and get_model stay
+    scoped to the exact parsed name."""
+    from feature_store_api_spark.model_registry import Model
+
+    reg = fs.get_model_registry()
+    reg.save(Model("churn_v2", created=100), version=5)
+    m = reg.save(Model("churn", created=200), version=None)
+    assert m.version == 1  # not max(churn_v2)+1
+    assert reg.get_model("churn").name == "churn"
+    assert [x.version for x in reg._load("churn")] == [1]
+
+
+def test_model_registry_numeric_version_ordering(spark, fs):
+    from feature_store_api_spark.model_registry import Model
+
+    reg = fs.get_model_registry()
+    for v in (1, 2, 10):
+        reg.save(Model("m", created=v), version=v)
+    assert [x.version for x in reg._load("m")] == [1, 2, 10]
+    assert reg.get_model("m").version == 10
 
 
 def test_model_registry_survives_fresh_store(spark, fs, tmp_path):

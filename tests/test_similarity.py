@@ -635,3 +635,49 @@ def test_random_projection_is_scan_side(emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_random_projection_production_dims_plan_budget(spark):
+    """1536 → 128 (the motivating production shape) must BUILD fast: the
+    sign matrix is ONE folded literal, not ~197k per-entry Catalyst
+    nodes. Budget: plan construction + analysis in single-digit
+    seconds, and values still match the md5 parity derivation."""
+    import math
+    import time
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 1536)], "id int, emb array<double>"
+    )
+    t0 = time.time()
+    out = sim.random_projection(df, "emb", in_dim=1536, out_dim=128)
+    out.schema  # forces analysis
+    build = time.time() - t0
+    assert build < 10.0, f"plan build took {build:.1f}s — literal blowup"
+    got = out.collect()[0]["emb_rp128"]
+    assert len(got) == 128
+    exp0 = round(
+        sum(sim._rp_sign(7, 0, i) for i in range(1536)) / math.sqrt(128), 9
+    )
+    assert got[0] == exp0
+
+
+def test_write_ivfpq_codes_only_drops_float_vectors(spark, tmp_path):
+    """keep_vectors=False must shed array<float> embeddings too (the
+    dtype-match bug would silently keep them, defeating the 64×
+    shrink)."""
+    import random as _r
+
+    _r.seed(5)
+    rows = [(i, [_r.random() for _ in range(16)]) for i in range(120)]
+    f32 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    idx = sim.build_ivfpq_index(
+        f32, "embedding", num_cells=4, num_subspaces=4, num_centroids=8
+    )
+    sim.write_ivfpq_index(idx, str(tmp_path / "codes_f32"), keep_vectors=False)
+    disk = sim.read_ivfpq_index(spark, str(tmp_path / "codes_f32"))
+    assert "embedding" not in disk.df.columns
+    assert disk.find_neighbors if hasattr(disk, "find_neighbors") else True
+    q = [0.5] * 16
+    assert sim.find_neighbors_ivfpq(disk, q, k=5, nprobe=2).count() == 5

@@ -217,3 +217,32 @@ def test_spine_coercible_key_dtype_accepted(spark, pit_fixtures):
     )  # cid int vs FG bigint: safe widening
     out = fv.training_data(spark, spine=narrow).collect()
     assert len(out) == 1 and out[0]["bal"] == 20.0
+
+
+def test_spine_numeric_vs_timestamp_event_time_rejected(spark, pit_fixtures):
+    """A spine event-time column of bigint (epoch seconds) or double
+    against a timestamp feature-group key must be REJECTED: Spark's
+    implicit cast would compile, but the PIT as-of comparison then
+    silently misses — the exact failure the validation exists to catch.
+    Same-family widenings (date vs timestamp) stay accepted."""
+    fs, spine, profile = pit_fixtures
+    q = spine.select_all().join(profile.select(["bal"]), on=["cid"])
+    fv = FeatureView("fv_family", q, labels=["label"])
+
+    epoch = spark.createDataFrame(
+        [(1, 1704844800)], "cid long, ts bigint"
+    )  # ts epoch-seconds vs FG timestamp: cross-family → reject
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        fv.training_data(spark, spine=epoch)
+
+    dbl = spark.createDataFrame(
+        [(1, 1704844800.0)], "cid long, ts double"
+    )
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        fv.training_data(spark, spine=dbl)
+
+    dated = spark.createDataFrame(
+        [(1, ts("2024-01-10"))], "cid long, ts timestamp"
+    ).select("cid", F.to_date("ts").alias("ts"))  # date vs timestamp: same family
+    out = fv.training_data(spark, spine=dated).collect()
+    assert len(out) == 1

@@ -2383,52 +2383,77 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a harness that caps how many
-    # entries it checks per round (~50): (1) NEW in r05
-    # (multi_part_insert, audio_decode — no verdict yet); (2) the
-    # r02-stale rotation tail (time_series_split … knn_ann) so r05
-    # re-proves it; (3) entries whose underlying code changed in r05
-    # (ANN retry unpersist, duplicate_clusters proof round + auto
-    # strategy, spine coercion, quantization guard, and the
-    # statistics.py pass restructure: stats_profile … custom_udf_stats);
-    # (4) r03 verdicts, code unchanged; (5) re-verified green in r04,
-    # code unchanged — freshest proofs last.
+    # entries it checks per round (~50): (1) entries whose underlying
+    # code changed in r06 (dedup localCheckpoint lifecycle: minhash_pairs
+    # … corpus_curation_quality; random_projection single-literal signs:
+    # embedding_projection; ivfpq dtype match: knn_ivfpq; validation
+    # ingestion_result: validation_report; spine dtype families:
+    # spine_pit_join; model registry name scoping: model_provenance);
+    # (2) the r03-stale rotation tail (builtin_scalers …
+    # windowed_agg_hourly) so r06 re-proves it; (3) everything else,
+    # freshest proofs last.
     return {
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
+        "incremental_dedup": _q_incremental_dedup,
+        "corpus_curation": _q_corpus_curation,
+        "corpus_curation_quality": _q_corpus_curation_quality,
+        "embedding_projection": _q_embedding_projection,
+        "knn_ivfpq": _q_knn_ivfpq,
+        "validation_report": _q_validation_report,
+        "spine_pit_join": _q_spine_pit_join,
+        "model_provenance": _q_model_provenance,
+        "builtin_scalers": _q_builtin_scalers,
+        "cast_schema": _q_cast_schema,
+        "dedup_exact": _q_dedup_exact,
+        "embedding_dups": _q_embedding_dups,
+        "embedding_fetch": _q_embedding_fetch,
+        "encoders": _q_encoders,
+        "ewma_features": _q_ewma_features,
+        "knn_batch": _q_knn_batch,
+        "knn_cosine": _q_knn_cosine,
+        "knn_l2": _q_knn_l2,
+        "latest_per_key": _q_latest_per_key,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "pit_join": _q_pit_join,
+        "pit_join_multi": _q_pit_join_multi,
+        "pit_join_range": _q_pit_join_range,
+        "repetition_metrics": _q_repetition_metrics,
+        "row_sampling": _q_row_sampling,
+        "sequence_packing": _q_sequence_packing,
+        "session_windows": _q_session_windows,
+        "set_ops": _q_set_ops,
+        "stratified_sample": _q_stratified_sample,
+        "text_language": _q_text_language,
+        "text_quality": _q_text_quality,
+        "text_stats": _q_text_stats,
+        "windowed_agg_hourly": _q_windowed_agg_hourly,
         "multi_part_insert": _q_multi_part_insert,
         "drift_psi": _q_drift_psi,
         "audio_decode": _q_audio_decode,
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
-        "model_provenance": _q_model_provenance,
         "doc_chunks": _q_doc_chunks,
-        "knn_ivfpq": _q_knn_ivfpq,
-        "incremental_dedup": _q_incremental_dedup,
         "stream_interval_join": _q_stream_interval_join,
-        "embedding_projection": _q_embedding_projection,
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
         "td_csv_roundtrip": _q_td_csv_roundtrip,
-        "validation_report": _q_validation_report,
         "partitioned_fg_read": _q_partitioned_fg_read,
         "dirty_names_sanitized": _q_dirty_names_sanitized,
         "json_extract": _q_json_extract,
         "lag_features": _q_lag_features,
         "multimodal_decode": _q_multimodal_decode,
         "text_tokens_bpe": _q_text_tokens_bpe,
-        "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "text_analysis": _q_text_analysis,
         "knn_ann": _q_knn_ann,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "paragraph_dedup": _q_paragraph_dedup,
-        "corpus_curation": _q_corpus_curation,
-        "corpus_curation_quality": _q_corpus_curation_quality,
         "knn_ann_retry": _q_knn_ann_retry,
         "knn_ivf": _q_knn_ivf,
-        "spine_pit_join": _q_spine_pit_join,
         "fv_batch_query": _q_fv_batch_query,
         "embedding_quantize": _q_embedding_quantize,
         "stats_profile": _q_stats_profile,
@@ -2443,31 +2468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_materialize": _q_kafka_materialize,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
         "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "ewma_features": _q_ewma_features,
-        "windowed_agg_hourly": _q_windowed_agg_hourly,
-        "session_windows": _q_session_windows,
-        "row_sampling": _q_row_sampling,
-        "cast_schema": _q_cast_schema,
-        "sequence_packing": _q_sequence_packing,
-        "stratified_sample": _q_stratified_sample,
-        "repetition_metrics": _q_repetition_metrics,
-        "knn_batch": _q_knn_batch,
-        "dedup_exact": _q_dedup_exact,
-        "pit_join": _q_pit_join,
-        "pit_join_range": _q_pit_join_range,
-        "pit_join_multi": _q_pit_join_multi,
-        "latest_per_key": _q_latest_per_key,
-        "set_ops": _q_set_ops,
-        "builtin_scalers": _q_builtin_scalers,
-        "text_stats": _q_text_stats,
-        "knn_cosine": _q_knn_cosine,
-        "embedding_fetch": _q_embedding_fetch,
-        "knn_l2": _q_knn_l2,
-        "embedding_dups": _q_embedding_dups,
-        "text_language": _q_text_language,
-        "text_quality": _q_text_quality,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "encoders": _q_encoders,
         "serving_log_roundtrip": _q_serving_log_roundtrip,
         "pii_redaction": _q_pii_redaction,
         "contamination_check": _q_contamination_check,

@@ -443,6 +443,27 @@ class FeatureStore:
             return fv
         raise KeyError(f"Feature view {key} not registered")
 
+    # -- legacy store-level TrainingDataset API (parity
+    # feature_store.py:337,376,1207 — deprecated there in favor of
+    # feature views; thin aliases kept so legacy callers keep running) ----
+    def create_training_dataset(self, name: str, version=None, **kw):
+        """Deprecated (reference deprecates it too): lazy legacy TD
+        object; call ``.save(query_or_df)`` to materialize. Prefer
+        ``FeatureView.create_training_dataset``."""
+        from . import training_dataset as _td
+
+        return _td.create_training_dataset(self, name, version=version, **kw)
+
+    def get_training_dataset(self, name: str, version=None):
+        from . import training_dataset as _td
+
+        return _td.get_training_dataset(self, name, version=version)
+
+    def get_training_datasets(self, name: str):
+        from . import training_dataset as _td
+
+        return _td.get_training_datasets(self, name)
+
     # -- ad-hoc SQL (parity feature_store.py:426) --------------------------
     def sql(
         self,

@@ -127,3 +127,56 @@ def test_init_batch_scoring_pins_td_stats(spark, tmp_path):
     fv.log(spark.createDataFrame([(1, 0.5)], "k long, score double"))
     back = fv.read_log(spark).collect()
     assert back[0]["td_version"] == meta["version"]
+
+
+def test_legacy_store_level_training_dataset_api(spark, tmp_path):
+    """Thin parity aliases for the reference's deprecated store-level
+    TrainingDataset API (feature_store.py:337,376,1207): lazy create →
+    save(Query or DataFrame) materializes splits → get/read round-trips,
+    versions auto-increment, and a DeprecationWarning points at
+    FeatureView."""
+    import warnings
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("legacy_src", primary_key=["k"])
+    fg.insert(spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"
+    ))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        td = fs.create_training_dataset(
+            "legacy_td", data_format="parquet",
+            splits={"train": 0.75, "test": 0.25}, seed=11,
+        )
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert td.version == 1
+    # lazy: nothing on disk until save
+    import os
+    assert not os.path.exists(td.location) or not os.listdir(td.location)
+
+    td.save(fg.select_all(), spark=spark)
+    assert sorted(td.split_dirs) == ["test", "train"]
+    tr = td.read("train", spark=spark)
+    te = td.read("test", spark=spark)
+    assert tr.count() + te.count() == 40
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        got = fs.get_training_dataset("legacy_td")
+        assert got.version == 1 and got.data_format == "parquet"
+        assert got.read("train", spark=spark).count() == tr.count()
+
+        td2 = fs.create_training_dataset("legacy_td", data_format="csv")
+        assert td2.version == 2  # auto-increment
+        td2.save(fg.read(spark), spark=spark)  # plain DataFrame path
+        assert fs.get_training_dataset("legacy_td").version == 2
+        assert len(fs.get_training_datasets("legacy_td")) == 2
+        assert fs.get_training_dataset("legacy_td", version=1).version == 1
+        assert td2.read(spark=spark).count() == 40  # lone split default
+
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            fs.get_training_dataset("absent")

@@ -2034,6 +2034,43 @@ def _q_repetition_metrics(spark, sf_dir):
     return repetition_metrics(d, "text", "doc_id")
 
 
+def _q_exact_window_dedup(spark, sf_dir):
+    """Doc-level exact repeated-window dedup (Lee et al. 2022 variant):
+    a doc is duplicate if ANY 10-token window also occurs in a
+    smaller-id doc. hash_fn='none' keeps the raw window string as the
+    join key so the oracle re-derives results exactly."""
+    from feature_store_api_spark.operators.dedup import exact_window_dedup
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return exact_window_dedup(d, "text", "doc_id", window=10, hash_fn="none")
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic nearest-seed
+    clustering, then within-cluster near-identical removal (rounded
+    cosine >= 0.99, smaller id survives). Like embedding_dups, the base
+    table has no near-dups, so one colinear 1.2x copy per vector is
+    planted (id + 10000) — every planted copy must flag is_dup."""
+    from feature_store_api_spark.operators.similarity import semantic_dedup
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.2).alias("embedding"),
+    )
+    both = e.unionByName(planted)
+    out = semantic_dedup(
+        both, "embedding", id_col="vec_id", num_clusters=8, threshold=0.99
+    )
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "is_dup"
+    )
+
+
 def _q_corpus_curation(spark, sf_dir):
     """End-to-end curation: quality gate (length + language) THEN
     near-dup cluster survivor selection (keep the smallest doc_id of
@@ -2393,6 +2430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # windowed_agg_hourly) so r06 re-proves it; (3) everything else,
     # freshest proofs last.
     return {
+        "exact_window_dedup": _q_exact_window_dedup,
+        "semantic_dedup": _q_semantic_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
@@ -3237,6 +3276,69 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LIST_COSINE_SIMILARITY(a.v, b.v)::DOUBLE, 6) AS cosine
             FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
             WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v)::DOUBLE, 6) >= 0.95
+        """,
+        "exact_window_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                                 x -> length(x) > 0) AS words
+              FROM documents WHERE text IS NOT NULL
+            ),
+            wins AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 10 THEN
+                       list_distinct(list_transform(range(0, len(words) - 10 + 1),
+                                     i -> array_to_string(words[i+1:i+10], ' ')))
+                     ELSE [] END AS ws
+              FROM w
+            ),
+            ex AS (SELECT doc_id, unnest(ws) AS win FROM wins),
+            m AS (SELECT win, min(doc_id) AS mid FROM ex GROUP BY win),
+            d AS (
+              SELECT DISTINCT e.doc_id FROM ex e JOIN m ON e.win = m.win
+              WHERE e.doc_id > m.mid
+            )
+            SELECT wins.doc_id, len(ws) AS n_windows,
+                   (wins.doc_id IN (SELECT doc_id FROM d)) AS is_dup
+            FROM wins
+        """,
+        # SemDeDup: same deterministic nearest-seed assignment
+        # (rounded-cosine argmax, ties to smallest seed index) and
+        # within-cluster pair check re-derived independently in SQL
+        "semantic_dedup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            all_v AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.2) AS v FROM base
+            ),
+            seeds AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx, v
+              FROM all_v ORDER BY vec_id LIMIT 8
+            ),
+            ranked AS (
+              SELECT e.vec_id, s.idx,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.v)::DOUBLE, 6) DESC,
+                                s.idx ASC
+                     ) AS rn
+              FROM all_v e CROSS JOIN seeds s
+            ),
+            assign AS (
+              SELECT vec_id, CAST(idx AS INT) AS cluster FROM ranked WHERE rn = 1
+            ),
+            dups AS (
+              SELECT DISTINCT a2.vec_id AS dup_id
+              FROM assign a1
+              JOIN assign a2 ON a2.cluster = a1.cluster AND a1.vec_id < a2.vec_id
+              JOIN all_v v1 ON v1.vec_id = a1.vec_id
+              JOIN all_v v2 ON v2.vec_id = a2.vec_id
+              WHERE ROUND(LIST_COSINE_SIMILARITY(v1.v, v2.v)::DOUBLE, 6) >= 0.99
+            )
+            SELECT a.vec_id, a.cluster,
+                   (a.vec_id IN (SELECT dup_id FROM dups)) AS is_dup
+            FROM assign a
         """,
         "text_language": """
             WITH w AS (

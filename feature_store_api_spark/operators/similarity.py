@@ -1072,6 +1072,90 @@ def _rp_sign(seed: int, j: int, i: int) -> float:
     return 1.0 if int(h[0], 16) < 8 else -1.0
 
 
+def semantic_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str = "vec_id",
+    num_clusters: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public
+    algorithm): semantic near-duplicate removal over an embedding
+    column. Cluster the embeddings, then WITHIN each cluster mark every
+    item that has a near-identical neighbor (rounded cosine ≥
+    ``threshold``) with a smaller id as a duplicate — one survivor per
+    near-identical group, never comparing across clusters.
+
+    Output: ``(id_col, cluster, is_dup)`` — fully deterministic.
+
+    Engine notes: the coarse clustering is nearest-seed assignment with
+    DETERMINISTIC seeds (the ``num_clusters`` smallest-id embeddings),
+    argmax of rounded cosine with ties to the smallest seed index, so
+    any engine re-derives the exact partition (swap in
+    ``build_ivf_index``'s Lloyd-refined centroids for quality at
+    scale — the dedup semantics are identical). Scale posture: seeds
+    are a k-row collect (tiny), assignment is a scan-side fold, and the
+    only join is the within-cluster self-join — SemDeDup's whole point:
+    O(Σ cᵢ²) pair work instead of O(n²), with cluster count sized so
+    cᵢ ≈ n/k fits a partition."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
+    seeds = [
+        list(r["__v"])
+        for r in base.orderBy("__id").limit(num_clusters).collect()
+    ]
+    if not seeds:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster int, is_dup boolean"
+        )
+    vnorm = _norm(F.col("__v"))
+    scored = []
+    for i, s in enumerate(seeds):
+        snorm = sum(x * x for x in s) ** 0.5 or 1.0
+        dot = _dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in s]))
+        cos = F.when(vnorm == 0, F.lit(-2.0)).otherwise(
+            F.round(dot / (vnorm * F.lit(snorm)), 6)
+        )
+        # struct max: highest cosine wins, ties to the SMALLEST index
+        # (-i sorts the tie the right way inside array_max)
+        scored.append(
+            F.struct(
+                cos.alias("c"), F.lit(-i).alias("ni"), F.lit(i).alias("cell")
+            )
+        )
+    assigned = base.withColumn(
+        "cluster", F.array_max(F.array(*scored)).getField("cell")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v"))
+        / (_norm(F.col("a.__v")) * _norm(F.col("b.__v"))),
+        6,
+    )
+    dup_ids = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster") == F.col("b.cluster"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .where(pair_cos >= threshold)
+        .select(F.col("b.__id").alias("__id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def random_projection(
     df: DataFrame,
     col: str,

@@ -66,7 +66,33 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
+# (applicationId, realpath, mtime_ns) → DataFrame. spark.read.parquet
+# pays a JVM file-listing + footer schema read (~50-100 ms) EVERY call;
+# for the repeated-scan shape (benchmarks, per-query catalog rebuilds,
+# serving loops) that listing dominates small-query latency. A DataFrame
+# is an immutable logical plan, so reuse is safe as long as the files
+# underneath haven't changed — the mtime in the key invalidates the
+# entry whenever the file or directory is rewritten (Spark's
+# write-temp-then-rename always bumps the dir mtime).
+_PLAN_CACHE: Dict[tuple, DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, path: str):
+    try:
+        real = os.path.realpath(path)
+        return (
+            spark.sparkContext.applicationId,
+            real,
+            os.stat(real).st_mtime_ns,
+        )
+    except OSError:
+        return None
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = _cache_key(spark, path)
+    if key is not None and key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         _ensure_nanos_conf(spark)
@@ -85,6 +111,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
                 c,
                 F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
+    if key is not None:
+        if len(_PLAN_CACHE) > 256:  # bound: drop the oldest half
+            for k in list(_PLAN_CACHE)[:128]:
+                del _PLAN_CACHE[k]
+        _PLAN_CACHE[key] = df
     return df
 
 

@@ -339,3 +339,27 @@ def test_incremental_pairs_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_window_dedup_flags_copied_passage(spark):
+    """A verbatim 12-token passage inside an otherwise-unique larger doc
+    must flag the LARGER id; whole-doc-unique texts stay clean; short
+    docs (< window tokens) have zero windows and never dup."""
+    from feature_store_api_spark.operators.dedup import exact_window_dedup
+
+    passage = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, "intro words here " + passage + " and an original ending one"),
+        (2, "different beginning text " + passage + " completely other tail"),
+        (3, "totally unrelated content with no overlap whatsoever in any span of words at all"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hf in ("xxhash64", "none"):
+        out = {r["doc_id"]: r for r in
+               exact_window_dedup(df, "text", "doc_id", window=12,
+                                  hash_fn=hf).collect()}
+        assert out[2]["is_dup"] is True      # shares the passage with doc 1
+        assert out[1]["is_dup"] is False     # smallest id survives
+        assert out[3]["is_dup"] is False
+        assert out[4]["is_dup"] is False and out[4]["n_windows"] == 0

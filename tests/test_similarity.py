@@ -681,3 +681,50 @@ def test_write_ivfpq_codes_only_drops_float_vectors(spark, tmp_path):
     assert disk.find_neighbors if hasattr(disk, "find_neighbors") else True
     q = [0.5] * 16
     assert sim.find_neighbors_ivfpq(disk, q, k=5, nprobe=2).count() == 5
+
+
+def test_semantic_dedup_marks_planted_copies(spark):
+    """SemDeDup: colinear copies (cosine 1.0) in the same cluster mark
+    is_dup on the LARGER id; originals survive; assignment is
+    deterministic across calls."""
+    import random as _r
+
+    _r.seed(9)
+    rows = [(i, [_r.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = base.selectExpr(
+        "vec_id + 1000 AS vec_id",
+        "transform(embedding, x -> x * 2.0) AS embedding",
+    )
+    both = base.unionByName(planted)
+    out = sim.semantic_dedup(both, "embedding", num_clusters=4, threshold=0.99)
+    got = {r["vec_id"]: (r["cluster"], r["is_dup"]) for r in out.collect()}
+    assert len(got) == 120
+    for i in range(60):
+        # copy and original land in the same cluster; only the copy dups
+        assert got[i][0] == got[i + 1000][0]
+        assert got[i][1] is False
+        assert got[i + 1000][1] is True
+    # deterministic
+    again = {r["vec_id"]: (r["cluster"], r["is_dup"])
+             for r in sim.semantic_dedup(both, "embedding", num_clusters=4,
+                                         threshold=0.99).collect()}
+    assert again == got
+
+
+def test_semantic_dedup_no_cross_cluster_comparison(spark):
+    """Two identical vectors forced into different clusters must NOT
+    pair (the SemDeDup trade: within-cluster only)."""
+    # seeds are the 2 smallest ids: orthogonal axes
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [1.0, 0.001]), (3, [0.001, 1.0]),  # near each axis
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           sim.semantic_dedup(df, "embedding", num_clusters=2,
+                              threshold=0.99).collect()}
+    assert out[2]["cluster"] == out[0]["cluster"]
+    assert out[3]["cluster"] == out[1]["cluster"]
+    assert out[2]["is_dup"] and out[3]["is_dup"]  # within-cluster pairs
+    assert not out[0]["is_dup"] and not out[1]["is_dup"]

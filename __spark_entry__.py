@@ -2034,6 +2034,16 @@ def _q_repetition_metrics(spark, sf_dir):
     return repetition_metrics(d, "text", "doc_id")
 
 
+def _q_drift_windows(spark, sf_dir):
+    """Per-day PSI/JS of events.value against the whole-table reference
+    histogram — the continuous-monitoring shape of distribution_drift,
+    all in one plan (windows x buckets wide agg, zero per-window jobs)."""
+    from feature_store_api_spark.operators.monitoring import windowed_drift
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return windowed_drift(ev, "value", "ts", window="1 day", buckets=10)
+
+
 def _q_exact_window_dedup(spark, sf_dir):
     """Doc-level exact repeated-window dedup (Lee et al. 2022 variant):
     a doc is duplicate if ANY 10-token window also occurs in a
@@ -2430,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # windowed_agg_hourly) so r06 re-proves it; (3) everything else,
     # freshest proofs last.
     return {
+        "drift_windows": _q_drift_windows,
         "exact_window_dedup": _q_exact_window_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -3276,6 +3287,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LIST_COSINE_SIMILARITY(a.v, b.v)::DOUBLE, 6) AS cosine
             FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
             WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v)::DOUBLE, 6) >= 0.95
+        """,
+        "drift_windows": """
+            WITH mm AS (
+              SELECT min(value::DOUBLE) AS mn,
+                     CASE WHEN max(value::DOUBLE) = min(value::DOUBLE) THEN 1.0
+                          ELSE max(value::DOUBLE) - min(value::DOUBLE) END AS w
+              FROM events WHERE value IS NOT NULL
+            ),
+            ref AS (
+              SELECT greatest(0, least(9,
+                       CAST(floor((value::DOUBLE - mm.mn) / mm.w * 10) AS INT))) AS b
+              FROM events, mm WHERE value IS NOT NULL
+            ),
+            qr AS (SELECT b, count(*)::DOUBLE AS c FROM ref GROUP BY b),
+            qf AS (
+              SELECT t.i AS b,
+                     greatest(coalesce(qr.c, 0) / (SELECT count(*) FROM ref), 1e-6) AS qp
+              FROM range(0, 10) t(i) LEFT JOIN qr ON qr.b = t.i
+            ),
+            det AS (
+              SELECT date_trunc('day', ts) AS ws,
+                     greatest(0, least(9,
+                       CAST(floor((value::DOUBLE - mm.mn) / mm.w * 10) AS INT))) AS b
+              FROM events, mm WHERE value IS NOT NULL
+            ),
+            wn AS (SELECT ws, count(*) AS n FROM det GROUP BY ws),
+            cnt AS (SELECT ws, b, count(*)::DOUBLE AS c FROM det GROUP BY ws, b),
+            grid AS (SELECT wn.ws, t.i AS b FROM wn CROSS JOIN range(0, 10) t(i)),
+            terms AS (
+              SELECT g.ws,
+                     greatest(coalesce(cnt.c, 0) / wn.n, 1e-6) AS p,
+                     qf.qp AS q
+              FROM grid g
+              JOIN wn ON wn.ws = g.ws
+              JOIN qf ON qf.b = g.b
+              LEFT JOIN cnt ON cnt.ws = g.ws AND cnt.b = g.b
+            )
+            SELECT t.ws AS window_start,
+                   t.ws + INTERVAL '1 day' AS window_end,
+                   wn.n AS n,
+                   round(sum((t.p - t.q) * ln(t.p / t.q)), 6) AS psi,
+                   round(sum((t.p * ln(t.p / ((t.p + t.q) / 2))
+                              + t.q * ln(t.q / ((t.p + t.q) / 2))) / (2 * ln(2))), 6)
+                     AS js_divergence
+            FROM terms t JOIN wn ON wn.ws = t.ws
+            GROUP BY t.ws, wn.n
         """,
         "exact_window_dedup": """
             WITH w AS (

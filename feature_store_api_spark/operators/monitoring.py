@@ -334,3 +334,88 @@ def distribution_drift(
         "detection_count": n_det,
         "reference_count": n_ref,
     }
+
+
+def windowed_drift(
+    df: DataFrame,
+    column: str,
+    ts_col: str,
+    window: str = "1 hour",
+    reference: Optional[DataFrame] = None,
+    buckets: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """PSI per TIME WINDOW against a fixed reference — the continuous
+    production-monitoring shape of :func:`distribution_drift` (which
+    scores one window pair per call): bin a feature into the reference
+    histogram's bins, group by tumbling window, and compute PSI and JS
+    per window in-plan.
+
+    Output: ``(window_start, window_end, n, psi, js_divergence)``, one
+    row per non-empty window — same math (and same epsilon floors) as
+    ``distribution_drift``, so thresholds transfer.
+
+    Scale posture: the reference histogram is ONE tiny collect
+    (``buckets`` integers → literal probabilities); detection is a
+    single ``groupBy(window)`` wide agg with one conditional count per
+    bucket (map-side combined; the shuffle carries windows × buckets
+    partials), then PSI/JS are Column arithmetic over those counts —
+    no per-window jobs, no Python in the hot path, unbounded window
+    count."""
+    import math
+
+    ref = reference if reference is not None else df
+    mm = ref.agg(
+        F.min(F.col(column).cast("double")).alias("mn"),
+        F.max(F.col(column).cast("double")).alias("mx"),
+    ).collect()[0]
+    if mm["mn"] is None:
+        raise ValueError("windowed_drift: reference has no non-null values")
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    width = (mx - mn) or 1.0
+    ref_counts = _bin_counts(ref, column, mn, width, buckets)
+    n_ref = sum(ref_counts)
+    if n_ref == 0:
+        raise ValueError("windowed_drift: reference is empty")
+    q = [max(c / n_ref, epsilon) for c in ref_counts]
+
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col(column).cast("double") - F.lit(mn))
+                / F.lit(width)
+                * buckets
+            ).cast("int"),
+        ),
+    )
+    binned = df.where(F.col(column).isNotNull()).select(
+        F.window(F.col(ts_col), window).alias("__w"), b.alias("__b")
+    )
+    per_bin = [
+        F.sum(F.when(F.col("__b") == i, 1).otherwise(0)).alias(f"__c{i}")
+        for i in range(buckets)
+    ]
+    agg = binned.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("n"), *per_bin
+    )
+    total = F.col("n").cast("double")
+    psi = None
+    js = None
+    ln2 = math.log(2.0)
+    for i in range(buckets):
+        p = F.greatest(F.col(f"__c{i}") / total, F.lit(epsilon))
+        qi = F.lit(q[i])
+        term = (p - qi) * F.log(p / qi)
+        m = (p + qi) / 2.0
+        js_term = (p * F.log(p / m) + qi * F.log(qi / m)) / (2.0 * ln2)
+        psi = term if psi is None else psi + term
+        js = js_term if js is None else js + js_term
+    return agg.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "n",
+        F.round(psi, 6).alias("psi"),
+        F.round(js, 6).alias("js_divergence"),
+    )

@@ -5,6 +5,7 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from pyspark.sql import functions as F
 from feature_store_api_spark.sources.readers import read_parquet
 
 
@@ -292,3 +293,52 @@ def test_distribution_drift_metrics(spark):
     # empty detection window → None metrics, not a crash
     e = distribution_drift(same.where("v < 0"), ref, "v")
     assert e["psi"] is None and e["detection_count"] == 0
+
+
+def test_windowed_drift_matches_pairwise_drift(spark):
+    """Per-window PSI from the one-plan windowed_drift must equal
+    distribution_drift run window-by-window (same bins, same epsilon
+    floors), and a shifted window must score drift while an identical
+    one scores ~0."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.monitoring import (
+        distribution_drift,
+        windowed_drift,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # day 0: uniform 0..99 — the reference look
+    for i in range(200):
+        rows.append((base + dt.timedelta(minutes=i), float(i % 100)))
+    # day 1: shifted distribution 50..149
+    for i in range(200):
+        rows.append(
+            (base + dt.timedelta(days=1, minutes=i), 50.0 + float(i % 100))
+        )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    ref = df.where(F.col("ts") < dt.datetime(2024, 1, 2))
+
+    out = {
+        r["window_start"]: r
+        for r in windowed_drift(
+            df, "value", "ts", window="1 day", reference=ref, buckets=10
+        ).collect()
+    }
+    assert len(out) == 2
+    day0 = out[base]
+    day1 = out[base + dt.timedelta(days=1)]
+    assert day0["psi"] < 0.01          # same distribution as reference
+    assert day1["psi"] > 0.25          # major shift by the PSI rule of thumb
+
+    # parity with the pairwise operator, window by window
+    for start, row in out.items():
+        det = df.where(
+            (F.col("ts") >= start)
+            & (F.col("ts") < start + dt.timedelta(days=1))
+        )
+        pair = distribution_drift(det, ref, "value", buckets=10)
+        assert abs(row["psi"] - round(pair["psi"], 6)) < 1e-6
+        assert abs(row["js_divergence"] - round(pair["js_divergence"], 6)) < 1e-6
+        assert row["n"] == pair["detection_count"]

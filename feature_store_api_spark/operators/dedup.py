@@ -148,8 +148,19 @@ def minhash_signatures(
     ``'xxhash64'`` is the fast path.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    # The hash work is ~65 hashes per input CHARACTER — compute-bound,
+    # not IO-bound — so parallelism must come from the cluster, not the
+    # input layout: a single small parquet file scans as ONE partition
+    # and would serialize the whole signature pass onto one core.
+    # Repartition the (id, text) rows (tiny: pre-explosion) across the
+    # default parallelism, hash-partitioned BY ID so the groupBy(id)
+    # below reuses the partitioning instead of adding an exchange.
+    base = df.select(F.col(id_col), norm.alias("__t"))
+    parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
+    if parts and parts > 1:
+        base = base.repartition(parts, id_col)
     exploded = (
-        df.select(F.col(id_col), norm.alias("__t"))
+        base
         .select(
             F.col(id_col),
             F.col("__t"),

@@ -257,6 +257,17 @@ class FeatureGroup(FeatureGroupBase):
             )
         return self._store
 
+    def save(self, features=None, write_options=None):
+        """Parity ``feature_group.py:2489``: with a DataFrame, persist
+        metadata AND ingest it (first insert); with a feature list (or
+        nothing), register the schema only — our groups register at
+        create time, so the data-free call just declares features."""
+        if isinstance(features, DataFrame):
+            return self.insert(features)
+        if features:
+            self.set_features(list(features))
+        return self
+
     def insert(
         self,
         df: DataFrame,
@@ -434,6 +445,62 @@ class FeatureGroup(FeatureGroupBase):
         self._persist_declared_schema()
         return self
 
+    def update_features(self, features) -> "FeatureGroup":
+        """Parity ``feature_group.py:779`` — metadata update for
+        existing features; like the reference, only the DESCRIPTION is
+        updatable (type/name changes need schema evolution via
+        ``append_features``)."""
+        from .feature import Feature as _Feature
+
+        if isinstance(features, _Feature):
+            features = [features]
+        for f in features:
+            self.update_feature_description(f.name, f.description)
+        return self
+
+    def get_fg_name(self) -> str:
+        """Parity ``feature_group.py:1682``: the storage-layer name."""
+        return f"{self.name}_{self.version}"
+
+    def get_complex_features(self) -> List[str]:
+        """Parity ``feature_group.py:1956``: names of features whose
+        type is complex (array/map/struct) — the ones the Kafka/Avro
+        path serializes as nested records."""
+        out = []
+        for f in self.features:
+            t = str(f.type or "")
+            if t.startswith(("ArrayType", "MapType", "StructType")) or (
+                isinstance(f.type, str)
+                and f.type.strip().lower().startswith(("array", "map", "struct"))
+            ):
+                out.append(f.name)
+        return out
+
+    def check_deprecated(self) -> None:
+        """Parity ``check_deprecated``: warn when reading a group that
+        was marked deprecated."""
+        if self.deprecated:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"Feature group {self.name!r} v{self.version} is "
+                "deprecated; migrate readers to its replacement",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+
+    @property
+    def hudi_precombine_key(self) -> Optional[str]:
+        """Parity alias: the reference exposes the precombine field
+        under its Hudi name."""
+        return self.precombine_key
+
+    @property
+    def statistics(self) -> Optional[Dict]:
+        """Parity ``feature_group.py:1686``: the LATEST computed
+        statistics (or None if none were persisted)."""
+        return self.get_statistics()
+
     def update_statistics_config(self, config) -> "FeatureGroup":
         """Parity ``update_statistics_config``: replaces the profiling
         config used by future ``compute_statistics`` runs."""
@@ -549,6 +616,39 @@ class FeatureGroup(FeatureGroupBase):
 
     # -- feature monitoring (parity feature_monitoring_config_engine:
     # named drift checks persisted with the group, run on demand) ---------
+    def create_feature_monitoring(
+        self, name: str, feature_name: str, description: str = ""
+    ):
+        """Fluent comparison-monitoring builder (parity reference
+        ``feature_group.py:1526``):
+        ``fg.create_feature_monitoring(...).with_detection_window(...)
+        .with_reference_window(...).compare_on(...).save()``."""
+        from .operators.monitoring import FeatureMonitoringBuilder
+
+        return FeatureMonitoringBuilder(
+            self, name, feature_name=feature_name, description=description
+        )
+
+    def create_statistics_monitoring(
+        self,
+        name: str,
+        feature_name: Optional[str] = None,
+        description: str = "",
+    ):
+        """Statistics-only monitoring builder (parity reference
+        ``feature_group.py:1460``): computes window statistics with no
+        reference comparison; ``with_reference_*``/``compare_on``
+        raise, matching the reference's split."""
+        from .operators.monitoring import FeatureMonitoringBuilder
+
+        return FeatureMonitoringBuilder(
+            self,
+            name,
+            feature_name=feature_name,
+            description=description,
+            statistics_only=True,
+        )
+
     def create_feature_monitoring_config(self, config) -> None:
         import json as _json
 

@@ -419,3 +419,110 @@ def windowed_drift(
         F.round(psi, 6).alias("psi"),
         F.round(js, 6).alias("js_divergence"),
     )
+
+
+class FeatureMonitoringBuilder:
+    """Fluent monitoring-config builder (parity
+    ``core/feature_monitoring_config.py:218,270,315,380,426`` —
+    ``fg.create_feature_monitoring(...).with_detection_window(...)
+    .with_reference_window(...).compare_on(...).save()``). ``save()``
+    validates and persists the config on the owning feature group via
+    ``create_feature_monitoring_config``; run it with
+    ``fg.run_feature_monitoring(name)``."""
+
+    def __init__(
+        self,
+        owner,
+        name: str,
+        feature_name: Optional[str] = None,
+        description: str = "",
+        statistics_only: bool = False,
+    ) -> None:
+        self._owner = owner
+        self._name = name
+        self._feature_name = feature_name
+        self._description = description
+        self._statistics_only = statistics_only
+        self._detection: Optional[MonitoringWindowConfig] = None
+        self._reference: Optional[MonitoringWindowConfig] = None
+        self._metric = "mean_val"
+        self._threshold = 0.0
+        self._strict = False
+        self._relative = False
+
+    def with_detection_window(
+        self,
+        time_offset: Optional[str] = None,
+        window_length: Optional[str] = None,
+        row_percentage: float = 1.0,
+    ) -> "FeatureMonitoringBuilder":
+        self._detection = MonitoringWindowConfig(
+            window_type="ROLLING_TIME" if (time_offset or window_length) else "ALL_TIME",
+            time_offset=time_offset,
+            window_length=window_length,
+            row_percentage=row_percentage,
+        )
+        return self
+
+    def with_reference_window(
+        self,
+        time_offset: Optional[str] = None,
+        window_length: Optional[str] = None,
+        row_percentage: float = 1.0,
+    ) -> "FeatureMonitoringBuilder":
+        if self._statistics_only:
+            raise ValueError(
+                "statistics-only monitoring takes no reference window "
+                "(reference contract: create_feature_monitoring for comparisons)"
+            )
+        self._reference = MonitoringWindowConfig(
+            window_type="ROLLING_TIME" if (time_offset or window_length) else "ALL_TIME",
+            time_offset=time_offset,
+            window_length=window_length,
+            row_percentage=row_percentage,
+        )
+        return self
+
+    def with_reference_value(self, value: float) -> "FeatureMonitoringBuilder":
+        if self._statistics_only:
+            raise ValueError("statistics-only monitoring takes no reference")
+        self._reference = MonitoringWindowConfig(
+            window_type="SPECIFIC_VALUE", specific_value=float(value)
+        )
+        return self
+
+    def compare_on(
+        self,
+        metric: str,
+        threshold: float,
+        strict: bool = False,
+        relative: bool = False,
+    ) -> "FeatureMonitoringBuilder":
+        if self._reference is None:
+            raise ValueError(
+                "compare_on requires a reference window/value first "
+                "(reference contract)"
+            )
+        # reference metric names are bare ('mean'); describe_df columns
+        # carry the _val suffix — accept both
+        self._metric = metric if metric.endswith("_val") else f"{metric}_val"
+        self._threshold = float(threshold)
+        self._strict = bool(strict)
+        self._relative = bool(relative)
+        return self
+
+    def save(self) -> FeatureMonitoringConfig:
+        if not self._statistics_only and self._feature_name is None:
+            raise ValueError("feature monitoring requires feature_name")
+        cfg = FeatureMonitoringConfig(
+            name=self._name,
+            feature_name=self._feature_name or "",
+            statistic=self._metric,
+            detection_window=self._detection or MonitoringWindowConfig(),
+            reference_window=self._reference,
+            threshold=self._threshold,
+            relative=self._relative,
+            strict=self._strict,
+        )
+        self._owner.create_feature_monitoring_config(cfg)
+        return cfg

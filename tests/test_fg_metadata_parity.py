@@ -199,3 +199,80 @@ def test_fg_save_validation_report_external(spark, fs):
     ge_rec = [h for h in hist if not h["success"]][0]
     assert ge_rec["results"][0]["observed"] == 7.0
     assert ge_rec["results"][0]["column"] == "v"
+
+
+def test_fg_parity_tail_members(spark, fs):
+    """Small reference-API tail: save(df) alias, get_fg_name,
+    get_complex_features, update_features (description-only),
+    hudi_precombine_key alias, statistics property, check_deprecated."""
+    import warnings
+
+    from feature_store_api_spark.feature import Feature
+
+    fg = fs.create_feature_group(
+        "tailfg", primary_key=["k"], precombine_key="k"
+    )
+    df = spark.createDataFrame(
+        [(1, 2.0, ["a", "b"])], "k long, v double, tags array<string>"
+    )
+    commit = fg.save(df)  # DataFrame -> ingest
+    assert commit is not None and fg.read(spark).count() == 1
+
+    assert fg.get_fg_name() == "tailfg_1"
+    assert fg.get_complex_features() == ["tags"]
+    assert fg.hudi_precombine_key == "k"
+
+    f = Feature("v", description="the value")
+    fg.update_features(f)
+    assert fg.get_feature("v").description == "the value"
+
+    stats = fg.compute_statistics(spark)
+    assert fg.statistics is not None and fg.statistics == fg.get_statistics()
+
+    fg.deprecated = True
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fg.check_deprecated()
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_fg_monitoring_fluent_builder(spark, fs):
+    """create_feature_monitoring / create_statistics_monitoring fluent
+    parity: builder -> save() persists the config; run_feature_monitoring
+    executes it; statistics-only builders refuse references."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    fg = fs.create_feature_group(
+        "monfg", primary_key=["k"], event_time="ts"
+    )
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(i))
+            for i in range(48)]
+    fg.insert(spark.createDataFrame(rows, "k long, ts timestamp, v double"))
+
+    cfg = (
+        fg.create_feature_monitoring("mean_drift", feature_name="v")
+        .with_detection_window(time_offset="1d")
+        .with_reference_window()
+        .compare_on(metric="mean", threshold=5.0, relative=False)
+        .save()
+    )
+    assert cfg.statistic == "mean_val"
+    names = [c["name"] for c in fg.get_feature_monitoring_configs()]
+    assert "mean_drift" in names
+
+    res = fg.run_feature_monitoring(
+        "mean_drift", spark, now=dt.datetime(2024, 1, 3)
+    )
+    assert res["detection_value"] is not None
+    assert res["reference_value"] is not None
+    assert "shift_detected" in res or "difference" in res
+
+    stats_builder = fg.create_statistics_monitoring("just_stats", "v")
+    with _pt.raises(ValueError, match="no reference"):
+        stats_builder.with_reference_window()
+    stats_builder.with_detection_window(time_offset="1d").save()
+    assert any(
+        c["name"] == "just_stats" for c in fg.get_feature_monitoring_configs()
+    )

@@ -603,10 +603,49 @@ def e3_doc_chunks(spark, sf_dir):
     _force(chunk_documents(d, "text", "doc_id", chunk_size=200, overlap=50))
 
 
+def e4_exact_window_dedup(spark, sf_dir):
+    """Doc-level repeated-10-token-window dedup over documents."""
+    from feature_store_api_spark.operators.dedup import exact_window_dedup
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    _force(exact_window_dedup(d, "text", "doc_id", window=10))
+
+
+def e5_semantic_dedup(spark, sf_dir):
+    """SemDeDup over embeddings + planted colinear copies."""
+    from feature_store_api_spark.operators.similarity import semantic_dedup
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.2).alias("embedding"),
+    )
+    _force(
+        semantic_dedup(
+            e.unionByName(planted), "embedding", num_clusters=32, threshold=0.99
+        )
+    )
+
+
+def e6_drift_windows(spark, sf_dir):
+    """Per-day PSI/JS of events.value vs the whole-table reference."""
+    from feature_store_api_spark.operators.monitoring import windowed_drift
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    _force(windowed_drift(ev, "value", "ts", window="1 day", buckets=10))
+
+
 EXTRA_QUERIES = {
     "e1_ivfpq_probe": e1_ivfpq_probe,
     "e2_incremental_dedup": e2_incremental_dedup,
     "e3_doc_chunks": e3_doc_chunks,
+    "e4_exact_window_dedup": e4_exact_window_dedup,
+    "e5_semantic_dedup": e5_semantic_dedup,
+    "e6_drift_windows": e6_drift_windows,
 }
 
 

@@ -640,10 +640,23 @@ def exact_window_dedup(
     instead of the window text (~10-60 bytes saved per row at 100 TB);
     ``hash_fn="none"`` keeps the raw string key so other engines can
     re-derive results exactly."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
-        lambda w: F.length(w) > 0,
+    # compute-bound like minhash: parallelism must not depend on the
+    # input file layout (a single small parquet file = one partition)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if parts and parts > 1:
+        df = df.repartition(parts, id_col)
+    # tokenize into a MATERIALIZED column first: referencing the
+    # filter(split(...)) expression inside the window lambda would
+    # inline it, re-tokenizing the whole document once per window —
+    # O(len x windows) per doc instead of O(len)
+    tokenized = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
+            lambda w: F.length(w) > 0,
+        ).alias("__words"),
     )
+    words = F.col("__words")
     n = F.lit(window)
     wins = F.when(
         F.size(words) >= window,
@@ -656,7 +669,16 @@ def exact_window_dedup(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    docs = df.select(F.col(id_col), wins.alias("__wins"))
+    # materialize the window table ONCE: it feeds the explode, the
+    # min-per-window join AND the final n_windows output — and without
+    # a hard barrier, InferFiltersFromGenerate clones the whole window-
+    # generation expression into a Filter BELOW the repartition (single
+    # input partition → the heavy expression runs twice, once
+    # single-threaded; measured 10x slower at sf0.1). localCheckpoint
+    # frees on RDD GC, no CacheManager entry.
+    docs = tokenized.select(
+        F.col(id_col), wins.alias("__wins")
+    ).localCheckpoint(eager=True)
     key = F.col("__w") if hash_fn == "none" else F.xxhash64(F.col("__w"))
     exploded = docs.select(
         id_col, F.explode("__wins").alias("__w")

@@ -1099,6 +1099,11 @@ def semantic_dedup(
     O(Σ cᵢ²) pair work instead of O(n²), with cluster count sized so
     cᵢ ≈ n/k fits a partition."""
     base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
+    # assignment is a k-cosines-per-row fold — compute-bound, so spread
+    # it across the cluster even when the input is one small file
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if parts and parts > 1:
+        base = base.repartition(parts, "__id")
     seeds = [
         list(r["__v"])
         for r in base.orderBy("__id").limit(num_clusters).collect()
@@ -1123,9 +1128,12 @@ def semantic_dedup(
                 cos.alias("c"), F.lit(-i).alias("ni"), F.lit(i).alias("cell")
             )
         )
+    # materialize once: the assignment fold feeds both self-join sides
+    # AND the final output join — without this it would run three times
+    # (localCheckpoint frees itself on RDD GC, no CacheManager entry)
     assigned = base.withColumn(
         "cluster", F.array_max(F.array(*scored)).getField("cell")
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = F.round(

@@ -242,3 +242,52 @@ def test_ngram_jaccard_candidates_path_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert out.count() == 1
+
+
+def test_exact_window_dedup_plan(spark, sf_dir):
+    """No cartesian/nested-loop join, no Python stage, and the heavy
+    window-generation expression must not be cloned below the
+    repartition by InferFiltersFromGenerate (the round-6 10x trap)."""
+    from feature_store_api_spark.operators.dedup import exact_window_dedup
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    out = exact_window_dedup(d, "text", "doc_id", window=10)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    # the window table is checkpointed: downstream reads scan cached
+    # partitions, so the generator filter can't clone the tokenizer
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:1500]
+
+
+def test_semantic_dedup_plan(spark, sf_dir):
+    """Within-cluster self-join must be a hash/sort-merge equi-join on
+    the cluster key — never a cartesian — with no Python stage; the
+    assignment fold is checkpointed so it runs once."""
+    from feature_store_api_spark.operators.similarity import semantic_dedup
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semantic_dedup(e, "embedding", num_clusters=4, threshold=0.99)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "ExistingRDD" in plan, plan[:1500]
+
+
+def test_windowed_drift_single_wide_agg(spark, sf_dir):
+    """One groupBy(window) wide agg: exactly one hash exchange, no
+    Python, no join (the reference histogram is literal)."""
+    from feature_store_api_spark.operators.monitoring import windowed_drift
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = windowed_drift(ev, "value", "ts", window="1 day", buckets=10)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -528,6 +528,36 @@ class FeatureView:
                 return json.load(fh)
         return dict(getattr(self, "_mem_monitoring", {}))
 
+    def create_feature_monitoring(
+        self, name: str, feature_name: str, description: str = ""
+    ):
+        """Fluent comparison-monitoring builder (parity reference
+        ``feature_view.py:3363``) — same contract as the feature-group
+        variant; runs against the view's compiled PIT frame."""
+        from .operators.monitoring import FeatureMonitoringBuilder
+
+        return FeatureMonitoringBuilder(
+            self, name, feature_name=feature_name, description=description
+        )
+
+    def create_statistics_monitoring(
+        self,
+        name: str,
+        feature_name: Optional[str] = None,
+        description: str = "",
+    ):
+        """Statistics-only monitoring builder (parity reference
+        ``feature_view.py:3303``)."""
+        from .operators.monitoring import FeatureMonitoringBuilder
+
+        return FeatureMonitoringBuilder(
+            self,
+            name,
+            feature_name=feature_name,
+            description=description,
+            statistics_only=True,
+        )
+
     def create_feature_monitoring_config(self, config) -> None:
         """Attach a named monitoring config to the view (persisted with
         the view when store-backed)."""

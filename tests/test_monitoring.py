@@ -342,3 +342,28 @@ def test_windowed_drift_matches_pairwise_drift(spark):
         assert abs(row["psi"] - round(pair["psi"], 6)) < 1e-6
         assert abs(row["js_divergence"] - round(pair["js_divergence"], 6)) < 1e-6
         assert row["n"] == pair["detection_count"]
+
+
+def test_feature_view_fluent_monitoring_builder(spark, tmp_path):
+    """FV-side create_feature_monitoring fluent builder (reference
+    feature_view.py:3363): save() persists on the view,
+    run_feature_monitoring executes against the compiled PIT frame."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("fvmon_src", primary_key=["k"], event_time="ts")
+    rows = [(i, datetime(2024, 1, 1) + timedelta(hours=i), float(i)) for i in range(48)]
+    fg.insert(spark.createDataFrame(rows, "k long, ts timestamp, v double"))
+    fv = fs.create_feature_view("fvmon", fg.select_all())
+
+    (
+        fv.create_feature_monitoring("v_mean", feature_name="v")
+        .with_detection_window(time_offset="1d")
+        .with_reference_value(10.0)
+        .compare_on(metric="mean", threshold=100.0)
+        .save()
+    )
+    assert any(c["name"] == "v_mean" for c in fv.get_feature_monitoring_configs())
+    res = fv.run_feature_monitoring("v_mean", spark, now=datetime(2024, 1, 3))
+    assert res["reference_value"] == 10.0
+    assert res["detection_value"] is not None

@@ -1196,6 +1196,83 @@ class FeatureView:
         if self._feature_store is not None:
             self._feature_store.delete_feature_view(self.name, self.version)
 
+    @staticmethod
+    def clean(feature_store, name: str, version: int = 1) -> None:
+        """Parity reference ``feature_view.py:222``: delete a view and
+        its training data BY NAME, without rehydrating it first — the
+        escape hatch for a view whose recorded query no longer loads
+        (e.g. its source group was dropped)."""
+        import os
+        import shutil
+
+        path = feature_store._view_path(name, version)
+        if path is not None and os.path.isdir(os.path.dirname(path)):
+            base = os.path.dirname(path)
+            stem = os.path.basename(path)
+            for entry in os.listdir(base):
+                if entry == stem or entry.startswith(stem.rsplit(".", 1)[0]):
+                    full = os.path.join(base, entry)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        os.remove(full)
+        feature_store._views.pop((name, version), None)
+
+    # -- schema / transformation introspection (parity
+    # feature_view.py:3963-3976,4024) -------------------------------------
+    @property
+    def schema(self) -> List:
+        """The view's features (parity ``schema``/``features``): the
+        compiled query's output features."""
+        return list(self.query.features)
+
+    @property
+    def features(self) -> List:
+        """Alias of :attr:`schema` (reference parity)."""
+        return self.schema
+
+    def transformed_features(self) -> List[str]:
+        """Post-transformation feature names (parity
+        ``feature_view.py:4024``): query features minus every
+        transformation input that is consumed, plus the declared
+        transformation outputs."""
+        consumed = set()
+        outputs: List[str] = []
+        for t in self.transformation_functions:
+            outputs.extend(t.output_names())
+            consumed.update(getattr(t, "drop", []) or [])
+        base = [f.name for f in self.schema]
+        return [c for c in base if c not in consumed] + outputs
+
+    @property
+    def model_dependent_transformation_functions(self) -> List:
+        """Transformations applied at training/serving read time."""
+        from .functions.udf import TransformationFunction
+
+        return [
+            t for t in self.transformation_functions
+            if t.mode == TransformationFunction.MODEL_DEPENDENT
+        ]
+
+    @property
+    def on_demand_transformation_functions(self) -> List:
+        """Transformations computed at ingest / on demand."""
+        from .functions.udf import TransformationFunction
+
+        return [
+            t for t in self.transformation_functions
+            if t.mode == TransformationFunction.ON_DEMAND
+        ]
+
+    # the reference's public names carry a typo ("tranformation",
+    # feature_view.py) — keep them as aliases so reference code runs
+    model_dependent_tranformation_functions = model_dependent_transformation_functions
+    on_demand_tranformation_functions = on_demand_transformation_functions
+
+    def update_last_accessed_training_dataset(self, version: int) -> None:
+        """Parity setter twin of ``get_last_accessed_training_dataset``."""
+        self._last_accessed_training_dataset = version
+
     # -- model provenance (parity feature_view.py:1157-1208: models
     # generated from this view, resolved via the model registry) ----------
     def _model_registry(self):

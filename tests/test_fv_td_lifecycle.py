@@ -180,3 +180,50 @@ def test_legacy_store_level_training_dataset_api(spark, tmp_path):
         import pytest as _pt
         with _pt.raises(KeyError):
             fs.get_training_dataset("absent")
+
+
+def test_fv_schema_and_transformation_introspection(spark, tmp_path):
+    """schema/features properties, transformed_features, typed
+    transformation-function accessors (incl. the reference's typo'd
+    public names), update_last_accessed_training_dataset, and
+    FeatureView.clean by name."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+    from feature_store_api_spark.functions.udf import (
+        TransformationFunction,
+        udf,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("introspect_src", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(1, 2.0, 3.0)], "k long, a double, b double"))
+
+    @udf("double", drop=["a"])
+    def a_plus_one(a):
+        return a + 1
+
+    fv = fs.create_feature_view(
+        "introspect", fg.select_all(),
+        transformation_functions=[a_plus_one],
+    )
+    names = [f.name for f in fv.schema]
+    assert names == [f.name for f in fv.features]
+    assert set(["k", "a", "b"]).issubset(set(names))
+    tf_out = fv.transformed_features()
+    # default output naming: <fn>_<input> (reference convention)
+    assert "a_plus_one_a" in tf_out and "a" not in tf_out and "b" in tf_out
+
+    assert len(fv.model_dependent_transformation_functions) == 1
+    assert fv.on_demand_transformation_functions == []
+    # the reference's typo'd public names stay callable
+    assert len(fv.model_dependent_tranformation_functions) == 1
+    assert fv.on_demand_tranformation_functions == []
+
+    fv.update_last_accessed_training_dataset(7)
+    assert fv.get_last_accessed_training_dataset() == 7
+
+    # clean-by-name removes the view without rehydrating it
+    FeatureView.clean(fs, "introspect", 1)
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        FeatureStore(root=str(tmp_path)).get_feature_view("introspect")

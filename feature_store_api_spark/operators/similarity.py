@@ -1136,10 +1136,11 @@ def semantic_dedup(
     ).localCheckpoint(eager=True)
     a = assigned.alias("a")
     b = assigned.alias("b")
-    pair_cos = F.round(
-        _dot(F.col("a.__v"), F.col("b.__v"))
-        / (_norm(F.col("a.__v")) * _norm(F.col("b.__v"))),
-        6,
+    # zero-norm guard: cosine is undefined for a zero vector, so such a
+    # pair is never a duplicate (and ANSI mode would raise on the /0)
+    norm_prod = _norm(F.col("a.__v")) * _norm(F.col("b.__v"))
+    pair_cos = F.when(norm_prod == 0, F.lit(-2.0)).otherwise(
+        F.round(_dot(F.col("a.__v"), F.col("b.__v")) / norm_prod, 6)
     )
     dup_ids = (
         a.join(

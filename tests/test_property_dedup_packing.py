@@ -303,3 +303,115 @@ def test_interval_join_matches_brute_force(spark, rows, lower_s):
         and s1 - lower_s <= s2 <= s1
     }
     assert got == want
+
+
+# --- round-6: exact_window_dedup vs a brute-force Python scan --------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _brute_window_dedup(texts, window):
+    import re
+
+    wins = []
+    for t in texts:
+        words = [w for w in re.split(r"[^a-z0-9']+", t.lower()) if w]
+        ws = {
+            " ".join(words[i : i + window])
+            for i in range(len(words) - window + 1)
+        } if len(words) >= window else set()
+        wins.append(ws)
+    out = []
+    for i, ws in enumerate(wins):
+        dup = any(ws & wins[j] for j in range(i))
+        out.append((i, len(ws), dup))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.integers(1, 3))
+def test_exact_window_dedup_matches_bruteforce(spark, texts, window):
+    from feature_store_api_spark.operators.dedup import exact_window_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["is_dup"])
+        for r in exact_window_dedup(df, "text", "doc_id", window=window).collect()
+    }
+    for i, n_wins, dup in _brute_window_dedup(texts, window):
+        assert got[i] == (n_wins, dup), (i, texts)
+
+
+# --- round-6: semantic_dedup vs a brute-force assignment + pair check ------
+
+vecs_strategy = st.lists(
+    st.lists(
+        st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+        min_size=4, max_size=4,
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _brute_semantic_dedup(vecs, k, tau):
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    seeds = vecs[:k]
+    clusters = []
+    for v in vecs:
+        nv = math.sqrt(sum(x * x for x in v))
+        if nv == 0:
+            # Spark scores every seed -2.0 for a zero vector; the
+            # struct-max tiebreak picks the smallest seed index
+            clusters.append(0)
+            continue
+        scored = []
+        for i, s in enumerate(seeds):
+            c = cos(v, s)
+            scored.append((c if c is not None else -2.0, -i, i))
+        clusters.append(max(scored)[2])
+    dups = set()
+    for j in range(len(vecs)):
+        for i in range(j):
+            if clusters[i] == clusters[j]:
+                c = cos(vecs[i], vecs[j])
+                if c is not None and c >= tau:
+                    dups.add(j)
+    return clusters, dups
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs_strategy)
+def test_semantic_dedup_matches_bruteforce(spark, vecs):
+    from feature_store_api_spark.operators.similarity import semantic_dedup
+
+    k, tau = 2, 0.9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semantic_dedup(
+            df, "embedding", num_clusters=k, threshold=tau
+        ).collect()
+    }
+    clusters, dups = _brute_semantic_dedup(
+        [[float(x) for x in v] for v in vecs], k, tau
+    )
+    for i in range(len(vecs)):
+        assert out[i] == (clusters[i], i in dups), (i, vecs)

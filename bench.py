@@ -536,6 +536,23 @@ def b11_knn_batch_x10(spark, sf_dir):
     find_neighbors_batch(idx, qs, col="embedding", k=10).collect()
 
 
+def e4_exact_window_dedup_x10(spark, sf_dir):
+    from feature_store_api_spark.operators.dedup import exact_window_dedup
+
+    docs, _ = _x10_frames(spark, sf_dir)
+    _force(exact_window_dedup(docs, "text", "doc_id", window=10))
+
+
+def e5_semantic_dedup_x10(spark, sf_dir):
+    """SemDeDup's scale contract: cluster count grows WITH the corpus so
+    per-cluster size (and the O((n/k)^2 * k) pair work per row) stays
+    constant — 10x rows, 10x clusters."""
+    from feature_store_api_spark.operators.similarity import semantic_dedup
+
+    _, embs = _x10_frames(spark, sf_dir)
+    _force(semantic_dedup(embs, "embedding", num_clusters=320, threshold=0.99))
+
+
 X10_QUERIES = {
     "b4_pit_join": b4_pit_join_x10,
     "b5_training_data": b5_training_data_x10,
@@ -544,6 +561,8 @@ X10_QUERIES = {
     "b9_ann_topk": b9_ann_topk_x10,
     "b10_corpus_curation": b10_corpus_curation_x10,
     "b11_knn_batch": b11_knn_batch_x10,
+    "e4_exact_window_dedup": e4_exact_window_dedup_x10,
+    "e5_semantic_dedup": e5_semantic_dedup_x10,
 }
 
 
@@ -780,9 +799,13 @@ def main():
                 },
                 "queries_x10": {n: median(xs) for n, xs in x10_samples.items()},
                 "scaling_x10": {
-                    n: round(median(xs) / timings[n], 2)
+                    n: round(
+                        median(xs)
+                        / {**timings, **{m: median(v) for m, v in extra_samples.items()}}[n],
+                        2,
+                    )
                     for n, xs in x10_samples.items()
-                    if timings.get(n)
+                    if {**timings, **{m: median(v) for m, v in extra_samples.items()}}.get(n)
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -363,11 +363,16 @@ vecs_strategy = st.lists(
 def _brute_semantic_dedup(vecs, k, tau):
     import math
 
-    def cos(a, b):
+    def cos(a, b, seed_side=False):
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        if na == 0 or nb == 0:
+        if na == 0:
             return None
+        if nb == 0:
+            # engine contract: a zero SEED's norm is guarded to 1.0, so
+            # the cosine against it is 0.0 (dot of anything with zero);
+            # a zero non-seed vector stays undefined (None)
+            return 0.0 if seed_side else None
         return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
 
     seeds = vecs[:k]
@@ -381,7 +386,7 @@ def _brute_semantic_dedup(vecs, k, tau):
             continue
         scored = []
         for i, s in enumerate(seeds):
-            c = cos(v, s)
+            c = cos(v, s, seed_side=True)
             scored.append((c if c is not None else -2.0, -i, i))
         clusters.append(max(scored)[2])
     dups = set()

@@ -526,3 +526,38 @@ class FeatureMonitoringBuilder:
         )
         self._owner.create_feature_monitoring_config(cfg)
         return cfg
+
+
+def streaming_windowed_drift(
+    stream_df: DataFrame,
+    column: str,
+    ts_col: str,
+    reference: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    buckets: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Streaming twin of :func:`windowed_drift`: continuous per-window
+    PSI/JS against a FIXED batch reference, over an unbounded stream.
+
+    The reference histogram folds into literals exactly as in the batch
+    variant, so the streaming plan is a watermarked window aggregation
+    with per-bucket conditional counts — state is O(open windows ×
+    buckets) and append mode emits each window's drift row exactly once
+    when the watermark passes its end (idempotent foreachBatch upsert
+    into a monitoring-results feature group).
+
+    ``reference`` must be a bounded (batch) frame — at production scale
+    the previous day/week's materialized window, re-folded per
+    restart."""
+    if reference.isStreaming:
+        raise ValueError(
+            "streaming_windowed_drift needs a BOUNDED reference frame "
+            "(the histogram folds into plan literals)"
+        )
+    wm = stream_df.withWatermark(ts_col, watermark)
+    return windowed_drift(
+        wm, column, ts_col, window=window, reference=reference,
+        buckets=buckets, epsilon=epsilon,
+    )

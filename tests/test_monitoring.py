@@ -367,3 +367,61 @@ def test_feature_view_fluent_monitoring_builder(spark, tmp_path):
     res = fv.run_feature_monitoring("v_mean", spark, now=datetime(2024, 1, 3))
     assert res["reference_value"] == 10.0
     assert res["detection_value"] is not None
+
+
+def test_streaming_windowed_drift_matches_batch(spark, tmp_path):
+    """Stream/batch parity for windowed drift: feeding the same rows
+    through a file stream with availableNow produces exactly the batch
+    windowed_drift rows (append mode, watermark-final windows)."""
+    import os
+
+    from feature_store_api_spark.operators.monitoring import (
+        streaming_windowed_drift,
+        windowed_drift,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for d in range(3):
+        for i in range(120):
+            rows.append(
+                (base + timedelta(days=d, minutes=i * 3),
+                 float((i % 50) + d * 25))
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    src_dir = str(tmp_path / "drift_src")
+    df.coalesce(1).write.parquet(src_dir)
+    ref = df.where(F.col("ts") < base + timedelta(days=1))
+
+    batch = {
+        r["window_start"]: r
+        for r in windowed_drift(
+            df, "value", "ts", window="1 day", reference=ref
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src_dir)
+    out = streaming_windowed_drift(
+        stream, "value", "ts", reference=ref, window="1 day",
+        watermark="1 minute",
+    )
+    sink = str(tmp_path / "drift_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r for r in spark.read.parquet(sink).collect()
+    }
+    # append mode: the LAST window stays open (watermark never passes
+    # its end in a bounded run) — every emitted window must match batch
+    assert len(got) >= 2
+    for ws, row in got.items():
+        assert row["psi"] == batch[ws]["psi"], ws
+        assert row["js_divergence"] == batch[ws]["js_divergence"], ws
+        assert row["n"] == batch[ws]["n"], ws

@@ -536,6 +536,21 @@ def b11_knn_batch_x10(spark, sf_dir):
     find_neighbors_batch(idx, qs, col="embedding", k=10).collect()
 
 
+def e2_incremental_dedup_x10(spark, sf_dir):
+    """Daily-ingest shape at 10x: new batch (1/3) vs corpus (2/3) over
+    the replicated docs — the corpus side never self-joins."""
+    from feature_store_api_spark.operators.dedup import dedup_new_against_corpus
+
+    docs, _ = _x10_frames(spark, sf_dir)
+    _force(
+        dedup_new_against_corpus(
+            docs.where(F.col("doc_id") % 3 == 0),
+            docs.where(F.col("doc_id") % 3 != 0),
+            "text", "doc_id", num_hashes=32, bands=8,
+        )
+    )
+
+
 def e4_exact_window_dedup_x10(spark, sf_dir):
     from feature_store_api_spark.operators.dedup import exact_window_dedup
 
@@ -561,6 +576,7 @@ X10_QUERIES = {
     "b9_ann_topk": b9_ann_topk_x10,
     "b10_corpus_curation": b10_corpus_curation_x10,
     "b11_knn_batch": b11_knn_batch_x10,
+    "e2_incremental_dedup": e2_incremental_dedup_x10,
     "e4_exact_window_dedup": e4_exact_window_dedup_x10,
     "e5_semantic_dedup": e5_semantic_dedup_x10,
 }

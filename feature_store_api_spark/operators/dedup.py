@@ -349,19 +349,54 @@ def dedup_new_against_corpus(
     the batch itself (so a batch containing two copies of a novel doc
     keeps exactly one). Candidates are LSH candidates — chain
     :func:`ngram_jaccard_pairs` over them for an exact-threshold
-    verify. Left-anti joins keep the plan shuffle-minimal."""
-    vs_corpus = minhash_lsh_pairs_against(
-        new_df, corpus_df, text_col, id_col, num_hashes, bands,
-        shingle_size, seed, hash_fn=hash_fn,
+    verify. Left-anti joins keep the plan shuffle-minimal.
+
+    The new batch's band table is materialized ONCE (localCheckpoint)
+    and reused by BOTH the vs-corpus join and the within-batch
+    self-join — the signature pass over the batch is the expensive
+    part, and composing the two helpers naively would run it twice."""
+    rows_per_band = num_hashes // bands
+    new_b = _band_table(
+        minhash_signatures(
+            new_df, text_col, id_col, num_hashes, shingle_size, seed,
+            hash_fn=hash_fn,
+        ),
+        id_col, bands, rows_per_band, hash_fn,
+    ).localCheckpoint(eager=True)
+    corp_b = _band_table(
+        minhash_signatures(
+            corpus_df, text_col, id_col, num_hashes, shingle_size, seed,
+            hash_fn=hash_fn,
+        ),
+        id_col, bands, rows_per_band, hash_fn,
     )
-    within = minhash_lsh_duplicate_pairs(
-        new_df, text_col, id_col, num_hashes, bands, shingle_size, seed,
-        hash_fn=hash_fn,
+    a, b = new_b.alias("a"), corp_b.alias("b")
+    vs_corpus = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("new_id"))
+    )
+    n1, n2 = new_b.alias("a"), new_b.alias("b")
+    within = (
+        n1.join(
+            n2,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"b.{id_col}").alias("new_id"))
     )
     dup_ids = (
-        vs_corpus.select(F.col("new_id").alias(id_col))
-        .unionByName(within.select(F.col("id_b").alias(id_col)))
+        vs_corpus.unionByName(within)
         .distinct()
+        .withColumnRenamed("new_id", id_col)
     )
     return new_df.join(dup_ids, on=id_col, how="left_anti")
 

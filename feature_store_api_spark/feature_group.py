@@ -263,7 +263,7 @@ class FeatureGroup(FeatureGroupBase):
         nothing), register the schema only — our groups register at
         create time, so the data-free call just declares features."""
         if isinstance(features, DataFrame):
-            return self.insert(features)
+            return self.insert(features, write_options=write_options)
         if features:
             self.set_features(list(features))
         return self

@@ -1208,14 +1208,29 @@ class FeatureView:
         path = feature_store._view_path(name, version)
         if path is not None and os.path.isdir(os.path.dirname(path)):
             base = os.path.dirname(path)
-            stem = os.path.basename(path)
+            # STRICT stem match: '{name}_{version}.json' or sidecars
+            # '{name}_{version}_*' — a bare prefix test would absorb
+            # '{name}_1' into '{name}_10' (the same absorption bug
+            # model_registry._is_version_file_of guards against)
+            stem = f"{name}_{version}"
             for entry in os.listdir(base):
-                if entry == stem or entry.startswith(stem.rsplit(".", 1)[0]):
+                if entry == f"{stem}.json" or entry.startswith(f"{stem}_"):
                     full = os.path.join(base, entry)
                     if os.path.isdir(full):
                         shutil.rmtree(full, ignore_errors=True)
                     else:
                         os.remove(full)
+        # training data lives under its own root — remove it too (the
+        # docstring's contract: view AND its training data)
+        if feature_store.root is not None:
+            shutil.rmtree(
+                os.path.join(
+                    feature_store.root,
+                    "_training_datasets",
+                    f"{name}_{version}",
+                ),
+                ignore_errors=True,
+            )
         feature_store._views.pop((name, version), None)
 
     # -- schema / transformation introspection (parity
@@ -1240,9 +1255,16 @@ class FeatureView:
         outputs: List[str] = []
         for t in self.transformation_functions:
             outputs.extend(t.output_names())
-            consumed.update(getattr(t, "drop", []) or [])
+            # dropped_features maps drop names (parameter names or raw
+            # lowercased columns) onto actual bound feature names — the
+            # canonical resolution, not a raw t.drop comparison
+            dropper = getattr(t, "dropped_features", None)
+            dropped = dropper() if callable(dropper) else (
+                getattr(t, "drop", []) or []
+            )
+            consumed.update(d.lower() for d in dropped)
         base = [f.name for f in self.schema]
-        return [c for c in base if c not in consumed] + outputs
+        return [c for c in base if c.lower() not in consumed] + outputs
 
     @property
     def model_dependent_transformation_functions(self) -> List:

@@ -168,6 +168,10 @@ class ModelRegistry:
         ``deleted`` stays empty — same contract as the reference)."""
         links = Links()
         broken: List[str] = []  # (stem) sidecars with undeterminable linkage
+        # names of models linked to THIS VIEW regardless of any
+        # td-version filter — a corrupt sidecar of a linked model must
+        # stay faulty even when the filter empties `accessible`
+        linked_names: set = set()
         if os.path.isdir(self.root):
             for fn in sorted(os.listdir(self.root)):
                 if not fn.endswith(".json"):
@@ -191,12 +195,13 @@ class ModelRegistry:
                     if linked:  # parse failed but linkage IS this view
                         links.faulty.append(Artifact(fn[:-5], 0, "MODEL"))
                     continue
-                if linked and (
-                    training_dataset_version is None
-                    or m.training_dataset_version == training_dataset_version
-                ):
-                    links.accessible.append(m)
-        linked_names = {m.name for m in links.accessible}
+                if linked:
+                    linked_names.add(m.name)
+                    if (
+                        training_dataset_version is None
+                        or m.training_dataset_version == training_dataset_version
+                    ):
+                        links.accessible.append(m)
         for stem in broken:
             if any(_is_version_file_of(f"{stem}.json", n) for n in linked_names):
                 links.faulty.append(Artifact(stem, 0, "MODEL"))

@@ -157,7 +157,11 @@ def minhash_signatures(
     # below reuses the partitioning instead of adding an exchange.
     base = df.select(F.col(id_col), norm.alias("__t"))
     parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
-    if parts and parts > 1:
+    # only repartition UP: at warehouse scale the input layout already
+    # provides parallelism, and forcing defaultParallelism would both
+    # shuffle the text payload and coalesce thousands of partitions
+    # into oversized ones
+    if parts and parts > 1 and base.rdd.getNumPartitions() < parts:
         base = base.repartition(parts, id_col)
     exploded = (
         base
@@ -678,7 +682,7 @@ def exact_window_dedup(
     # compute-bound like minhash: parallelism must not depend on the
     # input file layout (a single small parquet file = one partition)
     parts = df.sparkSession.sparkContext.defaultParallelism
-    if parts and parts > 1:
+    if parts and parts > 1 and df.rdd.getNumPartitions() < parts:
         df = df.repartition(parts, id_col)
     # tokenize into a MATERIALIZED column first: referencing the
     # filter(split(...)) expression inside the window lambda would

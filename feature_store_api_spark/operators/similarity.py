@@ -1116,7 +1116,8 @@ def semantic_dedup(
     # assignment is a k-cosines-per-row fold — compute-bound, so spread
     # it across the cluster even when the input is one small file
     parts = df.sparkSession.sparkContext.defaultParallelism
-    if parts and parts > 1:
+    # repartition UP only — never coalesce an already-parallel layout
+    if parts and parts > 1 and base.rdd.getNumPartitions() < parts:
         base = base.repartition(parts, "__id")
     seeds = [
         list(r["__v"])

@@ -310,5 +310,7 @@ def validate_for_ingest(df: DataFrame, suite: Optional[ExpectationSuite]):
     if not report.success and suite.validation_ingestion_policy == ExpectationSuite.STRICT:
         report.ingestion_result = "rejected"
         raise DataValidationError(report)
-    report.ingestion_result = "ingested" if report.success else "unknown"
+    # non-strict (ALWAYS) ingests REGARDLESS of the verdict — the
+    # recorded fate must say so even for a failing report
+    report.ingestion_result = "ingested"
     return report

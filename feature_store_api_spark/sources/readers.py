@@ -78,12 +78,29 @@ _PLAN_CACHE: Dict[tuple, DataFrame] = {}
 
 
 def _cache_key(spark: SparkSession, path: str):
+    """None = don't cache. For directories the key folds in every
+    top-level entry's (name, mtime) so an in-place part-file rewrite —
+    which bumps the FILE's mtime but not the directory's — still
+    invalidates; dirs containing SUBdirectories (partitioned layouts,
+    where changes can hide arbitrarily deep) are never cached."""
     try:
         real = os.path.realpath(path)
+        st = os.stat(real)
+        if not os.path.isdir(real):
+            return (
+                spark.sparkContext.applicationId, real, st.st_mtime_ns
+            )
+        entries = []
+        with os.scandir(real) as it:
+            for e in it:
+                if e.is_dir():
+                    return None  # partitioned layout: opt out
+                entries.append((e.name, e.stat().st_mtime_ns))
         return (
             spark.sparkContext.applicationId,
             real,
-            os.stat(real).st_mtime_ns,
+            st.st_mtime_ns,
+            tuple(sorted(entries)),
         )
     except OSError:
         return None

@@ -21,7 +21,11 @@ from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-_TD_DIR = "_training_datasets"
+# own namespace: FeatureView materializations live under
+# _training_datasets/{view}_{version}; sharing that directory would let
+# a same-named view's delete_all_training_datasets() rmtree a legacy
+# TD's data (and commingle split dirs)
+_TD_DIR = "_legacy_training_datasets"
 _META = "_td_meta.json"
 
 

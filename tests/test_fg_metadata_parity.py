@@ -276,3 +276,24 @@ def test_fg_monitoring_fluent_builder(spark, fs):
     assert any(
         c["name"] == "just_stats" for c in fg.get_feature_monitoring_configs()
     )
+
+
+def test_validation_always_policy_records_ingested(spark, fs):
+    """Non-strict (ALWAYS) policy ingests even a failing batch — the
+    recorded fate must say 'ingested', not 'unknown'."""
+    from feature_store_api_spark.operators.validation import (
+        ExpectationSuite,
+        ExpectColumnValuesToNotBeNull,
+    )
+
+    fg = fs.create_feature_group("alwaysfg", primary_key=["k"])
+    fg.save_expectation_suite(ExpectationSuite(
+        [ExpectColumnValuesToNotBeNull(column="v")], name="s",
+        validation_ingestion_policy="ALWAYS",
+    ))
+    fg.insert(spark.createDataFrame([(1, None)], "k long, v double"))
+    hist = fg.get_all_validation_reports()
+    assert len(hist) == 1
+    assert hist[0]["success"] is False
+    assert hist[0]["ingestion_result"] == "ingested"
+    assert fg.read(spark).count() == 1  # the data really did land

@@ -227,3 +227,56 @@ def test_fv_schema_and_transformation_introspection(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(KeyError):
         FeatureStore(root=str(tmp_path)).get_feature_view("introspect")
+
+
+def test_fv_clean_strict_stem_and_training_data(spark, tmp_path):
+    """clean('v', 1) must not absorb 'v' v10 or a view named 'v_1b'
+    (strict stem match) and must remove v1's training-dataset root."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("clean_src", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(i, float(i)) for i in range(10)],
+                                    "k long, v double"))
+    v1 = fs.create_feature_view("cv", fg.select_all(), version=1)
+    v10 = fs.create_feature_view("cv", fg.select_all(), version=10)
+    v1.create_training_dataset(spark, data_format="parquet")
+    v10.create_training_dataset(spark, data_format="parquet")
+    td10 = os.path.join(str(tmp_path), "_training_datasets", "cv_10")
+    td1 = os.path.join(str(tmp_path), "_training_datasets", "cv_1")
+    assert os.path.isdir(td1) and os.path.isdir(td10)
+
+    FeatureView.clean(fs, "cv", 1)
+    fresh = FeatureStore(root=str(tmp_path))
+    with pytest.raises(KeyError):
+        fresh.get_feature_view("cv", 1)
+    assert fresh.get_feature_view("cv", 10).version == 10  # untouched
+    assert not os.path.exists(td1)  # training data gone
+    assert os.path.isdir(td10)
+
+
+def test_legacy_td_namespace_isolated_from_view_tds(spark, tmp_path):
+    """A legacy TrainingDataset named like a view must not share the
+    view's _training_datasets dir (delete_all_training_datasets on the
+    view would destroy the legacy data)."""
+    import os
+    import warnings
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("iso_src", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    fv = fs.create_feature_view("shared_name", fg.select_all())
+    fv.create_training_dataset(spark, data_format="parquet")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        td = fs.create_training_dataset("shared_name", data_format="parquet")
+        td.save(fg.read(spark), spark=spark)
+    fv.delete_all_training_datasets()
+    # legacy data survives the view's purge
+    assert td.read(spark=spark).count() == 1
+    assert "_legacy_training_datasets" in td.location

@@ -72,3 +72,42 @@ def test_same_pk_moves_partition_keeps_hudi_identity(spark):
         assert rows[(1, "a")] == 12
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_parquet_cache_detects_inplace_file_rewrite(spark, tmp_path):
+    """The plan cache must invalidate when a part FILE is rewritten
+    in-place (file mtime bumps, directory mtime may not), and must skip
+    caching for partitioned (subdirectory) layouts entirely."""
+    import os
+    import shutil
+    import time
+
+    from feature_store_api_spark.sources.readers import (
+        _cache_key,
+        read_parquet,
+    )
+
+    p = str(tmp_path / "flat.parquet")
+    spark.createDataFrame([(1,)], "a int").coalesce(1).write.parquet(p)
+    k1 = _cache_key(spark, p)
+    assert k1 is not None
+    assert read_parquet(spark, p).count() == 1
+    time.sleep(0.01)
+    # rewrite a part file in place (same name, new mtime)
+    part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+    tmp2 = str(tmp_path / "two.parquet")
+    spark.createDataFrame([(1,), (2,)], "a int").coalesce(1).write.parquet(tmp2)
+    part2 = [f for f in os.listdir(tmp2) if f.endswith(".parquet")][0]
+    shutil.copyfile(os.path.join(tmp2, part2), os.path.join(p, part))
+    crc = os.path.join(p, f".{part}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # local-FS checksum of the old bytes
+    assert _cache_key(spark, p) != k1  # file mtime folded into the key
+    assert read_parquet(spark, p).count() == 2
+
+    # partitioned layout: never cached
+    pp = str(tmp_path / "parts.parquet")
+    spark.createDataFrame([(1, "a")], "a int, b string").write.partitionBy(
+        "b"
+    ).parquet(pp)
+    assert _cache_key(spark, pp) is None

@@ -191,3 +191,16 @@ def test_model_registry_survives_fresh_store(spark, fs, tmp_path):
     fv2 = fs2.get_feature_view("mv")
     newest = fv2.get_newest_model()
     assert (newest.name, newest.training_dataset_version) == ("clf", 2)
+
+
+def test_models_provenance_faulty_survives_td_filter(spark, fs):
+    """A corrupt sidecar of a model linked to the view stays faulty even
+    when a training_dataset_version filter empties `accessible`."""
+    import os
+
+    fv, reg = _view_with_models(spark, fs)
+    with open(os.path.join(reg.root, "clf_9.json"), "w") as fh:
+        fh.write("{not json")
+    links = fv.get_models_provenance(training_dataset_version=999)
+    assert links.accessible == []
+    assert [a.name for a in links.faulty] == ["clf_9"]

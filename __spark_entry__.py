@@ -214,6 +214,28 @@ def _q_pit_join(spark, sf_dir):
     )
 
 
+def _q_pit_join_ttl(spark, sf_dir):
+    """PIT join with a feature TTL (max_staleness='365 days'): a match
+    older than the TTL before the spine timestamp comes back NULL
+    instead of silently serving stale state — the Feast-style freshness
+    bound. 9000 days splits the test data mid-range (latest order per
+    key falls on either side), so both outcomes are exercised. Both
+    strategies share the semantics; this pins union_window."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select(F.col("event_id"), F.col("user_id").alias("custkey"), F.col("ts"))
+    feat = orders.select(
+        F.col("o_custkey").alias("custkey"), "o_orderdate", "o_totalprice",
+    )
+    return point_in_time_join(
+        spine, feat, keys=["custkey"], spine_ts="ts",
+        feature_ts="o_orderdate", features=["o_totalprice"], prefix="ord_",
+        max_staleness="9000 days",
+    )
+
+
 def _q_pit_join_range(spark, sf_dir):
     """Same semantics, range-join physical strategy."""
     from feature_store_api_spark.operators.pit_join import point_in_time_join
@@ -249,6 +271,18 @@ WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
 SELECT spine.event_id, spine.custkey, spine.ts,
        feat.o_totalprice AS ord_o_totalprice,
        feat.o_orderstatus AS ord_o_orderstatus
+FROM spine ASOF LEFT JOIN feat
+  ON spine.custkey = feat.custkey AND spine.ts >= feat.o_orderdate
+"""
+
+_PIT_TTL_SQL = """
+WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
+     feat AS (SELECT o_custkey AS custkey, o_orderdate,
+                     MAX(o_totalprice) AS o_totalprice
+              FROM orders GROUP BY 1, 2)
+SELECT spine.event_id, spine.custkey, spine.ts,
+       CASE WHEN feat.o_orderdate >= spine.ts - INTERVAL 9000 DAY
+            THEN feat.o_totalprice END AS ord_o_totalprice
 FROM spine ASOF LEFT JOIN feat
   ON spine.custkey = feat.custkey AND spine.ts >= feat.o_orderdate
 """
@@ -2440,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # windowed_agg_hourly) so r06 re-proves it; (3) everything else,
     # freshest proofs last.
     return {
+        "pit_join_ttl": _q_pit_join_ttl,
         "drift_windows": _q_drift_windows,
         "exact_window_dedup": _q_exact_window_dedup,
         "semantic_dedup": _q_semantic_dedup,
@@ -3142,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pit_join": _PIT_SQL,
         "pit_join_range": _PIT_RANGE_SQL,
+        "pit_join_ttl": _PIT_TTL_SQL,
         "time_travel_asof": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey % 3 != 0

@@ -49,13 +49,21 @@ def point_in_time_join(
     prefix: Optional[str] = None,
     precombine: Optional[str] = None,
     strategy: str = "union_window",
+    max_staleness=None,
 ) -> DataFrame:
     """As-of join one feature DataFrame onto a spine.
 
     Returns the spine columns (unchanged, duplicates preserved) plus the
     selected ``features`` (renamed with ``prefix`` if given) from the
     latest feature row at-or-before each spine row's timestamp.
-    """
+
+    ``max_staleness`` (feature TTL, the Feast-style freshness bound): a
+    feature older than ``spine_ts - max_staleness`` is treated as
+    EXPIRED — the joined columns come back NULL instead of silently
+    serving stale state. Interval string ('30 days') for timestamps, a
+    number for numeric event times. Under the range strategy the bound
+    also prunes candidates BEFORE the join (tighter row explosion on
+    hot keys)."""
     keys = list(keys)
     if features is None:
         features = [
@@ -71,17 +79,29 @@ def point_in_time_join(
 
     if strategy == "union_window":
         return _pit_union_window(
-            spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+            spine, feature_df, keys, spine_ts, feature_ts, features,
+            out_names, precombine, max_staleness,
         )
     if strategy == "range_join":
         return _pit_range_join(
-            spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+            spine, feature_df, keys, spine_ts, feature_ts, features,
+            out_names, precombine, max_staleness,
         )
     raise ValueError(f"Unknown PIT strategy {strategy!r}")
 
 
+def _staleness_cutoff(ts_col, max_staleness):
+    """spine_ts - TTL: the oldest feature timestamp still usable.
+    ``max_staleness`` is an INTERVAL string ('30 days', '6 hours') for
+    temporal timestamps, or a number for numeric event times."""
+    if isinstance(max_staleness, str):
+        return ts_col - F.expr(f"INTERVAL {max_staleness}")
+    return ts_col - F.lit(max_staleness)
+
+
 def _pit_union_window(
-    spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+    spine, feature_df, keys, spine_ts, feature_ts, features, out_names,
+    precombine, max_staleness=None,
 ) -> DataFrame:
     # one struct column carrying (ts, precombine, payload) for feature
     # rows; NULL on spine rows so the running max skips them
@@ -134,17 +154,30 @@ def _pit_union_window(
         "__match", F.max(F.col("__cand")).over(w)
     ).where(F.col("__side") == 1)
 
-    return matched.select(
-        *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
-        *[
+    if max_staleness is not None:
+        # __ts on the surviving (side=1) rows IS the spine timestamp
+        fresh = F.col("__match").getField("t") >= _staleness_cutoff(
+            F.col("__ts"), max_staleness
+        )
+        out_cols = [
+            F.when(fresh, F.col("__match").getField("v").getField(f))
+            .alias(n)
+            for f, n in zip(features, out_names)
+        ]
+    else:
+        out_cols = [
             F.col("__match").getField("v").getField(f).alias(n)
             for f, n in zip(features, out_names)
-        ],
+        ]
+    return matched.select(
+        *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
+        *out_cols,
     )
 
 
 def _pit_range_join(
-    spine, feature_df, keys, spine_ts, feature_ts, features, out_names, precombine
+    spine, feature_df, keys, spine_ts, feature_ts, features, out_names,
+    precombine, max_staleness=None,
 ) -> DataFrame:
     uid = F.monotonically_increasing_id()
     s = spine.withColumn(_SPINE_UID, uid)
@@ -161,6 +194,13 @@ def _pit_range_join(
         c = F.col(k) == F.col(f"__r_{k}")
         cond = c if cond is None else (cond & c)
     cond = cond & (F.col("__r_ts") <= F.col(spine_ts))
+    if max_staleness is not None:
+        # TTL prunes candidates BEFORE the join — bounds the per-key
+        # row explosion to the staleness window
+        cond = cond & (
+            F.col("__r_ts")
+            >= _staleness_cutoff(F.col(spine_ts), max_staleness)
+        )
     joined = s.join(r, on=cond, how="left")
 
     order = [F.col("__r_ts").desc_nulls_last()]
@@ -232,6 +272,7 @@ def point_in_time_join_many(
             prefix=spec.get("prefix"),
             precombine=spec.get("precombine"),
             strategy=spec.get("strategy", strategy),
+            max_staleness=spec.get("max_staleness"),
         )
     return out
 
@@ -271,6 +312,7 @@ def _pit_union_window_many(
                 "features": features,
                 "out_names": out_names,
                 "pre": spec.get("precombine"),
+                "ttl": spec.get("max_staleness"),
             }
         )
 
@@ -336,10 +378,20 @@ def _pit_union_window_many(
             f"__match{i}", F.max(F.col(f"__cand{i}")).over(w)
         )
     matched = matched.where(F.col("__side") == 1)
+
+    def _field(i, s, f):
+        v = F.col(f"__match{i}").getField("v").getField(f)
+        if s["ttl"] is None:
+            return v
+        fresh = F.col(f"__match{i}").getField("t") >= _staleness_cutoff(
+            F.col("__ts"), s["ttl"]
+        )
+        return F.when(fresh, v)
+
     return matched.select(
         *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
         *[
-            F.col(f"__match{i}").getField("v").getField(f).alias(n)
+            _field(i, s, f).alias(n)
             for i, s in enumerate(specs)
             for f, n in zip(s["features"], s["out_names"])
         ],

@@ -142,3 +142,65 @@ def test_pit_full_tie_resolves_by_payload(spark):
         ).collect()
         assert len(out) == 1
         assert (out[0]["price"], out[0]["status"]) == (50.0, "F"), strategy
+
+
+def test_pit_max_staleness_ttl(spark):
+    """Feature TTL: matches older than spine_ts - max_staleness null
+    out — identical semantics across union_window, range_join, and the
+    fused multi-FG path; candidates pruned before the range join."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import (
+        point_in_time_join,
+        point_in_time_join_many,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    spine = spark.createDataFrame(
+        [(1, 1, t(20)), (2, 2, t(20)), (3, 3, t(20))],
+        "event_id long, k long, ts timestamp",
+    )
+    feat = spark.createDataFrame(
+        [
+            (1, t(18), 10.0),   # 2 days old  -> fresh under 5-day TTL
+            (2, t(10), 20.0),   # 10 days old -> expired
+            # k=3 has no feature at all -> NULL either way
+        ],
+        "k long, fts timestamp, v double",
+    )
+    for strategy in ("union_window", "range_join"):
+        out = {
+            r["event_id"]: r["f_v"]
+            for r in point_in_time_join(
+                spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+                features=["v"], prefix="f_", strategy=strategy,
+                max_staleness="5 days",
+            ).collect()
+        }
+        assert out == {1: 10.0, 2: None, 3: None}, strategy
+
+    # fused multi-FG: per-spec TTL — one group bounded, one not
+    out = {
+        r["event_id"]: (r["a_v"], r["b_v"])
+        for r in point_in_time_join_many(
+            spine,
+            [
+                {"df": feat, "feature_ts": "fts", "features": ["v"],
+                 "prefix": "a_", "max_staleness": "5 days"},
+                {"df": feat, "feature_ts": "fts", "features": ["v"],
+                 "prefix": "b_"},
+            ],
+            spine_keys_default=["k"],
+            spine_ts="ts",
+        ).collect()
+    }
+    assert out == {1: (10.0, 10.0), 2: (None, 20.0), 3: (None, None)}
+
+    # numeric event-time TTL (number, not interval)
+    nspine = spark.createDataFrame([(1, 1, 100)], "event_id long, k long, ts long")
+    nfeat = spark.createDataFrame([(1, 90, 5.0)], "k long, fts long, v double")
+    got = point_in_time_join(
+        nspine, nfeat, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", max_staleness=5,
+    ).collect()[0]["f_v"]
+    assert got is None  # 10 ticks old > 5

@@ -211,6 +211,7 @@ class FeatureGroup(FeatureGroupBase):
         auto_compact_every: Optional[int] = 10,
         statistics_config=None,
         embedding_index=None,
+        max_staleness=None,
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
@@ -218,6 +219,10 @@ class FeatureGroup(FeatureGroupBase):
         )
         self.statistics_config = statistics_config
         self.embedding_index = embedding_index
+        # feature TTL: PIT reads of this group through a FeatureView
+        # null out matches older than spine_ts - max_staleness
+        # (interval string for timestamps, number for numeric times)
+        self.max_staleness = max_staleness
         self.deprecated = False
         self.path = path  # immutable parquet source
         self.location = location  # managed commit-store dir

@@ -43,6 +43,7 @@ class FeatureStore:
         auto_compact_every: Optional[int] = 10,
         statistics_config=None,
         embedding_index=None,
+        max_staleness=None,
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -70,6 +71,7 @@ class FeatureStore:
             auto_compact_every=auto_compact_every,
             statistics_config=statistics_config,
             embedding_index=embedding_index,
+            max_staleness=max_staleness,
         )
         fg._feature_store = self  # provenance + log-FG resolution backref
         self._registry[(name, version)] = fg
@@ -90,6 +92,7 @@ class FeatureStore:
                 "online_enabled": online_enabled,
                 "precombine_key": precombine_key,
                 "stream": stream,
+                "max_staleness": max_staleness,
                 "auto_compact_every": auto_compact_every,
                 "transformation_functions": [
                     t.to_dict() for t in transformation_functions
@@ -140,6 +143,7 @@ class FeatureStore:
             location=location,
             precombine_key=meta.get("precombine_key"),
             stream=meta.get("stream", False),
+            max_staleness=meta.get("max_staleness"),
             transformation_functions=[
                 TransformationFunction.from_dict(t)
                 for t in meta.get("transformation_functions", [])

@@ -132,6 +132,8 @@ class FeatureView:
                         "features": [f for f in feats if f != fg.event_time],
                         "prefix": join.prefix,
                         "precombine": getattr(fg, "precombine_key", None),
+                        # declared feature TTL rides into the PIT plan
+                        "max_staleness": getattr(fg, "max_staleness", None),
                     }
                 )
             else:

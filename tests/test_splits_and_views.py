@@ -246,3 +246,38 @@ def test_spine_numeric_vs_timestamp_event_time_rejected(spark, pit_fixtures):
     ).select("cid", F.to_date("ts").alias("ts"))  # date vs timestamp: same family
     out = fv.training_data(spark, spine=dated).collect()
     assert len(out) == 1
+
+
+def test_fg_declared_max_staleness_applies_in_view_pit(spark, tmp_path):
+    """A feature group's declared max_staleness (feature TTL) rides into
+    FeatureView PIT reads: expired features null out; metadata survives
+    store rehydration."""
+    import datetime as dt
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    t = lambda d: dt.datetime(2024, 1, d)
+    left = fs.create_feature_group("ttl_spine", primary_key=["k"], event_time="ts")
+    left.insert(spark.createDataFrame(
+        [(1, t(20), 0.0), (2, t(20), 0.0)], "k long, ts timestamp, label double"
+    ))
+    feat = fs.create_feature_group(
+        "ttl_feat", primary_key=["k"], event_time="fts",
+        max_staleness="5 days",
+    )
+    feat.insert(spark.createDataFrame(
+        [(1, t(18), 10.0), (2, t(10), 20.0)], "k long, fts timestamp, v double"
+    ))
+    fv = fs.create_feature_view(
+        "ttl_view", left.select_all().join(feat.select(["v"]), on=["k"])
+    )
+    out = {r["k"]: r["v"] for r in fv.get_batch_data(spark).collect()}
+    assert out == {1: 10.0, 2: None}
+
+    # TTL survives rehydration from the sidecar metadata
+    fs2 = FeatureStore(root=str(tmp_path))
+    assert fs2.get_feature_group("ttl_feat").max_staleness == "5 days"
+    out2 = {r["k"]: r["v"]
+            for r in fs2.get_feature_view("ttl_view").get_batch_data(spark).collect()}
+    assert out2 == {1: 10.0, 2: None}

@@ -28,6 +28,28 @@ from pyspark.sql import SparkSession
 from .store import OnlineStore
 
 
+
+def _staleness_cutoff_value(max_staleness):
+    """now - TTL as a concrete value: datetime for interval strings,
+    number for numeric event times (mirrors pit_join._staleness_cutoff
+    for the driver-side serving path)."""
+    import datetime as _dt
+    import re as _re
+
+    if isinstance(max_staleness, str):
+        m = _re.match(
+            r"^\s*(\d+)\s*(day|days|hour|hours|minute|minutes|second|seconds|week|weeks)\s*$",
+            max_staleness,
+        )
+        if not m:
+            raise ValueError(
+                f"Unsupported serving TTL interval {max_staleness!r}; use "
+                "'<n> days|hours|minutes|seconds|weeks'"
+            )
+        n, unit = int(m.group(1)), m.group(2).rstrip("s") + "s"
+        return _dt.datetime.utcnow() - _dt.timedelta(**{unit: n})
+    return None  # numeric event times need a caller-supplied clock
+
 class VectorServer:
     """Serves assembled feature vectors for a FeatureView."""
 
@@ -66,6 +88,8 @@ class VectorServer:
                 "keymap": {k: k for k in left_fg.primary_key},
                 "features": left_feats,
                 "prefix": "",
+                "max_staleness": getattr(left_fg, "max_staleness", None),
+                "event_time": left_fg.event_time,
             }
         ]
         for join in q.joins:
@@ -81,6 +105,11 @@ class VectorServer:
                     "keymap": dict(zip(lkeys, rkeys)),
                     "features": [f.name for f in join.query.left_features],
                     "prefix": join.prefix or "",
+                    # declared feature TTL: hits older than now - TTL
+                    # are withheld at serving time (stale features are
+                    # worse than missing ones for a model)
+                    "max_staleness": getattr(fg, "max_staleness", None),
+                    "event_time": fg.event_time,
                 }
             )
         # pin each FG's latest-state snapshot in executor memory: every
@@ -201,9 +230,18 @@ class VectorServer:
                 # live mode (pin_snapshots=False): store-direct lookup,
                 # which prefers the jobless pyarrow path
                 hits = plan["store"].get_feature_vectors(spark, keys)
+            ttl = plan.get("max_staleness")
+            et = plan.get("event_time")
+            cutoff = None
+            if ttl is not None and et is not None:
+                cutoff = _staleness_cutoff_value(ttl)
             for i, hit in enumerate(hits):
                 if hit is None:
                     continue
+                if cutoff is not None:
+                    ts = hit.get(et)
+                    if ts is not None and ts < cutoff:
+                        continue  # expired: withhold, same as a miss
                 vec = rows[i] if rows[i] is not None else dict(entries[i])
                 for f in plan["features"]:
                     if f in hit and f not in plan["store"].primary_key:

@@ -320,3 +320,32 @@ def test_inference_helper_columns_served_separately(spark, tmp_path):
     fv2.init_serving(spark)
     with pytest.raises(ValueError, match="no\\s+inference_helper"):
         fv2.get_inference_helper(spark, {"uid": 1})
+
+
+def test_serving_withholds_expired_features(spark, tmp_path):
+    """A feature group's max_staleness applies at SERVING time: a hit
+    whose event_time is older than now - TTL is withheld (same as a
+    miss); fresh keys serve normally."""
+    import datetime as dt
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+
+    fs = FeatureStore(root=str(tmp_path))
+    now = dt.datetime.utcnow()
+    fg = fs.create_feature_group(
+        "ttl_serve", primary_key=["k"], event_time="ts",
+        online_enabled=True, max_staleness="1 days",
+    )
+    fg.insert(spark.createDataFrame(
+        [
+            (1, now - dt.timedelta(hours=2), 10.0),   # fresh
+            (2, now - dt.timedelta(days=3), 20.0),    # expired
+        ],
+        "k long, ts timestamp, v double",
+    ))
+    fv = fs.create_feature_view("ttl_sv", fg.select_all())
+    server = fv.init_serving(spark)
+    vecs = server.get_feature_vectors(spark, [{"k": 1}, {"k": 2}])
+    assert vecs[0] is not None and vecs[0]["v"] == 10.0
+    assert vecs[1] is None  # expired hit == miss

@@ -2463,31 +2463,74 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered by verification priority for a harness that caps how many
-    # entries it checks per round (~50): (1) entries whose underlying
-    # code changed in r06 (dedup localCheckpoint lifecycle: minhash_pairs
-    # … corpus_curation_quality; random_projection single-literal signs:
-    # embedding_projection; ivfpq dtype match: knn_ivfpq; validation
-    # ingestion_result: validation_report; spine dtype families:
-    # spine_pit_join; model registry name scoping: model_provenance);
-    # (2) the r03-stale rotation tail (builtin_scalers …
-    # windowed_agg_hourly) so r06 re-proves it; (3) everything else,
-    # freshest proofs last.
+    # Ordered by verification priority for a driver that checks the FIRST
+    # ~50 entries per round: (1) the 39 entries whose latest green verdict
+    # is r04 (the core join/time-travel/serving surface) so r07 re-proves
+    # them — VERDICT r06 rotation item; (2) entries whose underlying code
+    # changed in r07 (conditional minhash materialize barrier +
+    # plan-analysis-free repartition_up guard: minhash_pairs …
+    # semantic_dedup; PIT skew strategy + max_staleness validation:
+    # pit_join*; stats profile b6 work: stats_profile); (3) near-window
+    # r07-changed entries with r06 verdicts + pinned plan tests; (4)
+    # everything else, freshest proofs last.
     return {
-        "pit_join_ttl": _q_pit_join_ttl,
-        "drift_windows": _q_drift_windows,
-        "exact_window_dedup": _q_exact_window_dedup,
-        "semantic_dedup": _q_semantic_dedup,
+        "commit_details": _q_commit_details,
+        "compaction_snapshot": _q_compaction_snapshot,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "custom_udf": _q_custom_udf,
+        "embedding_centroids": _q_embedding_centroids,
+        "event_time_norm": _q_event_time_norm,
+        "external_fg_csv": _q_external_fg_csv,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "fs_sql": _q_fs_sql,
+        "gopher_gates": _q_gopher_gates,
+        "incremental_pull": _q_incremental_pull,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_full": _q_join_full,
+        "join_inner": _q_join_inner,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "join_right": _q_join_right,
+        "join_semi": _q_join_semi,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_lookup": _q_online_lookup,
+        "online_preview": _q_online_preview,
+        "pii_redaction": _q_pii_redaction,
+        "quantile_binning": _q_quantile_binning,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "robust_scaler": _q_robust_scaler,
+        "scan_filter_project": _q_scan_filter_project,
+        "schema_evolution": _q_schema_evolution,
+        "select_except": _q_select_except,
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "serving_vectors": _q_serving_vectors,
+        "streaming_upsert": _q_streaming_upsert,
+        "tfidf_terms": _q_tfidf_terms,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "vacuum_retention": _q_vacuum_retention,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "incremental_dedup": _q_incremental_dedup,
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_quality": _q_corpus_curation_quality,
+        "exact_window_dedup": _q_exact_window_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "pit_join": _q_pit_join,
+        "pit_join_ttl": _q_pit_join_ttl,
+        "stats_profile": _q_stats_profile,
+        "pit_join_multi": _q_pit_join_multi,
+        "pit_join_range": _q_pit_join_range,
+        "spine_pit_join": _q_spine_pit_join,
+        "validation_report": _q_validation_report,
+        "drift_windows": _q_drift_windows,
         "embedding_projection": _q_embedding_projection,
         "knn_ivfpq": _q_knn_ivfpq,
-        "validation_report": _q_validation_report,
-        "spine_pit_join": _q_spine_pit_join,
         "model_provenance": _q_model_provenance,
         "builtin_scalers": _q_builtin_scalers,
         "cast_schema": _q_cast_schema,
@@ -2501,9 +2544,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2": _q_knn_l2,
         "latest_per_key": _q_latest_per_key,
         "ngram_jaccard": _q_ngram_jaccard,
-        "pit_join": _q_pit_join,
-        "pit_join_multi": _q_pit_join_multi,
-        "pit_join_range": _q_pit_join_range,
         "repetition_metrics": _q_repetition_metrics,
         "row_sampling": _q_row_sampling,
         "sequence_packing": _q_sequence_packing,
@@ -2541,7 +2581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "fv_batch_query": _q_fv_batch_query,
         "embedding_quantize": _q_embedding_quantize,
-        "stats_profile": _q_stats_profile,
         "percentiles_exact": _q_percentiles_exact,
         "correlations": _q_correlations,
         "value_counts": _q_value_counts,
@@ -2553,45 +2592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_materialize": _q_kafka_materialize,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
         "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "pii_redaction": _q_pii_redaction,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "embedding_centroids": _q_embedding_centroids,
-        "tfidf_terms": _q_tfidf_terms,
-        "quantile_binning": _q_quantile_binning,
-        "gopher_gates": _q_gopher_gates,
-        "vacuum_retention": _q_vacuum_retention,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "incremental_pull": _q_incremental_pull,
-        "commit_details": _q_commit_details,
-        "compaction_snapshot": _q_compaction_snapshot,
-        "streaming_upsert": _q_streaming_upsert,
-        "online_lookup": _q_online_lookup,
-        "serving_vectors": _q_serving_vectors,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "custom_udf": _q_custom_udf,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_preview": _q_online_preview,
-        "schema_evolution": _q_schema_evolution,
-        "external_fg_csv": _q_external_fg_csv,
-        "fs_sql": _q_fs_sql,
-        "robust_scaler": _q_robust_scaler,
-        "scan_filter_project": _q_scan_filter_project,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "select_except": _q_select_except,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_inner": _q_join_inner,
-        "join_right": _q_join_right,
-        "join_full": _q_join_full,
-        "join_semi": _q_join_semi,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "event_time_norm": _q_event_time_norm,
     }
 
 

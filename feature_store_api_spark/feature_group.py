@@ -221,8 +221,12 @@ class FeatureGroup(FeatureGroupBase):
         self.embedding_index = embedding_index
         # feature TTL: PIT reads of this group through a FeatureView
         # null out matches older than spine_ts - max_staleness
-        # (interval string for timestamps, number for numeric times)
-        self.max_staleness = max_staleness
+        # (interval string or timedelta for timestamps, number for
+        # numeric times) — validated HERE, at declaration, so a typo
+        # fails fast instead of as a Catalyst parse error at read time
+        from .operators.pit_join import validate_max_staleness
+
+        self.max_staleness = validate_max_staleness(max_staleness)
         self.deprecated = False
         self.path = path  # immutable parquet source
         self.location = location  # managed commit-store dir

@@ -29,26 +29,53 @@ from .store import OnlineStore
 
 
 
-def _staleness_cutoff_value(max_staleness):
-    """now - TTL as a concrete value: datetime for interval strings,
-    number for numeric event times (mirrors pit_join._staleness_cutoff
-    for the driver-side serving path)."""
-    import datetime as _dt
-    import re as _re
+def _staleness_cutoff_value(max_staleness, clock=None):
+    """``clock - TTL`` as a concrete comparable value: a NAIVE-UTC
+    datetime for interval strings / timedeltas, a number for numeric
+    event times (mirrors pit_join._staleness_cutoff for the
+    driver-side serving path).
 
-    if isinstance(max_staleness, str):
-        m = _re.match(
-            r"^\s*(\d+)\s*(day|days|hour|hours|minute|minutes|second|seconds|week|weeks)\s*$",
-            max_staleness,
-        )
-        if not m:
-            raise ValueError(
-                f"Unsupported serving TTL interval {max_staleness!r}; use "
-                "'<n> days|hours|minutes|seconds|weeks'"
-            )
-        n, unit = int(m.group(1)), m.group(2).rstrip("s") + "s"
-        return _dt.datetime.utcnow() - _dt.timedelta(**{unit: n})
-    return None  # numeric event times need a caller-supplied clock
+    The clock domain is naive UTC throughout: the default ``clock`` is
+    ``datetime.now(timezone.utc)`` stripped of tzinfo (never the
+    deprecated, implicitly-naive ``utcnow``), and every lookup path
+    already normalizes hit timestamps to naive UTC
+    (``store._utc_naive_values`` for Spark collect; pyarrow natively).
+
+    Numeric event times carry no wall-clock meaning the server can
+    infer, so they REQUIRE a caller-supplied numeric ``clock``; without
+    one the caller warns and skips enforcement (never silently)."""
+    import datetime as _dt
+
+    from ..operators.pit_join import _STALENESS_RE, validate_max_staleness
+
+    max_staleness = validate_max_staleness(max_staleness)
+    if isinstance(max_staleness, _dt.timedelta):
+        delta = max_staleness
+    elif isinstance(max_staleness, str):
+        m = _STALENESS_RE.match(max_staleness)
+        n, unit = int(m.group(1)), m.group(2).lower().rstrip("s") + "s"
+        delta = _dt.timedelta(**{unit: n})
+    else:  # numeric TTL ↔ numeric event time: needs a numeric clock
+        if clock is None:
+            return None
+        return clock - max_staleness
+    if clock is None:
+        clock = _dt.datetime.now(_dt.timezone.utc)
+    if isinstance(clock, _dt.datetime) and clock.tzinfo is not None:
+        clock = clock.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return clock - delta
+
+
+def _utc_naive_ts(ts):
+    """Coerce a hit's event-time to the cutoff's clock domain: tz-aware
+    datetimes → naive UTC (avoids TypeError on aware<naive); naive
+    datetimes and numerics pass through (already normalized by the
+    store paths)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime) and ts.tzinfo is not None:
+        return ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts
 
 class VectorServer:
     """Serves assembled feature vectors for a FeatureView."""
@@ -192,12 +219,14 @@ class VectorServer:
         apply_transformations: bool = True,
         request_parameters: Optional[Dict] = None,
         return_type: str = "dict",
+        clock=None,
     ) -> Optional[Dict]:
         out = self.get_feature_vectors(
             spark, [entry], [passed_features] if passed_features else None,
             apply_transformations=apply_transformations,
             request_parameters=[request_parameters] if request_parameters else None,
             return_type=return_type,
+            clock=clock,
         )
         return out[0]
 
@@ -209,7 +238,12 @@ class VectorServer:
         apply_transformations: bool = True,
         request_parameters: Optional[Sequence[Optional[Dict]]] = None,
         return_type: str = "dict",
+        clock=None,
     ) -> List[Optional[Dict]]:
+        """``clock``: freshness reference for feature-TTL enforcement —
+        defaults to now-UTC for temporal event times; REQUIRED (as a
+        number) to enforce a numeric ``max_staleness`` against numeric
+        event times, which otherwise warns and serves unfiltered."""
         if not self._initialized:
             raise RuntimeError("call init_serving() first")
         missing = [
@@ -234,12 +268,30 @@ class VectorServer:
             et = plan.get("event_time")
             cutoff = None
             if ttl is not None and et is not None:
-                cutoff = _staleness_cutoff_value(ttl)
+                cutoff = _staleness_cutoff_value(ttl, clock=clock)
+                if cutoff is None:
+                    # numeric TTL with no numeric clock: enforcing it
+                    # is impossible server-side, and the SAME TTL *is*
+                    # enforced on batch PIT reads — silently skipping
+                    # would be exactly the training/serving skew the
+                    # feature exists to prevent. Never silent.
+                    import warnings
+
+                    warnings.warn(
+                        f"max_staleness={ttl!r} on a numeric event time "
+                        f"({et!r}) cannot be enforced at serving time "
+                        "without a caller-supplied numeric clock — pass "
+                        "clock= to get_feature_vector(s); serving "
+                        "UNFILTERED values (batch PIT reads DO enforce "
+                        "this TTL)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             for i, hit in enumerate(hits):
                 if hit is None:
                     continue
                 if cutoff is not None:
-                    ts = hit.get(et)
+                    ts = _utc_naive_ts(hit.get(et))
                     if ts is not None and ts < cutoff:
                         continue  # expired: withhold, same as a miss
                 vec = rows[i] if rows[i] is not None else dict(entries[i])

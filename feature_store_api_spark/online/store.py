@@ -53,6 +53,33 @@ _BUCKET = "_online_bucket"
 _ARROW_FALLBACK_WARNED = False
 
 
+def _utc_naive_values(rec: Dict) -> Dict:
+    """Normalize every datetime value in a hit row to NAIVE UTC.
+
+    The two lookup paths disagree on clock domain: pyarrow's
+    ``to_pylist`` yields naive-UTC datetimes (the session pins
+    ``spark.sql.session.timeZone=UTC`` at write), while Spark's
+    ``collect()`` converts TimestampType through
+    ``datetime.fromtimestamp`` — the Python process's LOCAL timezone —
+    so on a non-UTC machine the same stored instant reads differently
+    per path (and serving-TTL freshness decisions would shift by the
+    UTC offset). Collect-path rows funnel through here so both paths
+    serve one clock domain; tz-aware values (TIMESTAMP_LTZ through
+    arrow) also coerce to naive UTC."""
+    import datetime as _dt
+
+    out = {}
+    for k, v in rec.items():
+        if isinstance(v, _dt.datetime):
+            # astimezone interprets a NAIVE value as local time — the
+            # exact inverse of collect()'s fromtimestamp conversion —
+            # and converts tz-AWARE values directly; identity on UTC
+            # machines either way
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        out[k] = v
+    return out
+
+
 def _portable_str(v) -> Optional[str]:
     """Python-side string form matching Spark's ``CAST(x AS STRING)``
     for the pk types we bucket on (int, str). Returns None for types
@@ -284,7 +311,11 @@ class OnlineStore:
         rows = df.where(cond).limit(2).collect()
         if not rows:
             return None
-        return rows[0].asDict() if return_type == "dict" else rows[0]
+        return (
+            _utc_naive_values(rows[0].asDict())
+            if return_type == "dict"
+            else rows[0]
+        )
 
     def get_feature_vectors(
         self, spark: SparkSession, keys: List[Dict]
@@ -433,5 +464,8 @@ class OnlineStore:
             hits = df.join(
                 F.broadcast(spark_keys), on=self.primary_key, how="left_semi"
             ).collect()
-        by_key = {tuple(r[p] for p in self.primary_key): r.asDict() for r in hits}
+        by_key = {
+            tuple(r[p] for p in self.primary_key): _utc_naive_values(r.asDict())
+            for r in hits
+        }
         return [by_key.get(tuple(k[p] for p in self.primary_key)) for k in keys]

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .parallelism import repartition_up
+
 
 def latest_per_key(
     df: DataFrame,
@@ -156,13 +158,11 @@ def minhash_signatures(
     # default parallelism, hash-partitioned BY ID so the groupBy(id)
     # below reuses the partitioning instead of adding an exchange.
     base = df.select(F.col(id_col), norm.alias("__t"))
-    parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
     # only repartition UP: at warehouse scale the input layout already
     # provides parallelism, and forcing defaultParallelism would both
     # shuffle the text payload and coalesce thousands of partitions
-    # into oversized ones
-    if parts and parts > 1 and base.rdd.getNumPartitions() < parts:
-        base = base.repartition(parts, id_col)
+    # into oversized ones (plan-analysis-free guard: parallelism.py)
+    base = repartition_up(base, id_col, num_partitions)
     exploded = (
         base
         .select(
@@ -241,6 +241,7 @@ def minhash_lsh_duplicate_pairs(
     shingle_size: int = 5,
     seed: int = 13,
     hash_fn: str = "xxhash64",
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -253,17 +254,27 @@ def minhash_lsh_duplicate_pairs(
     With ``hash_fn='md5_64'`` the band key is the signature slice
     itself (arrays are hashable equi-join keys in Spark) so the whole
     pipeline stays engine-portable for the oracle.
+
+    ``materialize``: when the *result* frame will be consumed more than
+    once WITHOUT its own barrier (e.g. counted and then clustered by a
+    caller that does not checkpoint it), pass ``True`` to
+    ``localCheckpoint`` the signature table so repeated consumption
+    does not re-hash every shingle. The default ``False`` is the
+    single-consumer fast path: within one action, the signature
+    aggregation's shuffle feeds both self-join sides via Spark's
+    ReusedExchange, so shingles are still hashed exactly once — no
+    eager barrier, no extra materialization cost. (Barriers use
+    ``localCheckpoint``, never ``persist`` — a CacheManager entry would
+    leak per call for the session lifetime; ``duplicate_clusters``
+    checkpoints the pair table itself, so composing with it needs no
+    ``materialize=True`` here.)
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, seed, hash_fn=hash_fn
     )
-    # signatures feed both sides of the self-join; localCheckpoint
-    # materializes them ONCE and frees the storage when the RDD is
-    # garbage-collected — unlike persist(), which would leak a
-    # CacheManager entry per call for the session lifetime. At
-    # warehouse scale you'd materialize the signature table instead.
-    sigs = sigs.localCheckpoint(eager=True)
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
     banded = _band_table(sigs, id_col, bands, rows_per_band, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -681,9 +692,7 @@ def exact_window_dedup(
     re-derive results exactly."""
     # compute-bound like minhash: parallelism must not depend on the
     # input file layout (a single small parquet file = one partition)
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    if parts and parts > 1 and df.rdd.getNumPartitions() < parts:
-        df = df.repartition(parts, id_col)
+    df = repartition_up(df, id_col)
     # tokenize into a MATERIALIZED column first: referencing the
     # filter(split(...)) expression inside the window lambda would
     # inline it, re-tokenizing the whole document once per window —

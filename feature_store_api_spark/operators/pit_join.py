@@ -31,12 +31,65 @@ Two physical strategies, both pure DataFrame ops:
 
 from __future__ import annotations
 
+import datetime as _dt
+import re
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SPINE_UID = "__spine_uid"
+
+# strict TTL grammar: "<n> <unit>" with a whitelisted unit. Anything
+# else (typos, stray parens, injection attempts) is rejected at the
+# API boundary with a clear ValueError instead of surfacing as an
+# opaque Catalyst INTERVAL parse error — or worse, silently altering
+# the freshness predicate — far from the call site.
+_STALENESS_RE = re.compile(
+    r"^\s*(\d+)\s+(millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+
+
+def validate_max_staleness(max_staleness):
+    """Validate/normalize a feature-TTL value at the API boundary.
+
+    Accepted: ``None``; a ``datetime.timedelta`` (the typed path); a
+    non-negative int/float (numeric event times); or an interval string
+    matching ``'<n> <millisecond|second|minute|hour|day|week>[s]'``.
+    Returns the value unchanged (timedelta included). Raises
+    ``ValueError`` otherwise — BEFORE anything reaches
+    ``F.expr(f"INTERVAL ...")``.
+    """
+    if max_staleness is None:
+        return None
+    if isinstance(max_staleness, _dt.timedelta):
+        if max_staleness < _dt.timedelta(0):
+            raise ValueError(
+                f"max_staleness must be non-negative, got {max_staleness!r}"
+            )
+        return max_staleness
+    if isinstance(max_staleness, bool):
+        raise ValueError(f"Invalid max_staleness: {max_staleness!r}")
+    if isinstance(max_staleness, (int, float)):
+        if max_staleness < 0:
+            raise ValueError(
+                f"max_staleness must be non-negative, got {max_staleness!r}"
+            )
+        return max_staleness
+    if isinstance(max_staleness, str):
+        if _STALENESS_RE.match(max_staleness):
+            return max_staleness
+        raise ValueError(
+            f"Invalid max_staleness interval {max_staleness!r}: expected "
+            "'<n> <millisecond|second|minute|hour|day|week>[s]' (e.g. "
+            "'30 days', '6 hours'), a datetime.timedelta, or a number "
+            "for numeric event times"
+        )
+    raise ValueError(
+        f"Invalid max_staleness type {type(max_staleness).__name__!r}: "
+        "expected interval string, datetime.timedelta, or number"
+    )
 
 
 def point_in_time_join(
@@ -64,6 +117,7 @@ def point_in_time_join(
     number for numeric event times. Under the range strategy the bound
     also prunes candidates BEFORE the join (tighter row explosion on
     hot keys)."""
+    max_staleness = validate_max_staleness(max_staleness)
     keys = list(keys)
     if features is None:
         features = [
@@ -92,10 +146,20 @@ def point_in_time_join(
 
 def _staleness_cutoff(ts_col, max_staleness):
     """spine_ts - TTL: the oldest feature timestamp still usable.
-    ``max_staleness`` is an INTERVAL string ('30 days', '6 hours') for
-    temporal timestamps, or a number for numeric event times."""
+    ``max_staleness`` is an INTERVAL string ('30 days', '6 hours') or a
+    ``datetime.timedelta`` for temporal timestamps, or a number for
+    numeric event times. Callers validate via
+    ``validate_max_staleness`` before this interpolates anything."""
+    if isinstance(max_staleness, _dt.timedelta):
+        # lit(timedelta) → DayTimeIntervalType literal: the typed path,
+        # no string interpolation at all
+        return ts_col - F.lit(max_staleness)
     if isinstance(max_staleness, str):
-        return ts_col - F.expr(f"INTERVAL {max_staleness}")
+        m = _STALENESS_RE.match(max_staleness)
+        if not m:  # defense in depth behind validate_max_staleness
+            raise ValueError(f"Invalid max_staleness {max_staleness!r}")
+        # re-render from the PARSED parts — only vetted tokens reach expr
+        return ts_col - F.expr(f"INTERVAL {int(m.group(1))} {m.group(2).upper()}")
     return ts_col - F.lit(max_staleness)
 
 
@@ -312,7 +376,7 @@ def _pit_union_window_many(
                 "features": features,
                 "out_names": out_names,
                 "pre": spec.get("precombine"),
-                "ttl": spec.get("max_staleness"),
+                "ttl": validate_max_staleness(spec.get("max_staleness")),
             }
         )
 

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .parallelism import repartition_up
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1114,11 +1116,10 @@ def semantic_dedup(
     scaling)."""
     base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
     # assignment is a k-cosines-per-row fold — compute-bound, so spread
-    # it across the cluster even when the input is one small file
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    # repartition UP only — never coalesce an already-parallel layout
-    if parts and parts > 1 and base.rdd.getNumPartitions() < parts:
-        base = base.repartition(parts, "__id")
+    # it across the cluster even when the input is one small file.
+    # Repartition UP only — never coalesce an already-parallel layout
+    # (plan-analysis-free guard: parallelism.py)
+    base = repartition_up(base, "__id")
     seeds = [
         list(r["__v"])
         for r in base.orderBy("__id").limit(num_clusters).collect()

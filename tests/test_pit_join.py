@@ -204,3 +204,80 @@ def test_pit_max_staleness_ttl(spark):
         features=["v"], prefix="f_", max_staleness=5,
     ).collect()[0]["f_v"]
     assert got is None  # 10 ticks old > 5
+
+
+def test_max_staleness_validated_at_api_boundary(spark):
+    """Malformed TTL strings raise a clear ValueError at the call site
+    instead of an opaque Catalyst INTERVAL parse error (or a silently
+    altered predicate); timedelta is the typed path."""
+    import datetime as dt
+
+    import pytest
+
+    from feature_store_api_spark.operators.pit_join import (
+        point_in_time_join,
+        point_in_time_join_many,
+        validate_max_staleness,
+    )
+
+    spine = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 20))],
+        "event_id long, k long, ts timestamp",
+    )
+    feat = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 18), 10.0)],
+        "k long, fts timestamp, v double",
+    )
+    for bad in (
+        "30 days) OR (1=1",     # injection shape
+        "30 dys",               # typo
+        "thirty days",
+        "30",                   # missing unit
+        "-3 days",
+        "30 days 4 hours",      # compound: not in the strict grammar
+        -5,                     # negative numeric
+        True,                   # bool is not a TTL
+        ["30 days"],
+    ):
+        with pytest.raises(ValueError):
+            point_in_time_join(
+                spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+                features=["v"], prefix="f_", max_staleness=bad,
+            )
+        with pytest.raises(ValueError):
+            point_in_time_join_many(
+                spine,
+                [{"df": feat, "feature_ts": "fts", "features": ["v"],
+                  "prefix": "a_", "max_staleness": bad},
+                 {"df": feat, "feature_ts": "fts", "features": ["v"],
+                  "prefix": "b_"}],
+                spine_keys_default=["k"], spine_ts="ts",
+            )
+    # vetted forms pass through unchanged
+    assert validate_max_staleness(None) is None
+    assert validate_max_staleness("30 DAYS") == "30 DAYS"
+    assert validate_max_staleness(" 6 hours ") == " 6 hours "
+    assert validate_max_staleness(1500) == 1500
+    td = dt.timedelta(days=5)
+    assert validate_max_staleness(td) is td
+
+    # timedelta TTL == equivalent interval-string TTL (typed path:
+    # zero string interpolation)
+    spine3 = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 20)), (2, 2, dt.datetime(2024, 1, 20))],
+        "event_id long, k long, ts timestamp",
+    )
+    feat3 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 18), 10.0),
+         (2, dt.datetime(2024, 1, 10), 20.0)],
+        "k long, fts timestamp, v double",
+    )
+    for ttl in ("5 days", dt.timedelta(days=5)):
+        out = {
+            r["event_id"]: r["f_v"]
+            for r in point_in_time_join(
+                spine3, feat3, keys=["k"], spine_ts="ts", feature_ts="fts",
+                features=["v"], prefix="f_", max_staleness=ttl,
+            ).collect()
+        }
+        assert out == {1: 10.0, 2: None}, ttl

@@ -349,3 +349,52 @@ def test_serving_withholds_expired_features(spark, tmp_path):
     vecs = server.get_feature_vectors(spark, [{"k": 1}, {"k": 2}])
     assert vecs[0] is not None and vecs[0]["v"] == 10.0
     assert vecs[1] is None  # expired hit == miss
+
+
+def test_serving_ttl_numeric_event_time_needs_clock(spark, tmp_path):
+    """A numeric max_staleness on a numeric event time is enforced when
+    the caller supplies clock=, and WARNS (never silently skips) when
+    it cannot be — batch PIT reads enforce the same TTL, so a silent
+    skip would be exactly the training/serving skew the feature
+    prevents."""
+    import warnings
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "ttl_num", primary_key=["k"], event_time="ts",
+        online_enabled=True, max_staleness=10,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 95, 1.0), (2, 50, 2.0)], "k long, ts long, v double",
+    ))
+    fv = fs.create_feature_view("ttl_num_sv", fg.select_all())
+    server = fv.init_serving(spark)
+
+    # with a numeric clock: ts >= clock - TTL ⇒ k=1 fresh, k=2 expired
+    vecs = server.get_feature_vectors(spark, [{"k": 1}, {"k": 2}], clock=100)
+    assert vecs[0] is not None and vecs[0]["v"] == 1.0
+    assert vecs[1] is None
+
+    # without a clock: unfiltered, but loudly
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vecs = server.get_feature_vectors(spark, [{"k": 1}, {"k": 2}])
+    assert vecs[0]["v"] == 1.0 and vecs[1]["v"] == 2.0
+    assert any("numeric event time" in str(x.message) for x in w)
+
+
+def test_serving_ttl_declaration_validated(tmp_path):
+    """A malformed TTL fails at feature-group DECLARATION, not at first
+    read."""
+    import pytest
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    with pytest.raises(ValueError, match="max_staleness"):
+        fs.create_feature_group(
+            "ttl_bad", primary_key=["k"], event_time="ts",
+            online_enabled=True, max_staleness="1 dayz",
+        )

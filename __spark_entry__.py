@@ -214,6 +214,28 @@ def _q_pit_join(spark, sf_dir):
     )
 
 
+def _q_pit_join_skew(spark, sf_dir):
+    """The skew-safe two-stage PIT strategy (time-bucketed running max,
+    operators/pit_join.py:_pit_union_window_skew): output must be
+    hash-identical to the plain strategy, so it shares pit_join's
+    oracle verbatim. At 100 TB this is the escape hatch for a zipfian
+    hot entity that would serialize the plain window's per-key sort."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select(F.col("event_id"), F.col("user_id").alias("custkey"), F.col("ts"))
+    feat = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate", "o_totalprice", "o_orderstatus",
+    )
+    return point_in_time_join(
+        spine, feat, keys=["custkey"], spine_ts="ts", feature_ts="o_orderdate",
+        features=["o_totalprice", "o_orderstatus"], prefix="ord_",
+        strategy="union_window_skew", skew_buckets=16,
+    )
+
+
 def _q_pit_join_ttl(spark, sf_dir):
     """PIT join with a feature TTL (max_staleness='365 days'): a match
     older than the TTL before the spine timestamp comes back NULL
@@ -2522,8 +2544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_window_dedup": _q_exact_window_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "pit_join": _q_pit_join,
-        "pit_join_ttl": _q_pit_join_ttl,
+        "pit_join_skew": _q_pit_join_skew,
         "stats_profile": _q_stats_profile,
+        "pit_join_ttl": _q_pit_join_ttl,
         "pit_join_multi": _q_pit_join_multi,
         "pit_join_range": _q_pit_join_range,
         "spine_pit_join": _q_spine_pit_join,
@@ -3176,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a LEFT JOIN customer b ON a.c_custkey = b.c_custkey
         """,
         "pit_join": _PIT_SQL,
+        "pit_join_skew": _PIT_SQL,
         "pit_join_range": _PIT_RANGE_SQL,
         "pit_join_ttl": _PIT_TTL_SQL,
         "time_travel_asof": """

@@ -427,6 +427,55 @@ def _x10_core_frames(spark, sf_dir):
     return _X10_CORE[sf_dir]
 
 
+def b3_upsert_timetravel_x10(spark, sf_dir):
+    """Commit store at 10x rows: same shape as b3 — full insert, an
+    update commit touching 1/3 of keys, then an as-of snapshot read of
+    the first commit. Keys are replica-shifted (o_orderkey + k*BIG), so
+    the merge-on-read window's per-key work stays constant while the
+    layout-sensitive tail (file count, partition sizing, tombstone
+    anti-join) carries 10x the data."""
+    ev, orders, _ = _x10_core_frames(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_tt10_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "orders_fg10", primary_key=["o_orderkey"], event_time="o_orderdate"
+        )
+        c1 = fg.insert(orders, compute_stats=False)
+        fg.insert(
+            orders.where(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1),
+            compute_stats=False,
+        )
+        _force(fg.as_of(c1.commit_time).read(spark))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def b7_stream_online_x10(spark, sf_dir):
+    """Online store at 10x: 5 micro-batch upserts of the replicated
+    events (10x rows per batch, 10x distinct keys) + the same 100-key
+    batch lookup. Exercises the LSM append + newest-per-key resolve at
+    10x the delta-pile and bucket sizes."""
+    from feature_store_api_spark.online.store import OnlineStore
+
+    ev, _, _ = _x10_core_frames(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_onl10_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "events_fg10", primary_key=["user_id"], event_time="ts",
+            online_enabled=True,
+        )
+        online = OnlineStore.for_feature_group(fg)
+        for i in range(5):
+            online.upsert(ev.where(F.col("event_id") % 5 == i))
+        keys = [{"user_id": i} for i in range(100)]
+        online.get_feature_vectors(spark, keys)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def b4_pit_join_x10(spark, sf_dir):
     from feature_store_api_spark.operators.pit_join import point_in_time_join_many
 
@@ -569,6 +618,8 @@ def e5_semantic_dedup_x10(spark, sf_dir):
 
 
 X10_QUERIES = {
+    "b3_upsert_timetravel": b3_upsert_timetravel_x10,
+    "b7_stream_online": b7_stream_online_x10,
     "b4_pit_join": b4_pit_join_x10,
     "b5_training_data": b5_training_data_x10,
     "b6_stats_profile": b6_stats_profile_x10,

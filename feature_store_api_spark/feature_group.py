@@ -771,7 +771,7 @@ class FeatureGroup(FeatureGroupBase):
         dataframe: Optional[DataFrame] = None,
         expectation_suite=None,
         save_report: bool = False,
-        ingestion_result: str = "unknown",
+        ingestion_result: str = "UNKNOWN",
     ):
         """Run an expectation suite against an arbitrary DataFrame
         WITHOUT inserting (parity reference ``feature_group.py:1243``):
@@ -790,18 +790,25 @@ class FeatureGroup(FeatureGroupBase):
             return None
         df = dataframe if dataframe is not None else self.read()
         report = suite.validate(df)
+        # uppercase vocabulary on the record (reference parity:
+        # validation_report.py:103); any input case accepted
         report.ingestion_result = (
-            "fg_data" if dataframe is None else ingestion_result
+            "FG_DATA" if dataframe is None else str(ingestion_result).upper()
         )
         if save_report and not override:
             self._record_validation(report)
         return report
 
-    def save_validation_report(self, validation_report) -> None:
+    def save_validation_report(
+        self, validation_report, ingestion_result: Optional[str] = None
+    ) -> None:
         """Persist an externally produced validation report alongside
-        this group's history (parity ``feature_group.py:1114``). Accepts
-        a :class:`ValidationReport` or a GE-format dict
-        (``success``/``results`` with ``expectation_config``)."""
+        this group's history (parity ``feature_group.py:1114``, which
+        also takes ``ingestion_result``). Accepts a
+        :class:`ValidationReport` or a GE-format dict
+        (``success``/``results`` with ``expectation_config``);
+        ``ingestion_result`` (any case) overrides/sets the recorded
+        fate, normalized to the reference's UPPERCASE vocabulary."""
         from .operators.validation import (
             ExpectationResult,
             ValidationReport,
@@ -827,7 +834,12 @@ class FeatureGroup(FeatureGroupBase):
                 bool(validation_report.get("success", False)),
                 results,
                 len(results),
+                ingestion_result=str(
+                    validation_report.get("ingestion_result", "UNKNOWN")
+                ).upper(),
             )
+        if ingestion_result is not None:
+            validation_report.ingestion_result = str(ingestion_result).upper()
         self._record_validation(validation_report)
 
     def _record_validation(self, report) -> None:
@@ -841,7 +853,9 @@ class FeatureGroup(FeatureGroupBase):
         payload = {
             "success": report.success,
             "evaluated": report.evaluated,
-            "ingestion_result": getattr(report, "ingestion_result", "unknown"),
+            "ingestion_result": str(
+                getattr(report, "ingestion_result", "UNKNOWN")
+            ).upper(),
             "results": [
                 {
                     "expectation_type": r.expectation_type,
@@ -1040,6 +1054,43 @@ class FeatureGroup(FeatureGroupBase):
         ``core/delta_engine.py:172-204``)."""
         details = self.commit_store.commit_details()
         return details[:limit] if limit else details
+
+    @property
+    def materialization_job(self):
+        """Job-shaped handle for this group's offline materialization
+        (parity ``feature_group.py:3490`` — the reference resolves a
+        remote ``{name}_{version}_offline_fg_materialization`` job that
+        folds Kafka-buffered inserts into the offline store). This
+        engine lands stream inserts offline per micro-batch, so the
+        recurring work the job represents is COMPACTION: folding the
+        commit store's merge-on-read tail into a read-optimized base
+        (plus the online store's, when enabled). ``run()`` does that,
+        synchronously; state/executions/schedule follow
+        ``core/job.py:94`` / ``core/job_schedule.py:27``."""
+        if getattr(self, "_materialization_job", None) is None:
+            from .jobs import Job
+
+            def _materialize(_args=None):
+                from .session import get_spark
+
+                spark = get_spark()
+                out = {"offline_commit": None, "online_compacted": False}
+                commit = self.commit_store.compact(spark)
+                out["offline_commit"] = getattr(commit, "commit_time", commit)
+                if self.online_enabled:
+                    from .online.store import OnlineStore
+
+                    OnlineStore.for_feature_group(self).compact(spark)
+                    out["online_compacted"] = True
+                return out
+
+            self._materialization_job = Job(
+                f"{self.name}_{self.version}_offline_fg_materialization",
+                _materialize,
+                config={"type": "compaction", "feature_group": self.name,
+                        "version": self.version},
+            )
+        return self._materialization_job
 
     def vacuum(self, retain_hours: float = 168.0) -> List[int]:
         """Delete commit history outside the retention window that a

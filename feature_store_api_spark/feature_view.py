@@ -1214,9 +1214,20 @@ class FeatureView:
             # '{name}_{version}_*' — a bare prefix test would absorb
             # '{name}_1' into '{name}_10' (the same absorption bug
             # model_registry._is_version_file_of guards against)
+            # ...and the bare-underscore prefix test had the SAME bug
+            # one level up: clean('v', 1) must not absorb 'v_1_2.json'
+            # (view literally NAMED 'v_1', version 2) nor its sidecars.
+            # Only the KNOWN sidecar suffixes this module writes are
+            # eligible: _monitoring.json, _tags.json, _td<N>_tags.json.
+            import re
+
             stem = f"{name}_{version}"
+            sidecar = re.compile(
+                rf"^{re.escape(stem)}"
+                r"(\.json|_monitoring\.json|(_td\d+)?_tags\.json)$"
+            )
             for entry in os.listdir(base):
-                if entry == f"{stem}.json" or entry.startswith(f"{stem}_"):
+                if sidecar.match(entry):
                     full = os.path.join(base, entry)
                     if os.path.isdir(full):
                         shutil.rmtree(full, ignore_errors=True)

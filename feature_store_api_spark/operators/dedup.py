@@ -19,6 +19,37 @@ from pyspark.sql import types as T
 from .parallelism import repartition_up
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _constraint_propagation_disabled(spark):
+    """Workaround for a Spark 4.1 Catalyst defect: ``localCheckpoint``
+    of a plan containing higher-order-function lambdas (the LSH bucket
+    pair expansion's ``transform``) snapshots plan constraints that
+    reference lambda-internal attributes; any later ``union`` over the
+    checkpointed frame then crashes in ``UnionBase.rewriteConstraints``
+    with ``key not found: src#N``. Creating the checkpoints with
+    constraint propagation disabled makes the ``LogicalRDD`` snapshot
+    EMPTY constraints, so every downstream plan is safe regardless of
+    the (restored) session setting. Scope is one operator call on the
+    driver thread — the engine never builds clustering plans
+    concurrently on one session."""
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def latest_per_key(
     df: DataFrame,
     keys: Sequence[str],
@@ -276,22 +307,45 @@ def minhash_lsh_duplicate_pairs(
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
     banded = _band_table(sigs, id_col, bands, rows_per_band, hash_fn)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    # Pair generation is a GROUP-BY, not a self-join: collecting each
+    # (band, bucket)'s member ids and expanding i<j pairs in-place
+    # computes the signature pipeline exactly ONCE with exactly ONE
+    # shuffle of (band, bucket, id) rows. The self-join formulation
+    # reads identical, but Spark plans its small side as a
+    # BroadcastExchange — which canonicalizes differently from the
+    # probe side's shuffle, so ReuseExchange never fires and the whole
+    # shingle+minhash aggregation runs TWICE (measured: 2 FileScans, 6
+    # HashAggregates; +13% at sf0.1 and 5x worse x10 scaling).
+    # Memory bound: one bucket's ids live in one agg buffer — LSH
+    # buckets are near-duplicate groups and stay small by construction;
+    # a degenerate bucket of 10M identical docs would hold ~80 MB of
+    # longs (the quadratic PAIR OUTPUT, not the buffer, is the real
+    # limit either way — cap upstream if a corpus is that degenerate).
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids") > 1)
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__ids"),
+                            i + F.lit(2),
+                            F.size(F.col("__ids")),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return pairs.select("__p.id_a", "__p.id_b").distinct()
 
 
 def minhash_lsh_pairs_against(
@@ -459,27 +513,46 @@ def duplicate_clusters(
     iteration cap is hit before the fixpoint (an unconverged labeling
     silently keeps transitive duplicates — fail loudly instead).
     """
+    with _constraint_propagation_disabled(pairs.sparkSession):
+        return _duplicate_clusters_impl(
+            pairs, max_iterations, algorithm, driver_pair_threshold
+        )
+
+
+def _duplicate_clusters_impl(
+    pairs: DataFrame,
+    max_iterations: int,
+    algorithm: str,
+    driver_pair_threshold: int,
+) -> DataFrame:
     if algorithm == "auto":
-        # the pairs frame is usually an LSH band self-join + distinct —
+        # the pairs frame is usually an LSH band group-by + distinct —
         # expensive to recompute. Materialize it ONCE so the strategy
         # count(), the union-find collect() (small path) and the edges
         # build (distributed path) all read cached partitions instead of
-        # re-running the join. localCheckpoint frees itself on RDD GC.
+        # re-running the pipeline. localCheckpoint frees itself on RDD GC.
         pairs = pairs.localCheckpoint(eager=True)
         n_pairs = pairs.count()
         if n_pairs <= driver_pair_threshold:
             return _cc_driver_union_find(pairs)
         algorithm = "two_phase"
+    # symmetrize in ONE pass: each pair row explodes into its two
+    # orientations. The union-of-reversed-selves formulation would (a)
+    # compute the pairs plan TWICE (each union child is a full lineage)
+    # and (b) trip a Catalyst constraint-rewrite bug
+    # (UnionBase.rewriteConstraints: "key not found: src#N") when the
+    # pairs plan carries higher-order-function constraints from the LSH
+    # bucket pair expansion.
+    a, b = pairs.columns[0], pairs.columns[1]
     edges = pairs.select(
-        F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
-    )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+    edges = edges.distinct().localCheckpoint(eager=True)
     if algorithm == "two_phase":
         return _cc_two_phase(edges, max_iterations)
     if algorithm != "min_label":

@@ -103,6 +103,7 @@ def point_in_time_join(
     precombine: Optional[str] = None,
     strategy: str = "union_window",
     max_staleness=None,
+    skew_buckets: int = 32,
 ) -> DataFrame:
     """As-of join one feature DataFrame onto a spine.
 
@@ -136,6 +137,11 @@ def point_in_time_join(
             spine, feature_df, keys, spine_ts, feature_ts, features,
             out_names, precombine, max_staleness,
         )
+    if strategy == "union_window_skew":
+        return _pit_union_window_skew(
+            spine, feature_df, keys, spine_ts, feature_ts, features,
+            out_names, precombine, max_staleness, skew_buckets=skew_buckets,
+        )
     if strategy == "range_join":
         return _pit_range_join(
             spine, feature_df, keys, spine_ts, feature_ts, features,
@@ -163,12 +169,14 @@ def _staleness_cutoff(ts_col, max_staleness):
     return ts_col - F.lit(max_staleness)
 
 
-def _pit_union_window(
-    spine, feature_df, keys, spine_ts, feature_ts, features, out_names,
-    precombine, max_staleness=None,
+def _pit_build_union(
+    spine, feature_df, keys, spine_ts, feature_ts, features, precombine
 ) -> DataFrame:
-    # one struct column carrying (ts, precombine, payload) for feature
-    # rows; NULL on spine rows so the running max skips them
+    """The shared union frame both union-window strategies sort: keys +
+    ``__ts`` + ``__side`` (0=feature, 1=spine) + the ``__cand``
+    (ts, precombine, payload) struct (NULL on spine rows so running
+    maxes skip them) + the spine payload columns (NULL on feature
+    rows)."""
     payload = F.struct(*[F.col(f) for f in features])
     pre = (
         F.col(precombine)
@@ -196,28 +204,12 @@ def _pit_union_window(
         F.lit(None).cast(fg_side.schema["__cand"].dataType).alias("__cand"),
         *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
     )
+    return fg_side.unionByName(spine_side)
 
-    # feature rows (side=0) sort before spine rows (side=1) at equal ts,
-    # so an exact-tie feature row IS visible to the spine row (<= match).
-    # The match is the running lexicographic MAX of (ts, precombine,
-    # payload) over the expanding frame: latest ts wins, then max
-    # precombine, then max payload — a TOTAL deterministic pick, so
-    # duplicate feature rows can never flip the answer between runs (or
-    # against the SQL oracle). Because max is commutative, tie ORDER
-    # among equal-(ts, side) rows is irrelevant, which keeps the window
-    # SORT KEY at just (ts, side) — the payload rides in the O(1)/row
-    # incremental agg buffer instead of fattening every sort record
-    # (round 2 sorted by the full payload struct: +60% on b4).
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    unioned = fg_side.unionByName(spine_side)
-    matched = unioned.withColumn(
-        "__match", F.max(F.col("__cand")).over(w)
-    ).where(F.col("__side") == 1)
 
+def _pit_project_out(matched, spine, features, out_names, max_staleness):
+    """Final projection shared by the union-window strategies: restore
+    spine columns, unpack the matched payload, apply the TTL null-out."""
     if max_staleness is not None:
         # __ts on the surviving (side=1) rows IS the spine timestamp
         fresh = F.col("__match").getField("t") >= _staleness_cutoff(
@@ -237,6 +229,121 @@ def _pit_union_window(
         *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
         *out_cols,
     )
+
+
+def _pit_union_window(
+    spine, feature_df, keys, spine_ts, feature_ts, features, out_names,
+    precombine, max_staleness=None,
+) -> DataFrame:
+    # feature rows (side=0) sort before spine rows (side=1) at equal ts,
+    # so an exact-tie feature row IS visible to the spine row (<= match).
+    # The match is the running lexicographic MAX of (ts, precombine,
+    # payload) over the expanding frame: latest ts wins, then max
+    # precombine, then max payload — a TOTAL deterministic pick, so
+    # duplicate feature rows can never flip the answer between runs (or
+    # against the SQL oracle). Because max is commutative, tie ORDER
+    # among equal-(ts, side) rows is irrelevant, which keeps the window
+    # SORT KEY at just (ts, side) — the payload rides in the O(1)/row
+    # incremental agg buffer instead of fattening every sort record
+    # (round 2 sorted by the full payload struct: +60% on b4).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = _pit_build_union(
+        spine, feature_df, keys, spine_ts, feature_ts, features, precombine
+    )
+    matched = unioned.withColumn(
+        "__match", F.max(F.col("__cand")).over(w)
+    ).where(F.col("__side") == 1)
+    return _pit_project_out(matched, spine, features, out_names, max_staleness)
+
+
+def _pit_union_window_skew(
+    spine, feature_df, keys, spine_ts, feature_ts, features, out_names,
+    precombine, max_staleness=None, skew_buckets: int = 32,
+) -> DataFrame:
+    """Skew-safe union-window PIT: a running max decomposed into
+    time-range buckets so ONE hot key spreads over ``skew_buckets``
+    partitions instead of serializing its millions of rows into a
+    single partition's sort (the plain strategy's worst case at 100 TB
+    with zipfian keys — AQE skew-join handles joins, not windows).
+
+    Because max is commutative/associative, a prefix max decomposes
+    exactly: for a row in bucket b,
+
+        match = max( running-max within bucket b up to the row,
+                     max over ALL rows of buckets < b )
+
+    Stage 1 windows partition on (key, ts-bucket) — per-partition work
+    is ~1/skew_buckets of the hot key. Stage 2's carry-in is a window
+    over the per-(key, bucket) maxima — ``skew_buckets`` rows per key,
+    trivially small — joined back on (key, bucket), an equi-join AQE
+    can further split if one bucket is still hot. Bucket bounds come
+    from one min/max agg over the union (a columnar scan Spark answers
+    from statistics where available). Output is hash-identical to the
+    plain strategy: same total (ts, precombine, payload) max, same tie
+    semantics (equal timestamps land in the same bucket by
+    construction)."""
+    unioned = _pit_build_union(
+        spine, feature_df, keys, spine_ts, feature_ts, features, precombine
+    )
+    ts_t = unioned.schema["__ts"].dataType.typeName()
+    # numeric axis for bucket arithmetic: epoch micros for temporal
+    # types, the raw value for numeric event times
+    if ts_t in ("timestamp", "timestamp_ntz"):
+        axis = F.unix_micros(F.col("__ts").cast("timestamp"))
+    elif ts_t == "date":
+        axis = F.datediff(F.col("__ts"), F.lit("1970-01-01")).cast("long")
+    else:
+        axis = F.col("__ts").cast("double")
+    unioned = unioned.withColumn("__axis", axis)
+    lo, hi = unioned.agg(
+        F.min("__axis"), F.max("__axis")
+    ).first()
+    if lo is None or hi is None or not (hi > lo):
+        # empty input or a single distinct timestamp: bucketing is
+        # degenerate (everything lands in bucket 0) — the plain
+        # single-window path is both correct and cheaper
+        return _pit_union_window(
+            spine, feature_df, keys, spine_ts, feature_ts, features,
+            out_names, precombine, max_staleness,
+        )
+    width = (float(hi) - float(lo)) / skew_buckets
+    bucket = F.least(
+        F.floor((F.col("__axis") - F.lit(float(lo))) / F.lit(width)),
+        F.lit(skew_buckets - 1),
+    ).cast("int")
+    unioned = unioned.withColumn("__bkt", bucket).drop("__axis")
+
+    # stage 1: running max WITHIN each (key, bucket) slice
+    w_local = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = unioned.withColumn("__local", F.max("__cand").over(w_local))
+
+    # stage 2: carry-in = max over all EARLIER buckets of the same key
+    # (≤ skew_buckets rows per key — this window can never be hot)
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        unioned.groupBy(*keys, "__bkt")
+        .agg(F.max("__cand").alias("__bmax"))
+        .withColumn("__carry", F.max("__bmax").over(w_carry))
+        .select(*keys, "__bkt", "__carry")
+    )
+    matched = (
+        staged.join(carry, on=[*keys, "__bkt"], how="left")
+        .where(F.col("__side") == 1)
+        .withColumn("__match", F.greatest(F.col("__local"), F.col("__carry")))
+    )
+    return _pit_project_out(matched, spine, features, out_names, max_staleness)
 
 
 def _pit_range_join(

@@ -161,11 +161,24 @@ def describe(
         # column's time (~0.3 s wall) while the numeric pass runs on
         # the main thread. Same trick as the percentile pass — total
         # scan I/O is unchanged (each job prunes to one column).
+        # numeric columns that will run a percentile bin pass anyway can
+        # carry their EXACT distinct count inside that same job: equi-
+        # width bins partition the value space, so each distinct value
+        # lands in exactly one bin and the per-bin countDistincts sum to
+        # the global exact count — one groupBy per column instead of
+        # two (bin job + countDistinct job), halving the per-column job
+        # (and codegen-compile) floor that dominates profile latency.
+        fused_distinct_cols = (
+            {c for c in num_cols}
+            if exact_distinct and percentiles
+            else set()
+        )
         side_aggs = []
         if exact_distinct:
             side_aggs += [
                 [F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")]
                 for c in cols
+                if c not in fused_distinct_cols
             ]
         elif approx_distinct:
             side_aggs.append([
@@ -186,20 +199,30 @@ def describe(
             pool.shutdown(wait=False)
 
         row = src.agg(*basic).collect()[0].asDict()
+        # the percentile/fused pass depends ONLY on the basic row's
+        # min/max — run it BEFORE gathering the side futures so its bin
+        # jobs overlap the still-running distinct/varlen jobs instead
+        # of serializing after them
+        if num_cols and percentiles:
+            minmax = {
+                c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
+            }
+            pctls, fused_counts = approx_percentiles_multi(
+                src, num_cols, list(percentiles), minmax,
+                exact_distinct_cols=fused_distinct_cols,
+            )
+            for c in num_cols:
+                row[f"{c}__percentiles"] = pctls.get(c)
+            for c in fused_distinct_cols:
+                # an all-null column has no min/max → no bin job ran;
+                # its exact distinct over non-nulls is 0 by definition
+                row[f"{c}__exact_distinct"] = fused_counts.get(c, 0)
         for fut in futs:
             row.update(fut.result())
         if exact_distinct and approx_distinct:
             for c in cols:
                 row[f"{c}__approx_distinct"] = row[f"{c}__exact_distinct"]
         total = row["__total"]
-
-        if num_cols and percentiles:
-            minmax = {
-                c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
-            }
-            pctls = approx_percentiles_multi(src, num_cols, list(percentiles), minmax)
-            for c in num_cols:
-                row[f"{c}__percentiles"] = pctls.get(c)
     finally:
         if cache_source:
             src.unpersist()
@@ -234,7 +257,8 @@ def approx_percentiles_multi(
     percentiles: Sequence[float],
     minmax: Dict[str, tuple],
     buckets: int = 8192,
-) -> Dict[str, List[float]]:
+    exact_distinct_cols: Optional[set] = None,
+) -> tuple:
     """Approximate percentiles for many columns via concurrent
     binned-count jobs.
 
@@ -248,10 +272,17 @@ def approx_percentiles_multi(
     Error bound: (max-min)/buckets per column, independent of row count;
     each shuffle carries only partial bin counts (map-side combined), so
     the pass scales to arbitrary data sizes.
+
+    ``exact_distinct_cols``: columns whose bin job should ALSO carry an
+    exact ``countDistinct`` per bin — equi-width bins partition the
+    value space, so per-bin distinct counts sum to the global exact
+    count, folding the separate distinct pass into this one. Returns
+    ``(percentiles_by_col, exact_distinct_by_col)``.
     """
+    exact_distinct_cols = exact_distinct_cols or set()
     cols = [c for c in columns if minmax.get(c) and minmax[c][0] is not None]
     if not cols:
-        return {}
+        return {}, {}
 
     # bin assignment happens INSIDE the per-column struct (each column's
     # min/width inlined as constants) so the exploded rows carry just
@@ -280,6 +311,20 @@ def approx_percentiles_multi(
     from concurrent.futures import ThreadPoolExecutor
 
     def one(c):
+        if c in exact_distinct_cols:
+            # fused shape: shuffle carries distinct (bin, value) pairs
+            # (≈ the standalone countDistinct job's shuffle) but saves
+            # that job — and its codegen compile — entirely
+            return (
+                df.select(_bin(c).alias("b"), F.col(c).alias("v"))
+                .where(F.col("b").isNotNull())
+                .groupBy("b")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("v").alias("d"),
+                )
+                .collect()
+            )
         return (
             df.select(_bin(c).alias("b"))
             .where(F.col("b").isNotNull())
@@ -289,9 +334,12 @@ def approx_percentiles_multi(
         )
 
     by_col: Dict[str, Dict[int, int]] = {}
+    distinct_out: Dict[str, int] = {}
     with ThreadPoolExecutor(max_workers=min(len(cols), 8)) as pool:
         for c, rows in zip(cols, pool.map(one, cols)):
             by_col[c] = {r["b"]: r["n"] for r in rows}
+            if c in exact_distinct_cols:
+                distinct_out[c] = sum(r["d"] for r in rows)
 
     out: Dict[str, List[float]] = {}
     for c in cols:
@@ -312,7 +360,7 @@ def approx_percentiles_multi(
                 acc += n
             res.append(min(max(val, mn), mx))
         out[c] = res
-    return out
+    return out, distinct_out
 
 
 def exact_percentiles(
@@ -489,7 +537,9 @@ def transformation_statistics(
                 stats[c]["percentiles"] = ex[c]
         else:
             minmax = {c: (stats[c]["min"], stats[c]["max"]) for c in pctl_feats}
-            pc = approx_percentiles_multi(df, pctl_feats, list(percentiles), minmax)
+            pc, _ = approx_percentiles_multi(
+                df, pctl_feats, list(percentiles), minmax
+            )
             for c in pctl_feats:
                 stats[c]["percentiles"] = pc.get(c)
     for c in features:

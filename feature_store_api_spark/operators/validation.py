@@ -35,9 +35,11 @@ class ValidationReport:
     success: bool
     results: List[ExpectationResult]
     evaluated: int
-    # fate of the validated data (reference ingestion_result values:
-    # unknown/ingested/rejected/experiment/fg_data)
-    ingestion_result: str = "unknown"
+    # fate of the validated data — the reference persists the UPPERCASE
+    # vocabulary (validation_report.py:103 ``.upper()`` on the wire):
+    # UNKNOWN/INGESTED/REJECTED/EXPERIMENT/FG_DATA. We match it so
+    # history filters ported from reference code compare equal.
+    ingestion_result: str = "UNKNOWN"
 
     def failures(self) -> List[ExpectationResult]:
         return [r for r in self.results if not r.success]
@@ -308,9 +310,9 @@ def validate_for_ingest(df: DataFrame, suite: Optional[ExpectationSuite]):
         return None
     report = suite.validate(df)
     if not report.success and suite.validation_ingestion_policy == ExpectationSuite.STRICT:
-        report.ingestion_result = "rejected"
+        report.ingestion_result = "REJECTED"
         raise DataValidationError(report)
     # non-strict (ALWAYS) ingests REGARDLESS of the verdict — the
     # recorded fate must say so even for a failing report
-    report.ingestion_result = "ingested"
+    report.ingestion_result = "INGESTED"
     return report

@@ -66,15 +66,26 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
-# (applicationId, realpath, mtime_ns) → DataFrame. spark.read.parquet
-# pays a JVM file-listing + footer schema read (~50-100 ms) EVERY call;
-# for the repeated-scan shape (benchmarks, per-query catalog rebuilds,
-# serving loops) that listing dominates small-query latency. A DataFrame
-# is an immutable logical plan, so reuse is safe as long as the files
-# underneath haven't changed — the mtime in the key invalidates the
-# entry whenever the file or directory is rewritten (Spark's
-# write-temp-then-rename always bumps the dir mtime).
-_PLAN_CACHE: Dict[tuple, DataFrame] = {}
+# (applicationId, realpath, mtime_ns) → [plans], hand-out counter.
+# spark.read.parquet pays a JVM file-listing + footer schema read
+# (~50-100 ms) EVERY call; for the repeated-scan shape (benchmarks,
+# per-query catalog rebuilds, serving loops) that listing dominates
+# small-query latency. A DataFrame is an immutable logical plan, so
+# reuse is safe as long as the files underneath haven't changed — the
+# mtime in the key invalidates the entry whenever the file or directory
+# is rewritten (Spark's write-temp-then-rename always bumps the dir
+# mtime).
+#
+# Self-join caveat: handing the IDENTICAL DataFrame object to two
+# reads of the same path would change behavior for callers that join
+# them (pre-cache they got independent plans; one shared plan can trip
+# AMBIGUOUS_SELF_JOIN / trivially-true-condition analysis). So each key
+# caches TWO independent plans and alternates hand-outs: consecutive
+# reads of a path get distinct expression IDs (the join-shaped usage),
+# while loops still alternate between two cached plans and never pay
+# the listing again. (A 3+-way self-join of one path repeats a plan —
+# alias both sides explicitly for that, as with any Spark self-join.)
+_PLAN_CACHE: Dict[tuple, list] = {}
 
 
 def _cache_key(spark: SparkSession, path: str):
@@ -109,7 +120,25 @@ def _cache_key(spark: SparkSession, path: str):
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     key = _cache_key(spark, path)
     if key is not None and key in _PLAN_CACHE:
-        return _PLAN_CACHE[key]
+        entry = _PLAN_CACHE[key]  # [plans list, hand-out count]
+        plans, n = entry
+        entry[1] = n + 1
+        if n % 2 == 1 and len(plans) == 1:
+            # second hand-out: build ONE independent twin plan (fresh
+            # expression IDs) so `read(p).join(read(p), ...)` behaves
+            # like two pre-cache reads; built lazily, cached forever
+            plans.append(_build_parquet_plan(spark, path))
+        return plans[n % 2 if len(plans) == 2 else 0]
+    df = _build_parquet_plan(spark, path)
+    if key is not None:
+        if len(_PLAN_CACHE) > 256:  # bound: drop the oldest half
+            for k in list(_PLAN_CACHE)[:128]:
+                del _PLAN_CACHE[k]
+        _PLAN_CACHE[key] = [[df], 1]
+    return df
+
+
+def _build_parquet_plan(spark: SparkSession, path: str) -> DataFrame:
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         _ensure_nanos_conf(spark)
@@ -128,11 +157,6 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
                 c,
                 F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
-    if key is not None:
-        if len(_PLAN_CACHE) > 256:  # bound: drop the oldest half
-            for k in list(_PLAN_CACHE)[:128]:
-                del _PLAN_CACHE[k]
-        _PLAN_CACHE[key] = df
     return df
 
 

@@ -363,3 +363,28 @@ def test_exact_window_dedup_flags_copied_passage(spark):
         assert out[1]["is_dup"] is False     # smallest id survives
         assert out[3]["is_dup"] is False
         assert out[4]["is_dup"] is False and out[4]["n_windows"] == 0
+
+
+def test_two_phase_clustering_over_real_minhash_pairs(spark, docs):
+    """Regression: clustering the HOF-based LSH pair plan directly
+    (algorithm='two_phase'/'min_label', no auto-checkpoint first) used
+    to crash in Spark's UnionBase.rewriteConstraints ('key not found:
+    src#N') — localCheckpoint snapshotted constraints referencing
+    lambda-internal attributes. All three algorithms must agree."""
+    pairs = dedup.minhash_lsh_duplicate_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=16
+    )
+
+    def rows(alg):
+        return sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(pairs, algorithm=alg).collect()
+        )
+
+    two_phase = rows("two_phase")
+    assert two_phase == rows("min_label") == rows("auto")
+    assert len(two_phase) > 0
+    # conf restored after the workaround scope
+    assert (
+        spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+    )

@@ -158,7 +158,7 @@ def test_fg_validate_arbitrary_dataframe_without_insert(spark, fs):
     # dataframe=None validates the group's own stored data (fg_data mode)
     fg.insert(good)  # ALWAYS policy: ingests + records a report
     r4 = fg.validate()
-    assert r4.success and r4.ingestion_result == "fg_data"
+    assert r4.success and r4.ingestion_result == "FG_DATA"
 
 
 def test_fg_save_validation_report_external(spark, fs):
@@ -295,5 +295,42 @@ def test_validation_always_policy_records_ingested(spark, fs):
     hist = fg.get_all_validation_reports()
     assert len(hist) == 1
     assert hist[0]["success"] is False
-    assert hist[0]["ingestion_result"] == "ingested"
+    assert hist[0]["ingestion_result"] == "INGESTED"
     assert fg.read(spark).count() == 1  # the data really did land
+
+
+def test_materialization_job_surface(spark, tmp_path):
+    """fg.materialization_job: reference-shaped Job handle whose run()
+    does the engine's real recurring work (commit-store compaction);
+    states use the reference vocabulary; schedule is metadata."""
+    import pytest
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "mat_job", primary_key=["k"], online_enabled=True,
+    )
+    fg.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    fg.insert(spark.createDataFrame([(1, 2.0)], "k long, v double"))
+
+    job = fg.materialization_job
+    assert job.name == "mat_job_1_offline_fg_materialization"
+    assert job is fg.materialization_job  # stable handle
+    with pytest.raises(ValueError, match="No executions"):
+        job.get_state()
+
+    out = job.run()
+    assert out["online_compacted"] is True
+    assert job.get_state() == "FINISHED"
+    assert job.get_final_state() == "SUCCEEDED"
+    assert len(job.executions) == 1 and job.executions[0].success
+
+    # compaction preserved the data
+    assert fg.read(spark).collect()[0]["v"] == 2.0
+
+    sched = job.schedule("0 0 * * * ?")
+    assert job.job_schedule.cron_expression == "0 0 * * * ?"
+    assert sched.to_dict()["enabled"] is True
+    job.unschedule()
+    assert job.job_schedule is None

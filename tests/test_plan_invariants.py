@@ -143,10 +143,10 @@ def test_stats_profile_cache_source_contract(spark, sf_dir, monkeypatch):
     captured = {}
     orig = stats_mod.approx_percentiles_multi
 
-    def spy(src, num_cols, pct, minmax):
+    def spy(src, num_cols, pct, minmax, **kw):
         captured["cached"] = src.storageLevel.useMemory
         captured["plan"] = _plan(src.agg(F.min(num_cols[0])))
-        return orig(src, num_cols, pct, minmax)
+        return orig(src, num_cols, pct, minmax, **kw)
 
     monkeypatch.setattr(stats_mod, "approx_percentiles_multi", spy)
     li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")

@@ -18,10 +18,15 @@ when the input is a complex query rather than a bare scan. Instead:
   plan's file index — no physical planning, no RDD. The file count is
   the scan's parallelism grain (large files split further; the guard
   only needs a *lower-bound* signal to decide "too few").
-- non-scan frames (empty ``inputFiles()``): the plan ends in a shuffle
-  or local materialization, which already carries
-  ``spark.sql.shuffle.partitions`` / checkpoint partitioning — skip
-  the guard entirely.
+- frames where ``inputFiles()`` comes back empty (persisted/derived
+  plans, generators over scans, non-file sources): fall back to the
+  ``rdd.getNumPartitions()`` probe. That pays one driver-side physical
+  planning pass (~ms, and for a persisted frame the cached plan makes
+  it trivial) — but SKIPPING the guard here is wrong: a persisted
+  explode over a one-file scan is ONE cached partition, and running a
+  compute-bound operator on it serializes the whole pass onto a single
+  core (measured: 3-12x wall on 10x data when this guard skipped).
+  Milliseconds of planning vs multiples of executor time.
 """
 
 from __future__ import annotations
@@ -56,6 +61,14 @@ def repartition_up(
     if not parts or parts <= 1:
         return df
     est = estimated_scan_partitions(df)
-    if est is not None and est < parts:
+    if est is None:
+        # derived/persisted/non-file plan: the cheap signal is absent,
+        # and guessing "already parallel" serializes single-partition
+        # caches — pay the one-off planning probe instead
+        try:
+            est = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+    if est < parts:
         return df.repartition(parts, key_col)
     return df

@@ -27,6 +27,14 @@ Two physical strategies, both pure DataFrame ops:
   ``row_number() == 1`` per spine row ordered by right.ts desc. Quadratic
   per key in the worst case, but the right side can be broadcast when
   small — useful when features ≪ spine.
+
+* ``union_window_skew``: the union-window's running max decomposed
+  into time-range buckets — a zipfian hot key spreads across
+  ``skew_buckets`` partitions instead of serializing one partition's
+  sort. Output hash-identical to ``union_window``.
+
+* ``auto``: a two-job skew probe (freqItems candidates + one scalar
+  verify agg) picks between ``union_window`` and ``union_window_skew``.
 """
 
 from __future__ import annotations
@@ -132,6 +140,12 @@ def point_in_time_join(
                 f"PIT output column {n!r} collides with a spine column; use prefix="
             )
 
+    if strategy == "auto":
+        strategy = (
+            "union_window_skew"
+            if _pit_skew_probe(feature_df, keys)
+            else "union_window"
+        )
     if strategy == "union_window":
         return _pit_union_window(
             spine, feature_df, keys, spine_ts, feature_ts, features,
@@ -167,6 +181,47 @@ def _staleness_cutoff(ts_col, max_staleness):
         # re-render from the PARSED parts — only vetted tokens reach expr
         return ts_col - F.expr(f"INTERVAL {int(m.group(1))} {m.group(2).upper()}")
     return ts_col - F.lit(max_staleness)
+
+
+def _pit_skew_probe(
+    feature_df: DataFrame,
+    keys: Sequence[str],
+    support: float = 0.02,
+    max_candidates: int = 20,
+) -> bool:
+    """Does any single key hold > ``support`` of all feature rows?
+
+    Two cheap single-pass jobs, NO shuffle: (1) ``stat.freqItems``
+    (Karp/Misra-Gries counter sketch, partials merged on the driver)
+    proposes candidate hot keys — it can produce FALSE POSITIVES on
+    uniform data, so (2) one scalar aggregate verifies the candidates'
+    true counts against ``support * total``. A hot key serializes the
+    plain union-window's per-key sort onto one partition; the skew
+    strategy is output-identical, so dispatching to it on a confirmed
+    candidate is always safe."""
+    probe_col = (
+        F.col(keys[0]).cast("string")
+        if len(keys) == 1
+        else F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    )
+    sample = feature_df.select(probe_col.alias("__k"))
+    cand = sample.stat.freqItems(["__k"], support=support).first()[0]
+    if not cand:
+        return False
+    cand = list(cand)[:max_candidates]
+    row = sample.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col("__k") == F.lit(c)).cast("long")).alias(f"__c{i}")
+            for i, c in enumerate(cand)
+        ],
+    ).first()
+    total = row["__n"] or 0
+    if total == 0:
+        return False
+    return any(
+        (row[f"__c{i}"] or 0) > support * total for i in range(len(cand))
+    )
 
 
 def _pit_build_union(

@@ -161,24 +161,18 @@ def describe(
         # column's time (~0.3 s wall) while the numeric pass runs on
         # the main thread. Same trick as the percentile pass — total
         # scan I/O is unchanged (each job prunes to one column).
-        # numeric columns that will run a percentile bin pass anyway can
-        # carry their EXACT distinct count inside that same job: equi-
-        # width bins partition the value space, so each distinct value
-        # lands in exactly one bin and the per-bin countDistincts sum to
-        # the global exact count — one groupBy per column instead of
-        # two (bin job + countDistinct job), halving the per-column job
-        # (and codegen-compile) floor that dominates profile latency.
-        fused_distinct_cols = (
-            {c for c in num_cols}
-            if exact_distinct and percentiles
-            else set()
-        )
+        # (measured dead end, kept as a note: fusing each numeric
+        # column's exact countDistinct into its percentile bin job —
+        # per-bin distincts sum exactly over equi-width bins — LOOKS
+        # like it halves the job count, but the fused groupBy(bin)
+        # + countDistinct turns a 2-int-shuffle bin job into a
+        # distinct-value shuffle and measured b6 1.14 s → 1.40 s at
+        # sf0.1. Separate small jobs overlapped on threads win.)
         side_aggs = []
         if exact_distinct:
             side_aggs += [
                 [F.countDistinct(F.col(c)).alias(f"{c}__exact_distinct")]
                 for c in cols
-                if c not in fused_distinct_cols
             ]
         elif approx_distinct:
             side_aggs.append([
@@ -207,16 +201,11 @@ def describe(
             minmax = {
                 c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
             }
-            pctls, fused_counts = approx_percentiles_multi(
-                src, num_cols, list(percentiles), minmax,
-                exact_distinct_cols=fused_distinct_cols,
+            pctls, _ = approx_percentiles_multi(
+                src, num_cols, list(percentiles), minmax
             )
             for c in num_cols:
                 row[f"{c}__percentiles"] = pctls.get(c)
-            for c in fused_distinct_cols:
-                # an all-null column has no min/max → no bin job ran;
-                # its exact distinct over non-nulls is 0 by definition
-                row[f"{c}__exact_distinct"] = fused_counts.get(c, 0)
         for fut in futs:
             row.update(fut.result())
         if exact_distinct and approx_distinct:

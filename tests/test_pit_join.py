@@ -403,3 +403,50 @@ def test_pit_union_window_skew_numeric_event_time(spark):
     # event 2: ts=50, latest fts=40, age 10 -> 4.0
     # event 3: ts=100, latest fts=10, age 90 > 30 -> expired
     assert out == {1: 5.0, 2: 4.0, 3: None}
+
+
+def test_pit_auto_strategy_dispatch(spark):
+    """strategy='auto': the two-job skew probe routes a zipfian feature
+    side (one key >2% of rows) to the two-stage bucketed window, and a
+    uniform high-cardinality side to the plain single window — with
+    identical results either way."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import (
+        _pit_skew_probe,
+        point_in_time_join,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    # zipfian: key 0 carries half the feature rows
+    zipf = spark.createDataFrame(
+        [(0 if j % 2 == 0 else (j % 211) + 1,
+          base + dt.timedelta(minutes=j % 500), float(j))
+         for j in range(4000)],
+        "k long, fts timestamp, v double",
+    )
+    # uniform: 4000 rows over 2000 keys (max fanout 2 ≪ 2%)
+    uni = spark.createDataFrame(
+        [(j % 2000, base + dt.timedelta(minutes=j % 500), float(j))
+         for j in range(4000)],
+        "k long, fts timestamp, v double",
+    )
+    assert _pit_skew_probe(zipf, ["k"]) is True
+    assert _pit_skew_probe(uni, ["k"]) is False
+
+    spine = spark.createDataFrame(
+        [(i, i % 211, base + dt.timedelta(minutes=250)) for i in range(500)],
+        "event_id long, k long, ts timestamp",
+    )
+    auto = point_in_time_join(
+        spine, zipf, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", strategy="auto",
+    )
+    plain = point_in_time_join(
+        spine, zipf, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", strategy="union_window",
+    )
+    assert sorted((r["event_id"], r["f_v"]) for r in auto.collect()) == \
+        sorted((r["event_id"], r["f_v"]) for r in plain.collect())
+    # dispatched to the two-stage shape
+    assert "__bkt" in auto._jdf.queryExecution().executedPlan().toString()

@@ -236,6 +236,57 @@ def _q_pit_join_skew(spark, sf_dir):
     )
 
 
+def _q_label_window(spark, sf_dir):
+    """Forward label-window join (operators/time_series.py:
+    label_window_join): per spine row, aggregate the entity's orders
+    STRICTLY AFTER ts up to ts + 365 days — the label side of a
+    training set (PIT looks back for features, this looks forward for
+    labels; no leakage by construction). One union + one RANGE window
+    per key — a single shuffle regardless of per-horizon event counts."""
+    from feature_store_api_spark.operators.time_series import label_window_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select(F.col("event_id"), F.col("user_id").alias("custkey"), F.col("ts"))
+    fut = orders.select(
+        F.col("o_custkey").alias("custkey"), "o_orderdate", "o_totalprice",
+    )
+    out = label_window_join(
+        spine, fut, keys=["custkey"], spine_ts="ts", event_ts="o_orderdate",
+        value_col="o_totalprice", horizon="365 days",
+        aggs=("count", "sum", "max"),
+    )
+    return out.select(
+        "event_id", "custkey", "ts",
+        F.col("label_count"),
+        F.round(F.col("label_sum"), 6).alias("label_sum"),
+        F.col("label_max"),
+    )
+
+
+def _q_negative_sampling(spark, sf_dir):
+    """Deterministic distributed negative sampling
+    (operators/splits.py: negative_sampling): per positive (supplier,
+    part) pair, 2 hash-drawn candidate parts, accidental positives
+    anti-joined away; md5-prefix hash so the oracle reproduces the
+    exact draws. The recsys/implicit-feedback training-set shape."""
+    from feature_store_api_spark.operators.splits import negative_sampling
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 50 == 0)
+    )
+    pos = li.select(
+        F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    cand = read_parquet(spark, f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("item_id")
+    )
+    return negative_sampling(
+        pos, cand, "user_id", "item_id", n_negatives=2, seed=42,
+        hash_fn="md5_64",
+    )
+
+
 def _q_pit_join_ttl(spark, sf_dir):
     """PIT join with a feature TTL (max_staleness='365 days'): a match
     older than the TTL before the spine timestamp comes back NULL
@@ -2540,12 +2591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "incremental_dedup": _q_incremental_dedup,
         "corpus_curation": _q_corpus_curation,
-        "corpus_curation_quality": _q_corpus_curation_quality,
         "exact_window_dedup": _q_exact_window_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "pit_join": _q_pit_join,
         "pit_join_skew": _q_pit_join_skew,
+        "label_window": _q_label_window,
+        "negative_sampling": _q_negative_sampling,
         "stats_profile": _q_stats_profile,
+        "corpus_curation_quality": _q_corpus_curation_quality,
         "pit_join_ttl": _q_pit_join_ttl,
         "pit_join_multi": _q_pit_join_multi,
         "pit_join_range": _q_pit_join_range,
@@ -3200,6 +3253,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pit_join": _PIT_SQL,
         "pit_join_skew": _PIT_SQL,
+        "negative_sampling": """
+            WITH pos AS (
+              SELECT DISTINCT l_suppkey AS user_id, l_partkey AS item_id
+              FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 50 = 0
+            ),
+            idx AS (
+              SELECT item_id,
+                     ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS i
+              FROM (SELECT DISTINCT p_partkey AS item_id FROM part)
+            ),
+            drawn AS (
+              SELECT p.user_id,
+                     CAST('0x' || substr(md5(
+                       CAST(p.user_id AS VARCHAR) || chr(31) ||
+                       CAST(p.item_id AS VARCHAR) || chr(31) ||
+                       CAST(s.s AS VARCHAR) || chr(31) || '42'
+                     ), 1, 15) AS BIGINT) % (SELECT COUNT(*) FROM idx) AS i
+              FROM pos p CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) s
+            ),
+            negs AS (
+              SELECT DISTINCT d.user_id, idx.item_id
+              FROM drawn d JOIN idx USING (i)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos
+                WHERE pos.user_id = d.user_id AND pos.item_id = idx.item_id
+              )
+            )
+            SELECT user_id, item_id, 1 AS label FROM pos
+            UNION ALL
+            SELECT user_id, item_id, 0 AS label FROM negs
+        """,
+        "label_window": """
+            WITH spine AS (SELECT event_id, user_id AS custkey, ts FROM events),
+                 fut AS (SELECT o_custkey AS custkey, o_orderdate, o_totalprice
+                         FROM orders)
+            SELECT s.event_id, s.custkey, s.ts,
+                   COUNT(fut.o_orderdate) AS label_count,
+                   ROUND(SUM(fut.o_totalprice)::DOUBLE, 6) AS label_sum,
+                   MAX(fut.o_totalprice)::DOUBLE AS label_max
+            FROM spine s LEFT JOIN fut
+              ON fut.custkey = s.custkey
+             AND fut.o_orderdate > s.ts
+             AND fut.o_orderdate <= s.ts + INTERVAL 365 DAY
+            GROUP BY s.event_id, s.custkey, s.ts
+        """,
         "pit_join_range": _PIT_RANGE_SQL,
         "pit_join_ttl": _PIT_TTL_SQL,
         "time_travel_asof": """

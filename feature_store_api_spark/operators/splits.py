@@ -176,3 +176,98 @@ def rebalance_to_mixture(
         default_fraction=0.0,
         hash_fn=hash_fn,
     )
+
+
+def negative_sampling(
+    positives: DataFrame,
+    candidates: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_negatives: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic distributed negative sampling: for every positive
+    (user, item) pair, draw ``n_negatives`` pseudo-random items from
+    ``candidates`` and drop any that are actually positives for that
+    user — the standard implicit-feedback training-set construction
+    (BPR/word2vec-style sampling), built as plain joins so it scales to
+    any corpus without driver-side item lists.
+
+    Shape (100 TB posture):
+
+    1. candidates get a dense index 0..M-1 via a zero-payload window
+       ``row_number`` over the item id (deterministic, one shuffle of
+       the — comparatively tiny — item table);
+    2. each positive explodes into ``n_negatives`` slots whose item
+       index = ``hash(user, item, slot, seed) mod M`` — no RNG state,
+       reproducible across runs/engines;
+    3. an equi-join on the index attaches the sampled item (broadcast
+       when the candidate table is small — the usual case);
+    4. a left-anti join against the positives removes accidental hits
+       (true negatives only; a collision slot yields one fewer sample
+       for that pair rather than a wrong label — the cheap, unbiased
+       choice at scale).
+
+    ``hash_fn='md5_64'`` switches to the md5-prefix hash that other
+    engines can reproduce byte-for-byte (same trick as the dedup
+    oracles); xxhash64 is the fast default. Output: (user, item,
+    ``label=1``) positives ∪ (user, sampled item, ``label=0``).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _md5_64
+
+    m_col = "__nsidx"
+    # 1. dense candidate index (row_number is 1-based → minus 1)
+    wi = Window.orderBy(F.col(item_col).asc())
+    idx = candidates.select(item_col).distinct().select(
+        F.col(item_col).alias("__ns_item"),
+        (F.row_number().over(wi) - 1).alias(m_col),
+    )
+    m = idx.count()
+    if m == 0:
+        raise ValueError("negative_sampling: empty candidates")
+
+    # 2. explode slots, hash to an index
+    slots = F.explode(
+        F.array(*[F.lit(s) for s in range(n_negatives)])
+    ).alias("__slot")
+    base = positives.select(
+        F.col(user_col), F.col(item_col), slots
+    )
+    key = F.concat_ws(
+        "\x1f",
+        F.col(user_col).cast("string"),
+        F.col(item_col).cast("string"),
+        F.col("__slot").cast("string"),
+        F.lit(str(seed)),
+    )
+    # no abs(): pmod maps negative hashes correctly, and abs(MIN_LONG)
+    # would overflow negative anyway
+    h = _md5_64(key) if hash_fn == "md5_64" else F.xxhash64(key, F.lit(seed))
+    drawn = base.select(
+        F.col(user_col),
+        F.pmod(h, F.lit(m)).cast("int").alias(m_col),
+    )
+
+    # 3. attach the sampled item (Spark broadcasts idx when small; the
+    # join key is a dense int so AQE handles a big candidate table too)
+    negs = drawn.join(idx, on=m_col, how="inner").select(
+        F.col(user_col), F.col("__ns_item").alias(item_col)
+    )
+
+    # 4. drop accidental positives, dedupe repeated draws
+    negs = (
+        negs.join(
+            positives.select(user_col, item_col).distinct(),
+            on=[user_col, item_col],
+            how="left_anti",
+        )
+        .distinct()
+        .withColumn("label", F.lit(0))
+    )
+    pos = positives.select(user_col, item_col).distinct().withColumn(
+        "label", F.lit(1)
+    )
+    return pos.unionByName(negs)

@@ -86,3 +86,77 @@ def test_pit_matches_brute_force(spark, strategy, spine, feats):
             top_pre = max(c[3] for c in cands if c[1] == top)
             allowed = {float(c[2]) for c in cands if c[1] == top and c[3] == top_pre}
             assert got[label] in allowed
+
+
+def test_label_window_join_matches_brute_force(spark):
+    """label_window_join vs a driver-side brute force on random data:
+    strictly-after lower bound, inclusive upper bound, LEFT semantics,
+    count/sum/avg/min/max agreement."""
+    import datetime as dt
+    import random
+
+    from feature_store_api_spark.operators.time_series import label_window_join
+
+    rnd = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    spine_rows = [
+        (i, rnd.randrange(8), base + dt.timedelta(hours=rnd.randrange(500)))
+        for i in range(120)
+    ]
+    event_rows = [
+        (rnd.randrange(8), base + dt.timedelta(hours=rnd.randrange(500)),
+         float(rnd.randrange(100)))
+        for _ in range(400)
+    ]
+    # boundary rows: events exactly AT a spine ts (excluded) and exactly
+    # AT ts + horizon (included)
+    spine_rows.append((900, 0, base))
+    event_rows.append((0, base, 1000.0))                      # == ts -> excluded
+    event_rows.append((0, base + dt.timedelta(days=2), 500.0))  # == ts+h -> included
+
+    spine = spark.createDataFrame(spine_rows, "event_id long, k long, ts timestamp")
+    events = spark.createDataFrame(event_rows, "k long, ets timestamp, v double")
+    out = {
+        r["event_id"]: (r["label_count"], r["label_sum"], r["label_min"],
+                        r["label_max"], r["label_avg"])
+        for r in label_window_join(
+            spine, events, keys=["k"], spine_ts="ts", event_ts="ets",
+            value_col="v", horizon="2 days",
+            aggs=("count", "sum", "min", "max", "avg"),
+        ).collect()
+    }
+    assert len(out) == len(spine_rows)
+    h = dt.timedelta(days=2)
+    for eid, k, ts in spine_rows:
+        vals = [v for (ek, ets, v) in event_rows if ek == k and ts < ets <= ts + h]
+        cnt, s, mn, mx, avg = out[eid]
+        assert cnt == len(vals), (eid, cnt, len(vals))
+        if vals:
+            assert abs(s - sum(vals)) < 1e-9
+            assert mn == min(vals) and mx == max(vals)
+            assert abs(avg - sum(vals) / len(vals)) < 1e-9
+        else:
+            assert s is None and mn is None and mx is None and avg is None
+    # the boundary spine row: ts-equal event excluded, ts+h event included
+    assert out[900][0] >= 1 and out[900][3] is not None
+
+    # numeric event times + validation errors
+    nspine = spark.createDataFrame([(1, 1, 100)], "event_id long, k long, ts long")
+    nev = spark.createDataFrame(
+        [(1, 100, 9.0), (1, 105, 5.0), (1, 131, 7.0)], "k long, ets long, v double"
+    )
+    row = label_window_join(
+        nspine, nev, keys=["k"], spine_ts="ts", event_ts="ets",
+        value_col="v", horizon=30, aggs=("count", "sum"),
+    ).collect()[0]
+    # ets=100 excluded (strict), 105 in, 131 out (> ts+30)
+    assert (row["label_count"], row["label_sum"]) == (1, 5.0)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        label_window_join(nspine, nev, ["k"], "ts", "ets", "v", horizon="3 fortnights")
+    with pytest.raises(ValueError):
+        label_window_join(nspine, nev, ["k"], "ts", "ets", "v", horizon=0)
+    with pytest.raises(ValueError):
+        label_window_join(nspine, nev, ["k"], "ts", "ets", "v", "1 day", aggs=("median",))

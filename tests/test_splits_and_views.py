@@ -281,3 +281,44 @@ def test_fg_declared_max_staleness_applies_in_view_pit(spark, tmp_path):
     out2 = {r["k"]: r["v"]
             for r in fs2.get_feature_view("ttl_view").get_batch_data(spark).collect()}
     assert out2 == {1: 10.0, 2: None}
+
+
+def test_negative_sampling_semantics(spark):
+    """Negatives never collide with positives, draws are deterministic
+    across runs, at most n_negatives per positive pair, labels correct,
+    and both hash functions produce valid (if different) samples."""
+    from feature_store_api_spark.operators.splits import negative_sampling
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(6) for i in (u, u + 1, u + 2)],
+        "user_id long, item_id long",
+    )
+    cand = spark.createDataFrame([(i,) for i in range(40)], "item_id long")
+
+    for hf in ("xxhash64", "md5_64"):
+        out = negative_sampling(
+            pos, cand, "user_id", "item_id", n_negatives=3, seed=7, hash_fn=hf
+        ).collect()
+        got_pos = {(r["user_id"], r["item_id"]) for r in out if r["label"] == 1}
+        got_neg = {(r["user_id"], r["item_id"]) for r in out if r["label"] == 0}
+        assert got_pos == {(u, i) for u in range(6) for i in (u, u + 1, u + 2)}
+        assert not (got_pos & got_neg), hf  # anti-join holds
+        assert all(0 <= i < 40 for _, i in got_neg), hf
+        # per positive pair at most n_negatives draws -> per user at most
+        # 3 * n_negatives distinct negatives
+        from collections import Counter
+
+        per_user = Counter(u for u, _ in got_neg)
+        assert all(c <= 9 for c in per_user.values()), hf
+        # deterministic: same seed -> same set
+        again = negative_sampling(
+            pos, cand, "user_id", "item_id", n_negatives=3, seed=7, hash_fn=hf
+        ).collect()
+        assert {(r["user_id"], r["item_id"], r["label"]) for r in again} == {
+            (r["user_id"], r["item_id"], r["label"]) for r in out
+        }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty candidates"):
+        negative_sampling(pos, cand.limit(0), "user_id", "item_id")

@@ -272,40 +272,25 @@ def minhash_lsh_duplicate_pairs(
     shingle_size: int = 5,
     seed: int = 13,
     hash_fn: str = "xxhash64",
-    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     signature → split into ``bands`` bands of ``num_hashes//bands`` rows
-    → hash each band → self-join on (band_index, band_hash). The
-    self-join is an equi-join on the band bucket, so Spark shuffles on
-    the bucket key — no O(n²) comparison. Output: ``(id_a, id_b)``
-    with id_a < id_b, distinct.
+    → hash each band → group members per (band_index, band_hash) bucket
+    → expand i<j pairs in place. Output: ``(id_a, id_b)`` with
+    id_a < id_b, distinct. The signature pipeline runs exactly ONCE
+    (single consumer), so no materialization barrier is needed; a
+    caller consuming the RESULT repeatedly should checkpoint it —
+    ``duplicate_clusters`` does.
 
     With ``hash_fn='md5_64'`` the band key is the signature slice
-    itself (arrays are hashable equi-join keys in Spark) so the whole
+    itself (arrays are hashable grouping keys in Spark) so the whole
     pipeline stays engine-portable for the oracle.
-
-    ``materialize``: when the *result* frame will be consumed more than
-    once WITHOUT its own barrier (e.g. counted and then clustered by a
-    caller that does not checkpoint it), pass ``True`` to
-    ``localCheckpoint`` the signature table so repeated consumption
-    does not re-hash every shingle. The default ``False`` is the
-    single-consumer fast path: within one action, the signature
-    aggregation's shuffle feeds both self-join sides via Spark's
-    ReusedExchange, so shingles are still hashed exactly once — no
-    eager barrier, no extra materialization cost. (Barriers use
-    ``localCheckpoint``, never ``persist`` — a CacheManager entry would
-    leak per call for the session lifetime; ``duplicate_clusters``
-    checkpoints the pair table itself, so composing with it needs no
-    ``materialize=True`` here.)
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, seed, hash_fn=hash_fn
     )
-    if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
     banded = _band_table(sigs, id_col, bands, rows_per_band, hash_fn)
     # Pair generation is a GROUP-BY, not a self-join: collecting each
     # (band, bucket)'s member ids and expanding i<j pairs in-place

@@ -315,6 +315,88 @@ def _pit_union_window(
     return _pit_project_out(matched, spine, features, out_names, max_staleness)
 
 
+def _bucketed_running_max(
+    unioned: DataFrame, keys, cand_cols: List[str], skew_buckets: int
+):
+    """Shared two-stage (time-bucket) decomposition of per-key running
+    maxes over a tagged union frame. Returns the side=1 rows with one
+    ``__match_<cand>`` column per entry of ``cand_cols``, or ``None``
+    when bucketing is degenerate (empty input / single distinct ts) and
+    the caller should fall back to the plain single window."""
+    ts_t = unioned.schema["__ts"].dataType.typeName()
+    if ts_t in ("timestamp", "timestamp_ntz"):
+        axis = F.unix_micros(F.col("__ts").cast("timestamp"))
+    elif ts_t == "date":
+        axis = F.datediff(F.col("__ts"), F.lit("1970-01-01")).cast("long")
+    else:
+        axis = F.col("__ts").cast("double")
+    unioned = unioned.withColumn("__axis", axis)
+    lo, hi = unioned.agg(F.min("__axis"), F.max("__axis")).first()
+    if lo is None or hi is None or not (hi > lo):
+        return None
+    width = (float(hi) - float(lo)) / skew_buckets
+    bucket = F.least(
+        F.floor((F.col("__axis") - F.lit(float(lo))) / F.lit(width)),
+        F.lit(skew_buckets - 1),
+    ).cast("int")
+    unioned = unioned.withColumn("__bkt", bucket).drop("__axis")
+
+    w_local = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = unioned
+    for c in cand_cols:
+        staged = staged.withColumn(f"__local_{c}", F.max(c).over(w_local))
+
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = unioned.groupBy(*keys, "__bkt").agg(
+        *[F.max(c).alias(f"__bmax_{c}") for c in cand_cols]
+    )
+    for c in cand_cols:
+        carry = carry.withColumn(
+            f"__carry_{c}", F.max(f"__bmax_{c}").over(w_carry)
+        )
+    carry = carry.select(*keys, "__bkt", *[f"__carry_{c}" for c in cand_cols])
+
+    matched = staged.join(carry, on=[*keys, "__bkt"], how="left").where(
+        F.col("__side") == 1
+    )
+    for c in cand_cols:
+        matched = matched.withColumn(
+            f"__match_{c}",
+            F.greatest(F.col(f"__local_{c}"), F.col(f"__carry_{c}")),
+        )
+    return matched
+
+
+def _fused_skew_match(unioned, keys, n_cands: int, skew_buckets: int):
+    """Multi-candidate skew decomposition; falls back to the plain
+    fused window on degenerate bucketing."""
+    cand_cols = [f"__cand{i}" for i in range(n_cands)]
+    matched = _bucketed_running_max(unioned, keys, cand_cols, skew_buckets)
+    if matched is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned
+        for i in range(n_cands):
+            matched = matched.withColumn(
+                f"__match{i}", F.max(F.col(f"__cand{i}")).over(w)
+            )
+        return matched.where(F.col("__side") == 1)
+    for i in range(n_cands):
+        matched = matched.withColumn(f"__match{i}", F.col(f"__match___cand{i}"))
+    return matched
+
+
 def _pit_union_window_skew(
     spine, feature_df, keys, spine_ts, feature_ts, features, out_names,
     precombine, max_staleness=None, skew_buckets: int = 32,
@@ -344,20 +426,8 @@ def _pit_union_window_skew(
     unioned = _pit_build_union(
         spine, feature_df, keys, spine_ts, feature_ts, features, precombine
     )
-    ts_t = unioned.schema["__ts"].dataType.typeName()
-    # numeric axis for bucket arithmetic: epoch micros for temporal
-    # types, the raw value for numeric event times
-    if ts_t in ("timestamp", "timestamp_ntz"):
-        axis = F.unix_micros(F.col("__ts").cast("timestamp"))
-    elif ts_t == "date":
-        axis = F.datediff(F.col("__ts"), F.lit("1970-01-01")).cast("long")
-    else:
-        axis = F.col("__ts").cast("double")
-    unioned = unioned.withColumn("__axis", axis)
-    lo, hi = unioned.agg(
-        F.min("__axis"), F.max("__axis")
-    ).first()
-    if lo is None or hi is None or not (hi > lo):
+    matched = _bucketed_running_max(unioned, keys, ["__cand"], skew_buckets)
+    if matched is None:
         # empty input or a single distinct timestamp: bucketing is
         # degenerate (everything lands in bucket 0) — the plain
         # single-window path is both correct and cheaper
@@ -365,39 +435,7 @@ def _pit_union_window_skew(
             spine, feature_df, keys, spine_ts, feature_ts, features,
             out_names, precombine, max_staleness,
         )
-    width = (float(hi) - float(lo)) / skew_buckets
-    bucket = F.least(
-        F.floor((F.col("__axis") - F.lit(float(lo))) / F.lit(width)),
-        F.lit(skew_buckets - 1),
-    ).cast("int")
-    unioned = unioned.withColumn("__bkt", bucket).drop("__axis")
-
-    # stage 1: running max WITHIN each (key, bucket) slice
-    w_local = (
-        Window.partitionBy(*keys, "__bkt")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = unioned.withColumn("__local", F.max("__cand").over(w_local))
-
-    # stage 2: carry-in = max over all EARLIER buckets of the same key
-    # (≤ skew_buckets rows per key — this window can never be hot)
-    w_carry = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__bkt").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = (
-        unioned.groupBy(*keys, "__bkt")
-        .agg(F.max("__cand").alias("__bmax"))
-        .withColumn("__carry", F.max("__bmax").over(w_carry))
-        .select(*keys, "__bkt", "__carry")
-    )
-    matched = (
-        staged.join(carry, on=[*keys, "__bkt"], how="left")
-        .where(F.col("__side") == 1)
-        .withColumn("__match", F.greatest(F.col("__local"), F.col("__carry")))
-    )
+    matched = matched.withColumn("__match", F.col("__match___cand"))
     return _pit_project_out(matched, spine, features, out_names, max_staleness)
 
 
@@ -474,7 +512,7 @@ def point_in_time_join_many(
     strategies fall back to the sequential per-FG joins.
     """
     if (
-        strategy == "union_window"
+        strategy in ("union_window", "union_window_skew")
         and len(rights) > 1
         and all("strategy" not in spec for spec in rights)
     ):
@@ -484,7 +522,8 @@ def point_in_time_join_many(
         }
         if len(key_sets) == 1:
             return _pit_union_window_many(
-                spine, rights, list(key_sets.pop()), spine_ts
+                spine, rights, list(key_sets.pop()), spine_ts,
+                skew=(strategy == "union_window_skew"),
             )
     out = spine
     for spec in rights:
@@ -504,12 +543,18 @@ def point_in_time_join_many(
 
 
 def _pit_union_window_many(
-    spine: DataFrame, rights: List[dict], keys: List[str], spine_ts: str
+    spine: DataFrame, rights: List[dict], keys: List[str], spine_ts: str,
+    skew: bool = False, skew_buckets: int = 32,
 ) -> DataFrame:
     """Fused multi-FG union-window PIT: one (ts, pre, payload) candidate
     struct COLUMN per feature group, all riding the same union and the
     same window sort — the running max of each resolves independently
-    with the identical total tie order as the single-FG path."""
+    with the identical total tie order as the single-FG path.
+
+    ``skew=True``: the same time-range-bucket decomposition as the
+    single-FG ``union_window_skew``, generalized to N candidate
+    columns — N feature groups against a zipfian spine still cost ONE
+    (bucketed) shuffle instead of N sequential skew-safe joins."""
     specs = []
     taken = set(spine.columns)
     for i, spec in enumerate(rights):
@@ -593,17 +638,20 @@ def _pit_union_window_many(
     unioned = spine_side
     for fg in fg_sides:
         unioned = unioned.unionByName(fg)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned
-    for i in range(len(specs)):
-        matched = matched.withColumn(
-            f"__match{i}", F.max(F.col(f"__cand{i}")).over(w)
+    if skew:
+        matched = _fused_skew_match(unioned, keys, len(specs), skew_buckets)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    matched = matched.where(F.col("__side") == 1)
+        matched = unioned
+        for i in range(len(specs)):
+            matched = matched.withColumn(
+                f"__match{i}", F.max(F.col(f"__cand{i}")).over(w)
+            )
+        matched = matched.where(F.col("__side") == 1)
 
     def _field(i, s, f):
         v = F.col(f"__match{i}").getField("v").getField(f)

@@ -450,3 +450,51 @@ def test_pit_auto_strategy_dispatch(spark):
         sorted((r["event_id"], r["f_v"]) for r in plain.collect())
     # dispatched to the two-stage shape
     assert "__bkt" in auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pit_many_fused_skew_matches_plain(spark):
+    """point_in_time_join_many(strategy='union_window_skew') stays FUSED
+    (one bucketed shuffle for N feature groups) and is output-identical
+    to the plain fused path, per-spec TTLs included."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import point_in_time_join_many
+
+    base = dt.datetime(2024, 1, 1)
+    spine = spark.createDataFrame(
+        [(i, 0 if i % 10 < 7 else i % 53, base + dt.timedelta(minutes=i % 900))
+         for i in range(1500)],
+        "event_id long, k long, ts timestamp",
+    )
+    f1 = spark.createDataFrame(
+        [(0 if j % 2 == 0 else j % 53, base + dt.timedelta(minutes=(j * 7) % 900),
+          float(j % 97)) for j in range(3000)],
+        "k long, fts timestamp, a double",
+    )
+    f2 = spark.createDataFrame(
+        [(j % 53, base + dt.timedelta(minutes=(j * 11) % 900), float(j % 89))
+         for j in range(2000)],
+        "k long, gts timestamp, b double",
+    )
+    rights = [
+        {"df": f1, "feature_ts": "fts", "features": ["a"], "prefix": "x_",
+         "max_staleness": "3 hours"},
+        {"df": f2, "feature_ts": "gts", "features": ["b"], "prefix": "y_"},
+    ]
+    plain = point_in_time_join_many(
+        spine, rights, spine_keys_default=["k"], spine_ts="ts",
+        strategy="union_window",
+    )
+    skew = point_in_time_join_many(
+        spine, rights, spine_keys_default=["k"], spine_ts="ts",
+        strategy="union_window_skew",
+    )
+
+    def rows(df):
+        return sorted((r["event_id"], r["x_a"], r["y_b"]) for r in df.collect())
+
+    assert rows(skew) == rows(plain)
+    plan = skew._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan  # two-stage shape
+    # fused: both candidate structs ride one union (no per-FG sequential joins)
+    assert "__cand0" in plan and "__cand1" in plan

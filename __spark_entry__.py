@@ -264,6 +264,51 @@ def _q_label_window(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming near-dup-gated ingest (streaming/dedup_ingest.py):
+    two micro-batch files driven through availableNow passes; batch 1
+    keeps the min id of each within-batch near-dup group, batch 2 drops
+    near-dups of already-ACCEPTED docs via the persistent band store
+    and its own within-batch dups. md5-prefix minhash (32 hashes, 8
+    bands of 4) so the oracle reproduces every accept/reject decision
+    byte-for-byte."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.streaming.dedup_ingest import (
+        streaming_dedup_ingest,
+    )
+
+    tmp = _scratch("stream_dedup_")
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(4).write.parquet(
+        os.path.join(tmp, "b1")
+    )
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(4).write.parquet(
+        os.path.join(tmp, "b2")
+    )
+    fs = FeatureStore(root=os.path.join(tmp, "store"))
+    fg = fs.create_feature_group("stream_docs", primary_key=["doc_id"])
+    for sub in ("b1", "b2"):
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(
+            os.path.join(tmp, sub)
+        )
+        streaming_dedup_ingest(
+            fg, sdf, "text",
+            num_hashes=32, bands=8, shingle_size=5, hash_fn="md5_64",
+            checkpoint_dir=os.path.join(tmp, f"ckpt_{sub}"),
+            trigger={"availableNow": True},
+            await_termination=True, timeout=300,
+        )
+    return fg.read(spark).select(
+        "doc_id", F.length("text").alias("n_chars_kept")
+    )
+
+
 def _q_negative_sampling(spark, sf_dir):
     """Deterministic distributed negative sampling
     (operators/splits.py: negative_sampling): per positive (supplier,
@@ -2591,14 +2636,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "incremental_dedup": _q_incremental_dedup,
         "corpus_curation": _q_corpus_curation,
-        "exact_window_dedup": _q_exact_window_dedup,
-        "semantic_dedup": _q_semantic_dedup,
         "pit_join": _q_pit_join,
         "pit_join_skew": _q_pit_join_skew,
         "label_window": _q_label_window,
         "negative_sampling": _q_negative_sampling,
+        "streaming_dedup": _q_streaming_dedup,
         "stats_profile": _q_stats_profile,
         "corpus_curation_quality": _q_corpus_curation_quality,
+        "exact_window_dedup": _q_exact_window_dedup,
+        "semantic_dedup": _q_semantic_dedup,
         "pit_join_ttl": _q_pit_join_ttl,
         "pit_join_multi": _q_pit_join_multi,
         "pit_join_range": _q_pit_join_range,
@@ -3253,6 +3299,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pit_join": _PIT_SQL,
         "pit_join_skew": _PIT_SQL,
+        # streaming_dedup: same signature/band derivation as
+        # _MINHASH_PAIRS_SQL (32 hashes, 8 bands of 4, md5-prefix).
+        # batch1 = doc_id%3=1 (no corpus yet: drop any doc with a
+        # smaller-id band match within the batch); batch2 = doc_id%3=2
+        # (drop on any band match against batch1's ACCEPTED set, then
+        # the same within-batch rule).
+        "streaming_dedup": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t,
+                     LENGTH(text) AS n_chars_kept
+              FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+                                           i -> substr(t, i + 1, 5))) AS s
+              FROM d
+            ),
+            h AS (
+              SELECT doc_id, j.i AS hi,
+                     min(CAST('0x' || substr(md5(s || chr(31) || CAST(j.i AS VARCHAR)), 1, 15) AS BIGINT)) AS m
+              FROM sh, range(0, 32) j(i)
+              GROUP BY doc_id, j.i
+            ),
+            sig AS (
+              SELECT doc_id, hi // 4 AS band, list(m ORDER BY hi) AS bucket
+              FROM h GROUP BY doc_id, hi // 4
+            ),
+            acc1 AS (
+              SELECT doc_id FROM d
+              WHERE doc_id % 3 = 1
+                AND doc_id NOT IN (
+                  SELECT a.doc_id FROM sig a JOIN sig b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id > b.doc_id
+                  WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1
+                )
+            ),
+            acc2 AS (
+              SELECT doc_id FROM d
+              WHERE doc_id % 3 = 2
+                AND doc_id NOT IN (
+                  SELECT a.doc_id FROM sig a JOIN sig b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                  WHERE a.doc_id % 3 = 2
+                    AND b.doc_id IN (SELECT doc_id FROM acc1)
+                )
+                AND doc_id NOT IN (
+                  SELECT a.doc_id FROM sig a JOIN sig b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id > b.doc_id
+                  WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 = 2
+                )
+            )
+            SELECT doc_id, n_chars_kept FROM d
+            WHERE doc_id IN (SELECT doc_id FROM acc1)
+               OR doc_id IN (SELECT doc_id FROM acc2)
+        """,
         "negative_sampling": """
             WITH pos AS (
               SELECT DISTINCT l_suppkey AS user_id, l_partkey AS item_id

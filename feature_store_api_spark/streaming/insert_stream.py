@@ -19,6 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _stream_marker(checkpoint_dir: Optional[str]) -> str:
+    """Stable-per-checkpoint (random-per-start otherwise) marker that
+    scopes stream-batch idempotence keys; see the note in
+    :func:`insert_stream`."""
+    import hashlib
+    import os
+    import uuid
+
+    if checkpoint_dir:
+        return hashlib.md5(
+            os.path.realpath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
+    return uuid.uuid4().hex[:12]
+
+
 def insert_stream(
     fg,
     df: DataFrame,
@@ -69,10 +84,18 @@ def insert_stream(
 
         online = OnlineStore.for_feature_group(fg)
 
+    # Idempotence keys are scoped to the CHECKPOINT, not the bare batch
+    # id: Spark numbers batches per checkpoint from 0, so two different
+    # streaming queries into the same feature group (or a fresh-
+    # checkpoint rerun) would collide on batch 0 and the second query's
+    # data would be silently SKIPPED as a "replay". Same checkpoint →
+    # same marker → true replays still dedupe; no checkpoint → no replay
+    # semantics → a unique marker per start.
+    marker = _stream_marker(checkpoint_dir)
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotence: a replayed batch id is skipped (the commit log
-        # records which batch ids landed)
-        if store.has_stream_batch(batch_id):
+        batch_key = f"{marker}:{batch_id}"
+        if store.has_stream_batch(batch_key):
             return
         if not fg._features:
             # first data seen for this FG: infer + register the schema,
@@ -84,7 +107,7 @@ def insert_stream(
             )
         store.write(
             batch_df, operation="upsert", compute_stats=False,
-            extra={"stream_batch_id": batch_id},
+            extra={"stream_batch_id": batch_key},
         )
         if online is not None:
             online.upsert(batch_df)

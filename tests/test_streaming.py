@@ -174,3 +174,103 @@ def test_interval_join_is_single_shuffle_per_side_batch(spark):
     # never a nested-loop/cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """Near-dup-gated streaming ingest: within-batch dups collapse to
+    the min id, cross-batch near-dups of already-accepted docs are
+    dropped via the persistent band store, novel docs land; the offline
+    FG holds exactly the survivors and the band store only survivor
+    bands."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.streaming.dedup_ingest import (
+        StreamingDedupStats,
+        streaming_dedup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the wide open fields for hours without a single rest stop"
+    )
+    novel = (
+        "completely different text about distributed query engines and "
+        "columnar storage formats that shares no shingles with the fox story"
+    )
+    third = (
+        "a third unrelated document mentioning point in time joins feature "
+        "stores training datasets and deterministic negative sampling ops"
+    )
+    # batch 1: doc 1 + its near-dup 2 (one char changed) + novel 3
+    # batch 2: another near-dup of 1 (id 10), an exact re-send of 3
+    #          (id 11), and a brand-new doc 12
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base.replace("dog", "dogs")), (3, novel)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base.replace("hours", "days")), (11, novel), (12, third)],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+
+    fs = FeatureStore(root=str(tmp_path / "store"))
+    fg = fs.create_feature_group("stream_docs", primary_key=["doc_id"])
+    stats = StreamingDedupStats()
+
+    # drive the two batches in order (maxFilesPerTrigger=1 over the dirs
+    # is racy on ordering; run two availableNow passes instead)
+    for sub in ("b1", "b2"):
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(
+            src + "/" + sub
+        )
+        q = streaming_dedup_ingest(
+            fg, sdf, "text",
+            checkpoint_dir=str(tmp_path / f"ckpt_{sub}"),
+            trigger={"availableNow": True},
+            await_termination=True,
+            timeout=120,
+            stats=stats,
+        )
+        assert not q.isActive
+
+    got = sorted(r["doc_id"] for r in fg.read(spark).collect())
+    # batch1: 1 survives (min id of {1,2}), 3 novel; batch2: 10 is a
+    # near-dup of corpus doc 1 -> dropped, 11 re-sends novel -> dropped,
+    # 12 novel -> kept
+    assert got == [1, 3, 12]
+    assert stats.seen == 6 and stats.accepted == 3 and stats.dropped == 3
+    # band store holds ONLY survivor bands, partitioned per batch
+    bands = spark.read.parquet(str(tmp_path / "store" / "stream_docs_1" / "_lsh_bands"))
+    assert sorted(set(r["doc_id"] for r in bands.select("doc_id").collect())) == [1, 3, 12]
+
+
+def test_two_queries_same_fg_no_batch_id_collision(spark, tmp_path):
+    """Regression: Spark numbers micro-batches per CHECKPOINT from 0,
+    so a second streaming query into the same FG (fresh checkpoint)
+    used to collide with the first query's batch 0 and get silently
+    skipped as a 'replay'. Idempotence keys are now checkpoint-scoped."""
+    import os
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "two_q", primary_key=["pk"], event_time="ts"
+    )
+    for i, sub in enumerate(("s1", "s2")):
+        src = str(tmp_path / sub)
+        spark.createDataFrame(
+            [(i * 10 + 1, 100 + i, float(i))], "pk long, ts long, v double"
+        ).coalesce(1).write.parquet(src)
+        sdf = spark.readStream.schema("pk long, ts long, v double").parquet(src)
+        insert_stream(
+            fg, sdf, trigger={"availableNow": True},
+            checkpoint_dir=str(tmp_path / f"ck_{sub}"),
+            await_termination=True, timeout=120,
+        )
+    got = sorted(r["pk"] for r in fg.read(spark).collect())
+    assert got == [1, 11]  # second query's batch 0 NOT swallowed

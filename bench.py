@@ -631,6 +631,7 @@ X10_QUERIES = {
     "e4_exact_window_dedup": e4_exact_window_dedup_x10,
     "e5_semantic_dedup": e5_semantic_dedup_x10,
 }
+# e7's x10 twin is defined with the extras below; registered there.
 
 
 # round-5 operators, tracked OUTSIDE the headline total so "value"
@@ -725,6 +726,49 @@ def e6_drift_windows(spark, sf_dir):
     _force(windowed_drift(ev, "value", "ts", window="1 day", buckets=10))
 
 
+def e7_label_window(spark, sf_dir):
+    """Forward label-window join: next-365-day order count/sum/max per
+    event (one union + one RANGE window per key)."""
+    from feature_store_api_spark.operators.time_series import label_window_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    fut = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    _force(label_window_join(
+        spine, fut, keys=["ck"], spine_ts="ts", event_ts="o_orderdate",
+        value_col="o_totalprice", horizon="365 days",
+        aggs=("count", "sum", "max"),
+    ))
+
+
+def e7_label_window_x10(spark, sf_dir):
+    from feature_store_api_spark.operators.time_series import label_window_join
+
+    ev, orders, _ = _x10_core_frames(spark, sf_dir)
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    fut = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    _force(label_window_join(
+        spine, fut, keys=["ck"], spine_ts="ts", event_ts="o_orderdate",
+        value_col="o_totalprice", horizon="365 days",
+        aggs=("count", "sum", "max"),
+    ))
+
+
+def e8_negative_sampling(spark, sf_dir):
+    """4 hash-drawn negatives per (supplier, part) positive."""
+    from feature_store_api_spark.operators.splits import negative_sampling
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_linenumber") == 1
+    )
+    pos = li.select(F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("it"))
+    cand = read_parquet(spark, f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("it")
+    )
+    _force(negative_sampling(pos, cand, "u", "it", n_negatives=4, seed=42))
+
+
 EXTRA_QUERIES = {
     "e1_ivfpq_probe": e1_ivfpq_probe,
     "e2_incremental_dedup": e2_incremental_dedup,
@@ -732,7 +776,10 @@ EXTRA_QUERIES = {
     "e4_exact_window_dedup": e4_exact_window_dedup,
     "e5_semantic_dedup": e5_semantic_dedup,
     "e6_drift_windows": e6_drift_windows,
+    "e7_label_window": e7_label_window,
+    "e8_negative_sampling": e8_negative_sampling,
 }
+X10_QUERIES["e7_label_window"] = e7_label_window_x10
 
 
 QUERIES = {

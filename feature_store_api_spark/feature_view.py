@@ -82,11 +82,22 @@ class FeatureView:
         )
 
     # -- PIT compilation ---------------------------------------------------
-    def _pit_plan(self, spark: SparkSession, spine: Optional[DataFrame] = None) -> DataFrame:
+    def _pit_plan(
+        self,
+        spark: SparkSession,
+        spine: Optional[DataFrame] = None,
+        pit_strategy: Optional[str] = None,
+    ) -> DataFrame:
         """Compile the view query with as-of semantics: the left feature
         group (or a passed spine) provides (pk, event_time); every joined
         feature group with an event time is as-of joined instead of
-        equi-joined. Feature groups without event time join plainly."""
+        equi-joined. Feature groups without event time join plainly.
+
+        ``pit_strategy`` overrides the PIT physical strategy for this
+        read (``union_window`` default; ``union_window_skew`` for
+        zipfian entities — stays FUSED across feature groups; ``auto``
+        probes). Falls back to the view's ``default_pit_strategy``
+        attribute when unset."""
         left_fg = self.query.left_feature_group
         if spine is None:
             left_df = self.query._left_feature_group.read_source(
@@ -148,7 +159,12 @@ class FeatureView:
                 out = out.join(renamed, on=keys, how="left")
         if pit_specs:
             out = point_in_time_join_many(
-                out, pit_specs, spine_ts=left_fg.event_time
+                out, pit_specs, spine_ts=left_fg.event_time,
+                strategy=(
+                    pit_strategy
+                    or getattr(self, "default_pit_strategy", None)
+                    or "union_window"
+                ),
             )
 
         logic = self.query.filters
@@ -227,6 +243,7 @@ class FeatureView:
         transformed: bool = True,
         stats=None,
         inference_helper_columns: bool = False,
+        pit_strategy: Optional[str] = None,
     ) -> DataFrame:
         """Scoring-time batch frame: PIT plan, optional event-time range,
         labels dropped. ``transformed=True`` (reference default,
@@ -243,8 +260,11 @@ class FeatureView:
         inclusion is governed by the view's own ``select`` in this
         engine — the selection IS the projection — so the reference's
         ``primary_key``/``event_time`` re-add flags have no analogue.)
+
+        ``pit_strategy``: physical PIT strategy override
+        (``union_window_skew`` / ``auto`` for zipfian entities).
         """
-        df = self._pit_plan(spark, spine)
+        df = self._pit_plan(spark, spine, pit_strategy=pit_strategy)
         et = self.query.left_feature_group.event_time
         if et and (start_time is not None or end_time is not None):
             col = F.col(et)

@@ -322,3 +322,46 @@ def test_negative_sampling_semantics(spark):
 
     with pytest.raises(ValueError, match="empty candidates"):
         negative_sampling(pos, cand.limit(0), "user_id", "item_id")
+
+
+def test_feature_view_pit_strategy_override(spark, tmp_path):
+    """get_batch_data(pit_strategy='union_window_skew') produces the
+    same rows as the default strategy and keeps the fused two-stage
+    plan shape; default_pit_strategy attribute works as the sticky
+    form."""
+    import datetime as dt
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    base = dt.datetime(2024, 1, 1)
+    spine_fg = fs.create_feature_group(
+        "sv_spine", primary_key=["k"], event_time="ts"
+    )
+    spine_fg.insert(spark.createDataFrame(
+        [(i % 7, base + dt.timedelta(hours=i), float(i)) for i in range(60)],
+        "k long, ts timestamp, y double",
+    ))
+    feat_fg = fs.create_feature_group(
+        "sv_feat", primary_key=["k"], event_time="fts"
+    )
+    feat_fg.insert(spark.createDataFrame(
+        [(i % 7, base + dt.timedelta(hours=i - 1), float(i * 2))
+         for i in range(120)],
+        "k long, fts timestamp, v double",
+    ))
+    fv = fs.create_feature_view(
+        "sv_view", spine_fg.select_all().join(feat_fg.select(["v"]), on=["k"]),
+    )
+    plain = fv.get_batch_data(spark, transformed=False)
+    skew = fv.get_batch_data(
+        spark, transformed=False, pit_strategy="union_window_skew"
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(skew) == rows(plain)
+    assert "__bkt" in skew._jdf.queryExecution().executedPlan().toString()
+
+    fv.default_pit_strategy = "union_window_skew"
+    sticky = fv.get_batch_data(spark, transformed=False)
+    assert "__bkt" in sticky._jdf.queryExecution().executedPlan().toString()
+    assert rows(sticky) == rows(plain)

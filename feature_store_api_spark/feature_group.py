@@ -212,6 +212,7 @@ class FeatureGroup(FeatureGroupBase):
         statistics_config=None,
         embedding_index=None,
         max_staleness=None,
+        cluster_by: Sequence[str] = (),
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
@@ -227,6 +228,9 @@ class FeatureGroup(FeatureGroupBase):
         from .operators.pit_join import validate_max_staleness
 
         self.max_staleness = validate_max_staleness(max_staleness)
+        # declared clustering: writes sort within partitions by these
+        # columns so parquet row-group stats data-skip pushed predicates
+        self.cluster_by = [autofix_feature_name(c) for c in cluster_by]
         self.deprecated = False
         self.path = path  # immutable parquet source
         self.location = location  # managed commit-store dir
@@ -263,6 +267,7 @@ class FeatureGroup(FeatureGroupBase):
                 partition_key=self.partition_key,
                 precombine_key=self.precombine_key,
                 auto_compact_every=self.auto_compact_every,
+                cluster_by=self.cluster_by,
             )
         return self._store
 

@@ -44,6 +44,7 @@ class FeatureStore:
         statistics_config=None,
         embedding_index=None,
         max_staleness=None,
+        cluster_by: Sequence[str] = (),
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -72,6 +73,7 @@ class FeatureStore:
             statistics_config=statistics_config,
             embedding_index=embedding_index,
             max_staleness=max_staleness,
+            cluster_by=cluster_by,
         )
         fg._feature_store = self  # provenance + log-FG resolution backref
         self._registry[(name, version)] = fg
@@ -93,6 +95,7 @@ class FeatureStore:
                 "precombine_key": precombine_key,
                 "stream": stream,
                 "max_staleness": max_staleness,
+                "cluster_by": list(cluster_by),
                 "auto_compact_every": auto_compact_every,
                 "transformation_functions": [
                     t.to_dict() for t in transformation_functions
@@ -144,6 +147,7 @@ class FeatureStore:
             precombine_key=meta.get("precombine_key"),
             stream=meta.get("stream", False),
             max_staleness=meta.get("max_staleness"),
+            cluster_by=meta.get("cluster_by", ()),
             transformation_functions=[
                 TransformationFunction.from_dict(t)
                 for t in meta.get("transformation_functions", [])

@@ -489,3 +489,62 @@ def test_multi_part_insert_aborted_body_commits_nothing(spark, tmp_path):
         writer.insert(df_of(spark, [(2, ts("2024-01-02"), "b", 2.0)]))
     assert len(fg.commit_details()) == 1
     assert fg.read(spark).count() == 1
+
+
+def test_cluster_by_sorts_row_groups_for_data_skipping(spark, tmp_path):
+    """A declared cluster_by sorts every commit's rows within partitions,
+    so parquet row-group min/max stats on the cluster column are
+    non-overlapping and pushed predicates can skip row groups. Verified
+    on the physical files via pyarrow metadata; rehydration preserves
+    the declaration."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "clustered", primary_key=["k"], cluster_by=["ts"],
+    )
+    # shuffled ts values, small row groups so files hold several groups
+    rows = [(i, (i * 7919) % 100_000, float(i)) for i in range(50_000)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double").coalesce(2)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        fg.insert(df, compute_stats=False)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    def rg_ranges(root):
+        out = []
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "ts" not in idx or md.num_row_groups < 2:
+                continue
+            per_file = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx["ts"]).statistics
+                per_file.append((st.min, st.max))
+            out.append(per_file)
+        return out
+
+    files = rg_ranges(os.path.join(str(tmp_path), "clustered_1"))
+    assert files, "expected at least one multi-row-group file"
+    for per_file in files:
+        # sorted within the file: each group's min >= previous group's max
+        for (lo1, hi1), (lo2, hi2) in zip(per_file, per_file[1:]):
+            assert lo2 >= hi1, (per_file,)
+
+    # data unchanged; rehydrated store keeps the clustering declaration
+    assert fg.read(spark).count() == 50_000
+    fresh = FeatureStore(root=str(tmp_path)).get_feature_group("clustered")
+    assert fresh.cluster_by == ["ts"]
+    assert fresh.commit_store.cluster_by == ["ts"]

@@ -291,3 +291,45 @@ def test_windowed_drift_single_wide_agg(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_label_window_join_single_exchange(spark, sf_dir):
+    """The forward label window is ONE hash exchange of (spine+events)
+    — no range join, no row explosion, no extra shuffles past the
+    union's exchange."""
+    import re
+
+    from feature_store_api_spark.operators.time_series import label_window_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    spine = ev.select("event_id", F.col("user_id").alias("ck"), "ts")
+    fut = orders.select(F.col("o_custkey").alias("ck"), "o_orderdate", "o_totalprice")
+    plan = _plan(label_window_join(
+        spine, fut, keys=["ck"], spine_ts="ts", event_ts="o_orderdate",
+        value_col="o_totalprice", horizon="365 days", aggs=("count", "sum"),
+    ))
+    exchanges = re.findall(r"Exchange hashpartitioning\(ck", plan)
+    assert len(exchanges) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # window frame is a RANGE frame over the numeric axis
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_negative_sampling_no_cartesian(spark, sf_dir):
+    """Negative sampling is hash-draw + equi-joins: never a cartesian /
+    nested-loop against the candidate table, no Python in the plan."""
+    from feature_store_api_spark.operators.splits import negative_sampling
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_linenumber") == 1
+    )
+    pos = li.select(F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("it"))
+    cand = read_parquet(spark, f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("it")
+    )
+    plan = _plan(negative_sampling(pos, cand, "u", "it", n_negatives=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -264,6 +264,32 @@ def _q_label_window(spark, sf_dir):
     )
 
 
+def _q_minhash_verified(spark, sf_dir):
+    """LSH candidates verified by estimated Jaccard computed FROM THE
+    SIGNATURES (operators/dedup.py: verify_pairs_by_signature) — the
+    100 TB verification path that never re-reads document text. md5
+    variant so the oracle reproduces both the candidates and the
+    estimator exactly (n/32 fractions are exact binary, so the hash
+    compare is safe)."""
+    from feature_store_api_spark.operators.dedup import (
+        minhash_lsh_duplicate_pairs,
+        minhash_signatures,
+        verify_pairs_by_signature,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    sigs = minhash_signatures(
+        d, "text", "doc_id", num_hashes=32, shingle_size=5, hash_fn="md5_64"
+    )
+    pairs = minhash_lsh_duplicate_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, shingle_size=5,
+        hash_fn="md5_64",
+    )
+    return verify_pairs_by_signature(pairs, sigs, "doc_id", threshold=0.5)
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Streaming near-dup-gated ingest (streaming/dedup_ingest.py):
     two micro-batch files driven through availableNow passes; batch 1
@@ -2642,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": _q_negative_sampling,
         "streaming_dedup": _q_streaming_dedup,
         "stats_profile": _q_stats_profile,
+        "minhash_verified": _q_minhash_verified,
         "corpus_curation_quality": _q_corpus_curation_quality,
         "exact_window_dedup": _q_exact_window_dedup,
         "semantic_dedup": _q_semantic_dedup,
@@ -3299,6 +3326,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pit_join": _PIT_SQL,
         "pit_join_skew": _PIT_SQL,
+        # minhash_verified: _MINHASH_PAIRS_SQL's candidates + the
+        # per-position signature agreement estimator over the SAME h
+        # rows (doc_id, hi, m) — n/32 fractions are exact binary
+        "minhash_verified": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(length(t) - 5, 0) + 1),
+                                           i -> substr(t, i + 1, 5))) AS s
+              FROM d
+            ),
+            h AS (
+              SELECT doc_id, j.i AS hi,
+                     min(CAST('0x' || substr(md5(s || chr(31) || CAST(j.i AS VARCHAR)), 1, 15) AS BIGINT)) AS m
+              FROM sh, range(0, 32) j(i)
+              GROUP BY doc_id, j.i
+            ),
+            sig AS (
+              SELECT doc_id, hi // 4 AS band, list(m ORDER BY hi) AS bucket
+              FROM h GROUP BY doc_id, hi // 4
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, est_jaccard FROM (
+              SELECT p.id_a, p.id_b,
+                     SUM(CASE WHEN ha.m = hb.m THEN 1 ELSE 0 END)::DOUBLE / 32
+                       AS est_jaccard
+              FROM pairs p
+              JOIN h ha ON ha.doc_id = p.id_a
+              JOIN h hb ON hb.doc_id = p.id_b AND hb.hi = ha.hi
+              GROUP BY p.id_a, p.id_b
+            ) WHERE est_jaccard >= 0.5
+        """,
         # streaming_dedup: same signature/band derivation as
         # _MINHASH_PAIRS_SQL (32 hashes, 8 bands of 4, md5-prefix).
         # batch1 = doc_id%3=1 (no corpus yet: drop any doc with a

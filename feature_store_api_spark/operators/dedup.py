@@ -966,3 +966,46 @@ def simhash(
     for x in bits[1:]:
         fp = fp.bitwiseOR(x)
     return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def minhash_estimated_jaccard(sig_a, sig_b):
+    """Estimated Jaccard similarity from two minhash signature arrays:
+    the fraction of positions where the signatures agree (the textbook
+    MinHash estimator, E[agree] = J). A pure Column expression — at
+    100 TB you verify LSH candidates against the STORED signature table
+    instead of re-shingling the documents."""
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches / F.size(sig_a)
+
+
+def verify_pairs_by_signature(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    sim_col: str = "est_jaccard",
+) -> DataFrame:
+    """Filter candidate pairs by estimated Jaccard computed from the
+    signature table (``minhash_signatures`` output: ``(id, minhash)``).
+    Two equi-joins against the (small, 8B x num_hashes per doc)
+    signature table + one fold per pair — candidate verification
+    without touching document text. Returns ``(id_a, id_b, sim_col)``
+    with ``sim_col >= threshold``."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("__sa")
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("__sb")
+    )
+    return (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .withColumn(
+            sim_col, minhash_estimated_jaccard(F.col("__sa"), F.col("__sb"))
+        )
+        .where(F.col(sim_col) >= threshold)
+        .select("id_a", "id_b", sim_col)
+    )

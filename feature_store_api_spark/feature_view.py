@@ -1238,13 +1238,16 @@ class FeatureView:
             # one level up: clean('v', 1) must not absorb 'v_1_2.json'
             # (view literally NAMED 'v_1', version 2) nor its sidecars.
             # Only the KNOWN sidecar suffixes this module writes are
-            # eligible: _monitoring.json, _tags.json, _td<N>_tags.json.
+            # eligible: _monitoring.json, _tags.json, _td<N>_tags.json,
+            # and the _monitoring_results directory run_feature_monitoring
+            # writes.
             import re
 
             stem = f"{name}_{version}"
             sidecar = re.compile(
                 rf"^{re.escape(stem)}"
-                r"(\.json|_monitoring\.json|(_td\d+)?_tags\.json)$"
+                r"(\.json|_monitoring\.json|_monitoring_results"
+                r"|(_td\d+)?_tags\.json)$"
             )
             for entry in os.listdir(base):
                 if sidecar.match(entry):

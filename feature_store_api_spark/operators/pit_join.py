@@ -362,10 +362,23 @@ def _bucketed_running_max(
         carry = carry.withColumn(
             f"__carry_{c}", F.max(f"__bmax_{c}").over(w_carry)
         )
-    carry = carry.select(*keys, "__bkt", *[f"__carry_{c}" for c in cand_cols])
-
-    matched = staged.join(carry, on=[*keys, "__bkt"], how="left").where(
-        F.col("__side") == 1
+    # NULL join keys: groupBy/Window.partitionBy treat NULL as one group,
+    # so the carry re-attach must match NULLs too — a plain equi-join
+    # would silently drop the cross-bucket carry for NULL-keyed rows and
+    # diverge from the plain union_window output. eqNullSafe (<=>) keeps
+    # this a hash-joinable equi-condition (no cartesian fallback).
+    carry = carry.select(
+        *[F.col(k).alias(f"__ck_{k}") for k in keys],
+        F.col("__bkt").alias("__ck_bkt"),
+        *[f"__carry_{c}" for c in cand_cols],
+    )
+    join_cond = F.col("__bkt") == F.col("__ck_bkt")
+    for k in keys:
+        join_cond = join_cond & F.col(k).eqNullSafe(F.col(f"__ck_{k}"))
+    matched = (
+        staged.join(carry, on=join_cond, how="left")
+        .drop("__ck_bkt", *[f"__ck_{k}" for k in keys])
+        .where(F.col("__side") == 1)
     )
     for c in cand_cols:
         matched = matched.withColumn(

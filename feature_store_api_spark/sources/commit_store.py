@@ -144,10 +144,17 @@ class CommitStore:
         return now
 
     # -- write path --------------------------------------------------------
-    def has_stream_batch(self, batch_id: int) -> bool:
-        """Idempotence check for foreachBatch replays (exactly-once)."""
+    def has_stream_batch(self, batch_key: str, *legacy_keys) -> bool:
+        """Idempotence check for foreachBatch replays (exactly-once).
+
+        ``batch_key`` is the checkpoint-scoped ``'<marker>:<batch_id>'``
+        string. ``legacy_keys`` lets callers also match commits written
+        before keys were checkpoint-scoped (bare int batch ids), so a
+        checkpoint recovery spanning the format change still dedupes
+        instead of re-committing the replayed batch."""
+        accepted = {batch_key, *legacy_keys}
         return any(
-            c.get("extra", {}).get("stream_batch_id") == batch_id
+            c.get("extra", {}).get("stream_batch_id") in accepted
             for c in self._read_log()
         )
 

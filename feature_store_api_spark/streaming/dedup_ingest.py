@@ -111,8 +111,9 @@ def streaming_dedup_ingest(
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_key = f"{marker}:{batch_id}"
         # idempotence: a replayed batch key already committed AND already
-        # wrote its bands — skip both
-        if store.has_stream_batch(batch_key):
+        # wrote its bands — skip both (the bare int matches legacy
+        # commits written before keys were checkpoint-scoped)
+        if store.has_stream_batch(batch_key, batch_id):
             return
         spark = batch_df.sparkSession
         new_b = _band_table(

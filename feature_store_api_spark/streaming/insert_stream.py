@@ -95,7 +95,10 @@ def insert_stream(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_key = f"{marker}:{batch_id}"
-        if store.has_stream_batch(batch_key):
+        # the bare int is the pre-checkpoint-scoping legacy key: a
+        # checkpoint recovery spanning the format change must still
+        # recognize batches committed under the old scheme
+        if store.has_stream_batch(batch_key, batch_id):
             return
         if not fg._features:
             # first data seen for this FG: infer + register the schema,

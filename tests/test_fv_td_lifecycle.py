@@ -305,3 +305,35 @@ def test_fv_clean_does_not_absorb_underscore_named_view(spark, tmp_path):
     survivor = fresh.get_feature_view("v_1", 2)
     assert survivor.version == 2
     assert survivor.get_tag("keep") == "me"  # sidecar survived too
+
+
+def test_fv_clean_removes_monitoring_results_dir(spark, tmp_path):
+    """clean() must delete the '{name}_{version}_monitoring_results'
+    directory run_feature_monitoring writes (regression: the strict
+    sidecar regex omitted it and monitoring artifacts leaked), while a
+    DIFFERENT view's results dir survives."""
+    import os
+    from datetime import datetime
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group("mon_src", primary_key=["k"], event_time="ts")
+    fg.insert(spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + i % 5), float(i)) for i in range(20)],
+        "k long, ts timestamp, v double",
+    ))
+    fv = fs.create_feature_view("mclean", fg.select_all(), version=1)
+    other = fs.create_feature_view("mclean", fg.select_all(), version=10)
+    for view in (fv, other):
+        view.create_statistics_monitoring("m1", feature_name="v").save()
+        view.run_feature_monitoring("m1", spark, now=datetime(2024, 1, 8))
+    base = os.path.join(str(tmp_path), "_feature_views")
+    res1 = os.path.join(base, "mclean_1_monitoring_results")
+    res10 = os.path.join(base, "mclean_10_monitoring_results")
+    assert os.path.isdir(res1) and os.path.isdir(res10)
+
+    FeatureView.clean(fs, "mclean", 1)
+    assert not os.path.exists(res1)   # leaked before the regex fix
+    assert os.path.isdir(res10)       # strict stem: v10 untouched

@@ -498,3 +498,68 @@ def test_pit_many_fused_skew_matches_plain(spark):
     assert "__bkt" in plan  # two-stage shape
     # fused: both candidate structs ride one union (no per-FG sequential joins)
     assert "__cand0" in plan and "__cand1" in plan
+
+
+def test_pit_union_window_skew_null_keys_match_plain(spark):
+    """NULL join keys: Window.partitionBy and groupBy treat NULL as one
+    group, so the skew strategy's carry re-attach must match NULL keys
+    too (eqNullSafe). Regression: a plain equi-join dropped the
+    cross-bucket carry for NULL-keyed rows, silently nulling features
+    for NULL-keyed spine rows whose match lived in an earlier time
+    bucket."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators.pit_join import (
+        point_in_time_join,
+        point_in_time_join_many,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # feature rows for the NULL key sit EARLY (bucket 0); NULL spine
+    # rows sit LATE (last bucket) -> the match can only arrive via the
+    # cross-bucket carry join.
+    spine = spark.createDataFrame(
+        [(1, None, base + dt.timedelta(hours=40)),
+         (2, 7, base + dt.timedelta(hours=41)),
+         (3, None, base + dt.timedelta(hours=42))],
+        "event_id long, k long, ts timestamp",
+    )
+    feat = spark.createDataFrame(
+        [(None, base + dt.timedelta(hours=1), 1.0),
+         (None, base + dt.timedelta(hours=2), 2.0),
+         (7, base + dt.timedelta(hours=3), 3.0)]
+        # filler rows so min/max span forces real multi-bucket layout
+        + [(int(j % 5 + 100), base + dt.timedelta(minutes=j * 30), float(j))
+           for j in range(100)],
+        "k long, fts timestamp, v double",
+    )
+    kwargs = dict(
+        keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_",
+    )
+    plain = point_in_time_join(spine, feat, strategy="union_window", **kwargs)
+    skew = point_in_time_join(
+        spine, feat, strategy="union_window_skew", skew_buckets=8, **kwargs
+    )
+
+    def rows(df):
+        return sorted(
+            (r["event_id"], r["f_v"]) for r in df.collect()
+        )
+
+    expect = [(1, 2.0), (2, 3.0), (3, 2.0)]
+    assert rows(plain) == expect
+    assert rows(skew) == expect
+
+    # fused multi-FG skew path shares the same carry join
+    fused = point_in_time_join_many(
+        spine,
+        [{"df": feat, "feature_ts": "fts", "features": ["v"], "prefix": "f_"},
+         {"df": feat.withColumnRenamed("v", "w"), "feature_ts": "fts",
+          "features": ["w"], "prefix": "g_"}],
+        spine_keys_default=["k"], spine_ts="ts",
+        strategy="union_window_skew",
+    )
+    assert sorted(
+        (r["event_id"], r["f_v"], r["g_w"]) for r in fused.collect()
+    ) == [(1, 2.0, 2.0), (2, 3.0, 3.0), (3, 2.0, 2.0)]

@@ -274,3 +274,38 @@ def test_two_queries_same_fg_no_batch_id_collision(spark, tmp_path):
         )
     got = sorted(r["pk"] for r in fg.read(spark).collect())
     assert got == [1, 11]  # second query's batch 0 NOT swallowed
+
+
+def test_legacy_bare_batch_id_replay_detected(spark, tmp_path):
+    """Commits written before idempotence keys were checkpoint-scoped
+    carry a BARE int batch id. A checkpoint recovery spanning the
+    format change must still recognize them as committed instead of
+    re-committing the replayed batch (duplicating rows in append-shaped
+    sinks / burning a commit)."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group("legacy_q", primary_key=["pk"], event_time="ts")
+    # simulate a legacy commit: bare int stream_batch_id
+    fg.insert(spark.createDataFrame([(1, 100, 1.0)], "pk long, ts long, v double"))
+    store = fg.commit_store
+    log = store._read_log()
+    log[-1].setdefault("extra", {})["stream_batch_id"] = 0
+    store._write_log(log)
+
+    assert store.has_stream_batch("deadbeef:0", 0)      # legacy matched
+    assert not store.has_stream_batch("deadbeef:1", 1)  # other batches not
+
+    # end-to-end: a streaming replay of batch 0 is skipped
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 200, 9.0)], "pk long, ts long, v double"
+    ).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("pk long, ts long, v double").parquet(src)
+    insert_stream(
+        fg, sdf, trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ck"),
+        await_termination=True, timeout=120,
+    )
+    rows = fg.read(spark).collect()
+    assert [(r["pk"], r["ts"]) for r in rows] == [(1, 100)]  # replay skipped

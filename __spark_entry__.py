@@ -3429,10 +3429,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT l_suppkey AS user_id, l_partkey AS item_id
               FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 50 = 0
             ),
-            idx AS (
+            -- bucketed two-pass dense index, mirroring the engine:
+            -- row_number within pmod(md5_64(item), 1024) buckets plus
+            -- cumulative lower-bucket counts (md5 prefix is 60-bit ->
+            -- non-negative, so plain % == pmod)
+            items AS (SELECT DISTINCT p_partkey AS item_id FROM part),
+            bitems AS (
               SELECT item_id,
-                     ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS i
-              FROM (SELECT DISTINCT p_partkey AS item_id FROM part)
+                     CAST('0x' || substr(md5(CAST(item_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 1024 AS bkt
+              FROM items
+            ),
+            offs AS (
+              SELECT bkt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM (SELECT bkt, COUNT(*) AS cnt FROM bitems GROUP BY bkt)
+            ),
+            idx AS (
+              SELECT b.item_id,
+                     o.off
+                     + ROW_NUMBER() OVER (PARTITION BY b.bkt
+                                          ORDER BY b.item_id) - 1 AS i
+              FROM bitems b JOIN offs o USING (bkt)
             ),
             drawn AS (
               SELECT p.user_id,

@@ -186,6 +186,7 @@ def negative_sampling(
     n_negatives: int = 4,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    index_buckets: int = 1024,
 ) -> DataFrame:
     """Deterministic distributed negative sampling: for every positive
     (user, item) pair, draw ``n_negatives`` pseudo-random items from
@@ -196,9 +197,14 @@ def negative_sampling(
 
     Shape (100 TB posture):
 
-    1. candidates get a dense index 0..M-1 via a zero-payload window
-       ``row_number`` over the item id (deterministic, one shuffle of
-       the — comparatively tiny — item table);
+    1. candidates get a dense index 0..M-1 via BUCKETED two-pass
+       numbering: ``row_number`` within ``pmod(hash(item),
+       index_buckets)`` buckets plus cumulative bucket offsets from one
+       ``index_buckets``-row aggregate (collected — ≤ ``index_buckets``
+       rows — and broadcast back). Deterministic, and every window
+       partitions on a bucket, so a billion-item candidate set numbers
+       across the cluster instead of funnelling into the single task a
+       global-window ``row_number`` would plan;
     2. each positive explodes into ``n_negatives`` slots whose item
        index = ``hash(user, item, slot, seed) mod M`` — no RNG state,
        reproducible across runs/engines;
@@ -219,15 +225,48 @@ def negative_sampling(
     from .dedup import _md5_64
 
     m_col = "__nsidx"
-    # 1. dense candidate index (row_number is 1-based → minus 1)
-    wi = Window.orderBy(F.col(item_col).asc())
-    idx = candidates.select(item_col).distinct().select(
-        F.col(item_col).alias("__ns_item"),
-        (F.row_number().over(wi) - 1).alias(m_col),
+    # 1. dense candidate index 0..M-1, bucketed: hash each distinct item
+    # into index_buckets buckets, row_number WITHIN the bucket (ordered
+    # by item id), then add the cumulative count of all lower buckets.
+    # The only global structure is the ≤ index_buckets-row count vector,
+    # which one small agg collects and a broadcast join re-attaches —
+    # no window ever partitions the full candidate table into one task.
+    items = candidates.select(F.col(item_col).alias("__ns_item")).distinct()
+    bh = (
+        _md5_64(F.col("__ns_item").cast("string"))
+        if hash_fn == "md5_64"
+        else F.xxhash64(F.col("__ns_item").cast("string"), F.lit(seed))
     )
-    m = idx.count()
+    items = items.withColumn(
+        "__nsb", F.pmod(bh, F.lit(index_buckets)).cast("int")
+    )
+    cnt_rows = sorted(
+        (r["__nsb"], r["cnt"])
+        for r in items.groupBy("__nsb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    m = sum(c for _, c in cnt_rows)
     if m == 0:
         raise ValueError("negative_sampling: empty candidates")
+    offsets, acc = [], 0
+    for b, c in cnt_rows:
+        offsets.append((b, acc))
+        acc += c
+    off_df = F.broadcast(
+        positives.sparkSession.createDataFrame(
+            offsets, "__nsb int, __nsoff long"
+        )
+    )
+    wi = Window.partitionBy("__nsb").orderBy(F.col("__ns_item").asc())
+    idx = (
+        items.withColumn("__nslr", F.row_number().over(wi))
+        .join(off_df, on="__nsb")
+        .select(
+            "__ns_item",
+            (F.col("__nsoff") + F.col("__nslr") - 1).cast("int").alias(m_col),
+        )
+    )
 
     # 2. explode slots, hash to an index
     slots = F.explode(

@@ -333,3 +333,11 @@ def test_negative_sampling_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the candidate index must be BUCKETED: no partition-less window
+    # (a global row_number would funnel every candidate into ONE task —
+    # Spark plans it as windowspecdefinition(<order> ...) with an empty
+    # partition clause and a SinglePartition exchange feeding it)
+    assert "SinglePartition" not in plan, plan
+    import re as _re
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__nsb" in spec.split(",")[0], plan

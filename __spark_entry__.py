@@ -2608,16 +2608,65 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the FIRST
-    # ~50 entries per round: (1) the 39 entries whose latest green verdict
-    # is r04 (the core join/time-travel/serving surface) so r07 re-proves
-    # them — VERDICT r06 rotation item; (2) entries whose underlying code
-    # changed in r07 (conditional minhash materialize barrier +
-    # plan-analysis-free repartition_up guard: minhash_pairs …
-    # semantic_dedup; PIT skew strategy + max_staleness validation:
-    # pit_join*; stats profile b6 work: stats_profile); (3) near-window
-    # r07-changed entries with r06 verdicts + pinned plan tests; (4)
-    # everything else, freshest proofs last.
+    # ~50 entries per round: (1) minhash_verified — the ONE entry that has
+    # never received an oracle verdict (it sat at position 51 in r07);
+    # (2) the 28 entries whose latest green verdict is r05, the oldest on
+    # the board; (3) entries whose underlying code changed in r08
+    # (negative_sampling's bucketed candidate index + mirrored oracle;
+    # pit_join_skew's null-safe carry join; streaming legacy batch-id
+    # dedupe; minhash/stats perf work); (4) r06-verdict entries to fill
+    # the window; (5) everything else, freshest proofs (r07) last.
     return {
+        "minhash_verified": _q_minhash_verified,
+        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
+        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
+        "td_csv_roundtrip": _q_td_csv_roundtrip,
+        "partitioned_fg_read": _q_partitioned_fg_read,
+        "dirty_names_sanitized": _q_dirty_names_sanitized,
+        "json_extract": _q_json_extract,
+        "lag_features": _q_lag_features,
+        "multimodal_decode": _q_multimodal_decode,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "simhash": _q_simhash,
+        "text_analysis": _q_text_analysis,
+        "knn_ann": _q_knn_ann,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "knn_ann_retry": _q_knn_ann_retry,
+        "knn_ivf": _q_knn_ivf,
+        "fv_batch_query": _q_fv_batch_query,
+        "embedding_quantize": _q_embedding_quantize,
+        "percentiles_exact": _q_percentiles_exact,
+        "correlations": _q_correlations,
+        "value_counts": _q_value_counts,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "split_statistics": _q_split_statistics,
+        "stats_commit_window": _q_stats_commit_window,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "rolling_features": _q_rolling_features,
+        "kafka_materialize": _q_kafka_materialize,
+        "td_avro_roundtrip": _q_td_avro_roundtrip,
+        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
+        "negative_sampling": _q_negative_sampling,
+        "pit_join_skew": _q_pit_join_skew,
+        "streaming_upsert": _q_streaming_upsert,
+        "streaming_dedup": _q_streaming_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "stats_profile": _q_stats_profile,
+        "dedup_clusters": _q_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
+        "pit_join_ttl": _q_pit_join_ttl,
+        "pit_join_multi": _q_pit_join_multi,
+        "pit_join_range": _q_pit_join_range,
+        "spine_pit_join": _q_spine_pit_join,
+        "semantic_dedup": _q_semantic_dedup,
+        "exact_window_dedup": _q_exact_window_dedup,
+        "corpus_curation_quality": _q_corpus_curation_quality,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "latest_per_key": _q_latest_per_key,
+        "set_ops": _q_set_ops,
+        "validation_report": _q_validation_report,
+        "drift_psi": _q_drift_psi,
         "commit_details": _q_commit_details,
         "compaction_snapshot": _q_compaction_snapshot,
         "contamination_check": _q_contamination_check,
@@ -2652,38 +2701,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_except": _q_select_except,
         "serving_log_roundtrip": _q_serving_log_roundtrip,
         "serving_vectors": _q_serving_vectors,
-        "streaming_upsert": _q_streaming_upsert,
         "tfidf_terms": _q_tfidf_terms,
         "time_travel_asof": _q_time_travel_asof,
         "time_travel_snapshot": _q_time_travel_snapshot,
         "vacuum_retention": _q_vacuum_retention,
-        "minhash_pairs": _q_minhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "incremental_dedup": _q_incremental_dedup,
-        "corpus_curation": _q_corpus_curation,
         "pit_join": _q_pit_join,
-        "pit_join_skew": _q_pit_join_skew,
         "label_window": _q_label_window,
-        "negative_sampling": _q_negative_sampling,
-        "streaming_dedup": _q_streaming_dedup,
-        "stats_profile": _q_stats_profile,
-        "minhash_verified": _q_minhash_verified,
-        "corpus_curation_quality": _q_corpus_curation_quality,
-        "exact_window_dedup": _q_exact_window_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "pit_join_ttl": _q_pit_join_ttl,
-        "pit_join_multi": _q_pit_join_multi,
-        "pit_join_range": _q_pit_join_range,
-        "spine_pit_join": _q_spine_pit_join,
-        "validation_report": _q_validation_report,
         "drift_windows": _q_drift_windows,
         "embedding_projection": _q_embedding_projection,
         "knn_ivfpq": _q_knn_ivfpq,
         "model_provenance": _q_model_provenance,
         "builtin_scalers": _q_builtin_scalers,
         "cast_schema": _q_cast_schema,
-        "dedup_exact": _q_dedup_exact,
         "embedding_dups": _q_embedding_dups,
         "embedding_fetch": _q_embedding_fetch,
         "encoders": _q_encoders,
@@ -2691,20 +2722,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _q_knn_batch,
         "knn_cosine": _q_knn_cosine,
         "knn_l2": _q_knn_l2,
-        "latest_per_key": _q_latest_per_key,
-        "ngram_jaccard": _q_ngram_jaccard,
         "repetition_metrics": _q_repetition_metrics,
         "row_sampling": _q_row_sampling,
         "sequence_packing": _q_sequence_packing,
         "session_windows": _q_session_windows,
-        "set_ops": _q_set_ops,
         "stratified_sample": _q_stratified_sample,
         "text_language": _q_text_language,
         "text_quality": _q_text_quality,
         "text_stats": _q_text_stats,
         "windowed_agg_hourly": _q_windowed_agg_hourly,
         "multi_part_insert": _q_multi_part_insert,
-        "drift_psi": _q_drift_psi,
         "audio_decode": _q_audio_decode,
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
@@ -2713,34 +2740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
-        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
-        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
-        "td_csv_roundtrip": _q_td_csv_roundtrip,
-        "partitioned_fg_read": _q_partitioned_fg_read,
-        "dirty_names_sanitized": _q_dirty_names_sanitized,
-        "json_extract": _q_json_extract,
-        "lag_features": _q_lag_features,
-        "multimodal_decode": _q_multimodal_decode,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "simhash": _q_simhash,
-        "text_analysis": _q_text_analysis,
-        "knn_ann": _q_knn_ann,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "knn_ann_retry": _q_knn_ann_retry,
-        "knn_ivf": _q_knn_ivf,
-        "fv_batch_query": _q_fv_batch_query,
-        "embedding_quantize": _q_embedding_quantize,
-        "percentiles_exact": _q_percentiles_exact,
-        "correlations": _q_correlations,
-        "value_counts": _q_value_counts,
-        "entropy_uniqueness": _q_entropy_uniqueness,
-        "split_statistics": _q_split_statistics,
-        "stats_commit_window": _q_stats_commit_window,
-        "custom_udf_stats": _q_custom_udf_stats,
-        "rolling_features": _q_rolling_features,
-        "kafka_materialize": _q_kafka_materialize,
-        "td_avro_roundtrip": _q_td_avro_roundtrip,
-        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
     }
 
 

@@ -769,6 +769,128 @@ def e8_negative_sampling(spark, sf_dir):
     _force(negative_sampling(pos, cand, "u", "it", n_negatives=4, seed=42))
 
 
+_E8_POS10 = {}
+
+
+def _e8_pos_x10(spark, sf_dir):
+    """Positives at 10x: replicate with SHIFTED supplier keys (10x the
+    users over the same item catalog — the realistic growth axis; a
+    plain replica would collapse in the distinct and measure nothing).
+    Persisted once so the timed query measures the operator, not the
+    replication expression."""
+    if sf_dir not in _E8_POS10:
+        li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where(
+            F.col("l_linenumber") == 1
+        )
+        pos = li.select(
+            "l_suppkey", "l_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(_X10_FACTOR - 1))).alias("__k"),
+        ).select(
+            (F.col("l_suppkey") + F.col("__k") * F.lit(10_000_000)).alias("u"),
+            F.col("l_partkey").alias("it"),
+        ).persist()
+        pos.count()
+        _E8_POS10[sf_dir] = pos
+    return _E8_POS10[sf_dir]
+
+
+def e8_negative_sampling_x10(spark, sf_dir):
+    from feature_store_api_spark.operators.splits import negative_sampling
+
+    pos = _e8_pos_x10(spark, sf_dir)
+    cand = read_parquet(spark, f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("it")
+    )
+    _force(negative_sampling(pos, cand, "u", "it", n_negatives=4, seed=42))
+
+
+# e9: streaming near-dup-gated ingest. The scale contract under test is
+# that PER-BATCH cost tracks the BATCH, not the corpus: the vs-corpus
+# check is a (band,bucket) equi-join against the persistent band store,
+# so ingesting a constant-size batch against a 10x corpus should cost
+# ~the same (scaling_x10 ~ 1, NOT ~10). Setup builds the two corpus
+# band stores once (outside timing, like b11/e1); every timed run
+# ingests a fresh NOVEL batch (alphabet-rotated so shingles are unique
+# per run AND disjoint from the x10 replicas' rotations 1-9).
+_E9 = {}
+
+
+def _e9_setup(spark, sf_dir):
+    if sf_dir in _E9:
+        return _E9[sf_dir]
+    import tempfile
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.streaming.dedup_ingest import (
+        streaming_dedup_ingest,
+    )
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    docs10, _ = _x10_frames(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_e9_")
+    stores = {}
+    for tag, frame in (("x1", docs), ("x10", docs10.select("doc_id", "text"))):
+        src = os.path.join(tmp, f"corpus_{tag}")
+        frame.write.parquet(src)
+        fs = FeatureStore(root=os.path.join(tmp, f"store_{tag}"))
+        fg = fs.create_feature_group(f"docs_{tag}", primary_key=["doc_id"])
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+        streaming_dedup_ingest(
+            fg, sdf, "text", num_hashes=32, bands=8,
+            checkpoint_dir=os.path.join(tmp, f"ck_corpus_{tag}"),
+            trigger={"availableNow": True},
+            await_termination=True, timeout=600,
+        )
+        stores[tag] = fg
+    batch_base = docs.where(F.col("doc_id") % 30 == 0).persist()
+    batch_base.count()
+    _E9[sf_dir] = (stores, batch_base, tmp, [0])
+    return _E9[sf_dir]
+
+
+def _e9_run(spark, sf_dir, tag):
+    from feature_store_api_spark.streaming.dedup_ingest import (
+        streaming_dedup_ingest,
+    )
+
+    stores, base, tmp, counter = _e9_setup(spark, sf_dir)
+    counter[0] += 1
+    n = counter[0]
+    # rotations 10..24: disjoint from the x10 corpus replicas (1..9)
+    # and unique for up to 15 total timed runs across both tags
+    r = 10 + ((n - 1) % 15)
+    rot = _ALPH[r:] + _ALPH[:r]
+    batch = base.select(
+        (F.col("doc_id") + F.lit(n * 1_000_000_000)).alias("doc_id"),
+        F.translate("text", _ALPH, rot).alias("text"),
+    )
+    src = os.path.join(tmp, f"batch_{tag}_{n}")
+    batch.coalesce(4).write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    streaming_dedup_ingest(
+        stores[tag], sdf, "text", num_hashes=32, bands=8,
+        checkpoint_dir=os.path.join(tmp, f"ck_{tag}_{n}"),
+        trigger={"availableNow": True},
+        await_termination=True, timeout=600,
+    )
+
+
+def e9_stream_batch(spark, sf_dir):
+    """One novel micro-batch through the dedup-gated ingest, 1x corpus."""
+    _e9_setup(spark, sf_dir)
+    _e9_run(spark, sf_dir, "x1")
+
+
+def e9_stream_batch_x10(spark, sf_dir):
+    """Same batch size, 10x corpus band store: should cost ~the same."""
+    _e9_setup(spark, sf_dir)
+    _e9_run(spark, sf_dir, "x10")
+
+
 EXTRA_QUERIES = {
     "e1_ivfpq_probe": e1_ivfpq_probe,
     "e2_incremental_dedup": e2_incremental_dedup,
@@ -778,8 +900,11 @@ EXTRA_QUERIES = {
     "e6_drift_windows": e6_drift_windows,
     "e7_label_window": e7_label_window,
     "e8_negative_sampling": e8_negative_sampling,
+    "e9_stream_batch": e9_stream_batch,
 }
 X10_QUERIES["e7_label_window"] = e7_label_window_x10
+X10_QUERIES["e8_negative_sampling"] = e8_negative_sampling_x10
+X10_QUERIES["e9_stream_batch"] = e9_stream_batch_x10
 
 
 QUERIES = {
@@ -803,7 +928,11 @@ def main():
     read_parquet(spark, f"{SF_DIR}/nation.parquet").count()
 
     only = set(sys.argv[1:])
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 5 samples/headline query: this box shows 2-5x co-tenant spikes
+    # (r07: b3 sampled [1.544, 7.596, 1.348]), and with 3 samples ONE
+    # spike lands IN the median. 5 samples + the min report below keep
+    # round-over-round comparisons meaningful.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # median-of-N: single runs swing ±50% on this box (codegen compile
     # on first shape use + machine noise), which made round-2 regression
     # triage impossible from one sample. Run the full sequence N times
@@ -889,6 +1018,11 @@ def main():
         n: round(timings[n] / oracle[n], 2) if oracle[n] > 0 else None
         for n in oracle
     }
+    # min/min: intrinsic-cost ratio, immune to one-sided noise spikes
+    vs_oracle_min = {
+        n: round(min(samples[n]) / min(xs), 2) if min(xs) > 0 else None
+        for n, xs in oracle_samples.items()
+    }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -897,12 +1031,21 @@ def main():
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # min-based twins: the noise-robust operands for
+                # round-over-round comparison (a co-tenant spike can
+                # only INFLATE a sample, never deflate it, so min is
+                # the best available estimate of intrinsic cost)
+                "queries_min": {n: min(xs) for n, xs in samples.items()},
+                "value_min_sum": round(
+                    sum(min(xs) for xs in samples.values()), 3
+                ),
                 "runs": runs,
                 "samples": samples,
                 # single-node DuckDB yardstick (see ORACLE_QUERIES):
                 # ratio = spark_median / duckdb_median, tracked per round
                 "oracle_sec": oracle,
                 "vs_oracle": vs_oracle,
+                "vs_oracle_min": vs_oracle_min,
                 # LLM-ops queries at ~10x data (in-Spark replication):
                 # scaling_x10 = t_x10/t_x1; << 10 means the sf0.1 number
                 # was job-floor-dominated, ~10+ flags a scale bottleneck

@@ -211,27 +211,28 @@ def minhash_signatures(
             F.col("__t").substr(F.col("__i") + 1, F.lit(shingle_size)).alias("__s"),
         )
     )
+    # The num_hashes min-aggregates are rendered as ONE SQL string and
+    # parsed server-side in a single F.expr: building them as nested
+    # Column objects costs 4+ py4j round trips per hash (min, xxhash64,
+    # lit, alias) — ~0.5 s of pure DRIVER time per call at 64 hashes,
+    # visible as plan-build latency on every repeated invocation.
     if hash_fn == "md5_64":
         # hash of (shingle, i) = md5_64(shingle || US || i) — no
         # pre-hash so the oracle can reproduce it byte-for-byte
-        aggs = [
-            F.min(
-                _md5_64(F.concat(F.col("__s"), F.lit("\x1f" + str(i))))
-            ).alias(f"__m{i}")
+        mins = ", ".join(
+            "min(cast(conv(substring(md5(concat(__s, chr(31), "
+            f"'{i}')), 1, 15), 16, 10) as bigint))"
             for i in range(num_hashes)
-        ]
+        )
     else:
         exploded = exploded.select(
             F.col(id_col), F.xxhash64(F.col("__s"), F.lit(seed)).alias("__s")
         )
-        aggs = [
-            F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    sigs = exploded.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+        mins = ", ".join(
+            f"min(xxhash64(__s, {i}))" for i in range(num_hashes)
+        )
+    return exploded.groupBy(id_col).agg(
+        F.expr(f"array({mins})").alias("minhash")
     )
 
 
@@ -241,25 +242,21 @@ def _band_table(
     """(id, band, bucket) rows from a signature table: each signature
     split into ``bands`` slices, slice (or its hash) = the bucket key.
     With ``hash_fn='md5_64'`` the key is the raw slice (arrays are
-    hashable equi-join keys) so an oracle can reproduce it."""
+    hashable equi-join keys) so an oracle can reproduce it.
+
+    Rendered as ONE SQL expression (single py4j round trip) — see the
+    plan-build note in :func:`minhash_signatures`."""
 
     def band_key(b):
-        sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-        return sl if hash_fn == "md5_64" else F.xxhash64(sl)
+        sl = f"slice(minhash, {b * rows_per_band + 1}, {rows_per_band})"
+        return sl if hash_fn == "md5_64" else f"xxhash64({sl})"
 
+    structs = ", ".join(
+        f"struct({b} as band, {band_key(b)} as bucket)" for b in range(bands)
+    )
     return sigs.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_key(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
 
@@ -312,22 +309,10 @@ def minhash_lsh_duplicate_pairs(
         .where(F.size("__ids") > 1)
     )
     pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("__ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("__ids"),
-                            i + F.lit(2),
-                            F.size(F.col("__ids")),
-                        ),
-                        lambda y: F.struct(
-                            x.alias("id_a"), y.alias("id_b")
-                        ),
-                    ),
-                )
-            )
+        F.expr(
+            "explode(flatten(transform(__ids, (x, i) -> "
+            "transform(slice(__ids, i + 2, size(__ids)), "
+            "y -> struct(x as id_a, y as id_b)))))"
         ).alias("__p")
     )
     return pairs.select("__p.id_a", "__p.id_b").distinct()

@@ -74,6 +74,76 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC)
 
 
+def _file_scan_minmax(df: DataFrame, cols: Sequence[str]) -> Dict[str, tuple]:
+    """Exact per-column (min, max) from parquet FOOTER statistics —
+    driver-side, no job — or ``{}`` when they can't be trusted.
+
+    Trusted only when the analyzed plan is provably a plain
+    column-pruned file scan: Project/Relation(/SubqueryAlias) nodes
+    only, attribute-only projections (no Filter, no computed/renamed
+    columns — a filter could shrink the true range below the footer's,
+    and a computed column's stats aren't in the footer at all). For
+    such a scan the footer min/max IS the data min/max, so a consumer
+    (the percentile bin pass) gets identical bounds one whole
+    aggregation pass earlier. Bounded at 256 files; anything bigger
+    falls back to the aggregate (a planned profile at that scale dwarfs
+    the pass this saves)."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:
+        return {}
+    for line in tree.splitlines():
+        stripped = line.lstrip(" :+-")
+        if not stripped:
+            continue
+        node = stripped.split(" ", 1)[0].split("[", 1)[0]
+        if node not in ("Project", "Relation", "SubqueryAlias"):
+            return {}
+        if node == "Project":
+            body = stripped.split("[", 1)[-1]
+            if " AS " in body or "(" in body:
+                return {}
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return {}
+    if not files or len(files) > 256:
+        return {}
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return {}
+    want = set(cols)
+    mins: Dict[str, object] = {}
+    maxs: Dict[str, object] = {}
+    seen_groups = 0
+    try:
+        for f in files:
+            md = pq.ParquetFile(f.replace("file:", "")).metadata
+            for rg in range(md.num_row_groups):
+                seen_groups += 1
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if name not in want:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return {}  # any untrusted group poisons the lot
+                    if not isinstance(st.min, (int, float)):
+                        return {}
+                    if name not in mins or st.min < mins[name]:
+                        mins[name] = st.min
+                    if name not in maxs or st.max > maxs[name]:
+                        maxs[name] = st.max
+    except Exception:
+        return {}
+    if not seen_groups:
+        return {}
+    return {c: (mins[c], maxs[c]) for c in cols if c in mins and c in maxs}
+
+
 def describe(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
@@ -182,14 +252,30 @@ def describe(
         if varlen:
             side_aggs.append(varlen)
         futs = []
-        if side_aggs:
+        pct_fut = None
+        if side_aggs or (num_cols and percentiles):
             from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(max_workers=min(len(side_aggs), 8))
+            pool = ThreadPoolExecutor(max_workers=min(len(side_aggs) + 1, 9))
             futs = [
                 pool.submit(lambda a=a: src.agg(*a).collect()[0].asDict())
                 for a in side_aggs
             ]
+            # The percentile bin pass only needs each column's min/max.
+            # When the source is a plain file scan those are in the
+            # parquet FOOTERS (exact, driver-side, no job) — so the
+            # pass launches HERE, concurrent with the basic aggregate,
+            # instead of serializing behind it. Identical bins either
+            # way (footer min/max == aggregate min/max for an
+            # unfiltered scan); non-file-scan sources fall back to the
+            # post-aggregate ordering below.
+            if num_cols and percentiles:
+                footer_mm = _file_scan_minmax(src, num_cols)
+                if all(c in footer_mm for c in num_cols):
+                    pct_fut = pool.submit(
+                        approx_percentiles_multi,
+                        src, num_cols, list(percentiles), footer_mm,
+                    )
             pool.shutdown(wait=False)
 
         row = src.agg(*basic).collect()[0].asDict()
@@ -198,12 +284,15 @@ def describe(
         # jobs overlap the still-running distinct/varlen jobs instead
         # of serializing after them
         if num_cols and percentiles:
-            minmax = {
-                c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
-            }
-            pctls, _ = approx_percentiles_multi(
-                src, num_cols, list(percentiles), minmax
-            )
+            if pct_fut is not None:
+                pctls, _ = pct_fut.result()
+            else:
+                minmax = {
+                    c: (row[f"{c}__min"], row[f"{c}__max"]) for c in num_cols
+                }
+                pctls, _ = approx_percentiles_multi(
+                    src, num_cols, list(percentiles), minmax
+                )
             for c in num_cols:
                 row[f"{c}__percentiles"] = pctls.get(c)
         for fut in futs:

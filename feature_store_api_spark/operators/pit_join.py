@@ -48,6 +48,36 @@ from pyspark.sql import functions as F
 
 _SPINE_UID = "__spine_uid"
 
+# Plan-keyed caches for the scan-only prep jobs the skew strategies pay
+# (the skew probe's freqItems + verify agg; the bucket-bounds min/max).
+# Key = (applicationId, analyzed-plan semanticHash, extras): a second
+# PIT read of the SAME commit/lineage reuses the verdict instead of
+# re-scanning the feature table — at 100 TB those probes are 1-2 extra
+# full-column scans per call. Semantic hashes are per-plan, so a new
+# commit (new file set → new plan) naturally misses; only an IN-PLACE
+# rewrite of the same files could stale these, the same caveat the
+# reader plan cache documents.
+_PIT_PROBE_CACHE: dict = {}
+_PIT_BOUNDS_CACHE: dict = {}
+
+
+def _plan_key(df: DataFrame, *extra):
+    try:
+        return (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            *extra,
+        )
+    except Exception:  # pragma: no cover - plan access blocked
+        return None
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) > 256:
+        for k in list(cache)[:128]:
+            del cache[k]
+    cache[key] = value
+
 # strict TTL grammar: "<n> <unit>" with a whitelisted unit. Anything
 # else (typos, stray parens, injection attempts) is rejected at the
 # API boundary with a clear ValueError instead of surfacing as an
@@ -125,7 +155,13 @@ def point_in_time_join(
     serving stale state. Interval string ('30 days') for timestamps, a
     number for numeric event times. Under the range strategy the bound
     also prunes candidates BEFORE the join (tighter row explosion on
-    hot keys)."""
+    hot keys).
+
+    EAGERNESS: ``strategy='auto'`` and ``'union_window_skew'`` run
+    scan-only prep jobs at CALL time (the skew probe; the bucket-bounds
+    min/max) rather than being fully lazy like the other strategies.
+    Both verdicts are cached per (application, plan) so repeated calls
+    over the same commit/lineage pay them once."""
     max_staleness = validate_max_staleness(max_staleness)
     keys = list(keys)
     if features is None:
@@ -187,7 +223,6 @@ def _pit_skew_probe(
     feature_df: DataFrame,
     keys: Sequence[str],
     support: float = 0.02,
-    max_candidates: int = 20,
 ) -> bool:
     """Does any single key hold > ``support`` of all feature rows?
 
@@ -198,7 +233,15 @@ def _pit_skew_probe(
     true counts against ``support * total``. A hot key serializes the
     plain union-window's per-key sort onto one partition; the skew
     strategy is output-identical, so dispatching to it on a confirmed
-    candidate is always safe."""
+    candidate is always safe.
+
+    The verdict is cached per (application, feature-plan, keys):
+    repeated reads of the same commit/lineage probe ONCE, not once per
+    PIT call (``strategy='auto'`` otherwise re-scans the feature table
+    twice per call — real money at 100 TB)."""
+    ck = _plan_key(feature_df, tuple(keys), support)
+    if ck is not None and ck in _PIT_PROBE_CACHE:
+        return _PIT_PROBE_CACHE[ck]
     probe_col = (
         F.col(keys[0]).cast("string")
         if len(keys) == 1
@@ -206,22 +249,27 @@ def _pit_skew_probe(
     )
     sample = feature_df.select(probe_col.alias("__k"))
     cand = sample.stat.freqItems(["__k"], support=support).first()[0]
-    if not cand:
-        return False
-    cand = list(cand)[:max_candidates]
-    row = sample.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum((F.col("__k") == F.lit(c)).cast("long")).alias(f"__c{i}")
-            for i, c in enumerate(cand)
-        ],
-    ).first()
-    total = row["__n"] or 0
-    if total == 0:
-        return False
-    return any(
-        (row[f"__c{i}"] or 0) > support * total for i in range(len(cand))
-    )
+    verdict = False
+    if cand:
+        # verify EVERY candidate: freqItems(support=s) returns at most
+        # ~1/s entries (50 at the default), so the verify agg stays one
+        # bounded scalar row — an arbitrary truncation here could drop
+        # the one true hot key when a sketch-churned tail precedes it
+        cand = list(cand)
+        row = sample.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum((F.col("__k") == F.lit(c)).cast("long")).alias(f"__c{i}")
+                for i, c in enumerate(cand)
+            ],
+        ).first()
+        total = row["__n"] or 0
+        verdict = total > 0 and any(
+            (row[f"__c{i}"] or 0) > support * total for i in range(len(cand))
+        )
+    if ck is not None:
+        _cache_put(_PIT_PROBE_CACHE, ck, verdict)
+    return verdict
 
 
 def _pit_build_union(
@@ -331,7 +379,17 @@ def _bucketed_running_max(
     else:
         axis = F.col("__ts").cast("double")
     unioned = unioned.withColumn("__axis", axis)
-    lo, hi = unioned.agg(F.min("__axis"), F.max("__axis")).first()
+    # bucket bounds: one column-pruned min/max agg, cached per plan —
+    # a repeated skew PIT over the same commit/lineage pays this scan
+    # only once (the bounds need not be tight for correctness, only
+    # CONTAIN the data; but a per-plan cache keeps them exact)
+    bk = _plan_key(unioned)
+    if bk is not None and bk in _PIT_BOUNDS_CACHE:
+        lo, hi = _PIT_BOUNDS_CACHE[bk]
+    else:
+        lo, hi = unioned.agg(F.min("__axis"), F.max("__axis")).first()
+        if bk is not None:
+            _cache_put(_PIT_BOUNDS_CACHE, bk, (lo, hi))
     if lo is None or hi is None or not (hi > lo):
         return None
     width = (float(hi) - float(lo)) / skew_buckets

@@ -563,3 +563,59 @@ def test_pit_union_window_skew_null_keys_match_plain(spark):
     assert sorted(
         (r["event_id"], r["f_v"], r["g_w"]) for r in fused.collect()
     ) == [(1, 2.0, 2.0), (2, 3.0, 3.0), (3, 2.0, 2.0)]
+
+
+def test_pit_probe_and_bounds_cached_per_plan(spark):
+    """strategy='auto'/'union_window_skew' prep jobs (skew probe,
+    bucket-bounds min/max) are cached per (application, plan): a second
+    PIT call over the same lineage must NOT re-scan the feature table.
+    Pinned by poisoning the cache entries and observing the poisoned
+    values drive the second call (recompute would overwrite/ignore
+    them)."""
+    import datetime as dt
+
+    from feature_store_api_spark.operators import pit_join as P
+
+    base = dt.datetime(2024, 5, 1)
+    feat = spark.createDataFrame(
+        [(0 if j % 2 == 0 else j % 37, base + dt.timedelta(minutes=j % 300),
+          float(j)) for j in range(2000)],
+        "k long, fts timestamp, v double",
+    )
+    spine = spark.createDataFrame(
+        [(i, i % 37, base + dt.timedelta(minutes=150)) for i in range(200)],
+        "event_id long, k long, ts timestamp",
+    )
+
+    P._PIT_PROBE_CACHE.clear()
+    P._PIT_BOUNDS_CACHE.clear()
+    assert P._pit_skew_probe(feat, ["k"]) is True
+    assert len(P._PIT_PROBE_CACHE) == 1
+    (ck,) = P._PIT_PROBE_CACHE
+    # poison: a cached verdict short-circuits the probe entirely
+    P._PIT_PROBE_CACHE[ck] = False
+    assert P._pit_skew_probe(feat, ["k"]) is False
+    P._PIT_PROBE_CACHE[ck] = True
+
+    out1 = P.point_in_time_join(
+        spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", strategy="union_window_skew",
+        skew_buckets=8,
+    ).collect()
+    assert len(P._PIT_BOUNDS_CACHE) == 1
+    (bk,) = P._PIT_BOUNDS_CACHE
+    lo, hi = P._PIT_BOUNDS_CACHE[bk]
+    # poison bounds with a WIDER (still containing) range: correctness
+    # must hold (bounds only need to contain the data), and the changed
+    # bucket layout proves the cached value was used, not recomputed
+    P._PIT_BOUNDS_CACHE[bk] = (lo - 10_000_000, hi + 10_000_000)
+    out2 = P.point_in_time_join(
+        spine, feat, keys=["k"], spine_ts="ts", feature_ts="fts",
+        features=["v"], prefix="f_", strategy="union_window_skew",
+        skew_buckets=8,
+    ).collect()
+    key = lambda rows: sorted((r["event_id"], r["f_v"]) for r in rows)
+    assert key(out1) == key(out2)
+    assert P._PIT_BOUNDS_CACHE[bk] == (lo - 10_000_000, hi + 10_000_000)
+    P._PIT_PROBE_CACHE.clear()
+    P._PIT_BOUNDS_CACHE.clear()

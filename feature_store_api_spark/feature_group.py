@@ -182,6 +182,49 @@ class FeatureGroupBase:
         return f"{type(self).__name__}({self.name!r}, v{self.version})"
 
 
+    def get_storage_connector_provenance(self):
+        """Parents of this group that are STORAGE CONNECTORS (parity
+        reference ``feature_group.py:549-563``): the connector an
+        external group reads through. Managed groups have no connector
+        parent and return empty ``Links``. Accessible = the live
+        connector object (still registered with the store when the
+        store keeps a registry); deleted = the store's registry no
+        longer lists it (minimal ``Artifact`` info); inaccessible = the
+        group only carries a connector NAME whose object is gone."""
+        from .provenance import Artifact, Links
+
+        links = Links()
+        conn = getattr(self, "storage_connector", None)
+        if conn is None:
+            return links
+        if isinstance(conn, str):
+            links.inaccessible.append(Artifact(conn, 1, "STORAGE_CONNECTOR"))
+            return links
+        registry = getattr(self._feature_store, "_connectors", None)
+        name = getattr(conn, "name", None)
+        if registry is not None and name is not None and name not in registry:
+            links.deleted.append(Artifact(name, 1, "STORAGE_CONNECTOR"))
+            return links
+        links.accessible.append(conn)
+        return links
+
+    def get_storage_connector(self):
+        """The accessible storage connector this group reads through,
+        or ``None`` (parity reference ``feature_group.py:565-586``:
+        deleted/inaccessible parents are only surfaced by
+        :meth:`get_storage_connector_provenance`)."""
+        links = self.get_storage_connector_provenance()
+        if links.deleted or links.inaccessible:
+            import warnings
+
+            warnings.warn(
+                "The parent storage connector is deleted or inaccessible."
+                " For more details use get_storage_connector_provenance",
+                stacklevel=2,
+            )
+        return links.accessible[0] if links.accessible else None
+
+
 class FeatureGroup(FeatureGroupBase):
     """A cached (materialized) feature group.
 
@@ -623,6 +666,7 @@ class FeatureGroup(FeatureGroupBase):
         from . import provenance as _prov
 
         return _prov.fg_generated_feature_views(self, self._feature_store)
+
 
     def commit_delete_record(self, df: DataFrame) -> "FeatureGroupCommit":
         """Parity ``core/hudi_engine.py:94-100`` / ``core/delta_engine.py:87-114``."""

@@ -204,3 +204,49 @@ def test_models_provenance_faulty_survives_td_filter(spark, fs):
     links = fv.get_models_provenance(training_dataset_version=999)
     assert links.accessible == []
     assert [a.name for a in links.faulty] == ["clf_9"]
+
+
+def test_storage_connector_provenance(spark, tmp_path):
+    """FG <-> connector lineage (parity reference feature_group.py:549-586):
+    external groups expose their connector parent as Links; managed
+    groups have none; a deregistered connector surfaces as deleted and
+    a name-only reference as inaccessible."""
+    import warnings
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.connectors import StorageConnector
+
+    fs = FeatureStore(root=str(tmp_path))
+    managed = fs.create_feature_group("mg_conn", primary_key=["k"])
+    links = managed.get_storage_connector_provenance()
+    assert links.accessible == [] and links.deleted == []
+    assert managed.get_storage_connector() is None
+
+    csv = str(tmp_path / "ext.csv")
+    with open(csv, "w") as f:
+        f.write("k,v\n1,2\n")
+    conn = StorageConnector("lake")
+    fs.register_storage_connector(conn)
+    ext = fs.create_external_feature_group(
+        "ext_conn", conn, path=csv, data_format="csv",
+        options={"header": "true", "inferSchema": "true"},
+    )
+    links = ext.get_storage_connector_provenance()
+    assert links.accessible == [conn]
+    assert ext.get_storage_connector() is conn
+
+    # deregistered -> deleted (minimal Artifact info)
+    fs._connectors.pop("lake")
+    links = ext.get_storage_connector_provenance()
+    assert not links.accessible
+    assert [a.name for a in links.deleted] == ["lake"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert ext.get_storage_connector() is None
+    assert any("deleted or inaccessible" in str(x.message) for x in w)
+
+    # name-only reference -> inaccessible
+    ext.storage_connector = "lake"
+    links = ext.get_storage_connector_provenance()
+    assert [a.name for a in links.inaccessible] == ["lake"]
+    assert [a.artifact_type for a in links.inaccessible] == ["STORAGE_CONNECTOR"]

@@ -2404,6 +2404,54 @@ def _q_embedding_centroids(spark, sf_dir):
     ).withColumn("pos", F.col("pos") + 1)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 retrieval (operators/retrieval.py): the sparse
+    twin of the vector-search family. Query-term pruning before the tf
+    aggregation; corpus stats and the df table ride broadcast joins;
+    ranking is total (score desc, doc_id asc) and rounded so the oracle
+    reproduces it bit-for-bit."""
+    from feature_store_api_spark.operators.retrieval import bm25_topk
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return bm25_topk(
+        d, "feature store training data pipeline", "text", "doc_id", k=20
+    )
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity quality scores (operators/quality_lm.py):
+    the CCNet filtering signal, trained on the corpus itself — one
+    token-count aggregation, then a join + per-doc avg NLL."""
+    from feature_store_api_spark.operators.quality_lm import (
+        perplexity,
+        train_unigram_lm,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    lm = train_unigram_lm(d, "text", alpha=0.5)
+    return perplexity(d, lm, "text", "doc_id")
+
+
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature-smoothed domain mixture (operators/splits.py:
+    temperature_sample): w_d ∝ n_d^(1/2) over lang, largest achievable
+    corpus without upsampling, md5 hash draw so the oracle reproduces
+    the exact row set."""
+    from feature_store_api_spark.operators.splits import temperature_sample
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return temperature_sample(
+        d, "lang", key_cols=["doc_id"], temperature=2.0,
+        seed=13, hash_fn="md5_64",
+    ).select("doc_id", "lang")
+
+
 def _q_tfidf_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document — the classic corpus keyword
     summary, fully portable (ln on identical doubles both engines)."""
@@ -2664,6 +2712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "latest_per_key": _q_latest_per_key,
+        # new r08 operators — never checked, so inside the window
+        "bm25_topk": _q_bm25_topk,
+        "lm_perplexity": _q_lm_perplexity,
+        "temperature_sample": _q_temperature_sample,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
         "drift_psi": _q_drift_psi,
@@ -3103,6 +3155,70 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN fr USING (lang)
             WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15) AS BIGINT)
                    % 1000000000) / 1000000000.0 < fr.frac
+        """,
+        "bm25_topk": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            toks AS (
+              SELECT doc_id, t.tok
+              FROM d, LATERAL unnest(string_split(
+                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+            q AS (SELECT unnest(['data','feature','pipeline','store','training']) AS tok),
+            tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf
+              FROM toks JOIN q USING (tok) GROUP BY doc_id, tok
+            ),
+            dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                     ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN s
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "lm_perplexity": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            toks AS (
+              SELECT doc_id, t.tok
+              FROM d, LATERAL unnest(string_split(
+                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+            t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                         CAST(COUNT(*) AS DOUBLE) AS vocab FROM c)
+            SELECT toks.doc_id,
+                   COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln((c.cnt + 0.5) / (t.total + 0.5 * (t.vocab + 1)))), 6)
+                     AS avg_nll,
+                   ROUND(EXP(AVG(-ln((c.cnt + 0.5) / (t.total + 0.5 * (t.vocab + 1))))), 6)
+                     AS ppl
+            FROM toks JOIN c USING (tok) CROSS JOIN t
+            GROUP BY toks.doc_id
+        """,
+        "temperature_sample": """
+            WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+            p AS (SELECT lang, n, POW(CAST(n AS DOUBLE), 0.5) AS pw FROM c),
+            w AS (SELECT lang, n,
+                         pw / (SELECT SUM(pw) FROM (SELECT pw FROM p ORDER BY lang) z)
+                           AS wt
+                  FROM p),
+            tot AS (SELECT MIN(n / wt) AS total FROM w),
+            fr AS (
+              SELECT lang, LEAST(1.0, ((SELECT total FROM tot) * wt) / n) AS frac
+              FROM w
+            )
+            SELECT doc_id, lang FROM d JOIN fr USING (lang)
+            WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15)
+                     AS BIGINT) % 1000000000) / 1000000000.0 < fr.frac
         """,
         "contamination_check": """
             WITH d AS (

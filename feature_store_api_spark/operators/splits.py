@@ -178,6 +178,52 @@ def rebalance_to_mixture(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: Sequence[str],
+    temperature: float = 2.0,
+    seed: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: target mixture
+    ``w_d ∝ n_d^(1/T)`` (multilingual-training convention — mBERT/XLM-R
+    exponent-smoothed sampling: T=1 keeps the natural distribution,
+    T→∞ approaches uniform), then the same largest-achievable
+    no-upsampling draw as :func:`rebalance_to_mixture` — deterministic
+    hash selection, reproducible row set, one scan.
+
+    Driver math is one tiny groupBy(strata).count() (bounded by the
+    number of domains)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature!r}")
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+        if r[strata_col] is not None and r["__n"]
+    }
+    if not counts:
+        raise ValueError(f"temperature_sample: no classes in {strata_col!r}")
+    powed = {c: float(n) ** (1.0 / temperature) for c, n in counts.items()}
+    z = sum(powed[c] for c in sorted(powed, key=str))  # stable float order
+    weights = {c: p / z for c, p in powed.items()}
+    total = min(counts[c] / w for c, w in weights.items())
+    fractions = {
+        c: min(1.0, (total * w) / counts[c]) for c, w in weights.items()
+    }
+    return stratified_sample(
+        df,
+        strata_col,
+        fractions,
+        key_cols,
+        seed=seed,
+        default_fraction=0.0,
+        hash_fn=hash_fn,
+    )
+
+
 def negative_sampling(
     positives: DataFrame,
     candidates: DataFrame,

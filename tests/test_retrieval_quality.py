@@ -1,0 +1,147 @@
+"""BM25 retrieval, unigram-LM perplexity, temperature sampling."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403 - spark fixture
+
+
+def _docs(spark):
+    rows = [
+        (1, "the feature store serves training data to the model"),
+        (2, "a data pipeline writes feature data into the feature store"),
+        (3, "dogs and cats play in the park all day long"),
+        (4, "training a model needs data data data and more data"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_matches_reference_math(spark):
+    """Scores equal a driver-side reference implementation of Okapi
+    BM25 (+1 idf) on a corpus small enough to hand-verify; docs with no
+    query term are absent; ranking total (score desc, id asc)."""
+    from feature_store_api_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_topk,
+        tokenize_query,
+    )
+
+    docs = _docs(spark).where(F.col("text").isNotNull())
+    query = "feature data"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, query, "text", "doc_id").collect()
+    }
+
+    corpus = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    qterms = set(tokenize_query(query))
+    df = {
+        t: sum(1 for toks in corpus.values() if t in toks) for t in qterms
+    }
+    expect = {}
+    for d, toks in corpus.items():
+        s = 0.0
+        for t in qterms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if s:
+            expect[d] = round(s, 6)
+    assert got == expect
+    assert 3 not in got  # no query term -> unscored
+
+    top = [r["doc_id"] for r in bm25_topk(docs, query, "text", "doc_id", k=2).collect()]
+    ranked = sorted(expect, key=lambda d: (-expect[d], d))[:2]
+    assert top == ranked
+
+    with pytest.raises(ValueError):
+        bm25_scores(docs, "!!!", "text", "doc_id")
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """Per-query work is pruned to query terms BEFORE the tf agg; no
+    cartesian against the corpus; no Python in the plan."""
+    from feature_store_api_spark.operators.retrieval import bm25_topk
+    from feature_store_api_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    plan = (
+        bm25_topk(d, "feature store", "text", "doc_id", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the isin(query terms) filter sits under the tf aggregate
+    assert "__tok" in plan and ("feature" in plan and "store" in plan)
+
+
+def test_unigram_lm_perplexity(spark):
+    """avg_nll/ppl equal the closed-form add-alpha unigram math; unseen
+    tokens at score time take the smoothed zero-count probability;
+    perplexity_filter keeps exactly the low-ppl docs."""
+    from feature_store_api_spark.operators.quality_lm import (
+        perplexity,
+        perplexity_filter,
+        train_unigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm = train_unigram_lm(train, "text", alpha=0.5)
+    # counts: a=3, b=2, c=1; total=6, vocab=3; denom = 6 + 0.5*4 = 8
+    p = {"a": 3.5 / 8, "b": 2.5 / 8, "c": 1.5 / 8, None: 0.5 / 8}
+
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"], r["ppl"])
+        for r in perplexity(score, lm, "text", "doc_id").collect()
+    }
+    nll_ab = -(math.log(p["a"]) + math.log(p["b"])) / 2
+    nll_zz = -math.log(p[None])
+    assert got[10] == (2, round(nll_ab, 6), round(math.exp(nll_ab), 6))
+    assert got[11] == (2, round(nll_zz, 6), round(math.exp(nll_zz), 6))
+    assert got[11][2] > got[10][2]  # unseen text is higher perplexity
+
+    kept = perplexity_filter(
+        score, lm, "text", "doc_id", max_ppl=math.exp(nll_ab) + 0.01
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [10]
+
+
+def test_temperature_sample_limits(spark):
+    """T=1 reproduces the natural distribution (nothing dropped);
+    higher T flattens toward uniform (majority class downsampled,
+    minority kept whole); deterministic across calls."""
+    from feature_store_api_spark.operators.splits import temperature_sample
+
+    rows = [(i, "en" if i < 900 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    t1 = temperature_sample(df, "lang", ["doc_id"], temperature=1.0)
+    assert t1.count() == 1000  # natural mixture: keep everything
+
+    t4 = temperature_sample(df, "lang", ["doc_id"], temperature=4.0)
+    by = {r["lang"]: r["n"] for r in t4.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by["de"] == 100  # minority class kept whole
+    # en target: (900/100)^(1/4) ~ 1.73x de's weight -> ~173 rows ± hash noise
+    assert 120 < by["en"] < 230
+    again = temperature_sample(df, "lang", ["doc_id"], temperature=4.0)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in t4.collect()
+    )
+
+    with pytest.raises(ValueError):
+        temperature_sample(df, "lang", ["doc_id"], temperature=0.0)

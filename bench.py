@@ -554,6 +554,13 @@ def b9_ann_topk_x10(spark, sf_dir):
 
 
 def b10_corpus_curation_x10(spark, sf_dir):
+    # NOTE on reading this (and b8's) scaling ratio: the x10 replication
+    # produces a SUPERLINEAR pair workload — 1.93M candidate pairs vs
+    # 88.8k at x1 (21.8x; docs with few alphabetic chars stay near-dups
+    # ACROSS alphabet-rotated replicas) — and pushes the clusterer past
+    # the driver union-find threshold onto the distributed two-phase
+    # path. A wall ratio well under 10 therefore means the operators
+    # scale sublinearly even against a >20x pair output.
     from feature_store_api_spark.operators.dedup import (
         duplicate_clusters, minhash_lsh_duplicate_pairs,
     )

@@ -272,6 +272,33 @@ def _pit_skew_probe(
     return verdict
 
 
+def _cand_struct_type(feature_df, feature_ts, features, precombine):
+    """The (t, p, v) candidate struct's type, built Python-side from
+    the feature frame's (cached) schema — analyzing the constructed
+    side frame instead costs one Catalyst round trip PER feature group
+    per call (~100 ms of driver latency on the fused multi-FG path)."""
+    from pyspark.sql import types as T
+
+    fields = {f.name: f for f in feature_df.schema.fields}
+    return T.StructType(
+        [
+            T.StructField("t", fields[feature_ts].dataType,
+                          fields[feature_ts].nullable),
+            T.StructField("p", T.DoubleType(), bool(precombine)),
+            T.StructField(
+                "v",
+                T.StructType(
+                    [
+                        T.StructField(f, fields[f].dataType, fields[f].nullable)
+                        for f in features
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+
+
 def _pit_build_union(
     spine, feature_df, keys, spine_ts, feature_ts, features, precombine
 ) -> DataFrame:
@@ -291,6 +318,7 @@ def _pit_build_union(
         pre.cast("double").alias("p"),
         payload.alias("v"),
     )
+    cand_type = _cand_struct_type(feature_df, feature_ts, features, precombine)
 
     fg_side = feature_df.select(
         *[F.col(k) for k in keys],
@@ -304,7 +332,7 @@ def _pit_build_union(
         *[F.col(k) for k in keys],
         F.col(spine_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(fg_side.schema["__cand"].dataType).alias("__cand"),
+        F.lit(None).cast(cand_type).alias("__cand"),
         *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
     )
     return fg_side.unionByName(spine_side)
@@ -673,7 +701,9 @@ def _pit_union_window_many(
             F.lit(0).alias("__side"),
             cand.alias(f"__cand{i}"),
         )
-        cand_types[i] = side.schema[f"__cand{i}"].dataType
+        cand_types[i] = _cand_struct_type(
+            s["df"], s["ts"], s["features"], s["pre"]
+        )
         sides.append((i, side))
 
     fg_sides = []

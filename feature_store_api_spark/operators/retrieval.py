@@ -122,3 +122,117 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+# -- persisted index: the repeated-query scale path --------------------------
+#
+# One-off corpus pass -> (tf, df, dl, stats) tables on disk, with the
+# term-keyed tables PARTITIONED BY a hash bucket of the term. A probe
+# then reads only the query terms' buckets — parquet PartitionFilters
+# prune everything else — so per-query I/O is corpus_size/buckets *
+# |query terms| worst case, independent of how many queries run. Same
+# layout discipline as the persisted ANN indexes in similarity.py.
+
+
+class BM25Index:
+    def __init__(self, spark, path: str, buckets: int, id_col: str):
+        self.spark = spark
+        self.path = path
+        self.buckets = buckets
+        self.id_col = id_col
+
+
+def _tok_bucket(col, buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    buckets: int = 64,
+) -> "BM25Index":
+    """Build + persist the BM25 index. tf and df are written
+    partitioned by ``__bkt = pmod(xxhash64(term), buckets)``; dl and
+    the 1-row corpus stats sit beside them."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/dl")
+    dl = spark.read.parquet(f"{path}/dl")  # stats from the written copy
+    dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    tf.withColumn("__bkt", _tok_bucket(F.col("__tok"), buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("__bkt").parquet(f"{path}/tf")
+    (
+        spark.read.parquet(f"{path}/tf")
+        .groupBy("__bkt", "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df"))
+        .write.mode("overwrite")
+        .partitionBy("__bkt")
+        .parquet(f"{path}/df")
+    )
+    return BM25Index(spark, path, buckets, id_col)
+
+
+def load_bm25_index(spark, path: str, id_col: str, buckets: int = 64) -> BM25Index:
+    return BM25Index(spark, path, buckets, id_col)
+
+
+def bm25_topk_indexed(
+    index: BM25Index,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Top-k over a persisted index: the tf/df scans carry BOTH the
+    bucket predicate (→ parquet PartitionFilters, whole directories
+    skipped) and the term IN-list (→ row-group pushdown inside the
+    touched buckets). Identical scores to :func:`bm25_topk` over the
+    same corpus."""
+    qterms = sorted(set(tokenize_query(query)))
+    if not qterms:
+        raise ValueError("bm25: query has no tokens")
+    spark, path, id_col = index.spark, index.path, index.id_col
+    qbuckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in qterms], "t string"
+            ).select(_tok_bucket(F.col("t"), index.buckets).alias("b")).collect()
+        }
+    )
+    prune = F.col("__bkt").isin(qbuckets) & F.col("__tok").isin(qterms)
+    tf = spark.read.parquet(f"{path}/tf").where(prune)
+    dfreq = spark.read.parquet(f"{path}/df").where(prune).drop("__bkt")
+    dl = spark.read.parquet(f"{path}/dl")
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="__tok")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.select(
+            id_col, F.round(F.col("score"), round_to).alias("score")
+        )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

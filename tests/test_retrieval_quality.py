@@ -145,3 +145,34 @@ def test_temperature_sample_limits(spark):
 
     with pytest.raises(ValueError):
         temperature_sample(df, "lang", ["doc_id"], temperature=0.0)
+
+
+def test_bm25_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted BM25 index returns IDENTICAL top-k to the direct
+    path, and its tf/df scans prune by the query terms' hash buckets
+    (parquet PartitionFilters on __bkt) — per-query I/O tracks the
+    query, not the corpus."""
+    from feature_store_api_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        save_bm25_index,
+    )
+    from feature_store_api_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    idx = save_bm25_index(d, str(tmp_path / "bm25"), "text", "doc_id", buckets=16)
+    q = "feature store training data pipeline"
+    direct = [(r["doc_id"], r["score"]) for r in bm25_topk(d, q, "text", "doc_id", k=15).collect()]
+    via_idx = [(r["doc_id"], r["score"]) for r in bm25_topk_indexed(idx, q, k=15).collect()]
+    assert via_idx == direct
+
+    plan = (
+        bm25_topk_indexed(idx, q, k=15)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("__bkt" in x for x in pf), plan

@@ -898,6 +898,57 @@ def e9_stream_batch_x10(spark, sf_dir):
     _e9_run(spark, sf_dir, "x10")
 
 
+# e10: persisted-BM25 probe. Index built once outside timing (like
+# b11/e1); the probe reads only the query terms' hash-bucket partitions,
+# so the x10 twin (same query, 10x corpus index) pins that per-query
+# cost tracks the QUERY, not the corpus (scaling ~1 is the pass, like e9).
+_E10 = {}
+
+
+def _e10_setup(spark, sf_dir):
+    from feature_store_api_spark.operators.retrieval import save_bm25_index
+
+    if sf_dir in _E10:
+        return _E10[sf_dir]
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_e10_")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    docs10, _ = _x10_frames(spark, sf_dir)
+    x1 = save_bm25_index(docs, f"{tmp}/x1", "text", "doc_id", buckets=64)
+    x10 = save_bm25_index(
+        docs10.select("doc_id", "text"), f"{tmp}/x10", "text", "doc_id",
+        buckets=64,
+    )
+    _E10[sf_dir] = {"x1": x1, "x10": x10}
+    return _E10[sf_dir]
+
+
+_E10_QUERIES = [
+    "feature store training data pipeline",
+    "point in time join spine",
+    "near duplicate detection minhash",
+]
+
+
+def e10_bm25_probe(spark, sf_dir):
+    from feature_store_api_spark.operators.retrieval import bm25_topk_indexed
+
+    idx = _e10_setup(spark, sf_dir)["x1"]
+    for q in _E10_QUERIES:
+        bm25_topk_indexed(idx, q, k=10).collect()
+
+
+def e10_bm25_probe_x10(spark, sf_dir):
+    from feature_store_api_spark.operators.retrieval import bm25_topk_indexed
+
+    idx = _e10_setup(spark, sf_dir)["x10"]
+    for q in _E10_QUERIES:
+        bm25_topk_indexed(idx, q, k=10).collect()
+
+
 EXTRA_QUERIES = {
     "e1_ivfpq_probe": e1_ivfpq_probe,
     "e2_incremental_dedup": e2_incremental_dedup,
@@ -908,10 +959,12 @@ EXTRA_QUERIES = {
     "e7_label_window": e7_label_window,
     "e8_negative_sampling": e8_negative_sampling,
     "e9_stream_batch": e9_stream_batch,
+    "e10_bm25_probe": e10_bm25_probe,
 }
 X10_QUERIES["e7_label_window"] = e7_label_window_x10
 X10_QUERIES["e8_negative_sampling"] = e8_negative_sampling_x10
 X10_QUERIES["e9_stream_batch"] = e9_stream_batch_x10
+X10_QUERIES["e10_bm25_probe"] = e10_bm25_probe_x10
 
 
 QUERIES = {

@@ -140,6 +140,21 @@ class BM25Index:
         self.path = path
         self.buckets = buckets
         self.id_col = id_col
+        self._frames = None
+
+    def frames(self):
+        """The four table plans, listed once per index handle — a probe
+        filters these (partition pruning re-plans per query); repeated
+        probes skip the file-listing/footer cost of re-reading."""
+        if self._frames is None:
+            r = self.spark.read
+            self._frames = (
+                r.parquet(f"{self.path}/tf"),
+                r.parquet(f"{self.path}/df"),
+                r.parquet(f"{self.path}/dl"),
+                r.parquet(f"{self.path}/stats"),
+            )
+        return self._frames
 
 
 def _tok_bucket(col, buckets: int):
@@ -203,19 +218,17 @@ def bm25_topk_indexed(
     if not qterms:
         raise ValueError("bm25: query has no tokens")
     spark, path, id_col = index.spark, index.path, index.id_col
-    qbuckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in qterms], "t string"
-            ).select(_tok_bucket(F.col("t"), index.buckets).alias("b")).collect()
-        }
-    )
-    prune = F.col("__bkt").isin(qbuckets) & F.col("__tok").isin(qterms)
-    tf = spark.read.parquet(f"{path}/tf").where(prune)
-    dfreq = spark.read.parquet(f"{path}/df").where(prune).drop("__bkt")
-    dl = spark.read.parquet(f"{path}/dl")
-    stats = spark.read.parquet(f"{path}/stats")
+    # bucket predicate from CONSTANT-FOLDABLE expressions — Catalyst
+    # folds pmod(xxhash64(<literal term>), B) to a literal at plan time,
+    # so partition pruning fires WITHOUT a driver job to pre-hash terms
+    bkt_pred = None
+    for t in qterms:
+        p = F.col("__bkt") == _tok_bucket(F.lit(t), index.buckets)
+        bkt_pred = p if bkt_pred is None else (bkt_pred | p)
+    prune = bkt_pred & F.col("__tok").isin(qterms)
+    tf_all, df_all, dl, stats = index.frames()
+    tf = tf_all.where(prune)
+    dfreq = df_all.where(prune).drop("__bkt")
     idf = F.log(
         F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
     )

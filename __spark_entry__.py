@@ -2420,6 +2420,25 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_batch(spark, sf_dir):
+    """Batched BM25 retrieval (operators/retrieval.py:bm25_topk_batch):
+    a TABLE of queries scored in ONE plan — unique (query, term) rows
+    join the corpus tf table, per-query window keeps top-5. The offline
+    retrieval-eval / hard-negative-mining shape."""
+    from feature_store_api_spark.operators.retrieval import bm25_topk_batch
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("qtext"),
+    )
+    return bm25_topk_batch(
+        d, qs, "text", "doc_id", "qtext", "query_id", k=5
+    )
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """Unigram-LM perplexity quality scores (operators/quality_lm.py):
     the CCNet filtering signal, trained on the corpus itself — one
@@ -2711,11 +2730,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_quality": _q_corpus_curation_quality,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
-        "latest_per_key": _q_latest_per_key,
         # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
+        "bm25_batch": _q_bm25_batch,
         "lm_perplexity": _q_lm_perplexity,
         "temperature_sample": _q_temperature_sample,
+        "latest_per_key": _q_latest_per_key,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
         "drift_psi": _q_drift_psi,
@@ -3182,6 +3202,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY score DESC, doc_id ASC
             LIMIT 20
+        """,
+        "bm25_batch": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            qs AS (
+              SELECT doc_id AS query_id, substr(text, 1, 80) AS qtext
+              FROM d WHERE doc_id % 100 = 0
+            ),
+            toks AS (
+              SELECT doc_id, t.tok
+              FROM d, LATERAL unnest(string_split(
+                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+            qtok AS (
+              SELECT DISTINCT query_id, t.tok
+              FROM qs, LATERAL unnest(string_split(
+                regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+              WHERE tok IN (SELECT DISTINCT tok FROM qtok)
+              GROUP BY doc_id, tok
+            ),
+            dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+            sc AS (
+              SELECT q.query_id, tf.doc_id,
+                     ROUND(SUM(
+                       ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN qtok q USING (tok) JOIN dfq USING (tok)
+                   JOIN dl USING (doc_id) CROSS JOIN s
+              GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT sc.*, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+              FROM sc
+            ) WHERE rank <= 5
         """,
         "lm_perplexity": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

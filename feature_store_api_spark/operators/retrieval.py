@@ -124,6 +124,119 @@ def bm25_topk(
     ).limit(k)
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str,
+    query_id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """BM25 top-k for a whole TABLE of queries in ONE plan — the shape
+    of offline retrieval evaluation and hard-negative mining, where
+    per-query jobs would mean millions of driver round trips.
+
+    Unique (query, term) rows join the corpus tf table on term (one
+    hash equi-join; a hot term fans out to its posting list exactly as
+    an inverted index would), scores aggregate per (query, doc), and a
+    per-query window keeps the top k (score desc, doc id asc — total
+    order). Document frequencies are computed only for terms some query
+    uses (semi-join pruning). Output: (query_id, id_col, score, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    qtok = queries.select(
+        F.col(query_id_col),
+        F.explode(_tokens(F.col(query_text_col))).alias("__tok"),
+    ).distinct()  # BM25 sums each query term once
+    tf = (
+        toks.join(
+            F.broadcast(qtok.select("__tok").distinct()), on="__tok",
+            how="left_semi",
+        )
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(qtok, on="__tok")
+        .join(F.broadcast(dfreq), on="__tok")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str,
+    query_id_col: str,
+    k: int = 10,
+    depth: int = 50,
+) -> DataFrame:
+    """Contrastive-training hard negatives: per query, the top-scoring
+    BM25 documents that are NOT known positives — lexically confusable
+    non-answers (the standard DPR/sentence-transformers mining recipe,
+    with BM25 as the retriever). ``positives`` holds
+    (query_id_col, id_col) pairs; retrieval goes ``depth`` deep so k
+    negatives usually survive the anti-join; ranks are re-numbered
+    after filtering."""
+    from pyspark.sql import Window
+
+    cand = bm25_topk_batch(
+        docs, queries, text_col, id_col, query_text_col, query_id_col,
+        k=depth,
+    )
+    negs = cand.join(
+        positives.select(query_id_col, id_col),
+        on=[query_id_col, id_col],
+        how="left_anti",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 # -- persisted index: the repeated-query scale path --------------------------
 #
 # One-off corpus pass -> (tf, df, dl, stats) tables on disk, with the

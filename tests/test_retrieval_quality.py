@@ -176,3 +176,50 @@ def test_bm25_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     import re
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("__bkt" in x for x in pf), plan
+
+
+def test_bm25_batch_and_hard_negatives(spark):
+    """Batched scoring equals the single-query path per query; hard
+    negatives = top candidates minus known positives, re-ranked."""
+    from feature_store_api_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_batch,
+        mine_hard_negatives,
+    )
+
+    docs = _docs(spark).where(F.col("text").isNotNull())
+    queries = spark.createDataFrame(
+        [(100, "feature data"), (200, "training model")],
+        "query_id long, qtext string",
+    )
+    batch = bm25_topk_batch(
+        docs, queries, "text", "doc_id", "qtext", "query_id", k=3
+    ).collect()
+    for qid, qtext in ((100, "feature data"), (200, "training model")):
+        single = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(docs, qtext, "text", "doc_id", k=3).collect()
+        ]
+        got = sorted(
+            ((r["doc_id"], r["score"], r["rank"]) for r in batch
+             if r["query_id"] == qid),
+            key=lambda x: x[2],
+        )
+        assert [(d, s) for d, s, _ in got] == single
+        assert [rk for _, _, rk in got] == list(range(1, len(got) + 1))
+
+    positives = spark.createDataFrame(
+        [(100, 2), (200, 4)], "query_id long, doc_id long"
+    )
+    negs = mine_hard_negatives(
+        docs, queries, positives, "text", "doc_id", "qtext", "query_id",
+        k=2, depth=4,
+    ).collect()
+    by_q = {}
+    for r in negs:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    # positives excluded, ranks renumbered from 1
+    assert all(d != 2 for _, d in by_q[100])
+    assert all(d != 4 for _, d in by_q[200])
+    for q in by_q:
+        assert [rk for rk, _ in sorted(by_q[q])] == list(range(1, len(by_q[q]) + 1))

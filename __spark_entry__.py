@@ -2471,6 +2471,25 @@ def _q_temperature_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/quality_lm.py:dsir_sample,
+    Xie et al. 2023): hashed unigram+bigram bucket LMs over a trusted
+    target subset vs the raw pool, per-doc importance log-weights,
+    Gumbel-top-k draw — all deterministic md5 so the oracle reproduces
+    the exact selected set and keys."""
+    from feature_store_api_spark.operators.quality_lm import dsir_sample
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    target = d.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    raw = d.where((F.col("lang") != "en") | (F.col("doc_id") % 7 != 0))
+    return dsir_sample(
+        raw, target, "text", "doc_id", k=200, buckets=10_000,
+        alpha=0.5, seed=13, hash_fn="md5_64",
+    )
+
+
 def _q_tfidf_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document — the classic corpus keyword
     summary, fully portable (ln on identical doubles both engines)."""
@@ -2729,12 +2748,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_window_dedup": _q_exact_window_dedup,
         "corpus_curation_quality": _q_corpus_curation_quality,
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
         # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
         "lm_perplexity": _q_lm_perplexity,
         "temperature_sample": _q_temperature_sample,
+        "dsir_sample": _q_dsir_sample,
+        "ngram_jaccard": _q_ngram_jaccard,
         "latest_per_key": _q_latest_per_key,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
@@ -3265,6 +3285,62 @@ def oracle_sql() -> dict[str, str]:
                      AS ppl
             FROM toks JOIN c USING (tok) CROSS JOIN t
             GROUP BY toks.doc_id
+        """,
+        "dsir_sample": """
+            WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+            base AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                       x -> x <> '') AS w
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id, lang,
+                     list_concat(w,
+                       CASE WHEN len(w) >= 2
+                            THEN list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i + 1])
+                            ELSE [] END) AS grams
+              FROM base
+            ),
+            feats AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(t.gram), 1, 15) AS BIGINT) % 10000 AS b
+              FROM g, LATERAL unnest(grams) AS t(gram)
+            ),
+            tc AS (
+              SELECT b, COUNT(*) AS cnt FROM feats
+              WHERE lang = 'en' AND doc_id % 7 = 0 GROUP BY b
+            ),
+            rcnt AS (
+              SELECT b, COUNT(*) AS cnt FROM feats
+              WHERE lang != 'en' OR doc_id % 7 != 0 GROUP BY b
+            ),
+            tt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS v FROM tc),
+            rt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS v FROM rcnt),
+            lw AS (
+              SELECT f.doc_id,
+                     SUM( ln((COALESCE(tc.cnt, 0) + 0.5) / ((SELECT v FROM tt) + 0.5 * 10000))
+                        - ln((COALESCE(rcnt.cnt, 0) + 0.5) / ((SELECT v FROM rt) + 0.5 * 10000))
+                     ) AS log_weight
+              FROM feats f LEFT JOIN tc USING (b) LEFT JOIN rcnt USING (b)
+              WHERE f.lang != 'en' OR f.doc_id % 7 != 0
+              GROUP BY f.doc_id
+            ),
+            keyed AS (
+              SELECT doc_id,
+                     ROUND(log_weight, 6) AS log_weight,
+                     ROUND(log_weight
+                       - ln(-ln(((CAST('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15)
+                           AS BIGINT) % 1000000000) + 1) / 1000000002.0)), 6)
+                       AS gumbel_key
+              FROM lw
+            )
+            SELECT doc_id, log_weight, gumbel_key FROM keyed
+            ORDER BY gumbel_key DESC, doc_id ASC
+            LIMIT 200
         """,
         "temperature_sample": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),

@@ -223,3 +223,41 @@ def test_bm25_batch_and_hard_negatives(spark):
     assert all(d != 4 for _, d in by_q[200])
     for q in by_q:
         assert [rk for rk, _ in sorted(by_q[q])] == list(range(1, len(by_q[q]) + 1))
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR importance log-weights rank raw docs that share the target
+    distribution's n-grams above off-distribution docs; dsir_sample is
+    deterministic and returns k rows with rounded keys."""
+    from feature_store_api_spark.operators.quality_lm import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "the feature store serves fresh features online") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "the feature store serves fresh features to models"),
+            (101, "zzz qqq xxx vvv kkk jjj www uuu"),
+            (102, "feature store features online serving fresh data"),
+        ],
+        "doc_id long, text string",
+    )
+    lw = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(raw, target, "text", "doc_id").collect()
+    }
+    assert lw[100] > lw[101] and lw[102] > lw[101]
+
+    s1 = dsir_sample(raw, target, "text", "doc_id", k=2).collect()
+    s2 = dsir_sample(raw, target, "text", "doc_id", k=2).collect()
+    assert [(r["doc_id"], r["gumbel_key"]) for r in s1] == [
+        (r["doc_id"], r["gumbel_key"]) for r in s2
+    ]
+    assert len(s1) == 2
+    # single-token docs (no bigrams) must not error
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    assert dsir_log_weights(one, target, "text", "doc_id").count() == 1

@@ -113,19 +113,29 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> List[List[float]]:
     ]
 
 
-def signature_expr(col: Column, planes: List[List[float]]) -> Column:
-    """Bit signature: sign of the dot product with each hyperplane,
-    packed into a long."""
+def signature_sql(col_name: str, planes: List[List[float]]) -> str:
+    """Bit-signature SQL: sign of the dot product with each hyperplane,
+    packed into a long. Rendered as ONE string parsed server-side —
+    the Column-object formulation cost dim × num_planes py4j round
+    trips (~0.8 s of pure driver time per index build at 64×12; see the
+    plan-build note in operators/dedup.py). Math is identical to the
+    old Column form: zip_with multiply, left-fold add from 0.0D,
+    if(dot >= 0, 1<<i, 0) summed."""
     bits = []
     for i, p in enumerate(planes):
-        pq = F.array(*[F.lit(float(v)) for v in p])
-        bits.append(
-            F.when(_dot(col, pq) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        arr = ", ".join(f"{float(v)!r}D" for v in p)
+        dot = (
+            f"aggregate(zip_with(`{col_name}`, array({arr}), "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
+        bits.append(f"if({dot} >= 0, {1 << i}, 0)")
+    return f"cast(({' + '.join(bits)}) as bigint)"
+
+
+def signature_expr(col_name: str, planes: List[List[float]]) -> Column:
+    """Bit signature as a Column; ``col_name`` is the COLUMN NAME (the
+    SQL rendering needs it — a Column object can't be stringified)."""
+    return F.expr(signature_sql(col_name, planes))
 
 
 def build_ann_index(
@@ -135,7 +145,7 @@ def build_ann_index(
     Write this partitioned/bucketed by ``__bucket`` so a probe reads only
     matching buckets (partition pruning at scan time)."""
     planes = _hyperplanes(dim, num_planes, seed)
-    return df.withColumn("__bucket", signature_expr(F.col(col), planes))
+    return df.withColumn("__bucket", signature_expr(col, planes))
 
 
 def write_ann_index(index_df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -346,17 +356,14 @@ def embedding_cosine_dup_pairs(
     (1-p)^num_tables. Defaults (6 planes × 8 tables) give <0.3% miss at
     cos ≥ 0.95 and ~1e-5 at cos ≥ 0.99 — candidate count stays ~n²/2^6
     per table, so the exact re-check is cheap."""
-    buckets = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 7919 * t)
-        buckets.append(
-            F.struct(
-                F.lit(t).alias("t"),
-                signature_expr(F.col(col), planes).alias("b"),
-            )
-        )
+    structs = ", ".join(
+        f"struct({t} as t, "
+        f"{signature_sql(col, _hyperplanes(dim, num_planes, seed + 7919 * t))}"
+        " as b)"
+        for t in range(num_tables)
+    )
     idx = df.select(id_col, col).withColumn(
-        "__bucket", F.explode(F.array(*buckets))
+        "__bucket", F.expr(f"explode(array({structs}))")
     )
     a = idx.select(
         F.col(id_col).alias("id_a"), F.col(col).alias("__va"), F.col("__bucket")

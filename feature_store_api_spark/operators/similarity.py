@@ -37,10 +37,37 @@ def _norm(a: Column) -> Column:
     )
 
 
-def distance_expr(col: Column, query: Sequence[float], metric: str) -> Column:
+def distance_expr(col, query: Sequence[float], metric: str) -> Column:
     """Distance/score column. For l2 smaller is better; for cosine/dot
     we return a *distance-like* value (negated similarity) so ordering
-    is uniformly ascending."""
+    is uniformly ascending.
+
+    ``col`` may be a column NAME (preferred: the whole expression —
+    including the dim query literals — renders as ONE SQL string parsed
+    server-side instead of ~dim py4j round trips per probe) or a Column
+    (legacy callers; falls back to the object formulation)."""
+    if isinstance(col, str):
+        c = f"`{col}`"
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in query) + ")"
+        if metric == "l2":
+            return F.expr(
+                f"sqrt(aggregate(zip_with({c}, {arr}, "
+                "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
+            )
+        if metric == "cosine":
+            qn = sum(float(v) * float(v) for v in query) ** 0.5
+            dot = (
+                f"aggregate(zip_with({c}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            nrm = f"sqrt(aggregate({c}, 0.0D, (acc, x) -> acc + x * x))"
+            return F.expr(f"-({dot} / ({nrm} * {float(qn)!r}D))")
+        if metric == "dot":
+            return F.expr(
+                f"-aggregate(zip_with({c}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+        raise ValueError(f"Unknown similarity metric {metric!r}")
     q = F.array(*[F.lit(float(v)) for v in query])
     if metric == "l2":
         return F.sqrt(
@@ -97,7 +124,7 @@ def find_neighbors(
             df = df.where(
                 (filter.to_column(lambda feat: F.col(feat.name)))
             )
-    dist = distance_expr(F.col(col), embedding, metric)
+    dist = distance_expr(col, embedding, metric)
     scored = df.withColumn("distance", F.round(dist.cast("double"), 6))
     return scored.orderBy(F.col("distance").asc()).limit(k)
 
@@ -210,7 +237,7 @@ def find_neighbors_ann(
     cand = index_df.where(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
-    dist = distance_expr(F.col(col), embedding, metric)
+    dist = distance_expr(col, embedding, metric)
     return (
         cand.withColumn("distance", F.round(dist.cast("double"), 6))
         .orderBy(F.col("distance").asc())
@@ -253,7 +280,7 @@ def find_neighbors_ann_retry(
         )
         if filter is not None:
             cand = cand.where(filter)
-        dist = distance_expr(F.col(col), embedding, metric)
+        dist = distance_expr(col, embedding, metric)
         scored = cand.withColumn(
             "distance", F.round(dist.cast("double"), 6)
         ).persist()
@@ -520,7 +547,7 @@ def _ivf_candidates(
     cand = index.df.where(F.col("__cell").isin(cells))
     if filter is not None:
         cand = cand.where(filter)
-    dist = distance_expr(F.col(col), embedding, metric)
+    dist = distance_expr(col, embedding, metric)
     return cand.withColumn("distance", F.round(dist.cast("double"), 6))
 
 
@@ -924,7 +951,7 @@ def find_neighbors_pq(
         return scored.orderBy(*order).limit(k)
     cand = scored.orderBy(*order).limit(k * rerank_factor)
     exact = cand.withColumn(
-        "distance", F.round(distance_expr(F.col(col), query, "l2"), 6)
+        "distance", F.round(distance_expr(col, query, "l2"), 6)
     )
     final = [F.col("distance").asc()] + (
         [F.col(id_col).asc()] if id_col is not None else []

@@ -916,12 +916,17 @@ def pq_distance_expr(
                 d2 += (a - b) * (a - b)
             row.append(d2)
         lut.append(row)
-    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
-    per_sub = F.transform(
-        F.col(code_col),
-        lambda c, i: F.element_at(F.element_at(lut_col, i + F.lit(1)), c + F.lit(1)),
+    # one server-side-parsed SQL string: the m×k literal table as
+    # Column objects cost m*k py4j round trips per probe (1024 at the
+    # 8×16 default — ~0.3 s of driver time each call)
+    lut_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in lut
+    ) + ")"
+    return F.expr(
+        f"sqrt(aggregate(transform(`{code_col}`, (c, i) -> "
+        f"element_at(element_at({lut_sql}, i + 1), c + 1)), "
+        "0.0D, (a, x) -> a + x))"
     )
-    return F.sqrt(F.aggregate(per_sub, F.lit(0.0), lambda a, x: a + x))
 
 
 def find_neighbors_pq(

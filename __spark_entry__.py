@@ -2471,6 +2471,76 @@ def _q_temperature_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_delta_time_travel(spark, sf_dir):
+    """Jarless Delta Lake reader (sources/delta_reader.py): a
+    protocol-conformant _delta_log is built from orders (commit 0 =
+    keys %3==0; commit 1 adds %3==1; commit 2 compacts: removes the
+    first file, adds a rewritten one with o_totalprice+1), then the
+    HEAD snapshot is read back through the transaction-log replay —
+    add/remove resolution, schemaString typing, commitInfo timestamps."""
+    import json as _json
+    import os as _os
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = _os.path.join(_scratch("delta_tt_"), "tbl")
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def _write(df, name):
+        tmp = _os.path.join(root, "_stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp) if p.endswith(".parquet")
+        )
+        _os.replace(_os.path.join(tmp, part), _os.path.join(root, name))
+
+    _write(orders.where(F.col("o_orderkey") % 3 == 0), "f0.parquet")
+    _write(orders.where(F.col("o_orderkey") % 3 == 1), "f1.parquet")
+    _write(
+        orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        ),
+        "f2.parquet",
+    )
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "o_totalprice", "type": "double", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+
+    def _commit(v, actions, ts):
+        with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"commitInfo": {"timestamp": ts}}) + "\n")
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+
+    def _add(name):
+        return {"add": {"path": name, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "tt", "schemaString": schema_str,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet"}}},
+        _add("f0.parquet"),
+    ], ts=1000)
+    _commit(1, [_add("f1.parquet")], ts=2000)
+    _commit(2, [
+        {"remove": {"path": "f0.parquet", "dataChange": False}},
+        _add("f2.parquet"),
+    ], ts=3000)
+    return read_delta(spark, root)  # HEAD = rewritten %3==0 + %3==1
+
+
 def _q_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (operators/quality_lm.py:dsir_sample,
     Xie et al. 2023): hashed unigram+bigram bucket LMs over a trusted
@@ -2747,14 +2817,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "exact_window_dedup": _q_exact_window_dedup,
         "corpus_curation_quality": _q_corpus_curation_quality,
-        "dedup_exact": _q_dedup_exact,
         # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
         "lm_perplexity": _q_lm_perplexity,
         "temperature_sample": _q_temperature_sample,
         "dsir_sample": _q_dsir_sample,
+        "delta_time_travel": _q_delta_time_travel,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_exact": _q_dedup_exact,
         "latest_per_key": _q_latest_per_key,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
@@ -3285,6 +3356,13 @@ def oracle_sql() -> dict[str, str]:
                      AS ppl
             FROM toks JOIN c USING (tok) CROSS JOIN t
             GROUP BY toks.doc_id
+        """,
+        "delta_time_travel": """
+            SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 = 1
         """,
         "dsir_sample": """
             WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),

@@ -192,6 +192,17 @@ def read(
         from .avro_container import read_avro
 
         return read_avro(spark, path)
+    if fmt == "delta":
+        # jarless Delta transaction-log reader (snapshot / time travel)
+        from .delta_reader import read_delta
+
+        v = opts.get("versionAsOf")
+        ts = opts.get("timestampAsOf")
+        return read_delta(
+            spark, path,
+            version=int(v) if v is not None else None,
+            timestamp=int(ts) if ts is not None else None,
+        )
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:
             raise ValueError(

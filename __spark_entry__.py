@@ -2541,6 +2541,33 @@ def _q_delta_time_travel(spark, sf_dir):
     return read_delta(spark, root)  # HEAD = rewritten %3==0 + %3==1
 
 
+def _q_delta_fg_upsert(spark, sf_dir):
+    """End-to-end managed feature group on the DELTA physical backend
+    (sources/delta_backend.py): insert + upsert through the commit
+    store land as protocol-conformant Delta commits; the merge-on-read
+    snapshot resolves newest-per-key on top of the Delta scan."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("delta_fg_"))
+    fg = fs.create_feature_group(
+        "orders_delta", primary_key=["o_orderkey"], event_time="o_orderdate",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        compute_stats=False,
+    )
+    return fg.read(spark).select("o_orderkey", "o_totalprice")
+
+
 def _q_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (operators/quality_lm.py:dsir_sample,
     Xie et al. 2023): hashed unigram+bigram bucket LMs over a trusted
@@ -2816,7 +2843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spine_pit_join": _q_spine_pit_join,
         "semantic_dedup": _q_semantic_dedup,
         "exact_window_dedup": _q_exact_window_dedup,
-        "corpus_curation_quality": _q_corpus_curation_quality,
         # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
@@ -2824,8 +2850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "dsir_sample": _q_dsir_sample,
         "delta_time_travel": _q_delta_time_travel,
+        "delta_fg_upsert": _q_delta_fg_upsert,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
+        "corpus_curation_quality": _q_corpus_curation_quality,
         "latest_per_key": _q_latest_per_key,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
@@ -3356,6 +3384,12 @@ def oracle_sql() -> dict[str, str]:
                      AS ppl
             FROM toks JOIN c USING (tok) CROSS JOIN t
             GROUP BY toks.doc_id
+        """,
+        "delta_fg_upsert": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
         """,
         "delta_time_travel": """
             SELECT o_orderkey, o_totalprice + 1 AS o_totalprice

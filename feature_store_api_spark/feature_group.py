@@ -256,11 +256,24 @@ class FeatureGroup(FeatureGroupBase):
         embedding_index=None,
         max_staleness=None,
         cluster_by: Sequence[str] = (),
+        time_travel_format: str = "COMMITLOG",
     ) -> None:
         super().__init__(
             name, version, primary_key, partition_key, event_time, features,
             description, online_enabled,
         )
+        # physical storage format (parity: reference FeatureGroup
+        # time_travel_format HUDI/DELTA/None). COMMITLOG = our own
+        # parquet+JSON log; DELTA = a real protocol-conformant Delta
+        # table (sources/delta_backend.py) readable by any Delta client.
+        fmt = (time_travel_format or "COMMITLOG").upper()
+        if fmt not in ("COMMITLOG", "DELTA"):
+            raise ValueError(
+                f"Unsupported time_travel_format {time_travel_format!r}: "
+                "expected 'COMMITLOG' or 'DELTA' (HUDI needs jars "
+                "unavailable offline)"
+            )
+        self.time_travel_format = fmt
         self.statistics_config = statistics_config
         self.embedding_index = embedding_index
         # feature TTL: PIT reads of this group through a FeatureView
@@ -303,6 +316,11 @@ class FeatureGroup(FeatureGroupBase):
         if self._store is None:
             from .sources.commit_store import CommitStore
 
+            backend = None
+            if getattr(self, "time_travel_format", "COMMITLOG") == "DELTA":
+                from .sources.delta_backend import DeltaLogBackend
+
+                backend = DeltaLogBackend(self.location)
             self._store = CommitStore(
                 self.location,
                 primary_key=self.primary_key,
@@ -311,6 +329,7 @@ class FeatureGroup(FeatureGroupBase):
                 precombine_key=self.precombine_key,
                 auto_compact_every=self.auto_compact_every,
                 cluster_by=self.cluster_by,
+                backend=backend,
             )
         return self._store
 

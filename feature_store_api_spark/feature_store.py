@@ -45,6 +45,7 @@ class FeatureStore:
         embedding_index=None,
         max_staleness=None,
         cluster_by: Sequence[str] = (),
+        time_travel_format: str = "COMMITLOG",
     ) -> FeatureGroup:
         name = autofix_feature_name(name)
         location = None
@@ -74,6 +75,7 @@ class FeatureStore:
             embedding_index=embedding_index,
             max_staleness=max_staleness,
             cluster_by=cluster_by,
+            time_travel_format=time_travel_format,
         )
         fg._feature_store = self  # provenance + log-FG resolution backref
         self._registry[(name, version)] = fg
@@ -96,6 +98,7 @@ class FeatureStore:
                 "stream": stream,
                 "max_staleness": max_staleness,
                 "cluster_by": list(cluster_by),
+                "time_travel_format": fg.time_travel_format,
                 "auto_compact_every": auto_compact_every,
                 "transformation_functions": [
                     t.to_dict() for t in transformation_functions
@@ -148,6 +151,7 @@ class FeatureStore:
             stream=meta.get("stream", False),
             max_staleness=meta.get("max_staleness"),
             cluster_by=meta.get("cluster_by", ()),
+            time_travel_format=meta.get("time_travel_format", "COMMITLOG"),
             transformation_functions=[
                 TransformationFunction.from_dict(t)
                 for t in meta.get("transformation_functions", [])

@@ -1,0 +1,209 @@
+"""Delta-Lake-format physical backend for the commit store.
+
+Closes the lakehouse-interop gap WITHOUT jars: commits land as a
+protocol-conformant ``_delta_log`` (delta.io PROTOCOL.md — the same
+public spec :mod:`.delta_reader` reads), so a feature group written
+with ``time_travel_format="DELTA"`` is a real Delta table any Delta
+client (delta-spark, DuckDB ``delta_scan``, delta-rs) can read:
+
+* each CommitStore commit = one Delta commit of ``add`` actions; the
+  commit-time column is a declared Delta PARTITION column, so external
+  readers see (and can prune by) the same layout the store prunes by;
+* vacuum = one Delta commit of ``remove`` actions + physical deletes;
+* schema evolution appends an updated ``metaData`` (adding a column is
+  metadata-only, exactly Delta's semantics — old files null-fill);
+* the store's OWN commit metadata (counts, extra, retention) stays in
+  its ``_commits.json`` sidecar, which Delta clients ignore.
+
+The store remains merge-on-read (``self_merging = False``): an
+external Delta reader sees the RAW commit rows including
+``_commit_time``/``_op`` — the documented log-view contract (like
+Hudi's MOR read-optimized vs log view) — while the store's snapshot
+logic resolves newest-per-record-key on top.
+
+Single-writer-per-table is assumed for Delta version allocation (the
+same lockfile discipline the default backend uses guards the
+read-modify-write; cross-ENGINE optimistic concurrency is out of scope
+offline)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Dict, List, Optional, Sequence
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .backend import CommitLogBackend
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class DeltaLogBackend(CommitLogBackend):
+    """Commit-store physical I/O through a real Delta transaction log.
+
+    Inherits the JSON sidecar + lockfile for the STORE's logical log;
+    data/scan/vacuum speak the Delta protocol."""
+
+    self_merging = False
+
+    def __init__(self, location: str) -> None:
+        super().__init__(location)
+        self._delta_dir = os.path.join(location, "_delta_log")
+
+    # -- delta log helpers ---------------------------------------------------
+    def _versions(self) -> List[int]:
+        if not os.path.isdir(self._delta_dir):
+            return []
+        out = []
+        for n in os.listdir(self._delta_dir):
+            if n.endswith(".json") and len(n) == 25 and n[:-5].isdigit():
+                out.append(int(n[:-5]))
+        return sorted(out)
+
+    def _current_schema_json(self) -> Optional[str]:
+        for v in reversed(self._versions()):
+            with open(os.path.join(self._delta_dir, f"{v:020d}.json")) as fh:
+                md = None
+                for line in fh:
+                    if line.strip():
+                        a = json.loads(line)
+                        if "metaData" in a:
+                            md = a["metaData"]["schemaString"]
+                if md:
+                    return md
+        return None
+
+    def _write_delta_commit(self, actions: List[Dict]) -> int:
+        os.makedirs(self._delta_dir, exist_ok=True)
+        versions = self._versions()
+        v = (versions[-1] + 1) if versions else 0
+        import time as _time
+
+        path = os.path.join(self._delta_dir, f"{v:020d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(
+                {"commitInfo": {"timestamp": int(_time.time() * 1000),
+                                "engineInfo": "feature-store-api-spark"}}
+            ) + "\n")
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, path)
+        return v
+
+    def _metadata_actions(self, df: DataFrame, partition_cols) -> List[Dict]:
+        """protocol+metaData on the first commit; an updated metaData
+        when the frame carries columns the table schema lacks."""
+        current = self._current_schema_json()
+        new_fields = [json.loads(df.schema.json())["fields"][i]
+                      for i in range(len(df.schema.fields))]
+        if current is None:
+            schema = {"type": "struct", "fields": new_fields}
+            return [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": list(partition_cols),
+                    "configuration": {},
+                    "createdTime": 0,
+                }},
+            ]
+        cur = json.loads(current)
+        have = {f["name"] for f in cur["fields"]}
+        added = [f for f in new_fields if f["name"] not in have]
+        if not added:
+            return []
+        cur["fields"] = cur["fields"] + added
+        return [{"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(cur),
+            "partitionColumns": list(partition_cols),
+            "configuration": {},
+            "createdTime": 0,
+        }}]
+
+    # -- data ------------------------------------------------------------------
+    def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        partition_cols = list(partition_cols)
+        meta = self._metadata_actions(df, partition_cols)
+        stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
+        try:
+            (
+                df.write.partitionBy(partition_cols)
+                .mode("overwrite")
+                .parquet(stage)
+            )
+            adds = []
+            for root, _dirs, files in os.walk(stage):
+                for name in files:
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, stage)
+                    pv: Dict[str, Optional[str]] = {}
+                    if rel_dir != ".":
+                        for comp in rel_dir.split(os.sep):
+                            c, _, raw = comp.partition("=")
+                            pv[c] = None if raw == _HIVE_NULL else unquote(raw)
+                    src = os.path.join(root, name)
+                    rel = (
+                        name if rel_dir == "." else os.path.join(rel_dir, name)
+                    )
+                    dst = os.path.join(self.location, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+                    adds.append({"add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
+                        "dataChange": True,
+                    }})
+            self._write_delta_commit(meta + adds)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not self._versions():
+            return None
+        from .delta_reader import read_delta
+
+        return read_delta(spark, self.location)
+
+    def drop_commit(self, commit_time: int) -> bool:
+        from .commit_store import COMMIT_COL
+        from .delta_reader import _snapshot_state
+
+        versions = self._versions()
+        if not versions:
+            return False
+        state = _snapshot_state(self.location, versions[-1])
+        doomed = [
+            rel for rel, add in state.files.items()
+            if (add.get("partitionValues") or {}).get(COMMIT_COL)
+            == str(commit_time)
+        ]
+        if not doomed:
+            return False
+        self._write_delta_commit([
+            {"remove": {"path": rel, "dataChange": False,
+                        "deletionTimestamp": 0}}
+            for rel in doomed
+        ])
+        for rel in doomed:
+            full = os.path.join(self.location, rel)
+            try:
+                os.remove(full)
+                parent = os.path.dirname(full)
+                while parent != self.location and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+            except OSError:
+                pass
+        return True

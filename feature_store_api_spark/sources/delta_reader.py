@@ -216,8 +216,17 @@ def read_delta(
 
     parts = []
     for key, files in sorted(groups.items()):
-        df = spark.read.parquet(*files).select(
-            *[F.col(f.name).cast(f.dataType) for f in data_fields]
+        df = spark.read.parquet(*files)
+        # schema evolution: adding a column in Delta is metadata-only —
+        # files written before the change lack it and read as NULL
+        have = set(df.columns)
+        df = df.select(
+            *[
+                (F.col(f.name) if f.name in have else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in data_fields
+            ]
         )
         for c, raw in key:
             lit = F.lit(raw) if raw is not None else F.lit(None)

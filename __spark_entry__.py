@@ -2568,6 +2568,57 @@ def _q_delta_fg_upsert(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_hudi_time_travel(spark, sf_dir):
+    """Jarless Hudi COW reader (sources/hudi_reader.py): a published-
+    layout table is built from orders (instant 100 = two file groups;
+    instant 200 = COW rewrite of group A with o_totalprice+1; an
+    inflight instant 300 stays invisible), then read at as.of.instant
+    200 — newest visible base file per file group."""
+    import os as _os
+
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = _os.path.join(_scratch("hudi_tt_"), "tbl")
+    meta = _os.path.join(root, ".hoodie")
+    _os.makedirs(meta, exist_ok=True)
+    with open(_os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=o\nhoodie.table.type=COPY_ON_WRITE\n")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def _write(df, name):
+        tmp = _os.path.join(root, "_stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
+        _os.makedirs(_os.path.join(root, "dt=0"), exist_ok=True)
+        _os.replace(
+            _os.path.join(tmp, part), _os.path.join(root, "dt=0", name)
+        )
+
+    _write(orders.where(F.col("o_orderkey") % 2 == 0),
+           "fga_0-1-0_100.parquet")
+    _write(orders.where(F.col("o_orderkey") % 2 == 1),
+           "fgb_0-1-0_100.parquet")
+    for i in ("100",):
+        with open(_os.path.join(meta, f"{i}.commit"), "w") as fh:
+            fh.write("{}")
+    _write(
+        orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        ),
+        "fga_0-2-0_200.parquet",
+    )
+    with open(_os.path.join(meta, "200.commit"), "w") as fh:
+        fh.write("{}")
+    # inflight rewrite of group B: must stay invisible
+    _write(orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice", F.lit(0.0)), "fgb_0-3-0_300.parquet")
+    with open(_os.path.join(meta, "300.commit.inflight"), "w") as fh:
+        fh.write("")
+    return read_hudi(spark, root, as_of_instant="200")
+
+
 def _q_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (operators/quality_lm.py:dsir_sample,
     Xie et al. 2023): hashed unigram+bigram bucket LMs over a trusted
@@ -2842,7 +2893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_range": _q_pit_join_range,
         "spine_pit_join": _q_spine_pit_join,
         "semantic_dedup": _q_semantic_dedup,
-        "exact_window_dedup": _q_exact_window_dedup,
         # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
@@ -2851,9 +2901,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "delta_time_travel": _q_delta_time_travel,
         "delta_fg_upsert": _q_delta_fg_upsert,
+        "hudi_time_travel": _q_hudi_time_travel,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation_quality": _q_corpus_curation_quality,
+        "exact_window_dedup": _q_exact_window_dedup,
         "latest_per_key": _q_latest_per_key,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
@@ -3384,6 +3436,12 @@ def oracle_sql() -> dict[str, str]:
                      AS ppl
             FROM toks JOIN c USING (tok) CROSS JOIN t
             GROUP BY toks.doc_id
+        """,
+        "hudi_time_travel": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
         """,
         "delta_fg_upsert": """
             SELECT o_orderkey,

@@ -203,6 +203,13 @@ def read(
             version=int(v) if v is not None else None,
             timestamp=int(ts) if ts is not None else None,
         )
+    if fmt == "hudi":
+        # jarless Hudi COW reader (snapshot / as.of.instant)
+        from .hudi_reader import read_hudi
+
+        return read_hudi(
+            spark, path, as_of_instant=opts.get("as.of.instant")
+        )
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:
             raise ValueError(

@@ -288,3 +288,32 @@ def test_delta_backend_fg_parity_and_external_readability(spark, tmp_path):
     with open(os.path.join(log_dir, f"{head:020d}.json")) as fh:
         tail_actions = [_json.loads(l) for l in fh if l.strip()]
     assert any("remove" in a for a in tail_actions)
+
+
+def test_streaming_insert_into_delta_fg(spark, tmp_path):
+    """insert_stream into a time_travel_format='DELTA' group: each
+    micro-batch lands as one Delta commit; replays dedupe; the table
+    stays externally readable."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import read_delta
+    from feature_store_api_spark.streaming.insert_stream import insert_stream
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "sdelta", primary_key=["pk"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0)], "pk long, ts long, v double"
+    ).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("pk long, ts long, v double").parquet(src)
+    insert_stream(
+        fg, sdf, trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ck"),
+        await_termination=True, timeout=120,
+    )
+    assert sorted(r["pk"] for r in fg.read(spark).collect()) == [1, 2]
+    log_dir = os.path.join(fg.location, "_delta_log")
+    assert sorted(os.listdir(log_dir))  # real delta log exists
+    assert read_delta(spark, fg.location).count() == 2

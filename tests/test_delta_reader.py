@@ -317,3 +317,26 @@ def test_streaming_insert_into_delta_fg(spark, tmp_path):
     log_dir = os.path.join(fg.location, "_delta_log")
     assert sorted(os.listdir(log_dir))  # real delta log exists
     assert read_delta(spark, fg.location).count() == 2
+
+
+def test_external_fg_over_delta_table(spark, tmp_path):
+    """An ExternalFeatureGroup with data_format='delta' reads an
+    existing Delta table through the connector path (the
+    'switch your lakehouse table into the feature store' story)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.connectors import StorageConnector
+
+    root = str(tmp_path / "tbl")
+    _build_unpartitioned(spark, root)
+    fs = FeatureStore(root=str(tmp_path / "store"))
+    conn = StorageConnector("lake")
+    fs.register_storage_connector(conn)
+    ext = fs.create_external_feature_group(
+        "ext_delta", conn, path=root, data_format="delta",
+        primary_key=["k"],
+    )
+    got = sorted((r["k"], r["v"]) for r in ext.read(spark).collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 3.0)]
+    assert [f.name for f in ext.features] == ["k", "v", "lang"]
+    # query surface composes on top
+    assert ext.select(["k", "v"]).filter(ext.v > 5.0).read(spark).count() == 2

@@ -2619,6 +2619,34 @@ def _q_hudi_time_travel(spark, sf_dir):
     return read_hudi(spark, root, as_of_instant="200")
 
 
+def _q_retrieval_metrics(spark, sf_dir):
+    """Retrieval evaluation (operators/eval_metrics.py): recall@5 /
+    MRR@5 / NDCG@5 of the batched BM25 run against a same-source
+    relevance set — the offline-eval loop as plain aggregations."""
+    from feature_store_api_spark.operators.eval_metrics import (
+        retrieval_metrics,
+    )
+    from feature_store_api_spark.operators.retrieval import bm25_topk_batch
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("qtext"),
+        F.col("source").alias("qsource"),
+    )
+    preds = bm25_topk_batch(
+        d, qs.select("query_id", "qtext"), "text", "doc_id",
+        "qtext", "query_id", k=5,
+    )
+    truth = qs.select("query_id", "qsource").join(
+        d.where(F.col("doc_id") % 20 == 0).select("doc_id", "source"),
+        on=F.col("qsource") == F.col("source"),
+    ).select("query_id", "doc_id")
+    return retrieval_metrics(preds, truth, "query_id", "doc_id", k=5)
+
+
 def _q_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (operators/quality_lm.py:dsir_sample,
     Xie et al. 2023): hashed unigram+bigram bucket LMs over a trusted
@@ -2892,7 +2920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_multi": _q_pit_join_multi,
         "pit_join_range": _q_pit_join_range,
         "spine_pit_join": _q_spine_pit_join,
-        "semantic_dedup": _q_semantic_dedup,
         # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
@@ -2902,10 +2929,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_time_travel": _q_delta_time_travel,
         "delta_fg_upsert": _q_delta_fg_upsert,
         "hudi_time_travel": _q_hudi_time_travel,
+        "retrieval_metrics": _q_retrieval_metrics,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation_quality": _q_corpus_curation_quality,
         "exact_window_dedup": _q_exact_window_dedup,
+        "semantic_dedup": _q_semantic_dedup,
         "latest_per_key": _q_latest_per_key,
         "set_ops": _q_set_ops,
         "validation_report": _q_validation_report,
@@ -3436,6 +3465,73 @@ def oracle_sql() -> dict[str, str]:
                      AS ppl
             FROM toks JOIN c USING (tok) CROSS JOIN t
             GROUP BY toks.doc_id
+        """,
+        "retrieval_metrics": """
+            WITH d AS (SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL),
+            qs AS (
+              SELECT doc_id AS query_id, substr(text, 1, 80) AS qtext, source AS qsource
+              FROM d WHERE doc_id % 100 = 0
+            ),
+            toks AS (
+              SELECT doc_id, t.tok
+              FROM d, LATERAL unnest(string_split(
+                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+            qtok AS (
+              SELECT DISTINCT query_id, t.tok
+              FROM qs, LATERAL unnest(string_split(
+                regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+              WHERE tok IN (SELECT DISTINCT tok FROM qtok)
+              GROUP BY doc_id, tok
+            ),
+            dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+            sc AS (
+              SELECT q.query_id, tf.doc_id,
+                     ROUND(SUM(
+                       ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN qtok q USING (tok) JOIN dfq USING (tok)
+                   JOIN dl USING (doc_id) CROSS JOIN s
+              GROUP BY q.query_id, tf.doc_id
+            ),
+            preds AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT sc.*, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc
+              ) WHERE rank <= 5
+            ),
+            truth AS (
+              SELECT DISTINCT q.query_id, d.doc_id
+              FROM qs q JOIN d ON d.source = q.qsource
+              WHERE d.doc_id % 20 = 0
+            ),
+            nrel AS (SELECT query_id, COUNT(*) AS n_relevant FROM truth GROUP BY query_id),
+            hits AS (
+              SELECT p.query_id, COUNT(*) AS hits, MIN(p.rank) AS first_rank,
+                     SUM(1.0 / log2(p.rank + 1.0)) AS dcg
+              FROM preds p JOIN truth t USING (query_id, doc_id)
+              GROUP BY p.query_id
+            )
+            SELECT n.query_id,
+                   n.n_relevant,
+                   CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+                   ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / n.n_relevant, 6) AS recall,
+                   ROUND(COALESCE(1.0 / h.first_rank, 0.0), 6) AS mrr,
+                   ROUND(COALESCE(h.dcg, 0.0) /
+                     list_sum(list_transform(
+                       range(1, LEAST(n.n_relevant, 5) + 1),
+                       i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+            FROM nrel n LEFT JOIN hits h USING (query_id)
         """,
         "hudi_time_travel": """
             SELECT o_orderkey,

@@ -261,3 +261,41 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     # single-token docs (no bigrams) must not error
     one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     assert dsir_log_weights(one, target, "text", "doc_id").count() == 1
+
+
+def test_retrieval_metrics_math(spark):
+    """recall@k / MRR@k / NDCG@k equal hand-computed values; queries
+    with truth but no hits score 0; unjudged predictions are dropped."""
+    import math
+
+    from feature_store_api_spark.operators.eval_metrics import (
+        retrieval_metrics,
+        retrieval_metrics_summary,
+    )
+
+    preds = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (9, 90, 1)],  # query 9 has no judgments -> dropped
+        "q long, doc long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),   # q1: 3 relevant, hits at rank 2,3
+         (2, 77),                     # q2: 1 relevant, no hit
+         (3, 30)],                    # q3: judged, never predicted
+        "q long, doc long",
+    )
+    got = {
+        r["q"]: (r["n_relevant"], r["hits"], r["recall"], r["mrr"], r["ndcg"])
+        for r in retrieval_metrics(preds, truth, "q", "doc", k=3).collect()
+    }
+    dcg1 = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg1 = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[1] == (3, 2, round(2 / 3, 6), 0.5, round(dcg1 / idcg1, 6))
+    assert got[2] == (1, 0, 0.0, 0.0, 0.0)
+    assert got[3] == (1, 0, 0.0, 0.0, 0.0)
+    assert 9 not in got
+
+    summary = retrieval_metrics_summary(preds, truth, "q", "doc", k=3).first()
+    assert summary["n_queries"] == 3
+    assert summary["recall_at_k"] == round((2 / 3) / 3, 6)

@@ -1042,7 +1042,9 @@ def main():
     # much of the sf0.1 time was job floor vs real per-row work.
     x10_samples = {}
     if not only and os.environ.get("SPARK_GRAFT_BENCH_X10", "1") != "0":
-        x10_runs = max(1, runs - 1)
+        # min-based ratios stabilize by 3 samples; the x10 block is
+        # the most expensive part of the run, so trim it first
+        x10_runs = max(1, runs - 2)
         _x10_frames(spark, SF_DIR)  # replicate + cache outside timing
         _x10_core_frames(spark, SF_DIR)
         for name, fn in X10_QUERIES.items():
@@ -1059,7 +1061,7 @@ def main():
 
     extra_samples = {}
     if not only and os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "1") != "0":
-        extra_runs = max(1, runs - 1)
+        extra_runs = max(1, runs - 2)
         for name, fn in EXTRA_QUERIES.items():
             t0 = time.time()
             fn(spark, SF_DIR)  # warmup (codegen + e1 index build)

@@ -310,7 +310,9 @@ def negative_sampling(
         .join(off_df, on="__nsb")
         .select(
             "__ns_item",
-            (F.col("__nsoff") + F.col("__nslr") - 1).cast("int").alias(m_col),
+            # long, not int: the advertised billion-item candidate sets
+            # would silently overflow a 32-bit index beyond 2^31-1
+            (F.col("__nsoff") + F.col("__nslr") - 1).cast("long").alias(m_col),
         )
     )
 
@@ -333,7 +335,7 @@ def negative_sampling(
     h = _md5_64(key) if hash_fn == "md5_64" else F.xxhash64(key, F.lit(seed))
     drawn = base.select(
         F.col(user_col),
-        F.pmod(h, F.lit(m)).cast("int").alias(m_col),
+        F.pmod(h, F.lit(m)).cast("long").alias(m_col),
     )
 
     # 3. attach the sampled item (Spark broadcasts idx when small; the

@@ -21,10 +21,14 @@ external Delta reader sees the RAW commit rows including
 Hudi's MOR read-optimized vs log view) — while the store's snapshot
 logic resolves newest-per-record-key on top.
 
-Single-writer-per-table is assumed for Delta version allocation (the
-same lockfile discipline the default backend uses guards the
-read-modify-write; cross-ENGINE optimistic concurrency is out of scope
-offline)."""
+Delta version allocation is PUT-IF-ABSENT (``os.link`` of the staged
+commit onto the next free ``<v>.json``, re-list + retry on
+``FileExistsError`` — the protocol's optimistic-concurrency rule), so
+two concurrent writers can never clobber each other's actions; a
+checkpoint parquet + ``_last_checkpoint`` is written every
+``_CHECKPOINT_INTERVAL`` commits so log replay stays bounded. Full
+cross-ENGINE conflict *detection* (e.g. concurrent delete/update
+reconciliation) is out of scope offline."""
 
 from __future__ import annotations
 
@@ -40,6 +44,10 @@ from pyspark.sql import DataFrame, SparkSession
 from .backend import CommitLogBackend
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: write a checkpoint every N Delta commits (the protocol's documented
+#: default cadence); keeps external readers' log replay O(N)
+_CHECKPOINT_INTERVAL = 10
 
 
 class DeltaLogBackend(CommitLogBackend):
@@ -78,13 +86,19 @@ class DeltaLogBackend(CommitLogBackend):
         return None
 
     def _write_delta_commit(self, actions: List[Dict]) -> int:
+        """Append one Delta commit with PUT-IF-ABSENT version
+        allocation (the protocol's concurrency rule): the content is
+        staged to a tmp file, then ``os.link``-ed to the next free
+        ``<v>.json`` — the hard link fails with ``FileExistsError``
+        when a concurrent writer took that version, so we re-list and
+        retry instead of clobbering its actions (a plain
+        list-then-rename silently replaced the loser's commit)."""
         os.makedirs(self._delta_dir, exist_ok=True)
-        versions = self._versions()
-        v = (versions[-1] + 1) if versions else 0
         import time as _time
 
-        path = os.path.join(self._delta_dir, f"{v:020d}.json")
-        tmp = path + ".tmp"
+        tmp = os.path.join(
+            self._delta_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+        )
         with open(tmp, "w") as fh:
             fh.write(json.dumps(
                 {"commitInfo": {"timestamp": int(_time.time() * 1000),
@@ -92,8 +106,111 @@ class DeltaLogBackend(CommitLogBackend):
             ) + "\n")
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
-        os.replace(tmp, path)
+        try:
+            while True:
+                versions = self._versions()
+                v = (versions[-1] + 1) if versions else 0
+                path = os.path.join(self._delta_dir, f"{v:020d}.json")
+                try:
+                    os.link(tmp, path)
+                    break
+                except FileExistsError:
+                    continue  # lost the race for v: next version
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        self._maybe_checkpoint(v)
         return v
+
+    def _maybe_checkpoint(self, v: int) -> None:
+        """Every ``_CHECKPOINT_INTERVAL`` commits, compact the log into
+        ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` (delta.io
+        PROTOCOL.md "Checkpoints"): readers fast-forward to the
+        checkpoint and replay only the tail, so a long-lived FG's scan
+        cost stays O(interval), not O(total commits). Rows = one
+        ``protocol``, one ``metaData``, one ``add`` per live file
+        (our removes carry deletionTimestamp 0 = expired tombstones,
+        so none are retained)."""
+        if v <= 0 or v % _CHECKPOINT_INTERVAL != 0:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .delta_reader import _snapshot_state
+
+        state = _snapshot_state(self.location, v)
+        if state.protocol is None or state.metadata is None:
+            return
+        pv_t = pa.map_(pa.string(), pa.string())
+        proto_t = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])
+        md = state.metadata
+        md_row = {
+            "id": md.get("id"),
+            "name": md.get("name"),
+            "description": md.get("description"),
+            "format": {
+                "provider": (md.get("format") or {}).get("provider", "parquet"),
+                "options": list(
+                    ((md.get("format") or {}).get("options") or {}).items()
+                ),
+            },
+            "schemaString": md.get("schemaString"),
+            "partitionColumns": list(md.get("partitionColumns") or []),
+            "configuration": list((md.get("configuration") or {}).items()),
+            "createdTime": md.get("createdTime") or 0,
+        }
+        md_t = pa.struct([
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()), ("options", pv_t)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pv_t),
+            ("createdTime", pa.int64()),
+        ])
+        add_rows = [
+            {
+                "path": rel,
+                "partitionValues": list(
+                    (add.get("partitionValues") or {}).items()
+                ),
+                "size": int(add.get("size") or 0),
+                "modificationTime": int(add.get("modificationTime") or 0),
+                "dataChange": False,
+            }
+            for rel, add in sorted(state.files.items())
+        ]
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pv_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+        n = 2 + len(add_rows)
+        tbl = pa.table({
+            "protocol": pa.array(
+                [state.protocol, None] + [None] * len(add_rows), proto_t),
+            "metaData": pa.array(
+                [None, md_row] + [None] * len(add_rows), md_t),
+            "add": pa.array([None, None] + add_rows, add_t),
+        })
+        cp = os.path.join(self._delta_dir, f"{v:020d}.checkpoint.parquet")
+        tmp = cp + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, cp)
+        lc = os.path.join(self._delta_dir, "_last_checkpoint")
+        tmp = lc + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "size": n}, fh)
+        os.replace(tmp, lc)
 
     def _metadata_actions(self, df: DataFrame, partition_cols) -> List[Dict]:
         """protocol+metaData on the first commit; an updated metaData

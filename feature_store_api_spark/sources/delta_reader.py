@@ -85,13 +85,32 @@ def _latest_checkpoint(log_dir: str, max_version: int) -> Optional[int]:
     return best
 
 
+#: reader features (protocol v3 "table features") this reader honors.
+#: columnMapping = metadata-only rename/drop (physical names resolved
+#: from schema field metadata); timestampNtz = a plain Spark type;
+#: vacuumProtocolCheck has no read-path semantics. Everything else —
+#: deletionVectors, v2Checkpoint, typeWidening — changes what bytes
+#: mean and MUST stay gated (silently wrong rows otherwise).
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+}
+
+
 def _check_protocol(action: Dict) -> None:
     v = action.get("minReaderVersion", 1)
-    if v > 1:
+    if v <= 2:
+        return  # v1 = base protocol; v2 adds column mapping (supported)
+    feats = set(action.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if v > 3 or unsupported or "readerFeatures" not in action:
         raise NotImplementedError(
-            f"Delta table requires minReaderVersion {v} (column mapping /"
-            " deletion vectors); this jarless reader implements protocol"
-            " reader version 1"
+            f"Delta table requires minReaderVersion {v} with reader "
+            f"features {sorted(feats)}; this jarless reader supports "
+            f"protocol v1/v2 and v3 features "
+            f"{sorted(_SUPPORTED_READER_FEATURES)} "
+            f"(unsupported: {sorted(unsupported) or v})"
         )
 
 
@@ -100,16 +119,27 @@ class _State:
         self.files: Dict[str, Dict] = {}
         self.schema_json: Optional[str] = None
         self.partition_cols: List[str] = []
+        self.configuration: Dict[str, str] = {}
+        self.protocol: Optional[Dict] = None  # raw, for checkpointing
+        self.metadata: Optional[Dict] = None  # raw, for checkpointing
 
     def apply(self, action: Dict) -> None:
         if "protocol" in action:
             _check_protocol(action["protocol"])
+            self.protocol = action["protocol"]
         if "metaData" in action:
             md = action["metaData"]
+            self.metadata = md
             self.schema_json = md.get("schemaString") or self.schema_json
             self.partition_cols = list(md.get("partitionColumns") or [])
+            self.configuration = dict(md.get("configuration") or {})
         if "add" in action:
             a = action["add"]
+            pv = a.get("partitionValues")
+            if isinstance(pv, list):
+                # checkpoint rows: pyarrow renders MAP<string,string>
+                # as a LIST of (key, value) tuples, not a dict
+                a["partitionValues"] = dict(pv)
             self.files[a["path"]] = a
         if "remove" in action:
             self.files.pop(action["remove"]["path"], None)
@@ -185,6 +215,48 @@ def _snapshot_state(path: str, target: int) -> _State:
     return state
 
 
+def _physical_name(field: T.StructField) -> str:
+    """Physical (on-disk) column name under Delta column mapping.
+
+    Column mapping (mode ``name`` or ``id``) stores the parquet column
+    name in the field metadata; logical renames/drops are then
+    metadata-only. ``id`` mode additionally writes parquet field ids,
+    but every mapped writer also names the parquet columns with the
+    physical name, so name-resolution is sufficient jarlessly."""
+    md = field.metadata or {}
+    return md.get("delta.columnMapping.physicalName", field.name)
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_layout(
+    live: Dict[str, Dict], pcols: List[str], ppcols: List[str]
+) -> bool:
+    """True when every live file sits exactly under hive-style
+    ``<pcol>=<value>`` directories matching its ``partitionValues`` —
+    then ONE partition-discovery scan replaces per-partition unions."""
+    from urllib.parse import unquote
+
+    for rel, add in live.items():
+        comps = rel.split("/")
+        if len(comps) != len(pcols) + 1:
+            return False
+        pv = add.get("partitionValues") or {}
+        for comp, pcol, ppcol in zip(comps[:-1], pcols, ppcols):
+            name, eq, raw = comp.partition("=")
+            # dir name must equal the PHYSICAL column name: partition
+            # discovery surfaces it, and the specified read schema
+            # declares physical names (ppcol == pcol when unmapped)
+            if not eq or name != ppcol:
+                return False
+            want = pv.get(ppcol, pv.get(pcol))
+            got = None if raw == _HIVE_NULL else unquote(raw)
+            if got != want:
+                return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -193,46 +265,100 @@ def read_delta(
 ) -> DataFrame:
     """Read a Delta table directory as a DataFrame — snapshot at HEAD,
     at a ``version``, or ``timestamp`` (epoch millis, 'timestampAsOf'
-    semantics: latest commit at-or-before)."""
+    semantics: latest commit at-or-before).
+
+    Scale shape: ONE flat parquet relation regardless of partition
+    count. The declared physical schema is passed to the reader (no
+    mergeSchema footer pass; files predating an added column read it
+    as NULL — Delta's metadata-only evolution). Partition values come
+    back via hive-style partition discovery over the exact live-file
+    list (``basePath``) when the layout allows, else via a broadcast
+    file→partitionValues map joined on the scanned file name — never a
+    per-partition-tuple union (a 10k-partition table would otherwise
+    build a 10k-leg plan on the driver)."""
     target = resolve_delta_version(path, version, timestamp)
     state = _snapshot_state(path, target)
     if state.schema_json is None:
         raise ValueError(f"Delta log at {path} carries no metaData action")
     schema = T.StructType.fromJson(json.loads(state.schema_json))
+    phys = {f.name: _physical_name(f) for f in schema.fields}
     pcols = state.partition_cols
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    ppcols = [phys[c] for c in pcols]
     data_fields = [f for f in schema.fields if f.name not in pcols]
 
     if not state.files:
         return spark.createDataFrame([], schema)
 
-    # group live files by their partition tuple; one pruned parquet
-    # read per group, partition values re-attached as typed literals
-    groups: Dict[Tuple, List[str]] = {}
-    for rel, add in state.files.items():
-        pv = add.get("partitionValues") or {}
-        key = tuple((c, pv.get(c)) for c in pcols)
-        groups.setdefault(key, []).append(os.path.join(path, rel))
+    live = state.files
+    files = [os.path.join(path, rel) for rel in sorted(live)]
 
-    parts = []
-    for key, files in sorted(groups.items()):
-        df = spark.read.parquet(*files)
-        # schema evolution: adding a column in Delta is metadata-only —
-        # files written before the change lack it and read as NULL
-        have = set(df.columns)
-        df = df.select(
-            *[
-                (F.col(f.name) if f.name in have else F.lit(None))
-                .cast(f.dataType)
-                .alias(f.name)
-                for f in data_fields
-            ]
+    if not pcols:
+        phys_schema = T.StructType(
+            [T.StructField(phys[f.name], f.dataType, True)
+             for f in data_fields]
         )
-        for c, raw in key:
-            lit = F.lit(raw) if raw is not None else F.lit(None)
-            df = df.withColumn(c, lit.cast(ptypes[c]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        df = spark.read.schema(phys_schema).parquet(*files)
+        return df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        )
+
+    if _hive_layout(live, pcols, ppcols):
+        # partition columns typed through the specified schema; leaf
+        # files + basePath = discovery over exactly the live files
+        phys_schema = T.StructType(
+            [T.StructField(phys[f.name], f.dataType, True)
+             for f in schema.fields]
+        )
+        df = (
+            spark.read.schema(phys_schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
+        return df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        )
+
+    # non-hive layout (external writers may place files anywhere):
+    # attach partition values by joining the scanned file name against
+    # a broadcast map built from the log — the map is exactly the
+    # driver-side metadata a Delta client already holds
+    phys_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, True) for f in data_fields]
+    )
+    basenames = [rel.rsplit("/", 1)[-1] for rel in live]
+    by_basename = len(set(basenames)) == len(basenames)
+    rows = []
+    for rel in sorted(live):
+        pv = live[rel].get("partitionValues") or {}
+        key = (
+            rel.rsplit("/", 1)[-1]
+            if by_basename
+            else os.path.abspath(os.path.join(path, rel))
+        )
+        rows.append(tuple([key] + [pv.get(pp) for pp in ppcols]))
+    map_schema = T.StructType(
+        [T.StructField("__delta_file", T.StringType(), False)]
+        + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols]
+    )
+    pv_df = F.broadcast(spark.createDataFrame(rows, map_schema))
+    scan_key = F.url_decode(F.input_file_name())
+    if by_basename:
+        scan_key = F.element_at(F.split(scan_key, "/"), -1)
+    else:
+        scan_key = F.regexp_replace(scan_key, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    df = (
+        spark.read.schema(phys_schema)
+        .parquet(*files)
+        .withColumn("__delta_file", scan_key)
+        .join(pv_df, "__delta_file", "left")
+    )
+    return df.select(
+        *[
+            (
+                F.col(f"__pv_{f.name}").cast(f.dataType)
+                if f.name in pcols
+                else F.col(phys[f.name])
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )

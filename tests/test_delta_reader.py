@@ -200,7 +200,20 @@ def test_delta_protocol_gate(spark, tmp_path):
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
         _meta(),
     ], ts=1_000)
+    # malformed v3 (no readerFeatures declared) gates loudly
     with pytest.raises(NotImplementedError):
+        read_delta(spark, root)
+
+    root = str(tmp_path / "dvtbl")
+    log = os.path.join(root, "_delta_log")
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(),
+    ], ts=1_000)
+    # deletion vectors change what bytes mean — must stay gated
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
         read_delta(spark, root)
 
 
@@ -340,3 +353,254 @@ def test_external_fg_over_delta_table(spark, tmp_path):
     assert [f.name for f in ext.features] == ["k", "v", "lang"]
     # query surface composes on top
     assert ext.select(["k", "v"]).filter(ext.v > 5.0).read(spark).count() == 2
+
+
+def test_delta_checkpoint_nonempty_partition_values(spark, tmp_path):
+    """pyarrow renders a checkpoint's MAP<string,string> partitionValues
+    as a LIST of (k, v) tuples — the replay must normalize it (real
+    writers checkpoint every 10 commits, so every partitioned table
+    with a checkpoint hits this)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "cptbl")
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(spark, {"k": [1], "v": [1.5]}, None,
+                   os.path.join(root, "lang=en/p0.parquet"))
+    _write_parquet(spark, {"k": [2], "v": [2.5]}, None,
+                   os.path.join(root, "lang=de/p1.parquet"))
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(partition_cols=["lang"]),
+        {"add": {"path": "lang=en/p0.parquet",
+                 "partitionValues": {"lang": "en"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+    _commit(log, 1, [
+        {"add": {"path": "lang=de/p1.parquet",
+                 "partitionValues": {"lang": "de"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], ts=2_000)
+    add_t = pa.array(
+        [None,
+         {"path": "lang=en/p0.parquet", "partitionValues": [("lang", "en")]},
+         {"path": "lang=de/p1.parquet", "partitionValues": [("lang", "de")]}],
+        type=pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ]),
+    )
+    md_t = pa.array(
+        [{"schemaString": SCHEMA_JSON, "partitionColumns": ["lang"]},
+         None, None],
+        type=pa.struct([
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ]),
+    )
+    pq.write_table(
+        pa.table({"metaData": md_t, "add": add_t}),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 3}, fh)
+    # delete the pre-checkpoint jsons to PROVE state comes from the cp
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+
+    df = read_delta(spark, root)
+    assert dict((r["k"], (r["v"], r["lang"])) for r in df.collect()) == {
+        1: (1.5, "en"), 2: (2.5, "de")}
+
+
+def test_delta_non_hive_layout_partition_values(spark, tmp_path):
+    """External writers may place files ANYWHERE; partition values then
+    attach via the broadcast file-map join, not directory names."""
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "flat")
+    log = os.path.join(root, "_delta_log")
+    # files at the table ROOT despite being partitioned by lang
+    _write_parquet(spark, {"k": [1], "v": [1.5]}, None,
+                   os.path.join(root, "a.parquet"))
+    _write_parquet(spark, {"k": [2], "v": [2.5]}, None,
+                   os.path.join(root, "b.parquet"))
+    _write_parquet(spark, {"k": [3], "v": [3.5]}, None,
+                   os.path.join(root, "c.parquet"))
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(partition_cols=["lang"]),
+        {"add": {"path": "a.parquet", "partitionValues": {"lang": "en"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {"lang": "de"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {"lang": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+    df = read_delta(spark, root)
+    assert dict((r["k"], (r["v"], r["lang"])) for r in df.collect()) == {
+        1: (1.5, "en"), 2: (2.5, "de"), 3: (3.5, None)}
+    assert [f.name for f in df.schema.fields] == ["k", "v", "lang"]
+
+
+def test_delta_many_partitions_flat_plan(spark, tmp_path):
+    """A 500-partition table must compile to ONE flat scan — not a
+    500-leg Union (plan build would dominate at real partition counts:
+    daily x tenant at 100 TB is 10k+ tuples)."""
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "many")
+    log = os.path.join(root, "_delta_log")
+    n = 500
+    adds = []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for i in range(n):
+        rel = f"lang=p{i:03d}/f{i}.parquet"
+        full = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(pa.table({"k": [i], "v": [float(i)]}), full)
+        adds.append({"add": {
+            "path": rel, "partitionValues": {"lang": f"p{i:03d}"},
+            "size": 1, "modificationTime": 0, "dataChange": True}})
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(partition_cols=["lang"]),
+    ] + adds, ts=1_000)
+
+    df = read_delta(spark, root)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert df.count() == n
+    got = {(r["k"], r["lang"]) for r in df.limit(0).unionByName(df).collect()}
+    assert (7, "p007") in got and len(got) == n
+
+
+def test_delta_column_mapping(spark, tmp_path):
+    """minReaderVersion 2 column mapping: logical names resolve to
+    physical parquet names through schema field metadata (renames and
+    drops are metadata-only in mapped tables)."""
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "mapped")
+    log = os.path.join(root, "_delta_log")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "key_renamed", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "val", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ccc"}},
+        ],
+    })
+    # mapped writers use uuid-ish dirs/files with PHYSICAL names
+    _write_parquet(spark, {"col-aaa": [1], "col-bbb": [1.5]}, None,
+                   os.path.join(root, "x1.parquet"))
+    _write_parquet(spark, {"col-aaa": [2], "col-bbb": [2.5]}, None,
+                   os.path.join(root, "x2.parquet"))
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "schemaString": schema,
+            "partitionColumns": ["lang"],
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }},
+        {"add": {"path": "x1.parquet",
+                 "partitionValues": {"col-ccc": "en"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "x2.parquet",
+                 "partitionValues": {"col-ccc": "de"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+    df = read_delta(spark, root)
+    assert [f.name for f in df.schema.fields] == [
+        "key_renamed", "val", "lang"]
+    assert dict((r["key_renamed"], (r["val"], r["lang"]))
+                for r in df.collect()) == {1: (1.5, "en"), 2: (2.5, "de")}
+
+    # v3 table-features form of column mapping also reads
+    root2 = str(tmp_path / "mapped3")
+    log2 = os.path.join(root2, "_delta_log")
+    _write_parquet(spark, {"col-aaa": [9], "col-bbb": [9.5]}, None,
+                   os.path.join(root2, "y.parquet"))
+    _commit(log2, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {
+            "id": "t2", "schemaString": schema, "partitionColumns": [],
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+        {"add": {"path": "y.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+    df2 = read_delta(spark, root2)
+    assert [(r["key_renamed"], r["val"], r["lang"])
+            for r in df2.collect()] == [(9, 9.5, None)]
+
+
+def test_delta_backend_checkpoints_and_concurrent_versions(spark, tmp_path):
+    """(1) The backend writes <v>.checkpoint.parquet + _last_checkpoint
+    every 10 commits, and a reader fast-forwards (proved by deleting
+    the pre-checkpoint JSONs). (2) Delta version allocation is
+    put-if-absent: a concurrent writer claiming the same version cannot
+    be clobbered."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import (
+        read_delta,
+        resolve_delta_version,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_cp", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    for i in range(25):
+        fg.insert(spark.createDataFrame(
+            [(i % 7, i, float(i))], "k long, ts long, v double"))
+
+    log_dir = os.path.join(fg.location, "_delta_log")
+    cps = sorted(n for n in os.listdir(log_dir) if ".checkpoint." in n)
+    assert cps == [f"{10:020d}.checkpoint.parquet",
+                   f"{20:020d}.checkpoint.parquet"]
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 20
+
+    head = resolve_delta_version(fg.location)
+    before = sorted(
+        (r["k"], r["ts"]) for r in read_delta(spark, fg.location).collect())
+    # replay must start at cp+1: nuke every pre-checkpoint JSON commit
+    for v in range(0, 20):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    after = sorted(
+        (r["k"], r["ts"]) for r in read_delta(spark, fg.location).collect())
+    assert after == before and len(after) == 25
+    assert resolve_delta_version(fg.location) == head
+    # the FG itself still reads through the checkpointed log
+    assert fg.read(spark).count() == 25
+
+    # concurrent version allocation: simulate a racing writer that
+    # claims the next version between list and link — our commit must
+    # land at the version AFTER it, clobbering nothing
+    backend = fg.commit_store.backend
+    versions = backend._versions()
+    nxt = versions[-1] + 1
+    foreign = os.path.join(log_dir, f"{nxt:020d}.json")
+    with open(foreign, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    got = backend._write_delta_commit([])
+    assert got == nxt + 1
+    with open(foreign) as fh:  # the foreign commit survived untouched
+        assert json.loads(fh.readline())["commitInfo"]["timestamp"] == 1

@@ -2439,6 +2439,31 @@ def _q_bm25_batch(spark, sf_dir):
     )
 
 
+def _q_bm25_batch_indexed(spark, sf_dir):
+    """Indexed batched BM25 (operators/retrieval.py:
+    bm25_topk_batch_indexed): the same query table as bm25_batch probed
+    against a PERSISTED bucket-partitioned index — tf/df scans carry
+    parquet PartitionFilters on the query terms' buckets; dl and corpus
+    stats are reused from the index instead of re-tokenizing the
+    corpus. Scores must equal the direct path's (same oracle SQL)."""
+    from feature_store_api_spark.operators.retrieval import (
+        bm25_topk_batch_indexed,
+        save_bm25_index,
+    )
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    idx = save_bm25_index(
+        d, _scratch("fsas_bmidx_"), "text", "doc_id", buckets=32
+    )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("qtext"),
+    )
+    return bm25_topk_batch_indexed(idx, qs, "qtext", "query_id", k=5)
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """Unigram-LM perplexity quality scores (operators/quality_lm.py):
     the CCNet filtering signal, trained on the corpus itself — one
@@ -2870,15 +2895,70 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the FIRST
-    # ~50 entries per round: (1) minhash_verified — the ONE entry that has
-    # never received an oracle verdict (it sat at position 51 in r07);
-    # (2) the 28 entries whose latest green verdict is r05, the oldest on
-    # the board; (3) entries whose underlying code changed in r08
-    # (negative_sampling's bucketed candidate index + mirrored oracle;
-    # pit_join_skew's null-safe carry join; streaming legacy batch-id
-    # dedupe; minhash/stats perf work); (4) r06-verdict entries to fill
-    # the window; (5) everything else, freshest proofs (r07) last.
+    # 50 entries per round (r09 rotation, per VERDICT r08 item 1):
+    # (1) bm25_batch_indexed — new this round, never checked;
+    # (2) entries whose underlying code changed since the r08 verdict —
+    # the lakehouse readers/backend rewrite (flat-plan Delta scan,
+    # checkpoints, Hudi archive/replacecommit rules), the splits long-cast
+    # fix, and the r09 clusterer/statistics perf work;
+    # (3) the 40 entries whose latest green verdict is r06 — two rounds
+    # stale, the oldest on the board (VERDICT r08 names them);
+    # (4) everything else, freshest proofs (r07/r08) last.
     return {
+        # new r09 operator — never checked
+        "bm25_batch_indexed": _q_bm25_batch_indexed,
+        # code changed since the r08 verdict
+        "delta_time_travel": _q_delta_time_travel,
+        "delta_fg_upsert": _q_delta_fg_upsert,
+        "hudi_time_travel": _q_hudi_time_travel,
+        "streaming_upsert": _q_streaming_upsert,
+        "negative_sampling": _q_negative_sampling,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
+        "corpus_curation": _q_corpus_curation,
+        "stats_profile": _q_stats_profile,
+        # the 40 r06-stale entries
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_exact": _q_dedup_exact,
+        "corpus_curation_quality": _q_corpus_curation_quality,
+        "exact_window_dedup": _q_exact_window_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "latest_per_key": _q_latest_per_key,
+        "set_ops": _q_set_ops,
+        "validation_report": _q_validation_report,
+        "drift_psi": _q_drift_psi,
+        "drift_windows": _q_drift_windows,
+        "embedding_projection": _q_embedding_projection,
+        "knn_ivfpq": _q_knn_ivfpq,
+        "model_provenance": _q_model_provenance,
+        "builtin_scalers": _q_builtin_scalers,
+        "cast_schema": _q_cast_schema,
+        "embedding_dups": _q_embedding_dups,
+        "embedding_fetch": _q_embedding_fetch,
+        "encoders": _q_encoders,
+        "ewma_features": _q_ewma_features,
+        "knn_batch": _q_knn_batch,
+        "knn_cosine": _q_knn_cosine,
+        "knn_l2": _q_knn_l2,
+        "repetition_metrics": _q_repetition_metrics,
+        "row_sampling": _q_row_sampling,
+        "sequence_packing": _q_sequence_packing,
+        "session_windows": _q_session_windows,
+        "stratified_sample": _q_stratified_sample,
+        "text_language": _q_text_language,
+        "text_quality": _q_text_quality,
+        "text_stats": _q_text_stats,
+        "windowed_agg_hourly": _q_windowed_agg_hourly,
+        "multi_part_insert": _q_multi_part_insert,
+        "audio_decode": _q_audio_decode,
+        "pq_codes": _q_pq_codes,
+        "knn_pq": _q_knn_pq,
+        "doc_chunks": _q_doc_chunks,
+        "stream_interval_join": _q_stream_interval_join,
+        "time_series_split": _q_time_series_split,
+        "monitoring_window": _q_monitoring_window,
+        "append_feature_default": _q_append_feature_default,
+        # ---- end of the 50-entry driver window ----
         "minhash_verified": _q_minhash_verified,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
@@ -2908,37 +2988,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_materialize": _q_kafka_materialize,
         "td_avro_roundtrip": _q_td_avro_roundtrip,
         "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "negative_sampling": _q_negative_sampling,
         "pit_join_skew": _q_pit_join_skew,
-        "streaming_upsert": _q_streaming_upsert,
         "streaming_dedup": _q_streaming_dedup,
         "minhash_pairs": _q_minhash_pairs,
-        "stats_profile": _q_stats_profile,
-        "dedup_clusters": _q_dedup_clusters,
-        "corpus_curation": _q_corpus_curation,
         "pit_join_ttl": _q_pit_join_ttl,
         "pit_join_multi": _q_pit_join_multi,
         "pit_join_range": _q_pit_join_range,
         "spine_pit_join": _q_spine_pit_join,
-        # new r08 operators — never checked, so inside the window
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
         "lm_perplexity": _q_lm_perplexity,
         "temperature_sample": _q_temperature_sample,
         "dsir_sample": _q_dsir_sample,
-        "delta_time_travel": _q_delta_time_travel,
-        "delta_fg_upsert": _q_delta_fg_upsert,
-        "hudi_time_travel": _q_hudi_time_travel,
         "retrieval_metrics": _q_retrieval_metrics,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_exact": _q_dedup_exact,
-        "corpus_curation_quality": _q_corpus_curation_quality,
-        "exact_window_dedup": _q_exact_window_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "latest_per_key": _q_latest_per_key,
-        "set_ops": _q_set_ops,
-        "validation_report": _q_validation_report,
-        "drift_psi": _q_drift_psi,
         "commit_details": _q_commit_details,
         "compaction_snapshot": _q_compaction_snapshot,
         "contamination_check": _q_contamination_check,
@@ -2977,41 +3039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_asof": _q_time_travel_asof,
         "time_travel_snapshot": _q_time_travel_snapshot,
         "vacuum_retention": _q_vacuum_retention,
-        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "incremental_dedup": _q_incremental_dedup,
         "pit_join": _q_pit_join,
         "label_window": _q_label_window,
-        "drift_windows": _q_drift_windows,
-        "embedding_projection": _q_embedding_projection,
-        "knn_ivfpq": _q_knn_ivfpq,
-        "model_provenance": _q_model_provenance,
-        "builtin_scalers": _q_builtin_scalers,
-        "cast_schema": _q_cast_schema,
-        "embedding_dups": _q_embedding_dups,
-        "embedding_fetch": _q_embedding_fetch,
-        "encoders": _q_encoders,
-        "ewma_features": _q_ewma_features,
-        "knn_batch": _q_knn_batch,
-        "knn_cosine": _q_knn_cosine,
-        "knn_l2": _q_knn_l2,
-        "repetition_metrics": _q_repetition_metrics,
-        "row_sampling": _q_row_sampling,
-        "sequence_packing": _q_sequence_packing,
-        "session_windows": _q_session_windows,
-        "stratified_sample": _q_stratified_sample,
-        "text_language": _q_text_language,
-        "text_quality": _q_text_quality,
-        "text_stats": _q_text_stats,
-        "windowed_agg_hourly": _q_windowed_agg_hourly,
-        "multi_part_insert": _q_multi_part_insert,
-        "audio_decode": _q_audio_decode,
-        "pq_codes": _q_pq_codes,
-        "knn_pq": _q_knn_pq,
-        "doc_chunks": _q_doc_chunks,
-        "stream_interval_join": _q_stream_interval_join,
-        "time_series_split": _q_time_series_split,
-        "monitoring_window": _q_monitoring_window,
-        "append_feature_default": _q_append_feature_default,
     }
 
 
@@ -3185,7 +3215,7 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "vacuum_retention": """
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
@@ -5101,3 +5131,8 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_decode use hash functions or stub decoders with no
         # DuckDB equivalent — the driver records its rows-only check.
     }
+    # The indexed batch probe is score-identical to the direct batch
+    # path over the same corpus/queries (df/dl/stats come from the
+    # index's full-corpus pass), so it shares the oracle verbatim.
+    out["bm25_batch_indexed"] = out["bm25_batch"]
+    return out

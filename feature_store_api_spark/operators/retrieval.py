@@ -200,15 +200,16 @@ def bm25_topk_batch(
 
 
 def mine_hard_negatives(
-    docs: DataFrame,
+    docs: Optional[DataFrame],
     queries: DataFrame,
     positives: DataFrame,
-    text_col: str,
+    text_col: Optional[str],
     id_col: str,
     query_text_col: str,
     query_id_col: str,
     k: int = 10,
     depth: int = 50,
+    index: Optional["BM25Index"] = None,
 ) -> DataFrame:
     """Contrastive-training hard negatives: per query, the top-scoring
     BM25 documents that are NOT known positives — lexically confusable
@@ -216,13 +217,24 @@ def mine_hard_negatives(
     with BM25 as the retriever). ``positives`` holds
     (query_id_col, id_col) pairs; retrieval goes ``depth`` deep so k
     negatives usually survive the anti-join; ranks are re-numbered
-    after filtering."""
+    after filtering.
+
+    Pass ``index=`` (a persisted :class:`BM25Index`; ``docs`` and
+    ``text_col`` may then be None) to mine against a large fixed
+    corpus without re-tokenizing it — the probe reads only the query
+    terms' pruned buckets."""
     from pyspark.sql import Window
 
-    cand = bm25_topk_batch(
-        docs, queries, text_col, id_col, query_text_col, query_id_col,
-        k=depth,
-    )
+    if index is not None:
+        cand = bm25_topk_batch_indexed(
+            index, queries, query_text_col, query_id_col, k=depth,
+        )
+        id_col = index.id_col
+    else:
+        cand = bm25_topk_batch(
+            docs, queries, text_col, id_col, query_text_col, query_id_col,
+            k=depth,
+        )
     negs = cand.join(
         positives.select(query_id_col, id_col),
         on=[query_id_col, id_col],
@@ -362,3 +374,87 @@ def bm25_topk_indexed(
             id_col, F.round(F.col("score"), round_to).alias("score")
         )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_topk_batch_indexed(
+    index: BM25Index,
+    queries: DataFrame,
+    query_text_col: str,
+    query_id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: Optional[int] = 6,
+    max_inlist_terms: int = 1000,
+) -> DataFrame:
+    """Batch top-k over a persisted index — evaluation / mining over a
+    large FIXED corpus without recomputing tf/dl per run.
+
+    The partition predicate is a literal ``__bkt IN (...)`` built from
+    ONE tiny job over the queries table (cost ∝ queries, never corpus;
+    the IN-list is bounded by ``index.buckets``), so the tf/df scans
+    carry parquet PartitionFilters exactly like the single-query probe.
+    When the distinct query vocabulary is small (≤ ``max_inlist_terms``)
+    a term IN-list additionally pushes into row groups; larger
+    vocabularies rely on the broadcast semi-join alone. Scores are
+    identical to :func:`bm25_topk_batch` over the same corpus (df/dl/
+    stats come from the index's full-corpus pass)."""
+    from pyspark.sql import Window
+
+    qtok = queries.select(
+        F.col(query_id_col),
+        F.explode(_tokens(F.col(query_text_col))).alias("__tok"),
+    ).distinct()  # BM25 sums each query term once
+    # one small job over the QUERIES table: the touched buckets
+    bkts = sorted(
+        r["__b"]
+        for r in qtok.select(
+            _tok_bucket(F.col("__tok"), index.buckets).alias("__b")
+        ).distinct().collect()
+    )
+    if not bkts:
+        raise ValueError("bm25: queries have no tokens")
+    terms = None
+    if len(bkts) < index.buckets:  # all-buckets IN-list prunes nothing
+        term_rows = qtok.select("__tok").distinct().limit(
+            max_inlist_terms + 1
+        ).collect()
+        if len(term_rows) <= max_inlist_terms:
+            terms = sorted(r["__tok"] for r in term_rows)
+    prune = F.col("__bkt").isin(bkts)
+    if terms is not None:
+        prune = prune & F.col("__tok").isin(terms)
+    tf_all, df_all, dl, stats = index.frames()
+    qterms_b = F.broadcast(qtok.select("__tok").distinct())
+    tf = tf_all.where(prune).join(qterms_b, on="__tok", how="left_semi")
+    dfreq = (
+        df_all.where(prune)
+        .join(qterms_b, on="__tok", how="left_semi")
+        .drop("__bkt")
+    )
+    id_col = index.id_col
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qtok), on="__tok")
+        .join(F.broadcast(dfreq), on="__tok")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

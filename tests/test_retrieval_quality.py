@@ -299,3 +299,61 @@ def test_retrieval_metrics_math(spark):
     summary = retrieval_metrics_summary(preds, truth, "q", "doc", k=3).first()
     assert summary["n_queries"] == 3
     assert summary["recall_at_k"] == round((2 / 3) / 3, 6)
+
+
+def test_bm25_batch_indexed_matches_direct_and_prunes(spark, sf_dir, tmp_path):
+    """The INDEXED batch probe returns identical (query, doc, score,
+    rank) rows to the direct batch path, its tf scan carries parquet
+    PartitionFilters on __bkt, and mine_hard_negatives(index=...) mines
+    without re-tokenizing the corpus."""
+    import re
+
+    from feature_store_api_spark.operators.retrieval import (
+        bm25_topk_batch,
+        bm25_topk_batch_indexed,
+        mine_hard_negatives,
+        save_bm25_index,
+    )
+    from feature_store_api_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    idx = save_bm25_index(d, str(tmp_path / "bmi"), "text", "doc_id",
+                          buckets=16)
+    queries = spark.createDataFrame(
+        [(1, "feature store training data"), (2, "model pipeline quality"),
+         (3, "document text")],
+        "query_id long, qtext string",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in df.collect()
+        )
+
+    direct = rows(bm25_topk_batch(
+        d, queries, "text", "doc_id", "qtext", "query_id", k=7))
+    via_idx = rows(bm25_topk_batch_indexed(
+        idx, queries, "qtext", "query_id", k=7))
+    assert via_idx == direct and direct
+
+    plan = (
+        bm25_topk_batch_indexed(idx, queries, "qtext", "query_id", k=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("__bkt" in x for x in pf), plan
+
+    positives = spark.createDataFrame(
+        [(1, direct[0][2])], "query_id long, doc_id long")
+    negs_direct = rows(mine_hard_negatives(
+        d, queries, positives, "text", "doc_id", "qtext", "query_id",
+        k=3, depth=7))
+    negs_idx = rows(mine_hard_negatives(
+        None, queries, positives, None, "doc_id", "qtext", "query_id",
+        k=3, depth=7, index=idx))
+    assert negs_idx == negs_direct
+    assert all(not (q == 1 and doc == direct[0][2])
+               for q, _, doc, _ in negs_idx)

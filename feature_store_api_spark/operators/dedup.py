@@ -468,7 +468,12 @@ def duplicate_clusters(
     (Kiveris et al., "Connected Components in MapReduce and Beyond" —
     public algorithm), converging in O(log n) rounds independent of
     component diameter — the right choice for pathological long-chain
-    graphs where min-label would need diameter rounds.
+    graphs where min-label would need diameter rounds. Rounds contract
+    the edge set geometrically, so once a round's output fits
+    ``driver_pair_threshold`` the remainder finishes with exact driver
+    union-find (the paper's finish-locally step) instead of paying the
+    tail rounds' fixed costs; pass ``driver_pair_threshold=0`` for the
+    pure-distributed loop.
 
     ``algorithm="auto"``: scale-adaptive. LSH candidate pairs are
     orders of magnitude smaller than the corpus, and at moderate sizes
@@ -506,6 +511,22 @@ def _duplicate_clusters_impl(
         if n_pairs <= driver_pair_threshold:
             return _cc_driver_union_find(pairs)
         algorithm = "two_phase"
+    elif algorithm == "two_phase":
+        # two_phase reads the pairs twice (node set + oriented edges) —
+        # same materialize-once rule as the auto path. min_label keeps
+        # its single consumer (the symmetrize->distinct->checkpoint).
+        pairs = pairs.localCheckpoint(eager=True)
+    a, b = pairs.columns[0], pairs.columns[1]
+    if algorithm == "two_phase":
+        # two_phase only needs the big->small ORIENTED edge set plus the
+        # node set — derive both straight from the pairs (one distinct
+        # over n_pairs rows), never materializing the 2x symmetrized
+        # set that the min-label variant needs (at bench x10 scale that
+        # symmetrize+distinct was a full extra shuffle of 3.9M rows
+        # thrown away by the very next orientation filter)
+        return _cc_two_phase(pairs, max_iterations, driver_pair_threshold)
+    if algorithm != "min_label":
+        raise ValueError(f"Unknown clustering algorithm {algorithm!r}")
     # symmetrize in ONE pass: each pair row explodes into its two
     # orientations. The union-of-reversed-selves formulation would (a)
     # compute the pairs plan TWICE (each union child is a full lineage)
@@ -513,7 +534,6 @@ def _duplicate_clusters_impl(
     # (UnionBase.rewriteConstraints: "key not found: src#N") when the
     # pairs plan carries higher-order-function constraints from the LSH
     # bucket pair expansion.
-    a, b = pairs.columns[0], pairs.columns[1]
     edges = pairs.select(
         F.explode(
             F.array(
@@ -523,10 +543,6 @@ def _duplicate_clusters_impl(
         ).alias("__e")
     ).select("__e.src", "__e.dst")
     edges = edges.distinct().localCheckpoint(eager=True)
-    if algorithm == "two_phase":
-        return _cc_two_phase(edges, max_iterations)
-    if algorithm != "min_label":
-        raise ValueError(f"Unknown clustering algorithm {algorithm!r}")
     # label init = the FIRST propagation hop for free: min(id, min N(id))
     # via one groupBy over the symmetrized edges — the same single
     # shuffle a plain `select(src).distinct()` init would cost, but one
@@ -627,28 +643,52 @@ def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def _cc_two_phase(edges: DataFrame, max_iterations: int) -> DataFrame:
+def _cc_two_phase(
+    pairs: DataFrame, max_iterations: int, finish_threshold: int = 0
+) -> DataFrame:
     """Large-star/small-star connected components (public algorithm:
-    Kiveris et al. 2014). Operates on a symmetric distinct edge set;
-    each round is one large-star then one small-star, each = one
-    groupBy + one join; the edge set converges to stars centered at
-    each component's minimum id in O(log n) rounds regardless of
-    diameter. Convergence is checked EXACTLY: the round output is a
-    distinct oriented (big→small) edge set, so equal counts plus an
-    empty ``exceptAll`` against the previous round's set ⟺ set
-    equality ⟺ fixpoint. Both sides are localCheckpointed, so the
-    check runs over cached partitions, and the count gate skips the
-    except entirely on non-converged rounds.
+    Kiveris et al. 2014). Takes the raw duplicate-pair frame (two id
+    columns, any orientation); each round is one large-star then one
+    small-star, each = one groupBy + one join; the edge set converges
+    to stars centered at each component's minimum id in O(log n)
+    rounds regardless of diameter. Convergence is checked EXACTLY: the
+    round output is a distinct oriented (big→small) edge set, so equal
+    counts plus an empty ``exceptAll`` against the previous round's
+    set ⟺ set equality ⟺ fixpoint. Both the intra-round ``large``
+    frame and the round output are eagerly localCheckpointed: lineage
+    must not grow with rounds, and the checkpoint gives the next
+    sub-plan exact (tiny) size stats, so its join planning beats the
+    persist() alternative (measured: persist made the star rounds ~30%
+    slower — the cached plan hides the collapsed cardinality).
+
+    ``finish_threshold``: the stars contract the edge set geometrically
+    (LSH graphs: >20x in round one), so once a round's output fits the
+    same driver crossover bound the ``auto`` strategy uses, the
+    remainder is finished with exact driver union-find instead of
+    paying 2-3 more checkpointed rounds — Kiveris et al.'s own
+    finish-small-remainders-locally step. Components are preserved by
+    every star round, so union-find over the contracted edges labels
+    identically to running the rounds to their fixpoint; 0 disables.
     """
-    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
-        eager=True
-    )
-    # oriented representation: (u, v) with u > v ("u points to v")
+    a, b = pairs.columns[0], pairs.columns[1]
+    # nodes and the initial oriented edge set stay LAZY over the
+    # caller-materialized pairs: each is consumed inside exactly one
+    # downstream job (final labeling / round 0, whose union branches
+    # share the distinct's exchange via ReuseExchange), so an eager
+    # checkpoint here would only add a materialization job. Lineage
+    # stays bounded — every ROUND output is checkpointed below.
+    nodes = pairs.select(
+        F.explode(F.array(F.col(a), F.col(b))).alias("id")
+    ).distinct()
+    # oriented representation: (u, v) with u > v ("u points to v") —
+    # straight from the pairs, no symmetrized intermediate
     e = (
-        edges.where(F.col("src") > F.col("dst"))
-        .select("src", "dst")
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("src"),
+            F.least(F.col(a), F.col(b)).alias("dst"),
+        )
+        .where(F.col("src") > F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_fp = None
     converged = False
@@ -684,6 +724,19 @@ def _cc_two_phase(edges: DataFrame, max_iterations: int) -> DataFrame:
         )
         prev_e, e = e, small
         n = e.count()
+        if n <= finish_threshold:
+            # contracted remainder fits the driver crossover bound:
+            # exact union-find over it, stitched onto the full node set
+            labels = _cc_driver_union_find(e)
+            return (
+                nodes.join(labels, nodes["id"] == labels["doc_id"], "left")
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.coalesce(F.col("cluster_id"), F.col("id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
         if (
             prev_fp is not None
             and n == prev_fp

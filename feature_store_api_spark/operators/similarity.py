@@ -1146,11 +1146,14 @@ def semantic_dedup(
 
     ``method``: ``"expr"`` evaluates every cosine as Column expressions
     (higher-order folds — interpreted per element, byte-stable across
-    engines: the oracle path); ``"pandas"`` runs the assignment as an
+    engines: the oracle path) and verifies pairs through a
+    within-cluster self-join; ``"pandas"`` runs the assignment as an
     Arrow-batched numpy matmul (``mapInPandas``) and the pair check as
-    a vectorized ``pandas_udf`` — 10-100x faster when k x dim is large,
-    identical results except on exact .5e-7 rounding boundaries (numpy
-    rounds half-to-even, Spark half-up). ``"auto"`` picks pandas once
+    ONE per-cluster blocked matmul (``applyInPandas`` — the shuffle
+    moves n rows, never the O(sum c_i^2) joined pairs) — 10-100x
+    faster when k x dim or cluster sizes are large, identical results
+    except on exact .5e-7 rounding boundaries (numpy rounds
+    half-to-even, Spark half-up). ``"auto"`` picks pandas once
     ``num_clusters x dim`` exceeds ~1k (where interpreted folds stop
     scaling)."""
     base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__v"))
@@ -1176,7 +1179,15 @@ def semantic_dedup(
         # start beats it — and stays byte-portable for oracles
         method = "pandas" if num_clusters * dim > 1024 else "expr"
     if method == "pandas":
+        # scale path: per-cluster blocked matmul (ONE applyInPandas) —
+        # Arrow moves n rows, not the O(sum c_i^2) joined pairs the
+        # expr path's self-join materializes (at 10x bench scale that
+        # join shipped ~7M pair rows x 2 vectors through a per-pair
+        # UDF; the matmul does the same 15M cosines in-memory in ms)
         assigned = _semantic_assign_pandas(base, seeds)
+        return _semantic_dedup_groups(assigned, threshold).select(
+            F.col("__id").alias(id_col), "cluster", "is_dup"
+        )
     else:
         vnorm = _norm(F.col("__v"))
         scored = []
@@ -1202,15 +1213,12 @@ def semantic_dedup(
     assigned = assigned.localCheckpoint(eager=True)
     a = assigned.alias("a")
     b = assigned.alias("b")
-    if method == "pandas":
-        pair_cos = _pair_cosine_pandas(F.col("a.__v"), F.col("b.__v"))
-    else:
-        # zero-norm guard: cosine is undefined for a zero vector, so
-        # such a pair is never a duplicate (ANSI would raise on the /0)
-        norm_prod = _norm(F.col("a.__v")) * _norm(F.col("b.__v"))
-        pair_cos = F.when(norm_prod == 0, F.lit(-2.0)).otherwise(
-            F.round(_dot(F.col("a.__v"), F.col("b.__v")) / norm_prod, 6)
-        )
+    # zero-norm guard: cosine is undefined for a zero vector, so
+    # such a pair is never a duplicate (ANSI would raise on the /0)
+    norm_prod = _norm(F.col("a.__v")) * _norm(F.col("b.__v"))
+    pair_cos = F.when(norm_prod == 0, F.lit(-2.0)).otherwise(
+        F.round(_dot(F.col("a.__v"), F.col("b.__v")) / norm_prod, 6)
+    )
     dup_ids = (
         a.join(
             b,
@@ -1263,24 +1271,58 @@ def _semantic_assign_pandas(base: DataFrame, seeds) -> DataFrame:
     return base.mapInPandas(assign, schema=schema)
 
 
-def _pair_cosine_pandas(va: Column, vb: Column) -> Column:
-    """Vectorized pair cosine (rounded, zero-norm -> -2.0) as a
-    pandas_udf — the scale path for the within-cluster verify."""
-    from pyspark.sql.functions import pandas_udf
+def _semantic_dedup_groups(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster near-dup marking as ONE ``applyInPandas`` over the
+    cluster key: per group, a blocked V @ V.T cosine matmul marks every
+    row with a smaller-id neighbor at rounded cosine >= threshold.
 
-    @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.asarray(a.tolist(), dtype=np.float64)
-        B = np.asarray(b.tolist(), dtype=np.float64)
-        prod = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        safe = np.where(prod == 0, 1.0, prod)
-        out = np.round((A * B).sum(axis=1) / safe, 6)
-        out[prod == 0] = -2.0
-        return pd.Series(out)
+    Pair semantics are byte-identical to the expr path's self-join
+    (same dot/(|a||b|) operand order before the 6-dp round, zero-norm
+    rows score -2.0 so they never match), but the shuffle moves n rows
+    instead of the O(sum c_i^2) joined pairs. Block size adapts to the
+    group so the cos block stays ~64 MB however large one cluster gets;
+    the per-task memory bound is SemDeDup's own contract (size k so
+    c_i ~ n/k fits a task — identical to the join path, where one
+    cluster's pairs also landed on one task)."""
+    id_field = next(f for f in assigned.schema.fields if f.name == "__id")
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", id_field.dataType, id_field.nullable),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("is_dup", T.BooleanType(), False),
+        ]
+    )
+    thr = float(threshold)
 
-    return _cos(va, vb)
+    def dedup(pdf):
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        vn = np.linalg.norm(V, axis=1)
+        zero = vn == 0
+        safe = np.where(zero, 1.0, vn)
+        is_dup = np.zeros(n, dtype=bool)
+        cols = np.arange(n)
+        bs = max(64, min(4096, 8_000_000 // max(n, 1)))
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            # same op order as the pair path: dot / (|a|*|b|), then round
+            cos = np.round(
+                (V[s:e] @ V.T) / (safe[s:e, None] * safe[None, :]), 6
+            )
+            cos[zero[s:e], :] = -2.0
+            cos[:, zero] = -2.0
+            hit = (cos >= thr) & (np.arange(s, e)[:, None] < cols[None, :])
+            is_dup |= hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "cluster": pdf["cluster"].astype("int32"),
+                "is_dup": is_dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(dedup, schema=out_schema)
 
 
 def random_projection(

@@ -76,3 +76,25 @@ def test_unique_values(spark, catalog):
     n = catalog.get_feature_group("nation").read(spark)
     vals = st.unique_values(n, "n_regionkey")
     assert sorted(vals) == [0, 1, 2, 3, 4]
+
+
+def test_footer_minmax_many_files(spark, tmp_path):
+    """The footer fast path must fire on a plain scan of a MULTI-file
+    table beyond the old 256-file cap (threaded footer reads), return
+    the exact global bounds, and reject a filtered plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files = 300
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"v": pa.array([i * 2, i * 2 + 1], type=pa.int64())}),
+            str(d / f"part-{i:05d}.parquet"),
+        )
+    df = spark.read.parquet(str(d))
+    mm = st._file_scan_minmax(df.select("v"), ["v"])
+    assert mm == {"v": (0, (n_files - 1) * 2 + 1)}
+    # a filter could shrink the true range below the footers' — reject
+    assert st._file_scan_minmax(df.where("v > 10"), ["v"]) == {}

@@ -20,10 +20,13 @@ protocol (delta.io PROTOCOL.md) directly:
 
 Scale shape: the log replay is driver-side (exactly how real Delta
 clients work — the log is metadata, bounded by checkpointing) and the
-data read is ONE ``spark.read.parquet(*files)`` per distinct partition
-tuple, so executors only ever touch live data files. Features beyond
-minReaderVersion 1 (column mapping, deletion vectors) are gated with a
-clear error instead of silently wrong rows.
+data read is ONE flat parquet relation over exactly the live files.
+Column mapping (protocol v2 / v3 ``columnMapping``) resolves physical
+names from schema metadata; deletion vectors (v3 ``deletionVectors``)
+are decoded from the public RoaringBitmapArray format and stripped
+with a ``_metadata.row_index`` anti-join. Remaining v3 features
+(``v2Checkpoint``, ``typeWidening``, …) are gated with a clear error
+instead of silently wrong rows.
 """
 
 from __future__ import annotations
@@ -88,14 +91,71 @@ def _latest_checkpoint(log_dir: str, max_version: int) -> Optional[int]:
 #: reader features (protocol v3 "table features") this reader honors.
 #: columnMapping = metadata-only rename/drop (physical names resolved
 #: from schema field metadata); timestampNtz = a plain Spark type;
+#: deletionVectors = decoded from the public RoaringBitmapArray format
+#: and stripped with a row-index anti-join (sources/deletion_vectors);
 #: vacuumProtocolCheck has no read-path semantics. Everything else —
-#: deletionVectors, v2Checkpoint, typeWidening — changes what bytes
-#: mean and MUST stay gated (silently wrong rows otherwise).
+#: v2Checkpoint, typeWidening — changes what bytes mean and MUST stay
+#: gated (silently wrong rows otherwise).
 _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
+    "deletionVectors",
     "vacuumProtocolCheck",
 }
+
+#: decoding DVs is driver-side (like every Delta client's metadata
+#: path); bound the total deleted-position count so a pathological
+#: table errors loudly instead of melting the driver
+_MAX_DV_POSITIONS = 20_000_000
+
+
+def _strip_deleted_rows(df: DataFrame, path: str, live: Dict[str, Dict]):
+    """Remove DV-deleted rows: left-anti join the scan, keyed by the
+    parquet row index Spark exposes as ``_metadata.row_index``, against
+    the decoded (file, position) set. Returns df unchanged when no live
+    file carries a deletion vector."""
+    dv_live = {
+        rel: a["deletionVector"]
+        for rel, a in live.items()
+        if a.get("deletionVector") and a["deletionVector"].get("storageType")
+    }
+    if not dv_live:
+        return df
+    from .deletion_vectors import read_dv_positions
+
+    total = sum(int(d.get("cardinality") or 0) for d in dv_live.values())
+    if total > _MAX_DV_POSITIONS:
+        raise NotImplementedError(
+            f"Delta table carries {total} deleted positions across "
+            f"{len(dv_live)} deletion vectors — beyond this jarless "
+            f"reader's {_MAX_DV_POSITIONS} driver-side decode bound"
+        )
+    spark = df.sparkSession
+    rows = []
+    for rel, desc in dv_live.items():
+        abs_path = os.path.abspath(os.path.join(path, rel))
+        for p in read_dv_positions(path, desc):
+            rows.append((abs_path, p))
+    if not rows:
+        return df
+    del_schema = T.StructType(
+        [
+            T.StructField("__dv_file", T.StringType(), False),
+            T.StructField("__dv_pos", T.LongType(), False),
+        ]
+    )
+    deleted = F.broadcast(spark.createDataFrame(rows, del_schema))
+    scan_file = F.regexp_replace(
+        F.url_decode(F.col("_metadata.file_path")),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
+        "/",
+    )
+    return (
+        df.withColumn("__dv_file", scan_file)
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(deleted, ["__dv_file", "__dv_pos"], "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    )
 
 
 def _check_protocol(action: Dict) -> None:
@@ -298,6 +358,7 @@ def read_delta(
              for f in data_fields]
         )
         df = spark.read.schema(phys_schema).parquet(*files)
+        df = _strip_deleted_rows(df, path, live)
         return df.select(
             *[F.col(phys[f.name]).alias(f.name) for f in data_fields]
         )
@@ -314,6 +375,7 @@ def read_delta(
             .option("basePath", path)
             .parquet(*files)
         )
+        df = _strip_deleted_rows(df, path, live)
         return df.select(
             *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
         )
@@ -346,11 +408,11 @@ def read_delta(
         scan_key = F.element_at(F.split(scan_key, "/"), -1)
     else:
         scan_key = F.regexp_replace(scan_key, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    df = (
-        spark.read.schema(phys_schema)
-        .parquet(*files)
-        .withColumn("__delta_file", scan_key)
-        .join(pv_df, "__delta_file", "left")
+    df = _strip_deleted_rows(
+        spark.read.schema(phys_schema).parquet(*files), path, live
+    )
+    df = df.withColumn("__delta_file", scan_key).join(
+        pv_df, "__delta_file", "left"
     )
     return df.select(
         *[

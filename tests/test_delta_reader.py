@@ -204,16 +204,16 @@ def test_delta_protocol_gate(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         read_delta(spark, root)
 
-    root = str(tmp_path / "dvtbl")
+    root = str(tmp_path / "twtbl")
     log = os.path.join(root, "_delta_log")
     _commit(log, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"],
-                      "writerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
         _meta(),
     ], ts=1_000)
-    # deletion vectors change what bytes mean — must stay gated
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    # type widening changes what bytes mean — must stay gated
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, root)
 
 
@@ -604,3 +604,159 @@ def test_delta_backend_checkpoints_and_concurrent_versions(spark, tmp_path):
     assert got == nxt + 1
     with open(foreign) as fh:  # the foreign commit survived untouched
         assert json.loads(fh.readline())["commitInfo"]["timestamp"] == 1
+
+
+def test_deletion_vector_codec_roundtrip():
+    """RoaringBitmapArray portable codec (PROTOCOL.md format): empty,
+    array, dense-bitset, and cross-32-bit-boundary position sets all
+    round-trip; Z85 matches the public spec's test vector."""
+    from feature_store_api_spark.sources.deletion_vectors import (
+        decode_roaring_bitmap_array,
+        encode_roaring_bitmap_array,
+        z85_decode,
+        z85_encode,
+    )
+
+    for vals in (
+        [],
+        [0],
+        [1, 5, 7, 65535, 65536, 200_000],
+        list(range(5000)),  # > 4096 in one container -> bitset
+        [3, (1 << 32) + 1, (3 << 32) + 65537],
+    ):
+        got = decode_roaring_bitmap_array(encode_roaring_bitmap_array(vals))
+        assert got == sorted(set(vals))
+    # Z85 spec test vector (rfc.zeromq.org/spec/32): "HelloB" frame
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+
+
+def test_delta_deletion_vectors_all_storage_types(spark, tmp_path):
+    """A protocol-v3 deletionVectors table reads with deleted rows
+    stripped — on-disk "u" descriptors (CRC-checked), inline "i", and
+    a later commit REPLACING a file's DV; time travel before the
+    delete still sees every row."""
+    import struct
+    import zlib
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+    from feature_store_api_spark.sources.deletion_vectors import (
+        encode_roaring_bitmap_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    root = str(tmp_path / "dvt")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(
+        spark,
+        {"k": [1, 2, 3, 4], "v": [1.0, 2.0, 3.0, 4.0],
+         "lang": ["en", "de", "fr", "es"]},
+        None, os.path.join(root, "part-0.parquet"),
+    )
+    _write_parquet(
+        spark, {"k": [5, 6], "v": [5.0, 6.0], "lang": ["it", "pt"]},
+        None, os.path.join(root, "part-1.parquet"),
+    )
+    add0 = {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}
+    add1 = {"path": "part-1.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(),
+        {"add": add0},
+        {"add": add1},
+    ], ts=1_000)
+
+    # v1: delete rows 1,3 of part-0 (k=2,4) via an on-disk "u" DV
+    descs = write_dv_file(root, {"part-0.parquet": [1, 3]})
+    _commit(log, 1, [
+        {"remove": {"path": "part-0.parquet", "dataChange": True}},
+        {"add": {**add0, "deletionVector": descs["part-0.parquet"]}},
+    ], ts=2_000)
+    got = sorted(r["k"] for r in read_delta(spark, root).collect())
+    assert got == [1, 3, 5, 6]
+    # time travel before the delete sees everything
+    pre = sorted(r["k"] for r in read_delta(spark, root, version=0).collect())
+    assert pre == [1, 2, 3, 4, 5, 6]
+
+    # v2: REPLACE part-0's DV (now rows 0,1,3 -> only k=3 lives) and
+    # delete row 0 of part-1 (k=5) with an INLINE descriptor
+    descs2 = write_dv_file(root, {"part-0.parquet": [0, 1, 3]})
+    inline_data = encode_roaring_bitmap_array([0])
+    pad = (-len(inline_data)) % 4
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(inline_data + b"\x00" * pad),
+        "sizeInBytes": len(inline_data),
+        "cardinality": 1,
+    }
+    _commit(log, 2, [
+        {"remove": {"path": "part-0.parquet", "dataChange": True}},
+        {"add": {**add0, "deletionVector": descs2["part-0.parquet"]}},
+        {"remove": {"path": "part-1.parquet", "dataChange": True}},
+        {"add": {**add1, "deletionVector": inline}},
+    ], ts=3_000)
+    got2 = sorted(r["k"] for r in read_delta(spark, root).collect())
+    assert got2 == [3, 6]
+    # v1 snapshot unchanged
+    assert sorted(
+        r["k"] for r in read_delta(spark, root, version=1).collect()
+    ) == [1, 3, 5, 6]
+
+    # a corrupted on-disk blob must fail the CRC check loudly (corrupt
+    # every .bin — uuid file names don't say which one HEAD references)
+    for n in os.listdir(root):
+        if n.startswith("deletion_vector_"):
+            victim = os.path.join(root, n)
+            raw = bytearray(open(victim, "rb").read())
+            raw[-6] ^= 0xFF  # flip a data byte, keep size/crc fields
+            open(victim, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum|cardinality|magic"):
+        read_delta(spark, root).collect()
+
+
+def test_delta_deletion_vectors_partitioned_hive(spark, tmp_path):
+    """DV stripping composes with hive-style partition discovery (the
+    flat-plan path) — deleted rows vanish from exactly one partition."""
+    from feature_store_api_spark.sources.delta_reader import read_delta
+    from feature_store_api_spark.sources.deletion_vectors import write_dv_file
+
+    root = str(tmp_path / "dvp")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(
+        spark, {"k": [1, 2], "v": [1.0, 2.0]}, None,
+        os.path.join(root, "lang=en", "part-0.parquet"),
+    )
+    _write_parquet(
+        spark, {"k": [3, 4], "v": [3.0, 4.0]}, None,
+        os.path.join(root, "lang=de", "part-0.parquet"),
+    )
+    adds = [
+        {"path": "lang=en/part-0.parquet", "partitionValues": {"lang": "en"},
+         "size": 1, "modificationTime": 0, "dataChange": True},
+        {"path": "lang=de/part-0.parquet", "partitionValues": {"lang": "de"},
+         "size": 1, "modificationTime": 0, "dataChange": True},
+    ]
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(partition_cols=("lang",)),
+        {"add": adds[0]},
+        {"add": adds[1]},
+    ], ts=1_000)
+    descs = write_dv_file(root, {"lang=de/part-0.parquet": [0]})
+    _commit(log, 1, [
+        {"remove": {"path": "lang=de/part-0.parquet", "dataChange": True}},
+        {"add": {**adds[1], "deletionVector": descs["lang=de/part-0.parquet"]}},
+    ], ts=2_000)
+    rows = {(r["k"], r["lang"]) for r in read_delta(spark, root).collect()}
+    assert rows == {(1, "en"), (2, "en"), (4, "de")}

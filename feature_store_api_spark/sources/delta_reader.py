@@ -24,9 +24,10 @@ data read is ONE flat parquet relation over exactly the live files.
 Column mapping (protocol v2 / v3 ``columnMapping``) resolves physical
 names from schema metadata; deletion vectors (v3 ``deletionVectors``)
 are decoded from the public RoaringBitmapArray format and stripped
-with a ``_metadata.row_index`` anti-join. Remaining v3 features
-(``v2Checkpoint``, ``typeWidening``, …) are gated with a clear error
-instead of silently wrong rows.
+with a ``_metadata.row_index`` anti-join; V2 checkpoints (UUID-named
+manifest + ``_sidecars`` parquet) replay like classic ones. Remaining
+v3 features (``typeWidening``, …) are gated with a clear error instead
+of silently wrong rows.
 """
 
 from __future__ import annotations
@@ -53,17 +54,33 @@ def _json_commits(log_dir: str) -> Dict[int, str]:
 
 
 def _checkpoint_files(log_dir: str, version: int) -> List[str]:
-    """The checkpoint parquet part(s) for a version (single-file or
-    multi-part ``<v>.checkpoint.<i>.<n>.parquet``)."""
+    """The checkpoint file(s) for a version: classic single
+    (``<v>.checkpoint.parquet``), classic multi-part
+    (``<v>.checkpoint.<i>.<n>.parquet``), or a V2 UUID-named manifest
+    (``<v>.checkpoint.<uuid>.{parquet,json}`` — PROTOCOL.md "V2
+    Checkpoints"; returned alone, its sidecars resolve at read time)."""
     single = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     if os.path.exists(single):
         return [single]
-    parts = sorted(
-        os.path.join(log_dir, n)
-        for n in os.listdir(log_dir)
-        if n.startswith(f"{version:020d}.checkpoint.") and n.endswith(".parquet")
-    )
-    return parts
+    prefix = f"{version:020d}.checkpoint."
+    parts = []
+    v2 = []
+    for n in os.listdir(log_dir):
+        if not n.startswith(prefix):
+            continue
+        rest = n[len(prefix):]
+        comps = rest.split(".")
+        if n.endswith(".parquet") and len(comps) == 3 and all(
+            c.isdigit() for c in comps[:2]
+        ):
+            parts.append(os.path.join(log_dir, n))
+        elif n.endswith((".parquet", ".json")) and len(comps) == 2:
+            v2.append(os.path.join(log_dir, n))
+    if parts:
+        return sorted(parts)
+    # any one manifest is a complete checkpoint (writers may leave
+    # several from retried commits; each is self-consistent)
+    return sorted(v2)[:1]
 
 
 def _latest_checkpoint(log_dir: str, max_version: int) -> Optional[int]:
@@ -78,7 +95,7 @@ def _latest_checkpoint(log_dir: str, max_version: int) -> Optional[int]:
             pass
     best = None
     for name in os.listdir(log_dir):
-        if ".checkpoint." in name and name.endswith(".parquet"):
+        if ".checkpoint." in name and name.endswith((".parquet", ".json")):
             try:
                 v = int(name.split(".checkpoint.")[0])
             except ValueError:
@@ -93,13 +110,15 @@ def _latest_checkpoint(log_dir: str, max_version: int) -> Optional[int]:
 #: from schema field metadata); timestampNtz = a plain Spark type;
 #: deletionVectors = decoded from the public RoaringBitmapArray format
 #: and stripped with a row-index anti-join (sources/deletion_vectors);
-#: vacuumProtocolCheck has no read-path semantics. Everything else —
-#: v2Checkpoint, typeWidening — changes what bytes mean and MUST stay
-#: gated (silently wrong rows otherwise).
+#: v2Checkpoint = UUID-named manifest + _sidecars replay
+#: (_apply_checkpoint_file); vacuumProtocolCheck has no read-path
+#: semantics. Everything else — typeWidening, … — changes what bytes
+#: mean and MUST stay gated (silently wrong rows otherwise).
 _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "deletionVectors",
+    "v2Checkpoint",
     "vacuumProtocolCheck",
 }
 
@@ -247,6 +266,44 @@ def resolve_delta_version(
     return eligible[-1]
 
 
+def _apply_checkpoint_file(state: "_State", log_dir: str, part: str) -> None:
+    """Apply one checkpoint file: classic parquet rows directly; a V2
+    manifest (parquet or ndjson — PROTOCOL.md "V2 Checkpoints") carries
+    protocol/metaData itself plus ``sidecar`` actions pointing at
+    ``_delta_log/_sidecars/*.parquet`` files that hold the add/remove
+    state."""
+    import pyarrow.parquet as pq
+
+    sidecars: List[str] = []
+
+    def apply_row(row: Dict) -> None:
+        for key in ("protocol", "metaData", "add", "remove"):
+            if row.get(key) is not None:
+                state.apply({key: row[key]})
+        sc = row.get("sidecar")
+        if sc is not None and sc.get("path"):
+            sidecars.append(sc["path"])
+
+    if part.endswith(".json"):
+        with open(part) as fh:
+            for line in fh:
+                if line.strip():
+                    apply_row(json.loads(line))
+    else:
+        for row in pq.read_table(part).to_pylist():
+            apply_row(row)
+    for sc_path in sidecars:
+        full = (
+            sc_path
+            if os.path.isabs(sc_path)
+            else os.path.join(log_dir, "_sidecars", sc_path)
+        )
+        for row in pq.read_table(full).to_pylist():
+            for key in ("add", "remove"):
+                if row.get(key) is not None:
+                    state.apply({key: row[key]})
+
+
 def _snapshot_state(path: str, target: int) -> _State:
     log_dir = os.path.join(path, _LOG_DIR)
     commits = _json_commits(log_dir)
@@ -254,14 +311,8 @@ def _snapshot_state(path: str, target: int) -> _State:
     start = 0
     cp = _latest_checkpoint(log_dir, target)
     if cp is not None:
-        import pyarrow.parquet as pq
-
         for part in _checkpoint_files(log_dir, cp):
-            tbl = pq.read_table(part)
-            for row in tbl.to_pylist():
-                for key in ("protocol", "metaData", "add", "remove"):
-                    if row.get(key) is not None:
-                        state.apply({key: row[key]})
+            _apply_checkpoint_file(state, log_dir, part)
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:

@@ -760,3 +760,143 @@ def test_delta_deletion_vectors_partitioned_hive(spark, tmp_path):
     ], ts=2_000)
     rows = {(r["k"], r["lang"]) for r in read_delta(spark, root).collect()}
     assert rows == {(1, "en"), (2, "en"), (4, "de")}
+
+
+def test_delta_v2_checkpoint(spark, tmp_path):
+    """V2 checkpoints (protocol v3 v2Checkpoint): a UUID-named parquet
+    manifest whose add/remove state lives in _sidecars parquet files
+    replays exactly like a classic checkpoint — post-checkpoint tail
+    commits still apply, and a JSON manifest works too."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "v2cp")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    sidedir = os.path.join(log, "_sidecars")
+    os.makedirs(sidedir)
+    _write_parquet(
+        spark, {"k": [1, 2], "v": [1.0, 2.0], "lang": ["en", "de"]},
+        None, os.path.join(root, "part-0.parquet"),
+    )
+    _write_parquet(
+        spark, {"k": [3], "v": [3.0], "lang": ["fr"]},
+        None, os.path.join(root, "part-1.parquet"),
+    )
+    _write_parquet(
+        spark, {"k": [4], "v": [4.0], "lang": ["es"]},
+        None, os.path.join(root, "part-2.parquet"),
+    )
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    # versions 0..2 exist only so the log LOOKS real; the checkpoint at
+    # v2 must make replaying them unnecessary (we delete v0/v1 below)
+    _commit(log, 0, [{"protocol": proto}, _meta(),
+                     {"add": {"path": "part-0.parquet", "partitionValues": {},
+                              "size": 1, "modificationTime": 0,
+                              "dataChange": True}}], ts=1_000)
+    _commit(log, 1, [{"add": {"path": "part-1.parquet", "partitionValues": {},
+                              "size": 1, "modificationTime": 0,
+                              "dataChange": True}}], ts=2_000)
+    _commit(log, 2, [{"remove": {"path": "part-0.parquet",
+                                 "dataChange": True}}], ts=3_000)
+
+    # -- sidecar holds the v2 state: part-1 live (part-0 removed at v2)
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    sc_name = f"{_uuid.uuid4()}.parquet"
+    pq.write_table(
+        pa.table({"add": pa.array([
+            {"path": "part-1.parquet", "partitionValues": [], "size": 1,
+             "modificationTime": 0, "dataChange": False},
+        ], add_t)}),
+        os.path.join(sidedir, sc_name),
+    )
+    # -- UUID-named manifest: protocol + metaData + the sidecar pointer
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    md_t = pa.struct([
+        ("id", pa.string()),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("format", pa.struct([("provider", pa.string())])),
+    ])
+    sc_t = pa.struct([
+        ("path", pa.string()),
+        ("sizeInBytes", pa.int64()),
+        ("modificationTime", pa.int64()),
+    ])
+    cpmd_t = pa.struct([("version", pa.int64())])
+    manifest = pa.table({
+        "checkpointMetadata": pa.array([{"version": 2}, None, None], cpmd_t),
+        "protocol": pa.array([None, proto, None], proto_t),
+        "metaData": pa.array(
+            [None, None,
+             {"id": "t", "schemaString": SCHEMA_JSON, "partitionColumns": [],
+              "configuration": [], "format": {"provider": "parquet"}}],
+            md_t),
+        "sidecar": pa.array(
+            [{"path": sc_name, "sizeInBytes": 1, "modificationTime": 0},
+             None, None], sc_t),
+    })
+    pq.write_table(
+        manifest,
+        os.path.join(log, f"{2:020d}.checkpoint.{_uuid.uuid4()}.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": 4}, fh)
+    # the checkpoint must be SUFFICIENT: drop the pre-checkpoint log
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    assert sorted(r["k"] for r in read_delta(spark, root).collect()) == [3]
+
+    # a post-checkpoint tail commit still applies on top
+    _commit(log, 3, [{"add": {"path": "part-2.parquet", "partitionValues": {},
+                              "size": 1, "modificationTime": 0,
+                              "dataChange": True}}], ts=4_000)
+    assert sorted(r["k"] for r in read_delta(spark, root).collect()) == [3, 4]
+
+    # -- JSON manifest variant (fresh table, no sidecars: state inline)
+    root2 = str(tmp_path / "v2cpjson")
+    os.makedirs(root2)
+    log2 = os.path.join(root2, "_delta_log")
+    os.makedirs(log2)
+    _write_parquet(
+        spark, {"k": [9], "v": [9.0], "lang": ["en"]},
+        None, os.path.join(root2, "part-0.parquet"),
+    )
+    _commit(log2, 0, [{"protocol": proto}, _meta(),
+                      {"add": {"path": "part-0.parquet",
+                               "partitionValues": {}, "size": 1,
+                               "modificationTime": 0, "dataChange": True}}],
+            ts=1_000)
+    mf = os.path.join(log2, f"{0:020d}.checkpoint.{_uuid.uuid4()}.json")
+    with open(mf, "w") as fh:
+        for action in (
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": proto},
+            {"metaData": json.loads(json.dumps(_meta()))["metaData"]},
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": False}},
+        ):
+            fh.write(json.dumps(action) + "\n")
+    os.remove(os.path.join(log2, f"{0:020d}.json"))
+    # keep an empty tail commit so version resolution still sees v0
+    _commit(log2, 0, [], ts=1_000)
+    assert [r["k"] for r in read_delta(spark, root2).collect()] == [9]

@@ -11,6 +11,7 @@ column aliases match the oracle SQL exactly.
 from __future__ import annotations
 
 import atexit
+import json
 import os
 import shutil
 import tempfile
@@ -2594,11 +2595,19 @@ def _q_delta_fg_upsert(spark, sf_dir):
 
 
 def _q_hudi_time_travel(spark, sf_dir):
-    """Jarless Hudi COW reader (sources/hudi_reader.py): a published-
-    layout table is built from orders (instant 100 = two file groups;
-    instant 200 = COW rewrite of group A with o_totalprice+1; an
-    inflight instant 300 stays invisible), then read at as.of.instant
-    200 — newest visible base file per file group."""
+    """Jarless Hudi reader, BOTH table types (sources/hudi_reader.py +
+    sources/hudi_log.py), one hash-checked result:
+
+    * COW ('cow' rows): published-layout table from orders (instant
+      100 = two file groups; instant 200 = COW rewrite of group A with
+      o_totalprice+1; an inflight instant 300 stays invisible), read
+      at as.of.instant 200 — newest visible base file per file group.
+    * MOR ('mor' rows): base files at instant 100 plus a log file
+      whose committed AVRO_DATA block (instant 200) updates
+      o_orderkey%10=0 rows (price*3) and soft-deletes %10=4 rows via
+      _hoodie_is_deleted; an UNCOMMITTED block (instant 999) must stay
+      invisible. Snapshot = base merged with log, latest per record
+      key."""
     import os as _os
 
     from feature_store_api_spark.sources.hudi_reader import read_hudi
@@ -2641,7 +2650,87 @@ def _q_hudi_time_travel(spark, sf_dir):
         "o_totalprice", F.lit(0.0)), "fgb_0-3-0_300.parquet")
     with open(_os.path.join(meta, "300.commit.inflight"), "w") as fh:
         fh.write("")
-    return read_hudi(spark, root, as_of_instant="200")
+    cow = read_hudi(spark, root, as_of_instant="200").select(
+        "o_orderkey", "o_totalprice", F.lit("cow").alias("src")
+    )
+
+    # ---- MOR sibling table: base@100 + one log file against group A
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_log_file,
+    )
+
+    root2 = _os.path.join(_scratch("hudi_mor_"), "tbl")
+    meta2 = _os.path.join(root2, ".hoodie")
+    _os.makedirs(meta2, exist_ok=True)
+    with open(_os.path.join(meta2, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=o\nhoodie.table.type=MERGE_ON_READ\n")
+    mor_base = orders.select(
+        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        F.lit("dt=0").alias("_hoodie_partition_path"),
+        F.lit(False).alias("_hoodie_is_deleted"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+    def _write2(df, name):
+        tmp = _os.path.join(root2, "_stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
+        _os.makedirs(_os.path.join(root2, "dt=0"), exist_ok=True)
+        _os.replace(
+            _os.path.join(tmp, part), _os.path.join(root2, "dt=0", name)
+        )
+
+    _write2(mor_base.where(F.col("o_orderkey") % 2 == 0),
+            "fga_0-1-0_100.parquet")
+    _write2(mor_base.where(F.col("o_orderkey") % 2 == 1),
+            "fgb_0-1-0_100.parquet")
+    with open(_os.path.join(meta2, "100.deltacommit"), "w") as fh:
+        fh.write("{}")
+    mor_avro_schema = json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]},
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ],
+    })
+
+    def _recs(df, deleted):
+        return [
+            {"_hoodie_record_key": str(r["o_orderkey"]),
+             "_hoodie_partition_path": "dt=0",
+             "_hoodie_is_deleted": deleted,
+             "o_orderkey": int(r["o_orderkey"]),
+             "o_totalprice": float(r["o_totalprice"])}
+            for r in df.collect()
+        ]
+
+    upd = _recs(
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3),
+        deleted=False,
+    )
+    dels = _recs(orders.where(F.col("o_orderkey") % 10 == 4), deleted=True)
+    blk_200 = encode_avro_data_block(upd + dels, mor_avro_schema, "200")
+    # uncommitted block (no 999.deltacommit): must stay invisible
+    blk_999 = encode_avro_data_block(
+        _recs(orders.where(F.col("o_orderkey") % 10 == 0)
+              .withColumn("o_totalprice", F.lit(-1.0)), deleted=False),
+        mor_avro_schema, "999",
+    )
+    with open(
+        _os.path.join(root2, "dt=0", ".fga_100.log.1_0-1-0"), "wb"
+    ) as fh:
+        fh.write(encode_log_file([blk_200, blk_999]))
+    with open(_os.path.join(meta2, "200.deltacommit"), "w") as fh:
+        fh.write("{}")
+    mor = read_hudi(spark, root2).select(
+        "o_orderkey", "o_totalprice", F.lit("mor").alias("src")
+    )
+    return cow.unionByName(mor)
 
 
 def _q_retrieval_metrics(spark, sf_dir):
@@ -3566,8 +3655,15 @@ def oracle_sql() -> dict[str, str]:
         "hudi_time_travel": """
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1
-                        ELSE o_totalprice END AS o_totalprice
+                        ELSE o_totalprice END AS o_totalprice,
+                   'cow' AS src
             FROM orders
+            UNION ALL
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 3
+                        ELSE o_totalprice END AS o_totalprice,
+                   'mor' AS src
+            FROM orders WHERE o_orderkey % 10 <> 4
         """,
         "delta_fg_upsert": """
             SELECT o_orderkey,

@@ -1,0 +1,218 @@
+"""Jarless Hudi LOG-FILE codec (MERGE_ON_READ delta blocks).
+
+Parity: the reference reads MOR tables through hudi-spark jars
+(``/root/reference/python/hsfs/core/hudi_engine.py`` only sets reader
+options); without jars we implement the log-file format published at
+hudi.apache.org/tech-specs/ ("Log File Format"):
+
+* a log file (``.<fileId>_<baseCommitTime>.log.<version>_<writeToken>``)
+  is a sequence of blocks, each framed as (all integers BIG-endian,
+  Java ``DataOutputStream`` convention)::
+
+      #HUDI#                     6-byte magic
+      blocksize      long        bytes after the magic, incl. this? no:
+                                 version..trailing-long inclusive
+      version        int         log format version (1)
+      type           int         HoodieLogBlockType ordinal
+      header         map         int count, then per entry:
+                                 int key-ordinal, int len, utf8 bytes
+      content length long
+      content        bytes
+      footer         map         same encoding as header
+      total size     long        == blocksize (reverse traversal)
+
+* block types by ordinal: 0 COMMAND, 1 DELETE, 2 CORRUPT, 3 AVRO_DATA,
+  4 HFILE_DATA, 5 PARQUET_DATA, 6 CDC_DATA. Header key ordinals:
+  0 INSTANT_TIME, 1 TARGET_INSTANT_TIME, 2 SCHEMA, 3 COMMAND_BLOCK_TYPE.
+* AVRO_DATA content (HoodieAvroDataBlock version 3)::
+
+      format version int (3)
+      record count   int
+      per record:    int length + Avro binary (writer schema = the
+                     block header's SCHEMA entry)
+
+Only AVRO_DATA blocks are resolved; COMMAND (rollback) and DELETE
+blocks GATE loudly — applying records that a command block rolls back,
+or missing hard deletes, would be silently wrong rows. Soft deletes
+via the standard ``_hoodie_is_deleted`` payload field are honored by
+the reader's merge. Decoding runs inside Arrow-batched workers (see
+``hudi_reader``); this module is pure bytes-in/records-out.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from .avro_codec import decode as avro_decode
+from .avro_codec import encode as avro_encode
+from .avro_codec import parse_schema
+
+MAGIC = b"#HUDI#"
+LOG_FORMAT_VERSION = 1
+AVRO_DATA_BLOCK_VERSION = 3
+
+#: HoodieLogBlockType ordinals (tech-specs block-type table)
+COMMAND_BLOCK = 0
+DELETE_BLOCK = 1
+CORRUPT_BLOCK = 2
+AVRO_DATA_BLOCK = 3
+
+#: HeaderMetadataType ordinals
+H_INSTANT_TIME = 0
+H_TARGET_INSTANT_TIME = 1
+H_SCHEMA = 2
+H_COMMAND_BLOCK_TYPE = 3
+
+_BLOCK_NAMES = {
+    COMMAND_BLOCK: "COMMAND_BLOCK",
+    DELETE_BLOCK: "DELETE_BLOCK",
+    CORRUPT_BLOCK: "CORRUPT_BLOCK",
+    AVRO_DATA_BLOCK: "AVRO_DATA_BLOCK",
+    4: "HFILE_DATA_BLOCK",
+    5: "PARQUET_DATA_BLOCK",
+    6: "CDC_DATA_BLOCK",
+}
+
+
+def _encode_map(entries: Dict[int, str]) -> bytes:
+    out = io.BytesIO()
+    out.write(struct.pack(">i", len(entries)))
+    for k, v in entries.items():
+        raw = v.encode("utf-8")
+        out.write(struct.pack(">ii", k, len(raw)))
+        out.write(raw)
+    return out.getvalue()
+
+
+def _decode_map(buf: io.BytesIO) -> Dict[int, str]:
+    (count,) = struct.unpack(">i", buf.read(4))
+    out = {}
+    for _ in range(count):
+        k, ln = struct.unpack(">ii", buf.read(8))
+        out[k] = buf.read(ln).decode("utf-8")
+    return out
+
+
+def iter_log_blocks(data: bytes) -> Iterator[Tuple[int, Dict[int, str], bytes]]:
+    """Yield ``(block_type, header, content)`` per block, in file
+    order, validating the magic and both length fields."""
+    buf = io.BytesIO(data)
+    n = len(data)
+    while buf.tell() < n:
+        magic = buf.read(6)
+        if magic != MAGIC:
+            raise ValueError(
+                f"Hudi log: bad magic {magic!r} at offset {buf.tell() - 6}"
+            )
+        (block_size,) = struct.unpack(">q", buf.read(8))
+        start = buf.tell()
+        version, btype = struct.unpack(">ii", buf.read(8))
+        if version != LOG_FORMAT_VERSION:
+            raise NotImplementedError(
+                f"Hudi log format version {version} (supported: "
+                f"{LOG_FORMAT_VERSION})"
+            )
+        header = _decode_map(buf)
+        (content_len,) = struct.unpack(">q", buf.read(8))
+        content = buf.read(content_len)
+        _footer = _decode_map(buf)
+        (total,) = struct.unpack(">q", buf.read(8))
+        consumed = buf.tell() - start
+        if total != block_size or consumed != block_size:
+            raise ValueError(
+                f"Hudi log: block length mismatch (leading {block_size}, "
+                f"trailing {total}, consumed {consumed})"
+            )
+        yield btype, header, content
+
+
+def decode_avro_data_block(content: bytes, header: Dict[int, str]) -> List[dict]:
+    """HoodieAvroDataBlock (v3 framing) -> list of record dicts,
+    decoded with the block's own writer schema."""
+    schema_json = header.get(H_SCHEMA)
+    if not schema_json:
+        raise ValueError("Hudi AVRO_DATA_BLOCK carries no SCHEMA header")
+    schema = parse_schema(schema_json)
+    buf = io.BytesIO(content)
+    (fmt,) = struct.unpack(">i", buf.read(4))
+    if fmt != AVRO_DATA_BLOCK_VERSION:
+        raise NotImplementedError(
+            f"Hudi avro data block format version {fmt} (supported: "
+            f"{AVRO_DATA_BLOCK_VERSION})"
+        )
+    (count,) = struct.unpack(">i", buf.read(4))
+    out = []
+    for _ in range(count):
+        (ln,) = struct.unpack(">i", buf.read(4))
+        out.append(avro_decode(buf.read(ln), schema))
+    return out
+
+
+def log_records(
+    data: bytes,
+    committed: Optional[set] = None,
+    as_of: Optional[str] = None,
+) -> Iterator[Tuple[str, int, int, dict]]:
+    """Yield ``(instant, block_seq, record_seq, record)`` for every
+    record in committed, visible AVRO_DATA blocks of one log file.
+
+    Blocks whose instant is uncommitted (failed/inflight write — its
+    deltacommit never completed) or after ``as_of`` are SKIPPED: that
+    is Hudi's snapshot-isolation rule, not data loss. COMMAND and
+    DELETE blocks gate loudly (rollbacks / hard deletes need the Hudi
+    runtime's semantics)."""
+    for seq, (btype, header, content) in enumerate(iter_log_blocks(data)):
+        if btype == CORRUPT_BLOCK:
+            continue  # Hudi's own readers skip corrupt blocks
+        if btype in (COMMAND_BLOCK, DELETE_BLOCK) or btype > AVRO_DATA_BLOCK:
+            raise NotImplementedError(
+                f"Hudi log block type "
+                f"{_BLOCK_NAMES.get(btype, btype)} is not supported by "
+                "this jarless reader (rollback/delete/columnar blocks "
+                "need the Hudi runtime)"
+            )
+        instant = header.get(H_INSTANT_TIME, "")
+        if committed is not None and instant not in committed:
+            continue
+        if as_of is not None and instant > str(as_of):
+            continue
+        for i, rec in enumerate(decode_avro_data_block(content, header)):
+            yield instant, seq, i, rec
+
+
+def encode_log_file(
+    blocks: List[Tuple[int, Dict[int, str], bytes]]
+) -> bytes:
+    """Inverse of :func:`iter_log_blocks` — fixture writer for the
+    external-shape tests (and a correctness witness for the framing)."""
+    out = io.BytesIO()
+    for btype, header, content in blocks:
+        hdr = _encode_map(header)
+        ftr = _encode_map({})
+        block_size = 4 + 4 + len(hdr) + 8 + len(content) + len(ftr) + 8
+        out.write(MAGIC)
+        out.write(struct.pack(">q", block_size))
+        out.write(struct.pack(">ii", LOG_FORMAT_VERSION, btype))
+        out.write(hdr)
+        out.write(struct.pack(">q", len(content)))
+        out.write(content)
+        out.write(ftr)
+        out.write(struct.pack(">q", block_size))
+    return out.getvalue()
+
+
+def encode_avro_data_block(
+    records: List[dict], schema_json: str, instant: str
+) -> Tuple[int, Dict[int, str], bytes]:
+    """Build one AVRO_DATA block (v3 framing) for the fixture writer."""
+    schema = parse_schema(schema_json)
+    buf = io.BytesIO()
+    buf.write(struct.pack(">ii", AVRO_DATA_BLOCK_VERSION, len(records)))
+    for rec in records:
+        raw = avro_encode(rec, schema)
+        buf.write(struct.pack(">i", len(raw)))
+        buf.write(raw)
+    header = {H_INSTANT_TIME: instant, H_SCHEMA: schema_json}
+    return AVRO_DATA_BLOCK, header, buf.getvalue()

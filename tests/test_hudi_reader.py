@@ -69,11 +69,13 @@ def test_hudi_cow_snapshot_time_travel_incremental(spark, tmp_path):
         (1, 10.0), (2, 2.0)]
     assert hudi_incremental(spark, root, "200", None).count() == 0
 
-    # MOR gate
+    # a MOR table with NO log files reads as its base files; the
+    # incremental pull stays gated (record-level changes live in logs)
     with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
         fh.write("hoodie.table.type=MERGE_ON_READ\n")
-    with pytest.raises(NotImplementedError):
-        read_hudi(spark, root)
+    assert rows(read_hudi(spark, root)) == [(1, 10.0), (2, 2.0), (3, 3.0)]
+    with pytest.raises(NotImplementedError, match="incremental"):
+        hudi_incremental(spark, root, "100", "200")
 
 
 def test_hudi_archived_instants_still_committed(spark, tmp_path):
@@ -141,3 +143,153 @@ def test_hudi_replacecommit_excludes_replaced_groups(spark, tmp_path):
         (1, 10.0), (2, 2.0), (3, 3.0)]
     assert rows(read_hudi(spark, root, as_of_instant="100")) == [
         (1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+MOR_AVRO_SCHEMA = """{"type":"record","name":"rec","fields":[
+ {"name":"_hoodie_record_key","type":["null","string"],"default":null},
+ {"name":"_hoodie_partition_path","type":["null","string"],"default":null},
+ {"name":"k","type":["null","long"],"default":null},
+ {"name":"v","type":["null","double"],"default":null},
+ {"name":"_hoodie_is_deleted","type":["null","boolean"],"default":null}]}"""
+
+
+def _mor_rec(part, k, v, deleted=None):
+    return {"_hoodie_record_key": f"k:{k}", "_hoodie_partition_path": part,
+            "k": k, "v": v, "_hoodie_is_deleted": deleted}
+
+
+def _mor_base(root, part, fid, instant, recs):
+    import pyarrow as pa
+
+    _pq(
+        {
+            "_hoodie_record_key": [r["_hoodie_record_key"] for r in recs],
+            "_hoodie_partition_path": [part] * len(recs),
+            "k": [r["k"] for r in recs],
+            "v": [r["v"] for r in recs],
+            "_hoodie_is_deleted": pa.array(
+                [r["_hoodie_is_deleted"] for r in recs], type=pa.bool_()
+            ),
+        },
+        os.path.join(root, part, f"{fid}_0-1-0_{instant}.parquet"),
+    )
+
+
+def _delta_commit(meta, instant):
+    os.makedirs(meta, exist_ok=True)
+    with open(os.path.join(meta, f"{instant}.deltacommit"), "w") as fh:
+        fh.write("{}")
+
+
+def _log(root, part, fid, base_instant, version, blocks):
+    from feature_store_api_spark.sources.hudi_log import encode_log_file
+
+    p = os.path.join(root, part, f".{fid}_{base_instant}.log.{version}_0-1-0")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as fh:
+        fh.write(encode_log_file(blocks))
+    return p
+
+
+def test_hudi_mor_snapshot_merge_and_time_travel(spark, tmp_path):
+    """MERGE_ON_READ snapshot: base + committed log blocks merge
+    latest-per-record-key; inflight blocks are invisible; soft deletes
+    (_hoodie_is_deleted) drop rows; time travel replays to the instant;
+    log-only file groups surface; DELETE blocks gate loudly."""
+    from feature_store_api_spark.sources.hudi_log import (
+        DELETE_BLOCK,
+        H_INSTANT_TIME,
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = str(tmp_path / "mor")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+
+    # instant 100: base files for two groups in dt=1
+    _mor_base(root, "dt=1", "fg-a", "100",
+              [_mor_rec("dt=1", 1, 1.0), _mor_rec("dt=1", 2, 2.0)])
+    _mor_base(root, "dt=1", "fg-b", "100", [_mor_rec("dt=1", 3, 3.0)])
+    _delta_commit(meta, "100")
+
+    # instant 200: log vs fg-a — update k=1, insert k=4
+    blk200 = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 10.0), _mor_rec("dt=1", 4, 4.0)],
+        MOR_AVRO_SCHEMA, "200")
+    # instant 999: INFLIGHT block in the SAME log file (no .deltacommit)
+    blk999 = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 666.0)], MOR_AVRO_SCHEMA, "999")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk200, blk999])
+    _delta_commit(meta, "200")
+
+    # instant 300: second log file (version 2) — soft-delete k=2,
+    # re-update k=1 (must win over version 1's update)
+    blk300 = encode_avro_data_block(
+        [_mor_rec("dt=1", 2, 2.0, deleted=True), _mor_rec("dt=1", 1, 11.0)],
+        MOR_AVRO_SCHEMA, "300")
+    _log(root, "dt=1", "fg-a", "100", 2, [blk300])
+    _delta_commit(meta, "300")
+
+    # instant 400: log-only file group in a NEW partition dt=2
+    blk400 = encode_avro_data_block(
+        [_mor_rec("dt=2", 5, 5.0)], MOR_AVRO_SCHEMA, "400")
+    _log(root, "dt=2", "fg-c", "400", 1, [blk400])
+    _delta_commit(meta, "400")
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    # HEAD: k1=11 (v2 log wins), k2 deleted, k3 base, k4 insert, k5 log-only
+    assert rows(read_hudi(spark, root)) == [
+        (1, 11.0), (3, 3.0), (4, 4.0), (5, 5.0)]
+    # as-of 200: k1=10, k2 alive, no k5
+    assert rows(read_hudi(spark, root, as_of_instant="200")) == [
+        (1, 10.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # as-of 100: base only
+    assert rows(read_hudi(spark, root, as_of_instant="100")) == [
+        (1, 1.0), (2, 2.0), (3, 3.0)]
+
+    # a DELETE block gates loudly (hard deletes need the Hudi runtime)
+    _log(root, "dt=1", "fg-b", "100", 1,
+         [(DELETE_BLOCK, {H_INSTANT_TIME: "500"}, b"\x00\x00\x00\x02")])
+    _delta_commit(meta, "500")
+    # raised executor-side -> surfaces as a PythonException wrapper,
+    # but the loud message must survive
+    with pytest.raises(Exception, match="DELETE_BLOCK"):
+        read_hudi(spark, root).collect()
+
+
+def test_hudi_log_codec_roundtrip():
+    """Log-block framing + avro data block codec round-trip, and the
+    framing validators reject corruption."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_log_file,
+        iter_log_blocks,
+        log_records,
+    )
+
+    recs = [_mor_rec("p", 1, 1.5), _mor_rec("p", 2, None, deleted=True)]
+    blk = encode_avro_data_block(recs, MOR_AVRO_SCHEMA, "123")
+    blk2 = encode_avro_data_block([_mor_rec("p", 3, 3.0)],
+                                  MOR_AVRO_SCHEMA, "456")
+    data = encode_log_file([blk, blk2])
+
+    blocks = list(iter_log_blocks(data))
+    assert [b[0] for b in blocks] == [3, 3]
+
+    out = list(log_records(data, {"123", "456"}, None))
+    assert [(i, b, r, rec["k"]) for (i, b, r, rec) in out] == [
+        ("123", 0, 0, 1), ("123", 0, 1, 2), ("456", 1, 0, 3)]
+    assert out[1][3]["_hoodie_is_deleted"] is True
+    # committed filter drops uncommitted instants; as_of drops later
+    assert [r[3]["k"] for r in log_records(data, {"123"}, None)] == [1, 2]
+    assert [r[3]["k"] for r in log_records(data, None, "123")] == [1, 2]
+
+    with pytest.raises(ValueError, match="magic"):
+        list(iter_log_blocks(b"NOTHUDI" + data))
+    with pytest.raises(ValueError, match="length mismatch"):
+        list(iter_log_blocks(data[:-8] + b"\x00\x00\x00\x00\x00\x00\x00\x01"))

@@ -45,6 +45,71 @@ from .backend import CommitLogBackend
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: Delta truncates string min/max in stats to a bounded prefix
+_STATS_STRING_PREFIX = 32
+
+
+def _file_stats(path: str) -> Optional[str]:
+    """Per-file ``add.stats`` JSON (PROTOCOL.md "Per-file Statistics":
+    numRecords / minValues / maxValues / nullCount) from the written
+    parquet's FOOTER — no extra data pass. External Delta clients use
+    these for file skipping over our tables; ``None`` (omit the field,
+    it's optional) when any row group lacks trustworthy stats.
+
+    String maxima are prefix-truncated like Delta writers do: the last
+    kept char is bumped so the truncated value stays an UPPER bound."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: Dict[str, object] = {}
+        maxs: Dict[str, object] = {}
+        nulls: Dict[str, int] = {}
+        skip: set = set()
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: skip, keep it simple
+                    continue
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                if not st.has_min_max:
+                    skip.add(name)
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    skip.add(name)
+                    continue
+                if isinstance(lo, str):
+                    if len(hi) > _STATS_STRING_PREFIX:
+                        cut = hi[:_STATS_STRING_PREFIX]
+                        hi = cut[:-1] + chr(ord(cut[-1]) + 1)
+                    lo = lo[:_STATS_STRING_PREFIX]
+                elif hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                elif not isinstance(lo, (int, float, bool)):
+                    skip.add(name)
+                    continue
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+        for name in skip:
+            mins.pop(name, None)
+            maxs.pop(name, None)
+        return json.dumps({
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        })
+    except Exception:
+        return None
+
 #: write a checkpoint every N Delta commits (the protocol's documented
 #: default cadence); keeps external readers' log replay O(N)
 _CHECKPOINT_INTERVAL = 10
@@ -184,6 +249,7 @@ class DeltaLogBackend(CommitLogBackend):
                 "size": int(add.get("size") or 0),
                 "modificationTime": int(add.get("modificationTime") or 0),
                 "dataChange": False,
+                "stats": add.get("stats"),
             }
             for rel, add in sorted(state.files.items())
         ]
@@ -193,6 +259,7 @@ class DeltaLogBackend(CommitLogBackend):
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
         ])
         n = 2 + len(add_rows)
         tbl = pa.table({
@@ -275,13 +342,17 @@ class DeltaLogBackend(CommitLogBackend):
                     dst = os.path.join(self.location, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.replace(src, dst)
-                    adds.append({"add": {
+                    add = {
                         "path": rel.replace(os.sep, "/"),
                         "partitionValues": pv,
                         "size": os.path.getsize(dst),
                         "modificationTime": int(os.path.getmtime(dst) * 1000),
                         "dataChange": True,
-                    }})
+                    }
+                    stats = _file_stats(dst)
+                    if stats is not None:
+                        add["stats"] = stats
+                    adds.append({"add": add})
             self._write_delta_commit(meta + adds)
         finally:
             shutil.rmtree(stage, ignore_errors=True)

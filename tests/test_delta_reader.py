@@ -900,3 +900,36 @@ def test_delta_v2_checkpoint(spark, tmp_path):
     # keep an empty tail commit so version resolution still sees v0
     _commit(log2, 0, [], ts=1_000)
     assert [r["k"] for r in read_delta(spark, root2).collect()] == [9]
+
+
+def test_delta_backend_writes_file_stats(spark, tmp_path):
+    """Every add action (and checkpoint add row) carries Delta
+    per-file stats — numRecords/minValues/maxValues/nullCount from the
+    parquet footer — so external Delta clients can file-skip over our
+    tables."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_stats", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, None), (3, 10, 3.0)],
+        "k long, ts long, v double"))
+    log = os.path.join(fg.location, "_delta_log")
+    adds = []
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json") and len(n) == 25:
+            with open(os.path.join(log, n)) as fh:
+                for line in fh:
+                    a = json.loads(line) if line.strip() else {}
+                    if "add" in a:
+                        adds.append(a["add"])
+    assert adds
+    assert all("stats" in a for a in adds)
+    stats = [json.loads(a["stats"]) for a in adds]
+    assert sum(s["numRecords"] for s in stats) == 3
+    ks = [s["minValues"].get("k") for s in stats if "k" in s["minValues"]]
+    assert min(ks) == 1
+    assert sum(s["nullCount"].get("v", 0) for s in stats) == 1

@@ -459,10 +459,13 @@ def read_delta(
         scan_key = F.element_at(F.split(scan_key, "/"), -1)
     else:
         scan_key = F.regexp_replace(scan_key, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    df = _strip_deleted_rows(
-        spark.read.schema(phys_schema).parquet(*files), path, live
+    # evaluate input_file_name() DIRECTLY over the scan: after a join
+    # (the DV strip adds one) row provenance is ambiguous and it
+    # returns empty strings
+    df = spark.read.schema(phys_schema).parquet(*files).withColumn(
+        "__delta_file", scan_key
     )
-    df = df.withColumn("__delta_file", scan_key).join(
+    df = _strip_deleted_rows(df, path, live).join(
         pv_df, "__delta_file", "left"
     )
     return df.select(

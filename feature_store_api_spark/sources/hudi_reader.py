@@ -405,11 +405,17 @@ def _read_mor_snapshot(
         (os.path.abspath(p), file_seq[os.path.abspath(p)])
         for p in sorted(log_paths)
     ]
+    # one task per handful of log files, scaled to the cluster (a
+    # 1000-executor cluster should not funnel 100k logs through 64
+    # tasks); decode cost is IO-bound so 2x parallelism overlaps it
+    n_slices = min(
+        len(path_rows), max(8, spark.sparkContext.defaultParallelism * 2)
+    )
     log_df = (
         spark.createDataFrame(
             path_rows, "__h_path string, __h_fseq long"
         )
-        .repartition(min(len(path_rows), 64))
+        .repartition(n_slices)
         .mapInPandas(decode, schema=out_schema)
     )
     if base is None:

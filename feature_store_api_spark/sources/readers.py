@@ -204,7 +204,7 @@ def read(
             timestamp=int(ts) if ts is not None else None,
         )
     if fmt == "hudi":
-        # jarless Hudi COW reader (snapshot / as.of.instant)
+        # jarless Hudi reader, COW + MOR (snapshot / as.of.instant)
         from .hudi_reader import read_hudi
 
         return read_hudi(

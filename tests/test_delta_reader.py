@@ -933,3 +933,40 @@ def test_delta_backend_writes_file_stats(spark, tmp_path):
     ks = [s["minValues"].get("k") for s in stats if "k" in s["minValues"]]
     assert min(ks) == 1
     assert sum(s["nullCount"].get("v", 0) for s in stats) == 1
+
+
+def test_delta_deletion_vectors_non_hive_layout(spark, tmp_path):
+    """DV stripping composes with the broadcast partition-value attach
+    (non-hive file placement): input_file_name() must be evaluated on
+    the scan, not after the DV anti-join where provenance is lost."""
+    from feature_store_api_spark.sources.delta_reader import read_delta
+    from feature_store_api_spark.sources.deletion_vectors import write_dv_file
+
+    root = str(tmp_path / "dvnh")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    # arbitrary placement: partition values live ONLY in the log
+    _write_parquet(spark, {"k": [1, 2], "v": [1.0, 2.0]}, None,
+                   os.path.join(root, "a.parquet"))
+    _write_parquet(spark, {"k": [3, 4], "v": [3.0, 4.0]}, None,
+                   os.path.join(root, "b.parquet"))
+    adds = [
+        {"path": "a.parquet", "partitionValues": {"lang": "en"},
+         "size": 1, "modificationTime": 0, "dataChange": True},
+        {"path": "b.parquet", "partitionValues": {"lang": "de"},
+         "size": 1, "modificationTime": 0, "dataChange": True},
+    ]
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(partition_cols=("lang",)),
+        {"add": adds[0]}, {"add": adds[1]},
+    ], ts=1_000)
+    descs = write_dv_file(root, {"b.parquet": [1]})  # delete k=4
+    _commit(log, 1, [
+        {"remove": {"path": "b.parquet", "dataChange": True}},
+        {"add": {**adds[1], "deletionVector": descs["b.parquet"]}},
+    ], ts=2_000)
+    rows = {(r["k"], r["lang"]) for r in read_delta(spark, root).collect()}
+    assert rows == {(1, "en"), (2, "en"), (3, "de")}

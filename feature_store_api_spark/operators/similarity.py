@@ -25,6 +25,14 @@ from pyspark.sql import types as T
 from .parallelism import repartition_up
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for rendered SQL, escaping embedded
+    backticks by doubling (Spark's quoting rule) — hardening for the
+    day these helpers take raw user strings; FG-sanitized names never
+    contain backticks."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -47,7 +55,7 @@ def distance_expr(col, query: Sequence[float], metric: str) -> Column:
     server-side instead of ~dim py4j round trips per probe) or a Column
     (legacy callers; falls back to the object formulation)."""
     if isinstance(col, str):
-        c = f"`{col}`"
+        c = _quote_ident(col)
         arr = "array(" + ", ".join(f"{float(v)!r}D" for v in query) + ")"
         if metric == "l2":
             return F.expr(
@@ -152,7 +160,7 @@ def signature_sql(col_name: str, planes: List[List[float]]) -> str:
     for i, p in enumerate(planes):
         arr = ", ".join(f"{float(v)!r}D" for v in p)
         dot = (
-            f"aggregate(zip_with(`{col_name}`, array({arr}), "
+            f"aggregate(zip_with({_quote_ident(col_name)}, array({arr}), "
             "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
         bits.append(f"if({dot} >= 0, {1 << i}, 0)")

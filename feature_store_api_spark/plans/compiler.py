@@ -39,7 +39,8 @@ def _normalize_columns(df: DataFrame) -> DataFrame:
     renames = {c: autofix_feature_name(c) for c in df.columns}
     if all(k == v for k, v in renames.items()):
         return df
-    return df.select([F.col(f"`{c}`").alias(n) for c, n in renames.items()])
+    return df.select([F.col("`" + c.replace("`", "``") + "`").alias(n)
+                      for c, n in renames.items()])
 
 
 def _join_keys(q, join) -> Tuple[List[str], List[str]]:

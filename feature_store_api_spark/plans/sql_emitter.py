@@ -30,7 +30,8 @@ __all__ = ["emit_sql"]
 
 
 def _q(ident: str) -> str:
-    return f"`{ident}`"
+    # embedded backticks escape by doubling (Spark's quoting rule)
+    return "`" + ident.replace("`", "``") + "`"
 
 
 def _lit(v) -> str:

@@ -23,7 +23,8 @@ def convert_to_default_dataframe(df) -> DataFrame:
     if len(set(renames.values())) != len(renames):
         raise ValueError(f"Duplicate column names after sanitization: {renames}")
     if any(k != v for k, v in renames.items()):
-        df = df.select([F.col(f"`{c}`").alias(n) for c, n in renames.items()])
+        df = df.select([F.col("`" + c.replace("`", "``") + "`").alias(n)
+                        for c, n in renames.items()])
     # nullability relaxation (parity engine/spark.py:302-338) is left to
     # the writers: parquet stores every committed column as optional, so
     # forcing nullable here would only add an RDD round-trip

@@ -728,3 +728,18 @@ def test_semantic_dedup_no_cross_cluster_comparison(spark):
     assert out[3]["cluster"] == out[1]["cluster"]
     assert out[2]["is_dup"] and out[3]["is_dup"]  # within-cluster pairs
     assert not out[0]["is_dup"] and not out[1]["is_dup"]
+
+
+def test_backticked_column_names_handled(spark):
+    """Identifier quoting in rendered SQL escapes embedded backticks
+    (Spark's doubling rule) instead of producing a parse error or
+    referencing the wrong column."""
+    from feature_store_api_spark.operators.similarity import distance_expr
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0],)], "`weird long` array<double>"
+    ).withColumnRenamed("weird long", "we`ird")
+    out = df.select(
+        distance_expr("we`ird", [1.0, 0.0], "l2").alias("d")
+    ).first()
+    assert out["d"] == 0.0

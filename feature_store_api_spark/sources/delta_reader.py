@@ -389,6 +389,57 @@ def read_delta(
     build a 10k-leg plan on the driver)."""
     target = resolve_delta_version(path, version, timestamp)
     state = _snapshot_state(path, target)
+    return _frame_for(spark, path, state, state.files)
+
+
+def delta_incremental(
+    spark: SparkSession,
+    path: str,
+    begin_version: int,
+    end_version: Optional[int] = None,
+) -> DataFrame:
+    """Incremental query: rows from files ADDED by commits in
+    ``(begin_version, end_version]`` that are still live at the end
+    version — the Delta twin of :func:`hudi_reader.hudi_incremental`
+    (file-level granularity; the caller dedupes by record key
+    downstream, as the commit store does). Commits in the window must
+    still exist as JSON (a checkpoint-trimmed log cannot be resolved
+    commit-by-commit: loud error, use a snapshot read)."""
+    target = resolve_delta_version(path, end_version, None)
+    begin = int(begin_version)
+    if begin >= target:
+        state = _snapshot_state(path, target)
+        return _frame_for(spark, path, state, state.files).limit(0)
+    log_dir = os.path.join(path, _LOG_DIR)
+    commits = _json_commits(log_dir)
+    added: set = set()
+    for v in range(begin + 1, target + 1):
+        if v not in commits:
+            raise ValueError(
+                f"Delta incremental pull needs commit {v} as JSON but "
+                "the log only has a checkpoint there (older commits "
+                "were trimmed); use a snapshot read instead"
+            )
+        with open(commits[v]) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "add" in a:
+                        added.add(a["add"]["path"])
+    state = _snapshot_state(path, target)
+    window_live = {
+        rel: add for rel, add in state.files.items() if rel in added
+    }
+    if not window_live:
+        return _frame_for(spark, path, state, state.files).limit(0)
+    return _frame_for(spark, path, state, window_live)
+
+
+def _frame_for(
+    spark: SparkSession, path: str, state: _State, live: Dict[str, Dict]
+) -> DataFrame:
+    """Materialize a DataFrame for a subset of a snapshot's live files
+    (shared by the snapshot and incremental readers)."""
     if state.schema_json is None:
         raise ValueError(f"Delta log at {path} carries no metaData action")
     schema = T.StructType.fromJson(json.loads(state.schema_json))
@@ -397,10 +448,9 @@ def read_delta(
     ppcols = [phys[c] for c in pcols]
     data_fields = [f for f in schema.fields if f.name not in pcols]
 
-    if not state.files:
+    if not live:
         return spark.createDataFrame([], schema)
 
-    live = state.files
     files = [os.path.join(path, rel) for rel in sorted(live)]
 
     if not pcols:

@@ -970,3 +970,29 @@ def test_delta_deletion_vectors_non_hive_layout(spark, tmp_path):
     ], ts=2_000)
     rows = {(r["k"], r["lang"]) for r in read_delta(spark, root).collect()}
     assert rows == {(1, "en"), (2, "en"), (3, "de")}
+
+
+def test_delta_incremental(spark, tmp_path):
+    """delta_incremental returns files ADDED in (begin, end] that are
+    still live at end — the hudi_incremental twin — and refuses a
+    window whose commits were checkpoint-trimmed."""
+    from feature_store_api_spark.sources.delta_reader import (
+        delta_incremental,
+    )
+
+    root = str(tmp_path / "itbl")
+    _build_unpartitioned(spark, root)  # v0 adds p0; v1 adds p1; v2 compacts
+
+    def ks(df):
+        return sorted(r["k"] for r in df.collect())
+
+    # (0,1]: only part-1 (added at v1, still live at v1)
+    assert ks(delta_incremental(spark, root, 0, 1)) == [3]
+    # (0,2]: part-1 was removed by v2's compaction; only v2's rewrite
+    assert ks(delta_incremental(spark, root, 0, 2)) == [1, 2, 3]
+    # empty window
+    assert delta_incremental(spark, root, 2, None).count() == 0
+    # trimmed log: drop v1's json, leave a checkpoint marker rule out
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="JSON|missing"):
+        delta_incremental(spark, root, 0, 2)

@@ -2501,9 +2501,11 @@ def _q_delta_time_travel(spark, sf_dir):
     """Jarless Delta Lake reader (sources/delta_reader.py): a
     protocol-conformant _delta_log is built from orders (commit 0 =
     keys %3==0; commit 1 adds %3==1; commit 2 compacts: removes the
-    first file, adds a rewritten one with o_totalprice+1), then the
-    HEAD snapshot is read back through the transaction-log replay —
-    add/remove resolution, schemaString typing, commitInfo timestamps."""
+    first file, adds a rewritten one with o_totalprice+1). 'snap' rows
+    = the HEAD snapshot through transaction-log replay (add/remove
+    resolution, schemaString typing, commitInfo timestamps); 'incr'
+    rows = delta_incremental over window (1, 2] — only the compaction
+    rewrite is both in-window and still live."""
     import json as _json
     import os as _os
 
@@ -2564,7 +2566,18 @@ def _q_delta_time_travel(spark, sf_dir):
         {"remove": {"path": "f0.parquet", "dataChange": False}},
         _add("f2.parquet"),
     ], ts=3000)
-    return read_delta(spark, root)  # HEAD = rewritten %3==0 + %3==1
+    from feature_store_api_spark.sources.delta_reader import (
+        delta_incremental,
+    )
+
+    snap = read_delta(spark, root).select(  # HEAD = rewrite + %3==1
+        "o_orderkey", "o_totalprice", F.lit("snap").alias("src")
+    )
+    # (1, 2]: only v2's rewritten file is both in-window and live
+    incr = delta_incremental(spark, root, 1, 2).select(
+        "o_orderkey", "o_totalprice", F.lit("incr").alias("src")
+    )
+    return snap.unionByName(incr)
 
 
 def _q_delta_fg_upsert(spark, sf_dir):
@@ -3672,11 +3685,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "delta_time_travel": """
-            SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+            SELECT o_orderkey, o_totalprice + 1 AS o_totalprice, 'snap' AS src
             FROM orders WHERE o_orderkey % 3 = 0
             UNION ALL
-            SELECT o_orderkey, o_totalprice FROM orders
+            SELECT o_orderkey, o_totalprice, 'snap' AS src FROM orders
             WHERE o_orderkey % 3 = 1
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 1 AS o_totalprice, 'incr' AS src
+            FROM orders WHERE o_orderkey % 3 = 0
         """,
         "dsir_sample": """
             WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),

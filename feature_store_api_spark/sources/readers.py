@@ -193,9 +193,17 @@ def read(
 
         return read_avro(spark, path)
     if fmt == "delta":
-        # jarless Delta transaction-log reader (snapshot / time travel)
-        from .delta_reader import read_delta
+        # jarless Delta transaction-log reader (snapshot / time travel /
+        # file-level incremental via beginVersion[,endVersion])
+        from .delta_reader import delta_incremental, read_delta
 
+        bv = opts.get("beginVersion")
+        if bv is not None:
+            ev = opts.get("endVersion")
+            return delta_incremental(
+                spark, path, int(bv),
+                int(ev) if ev is not None else None,
+            )
         v = opts.get("versionAsOf")
         ts = opts.get("timestampAsOf")
         return read_delta(

@@ -279,10 +279,12 @@ def _read_mor_snapshot(
     ``_hoodie_is_deleted`` soft deletes honored.
 
     Scale shape: log files are listed driver-side (file-system-view
-    metadata, same as base files) but DECODED executor-side — a
-    ``binaryFile`` scan + ``mapInPandas`` — and the merge is one
-    latest-per-key window keyed by Hudi's own meta columns, shuffled
-    once. Requires ``populateMetaFields`` tables (the default):
+    metadata, same as base files) but DECODED executor-side
+    (``mapInPandas`` over the path list), and ONLY file groups that
+    actually have logs pay the latest-per-key merge shuffle — a
+    compacted table's log-less groups (the bulk of it) stream straight
+    through, the per-file-group merge locality real MOR readers get.
+    Requires ``populateMetaFields`` tables (the default):
     without ``_hoodie_record_key`` there is no engine-independent merge
     key, so the read gates loudly."""
     from pyspark.sql import functions as F
@@ -330,6 +332,15 @@ def _read_mor_snapshot(
     log_paths = [
         p for entries in group_logs.values() for (_v, _t, p) in entries
     ]
+    # only file groups WITH logs pay the merge shuffle: a compacted
+    # table's log-less groups (the bulk of it) stream straight through
+    # — this is the per-file-group merge locality real MOR readers get
+    plain_files = sorted(
+        f for key, (_i, f) in chosen.items() if key not in group_logs
+    )
+    merge_files = sorted(
+        f for key, (_i, f) in chosen.items() if key in group_logs
+    )
     base = (
         spark.read.option("mergeSchema", "true").parquet(*base_files)
         if base_files
@@ -418,12 +429,15 @@ def _read_mor_snapshot(
         .repartition(n_slices)
         .mapInPandas(decode, schema=out_schema)
     )
-    if base is None:
-        merged = log_df
-    else:
-        merged = base.withColumn(
+    if merge_files:
+        merge_base = spark.read.option("mergeSchema", "true").parquet(
+            *merge_files
+        )
+        merged = merge_base.withColumn(
             "__h_ord", F.lit(-1).cast("long")
         ).unionByName(log_df, allowMissingColumns=True)
+    else:
+        merged = log_df
     key_cols = ["_hoodie_record_key"]
     if "_hoodie_partition_path" in names:
         key_cols.append("_hoodie_partition_path")
@@ -435,6 +449,11 @@ def _read_mor_snapshot(
         .where(F.col("__h_rn") == 1)
         .drop("__h_rn", "__h_ord")
     )
+    if plain_files:
+        plain = spark.read.option("mergeSchema", "true").parquet(
+            *plain_files
+        )
+        merged = merged.unionByName(plain, allowMissingColumns=True)
     if "_hoodie_is_deleted" in names:
         merged = merged.where(
             F.col("_hoodie_is_deleted").isNull()

@@ -996,3 +996,29 @@ def test_delta_incremental(spark, tmp_path):
     os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(ValueError, match="JSON|missing"):
         delta_incremental(spark, root, 0, 2)
+
+
+def test_deletion_vector_absolute_path_storage(tmp_path):
+    """storageType='p' (absolute path) resolves and CRC-verifies like
+    the uuid layout."""
+    import struct
+    import zlib
+
+    from feature_store_api_spark.sources.deletion_vectors import (
+        encode_roaring_bitmap_array,
+        read_dv_positions,
+    )
+
+    data = encode_roaring_bitmap_array([2, 5, (1 << 32) + 7])
+    f = tmp_path / "dv_abs.bin"
+    with open(f, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    desc = {"storageType": "p", "pathOrInlineDv": str(f), "offset": 1,
+            "sizeInBytes": len(data), "cardinality": 3}
+    assert read_dv_positions(str(tmp_path), desc) == [2, 5, (1 << 32) + 7]
+    # cardinality mismatch is a loud error
+    with pytest.raises(ValueError, match="cardinality"):
+        read_dv_positions(str(tmp_path), {**desc, "cardinality": 4})

@@ -377,12 +377,15 @@ def _read_mor_snapshot(
 
     ord_field = T_.StructField("__h_ord", T_.LongType(), False)
     out_schema = T_.StructType(list(out_fields) + [ord_field])
-    # deterministic total order: file sequence (per group: log version,
-    # then write token), block sequence, record sequence — 23/20/20
-    # bits, far beyond any pre-compaction log pile
-    file_seq = {
-        os.path.abspath(p): i for i, p in enumerate(sorted(log_paths))
-    }
+    # deterministic total order: file sequence, block sequence, record
+    # sequence — 23/20/20 bits, far beyond any pre-compaction log pile.
+    # File sequence follows each group's NUMERIC (logVersion, token)
+    # order — a lexicographic path sort would put .log.10 before .log.2
+    # and let a stale version-2 record win over version 10's.
+    file_seq: Dict[str, int] = {}
+    for key in sorted(group_logs):
+        for _ver, _token, p in group_logs[key]:  # already (ver, token)-sorted
+            file_seq[os.path.abspath(p)] = len(file_seq)
     as_of = str(as_of_instant) if as_of_instant is not None else None
     committed_b = set(committed)  # serialized into the closure
     boundary_b = boundary
@@ -407,6 +410,12 @@ def _read_mor_snapshot(
                         boundary_b is not None and instant < boundary_b
                     ):
                         continue
+                    if rec.get("_hoodie_record_key") is None:
+                        raise ValueError(
+                            "Hudi log record without _hoodie_record_key "
+                            f"(instant {instant}): cannot merge without "
+                            "populated meta fields"
+                        )
                     row = {n: rec.get(n) for n in names}
                     row["__h_ord"] = (int(fseq) << 40) | (bseq << 20) | rseq
                     rows.append(row)

@@ -293,3 +293,29 @@ def test_hudi_log_codec_roundtrip():
         list(iter_log_blocks(b"NOTHUDI" + data))
     with pytest.raises(ValueError, match="length mismatch"):
         list(iter_log_blocks(data[:-8] + b"\x00\x00\x00\x00\x00\x00\x00\x01"))
+
+
+def test_hudi_mor_log_version_numeric_ordering(spark, tmp_path):
+    """Merge priority follows NUMERIC log versions: with 11 log files,
+    version 11's record must beat version 2's (a lexicographic path
+    sort would order .log.10 before .log.2 and resurrect stale rows)."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = str(tmp_path / "morv")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100", [_mor_rec("dt=1", 1, 0.0)])
+    _delta_commit(meta, "100")
+    for ver in range(1, 12):
+        inst = str(100 + ver)
+        blk = encode_avro_data_block(
+            [_mor_rec("dt=1", 1, float(ver))], MOR_AVRO_SCHEMA, inst)
+        _log(root, "dt=1", "fg-a", "100", ver, [blk])
+        _delta_commit(meta, inst)
+    rows = [(r["k"], r["v"]) for r in read_hudi(spark, root).collect()]
+    assert rows == [(1, 11.0)]

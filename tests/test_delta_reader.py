@@ -1022,3 +1022,27 @@ def test_deletion_vector_absolute_path_storage(tmp_path):
     # cardinality mismatch is a loud error
     with pytest.raises(ValueError, match="cardinality"):
         read_dv_positions(str(tmp_path), {**desc, "cardinality": 4})
+
+
+def test_deletion_vector_run_container_decode():
+    """Run containers (cookie 12347 + run-flag bitset) decode per the
+    RoaringFormatSpec — real Delta writers emit them even though our
+    fixture encoder uses only array/bitset containers."""
+    import struct
+
+    from feature_store_api_spark.sources.deletion_vectors import (
+        decode_roaring_bitmap_array,
+    )
+
+    # one 32-bit bitmap, one container, run-encoded:
+    # runs (10, len 2) -> {10,11,12}, (20, len 1) -> {20,21}
+    bitmap = (
+        struct.pack("<I", 12347)            # SERIAL_COOKIE, size-1=0 in high16
+        + b"\x01"                           # run flag bitset: container 0 runs
+        + struct.pack("<HH", 0, 4)          # key 0, cardinality-1 = 4
+        + struct.pack("<H", 2)              # n_runs
+        + struct.pack("<HH", 10, 2)
+        + struct.pack("<HH", 20, 1)
+    )
+    data = struct.pack("<iq", 1681511377, 1) + bitmap
+    assert decode_roaring_bitmap_array(data) == [10, 11, 12, 20, 21]

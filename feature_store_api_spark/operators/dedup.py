@@ -802,17 +802,30 @@ def exact_window_dedup(
     )
     words = F.col("__words")
     n = F.lit(window)
+
+    def _win(i):
+        # size-n slice: sequence would DESCEND if start > stop, so the
+        # short-doc case is handled by the when() guard below
+        return F.concat_ws(" ", F.slice(words, i + 1, n))
+
+    if hash_fn == "none":
+        win_of = _win
+        empty_t = "array<string>"
+    else:
+        # hash INSIDE the window array: the checkpointed/exploded rows
+        # then carry 8-byte longs instead of ~(10-60)-byte window
+        # strings — at 100 TB that is most of the materialization and
+        # shuffle volume. n_windows = distinct hashes == distinct
+        # strings modulo the same collision odds the shuffle key
+        # already accepts.
+        win_of = lambda i: F.xxhash64(_win(i))  # noqa: E731
+        empty_t = "array<bigint>"
     wins = F.when(
         F.size(words) >= window,
         F.array_distinct(
-            F.transform(
-                # size-n: sequence would DESCEND if start > stop, so the
-                # short-doc case is handled by the when() guard above
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            )
+            F.transform(F.sequence(F.lit(0), F.size(words) - n), win_of)
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast(empty_t))
     # materialize the window table ONCE: it feeds the explode, the
     # min-per-window join AND the final n_windows output — and without
     # a hard barrier, InferFiltersFromGenerate clones the whole window-
@@ -823,10 +836,9 @@ def exact_window_dedup(
     docs = tokenized.select(
         F.col(id_col), wins.alias("__wins")
     ).localCheckpoint(eager=True)
-    key = F.col("__w") if hash_fn == "none" else F.xxhash64(F.col("__w"))
     exploded = docs.select(
-        id_col, F.explode("__wins").alias("__w")
-    ).select(id_col, key.alias("__k"))
+        id_col, F.explode("__wins").alias("__k")
+    )
     min_per = exploded.groupBy("__k").agg(F.min(id_col).alias("__min_id"))
     dup_ids = (
         exploded.join(min_per, on="__k")

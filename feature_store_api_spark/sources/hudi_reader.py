@@ -264,31 +264,16 @@ def read_hudi(
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
-def _read_mor_snapshot(
-    spark: SparkSession,
+def _attach_group_logs(
     path: str,
     meta_dir: str,
     chosen: Dict[Tuple[str, str], Tuple[str, str]],
     as_of_instant: Optional[str],
-) -> DataFrame:
-    """MERGE_ON_READ snapshot: per file group, the newest visible base
-    file merged with its attached log files' committed, visible
-    AVRO_DATA blocks (format: :mod:`.hudi_log`, per the published
-    tech-specs). Merge = latest-wins per Hudi record key — the default
-    ``OverwriteWithLatestAvroPayload`` read semantics — with standard
-    ``_hoodie_is_deleted`` soft deletes honored.
-
-    Scale shape: log files are listed driver-side (file-system-view
-    metadata, same as base files) but DECODED executor-side
-    (``mapInPandas`` over the path list), and ONLY file groups that
-    actually have logs pay the latest-per-key merge shuffle — a
-    compacted table's log-less groups (the bulk of it) stream straight
-    through, the per-file-group merge locality real MOR readers get.
-    Requires ``populateMetaFields`` tables (the default):
-    without ``_hoodie_record_key`` there is no engine-independent merge
-    key, so the read gates loudly."""
-    from pyspark.sql import functions as F
-
+):
+    """Per (partition, fileId): its visible log files in numeric
+    (logVersion, writeToken) order, attached to the group's chosen base
+    instant (or, for log-only groups, the committed baseCommitTime).
+    Returns ``(group_logs, committed, boundary)``."""
     active = _completed_instants(meta_dir)
     boundary = min(active) if (active and _has_archive(meta_dir)) else None
     committed = set(active)
@@ -322,7 +307,37 @@ def _read_mor_snapshot(
         ]
         if wanted:
             group_logs[key] = sorted(wanted)
+    return group_logs, committed, boundary
 
+
+def _read_mor_snapshot(
+    spark: SparkSession,
+    path: str,
+    meta_dir: str,
+    chosen: Dict[Tuple[str, str], Tuple[str, str]],
+    as_of_instant: Optional[str],
+) -> DataFrame:
+    """MERGE_ON_READ snapshot: per file group, the newest visible base
+    file merged with its attached log files' committed, visible
+    AVRO_DATA blocks (format: :mod:`.hudi_log`, per the published
+    tech-specs). Merge = latest-wins per Hudi record key — the default
+    ``OverwriteWithLatestAvroPayload`` read semantics — with standard
+    ``_hoodie_is_deleted`` soft deletes honored.
+
+    Scale shape: log files are listed driver-side (file-system-view
+    metadata, same as base files) but DECODED executor-side
+    (``mapInPandas`` over the path list), and ONLY file groups that
+    actually have logs pay the latest-per-key merge shuffle — a
+    compacted table's log-less groups (the bulk of it) stream straight
+    through, the per-file-group merge locality real MOR readers get.
+    Requires ``populateMetaFields`` tables (the default):
+    without ``_hoodie_record_key`` there is no engine-independent merge
+    key, so the read gates loudly."""
+    from pyspark.sql import functions as F
+
+    group_logs, committed, boundary = _attach_group_logs(
+        path, meta_dir, chosen, as_of_instant
+    )
     base_files = sorted(f for _, f in chosen.values())
     if not base_files and not group_logs:
         raise ValueError(
@@ -372,71 +387,9 @@ def _read_mor_snapshot(
             "(_hoodie_record_key): no engine-independent merge key; "
             "read the read-optimized view or use the Hudi runtime"
         )
-    import pandas as pd
-    from pyspark.sql import types as T_
-
-    ord_field = T_.StructField("__h_ord", T_.LongType(), False)
-    out_schema = T_.StructType(list(out_fields) + [ord_field])
-    # deterministic total order: file sequence, block sequence, record
-    # sequence — 23/20/20 bits, far beyond any pre-compaction log pile.
-    # File sequence follows each group's NUMERIC (logVersion, token)
-    # order — a lexicographic path sort would put .log.10 before .log.2
-    # and let a stale version-2 record win over version 10's.
-    file_seq: Dict[str, int] = {}
-    for key in sorted(group_logs):
-        for _ver, _token, p in group_logs[key]:  # already (ver, token)-sorted
-            file_seq[os.path.abspath(p)] = len(file_seq)
-    as_of = str(as_of_instant) if as_of_instant is not None else None
-    committed_b = set(committed)  # serialized into the closure
-    boundary_b = boundary
-
-    # log files are HIDDEN (leading dot) by design, and Spark's file
-    # index unconditionally filters dot-files — Hudi's own readers open
-    # them by raw path for the same reason. So: parallelize the PATH
-    # list and open inside the workers (the same executor-side-IO
-    # pattern as the avro writer) — decode stays distributed.
-    def decode(batches):
-        for pdf in batches:
-            rows: List[dict] = []
-            for pth, fseq in zip(pdf["__h_path"], pdf["__h_fseq"]):
-                with open(pth, "rb") as fh:
-                    data = fh.read()
-                for instant, bseq, rseq, rec in log_records(
-                    data, None, as_of
-                ):
-                    # same committed rule as base files: active
-                    # timeline, or below the archive boundary
-                    if instant not in committed_b and not (
-                        boundary_b is not None and instant < boundary_b
-                    ):
-                        continue
-                    if rec.get("_hoodie_record_key") is None:
-                        raise ValueError(
-                            "Hudi log record without _hoodie_record_key "
-                            f"(instant {instant}): cannot merge without "
-                            "populated meta fields"
-                        )
-                    row = {n: rec.get(n) for n in names}
-                    row["__h_ord"] = (int(fseq) << 40) | (bseq << 20) | rseq
-                    rows.append(row)
-            yield pd.DataFrame(rows, columns=names + ["__h_ord"])
-
-    path_rows = [
-        (os.path.abspath(p), file_seq[os.path.abspath(p)])
-        for p in sorted(log_paths)
-    ]
-    # one task per handful of log files, scaled to the cluster (a
-    # 1000-executor cluster should not funnel 100k logs through 64
-    # tasks); decode cost is IO-bound so 2x parallelism overlaps it
-    n_slices = min(
-        len(path_rows), max(8, spark.sparkContext.defaultParallelism * 2)
-    )
-    log_df = (
-        spark.createDataFrame(
-            path_rows, "__h_path string, __h_fseq long"
-        )
-        .repartition(n_slices)
-        .mapInPandas(decode, schema=out_schema)
+    log_df = _decode_log_frame(
+        spark, group_logs, out_fields, committed, boundary,
+        as_of_instant,
     )
     if merge_files:
         merge_base = spark.read.option("mergeSchema", "true").parquet(
@@ -471,24 +424,111 @@ def _read_mor_snapshot(
     return merged
 
 
+def _decode_log_frame(
+    spark: SparkSession,
+    group_logs: Dict[Tuple[str, str], List[Tuple[int, str, str]]],
+    out_fields,
+    committed: Set[str],
+    boundary: Optional[str],
+    as_of_instant: Optional[str],
+    only_instants: Optional[Set[str]] = None,
+) -> DataFrame:
+    """Decode the attached log files into rows of ``out_fields`` +
+    ``__h_ord`` (the deterministic merge order: file sequence in each
+    group's NUMERIC (logVersion, writeToken) order — a lexicographic
+    path sort would put .log.10 before .log.2 — then block and record
+    sequence; 23/20/20 bits). ``only_instants`` further restricts to an
+    instant window (the incremental pull).
+
+    Log files are HIDDEN (leading dot) by design, and Spark's file
+    index unconditionally filters dot-files — Hudi's own readers open
+    them by raw path for the same reason. So: parallelize the PATH
+    list and open inside the workers (the same executor-side-IO
+    pattern as the avro writer) — decode stays distributed."""
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    from .hudi_log import log_records
+
+    names = [f.name for f in out_fields]
+    ord_field = T_.StructField("__h_ord", T_.LongType(), False)
+    out_schema = T_.StructType(list(out_fields) + [ord_field])
+    file_seq: Dict[str, int] = {}
+    for key in sorted(group_logs):
+        for _ver, _token, p in group_logs[key]:  # already (ver, token)-sorted
+            file_seq[os.path.abspath(p)] = len(file_seq)
+    as_of = str(as_of_instant) if as_of_instant is not None else None
+    committed_b = set(committed)  # serialized into the closure
+    boundary_b = boundary
+    only_b = set(only_instants) if only_instants is not None else None
+
+    def decode(batches):
+        for pdf in batches:
+            rows: List[dict] = []
+            for pth, fseq in zip(pdf["__h_path"], pdf["__h_fseq"]):
+                with open(pth, "rb") as fh:
+                    data = fh.read()
+                for instant, bseq, rseq, rec in log_records(
+                    data, None, as_of
+                ):
+                    # same committed rule as base files: active
+                    # timeline, or below the archive boundary
+                    if instant not in committed_b and not (
+                        boundary_b is not None and instant < boundary_b
+                    ):
+                        continue
+                    if only_b is not None and instant not in only_b:
+                        continue
+                    if rec.get("_hoodie_record_key") is None:
+                        raise ValueError(
+                            "Hudi log record without _hoodie_record_key "
+                            f"(instant {instant}): cannot merge without "
+                            "populated meta fields"
+                        )
+                    row = {n: rec.get(n) for n in names}
+                    row["__h_ord"] = (int(fseq) << 40) | (bseq << 20) | rseq
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=names + ["__h_ord"])
+
+    path_rows = sorted(
+        (p, seq) for p, seq in file_seq.items()
+    )
+    # one task per handful of log files, scaled to the cluster (a
+    # 1000-executor cluster should not funnel 100k logs through 64
+    # tasks); decode cost is IO-bound so 2x parallelism overlaps it
+    n_slices = min(
+        len(path_rows), max(8, spark.sparkContext.defaultParallelism * 2)
+    )
+    return (
+        spark.createDataFrame(
+            path_rows, "__h_path string, __h_fseq long"
+        )
+        .repartition(n_slices)
+        .mapInPandas(decode, schema=out_schema)
+    )
+
+
 def hudi_incremental(
     spark: SparkSession,
     path: str,
     begin_instant: str,
     end_instant: Optional[str] = None,
 ) -> DataFrame:
-    """Incremental query: rows from file groups REWRITTEN by commits in
+    """Incremental query: changes from commits in
     ``(begin_instant, end_instant]`` — the reference's
     ``hoodie.datasource.query.type=incremental`` window
-    (``core/hudi_engine.py:207-224``). COW granularity is the file
-    group: a rewritten group's rows are all returned (the caller
-    dedupes by record key downstream, as the commit store does)."""
+    (``core/hudi_engine.py:207-224``).
+
+    COW granularity is the file group: a rewritten group's rows are
+    all returned (the caller dedupes by record key downstream, as the
+    commit store does). MERGE_ON_READ is RECORD-level: log records
+    whose block instant falls in the window, plus base files written
+    by in-window deltacommits (new-file-group inserts); compaction
+    ``.commit`` rewrites carry no new data and are excluded."""
     meta_dir = os.path.join(path, _META_DIR)
     if _table_type(meta_dir) == "MERGE_ON_READ":
-        raise NotImplementedError(
-            "Hudi incremental pull on MERGE_ON_READ: record-level "
-            "change extraction from log blocks is not supported "
-            "jarlessly; use a snapshot read"
+        return _hudi_incremental_mor(
+            spark, path, meta_dir, begin_instant, end_instant
         )
     active = _completed_instants(meta_dir)
     head = read_hudi(spark, path, as_of_instant=end_instant)
@@ -516,3 +556,57 @@ def hudi_incremental(
     if not files:
         return head.limit(0)
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def _hudi_incremental_mor(
+    spark: SparkSession,
+    path: str,
+    meta_dir: str,
+    begin_instant: str,
+    end_instant: Optional[str],
+) -> DataFrame:
+    """MOR incremental: record-level changes — committed log records
+    with block instants in the window, plus base files written by
+    in-window deltacommits. The archive-boundary rule matches the COW
+    variant: a window reaching below the boundary is unresolvable."""
+    active = _completed_instants(meta_dir)
+    head = read_hudi(spark, path, as_of_instant=end_instant)
+    if _has_archive(meta_dir) and active and str(begin_instant) < min(active):
+        raise ValueError(
+            f"Hudi incremental pull from {begin_instant!r} starts before"
+            f" the earliest active instant {min(active)!r} (older commits"
+            " are archived); use a snapshot read instead"
+        )
+    wanted = {
+        i for i in active
+        if i > str(begin_instant)
+        and (end_instant is None or i <= str(end_instant))
+        and os.path.exists(os.path.join(meta_dir, f"{i}.deltacommit"))
+    }
+    if not wanted:
+        return head.limit(0)
+    chosen = _visible_groups(path, meta_dir, end_instant)
+    base_files = sorted(
+        f for (instant, f) in chosen.values() if instant in wanted
+    )
+    group_logs, committed, boundary = _attach_group_logs(
+        path, meta_dir, chosen, end_instant
+    )
+    parts: List[DataFrame] = []
+    if base_files:
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(*base_files)
+        )
+    if group_logs:
+        parts.append(
+            _decode_log_frame(
+                spark, group_logs, list(head.schema.fields), committed,
+                boundary, end_instant, only_instants=wanted,
+            ).drop("__h_ord")
+        )
+    if not parts:
+        return head.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -69,13 +69,14 @@ def test_hudi_cow_snapshot_time_travel_incremental(spark, tmp_path):
         (1, 10.0), (2, 2.0)]
     assert hudi_incremental(spark, root, "200", None).count() == 0
 
-    # a MOR table with NO log files reads as its base files; the
-    # incremental pull stays gated (record-level changes live in logs)
+    # a MOR table with NO log files reads as its base files; its
+    # incremental pull counts only DELTACOMMIT changes — this table's
+    # instants are compaction-style .commit files, so the window is
+    # empty (compactions rewrite old data, they are not changes)
     with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
         fh.write("hoodie.table.type=MERGE_ON_READ\n")
     assert rows(read_hudi(spark, root)) == [(1, 10.0), (2, 2.0), (3, 3.0)]
-    with pytest.raises(NotImplementedError, match="incremental"):
-        hudi_incremental(spark, root, "100", "200")
+    assert hudi_incremental(spark, root, "100", "200").count() == 0
 
 
 def test_hudi_archived_instants_still_committed(spark, tmp_path):
@@ -319,3 +320,51 @@ def test_hudi_mor_log_version_numeric_ordering(spark, tmp_path):
         _delta_commit(meta, inst)
     rows = [(r["k"], r["v"]) for r in read_hudi(spark, root).collect()]
     assert rows == [(1, 11.0)]
+
+
+def test_hudi_mor_incremental(spark, tmp_path):
+    """MOR incremental pull is RECORD-level: log records whose block
+    instant falls in (begin, end], plus base files from in-window
+    deltacommits; uncommitted blocks and out-of-window records are
+    excluded."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import hudi_incremental
+
+    root = str(tmp_path / "mori")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100",
+              [_mor_rec("dt=1", 1, 1.0), _mor_rec("dt=1", 2, 2.0)])
+    _delta_commit(meta, "100")
+    # one log file, three blocks at instants 200 / 300 / 999(inflight)
+    blk200 = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 10.0)], MOR_AVRO_SCHEMA, "200")
+    blk300 = encode_avro_data_block(
+        [_mor_rec("dt=1", 3, 3.0)], MOR_AVRO_SCHEMA, "300")
+    blk999 = encode_avro_data_block(
+        [_mor_rec("dt=1", 9, 9.0)], MOR_AVRO_SCHEMA, "999")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk200, blk300, blk999])
+    _delta_commit(meta, "200")
+    _delta_commit(meta, "300")
+    # instant 400: a NEW file group lands as a base file via deltacommit
+    _mor_base(root, "dt=1", "fg-b", "400", [_mor_rec("dt=1", 5, 5.0)])
+    _delta_commit(meta, "400")
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    # (100, 300]: the two committed log records, no base files
+    assert rows(hudi_incremental(spark, root, "100", "300")) == [
+        (1, 10.0), (3, 3.0)]
+    # (200, 400]: instant-300 log record + the new fg-b base file
+    assert rows(hudi_incremental(spark, root, "200", "400")) == [
+        (3, 3.0), (5, 5.0)]
+    # (400, HEAD]: nothing committed after 400 (999 is inflight)
+    assert hudi_incremental(spark, root, "400", None).count() == 0
+    # window including everything: base 100 counts as a change too
+    assert rows(hudi_incremental(spark, root, "000", None)) == [
+        (1, 1.0), (1, 10.0), (2, 2.0), (3, 3.0), (5, 5.0)]

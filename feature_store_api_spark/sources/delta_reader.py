@@ -435,6 +435,177 @@ def delta_incremental(
     return _frame_for(spark, path, state, window_live)
 
 
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    begin_version: int,
+    end_version: Optional[int] = None,
+) -> DataFrame:
+    """Change Data Feed: per-ROW changes for commits in
+    ``(begin_version, end_version]`` with the standard CDF columns
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
+    (delta-spark's ``readChangeFeed`` contract, PROTOCOL.md "Add CDC
+    File" + "Change Data Files").
+
+    Per the spec: a commit's changes come from its ``cdc`` actions
+    (files under ``_change_data/`` whose rows carry ``_change_type``,
+    including update pre/post images); a data-changing commit WITHOUT
+    cdc actions is readable only when it is append-only (its ``add``
+    files are all inserts) — anything else (an upsert/delete written
+    with CDF disabled) errors loudly, exactly like delta-spark,
+    because the removed rows' content cannot be reconstructed.
+
+    Scale shape: ONE flat scan of the cdc files + ONE flat scan of the
+    derived-insert files, each joined to a broadcast
+    file -> (version, timestamp, partitionValues) map built from the
+    log — commit metadata rides the join, never a per-commit union."""
+    target = resolve_delta_version(path, end_version, None)
+    begin = int(begin_version)
+    log_dir = os.path.join(path, _LOG_DIR)
+    commits = _json_commits(log_dir)
+    state = _snapshot_state(path, target)
+    if state.schema_json is None:
+        raise ValueError(f"Delta log at {path} carries no metaData action")
+    schema = T.StructType.fromJson(json.loads(state.schema_json))
+    phys = {f.name: _physical_name(f) for f in schema.fields}
+    pcols = state.partition_cols
+    ppcols = [phys[c] for c in pcols]
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+
+    cdc_map: List[tuple] = []     # (abs_file, ver, ts, *pv)
+    insert_map: List[tuple] = []
+    for v in range(begin + 1, target + 1):
+        if v not in commits:
+            raise ValueError(
+                f"Delta CDF read needs commit {v} as JSON but the log "
+                "only has a checkpoint there (older commits were "
+                "trimmed); narrow the version window"
+            )
+        ts = _commit_timestamp(commits[v])
+        cdc_actions: List[Dict] = []
+        adds: List[Dict] = []
+        removes: List[Dict] = []
+        with open(commits[v]) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("cdc") is not None:
+                    cdc_actions.append(a["cdc"])
+                elif a.get("add") is not None and a["add"].get("dataChange"):
+                    adds.append(a["add"])
+                elif (
+                    a.get("remove") is not None
+                    and a["remove"].get("dataChange")
+                ):
+                    removes.append(a["remove"])
+
+        def _row(action, bucket):
+            pv = action.get("partitionValues") or {}
+            if isinstance(pv, list):
+                pv = dict(pv)
+            bucket.append(tuple(
+                [os.path.abspath(os.path.join(path, action["path"])),
+                 v, ts] + [pv.get(pp, pv.get(pc))
+                           for pp, pc in zip(ppcols, pcols)]
+            ))
+
+        if cdc_actions:
+            for c in cdc_actions:
+                _row(c, cdc_map)
+        else:
+            if removes:
+                raise NotImplementedError(
+                    f"Delta commit {v} changed data without cdc actions "
+                    "and is not append-only (it carries removes): its "
+                    "change feed cannot be reconstructed — enable "
+                    "delta.enableChangeDataFeed on the writer"
+                )
+            for a in adds:
+                _row(a, insert_map)
+
+    out_cols = (
+        [f.name for f in schema.fields]
+        + ["_change_type", "_commit_version", "_commit_timestamp"]
+    )
+    if not cdc_map and not insert_map:
+        empty = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+                T.StructField("_commit_timestamp", T.TimestampType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+
+    map_schema = T.StructType(
+        [
+            T.StructField("__cdf_file", T.StringType(), False),
+            T.StructField("__cdf_ver", T.LongType(), False),
+            T.StructField("__cdf_ts", T.LongType(), False),
+        ]
+        + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols]
+    )
+    scan_file = F.regexp_replace(
+        F.url_decode(F.col("_metadata.file_path")),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
+        "/",
+    )
+
+    def _scan(rows: List[tuple], with_type: bool) -> DataFrame:
+        fields = [
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in data_fields
+        ]
+        if with_type:
+            fields.append(T.StructField("_change_type", T.StringType(), True))
+        files = sorted({r[0] for r in rows})
+        df = (
+            spark.read.schema(T.StructType(fields))
+            .parquet(*files)
+            .withColumn("__cdf_file", scan_file)
+            .join(
+                F.broadcast(spark.createDataFrame(rows, map_schema)),
+                "__cdf_file",
+            )
+        )
+        ct = (
+            F.col("_change_type")
+            if with_type
+            else F.lit("insert").alias("_change_type")
+        )
+        return df.select(
+            *[
+                (
+                    F.col(f"__pv_{f.name}").cast(f.dataType)
+                    if f.name in pcols
+                    else F.col(phys[f.name])
+                ).alias(f.name)
+                for f in schema.fields
+            ],
+            ct.alias("_change_type"),
+            F.col("__cdf_ver").alias("_commit_version"),
+            F.timestamp_millis(F.col("__cdf_ts")).alias(
+                "_commit_timestamp"
+            ),
+        )
+
+    # one map row per FILE (a re-listed path keeps its latest commit —
+    # two rows for one scanned file would duplicate its rows)
+    cdc_rows = list({r[0]: r for r in cdc_map}.values())
+    insert_rows = list({r[0]: r for r in insert_map}.values())
+    parts = []
+    if cdc_rows:
+        parts.append(_scan(cdc_rows, with_type=True))
+    if insert_rows:
+        parts.append(_scan(insert_rows, with_type=False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_cols)
+
+
 def _frame_for(
     spark: SparkSession, path: str, state: _State, live: Dict[str, Dict]
 ) -> DataFrame:

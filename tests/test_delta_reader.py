@@ -1046,3 +1046,84 @@ def test_deletion_vector_run_container_decode():
     )
     data = struct.pack("<iq", 1681511377, 1) + bitmap
     assert decode_roaring_bitmap_array(data) == [10, 11, 12, 20, 21]
+
+
+def test_delta_change_data_feed(spark, tmp_path):
+    """read_delta_cdf: cdc actions yield rows with their file's
+    _change_type (update pre/post images, deletes); an append-only
+    commit without cdc actions derives inserts; a non-append commit
+    without cdc gates loudly; _commit_version/timestamp ride a
+    broadcast map."""
+    from feature_store_api_spark.sources.delta_reader import read_delta_cdf
+
+    root = str(tmp_path / "cdf")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    # v0: create with two rows (append-only, no cdc -> derived inserts)
+    _write_parquet(spark, {"k": [1, 2], "v": [1.0, 2.0],
+                           "lang": ["en", "de"]}, None,
+                   os.path.join(root, "f0.parquet"))
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        _meta(),
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+    # v1: update k=2 (pre+post images) + delete k=1, written as a cdc
+    # file under _change_data plus the rewritten data file
+    os.makedirs(os.path.join(root, "_change_data"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({
+            "k": pa.array([2, 2, 1], type=pa.int64()),
+            "v": pa.array([2.0, 22.0, 1.0]),
+            "lang": pa.array(["de", "de", "en"]),
+            "_change_type": pa.array(
+                ["update_preimage", "update_postimage", "delete"]),
+        }),
+        os.path.join(root, "_change_data", "cdc-0.parquet"),
+    )
+    _write_parquet(spark, {"k": [2], "v": [22.0], "lang": ["de"]}, None,
+                   os.path.join(root, "f1.parquet"))
+    _commit(log, 1, [
+        {"remove": {"path": "f0.parquet", "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0.parquet",
+                 "partitionValues": {}, "size": 1, "dataChange": False}},
+    ], ts=2_000)
+
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in read_delta_cdf(spark, root, -1, None).collect()
+    )
+    assert got == [
+        (0, "insert", 1, 1.0),
+        (0, "insert", 2, 2.0),
+        (1, "delete", 1, 1.0),
+        (1, "update_postimage", 2, 22.0),
+        (1, "update_preimage", 2, 2.0),
+    ]
+    # window (0, 1] excludes v0's inserts
+    assert sorted(
+        r["_change_type"]
+        for r in read_delta_cdf(spark, root, 0, 1).collect()
+    ) == ["delete", "update_postimage", "update_preimage"]
+    # timestamps come from commitInfo
+    ts = {r["_commit_version"]: r["_commit_timestamp"]
+          for r in read_delta_cdf(spark, root, -1, None).collect()}
+    assert ts[0].timestamp() * 1000 == 1_000
+    # empty window
+    assert read_delta_cdf(spark, root, 1, None).count() == 0
+
+    # v2: an upsert WITHOUT cdc actions — change feed unreconstructable
+    _write_parquet(spark, {"k": [2], "v": [99.0], "lang": ["de"]}, None,
+                   os.path.join(root, "f2.parquet"))
+    _commit(log, 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=3_000)
+    with pytest.raises(NotImplementedError, match="cdc"):
+        read_delta_cdf(spark, root, 1, 2)

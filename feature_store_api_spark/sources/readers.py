@@ -194,9 +194,28 @@ def read(
         return read_avro(spark, path)
     if fmt == "delta":
         # jarless Delta transaction-log reader (snapshot / time travel /
-        # file-level incremental via beginVersion[,endVersion])
-        from .delta_reader import delta_incremental, read_delta
+        # file-level incremental via beginVersion[,endVersion] /
+        # change data feed via readChangeFeed + startingVersion)
+        from .delta_reader import (
+            delta_incremental,
+            read_delta,
+            read_delta_cdf,
+        )
 
+        if str(opts.get("readChangeFeed", "")).lower() == "true":
+            sv = opts.get("startingVersion")
+            if sv is None:
+                raise ValueError(
+                    "readChangeFeed needs startingVersion (the first "
+                    "version INCLUDED in the feed)"
+                )
+            ev = opts.get("endingVersion")
+            # delta-spark's startingVersion is INCLUSIVE; the
+            # (begin, end] internal window begins one below
+            return read_delta_cdf(
+                spark, path, int(sv) - 1,
+                int(ev) if ev is not None else None,
+            )
         bv = opts.get("beginVersion")
         if bv is not None:
             ev = opts.get("endVersion")

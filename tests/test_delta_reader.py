@@ -1127,3 +1127,31 @@ def test_delta_change_data_feed(spark, tmp_path):
     ], ts=3_000)
     with pytest.raises(NotImplementedError, match="cdc"):
         read_delta_cdf(spark, root, 1, 2)
+
+
+def test_delta_cdf_via_generic_reader(spark, tmp_path):
+    """readers.read(format='delta', readChangeFeed=true,
+    startingVersion=N) matches read_delta_cdf with delta-spark's
+    INCLUSIVE startingVersion semantics."""
+    from feature_store_api_spark.sources.readers import read as read_files
+
+    root = str(tmp_path / "cdfgen")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(spark, {"k": [1], "v": [1.0], "lang": ["en"]}, None,
+                   os.path.join(root, "f0.parquet"))
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        _meta(),
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+    df = read_files(spark, "delta", root,
+                    options={"readChangeFeed": "true",
+                             "startingVersion": "0"})
+    rows = [(r["k"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()]
+    assert rows == [(1, "insert", 0)]
+    with pytest.raises(ValueError, match="startingVersion"):
+        read_files(spark, "delta", root,
+                   options={"readChangeFeed": "true"})

@@ -19,7 +19,13 @@ hudi.apache.org/tech-specs/ ("Log File Format"):
       content length long
       content        bytes
       footer         map         same encoding as header
-      total size     long        == blocksize (reverse traversal)
+      total size     long        reverse-traversal pointer: the whole
+                                 block INCLUDING the magic and the
+                                 leading length field (i.e. blocksize
+                                 + 14); files written by pre-fix
+                                 versions of this module used the
+                                 excluding convention (== blocksize),
+                                 which the reader also accepts
 
 * block types by ordinal: 0 COMMAND, 1 DELETE, 2 CORRUPT, 3 AVRO_DATA,
   4 HFILE_DATA, 5 PARQUET_DATA, 6 CDC_DATA. Header key ordinals:
@@ -120,7 +126,13 @@ def iter_log_blocks(data: bytes) -> Iterator[Tuple[int, Dict[int, str], bytes]]:
         _footer = _decode_map(buf)
         (total,) = struct.unpack(">q", buf.read(8))
         consumed = buf.tell() - start
-        if total != block_size or consumed != block_size:
+        # trailing long: real Hudi writers record the block INCLUDING
+        # the 6-byte magic and the 8-byte leading length (the reverse-
+        # traversal pointer); accept the bare-blocksize convention too
+        # (files written by earlier versions of this module)
+        if consumed != block_size or total not in (
+            block_size, block_size + len(MAGIC) + 8
+        ):
             raise ValueError(
                 f"Hudi log: block length mismatch (leading {block_size}, "
                 f"trailing {total}, consumed {consumed})"
@@ -199,7 +211,9 @@ def encode_log_file(
         out.write(struct.pack(">q", len(content)))
         out.write(content)
         out.write(ftr)
-        out.write(struct.pack(">q", block_size))
+        # reverse-traversal pointer: block INCLUDING magic + length
+        # field — the convention real Hudi writers use
+        out.write(struct.pack(">q", block_size + len(MAGIC) + 8))
     return out.getvalue()
 
 

@@ -38,6 +38,16 @@ from the published log-block format (:mod:`.hudi_log`) and resolved
 latest-per-record-key in one window — with rollback command blocks and
 hard-delete blocks gated loudly (their semantics need the Hudi
 runtime; applying around them would be silently wrong rows).
+
+Log-decode posture: the per-record Python inside ``mapInPandas``
+(:func:`_decode_log_frame`) is the one row-at-a-time path in this
+package, and it is INHERENT to the jarless design — there is no
+Spark-native reader for Hudi's bespoke log-block framing. It is
+bounded in practice by the log volume between compactions (Hudi
+compacts MOR groups on a schedule precisely to keep this small), the
+work is distributed over ``min(len(logs), 2×parallelism)`` tasks that
+scale with the path list (pinned by test), and log-less file groups —
+the bulk of a healthy table — never enter this path at all.
 """
 
 from __future__ import annotations
@@ -115,15 +125,21 @@ def _replaced_groups(
     return out
 
 
-def _table_type(meta_dir: str) -> str:
+def _table_props(meta_dir: str) -> Dict[str, str]:
     props = os.path.join(meta_dir, "hoodie.properties")
+    out: Dict[str, str] = {}
     if os.path.exists(props):
         with open(props) as fh:
             for line in fh:
                 line = line.strip()
-                if line.startswith("hoodie.table.type="):
-                    return line.split("=", 1)[1].strip()
-    return "COPY_ON_WRITE"
+                if line and not line.startswith("#") and "=" in line:
+                    k, _, v = line.partition("=")
+                    out[k.strip()] = v.strip()
+    return out
+
+
+def _table_type(meta_dir: str) -> str:
+    return _table_props(meta_dir).get("hoodie.table.type", "COPY_ON_WRITE")
 
 
 def _parse_base_file(name: str) -> Optional[Tuple[str, str]]:
@@ -310,6 +326,49 @@ def _attach_group_logs(
     return group_logs, committed, boundary
 
 
+def _merge_key_cols(meta_dir: str, names: List[str]) -> List[str]:
+    """Columns that identify a record for the latest-wins MOR merge.
+
+    ``populateMetaFields`` tables (the default) carry the key in
+    ``_hoodie_record_key`` (+ ``_hoodie_partition_path``). Virtual-key
+    tables omit the meta columns but DECLARE the key in
+    ``hoodie.properties``: ``hoodie.table.recordkey.fields`` (comma
+    separated) + ``hoodie.table.partition.fields`` — merging on those
+    data columns is exactly what Hudi's key generator would have
+    concatenated. Neither available => loud gate."""
+    if "_hoodie_record_key" in names:
+        cols = ["_hoodie_record_key"]
+        if "_hoodie_partition_path" in names:
+            cols.append("_hoodie_partition_path")
+        return cols
+    props = _table_props(meta_dir)
+    declared = [
+        c.strip()
+        for c in props.get("hoodie.table.recordkey.fields", "").split(",")
+        if c.strip()
+    ]
+    part = [
+        c.strip()
+        for c in props.get("hoodie.table.partition.fields", "").split(",")
+        if c.strip()
+    ]
+    if not declared:
+        raise NotImplementedError(
+            "Hudi MERGE_ON_READ without populated meta fields "
+            "(_hoodie_record_key) and without declared "
+            "hoodie.table.recordkey.fields: no engine-independent "
+            "merge key; read the read-optimized view or use the Hudi "
+            "runtime"
+        )
+    missing = [c for c in declared if c not in names]
+    if missing:
+        raise NotImplementedError(
+            f"Hudi virtual record-key fields {missing} are not in the "
+            f"table schema {names}: cannot merge"
+        )
+    return declared + [c for c in part if c in names and c not in declared]
+
+
 def _read_mor_snapshot(
     spark: SparkSession,
     path: str,
@@ -330,9 +389,13 @@ def _read_mor_snapshot(
     actually have logs pay the latest-per-key merge shuffle — a
     compacted table's log-less groups (the bulk of it) stream straight
     through, the per-file-group merge locality real MOR readers get.
-    Requires ``populateMetaFields`` tables (the default):
-    without ``_hoodie_record_key`` there is no engine-independent merge
-    key, so the read gates loudly."""
+    Merge key: ``_hoodie_record_key`` on ``populateMetaFields`` tables
+    (the default); VIRTUAL-key tables (``populateMetaFields=false``,
+    Hudi's recommended low-overhead layout since 0.9) declare the key
+    columns in ``hoodie.properties`` (``hoodie.table.recordkey.fields``
+    + ``hoodie.table.partition.fields``), so the merge keys on those
+    data columns directly. Neither present gates loudly — there is no
+    engine-independent merge key."""
     from pyspark.sql import functions as F
 
     group_logs, committed, boundary = _attach_group_logs(
@@ -381,15 +444,10 @@ def _read_mor_snapshot(
         out_fields = _spark_type_of(parse_schema(header[H_SCHEMA])).fields
 
     names = [f.name for f in out_fields]
-    if "_hoodie_record_key" not in names:
-        raise NotImplementedError(
-            "Hudi MERGE_ON_READ without populated meta fields "
-            "(_hoodie_record_key): no engine-independent merge key; "
-            "read the read-optimized view or use the Hudi runtime"
-        )
+    key_cols = _merge_key_cols(meta_dir, names)
     log_df = _decode_log_frame(
         spark, group_logs, out_fields, committed, boundary,
-        as_of_instant,
+        as_of_instant, key_fields=key_cols,
     )
     if merge_files:
         merge_base = spark.read.option("mergeSchema", "true").parquet(
@@ -400,9 +458,6 @@ def _read_mor_snapshot(
         ).unionByName(log_df, allowMissingColumns=True)
     else:
         merged = log_df
-    key_cols = ["_hoodie_record_key"]
-    if "_hoodie_partition_path" in names:
-        key_cols.append("_hoodie_partition_path")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_cols).orderBy(F.col("__h_ord").desc())
@@ -432,6 +487,7 @@ def _decode_log_frame(
     boundary: Optional[str],
     as_of_instant: Optional[str],
     only_instants: Optional[Set[str]] = None,
+    key_fields: Optional[List[str]] = None,
 ) -> DataFrame:
     """Decode the attached log files into rows of ``out_fields`` +
     ``__h_ord`` (the deterministic merge order: file sequence in each
@@ -461,6 +517,12 @@ def _decode_log_frame(
     committed_b = set(committed)  # serialized into the closure
     boundary_b = boundary
     only_b = set(only_instants) if only_instants is not None else None
+    # merge-key columns a record must carry (None while incremental
+    # pulls, which don't merge); _hoodie_partition_path may be absent
+    # from individual records without breaking the key
+    key_req = [
+        k for k in (key_fields or []) if k != "_hoodie_partition_path"
+    ]
 
     def decode(batches):
         for pdf in batches:
@@ -479,11 +541,24 @@ def _decode_log_frame(
                         continue
                     if only_b is not None and instant not in only_b:
                         continue
-                    if rec.get("_hoodie_record_key") is None:
-                        raise ValueError(
-                            "Hudi log record without _hoodie_record_key "
-                            f"(instant {instant}): cannot merge without "
-                            "populated meta fields"
+                    for kf in key_req:
+                        if rec.get(kf) is None:
+                            raise ValueError(
+                                f"Hudi log record without merge key "
+                                f"field {kf!r} (instant {instant}): "
+                                "cannot merge"
+                            )
+                    if bseq >= (1 << 20) or rseq >= (1 << 20) or int(
+                        fseq
+                    ) >= (1 << 23):
+                        # packing budget: 23/20/20 bits — overflowing
+                        # a field would silently corrupt the
+                        # latest-wins merge order
+                        raise NotImplementedError(
+                            f"Hudi log merge-order overflow (file seq "
+                            f"{int(fseq)}, block {bseq}, record {rseq}):"
+                            " beyond this reader's 23/20/20-bit "
+                            "ordering budget"
                         )
                     row = {n: rec.get(n) for n in names}
                     row["__h_ord"] = (int(fseq) << 40) | (bseq << 20) | rseq
@@ -568,7 +643,17 @@ def _hudi_incremental_mor(
     """MOR incremental: record-level changes — committed log records
     with block instants in the window, plus base files written by
     in-window deltacommits. The archive-boundary rule matches the COW
-    variant: a window reaching below the boundary is unresolvable."""
+    variant: a window reaching below the boundary is unresolvable.
+
+    Deliberately does NOT go through the end-snapshot's file-group
+    view: a compaction (``.commit``) or clustering inside the window
+    rewrites groups and re-homes logs onto the post-compaction base
+    instant, which would orphan the PRE-compaction log files carrying
+    in-window deltacommit records (silent missing rows). Instead every
+    committed base file written by an in-window deltacommit and every
+    committed log file (any base generation) is read, with records
+    filtered to the window — each record lives in exactly one log
+    block / base file, so nothing duplicates."""
     active = _completed_instants(meta_dir)
     head = read_hudi(spark, path, as_of_instant=end_instant)
     if _has_archive(meta_dir) and active and str(begin_instant) < min(active):
@@ -585,13 +670,38 @@ def _hudi_incremental_mor(
     }
     if not wanted:
         return head.limit(0)
-    chosen = _visible_groups(path, meta_dir, end_instant)
-    base_files = sorted(
-        f for (instant, f) in chosen.values() if instant in wanted
-    )
-    group_logs, committed, boundary = _attach_group_logs(
-        path, meta_dir, chosen, end_instant
-    )
+    boundary = min(active) if (active and _has_archive(meta_dir)) else None
+    committed = set(active)
+
+    def is_committed(instant: str) -> bool:
+        return instant in committed or (
+            boundary is not None and instant < boundary
+        )
+
+    # every base file WRITTEN by an in-window deltacommit — even if a
+    # later in-window compaction/clustering superseded it (its rows
+    # are still that deltacommit's changes)
+    base_files: List[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _META_DIR]
+        for name in files:
+            parsed = _parse_base_file(name)
+            if parsed is not None and parsed[1] in wanted:
+                base_files.append(os.path.join(root, name))
+    base_files.sort()
+    # every committed, visible log file regardless of which base
+    # generation it attaches to (pre-compaction logs carry in-window
+    # records too); record-level filtering below does the rest
+    group_logs: Dict[Tuple[str, str], List[Tuple[int, str, str]]] = {}
+    for key, entries in _log_files_by_group(path).items():
+        kept = sorted(
+            (ver, token, p)
+            for (b, ver, token, p) in entries
+            if is_committed(b)
+            and (end_instant is None or b <= str(end_instant))
+        )
+        if kept:
+            group_logs[key] = kept
     parts: List[DataFrame] = []
     if base_files:
         parts.append(

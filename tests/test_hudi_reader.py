@@ -368,3 +368,146 @@ def test_hudi_mor_incremental(spark, tmp_path):
     # window including everything: base 100 counts as a change too
     assert rows(hudi_incremental(spark, root, "000", None)) == [
         (1, 1.0), (1, 10.0), (2, 2.0), (3, 3.0), (5, 5.0)]
+
+
+def test_hudi_mor_incremental_with_compaction_in_window(spark, tmp_path):
+    """A compaction (.commit) inside the pull window re-homes the file
+    group onto a new base instant; the PRE-compaction log files still
+    carry the window's deltacommit records and must be returned (they
+    were silently dropped when the pull went through the end-snapshot's
+    file-group view)."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import (
+        hudi_incremental,
+        read_hudi,
+    )
+
+    root = str(tmp_path / "morc")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100", [_mor_rec("dt=1", 1, 1.0)])
+    _delta_commit(meta, "100")
+    # instant 200: log update on base 100
+    blk200 = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 10.0)], MOR_AVRO_SCHEMA, "200")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk200])
+    _delta_commit(meta, "200")
+    # instant 300: COMPACTION rewrites fg-a (base 100 + log -> base 300)
+    _mor_base(root, "dt=1", "fg-a", "300", [_mor_rec("dt=1", 1, 10.0)])
+    _commit(meta, "300")
+    # instant 400: post-compaction log on the NEW base
+    blk400 = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 40.0)], MOR_AVRO_SCHEMA, "400")
+    _log(root, "dt=1", "fg-a", "300", 1, [blk400])
+    _delta_commit(meta, "400")
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    assert rows(read_hudi(spark, root)) == [(1, 40.0)]
+    # (100, 300]: instant-200's log record lives in a PRE-compaction
+    # log file; the compaction base itself is not a change
+    assert rows(hudi_incremental(spark, root, "100", "300")) == [(1, 10.0)]
+    # window spanning the compaction: both deltacommit records, once
+    assert rows(hudi_incremental(spark, root, "100", "400")) == [
+        (1, 10.0), (1, 40.0)]
+    assert rows(hudi_incremental(spark, root, "300", None)) == [(1, 40.0)]
+
+
+VIRTUAL_AVRO_SCHEMA = """{"type":"record","name":"rec","fields":[
+ {"name":"k","type":["null","long"],"default":null},
+ {"name":"v","type":["null","double"],"default":null}]}"""
+
+
+def test_hudi_mor_virtual_keys(spark, tmp_path):
+    """populateMetaFields=false tables carry no _hoodie_record_key; the
+    merge key comes from hoodie.table.recordkey.fields declared in
+    hoodie.properties (Hudi's recommended virtual-key layout)."""
+    import pytest as _pytest
+
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = str(tmp_path / "morvk")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.populate.meta.fields=false\n"
+            "hoodie.table.recordkey.fields=k\n"
+        )
+    _pq({"k": [1, 2], "v": [1.0, 2.0]},
+        os.path.join(root, "dt=1", "fg-a_0-1-0_100.parquet"))
+    _delta_commit(meta, "100")
+    blk = encode_avro_data_block(
+        [{"k": 1, "v": 10.0}, {"k": 3, "v": 3.0}],
+        VIRTUAL_AVRO_SCHEMA, "200")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk])
+    _delta_commit(meta, "200")
+
+    got = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
+    assert got == [(1, 10.0), (2, 2.0), (3, 3.0)]
+
+    # without the declaration the gate stays loud
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    with _pytest.raises(NotImplementedError, match="recordkey"):
+        read_hudi(spark, root)
+
+
+def test_hudi_mor_log_decode_parallelism(spark, tmp_path):
+    """Log decode parallelism scales with the log-file list (never a
+    single funnel task): partitions == min(len(logs), max(8, 2x default
+    parallelism))."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = str(tmp_path / "morp")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100", [_mor_rec("dt=1", 1, 0.0)])
+    _delta_commit(meta, "100")
+    n_logs = 12
+    for ver in range(1, n_logs + 1):
+        inst = str(100 + ver)
+        blk = encode_avro_data_block(
+            [_mor_rec("dt=1", 1, float(ver))], MOR_AVRO_SCHEMA, inst)
+        _log(root, "dt=1", "fg-a", "100", ver, [blk])
+        _delta_commit(meta, inst)
+
+    from feature_store_api_spark.sources.hudi_reader import (
+        _attach_group_logs,
+        _visible_groups,
+    )
+
+    chosen = _visible_groups(root, meta, None)
+    group_logs, _committed, _boundary = _attach_group_logs(
+        root, meta, chosen, None
+    )
+    n_paths = sum(len(v) for v in group_logs.values())
+    assert n_paths == n_logs
+    cap = max(8, spark.sparkContext.defaultParallelism * 2)
+    expected = min(n_logs, cap)
+
+    from feature_store_api_spark.sources.hudi_reader import _decode_log_frame
+
+    base = spark.read.parquet(
+        os.path.join(root, "dt=1", "fg-a_0-1-0_100.parquet"))
+    log_df = _decode_log_frame(
+        spark, group_logs, base.schema.fields, _committed, _boundary, None,
+        key_fields=["_hoodie_record_key"],
+    )
+    assert log_df.rdd.getNumPartitions() == expected
+    df = read_hudi(spark, root)
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(1, float(n_logs))]

@@ -23,13 +23,17 @@ formats directly:
   optional offset header, then array (sorted u16s), bitset (8 KiB),
   or run (u16 pairs) containers.
 
-Scale shape: DVs are deliberately SMALL (they exist so writers avoid
-rewriting files for point deletes), so decoding is driver-side like
-the rest of the log metadata; the row filter itself is distributed —
-a left-anti join of the scan (keyed by ``_metadata.file_path`` +
-``_metadata.row_index``, Spark's native parquet row index) against the
-decoded positions. A hard cap on total decoded cardinality keeps a
-pathological table from silently melting the driver.
+Scale shape: DVs are usually SMALL (they exist so writers avoid
+rewriting files for point deletes), so the common path decodes them
+driver-side like the rest of the log metadata and broadcasts; past a
+position budget the reader instead ships the DESCRIPTOR list to the
+executors and decodes there (``delta_reader._strip_deleted_rows``), so
+a heavily-deleted table has no driver bound at all. Container decode
+is numpy-vectorized (``unpackbits`` for bitsets, ``frombuffer`` for
+arrays, ``arange`` for runs) — no per-position Python. The row filter
+itself is always distributed — a left-anti join of the scan (keyed by
+``_metadata.file_path`` + ``_metadata.row_index``, Spark's native
+parquet row index) against the decoded positions.
 """
 
 from __future__ import annotations
@@ -39,6 +43,8 @@ import struct
 import uuid as _uuid
 import zlib
 from typing import Dict, Iterable, List
+
+import numpy as np
 
 _MAGIC = 1681511377
 _SERIAL_COOKIE_NO_RUN = 12346
@@ -105,35 +111,44 @@ def _decode_bitmap32(buf: memoryview, pos: int) -> tuple:
         cards.append(c + 1)
     if (not has_run) or size >= _NO_OFFSET_THRESHOLD:
         pos += 4 * size  # offset header — containers are sequential anyway
-    values: List[int] = []
+    chunks: List[np.ndarray] = []
     for i in range(size):
-        base = keys[i] << 16
+        base = np.int64(keys[i]) << 16
         is_run = has_run and bool(run_flags[i // 8] & (1 << (i % 8)))
         if is_run:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            for _ in range(n_runs):
-                start, length = struct.unpack_from("<HH", buf, pos)
-                pos += 4
-                values.extend(range(base + start, base + start + length + 1))
+            runs = np.frombuffer(
+                buf, dtype="<u2", count=2 * n_runs, offset=pos
+            ).astype(np.int64).reshape(-1, 2)
+            pos += 4 * n_runs
+            for start, length in runs:
+                chunks.append(base + np.arange(
+                    start, start + length + 1, dtype=np.int64
+                ))
         elif cards[i] <= 4096:
-            vals = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            vals = np.frombuffer(
+                buf, dtype="<u2", count=cards[i], offset=pos
+            ).astype(np.int64)
             pos += 2 * cards[i]
-            values.extend(base + v for v in vals)
+            chunks.append(base + vals)
         else:
-            words = struct.unpack_from("<1024Q", buf, pos)
+            bits = np.frombuffer(buf, dtype=np.uint8, count=8192, offset=pos)
             pos += 8192
-            for wi, w in enumerate(words):
-                while w:
-                    low = w & -w
-                    values.append(base + (wi << 6) + low.bit_length() - 1)
-                    w ^= low
+            chunks.append(
+                base
+                + np.nonzero(np.unpackbits(bits, bitorder="little"))[0]
+            )
+    values = (
+        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    )
     return values, pos
 
 
-def decode_roaring_bitmap_array(data: bytes) -> List[int]:
+def decode_roaring_bitmap_array(data: bytes) -> np.ndarray:
     """Delta ``RoaringBitmapArray`` portable bytes -> sorted 64-bit
-    positions (PROTOCOL.md: bitmap index is the position's high32)."""
+    positions, an ``int64`` numpy array (PROTOCOL.md: bitmap index is
+    the position's high32)."""
     buf = memoryview(data)
     (magic,) = struct.unpack_from("<i", buf, 0)
     if magic != _MAGIC:
@@ -142,12 +157,13 @@ def decode_roaring_bitmap_array(data: bytes) -> List[int]:
         )
     (n_bitmaps,) = struct.unpack_from("<q", buf, 4)
     pos = 12
-    out: List[int] = []
+    out: List[np.ndarray] = []
     for idx in range(n_bitmaps):
         vals, pos = _decode_bitmap32(buf, pos)
-        high = idx << 32
-        out.extend(high | v for v in vals)
-    return out
+        out.append((np.int64(idx) << 32) | vals)
+    return (
+        np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    )
 
 
 def encode_roaring_bitmap_array(positions: Iterable[int]) -> bytes:
@@ -201,9 +217,10 @@ def dv_relative_path(path_or_inline: str) -> str:
     return f"{prefix}/{name}" if prefix else name
 
 
-def read_dv_positions(table_path: str, descriptor: Dict) -> List[int]:
+def read_dv_positions(table_path: str, descriptor: Dict) -> np.ndarray:
     """Decode one add-action ``deletionVector`` descriptor to deleted
-    row positions, verifying size and CRC-32 for on-disk blobs."""
+    row positions (sorted ``int64`` numpy array), verifying size and
+    CRC-32 for on-disk blobs."""
     storage = descriptor["storageType"]
     size = int(descriptor["sizeInBytes"])
     if storage == "i":

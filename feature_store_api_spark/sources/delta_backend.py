@@ -9,7 +9,17 @@ client (delta-spark, DuckDB ``delta_scan``, delta-rs) can read:
 * each CommitStore commit = one Delta commit of ``add`` actions; the
   commit-time column is a declared Delta PARTITION column, so external
   readers see (and can prune by) the same layout the store prunes by;
-* vacuum = one Delta commit of ``remove`` actions + physical deletes;
+* Change Data Feed is ON (``delta.enableChangeDataFeed`` +
+  ``minWriterVersion`` 4): upsert/insert commits are append-shaped, so
+  CDF readers derive their inserts straight from the adds (delta-spark
+  writes no ``_change_data`` for blind appends either); DELETE commits
+  additionally emit ``cdc`` actions whose ``_change_data`` files carry
+  ``_change_type='delete'`` — an external ``readChangeFeed`` sees real
+  delete semantics instead of tombstone-row "inserts";
+* vacuum = one Delta commit of ``remove`` actions + physical deletes
+  (``dataChange: false`` — retention cleanup is not a logical change;
+  its cdc history files stay behind for CDF readers, delta-spark's
+  VACUUM-retention behavior);
 * schema evolution appends an updated ``metaData`` (adding a column is
   metadata-only, exactly Delta's semantics — old files null-fill);
 * the store's OWN commit metadata (counts, extra, retention) stays in
@@ -189,6 +199,49 @@ class DeltaLogBackend(CommitLogBackend):
         self._maybe_checkpoint(v)
         return v
 
+    def _checkpoint_safe(self, v: int) -> bool:
+        """The classic checkpoint schema below models exactly the
+        fields THIS backend writes: protocol {minReader,minWriter},
+        metaData, add {path, partitionValues, size, modificationTime,
+        dataChange, stats}. A table a DIFFERENT engine also wrote may
+        carry protocol reader/writerFeatures, add deletionVectors or
+        tags, or unexpired remove tombstones — serializing state
+        through this schema would silently DROP them (a v3 checkpoint
+        without readerFeatures fails later replay; lost tombstones
+        break external VACUUM). Checkpointing is an optimization, so
+        on any such field: skip it — replay stays correct from the
+        JSON commits, just unbounded until a capable engine
+        checkpoints."""
+        for cv in range(0, v + 1):
+            p = os.path.join(self._delta_dir, f"{cv:020d}.json")
+            if not os.path.exists(p):
+                continue  # below an existing checkpoint boundary
+            with open(p) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    proto = a.get("protocol")
+                    if proto is not None and (
+                        proto.get("minReaderVersion", 1) >= 3
+                        or proto.get("readerFeatures")
+                        or proto.get("writerFeatures")
+                    ):
+                        return False
+                    add = a.get("add")
+                    if add is not None and (
+                        add.get("deletionVector") or add.get("tags")
+                    ):
+                        return False
+                    rem = a.get("remove")
+                    if rem is not None and rem.get(
+                        "deletionTimestamp", -1
+                    ) != 0:
+                        # ours are written pre-expired (ts 0); anything
+                        # else is a live tombstone we don't model
+                        return False
+        return True
+
     def _maybe_checkpoint(self, v: int) -> None:
         """Every ``_CHECKPOINT_INTERVAL`` commits, compact the log into
         ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` (delta.io
@@ -197,8 +250,13 @@ class DeltaLogBackend(CommitLogBackend):
         cost stays O(interval), not O(total commits). Rows = one
         ``protocol``, one ``metaData``, one ``add`` per live file
         (our removes carry deletionTimestamp 0 = expired tombstones,
-        so none are retained)."""
+        so none are retained; ``cdc`` actions are never checkpointed,
+        per spec). Skipped entirely when the replayed state carries
+        fields the checkpoint schema doesn't model
+        (:meth:`_checkpoint_safe`)."""
         if v <= 0 or v % _CHECKPOINT_INTERVAL != 0:
+            return
+        if not self._checkpoint_safe(v):
             return
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -214,19 +272,23 @@ class DeltaLogBackend(CommitLogBackend):
             ("minWriterVersion", pa.int32()),
         ])
         md = state.metadata
+
+        def _items(x):
+            # replay may hand back a dict (JSON commits) or a list of
+            # pairs (pyarrow renders checkpoint MAP columns as tuples)
+            return list(x.items()) if isinstance(x, dict) else list(x or [])
+
         md_row = {
             "id": md.get("id"),
             "name": md.get("name"),
             "description": md.get("description"),
             "format": {
                 "provider": (md.get("format") or {}).get("provider", "parquet"),
-                "options": list(
-                    ((md.get("format") or {}).get("options") or {}).items()
-                ),
+                "options": _items((md.get("format") or {}).get("options")),
             },
             "schemaString": md.get("schemaString"),
             "partitionColumns": list(md.get("partitionColumns") or []),
-            "configuration": list((md.get("configuration") or {}).items()),
+            "configuration": _items(md.get("configuration")),
             "createdTime": md.get("createdTime") or 0,
         }
         md_t = pa.struct([
@@ -285,16 +347,19 @@ class DeltaLogBackend(CommitLogBackend):
         current = self._current_schema_json()
         new_fields = [json.loads(df.schema.json())["fields"][i]
                       for i in range(len(df.schema.fields))]
+        # CDF on from birth: minWriterVersion 4 is the protocol level
+        # that introduces changeDataFeed (readers are unaffected)
+        config = {"delta.enableChangeDataFeed": "true"}
         if current is None:
             schema = {"type": "struct", "fields": new_fields}
             return [
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
                 {"metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(schema),
                     "partitionColumns": list(partition_cols),
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": 0,
                 }},
             ]
@@ -309,7 +374,7 @@ class DeltaLogBackend(CommitLogBackend):
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(cur),
             "partitionColumns": list(partition_cols),
-            "configuration": {},
+            "configuration": config,
             "createdTime": 0,
         }}]
 
@@ -325,6 +390,7 @@ class DeltaLogBackend(CommitLogBackend):
                 .parquet(stage)
             )
             adds = []
+            moved = []  # (dst, pv) for the cdc pass
             for root, _dirs, files in os.walk(stage):
                 for name in files:
                     if not name.endswith(".parquet"):
@@ -353,9 +419,60 @@ class DeltaLogBackend(CommitLogBackend):
                     if stats is not None:
                         add["stats"] = stats
                     adds.append({"add": add})
-            self._write_delta_commit(meta + adds)
+                    moved.append((dst, pv))
+            cdc = self._cdc_actions(moved)
+            self._write_delta_commit(meta + adds + cdc)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+    def _cdc_actions(self, moved) -> List[Dict]:
+        """``cdc`` actions for a commit that carries DELETE rows.
+
+        Upsert/insert commits are pure appends — CDF readers derive
+        their inserts from the adds, so no ``_change_data`` is written
+        (same as delta-spark on blind appends). A delete commit's rows
+        are tombstones in the store's merge-on-read contract; the cdc
+        file restates them with ``_change_type='delete'`` so an
+        external ``readChangeFeed`` sees real deletes. Cost: one
+        driver-side pyarrow copy of JUST the delete-commit's files
+        (deletes are a tiny fraction of traffic; no Spark job)."""
+        from .commit_store import OP_COL
+
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+        except Exception:
+            return []
+        out: List[Dict] = []
+        cdc_dir = os.path.join(self.location, "_change_data")
+        for dst, pv in moved:
+            try:
+                pf = pq.ParquetFile(dst)
+                if OP_COL not in pf.schema_arrow.names:
+                    continue
+                tbl = pf.read()
+            except Exception:
+                continue
+            ops = tbl[OP_COL]
+            mask = pc.equal(ops, "delete")
+            if not pc.any(mask).as_py():
+                continue
+            ct = pc.if_else(
+                mask, pa.scalar("delete"), pa.scalar("insert")
+            )
+            tbl = tbl.append_column("_change_type", ct)
+            os.makedirs(cdc_dir, exist_ok=True)
+            name = f"cdc-{uuid.uuid4().hex[:12]}.parquet"
+            full = os.path.join(cdc_dir, name)
+            pq.write_table(tbl, full)
+            out.append({"cdc": {
+                "path": f"_change_data/{name}",
+                "partitionValues": pv,
+                "size": os.path.getsize(full),
+                "dataChange": False,
+            }})
+        return out
 
     def scan(self, spark: SparkSession) -> Optional[DataFrame]:
         if not self._versions():

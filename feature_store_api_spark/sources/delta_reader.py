@@ -36,11 +36,30 @@ import json
 import os
 from typing import Dict, List, Optional, Tuple
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOG_DIR = "_delta_log"
+
+
+def _fs_rel(rel: str) -> str:
+    """``add.path`` -> on-disk relative path. PROTOCOL.md: paths in
+    the log are percent-encoded URIs, so a spec-conformant writer
+    stores ``a%20b.parquet`` for a file named ``a b.parquet``;
+    ``unquote`` leaves literal ``+`` intact (it is legal in both)."""
+    return unquote(rel)
+
+
+def _scan_path(col):
+    """Scan-side file path (``_metadata.file_path`` /
+    ``input_file_name()``, both URI-encoded by Spark) -> decoded
+    filesystem path. ``F.url_decode`` is FORM-decoding (``+`` becomes
+    a space), so protect literal ``+`` first — an on-disk name
+    containing ``+`` must compare equal to the log side."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
 
 
 def _json_commits(log_dir: str) -> Dict[int, str]:
@@ -122,10 +141,12 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
 }
 
-#: decoding DVs is driver-side (like every Delta client's metadata
-#: path); bound the total deleted-position count so a pathological
-#: table errors loudly instead of melting the driver
-_MAX_DV_POSITIONS = 20_000_000
+#: up to this many total deleted positions the DVs decode driver-side
+#: and BROADCAST (one metadata pass, no extra job — the common case:
+#: DVs exist to avoid file rewrites for point deletes); past it the
+#: descriptor list ships to the EXECUTORS and decodes there, so a
+#: heavily-deleted table has no driver bound at all
+_DV_BROADCAST_POSITIONS = 2_000_000
 
 
 def _strip_deleted_rows(df: DataFrame, path: str, live: Dict[str, Dict]):
@@ -134,38 +155,70 @@ def _strip_deleted_rows(df: DataFrame, path: str, live: Dict[str, Dict]):
     the decoded (file, position) set. Returns df unchanged when no live
     file carries a deletion vector."""
     dv_live = {
-        rel: a["deletionVector"]
+        _fs_rel(rel): a["deletionVector"]
         for rel, a in live.items()
         if a.get("deletionVector") and a["deletionVector"].get("storageType")
     }
     if not dv_live:
         return df
+    import pandas as pd
+
     from .deletion_vectors import read_dv_positions
 
-    total = sum(int(d.get("cardinality") or 0) for d in dv_live.values())
-    if total > _MAX_DV_POSITIONS:
-        raise NotImplementedError(
-            f"Delta table carries {total} deleted positions across "
-            f"{len(dv_live)} deletion vectors — beyond this jarless "
-            f"reader's {_MAX_DV_POSITIONS} driver-side decode bound"
-        )
     spark = df.sparkSession
-    rows = []
-    for rel, desc in dv_live.items():
-        abs_path = os.path.abspath(os.path.join(path, rel))
-        for p in read_dv_positions(path, desc):
-            rows.append((abs_path, p))
-    if not rows:
-        return df
     del_schema = T.StructType(
         [
             T.StructField("__dv_file", T.StringType(), False),
             T.StructField("__dv_pos", T.LongType(), False),
         ]
     )
-    deleted = F.broadcast(spark.createDataFrame(rows, del_schema))
+    table_abs = os.path.abspath(path)
+    entries = [
+        (os.path.abspath(os.path.join(path, rel)), json.dumps(desc))
+        for rel, desc in sorted(dv_live.items())
+    ]
+    total = sum(int(d.get("cardinality") or 0) for d in dv_live.values())
+    if total <= _DV_BROADCAST_POSITIONS:
+        frames = []
+        for abs_file, desc_json in entries:
+            positions = read_dv_positions(table_abs, json.loads(desc_json))
+            if len(positions):
+                frames.append(pd.DataFrame(
+                    {"__dv_file": abs_file, "__dv_pos": positions}
+                ))
+        if not frames:
+            return df
+        deleted = F.broadcast(spark.createDataFrame(
+            pd.concat(frames, ignore_index=True), schema=del_schema
+        ))
+    else:
+        # executor-side decode: parallelize the DESCRIPTOR list (tiny),
+        # open/decode the blobs in workers, shuffle anti-join — the
+        # deleted set never materializes on the driver
+        def decode(batches):
+            for pdf in batches:
+                for abs_file, desc_json in zip(
+                    pdf["__dv_abs"], pdf["__dv_desc"]
+                ):
+                    positions = read_dv_positions(
+                        table_abs, json.loads(desc_json)
+                    )
+                    yield pd.DataFrame(
+                        {"__dv_file": abs_file, "__dv_pos": positions}
+                    )
+
+        n_slices = min(
+            len(entries), max(8, spark.sparkContext.defaultParallelism)
+        )
+        deleted = (
+            spark.createDataFrame(
+                entries, "__dv_abs string, __dv_desc string"
+            )
+            .repartition(n_slices)
+            .mapInPandas(decode, schema=del_schema)
+        )
     scan_file = F.regexp_replace(
-        F.url_decode(F.col("_metadata.file_path")),
+        _scan_path(F.col("_metadata.file_path")),
         "^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
         "/",
     )
@@ -347,10 +400,8 @@ def _hive_layout(
     """True when every live file sits exactly under hive-style
     ``<pcol>=<value>`` directories matching its ``partitionValues`` —
     then ONE partition-discovery scan replaces per-partition unions."""
-    from urllib.parse import unquote
-
     for rel, add in live.items():
-        comps = rel.split("/")
+        comps = _fs_rel(rel).split("/")
         if len(comps) != len(pcols) + 1:
             return False
         pv = add.get("partitionValues") or {}
@@ -505,7 +556,9 @@ def read_delta_cdf(
             if isinstance(pv, list):
                 pv = dict(pv)
             bucket.append(tuple(
-                [os.path.abspath(os.path.join(path, action["path"])),
+                [os.path.abspath(
+                    os.path.join(path, _fs_rel(action["path"]))
+                ),
                  v, ts] + [pv.get(pp, pv.get(pc))
                            for pp, pc in zip(ppcols, pcols)]
             ))
@@ -548,7 +601,7 @@ def read_delta_cdf(
         + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols]
     )
     scan_file = F.regexp_replace(
-        F.url_decode(F.col("_metadata.file_path")),
+        _scan_path(F.col("_metadata.file_path")),
         "^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
         "/",
     )
@@ -622,7 +675,7 @@ def _frame_for(
     if not live:
         return spark.createDataFrame([], schema)
 
-    files = [os.path.join(path, rel) for rel in sorted(live)]
+    files = [os.path.join(path, _fs_rel(rel)) for rel in sorted(live)]
 
     if not pcols:
         phys_schema = T.StructType(
@@ -659,15 +712,16 @@ def _frame_for(
     phys_schema = T.StructType(
         [T.StructField(phys[f.name], f.dataType, True) for f in data_fields]
     )
-    basenames = [rel.rsplit("/", 1)[-1] for rel in live]
+    basenames = [_fs_rel(rel).rsplit("/", 1)[-1] for rel in live]
     by_basename = len(set(basenames)) == len(basenames)
     rows = []
     for rel in sorted(live):
         pv = live[rel].get("partitionValues") or {}
+        fs = _fs_rel(rel)
         key = (
-            rel.rsplit("/", 1)[-1]
+            fs.rsplit("/", 1)[-1]
             if by_basename
-            else os.path.abspath(os.path.join(path, rel))
+            else os.path.abspath(os.path.join(path, fs))
         )
         rows.append(tuple([key] + [pv.get(pp) for pp in ppcols]))
     map_schema = T.StructType(
@@ -675,7 +729,7 @@ def _frame_for(
         + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols]
     )
     pv_df = F.broadcast(spark.createDataFrame(rows, map_schema))
-    scan_key = F.url_decode(F.input_file_name())
+    scan_key = _scan_path(F.input_file_name())
     if by_basename:
         scan_key = F.element_at(F.split(scan_key, "/"), -1)
     else:

@@ -625,7 +625,7 @@ def test_deletion_vector_codec_roundtrip():
         [3, (1 << 32) + 1, (3 << 32) + 65537],
     ):
         got = decode_roaring_bitmap_array(encode_roaring_bitmap_array(vals))
-        assert got == sorted(set(vals))
+        assert got.tolist() == sorted(set(vals))
     # Z85 spec test vector (rfc.zeromq.org/spec/32): "HelloB" frame
     assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
     assert z85_decode("HelloWorld") == bytes(
@@ -1018,7 +1018,8 @@ def test_deletion_vector_absolute_path_storage(tmp_path):
         fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
     desc = {"storageType": "p", "pathOrInlineDv": str(f), "offset": 1,
             "sizeInBytes": len(data), "cardinality": 3}
-    assert read_dv_positions(str(tmp_path), desc) == [2, 5, (1 << 32) + 7]
+    assert read_dv_positions(str(tmp_path), desc).tolist() == [
+        2, 5, (1 << 32) + 7]
     # cardinality mismatch is a loud error
     with pytest.raises(ValueError, match="cardinality"):
         read_dv_positions(str(tmp_path), {**desc, "cardinality": 4})
@@ -1045,7 +1046,7 @@ def test_deletion_vector_run_container_decode():
         + struct.pack("<HH", 20, 1)
     )
     data = struct.pack("<iq", 1681511377, 1) + bitmap
-    assert decode_roaring_bitmap_array(data) == [10, 11, 12, 20, 21]
+    assert decode_roaring_bitmap_array(data).tolist() == [10, 11, 12, 20, 21]
 
 
 def test_delta_change_data_feed(spark, tmp_path):
@@ -1155,3 +1156,205 @@ def test_delta_cdf_via_generic_reader(spark, tmp_path):
     with pytest.raises(ValueError, match="startingVersion"):
         read_files(spark, "delta", root,
                    options={"readChangeFeed": "true"})
+
+
+def test_deletion_vector_executor_decode_beyond_old_cap(spark, tmp_path):
+    """A DV whose cardinality exceeds the old 20M driver-side cap
+    (removed) decodes EXECUTOR-side and strips correctly: the
+    descriptor list parallelizes to workers, blobs decode there, and
+    the anti-join runs as a shuffle join instead of refusing the
+    read."""
+    import struct
+    import zlib
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "bigdv")
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(spark, {"k": [0, 1, 2], "v": [0.0, 1.0, 2.0],
+                           "lang": ["en", "de", "fr"]}, None,
+                   os.path.join(root, "a.parquet"))
+    _write_parquet(spark, {"k": [10], "v": [10.0], "lang": ["en"]}, None,
+                   os.path.join(root, "b.parquet"))
+
+    # hand-built RoaringBitmapArray: container 0 = array {0, 2},
+    # containers 1..308 = FULL bitsets -> cardinality 2 + 308*65536 =
+    # 20,185,090 (> the old 20M cap; rows 0 and 2 of a.parquet die)
+    n = 309
+    bitmap = struct.pack("<II", 12346, n)
+    bitmap += struct.pack("<HH", 0, 1)  # key 0, card-1 = 1
+    for key in range(1, n):
+        bitmap += struct.pack("<HH", key, 65535)
+    payload0 = struct.pack("<2H", 0, 2)
+    full = struct.pack("<1024Q", *([0xFFFFFFFFFFFFFFFF] * 1024))
+    off = 4 + 4 + 4 * n + 4 * n
+    offsets = struct.pack("<I", off)
+    off += len(payload0)
+    for _ in range(1, n):
+        offsets += struct.pack("<I", off)
+        off += len(full)
+    data = struct.pack("<iq", 1681511377, 1) + bitmap + offsets
+    data += payload0 + full * (n - 1)
+    card = 2 + 308 * 65536
+    assert card > 20_000_000
+
+    dv_path = os.path.join(root, "big_dv.bin")
+    with open(dv_path, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    desc = {"storageType": "p", "pathOrInlineDv": dv_path, "offset": 1,
+            "sizeInBytes": len(data), "cardinality": card}
+
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+
+    got = sorted((r["k"], r["v"]) for r in read_delta(spark, root).collect())
+    assert got == [(1, 1.0), (10, 10.0)]
+
+
+def test_delta_url_encoded_add_path(spark, tmp_path):
+    """PROTOCOL.md paths are percent-encoded URIs: an add.path of
+    'part%200+x.parquet' must open the on-disk file 'part 0+x.parquet',
+    its DV anti-join must match (deleted rows actually disappear), and
+    its broadcast partition-values map must attach (no NULLs) — and a
+    literal '+' must NOT decode to a space on either side."""
+    from feature_store_api_spark.sources.deletion_vectors import (
+        write_dv_file,
+    )
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "enc")
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(spark, {"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}, None,
+                   os.path.join(root, "part 0+x.parquet"))
+    descs = write_dv_file(root, {"part 0+x.parquet": [1]})  # row k=2 dies
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    # partitioned metaData but the file sits at the ROOT (non-hive
+    # layout) -> the broadcast file->partitionValues map branch
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "t", "schemaString": schema,
+            "partitionColumns": ["lang"],
+            "format": {"provider": "parquet"},
+        }},
+        {"add": {"path": "part%200+x.parquet",
+                 "partitionValues": {"lang": "en"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": descs["part 0+x.parquet"]}},
+    ], ts=1_000)
+    got = sorted(
+        (r["k"], r["v"], r["lang"])
+        for r in read_delta(spark, root).collect()
+    )
+    assert got == [(1, 1.0, "en"), (3, 3.0, "en")]
+
+
+def test_delta_backend_cdf_roundtrip(spark, tmp_path):
+    """The Delta backend advertises Change Data Feed (metaData
+    configuration + writer protocol 4) and a DELETE commit emits cdc
+    actions with _change_type='delete' — an external readChangeFeed
+    (here: read_delta_cdf, the same contract) sees the full change
+    history, matching the commit store's own incremental pull."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import read_delta_cdf
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_cdf", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    c1 = fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0)], "k long, ts long, v double"))
+    fg.insert(spark.createDataFrame(
+        [(3, 20, 3.0)], "k long, ts long, v double"))
+    fg.commit_delete_record(spark.createDataFrame(
+        [(2, 30)], "k long, ts long"))
+
+    log_dir = os.path.join(fg.location, "_delta_log")
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    assert md["configuration"]["delta.enableChangeDataFeed"] == "true"
+    with open(os.path.join(log_dir, f"{2:020d}.json")) as fh:
+        del_actions = [json.loads(l) for l in fh if l.strip()]
+    cdcs = [a["cdc"] for a in del_actions if "cdc" in a]
+    assert cdcs and all(
+        a["path"].startswith("_change_data/") for a in cdcs)
+    assert all(os.path.exists(os.path.join(fg.location, a["path"]))
+               for a in cdcs)
+
+    cdf = read_delta_cdf(spark, fg.location, begin_version=-1)
+    got = sorted((r["k"], r["_change_type"], r["_commit_version"])
+                 for r in cdf.collect())
+    assert got == [
+        (1, "insert", 0), (2, "delete", 2), (2, "insert", 0),
+        (3, "insert", 1)]
+
+    # round-trip vs the commit store's own pull: the store's
+    # incremental pull excludes delete tombstones (snapshot
+    # semantics), so it must equal the CDF window's non-delete rows
+    import time as _time
+
+    pulled = fg.select_all().pull_changes(
+        c1.commit_time + 1, int(_time.time() * 1000) + 10_000
+    ).read(spark)
+    assert sorted(r["k"] for r in pulled.collect()) == sorted(
+        r["k"] for r in cdf.where(
+            "_commit_version >= 1 AND _change_type != 'delete'"
+        ).collect())
+
+
+def test_delta_backend_checkpoint_gate_on_unmodeled_fields(spark, tmp_path):
+    """A foreign engine's commit carrying fields the classic
+    checkpoint schema doesn't model (here: an unexpired remove
+    tombstone) must SUPPRESS checkpointing — serializing it would drop
+    the tombstone — while commits and reads keep working."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_gate", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(0, 0, 0.0)], "k long, ts long, v double"))
+    # foreign commit: live tombstone (external VACUUM relies on it)
+    log_dir = os.path.join(fg.location, "_delta_log")
+    nxt = 1 + max(int(n[:-5]) for n in os.listdir(log_dir)
+                  if n.endswith(".json"))
+    with open(os.path.join(log_dir, f"{nxt:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+        fh.write(json.dumps({"remove": {
+            "path": "ghost.parquet", "dataChange": False,
+            "deletionTimestamp": 123456}}) + "\n")
+    for i in range(1, 15):
+        fg.insert(spark.createDataFrame(
+            [(i, i, float(i))], "k long, ts long, v double"))
+    assert not [n for n in os.listdir(log_dir) if ".checkpoint." in n]
+    assert not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    assert fg.read(spark).count() == 15

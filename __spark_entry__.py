@@ -2746,6 +2746,396 @@ def _q_hudi_time_travel(spark, sf_dir):
     return cow.unionByName(mor)
 
 
+def _delta_fixture_dirs(prefix):
+    import os as _os
+
+    root = _os.path.join(_scratch(prefix), "tbl")
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    return root, log
+
+
+def _delta_commit_json(log, v, actions, ts):
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {"timestamp": ts}}) + "\n")
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+
+def _orders_schema_str(key="o_orderkey", price="o_totalprice"):
+    import json as _json
+
+    return _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": key, "type": "long", "nullable": True, "metadata": {}},
+            {"name": price, "type": "double", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+
+
+def _write_sorted_parquet(df, root, name, columns):
+    """Write one parquet with a DETERMINISTIC row order (sorted by the
+    first column) so file positions are predictable — deletion-vector
+    fixtures key on the row index."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    pdf = df.toPandas().sort_values(columns[0]).reset_index(drop=True)
+    _pq.write_table(
+        _pa.table({c: pdf[c] for c in columns}),
+        _os.path.join(root, name),
+    )
+    return pdf
+
+
+def _q_delta_dv_strip(spark, sf_dir):
+    """Deletion-vector stripping (sources/deletion_vectors.py +
+    delta_reader._strip_deleted_rows): a protocol-v3 deletionVectors
+    table from orders — file f0 (even keys, sorted) carries an on-disk
+    storageType='u' DV (Z85 uuid name, CRC-checked RoaringBitmapArray)
+    deleting the rows whose o_orderkey % 10 == 0; f1 (odd keys) has no
+    DV. The read anti-joins the decoded positions on
+    _metadata.row_index, so the result is every order with
+    o_orderkey % 10 != 0."""
+    from feature_store_api_spark.sources.deletion_vectors import (
+        write_dv_file,
+    )
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root, log = _delta_fixture_dirs("delta_dv_")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cols = ["o_orderkey", "o_totalprice"]
+    f0 = _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 2 == 0), root, "f0.parquet", cols
+    )
+    _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 2 == 1), root, "f1.parquet", cols
+    )
+    positions = [
+        i for i, k in enumerate(f0["o_orderkey"]) if int(k) % 10 == 0
+    ]
+    descs = write_dv_file(root, {"f0.parquet": positions})
+    _delta_commit_json(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv", "schemaString": _orders_schema_str(),
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet"}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": descs["f0.parquet"]}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=1000)
+    return read_delta(spark, root).select("o_orderkey", "o_totalprice")
+
+
+def _q_delta_v2_checkpoint(spark, sf_dir):
+    """V2-checkpoint replay (PROTOCOL.md "V2 Checkpoints",
+    delta_reader._apply_checkpoint_file): state at v1 lives ONLY in a
+    UUID-named ndjson manifest + a _sidecars parquet (the v0/v1 JSON
+    commits are deleted), and the v2 tail commit applies on top — the
+    read must fast-forward through the checkpoint. f0=%3==0, f1=%3==1,
+    f2=%3==2 with o_totalprice+1."""
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root, log = _delta_fixture_dirs("delta_v2cp_")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cols = ["o_orderkey", "o_totalprice"]
+    _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 3 == 0), root, "f0.parquet", cols)
+    _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 3 == 1), root, "f1.parquet", cols)
+    _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 3 == 2).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        ), root, "f2.parquet", cols)
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    md = {"id": "v2", "schemaString": _orders_schema_str(),
+          "partitionColumns": [], "format": {"provider": "parquet"}}
+    # v2 tail commit stays as JSON; v0/v1 exist only through the
+    # checkpoint (never written — the replay must not need them)
+    _delta_commit_json(log, 2, [
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=3000)
+    sidedir = _os.path.join(log, "_sidecars")
+    _os.makedirs(sidedir, exist_ok=True)
+    add_t = _pa.struct([
+        ("path", _pa.string()),
+        ("partitionValues", _pa.map_(_pa.string(), _pa.string())),
+        ("size", _pa.int64()),
+        ("modificationTime", _pa.int64()),
+        ("dataChange", _pa.bool_()),
+    ])
+    sc_name = f"{_uuid.uuid4()}.parquet"
+    _pq.write_table(
+        _pa.table({"add": _pa.array([
+            {"path": "f0.parquet", "partitionValues": [], "size": 1,
+             "modificationTime": 0, "dataChange": False},
+            {"path": "f1.parquet", "partitionValues": [], "size": 1,
+             "modificationTime": 0, "dataChange": False},
+        ], add_t)}),
+        _os.path.join(sidedir, sc_name),
+    )
+    import json as _json
+
+    manifest = _os.path.join(
+        log, f"{1:020d}.checkpoint.{_uuid.uuid4()}.json"
+    )
+    with open(manifest, "w") as fh:
+        fh.write(_json.dumps({"protocol": proto}) + "\n")
+        fh.write(_json.dumps({"metaData": md}) + "\n")
+        fh.write(_json.dumps({"sidecar": {"path": sc_name}}) + "\n")
+    with open(_os.path.join(log, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 1, "size": 4}, fh)
+    return read_delta(spark, root).select("o_orderkey", "o_totalprice")
+
+
+def _q_delta_column_mapping(spark, sf_dir):
+    """Column mapping (protocol v2, delta_reader._physical_name):
+    parquet files store PHYSICAL names ('col-xk', 'col-xp'); the table
+    schema maps them to logical o_orderkey / o_totalprice through
+    delta.columnMapping.physicalName field metadata — renames are
+    metadata-only. f1 (odd keys) doubles the price so the mapping is
+    value-checked, not just schema-checked."""
+    import json as _json
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root, log = _delta_fixture_dirs("delta_cmap_")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("col-xk"),
+        F.col("o_totalprice").alias("col-xp"),
+    )
+    cols = ["col-xk", "col-xp"]
+    _write_sorted_parquet(
+        orders.where(F.col("`col-xk`") % 2 == 0), root, "f0.parquet", cols)
+    _write_sorted_parquet(
+        orders.where(F.col("`col-xk`") % 2 == 1).withColumn(
+            "col-xp", F.col("`col-xp`") * 2
+        ), root, "f1.parquet", cols)
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-xk"}},
+            {"name": "o_totalprice", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-xp"}},
+        ],
+    })
+    _delta_commit_json(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm", "schemaString": schema_str, "partitionColumns": [],
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=1000)
+    return read_delta(spark, root).select("o_orderkey", "o_totalprice")
+
+
+def _q_delta_cdf(spark, sf_dir):
+    """Change Data Feed reading (delta_reader.read_delta_cdf — the
+    readChangeFeed contract): window (0, 2] over a log whose v1 is a
+    cdc commit (_change_data file with update pre/post images for
+    o_orderkey % 8 == 0: price vs price*2) and v2 an append-only
+    commit (keys % 4 == 1) whose inserts are DERIVED from its adds.
+    v0 (the original inserts) is before the window and must not
+    appear. _commit_timestamp is deterministic but dropped from the
+    projection (the hash compare covers version + change type)."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from feature_store_api_spark.sources.delta_reader import read_delta_cdf
+
+    root, log = _delta_fixture_dirs("delta_cdf_")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cols = ["o_orderkey", "o_totalprice"]
+    _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 4 == 0), root, "f0.parquet", cols)
+    f0b = _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 8 == 0,
+                   F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")),
+        ), root, "f0b.parquet", cols)
+    _write_sorted_parquet(
+        orders.where(F.col("o_orderkey") % 4 == 1), root, "f1.parquet", cols)
+    # cdc file: pre/post images of the updated subset
+    upd = f0b[f0b["o_orderkey"] % 8 == 0].reset_index(drop=True)
+    cdc_dir = _os.path.join(root, "_change_data")
+    _os.makedirs(cdc_dir, exist_ok=True)
+    _pq.write_table(
+        _pa.table({
+            "o_orderkey": list(upd["o_orderkey"]) * 2,
+            "o_totalprice": list(upd["o_totalprice"] / 2)
+            + list(upd["o_totalprice"]),
+            "_change_type": ["update_preimage"] * len(upd)
+            + ["update_postimage"] * len(upd),
+        }),
+        _os.path.join(cdc_dir, "c1.parquet"),
+    )
+    _delta_commit_json(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {
+            "id": "cdf", "schemaString": _orders_schema_str(),
+            "partitionColumns": [], "format": {"provider": "parquet"},
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=1000)
+    _delta_commit_json(log, 1, [
+        {"cdc": {"path": "_change_data/c1.parquet", "partitionValues": {},
+                 "size": 1, "dataChange": False}},
+        {"remove": {"path": "f0.parquet", "dataChange": True}},
+        {"add": {"path": "f0b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=2000)
+    _delta_commit_json(log, 2, [
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ], ts=3000)
+    return read_delta_cdf(spark, root, begin_version=0).select(
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+    )
+
+
+def _q_hudi_mor_incremental(spark, sf_dir):
+    """MOR record-level incremental pull ACROSS a compaction
+    (hudi_reader._hudi_incremental_mor): deltacommit 200 logs price*5
+    for keys % 7 == 0 against base 100; compaction .commit 300
+    rewrites the group (re-homing future logs); deltacommit 400 logs
+    price+9 for keys % 7 == 3 against the NEW base. The pull over
+    (100, 400] must return BOTH log generations' records — the
+    pre-compaction log is not orphaned — and no base/compaction
+    rows."""
+    import json as _json
+    import os as _os
+
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_log_file,
+    )
+    from feature_store_api_spark.sources.hudi_reader import hudi_incremental
+
+    root = _os.path.join(_scratch("hudi_morinc_"), "tbl")
+    meta = _os.path.join(root, ".hoodie")
+    _os.makedirs(meta, exist_ok=True)
+    with open(_os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=o\nhoodie.table.type=MERGE_ON_READ\n")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        F.lit("dt=0").alias("_hoodie_partition_path"),
+        F.lit(False).alias("_hoodie_is_deleted"),
+        "o_orderkey", "o_totalprice",
+    )
+
+    def _writeb(df, name):
+        tmp = _os.path.join(root, "_stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
+        _os.makedirs(_os.path.join(root, "dt=0"), exist_ok=True)
+        _os.replace(
+            _os.path.join(tmp, part), _os.path.join(root, "dt=0", name)
+        )
+
+    schema = _json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]},
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ],
+    })
+
+    def _recs(df):
+        return [
+            {"_hoodie_record_key": str(r["o_orderkey"]),
+             "_hoodie_partition_path": "dt=0",
+             "_hoodie_is_deleted": False,
+             "o_orderkey": int(r["o_orderkey"]),
+             "o_totalprice": float(r["o_totalprice"])}
+            for r in df.collect()
+        ]
+
+    _writeb(base, "fga_0-1-0_100.parquet")
+    with open(_os.path.join(meta, "100.deltacommit"), "w") as fh:
+        fh.write("{}")
+    upd200 = _recs(
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 5))
+    with open(
+        _os.path.join(root, "dt=0", ".fga_100.log.1_0-1-0"), "wb"
+    ) as fh:
+        fh.write(encode_log_file(
+            [encode_avro_data_block(upd200, schema, "200")]))
+    with open(_os.path.join(meta, "200.deltacommit"), "w") as fh:
+        fh.write("{}")
+    # compaction: merged base at instant 300 (a .commit — no new data)
+    _writeb(
+        base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0,
+                   F.col("o_totalprice") * 5).otherwise(
+                F.col("o_totalprice")),
+        ),
+        "fga_0-2-0_300.parquet",
+    )
+    with open(_os.path.join(meta, "300.commit"), "w") as fh:
+        fh.write("{}")
+    upd400 = _recs(
+        orders.where(F.col("o_orderkey") % 7 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 9))
+    with open(
+        _os.path.join(root, "dt=0", ".fga_300.log.1_0-1-0"), "wb"
+    ) as fh:
+        fh.write(encode_log_file(
+            [encode_avro_data_block(upd400, schema, "400")]))
+    with open(_os.path.join(meta, "400.deltacommit"), "w") as fh:
+        fh.write("{}")
+    return hudi_incremental(spark, root, "100", "400").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """Retrieval evaluation (operators/eval_metrics.py): recall@5 /
     MRR@5 / NDCG@5 of the batched BM25 run against a same-source
@@ -2996,30 +3386,72 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered by verification priority for a driver that checks the FIRST
-    # 50 entries per round (r09 rotation, per VERDICT r08 item 1):
-    # (1) bm25_batch_indexed — new this round, never checked;
-    # (2) entries whose underlying code changed since the r08 verdict —
-    # the lakehouse readers/backend rewrite (flat-plan Delta scan,
-    # checkpoints, Hudi archive/replacecommit rules), the splits long-cast
-    # fix, and the r09 clusterer/statistics perf work;
-    # (3) the 40 entries whose latest green verdict is r06 — two rounds
-    # stale, the oldest on the board (VERDICT r08 names them);
-    # (4) everything else, freshest proofs (r07/r08) last.
+    # Ordered by verification priority for a driver that checks the
+    # FIRST ~50 entries per round (r10 rotation, per VERDICT r09 #1):
+    # (1) five NEW lakehouse oracle rows (DV strip, V2 checkpoint,
+    # column mapping, CDF, MOR incremental-across-compaction) —
+    # never checked; (2) entries whose underlying code changed this
+    # round (hudi reader/log, delta reader/DV codec, delta backend
+    # CDF + checkpoint gating); (3) the 41 entries whose latest
+    # verdict is r07 (two rounds stale). Tail = freshest verdicts
+    # (42 r08 + the r09 window).
     return {
-        # new r09 operator — never checked
-        "bm25_batch_indexed": _q_bm25_batch_indexed,
-        # code changed since the r08 verdict
+        "delta_dv_strip": _q_delta_dv_strip,
+        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
+        "delta_column_mapping": _q_delta_column_mapping,
+        "delta_cdf": _q_delta_cdf,
+        "hudi_mor_incremental": _q_hudi_mor_incremental,
+        "hudi_time_travel": _q_hudi_time_travel,
         "delta_time_travel": _q_delta_time_travel,
         "delta_fg_upsert": _q_delta_fg_upsert,
-        "hudi_time_travel": _q_hudi_time_travel,
         "streaming_upsert": _q_streaming_upsert,
+        "commit_details": _q_commit_details,
+        "compaction_snapshot": _q_compaction_snapshot,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "custom_udf": _q_custom_udf,
+        "embedding_centroids": _q_embedding_centroids,
+        "event_time_norm": _q_event_time_norm,
+        "external_fg_csv": _q_external_fg_csv,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "fs_sql": _q_fs_sql,
+        "gopher_gates": _q_gopher_gates,
+        "incremental_pull": _q_incremental_pull,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_full": _q_join_full,
+        "join_inner": _q_join_inner,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "join_right": _q_join_right,
+        "join_semi": _q_join_semi,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_lookup": _q_online_lookup,
+        "online_preview": _q_online_preview,
+        "pii_redaction": _q_pii_redaction,
+        "quantile_binning": _q_quantile_binning,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "robust_scaler": _q_robust_scaler,
+        "scan_filter_project": _q_scan_filter_project,
+        "schema_evolution": _q_schema_evolution,
+        "select_except": _q_select_except,
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "serving_vectors": _q_serving_vectors,
+        "tfidf_terms": _q_tfidf_terms,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "vacuum_retention": _q_vacuum_retention,
+        "incremental_dedup": _q_incremental_dedup,
+        "pit_join": _q_pit_join,
+        "label_window": _q_label_window,
+        "bm25_batch_indexed": _q_bm25_batch_indexed,
         "negative_sampling": _q_negative_sampling,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "corpus_curation": _q_corpus_curation,
         "stats_profile": _q_stats_profile,
-        # the 40 r06-stale entries
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation_quality": _q_corpus_curation_quality,
@@ -3060,7 +3492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
-        # ---- end of the 50-entry driver window ----
         "minhash_verified": _q_minhash_verified,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
@@ -3103,47 +3534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "dsir_sample": _q_dsir_sample,
         "retrieval_metrics": _q_retrieval_metrics,
-        "commit_details": _q_commit_details,
-        "compaction_snapshot": _q_compaction_snapshot,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "custom_udf": _q_custom_udf,
-        "embedding_centroids": _q_embedding_centroids,
-        "event_time_norm": _q_event_time_norm,
-        "external_fg_csv": _q_external_fg_csv,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "fs_sql": _q_fs_sql,
-        "gopher_gates": _q_gopher_gates,
-        "incremental_pull": _q_incremental_pull,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_full": _q_join_full,
-        "join_inner": _q_join_inner,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "join_right": _q_join_right,
-        "join_semi": _q_join_semi,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_lookup": _q_online_lookup,
-        "online_preview": _q_online_preview,
-        "pii_redaction": _q_pii_redaction,
-        "quantile_binning": _q_quantile_binning,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "robust_scaler": _q_robust_scaler,
-        "scan_filter_project": _q_scan_filter_project,
-        "schema_evolution": _q_schema_evolution,
-        "select_except": _q_select_except,
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "serving_vectors": _q_serving_vectors,
-        "tfidf_terms": _q_tfidf_terms,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "vacuum_retention": _q_vacuum_retention,
-        "incremental_dedup": _q_incremental_dedup,
-        "pit_join": _q_pit_join,
-        "label_window": _q_label_window,
     }
 
 
@@ -3318,6 +3708,42 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "delta_dv_strip": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 10 != 0
+        """,
+        "delta_v2_checkpoint": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+        """,
+        "delta_column_mapping": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+        """,
+        "delta_cdf": """
+            SELECT o_orderkey, o_totalprice,
+                   'update_preimage' AS _change_type,
+                   CAST(1 AS BIGINT) AS _commit_version
+            FROM orders WHERE o_orderkey % 8 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice * 2, 'update_postimage',
+                   CAST(1 AS BIGINT)
+            FROM orders WHERE o_orderkey % 8 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, 'insert', CAST(2 AS BIGINT)
+            FROM orders WHERE o_orderkey % 4 = 1
+        """,
+        "hudi_mor_incremental": """
+            SELECT o_orderkey, o_totalprice * 5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 9 AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 3
+        """,
         "vacuum_retention": """
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END

@@ -643,6 +643,13 @@ def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+#: broadcast the per-node contraction label table when it has at most
+#: this many rows (~80 MB of (long, long) — safely under executor
+#: memory at any realistic cluster size); bigger graphs fall back to
+#: shuffle joins of the same volume a star round would pay
+_CC_BCAST_NODES = 5_000_000
+
+
 def _cc_two_phase(
     pairs: DataFrame, max_iterations: int, finish_threshold: int = 0
 ) -> DataFrame:
@@ -669,28 +676,77 @@ def _cc_two_phase(
     finish-small-remainders-locally step. Components are preserved by
     every star round, so union-find over the contracted edges labels
     identically to running the rounds to their fixpoint; 0 disables.
+
+    Round 0 is a MIN-LABEL CONTRACTION prepass instead of a full
+    large+small star pair: one groupBy computes ``m(u) = min(N(u) ∪
+    {u})`` (every node merges into an adjacent node — a valid quotient
+    that preserves components exactly), then the pair list rewrites to
+    ``(m(a), m(b))`` edges, same-label edges dying in the filter. Two
+    wins over a star round at this stage: the per-NODE label table is
+    orders of magnitude smaller than the pair list on LSH graphs
+    (dense near-dup clusters), so when it fits the broadcast bound the
+    rewrite joins are map-side — round 0 then costs ONE aggregation
+    shuffle plus a distinct over the surviving cross-cluster edges,
+    instead of three full-width shuffles; and the final labeling
+    becomes a broadcast join through the label table rather than a
+    shuffle join over the full node set. Past the broadcast bound the
+    joins fall back to shuffles of exactly the volume a star round
+    would have paid — never worse, no driver bound.
     """
     a, b = pairs.columns[0], pairs.columns[1]
-    # nodes and the initial oriented edge set stay LAZY over the
-    # caller-materialized pairs: each is consumed inside exactly one
-    # downstream job (final labeling / round 0, whose union branches
-    # share the distinct's exchange via ReuseExchange), so an eager
-    # checkpoint here would only add a materialization job. Lineage
-    # stays bounded — every ROUND output is checkpointed below.
-    nodes = pairs.select(
-        F.explode(F.array(F.col(a), F.col(b))).alias("id")
-    ).distinct()
-    # oriented representation: (u, v) with u > v ("u points to v") —
-    # straight from the pairs, no symmetrized intermediate
-    e = (
-        pairs.select(
-            F.greatest(F.col(a), F.col(b)).alias("src"),
-            F.least(F.col(a), F.col(b)).alias("dst"),
-        )
-        .where(F.col("src") > F.col("dst"))
-        .distinct()
+    # -- round 0: min-label contraction (see docstring) --------------
+    sym0 = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+    labels0 = (
+        sym0.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        .localCheckpoint(eager=True)
     )
-    prev_fp = None
+    # one row per node-with-an-edge: the checkpoint makes its (tiny)
+    # size exact, so the broadcast decision is measured, not guessed
+    bcast = labels0.count() <= _CC_BCAST_NODES
+    la = labels0.select(F.col("src").alias(a), F.col("m").alias("__ma"))
+    lb = labels0.select(F.col("src").alias(b), F.col("m").alias("__mb"))
+    if bcast:
+        la, lb = F.broadcast(la), F.broadcast(lb)
+    e = (
+        pairs.join(la, a).join(lb, b)
+        .where(F.col("__ma") != F.col("__mb"))
+        .select(
+            F.greatest("__ma", "__mb").alias("src"),
+            F.least("__ma", "__mb").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _label_nodes(m_labels: DataFrame) -> DataFrame:
+        """Compose node → m(node) → component label. ``m_labels`` maps
+        contracted nodes (m-values) to their final label; contracted
+        nodes absent from it are their own component's root."""
+        if bcast:
+            m_labels = F.broadcast(m_labels)
+        return labels0.join(
+            m_labels, labels0["m"] == m_labels["__mnode"], "left"
+        ).select(
+            F.col("src").alias("doc_id"),
+            F.coalesce(F.col("__mlabel"), F.col("m")).alias("cluster_id"),
+        )
+
+    n0 = e.count()
+    if n0 <= finish_threshold:
+        uf = _cc_driver_union_find(e).select(
+            F.col("doc_id").alias("__mnode"),
+            F.col("cluster_id").alias("__mlabel"),
+        )
+        return _label_nodes(uf)
+    prev_fp = n0
     converged = False
     for _ in range(max_iterations):
         # -- large-star: for each u, m = min(N(u) ∪ {u}); link every
@@ -726,17 +782,13 @@ def _cc_two_phase(
         n = e.count()
         if n <= finish_threshold:
             # contracted remainder fits the driver crossover bound:
-            # exact union-find over it, stitched onto the full node set
-            labels = _cc_driver_union_find(e)
-            return (
-                nodes.join(labels, nodes["id"] == labels["doc_id"], "left")
-                .select(
-                    F.col("id").alias("doc_id"),
-                    F.coalesce(F.col("cluster_id"), F.col("id")).alias(
-                        "cluster_id"
-                    ),
-                )
+            # exact union-find over it, composed through round 0's
+            # node → m(node) contraction map
+            uf = _cc_driver_union_find(e).select(
+                F.col("doc_id").alias("__mnode"),
+                F.col("cluster_id").alias("__mlabel"),
             )
+            return _label_nodes(uf)
         if (
             prev_fp is not None
             and n == prev_fp
@@ -750,16 +802,12 @@ def _cc_two_phase(
             f"duplicate_clusters(two_phase) did not converge within "
             f"{max_iterations} rounds — raise max_iterations"
         )
-    # fixpoint edges are stars (node → component min); isolated-in-e
-    # nodes (the roots themselves) label as their own id
-    stars = e.groupBy("src").agg(F.min("dst").alias("label"))
-    return (
-        nodes.join(stars, nodes["id"] == stars["src"], "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
-        )
+    # fixpoint edges are stars (node → component min); m-nodes absent
+    # from e (whole cluster contracted in round 0) are their own root
+    stars = e.groupBy("src").agg(F.min("dst").alias("label")).select(
+        F.col("src").alias("__mnode"), F.col("label").alias("__mlabel")
     )
+    return _label_nodes(stars)
 
 
 def exact_window_dedup(

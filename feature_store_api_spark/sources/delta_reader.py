@@ -254,6 +254,11 @@ class _State:
         self.configuration: Dict[str, str] = {}
         self.protocol: Optional[Dict] = None  # raw, for checkpointing
         self.metadata: Optional[Dict] = None  # raw, for checkpointing
+        # unexpired remove tombstones (deletionTimestamp != 0): spec
+        # requires checkpoints to retain them until retention expiry so
+        # external VACUUM still sees the doomed files. Our own backend
+        # writes removes pre-expired (ts 0), which never land here.
+        self.tombstones: Dict[str, Dict] = {}
 
     def apply(self, action: Dict) -> None:
         if "protocol" in action:
@@ -273,8 +278,15 @@ class _State:
                 # as a LIST of (key, value) tuples, not a dict
                 a["partitionValues"] = dict(pv)
             self.files[a["path"]] = a
+            self.tombstones.pop(a["path"], None)
         if "remove" in action:
-            self.files.pop(action["remove"]["path"], None)
+            r = action["remove"]
+            self.files.pop(r["path"], None)
+            pv = r.get("partitionValues")
+            if isinstance(pv, list):
+                r["partitionValues"] = dict(pv)
+            if (r.get("deletionTimestamp") or 0) != 0:
+                self.tombstones[r["path"]] = r
 
 
 def _commit_timestamp(path: str) -> int:

@@ -1329,11 +1329,58 @@ def test_delta_backend_cdf_roundtrip(spark, tmp_path):
         ).collect())
 
 
+def test_delta_backend_checkpoint_retains_tombstones(spark, tmp_path):
+    """A foreign engine's live remove tombstone is SERIALIZED into the
+    backend's checkpoint (PROTOCOL.md checkpoint schema: unexpired
+    removes are retained for external VACUUM) — checkpointing proceeds
+    and the tombstone survives into the compacted state."""
+    import time
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_tomb", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(0, 0, 0.0)], "k long, ts long, v double"))
+    log_dir = os.path.join(fg.location, "_delta_log")
+    nxt = 1 + max(int(n[:-5]) for n in os.listdir(log_dir)
+                  if n.endswith(".json"))
+    del_ts = int(time.time() * 1000)  # live (inside retention)
+    with open(os.path.join(log_dir, f"{nxt:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+        fh.write(json.dumps({"remove": {
+            "path": "ghost.parquet", "dataChange": False,
+            "deletionTimestamp": del_ts}}) + "\n")
+    for i in range(1, 15):
+        fg.insert(spark.createDataFrame(
+            [(i, i, float(i))], "k long, ts long, v double"))
+    cps = [n for n in os.listdir(log_dir) if ".checkpoint." in n]
+    assert cps, "live tombstone must no longer suppress checkpointing"
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(log_dir, sorted(cps)[-1]))
+    rems = [r for r in tbl.column("remove").to_pylist() if r]
+    assert [r["path"] for r in rems] == ["ghost.parquet"]
+    assert rems[0]["deletionTimestamp"] == del_ts
+    assert fg.read(spark).count() == 15
+    # replay from the checkpoint ALONE reproduces the full-log state
+    before = sorted(map(tuple, fg.read(spark).collect()))
+    cp_v = int(sorted(cps)[-1].split(".")[0])
+    for n in list(os.listdir(log_dir)):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cp_v:
+            os.remove(os.path.join(log_dir, n))
+    after = sorted(map(tuple, fg.read(spark).collect()))
+    assert after == before
+
+
 def test_delta_backend_checkpoint_gate_on_unmodeled_fields(spark, tmp_path):
-    """A foreign engine's commit carrying fields the classic
-    checkpoint schema doesn't model (here: an unexpired remove
-    tombstone) must SUPPRESS checkpointing — serializing it would drop
-    the tombstone — while commits and reads keep working."""
+    """A live add carrying a field NEITHER the reader nor the
+    checkpoint schema models (rowTracking's baseRowId) must still
+    SUPPRESS checkpointing — serializing it would silently drop the
+    field — while commits and reads keep working."""
     from feature_store_api_spark import FeatureStore
 
     fs = FeatureStore(root=str(tmp_path))
@@ -1343,18 +1390,161 @@ def test_delta_backend_checkpoint_gate_on_unmodeled_fields(spark, tmp_path):
     )
     fg.insert(spark.createDataFrame(
         [(0, 0, 0.0)], "k long, ts long, v double"))
-    # foreign commit: live tombstone (external VACUUM relies on it)
     log_dir = os.path.join(fg.location, "_delta_log")
+    # foreign commit: re-add the live file with a rowTracking field
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        add0 = next(json.loads(l)["add"] for l in fh
+                    if l.strip() and "add" in json.loads(l))
     nxt = 1 + max(int(n[:-5]) for n in os.listdir(log_dir)
                   if n.endswith(".json"))
     with open(os.path.join(log_dir, f"{nxt:020d}.json"), "w") as fh:
         fh.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
-        fh.write(json.dumps({"remove": {
-            "path": "ghost.parquet", "dataChange": False,
-            "deletionTimestamp": 123456}}) + "\n")
+        fh.write(json.dumps({"add": {**add0, "baseRowId": 7}}) + "\n")
     for i in range(1, 15):
         fg.insert(spark.createDataFrame(
             [(i, i, float(i))], "k long, ts long, v double"))
     assert not [n for n in os.listdir(log_dir) if ".checkpoint." in n]
     assert not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
     assert fg.read(spark).count() == 15
+
+
+def test_delta_dv_table_checkpoints_and_replays(spark, tmp_path):
+    """A DV-carrying externally-shaped table CHECKPOINTS (no skip):
+    protocol readerFeatures and add.deletionVector round-trip through
+    the checkpoint parquet, and replay from the checkpoint alone is
+    identical to full-log replay (VERDICT r10 #3 done-criterion)."""
+    from feature_store_api_spark.sources.delta_backend import (
+        DeltaLogBackend,
+    )
+    from feature_store_api_spark.sources.delta_reader import read_delta
+    from feature_store_api_spark.sources.deletion_vectors import (
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "dvcp")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(
+        spark, {"k": [1, 2, 3, 4], "v": [1.0, 2.0, 3.0, 4.0]},
+        None, os.path.join(root, "part-0.parquet"),
+    )
+    add0 = {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(),
+        {"add": add0},
+    ], ts=1_000)
+    # v1: foreign engine deletes rows 1,3 (k=2,4) via an on-disk DV
+    descs = write_dv_file(root, {"part-0.parquet": [1, 3]})
+    _commit(log, 1, [
+        {"remove": {"path": "part-0.parquet", "dataChange": True}},
+        {"add": {**add0, "deletionVector": descs["part-0.parquet"]}},
+    ], ts=2_000)
+    # co-writing backend appends until the v10 checkpoint fires
+    be = DeltaLogBackend(root)
+    for i in range(10, 19):
+        be.append_commit(spark.createDataFrame(
+            [(i, float(i))], "k long, v double"), [])
+    cps = [n for n in os.listdir(log) if ".checkpoint." in n]
+    assert cps, "DV table must checkpoint, not skip"
+    be.append_commit(spark.createDataFrame(  # post-checkpoint tail
+        [(19, 19.0)], "k long, v double"), [])
+    before = sorted(r["k"] for r in read_delta(spark, root).collect())
+    assert before == [1, 3] + list(range(10, 20))
+    cp_v = int(sorted(cps)[-1].split(".")[0])
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cp_v:
+            os.remove(os.path.join(log, n))
+    after = sorted(r["k"] for r in read_delta(spark, root).collect())
+    assert after == before
+
+
+def test_delta_backend_cdf_log_view_contract(spark, tmp_path):
+    """Pin the documented EXTERNAL change-feed contract for
+    backend-written FGs (delta_backend.py module doc "log-view"): the
+    store is merge-on-read, so an UPSERT of an existing key surfaces
+    in readChangeFeed as an INSERT of the new record version (carrying
+    the store's ``_commit_time``/``_op`` columns) — never
+    update_preimage/postimage pairs — while a DELETE commit surfaces
+    as real ``_change_type='delete'`` rows."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import read_delta_cdf
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_logview", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0)], "k long, ts long, v double"))
+    fg.insert(spark.createDataFrame(  # upsert of the SAME key
+        [(1, 20, 2.0)], "k long, ts long, v double"))
+    fg.commit_delete_record(spark.createDataFrame(
+        [(1, 30)], "k long, ts long"))
+
+    cdf = read_delta_cdf(spark, fg.location, begin_version=-1)
+    assert {"_op", "_commit_time"} <= set(cdf.columns)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in cdf.collect()
+    )
+    assert rows == [
+        (0, "insert", 1, 1.0),   # initial insert
+        (1, "insert", 1, 2.0),   # upsert = insert of the new version
+        (2, "delete", 1, None),  # delete commit = real delete rows
+    ]
+    # no update images anywhere — the log view never synthesizes them
+    assert not [r for r in rows if "update" in r[1]]
+
+
+def test_delta_backend_add_path_percent_encoded(spark, tmp_path):
+    """Spark's partitionBy Hive-escapes special chars to literal %XX
+    directory names on disk (':' -> '%3A', '%' -> '%25'); PROTOCOL.md
+    says add.path is a percent-encoded URI, so the backend must QUOTE
+    the on-disk name when emitting the add — the reader's unquote then
+    lands back on the real file. Round-trips values with ':' and '%',
+    and drop_commit still finds the files on disk."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_enc", primary_key=["k"], event_time="ts",
+        partition_key=["tag"], time_travel_format="DELTA",
+        auto_compact_every=None,
+    )
+    c1 = fg.insert(spark.createDataFrame(
+        [(1, 10, "a:b"), (2, 10, "p%q")],
+        "k long, ts long, tag string"))
+    # external spec-conformant reader sees every row with its value
+    ext = read_delta(spark, fg.location)
+    got = sorted((r["k"], r["tag"]) for r in ext.collect())
+    assert got == [(1, "a:b"), (2, "p%q")]
+    # the log path is quoted: unquoting it must hit a real file,
+    # and the RAW path must NOT exist (i.e. quoting actually fired)
+    import urllib.parse
+
+    log_dir = os.path.join(fg.location, "_delta_log")
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        adds = [json.loads(l)["add"] for l in fh
+                if l.strip() and "add" in json.loads(l)]
+    assert adds
+    for a in adds:
+        assert os.path.exists(
+            os.path.join(fg.location, urllib.parse.unquote(a["path"])))
+        assert "%253A" in a["path"] or "%2525" in a["path"]
+    # vacuum path: drop_commit resolves encoded paths back to disk
+    fg.insert(spark.createDataFrame(
+        [(3, 20, "x:y")], "k long, ts long, tag string"))
+    assert fg.commit_store.backend.drop_commit(c1.commit_time)
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(fg.location) for f in fn
+        if f.endswith(".parquet") and "_delta_log" not in dp
+        and "_change_data" not in dp
+    ]
+    assert len(files) == 1  # the dropped commit's files are GONE
+    assert sorted(r["k"] for r in fg.read(spark).collect()) == [3]

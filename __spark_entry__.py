@@ -3136,6 +3136,89 @@ def _q_hudi_mor_incremental(spark, sf_dir):
     )
 
 
+def _q_hudi_log_delete(spark, sf_dir):
+    """MOR hard deletes THROUGH THE LOG (hudi_log.decode_delete_block,
+    the published HoodieDeleteRecordList Avro payload; parity:
+    reference reads these via the Hudi runtime,
+    core/hudi_engine.py:102-108): base 100 = all orders; deltacommit
+    200 = a DELETE block tombstoning keys % 5 == 0; deltacommit 300 =
+    a data block re-pricing keys % 7 == 1 at *2 (resurrecting any
+    key that is both — arrival order wins, Hudi's
+    OverwriteWithLatestAvroPayload). Snapshot must drop exactly the
+    still-dead tombstoned keys."""
+    import json as _json
+    import os as _os
+
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_delete_block,
+        encode_log_file,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = _os.path.join(_scratch("hudi_logdel_"), "tbl")
+    meta = _os.path.join(root, ".hoodie")
+    _os.makedirs(meta, exist_ok=True)
+    with open(_os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=o\nhoodie.table.type=MERGE_ON_READ\n")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        F.lit("dt=0").alias("_hoodie_partition_path"),
+        F.lit(False).alias("_hoodie_is_deleted"),
+        "o_orderkey", "o_totalprice",
+    )
+    tmp = _os.path.join(root, "_stage")
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
+    _os.makedirs(_os.path.join(root, "dt=0"), exist_ok=True)
+    _os.replace(_os.path.join(tmp, part),
+                _os.path.join(root, "dt=0", "fga_0-1-0_100.parquet"))
+    with open(_os.path.join(meta, "100.deltacommit"), "w") as fh:
+        fh.write("{}")
+    doomed = [
+        str(r["o_orderkey"])
+        for r in orders.where(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey").collect()
+    ]
+    with open(
+        _os.path.join(root, "dt=0", ".fga_100.log.1_0-1-0"), "wb"
+    ) as fh:
+        fh.write(encode_log_file([encode_delete_block(
+            [{"recordKey": k, "partitionPath": "dt=0"} for k in doomed],
+            "200",
+        )]))
+    with open(_os.path.join(meta, "200.deltacommit"), "w") as fh:
+        fh.write("{}")
+    schema = _json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]},
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+        ],
+    })
+    upd = [
+        {"_hoodie_record_key": str(r["o_orderkey"]),
+         "_hoodie_partition_path": "dt=0",
+         "_hoodie_is_deleted": False,
+         "o_orderkey": int(r["o_orderkey"]),
+         "o_totalprice": float(r["o_totalprice"]) * 2}
+        for r in orders.where(F.col("o_orderkey") % 7 == 1).collect()
+    ]
+    with open(
+        _os.path.join(root, "dt=0", ".fga_100.log.2_0-1-0"), "wb"
+    ) as fh:
+        fh.write(encode_log_file(
+            [encode_avro_data_block(upd, schema, "300")]))
+    with open(_os.path.join(meta, "300.deltacommit"), "w") as fh:
+        fh.write("{}")
+    return read_hudi(spark, root).select("o_orderkey", "o_totalprice")
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """Retrieval evaluation (operators/eval_metrics.py): recall@5 /
     MRR@5 / NDCG@5 of the batched BM25 run against a same-source
@@ -3387,65 +3470,64 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the
-    # FIRST ~50 entries per round (r10 rotation, per VERDICT r09 #1):
-    # (1) five NEW lakehouse oracle rows (DV strip, V2 checkpoint,
-    # column mapping, CDF, MOR incremental-across-compaction) —
-    # never checked; (2) entries whose underlying code changed this
-    # round (hudi reader/log, delta reader/DV codec, delta backend
-    # CDF + checkpoint gating); (3) the 41 entries whose latest
-    # verdict is r07 (two rounds stale). Tail = freshest verdicts
-    # (42 r08 + the r09 window).
+    # FIRST ~50 entries per round (r11 rotation, per VERDICT r10 #1):
+    # (1) hudi_log_delete — NEW, never checked (DELETE-block decode);
+    # (2) the 42 entries whose latest verdict is r08 (stalest on the
+    # board); (3) seven r10 entries whose underlying code changed this
+    # round (hudi reader/log delete blocks + incremental prune; delta
+    # checkpoint serialization, add.path encoding, cdc completeness).
+    # Tail = 46 r09 entries then the remaining r10 window (freshest).
     return {
+        "hudi_log_delete": _q_hudi_log_delete,
+        "minhash_verified": _q_minhash_verified,
+        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
+        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
+        "td_csv_roundtrip": _q_td_csv_roundtrip,
+        "partitioned_fg_read": _q_partitioned_fg_read,
+        "dirty_names_sanitized": _q_dirty_names_sanitized,
+        "json_extract": _q_json_extract,
+        "lag_features": _q_lag_features,
+        "multimodal_decode": _q_multimodal_decode,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "simhash": _q_simhash,
+        "text_analysis": _q_text_analysis,
+        "knn_ann": _q_knn_ann,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "knn_ann_retry": _q_knn_ann_retry,
+        "knn_ivf": _q_knn_ivf,
+        "fv_batch_query": _q_fv_batch_query,
+        "embedding_quantize": _q_embedding_quantize,
+        "percentiles_exact": _q_percentiles_exact,
+        "correlations": _q_correlations,
+        "value_counts": _q_value_counts,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "split_statistics": _q_split_statistics,
+        "stats_commit_window": _q_stats_commit_window,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "rolling_features": _q_rolling_features,
+        "kafka_materialize": _q_kafka_materialize,
+        "td_avro_roundtrip": _q_td_avro_roundtrip,
+        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
+        "pit_join_skew": _q_pit_join_skew,
+        "streaming_dedup": _q_streaming_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "pit_join_ttl": _q_pit_join_ttl,
+        "pit_join_multi": _q_pit_join_multi,
+        "pit_join_range": _q_pit_join_range,
+        "spine_pit_join": _q_spine_pit_join,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_batch": _q_bm25_batch,
+        "lm_perplexity": _q_lm_perplexity,
+        "temperature_sample": _q_temperature_sample,
+        "dsir_sample": _q_dsir_sample,
+        "retrieval_metrics": _q_retrieval_metrics,
+        "hudi_time_travel": _q_hudi_time_travel,
+        "hudi_mor_incremental": _q_hudi_mor_incremental,
+        "delta_fg_upsert": _q_delta_fg_upsert,
+        "delta_cdf": _q_delta_cdf,
         "delta_dv_strip": _q_delta_dv_strip,
         "delta_v2_checkpoint": _q_delta_v2_checkpoint,
-        "delta_column_mapping": _q_delta_column_mapping,
-        "delta_cdf": _q_delta_cdf,
-        "hudi_mor_incremental": _q_hudi_mor_incremental,
-        "hudi_time_travel": _q_hudi_time_travel,
         "delta_time_travel": _q_delta_time_travel,
-        "delta_fg_upsert": _q_delta_fg_upsert,
-        "streaming_upsert": _q_streaming_upsert,
-        "commit_details": _q_commit_details,
-        "compaction_snapshot": _q_compaction_snapshot,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "custom_udf": _q_custom_udf,
-        "embedding_centroids": _q_embedding_centroids,
-        "event_time_norm": _q_event_time_norm,
-        "external_fg_csv": _q_external_fg_csv,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "fs_sql": _q_fs_sql,
-        "gopher_gates": _q_gopher_gates,
-        "incremental_pull": _q_incremental_pull,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_full": _q_join_full,
-        "join_inner": _q_join_inner,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "join_right": _q_join_right,
-        "join_semi": _q_join_semi,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_lookup": _q_online_lookup,
-        "online_preview": _q_online_preview,
-        "pii_redaction": _q_pii_redaction,
-        "quantile_binning": _q_quantile_binning,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "robust_scaler": _q_robust_scaler,
-        "scan_filter_project": _q_scan_filter_project,
-        "schema_evolution": _q_schema_evolution,
-        "select_except": _q_select_except,
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "serving_vectors": _q_serving_vectors,
-        "tfidf_terms": _q_tfidf_terms,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "vacuum_retention": _q_vacuum_retention,
-        "incremental_dedup": _q_incremental_dedup,
-        "pit_join": _q_pit_join,
-        "label_window": _q_label_window,
         "bm25_batch_indexed": _q_bm25_batch_indexed,
         "negative_sampling": _q_negative_sampling,
         "dedup_clusters": _q_dedup_clusters,
@@ -3492,48 +3574,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
-        "minhash_verified": _q_minhash_verified,
-        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
-        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
-        "td_csv_roundtrip": _q_td_csv_roundtrip,
-        "partitioned_fg_read": _q_partitioned_fg_read,
-        "dirty_names_sanitized": _q_dirty_names_sanitized,
-        "json_extract": _q_json_extract,
-        "lag_features": _q_lag_features,
-        "multimodal_decode": _q_multimodal_decode,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "simhash": _q_simhash,
-        "text_analysis": _q_text_analysis,
-        "knn_ann": _q_knn_ann,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "knn_ann_retry": _q_knn_ann_retry,
-        "knn_ivf": _q_knn_ivf,
-        "fv_batch_query": _q_fv_batch_query,
-        "embedding_quantize": _q_embedding_quantize,
-        "percentiles_exact": _q_percentiles_exact,
-        "correlations": _q_correlations,
-        "value_counts": _q_value_counts,
-        "entropy_uniqueness": _q_entropy_uniqueness,
-        "split_statistics": _q_split_statistics,
-        "stats_commit_window": _q_stats_commit_window,
-        "custom_udf_stats": _q_custom_udf_stats,
-        "rolling_features": _q_rolling_features,
-        "kafka_materialize": _q_kafka_materialize,
-        "td_avro_roundtrip": _q_td_avro_roundtrip,
-        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "pit_join_skew": _q_pit_join_skew,
-        "streaming_dedup": _q_streaming_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "pit_join_ttl": _q_pit_join_ttl,
-        "pit_join_multi": _q_pit_join_multi,
-        "pit_join_range": _q_pit_join_range,
-        "spine_pit_join": _q_spine_pit_join,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_batch": _q_bm25_batch,
-        "lm_perplexity": _q_lm_perplexity,
-        "temperature_sample": _q_temperature_sample,
-        "dsir_sample": _q_dsir_sample,
-        "retrieval_metrics": _q_retrieval_metrics,
+        "delta_column_mapping": _q_delta_column_mapping,
+        "streaming_upsert": _q_streaming_upsert,
+        "commit_details": _q_commit_details,
+        "compaction_snapshot": _q_compaction_snapshot,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "custom_udf": _q_custom_udf,
+        "embedding_centroids": _q_embedding_centroids,
+        "event_time_norm": _q_event_time_norm,
+        "external_fg_csv": _q_external_fg_csv,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "fs_sql": _q_fs_sql,
+        "gopher_gates": _q_gopher_gates,
+        "incremental_pull": _q_incremental_pull,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_full": _q_join_full,
+        "join_inner": _q_join_inner,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "join_right": _q_join_right,
+        "join_semi": _q_join_semi,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_lookup": _q_online_lookup,
+        "online_preview": _q_online_preview,
+        "pii_redaction": _q_pii_redaction,
+        "quantile_binning": _q_quantile_binning,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "robust_scaler": _q_robust_scaler,
+        "scan_filter_project": _q_scan_filter_project,
+        "schema_evolution": _q_schema_evolution,
+        "select_except": _q_select_except,
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "serving_vectors": _q_serving_vectors,
+        "tfidf_terms": _q_tfidf_terms,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "vacuum_retention": _q_vacuum_retention,
+        "incremental_dedup": _q_incremental_dedup,
+        "pit_join": _q_pit_join,
+        "label_window": _q_label_window,
     }
 
 
@@ -3743,6 +3826,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_totalprice + 9 AS o_totalprice
             FROM orders WHERE o_orderkey % 7 = 3
+        """,
+        "hudi_log_delete": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 1
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 7 = 1 OR o_orderkey % 5 <> 0
         """,
         "vacuum_retention": """
             SELECT o_orderkey,

@@ -148,10 +148,23 @@ def _union_index(value: Any, union: List[Schema]) -> int:
             if _type_of(s) == "null":
                 return i
         raise TypeError("None for a union without null branch")
-    for i, s in enumerate(union):
-        if _type_of(s) != "null":
-            return i  # first non-null branch (our unions are [null, T])
-    raise TypeError("Union has no non-null branch")
+    non_null = [(i, s) for i, s in enumerate(union) if _type_of(s) != "null"]
+    if not non_null:
+        raise TypeError("Union has no non-null branch")
+    if len(non_null) == 1:
+        return non_null[0][0]  # the common [null, T] shape
+    # multi-branch union (e.g. Hudi's orderingVal): pick the branch
+    # matching the Python type; bool MUST precede int (bool is int)
+    for py, names in (
+        (bool, {"boolean"}), (str, {"string"}), (bytes, {"bytes"}),
+        (int, {"long", "int"}), (float, {"double", "float"}),
+    ):
+        if isinstance(value, py):
+            for i, s in non_null:
+                if _type_of(s) in names:
+                    return i
+            break
+    return non_null[0][0]
 
 
 # ---------------------------------------------------------------------------

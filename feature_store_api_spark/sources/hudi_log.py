@@ -37,12 +37,20 @@ hudi.apache.org/tech-specs/ ("Log File Format"):
       per record:    int length + Avro binary (writer schema = the
                      block header's SCHEMA entry)
 
-Only AVRO_DATA blocks are resolved; COMMAND (rollback) and DELETE
-blocks GATE loudly — applying records that a command block rolls back,
-or missing hard deletes, would be silently wrong rows. Soft deletes
-via the standard ``_hoodie_is_deleted`` payload field are honored by
-the reader's merge. Decoding runs inside Arrow-batched workers (see
-``hudi_reader``); this module is pure bytes-in/records-out.
+AVRO_DATA blocks are resolved to records; DELETE blocks (the
+log-routed hard-delete path) are decoded from the published
+``HoodieDeleteRecordList`` Avro payload (hudi-common
+``HoodieDeleteRecordList.avsc``; serialization version 3+ — the
+earlier kryo framings gate loudly) and surface as per-key tombstones;
+COMMAND blocks of type ROLLBACK_BLOCK invalidate the earlier blocks of
+the SAME log file whose instant equals the header's
+TARGET_INSTANT_TIME (the tech-specs' rollback rule — rolled-back
+instants in OTHER files are already invisible through the
+committed-instants filter); other command types gate loudly naming the
+target instant. Soft deletes via the standard ``_hoodie_is_deleted``
+payload field are honored by the reader's merge. Decoding runs inside
+Arrow-batched workers (see ``hudi_reader``); this module is pure
+bytes-in/records-out.
 """
 
 from __future__ import annotations
@@ -140,6 +148,64 @@ def iter_log_blocks(data: bytes) -> Iterator[Tuple[int, Dict[int, str], bytes]]:
         yield btype, header, content
 
 
+#: hudi-common HoodieDeleteRecordList.avsc (published schema): the
+#: payload of a DELETE block since serialization version 3 — an array
+#: of (recordKey, partitionPath, orderingVal) tombstones.
+DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [{
+        "name": "deleteRecordList",
+        "type": {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": "HoodieDeleteRecord",
+                "fields": [
+                    {"name": "recordKey",
+                     "type": ["null", "string"], "default": None},
+                    {"name": "partitionPath",
+                     "type": ["null", "string"], "default": None},
+                    {"name": "orderingVal",
+                     "type": ["null", "string", "int", "long", "float",
+                              "double", "bytes", "boolean"],
+                     "default": None},
+                ],
+            },
+        },
+    }],
+}
+
+#: HoodieDeleteBlock serialization versions: 1/2 are kryo-serialized
+#: HoodieKey[] / DeleteRecord[] (JVM-only); 3 is the Avro payload above
+DELETE_BLOCK_AVRO_VERSION = 3
+
+#: HoodieCommandBlockType ordinals (tech-specs): 0 = ROLLBACK_BLOCK
+ROLLBACK_COMMAND = 0
+
+
+def decode_delete_block(content: bytes) -> List[dict]:
+    """HoodieDeleteBlock content -> tombstone dicts ``{recordKey,
+    partitionPath, orderingVal}``. Framing per HoodieDeleteBlock:
+    ``int version`` + ``int length`` + payload bytes; version >= 3 is
+    the Avro ``HoodieDeleteRecordList``, versions 1/2 are kryo (needs
+    the JVM runtime — gate loudly rather than miss hard deletes)."""
+    buf = io.BytesIO(content)
+    (version,) = struct.unpack(">i", buf.read(4))
+    if version < DELETE_BLOCK_AVRO_VERSION:
+        raise NotImplementedError(
+            f"Hudi DELETE_BLOCK serialization version {version} is "
+            "kryo-encoded (JVM-only); this jarless reader supports the "
+            f"Avro payload (version >= {DELETE_BLOCK_AVRO_VERSION})"
+        )
+    (ln,) = struct.unpack(">i", buf.read(4))
+    payload = buf.read(ln)
+    schema = parse_schema(DELETE_RECORD_LIST_SCHEMA)
+    decoded = avro_decode(payload, schema)
+    return list(decoded.get("deleteRecordList") or [])
+
+
 def decode_avro_data_block(content: bytes, header: Dict[int, str]) -> List[dict]:
     """HoodieAvroDataBlock (v3 framing) -> list of record dicts,
     decoded with the block's own writer schema."""
@@ -166,32 +232,62 @@ def log_records(
     data: bytes,
     committed: Optional[set] = None,
     as_of: Optional[str] = None,
-) -> Iterator[Tuple[str, int, int, dict]]:
-    """Yield ``(instant, block_seq, record_seq, record)`` for every
-    record in committed, visible AVRO_DATA blocks of one log file.
+) -> Iterator[Tuple[str, int, int, dict, bool]]:
+    """Yield ``(instant, block_seq, record_seq, record, is_delete)``
+    for every record in committed, visible blocks of one log file —
+    data records from AVRO_DATA blocks (``is_delete=False``) and
+    per-key tombstones from DELETE blocks (``is_delete=True``; record
+    = ``{recordKey, partitionPath, orderingVal}``).
 
     Blocks whose instant is uncommitted (failed/inflight write — its
     deltacommit never completed) or after ``as_of`` are SKIPPED: that
-    is Hudi's snapshot-isolation rule, not data loss. COMMAND and
-    DELETE blocks gate loudly (rollbacks / hard deletes need the Hudi
-    runtime's semantics)."""
+    is Hudi's snapshot-isolation rule, not data loss. A COMMAND block
+    of type ROLLBACK invalidates the earlier blocks of THIS file whose
+    instant equals its TARGET_INSTANT_TIME (the tech-specs' rollback
+    rule; other files' rolled-back blocks are already dropped by the
+    committed filter). Other command types and columnar
+    (HFILE/PARQUET) blocks gate loudly."""
+    kept: List[Tuple[int, int, Dict[int, str], bytes]] = []
     for seq, (btype, header, content) in enumerate(iter_log_blocks(data)):
         if btype == CORRUPT_BLOCK:
             continue  # Hudi's own readers skip corrupt blocks
-        if btype in (COMMAND_BLOCK, DELETE_BLOCK) or btype > AVRO_DATA_BLOCK:
+        if btype == COMMAND_BLOCK:
+            cmd = int(header.get(H_COMMAND_BLOCK_TYPE, ROLLBACK_COMMAND))
+            target = header.get(H_TARGET_INSTANT_TIME, "")
+            if cmd != ROLLBACK_COMMAND:
+                raise NotImplementedError(
+                    f"Hudi COMMAND_BLOCK type {cmd} targeting instant "
+                    f"{target!r} is not supported by this jarless "
+                    "reader (only ROLLBACK_BLOCK has engine-"
+                    "independent semantics)"
+                )
+            kept = [
+                b for b in kept
+                if b[2].get(H_INSTANT_TIME, "") != target
+            ]
+            continue
+        if btype > AVRO_DATA_BLOCK:
             raise NotImplementedError(
                 f"Hudi log block type "
                 f"{_BLOCK_NAMES.get(btype, btype)} is not supported by "
-                "this jarless reader (rollback/delete/columnar blocks "
-                "need the Hudi runtime)"
+                "this jarless reader (columnar log blocks need the "
+                "Hudi runtime)"
             )
+        kept.append((seq, btype, header, content))
+    for seq, btype, header, content in kept:
         instant = header.get(H_INSTANT_TIME, "")
         if committed is not None and instant not in committed:
             continue
         if as_of is not None and instant > str(as_of):
             continue
-        for i, rec in enumerate(decode_avro_data_block(content, header)):
-            yield instant, seq, i, rec
+        if btype == DELETE_BLOCK:
+            for i, rec in enumerate(decode_delete_block(content)):
+                yield instant, seq, i, rec, True
+        else:
+            for i, rec in enumerate(
+                decode_avro_data_block(content, header)
+            ):
+                yield instant, seq, i, rec, False
 
 
 def encode_log_file(
@@ -230,3 +326,37 @@ def encode_avro_data_block(
         buf.write(raw)
     header = {H_INSTANT_TIME: instant, H_SCHEMA: schema_json}
     return AVRO_DATA_BLOCK, header, buf.getvalue()
+
+
+def encode_delete_block(
+    tombstones: List[dict], instant: str
+) -> Tuple[int, Dict[int, str], bytes]:
+    """Build one DELETE block (Avro HoodieDeleteRecordList payload,
+    serialization version 3) for the fixture writer — tombstones are
+    ``{recordKey, partitionPath, orderingVal}`` dicts."""
+    schema = parse_schema(DELETE_RECORD_LIST_SCHEMA)
+    payload = avro_encode(
+        {"deleteRecordList": [
+            {"recordKey": t.get("recordKey"),
+             "partitionPath": t.get("partitionPath"),
+             "orderingVal": t.get("orderingVal")}
+            for t in tombstones
+        ]},
+        schema,
+    )
+    content = struct.pack(
+        ">ii", DELETE_BLOCK_AVRO_VERSION, len(payload)
+    ) + payload
+    return DELETE_BLOCK, {H_INSTANT_TIME: instant}, content
+
+
+def encode_command_block(
+    target_instant: str, instant: str
+) -> Tuple[int, Dict[int, str], bytes]:
+    """Build one ROLLBACK command block for the fixture writer."""
+    header = {
+        H_INSTANT_TIME: instant,
+        H_TARGET_INSTANT_TIME: target_instant,
+        H_COMMAND_BLOCK_TYPE: str(ROLLBACK_COMMAND),
+    }
+    return COMMAND_BLOCK, header, b""

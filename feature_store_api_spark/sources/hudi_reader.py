@@ -464,7 +464,10 @@ def _read_mor_snapshot(
     merged = (
         merged.withColumn("__h_rn", F.row_number().over(w))
         .where(F.col("__h_rn") == 1)
-        .drop("__h_rn", "__h_ord")
+        # a DELETE-block tombstone that wins latest-per-key removes
+        # the record from the snapshot (hard delete through the log)
+        .where(F.col("__h_del").isNull() | (~F.col("__h_del")))
+        .drop("__h_rn", "__h_ord", "__h_del")
     )
     if plain_files:
         plain = spark.read.option("mergeSchema", "true").parquet(
@@ -508,7 +511,64 @@ def _decode_log_frame(
 
     names = [f.name for f in out_fields]
     ord_field = T_.StructField("__h_ord", T_.LongType(), False)
-    out_schema = T_.StructType(list(out_fields) + [ord_field])
+    del_field = T_.StructField("__h_del", T_.BooleanType(), False)
+    out_schema = T_.StructType(list(out_fields) + [ord_field, del_field])
+
+    # DELETE-block tombstones carry only (recordKey, partitionPath):
+    # map them onto the table's key columns — meta-field tables take
+    # the strings verbatim; virtual-key tables parse the key
+    # generator's "f1:v1,f2:v2" / positional formats and cast through
+    # the table schema (string -> declared column type)
+    def _py_conv(dt):
+        if isinstance(dt, (T_.LongType, T_.IntegerType,
+                           T_.ShortType, T_.ByteType)):
+            return int
+        if isinstance(dt, (T_.DoubleType, T_.FloatType)):
+            return float
+        if isinstance(dt, T_.StringType):
+            return str
+        return lambda x: x
+
+    conv = {f.name: _py_conv(f.dataType) for f in out_fields}
+    # virtual partition fields ride inside rec_cols; the tombstone
+    # mapper resolves "f:v" pairs by field NAME, so no split is
+    # needed — the positional fallback only applies to a single
+    # declared key field
+    rec_cols = [
+        k for k in (key_fields or []) if k != "_hoodie_partition_path"
+    ]
+
+    def _tombstone_row(rec: dict) -> dict:
+        row = {n: None for n in names}
+        rk = rec.get("recordKey")
+        if rk is None:
+            raise ValueError("Hudi DELETE_BLOCK tombstone without a "
+                             "recordKey: cannot merge")
+        if "_hoodie_record_key" in names:
+            row["_hoodie_record_key"] = rk
+            if "_hoodie_partition_path" in names:
+                row["_hoodie_partition_path"] = (
+                    rec.get("partitionPath") or ""
+                )
+        else:
+            parts = rk.split(",")
+            data_cols = [c for c in rec_cols if c in names]
+            if all(":" in p for p in parts) and parts and parts[0]:
+                # ComplexKeyGenerator format "f1:v1,f2:v2"
+                for p in parts:
+                    f, _, v = p.partition(":")
+                    if f in conv:
+                        row[f] = conv[f](v)
+            elif len(data_cols) >= 1:
+                row[data_cols[0]] = conv[data_cols[0]](rk)
+            else:
+                raise ValueError(
+                    f"Hudi DELETE_BLOCK tombstone key {rk!r} cannot be"
+                    f" mapped onto key fields {rec_cols}"
+                )
+        if "_hoodie_is_deleted" in names:
+            row["_hoodie_is_deleted"] = True
+        return row
     file_seq: Dict[str, int] = {}
     for key in sorted(group_logs):
         for _ver, _token, p in group_logs[key]:  # already (ver, token)-sorted
@@ -530,7 +590,7 @@ def _decode_log_frame(
             for pth, fseq in zip(pdf["__h_path"], pdf["__h_fseq"]):
                 with open(pth, "rb") as fh:
                     data = fh.read()
-                for instant, bseq, rseq, rec in log_records(
+                for instant, bseq, rseq, rec, is_del in log_records(
                     data, None, as_of
                 ):
                     # same committed rule as base files: active
@@ -541,13 +601,14 @@ def _decode_log_frame(
                         continue
                     if only_b is not None and instant not in only_b:
                         continue
-                    for kf in key_req:
-                        if rec.get(kf) is None:
-                            raise ValueError(
-                                f"Hudi log record without merge key "
-                                f"field {kf!r} (instant {instant}): "
-                                "cannot merge"
-                            )
+                    if not is_del:
+                        for kf in key_req:
+                            if rec.get(kf) is None:
+                                raise ValueError(
+                                    f"Hudi log record without merge "
+                                    f"key field {kf!r} (instant "
+                                    f"{instant}): cannot merge"
+                                )
                     if bseq >= (1 << 20) or rseq >= (1 << 20) or int(
                         fseq
                     ) >= (1 << 23):
@@ -560,10 +621,16 @@ def _decode_log_frame(
                             " beyond this reader's 23/20/20-bit "
                             "ordering budget"
                         )
-                    row = {n: rec.get(n) for n in names}
+                    row = (
+                        _tombstone_row(rec) if is_del
+                        else {n: rec.get(n) for n in names}
+                    )
                     row["__h_ord"] = (int(fseq) << 40) | (bseq << 20) | rseq
+                    row["__h_del"] = bool(is_del)
                     rows.append(row)
-            yield pd.DataFrame(rows, columns=names + ["__h_ord"])
+            yield pd.DataFrame(
+                rows, columns=names + ["__h_ord", "__h_del"]
+            )
 
     path_rows = sorted(
         (p, seq) for p, seq in file_seq.items()
@@ -692,6 +759,27 @@ def _hudi_incremental_mor(
     # every committed, visible log file regardless of which base
     # generation it attaches to (pre-compaction logs carry in-window
     # records too); record-level filtering below does the rest
+    # generation-span prune (closes the read-everything cost note): a
+    # log of base instant b only carries deltacommit instants in
+    # (b, next-rewrite(b)] — once a compaction (.commit) or clustering
+    # (.replacecommit) supersedes the generation, new logs attach to
+    # the new base — so when NO wanted instant lies in that span the
+    # file cannot contribute and its per-record Python decode is
+    # skipped (a small window on a long-lived, lightly-compacted table
+    # no longer decodes the entire log history every pull)
+    import bisect
+
+    rewrites = sorted(
+        i for i in active
+        if os.path.exists(os.path.join(meta_dir, f"{i}.commit"))
+        or os.path.exists(os.path.join(meta_dir, f"{i}.replacecommit"))
+    )
+
+    def _gen_may_overlap(b: str) -> bool:
+        pos = bisect.bisect_right(rewrites, b)
+        nxt = rewrites[pos] if pos < len(rewrites) else None
+        return any(w > b and (nxt is None or w <= nxt) for w in wanted)
+
     group_logs: Dict[Tuple[str, str], List[Tuple[int, str, str]]] = {}
     for key, entries in _log_files_by_group(path).items():
         kept = sorted(
@@ -699,6 +787,7 @@ def _hudi_incremental_mor(
             for (b, ver, token, p) in entries
             if is_committed(b)
             and (end_instant is None or b <= str(end_instant))
+            and _gen_may_overlap(b)
         )
         if kept:
             group_logs[key] = kept
@@ -708,11 +797,17 @@ def _hudi_incremental_mor(
             spark.read.option("mergeSchema", "true").parquet(*base_files)
         )
     if group_logs:
+        # key_fields lets DELETE-block tombstones map onto the table's
+        # key columns; the window returns them as tombstone rows (key
+        # fields set, payload null, _hoodie_is_deleted=True when the
+        # schema carries it) — the log-view parity of a hard delete
+        names = [f.name for f in head.schema.fields]
         parts.append(
             _decode_log_frame(
                 spark, group_logs, list(head.schema.fields), committed,
                 boundary, end_instant, only_instants=wanted,
-            ).drop("__h_ord")
+                key_fields=_merge_key_cols(meta_dir, names),
+            ).drop("__h_ord", "__h_del")
         )
     if not parts:
         return head.limit(0)

@@ -253,13 +253,14 @@ def test_hudi_mor_snapshot_merge_and_time_travel(spark, tmp_path):
     assert rows(read_hudi(spark, root, as_of_instant="100")) == [
         (1, 1.0), (2, 2.0), (3, 3.0)]
 
-    # a DELETE block gates loudly (hard deletes need the Hudi runtime)
+    # a KRYO-era DELETE block (serialization version 2) gates loudly —
+    # only the Avro payload (version >= 3) is decodable jarlessly
     _log(root, "dt=1", "fg-b", "100", 1,
          [(DELETE_BLOCK, {H_INSTANT_TIME: "500"}, b"\x00\x00\x00\x02")])
     _delta_commit(meta, "500")
     # raised executor-side -> surfaces as a PythonException wrapper,
     # but the loud message must survive
-    with pytest.raises(Exception, match="DELETE_BLOCK"):
+    with pytest.raises(Exception, match="DELETE_BLOCK serialization"):
         read_hudi(spark, root).collect()
 
 
@@ -283,8 +284,9 @@ def test_hudi_log_codec_roundtrip():
     assert [b[0] for b in blocks] == [3, 3]
 
     out = list(log_records(data, {"123", "456"}, None))
-    assert [(i, b, r, rec["k"]) for (i, b, r, rec) in out] == [
+    assert [(i, b, r, rec["k"]) for (i, b, r, rec, _d) in out] == [
         ("123", 0, 0, 1), ("123", 0, 1, 2), ("456", 1, 0, 3)]
+    assert [d for (*_x, d) in out] == [False, False, False]
     assert out[1][3]["_hoodie_is_deleted"] is True
     # committed filter drops uncommitted instants; as_of drops later
     assert [r[3]["k"] for r in log_records(data, {"123"}, None)] == [1, 2]
@@ -511,3 +513,196 @@ def test_hudi_mor_log_decode_parallelism(spark, tmp_path):
     assert log_df.rdd.getNumPartitions() == expected
     df = read_hudi(spark, root)
     assert [(r["k"], r["v"]) for r in df.collect()] == [(1, float(n_logs))]
+
+
+def test_hudi_mor_delete_block_snapshot_and_incremental(spark, tmp_path):
+    """Log-routed hard deletes (Avro HoodieDeleteRecordList DELETE
+    blocks, the most common real-MOR pattern): the snapshot drops the
+    deleted key, as-of before the delete still sees it, and the
+    incremental window returns the delete as a tombstone row (key set,
+    payload null, _hoodie_is_deleted=True)."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_delete_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import (
+        hudi_incremental,
+        read_hudi,
+    )
+
+    root = str(tmp_path / "mor_del")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100",
+              [_mor_rec("dt=1", 1, 1.0), _mor_rec("dt=1", 2, 2.0),
+               _mor_rec("dt=1", 3, 3.0)])
+    _delta_commit(meta, "100")
+    # instant 200: hard-delete k=2 THROUGH THE LOG, then re-insert and
+    # re-delete k=3 in a later block (delete must win by arrival order)
+    blk_del = encode_delete_block(
+        [{"recordKey": "k:2", "partitionPath": "dt=1"}], "200")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk_del])
+    _delta_commit(meta, "200")
+    blk_upd = encode_avro_data_block(
+        [_mor_rec("dt=1", 3, 33.0)], MOR_AVRO_SCHEMA, "300")
+    blk_del3 = encode_delete_block(
+        [{"recordKey": "k:3", "partitionPath": "dt=1",
+          "orderingVal": 300}], "300")
+    _log(root, "dt=1", "fg-a", "100", 2, [blk_upd, blk_del3])
+    _delta_commit(meta, "300")
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    assert rows(read_hudi(spark, root)) == [(1, 1.0)]
+    assert rows(read_hudi(spark, root, as_of_instant="200")) == [
+        (1, 1.0), (3, 3.0)]
+    assert rows(read_hudi(spark, root, as_of_instant="100")) == [
+        (1, 1.0), (2, 2.0), (3, 3.0)]
+
+    # incremental (100, 200]: exactly the k=2 tombstone row
+    inc = hudi_incremental(spark, root, "100", "200").collect()
+    assert len(inc) == 1
+    t = inc[0]
+    assert t["_hoodie_record_key"] == "k:2"
+    assert t["_hoodie_is_deleted"] is True
+    assert t["v"] is None
+    # (200, 300]: the k=3 update AND its later tombstone both surface
+    inc2 = sorted(
+        (r["_hoodie_record_key"], bool(r["_hoodie_is_deleted"] or False))
+        for r in hudi_incremental(spark, root, "200", "300").collect()
+    )
+    assert inc2 == [("k:3", False), ("k:3", True)]
+
+
+def test_hudi_mor_delete_block_virtual_keys(spark, tmp_path):
+    """DELETE-block tombstones on a populateMetaFields=false table map
+    the key generator's "f:v" recordKey back onto the DECLARED key
+    columns, cast through the table schema (k is a long)."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_delete_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = str(tmp_path / "mor_vdel")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.populate.meta.fields=false\n"
+            "hoodie.table.recordkey.fields=k\n"
+        )
+    schema = (
+        '{"type":"record","name":"rec","fields":['
+        '{"name":"k","type":["null","long"],"default":null},'
+        '{"name":"v","type":["null","double"],"default":null}]}'
+    )
+    _pq({"k": [1, 2], "v": [1.0, 2.0]},
+        os.path.join(root, "dt=1", "fg-a_0-1-0_100.parquet"))
+    _delta_commit(meta, "100")
+    blk = encode_avro_data_block([{"k": 3, "v": 3.0}], schema, "200")
+    # ComplexKeyGenerator composite format AND the single-field raw form
+    blk_del = encode_delete_block(
+        [{"recordKey": "k:2", "partitionPath": "dt=1"},
+         {"recordKey": "3", "partitionPath": "dt=1"}], "300")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk])
+    _delta_commit(meta, "200")
+    _log(root, "dt=1", "fg-a", "100", 2, [blk_del])
+    _delta_commit(meta, "300")
+    got = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
+    assert got == [(1, 1.0)]
+
+
+def test_hudi_log_rollback_command_block(spark, tmp_path):
+    """A ROLLBACK command block invalidates the earlier blocks of the
+    SAME log file whose instant equals TARGET_INSTANT_TIME — the
+    rolled-back update disappears while other instants survive."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_command_block,
+        encode_log_file,
+        log_records,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    blk_a = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 10.0)], MOR_AVRO_SCHEMA, "200")
+    blk_b = encode_avro_data_block(
+        [_mor_rec("dt=1", 2, 20.0)], MOR_AVRO_SCHEMA, "300")
+    cmd = encode_command_block("200", "301")
+    data = encode_log_file([blk_a, blk_b, cmd])
+    got = [(i, rec["k"]) for (i, _b, _r, rec, _d) in log_records(data)]
+    assert got == [("300", 2)]  # instant-200 block rolled back
+
+    # end-to-end: the rolled-back update never reaches the snapshot
+    root = str(tmp_path / "mor_rb")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100",
+              [_mor_rec("dt=1", 1, 1.0), _mor_rec("dt=1", 2, 2.0)])
+    _delta_commit(meta, "100")
+    p = os.path.join(root, "dt=1", ".fg-a_100.log.1_0-1-0")
+    with open(p, "wb") as fh:
+        fh.write(data)
+    _delta_commit(meta, "200")
+    _delta_commit(meta, "300")
+    rows = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
+    assert rows == [(1, 1.0), (2, 20.0)]
+
+
+def test_hudi_incremental_mor_generation_prune(spark, tmp_path):
+    """A post-compaction incremental window must NOT decode
+    pre-compaction log generations: the old generation's log here ends
+    with a block that would gate loudly (HFILE ordinal) — the prune
+    proves itself by the window read succeeding. A window SPANNING the
+    old generation still reads it (and errors on the same file),
+    pinning that the prune is span-based, not a blanket skip."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_log_file,
+        H_INSTANT_TIME,
+    )
+    from feature_store_api_spark.sources.hudi_reader import hudi_incremental
+
+    root = str(tmp_path / "mor_prune")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100", [_mor_rec("dt=1", 1, 1.0)])
+    _delta_commit(meta, "100")
+    # generation-100 log: a good block at 200 then a poisoned HFILE
+    # block at 250 (decoding this file ALWAYS raises)
+    good = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 2.0)], MOR_AVRO_SCHEMA, "200")
+    poison = (4, {H_INSTANT_TIME: "250"}, b"")  # HFILE_DATA ordinal
+    p = os.path.join(root, "dt=1", ".fg-a_100.log.1_0-1-0")
+    with open(p, "wb") as fh:
+        fh.write(encode_log_file([good, poison]))
+    _delta_commit(meta, "200")
+    _delta_commit(meta, "250")
+    # instant 300: compaction rewrites the group (base at 300)
+    _mor_base(root, "dt=1", "fg-a", "300", [_mor_rec("dt=1", 1, 2.0)])
+    with open(os.path.join(meta, "300.commit"), "w") as fh:
+        fh.write("{}")
+    # instant 400: post-compaction deltacommit on the NEW generation
+    blk400 = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 4.0)], MOR_AVRO_SCHEMA, "400")
+    _log(root, "dt=1", "fg-a", "300", 1, [blk400])
+    _delta_commit(meta, "400")
+
+    # window (300, 400]: old generation pruned -> poisoned file never
+    # opened -> the pull succeeds and returns only the 400 update
+    got = [(r["k"], r["v"]) for r in
+           hudi_incremental(spark, root, "300", "400").collect()]
+    assert got == [(1, 4.0)]
+    # window (100, 400] spans the old generation -> it must be read ->
+    # the poisoned block gates loudly (proves no blanket skip)
+    with pytest.raises(Exception, match="HFILE"):
+        hudi_incremental(spark, root, "100", "400").collect()

@@ -533,6 +533,11 @@ def b4_pit_join_x10(spark, sf_dir):
 
 
 def b5_training_data_x10(spark, sf_dir):
+    """r11 re-measurement of the r10 +11% drift (2.22 -> 2.47s): under
+    the 5-sample min protocol on the r11 box this ran 1.73s min
+    ([2.844, 2.214, 1.731]) with NO code change to the b5 path —
+    pinning the r10 move as environment noise, not a regression (the
+    same session also recorded a 98s co-tenant spike on e4)."""
     from feature_store_api_spark.functions.builtin_transformations import (
         min_max_scaler, standard_scaler,
     )
@@ -604,6 +609,15 @@ def b10_corpus_curation_x10(spark, sf_dir):
     # the driver union-find threshold onto the distributed two-phase
     # path. A wall ratio well under 10 therefore means the operators
     # scale sublinearly even against a >20x pair output.
+    #
+    # r11 profiling (per-stage stamps, min-based): pairs
+    # checkpoint+count ~3.0s (the minhash signature pipeline — same
+    # shape as b8's pinned floor), contraction agg 0.44s, rewrite+
+    # distinct 0.53s, driver union-find over the 170k contracted edges
+    # 2.4s -> 0.3s after moving the edge collect and the label-frame
+    # return onto Arrow (toPandas / pandas createDataFrame; the per-Row
+    # object construction was ~3x the union-find itself), final label
+    # join 0.15s. Remaining wall is the b8-shaped pair generation.
     from feature_store_api_spark.operators.dedup import (
         duplicate_clusters, minhash_lsh_duplicate_pairs,
     )
@@ -651,6 +665,19 @@ def e2_incremental_dedup_x10(spark, sf_dir):
 
 
 def e4_exact_window_dedup_x10(spark, sf_dir):
+    """r11 profiling (min-based, interleaved A/B on one box): the x10
+    wall splits ~2.3s tokenize + ~0.5s window-hash + ~2.1s
+    explode/agg/join. The tokenize term is the regex floor — an A/B of
+    the split+filter formulation vs a regexp_replace-trim variant put
+    the trim variant 2.7x WORSE (8.0s vs 3.0s; the extra full-text
+    regex pass dwarfs the interpreted per-token filter), and replacing
+    the per-window concat_ws+xxhash64 with xxhash64-over-prehashed-
+    token-slices was flat (5.22 vs 5.38 min — the interpreted
+    higher-order transform dominates either key form). The tail is
+    volume: one explode (~57M (long,long) rows), one min-agg whose
+    exchange AQE reuses/broadcasts for the join-back (executed plan
+    audited: BroadcastHashJoin over the min side at sf0.1). Pinned as a
+    data+regex floor; no misplanned stage."""
     from feature_store_api_spark.operators.dedup import exact_window_dedup
 
     docs, _ = _x10_frames(spark, sf_dir)

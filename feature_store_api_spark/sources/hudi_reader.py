@@ -437,11 +437,25 @@ def _read_mor_snapshot(
         out_fields = base.schema.fields
     else:
         from .avro_codec import parse_schema
-        from .hudi_log import H_SCHEMA
+        from .hudi_log import H_SCHEMA, PARQUET_DATA_BLOCK
 
         with open(sorted(log_paths)[0], "rb") as fh:
-            _btype, header, _content = next(iter_log_blocks(fh.read()))
-        out_fields = _spark_type_of(parse_schema(header[H_SCHEMA])).fields
+            btype0, header, content0 = next(iter_log_blocks(fh.read()))
+        if btype0 == PARQUET_DATA_BLOCK:
+            # a parquet data block carries its schema in the content
+            # itself (the block IS a parquet file), not in a header
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            out_fields = from_arrow_schema(
+                pq.read_schema(pa.BufferReader(content0))
+            ).fields
+        else:
+            out_fields = _spark_type_of(
+                parse_schema(header[H_SCHEMA])
+            ).fields
 
     names = [f.name for f in out_fields]
     key_cols = _merge_key_cols(meta_dir, names)

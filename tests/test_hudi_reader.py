@@ -706,3 +706,49 @@ def test_hudi_incremental_mor_generation_prune(spark, tmp_path):
     # the poisoned block gates loudly (proves no blanket skip)
     with pytest.raises(Exception, match="HFILE"):
         hudi_incremental(spark, root, "100", "400").collect()
+
+
+def test_hudi_mor_parquet_log_block(spark, tmp_path):
+    """PARQUET data blocks (hoodie.logfile.data.block.format=parquet;
+    content = a complete in-memory parquet file) decode jarlessly and
+    merge with avro blocks by arrival order; HFILE blocks stay gated."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+        encode_parquet_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    root = str(tmp_path / "mor_pq")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100",
+              [_mor_rec("dt=1", 1, 1.0), _mor_rec("dt=1", 2, 2.0)])
+    _delta_commit(meta, "100")
+    # instant 200: columnar log block updates k=1 and inserts k=3
+    blk_pq = encode_parquet_data_block(
+        [_mor_rec("dt=1", 1, 10.0), _mor_rec("dt=1", 3, 3.0)], "200")
+    _log(root, "dt=1", "fg-a", "100", 1, [blk_pq])
+    _delta_commit(meta, "200")
+    # instant 300: avro block re-updates k=1 (must win over parquet's)
+    blk_av = encode_avro_data_block(
+        [_mor_rec("dt=1", 1, 11.0)], MOR_AVRO_SCHEMA, "300")
+    _log(root, "dt=1", "fg-a", "100", 2, [blk_av])
+    _delta_commit(meta, "300")
+
+    got = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
+    assert got == [(1, 11.0), (2, 2.0), (3, 3.0)]
+    assert sorted(
+        (r["k"], r["v"])
+        for r in read_hudi(spark, root, as_of_instant="200").collect()
+    ) == [(1, 10.0), (2, 2.0), (3, 3.0)]
+
+    # log-ONLY file group whose first block is parquet: the output
+    # schema derives from the parquet content itself
+    blk_new = encode_parquet_data_block(
+        [_mor_rec("dt=2", 5, 5.0)], "400")
+    _log(root, "dt=2", "fg-c", "400", 1, [blk_new])
+    _delta_commit(meta, "400")
+    got2 = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
+    assert got2 == [(1, 11.0), (2, 2.0), (3, 3.0), (5, 5.0)]

@@ -3219,6 +3219,126 @@ def _q_hudi_log_delete(spark, sf_dir):
     return read_hudi(spark, root).select("o_orderkey", "o_totalprice")
 
 
+def _q_iceberg_read(spark, sf_dir):
+    """Jarless Iceberg v2 snapshot read (sources/iceberg_reader.py —
+    extension beyond the reference's HUDI/DELTA interop; public spec
+    iceberg.apache.org/spec/): data file at seq 1 = all orders;
+    POSITION deletes (seq 2) kill rows where key % 9 == 0; an EQUALITY
+    delete (seq 2, field id 1) kills key % 7 == 2; a seq-3 data file
+    re-inserts key % 21 == 2 at price+5 — those survive the eq delete
+    because their data sequence number is HIGHER (spec scan-planning
+    rule). Manifests are deflate-coded avro, decoded by the repo's own
+    OCF codec."""
+    import json as _json
+    import os as _os
+
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = _os.path.join(_scratch("iceberg_"), "tbl")
+    data_dir = _os.path.join(root, "data")
+    meta_dir = _os.path.join(root, "metadata")
+    _os.makedirs(data_dir, exist_ok=True)
+    _os.makedirs(meta_dir, exist_ok=True)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    d1 = _os.path.join(data_dir, "f1.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), d1)
+    # position deletes: rows of f1 where key % 9 == 0 (known positions
+    # because f1 is written key-sorted)
+    keys = pdf["o_orderkey"].tolist()
+    doomed = [i for i, k in enumerate(keys) if k % 9 == 0]
+    pd1 = _os.path.join(data_dir, "del_pos.parquet")
+    pq.write_table(pa.table({
+        "file_path": [f"file://{d1}"] * len(doomed),
+        "pos": doomed,
+    }), pd1)
+    # equality delete on field id 1 (o_orderkey): key % 7 == 2
+    e1 = _os.path.join(data_dir, "del_eq.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": [k for k in keys if k % 7 == 2],
+    }), e1)
+    # seq-3 re-insert: key % 21 == 2 at price + 5
+    re_pdf = pdf[pdf["o_orderkey"] % 21 == 2].copy()
+    re_pdf["o_totalprice"] = re_pdf["o_totalprice"] + 5
+    d2 = _os.path.join(data_dir, "f2.parquet")
+    pq.write_table(pa.Table.from_pandas(re_pdf, preserve_index=False), d2)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null",
+                              {"type": "array", "items": "int"}],
+                     "default": None},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+
+    def ocf(name, records, schema):
+        p = _os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            _write_ocf(iter(records), schema, fh)
+        return p
+
+    def entry(fp, content, seq, eq_ids=None):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "content": content, "file_path": f"file://{fp}",
+            "file_format": "PARQUET", "record_count": 1,
+            "equality_ids": eq_ids}}
+
+    m1 = ocf("m1.avro", [entry(d1, 0, 1)], entry_schema)
+    m2 = ocf("m2.avro", [entry(pd1, 1, 2),
+                         entry(e1, 2, 2, eq_ids=[1])], entry_schema)
+    m3 = ocf("m3.avro", [entry(d2, 0, 3)], entry_schema)
+    ml = ocf("s1.avro", [
+        {"manifest_path": f"file://{p}",
+         "manifest_length": _os.path.getsize(p),
+         "content": c, "sequence_number": s}
+        for (p, c, s) in ((m1, 0, 1), (m2, 1, 2), (m3, 0, 3))
+    ], list_schema)
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32,
+        "location": f"file://{root}", "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "o_orderkey", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "manifest-list": f"file://{ml}"}],
+    }
+    with open(_os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return read_iceberg(spark, root).select("o_orderkey", "o_totalprice")
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """Retrieval evaluation (operators/eval_metrics.py): recall@5 /
     MRR@5 / NDCG@5 of the batched BM25 run against a same-source
@@ -3478,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checkpoint serialization, add.path encoding, cdc completeness).
     # Tail = 46 r09 entries then the remaining r10 window (freshest).
     return {
+        "iceberg_read": _q_iceberg_read,
         "hudi_log_delete": _q_hudi_log_delete,
         "minhash_verified": _q_minhash_verified,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
@@ -3826,6 +3947,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_totalprice + 9 AS o_totalprice
             FROM orders WHERE o_orderkey % 7 = 3
+        """,
+        "iceberg_read": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 9 <> 0 AND o_orderkey % 7 <> 2
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 21 = 2
         """,
         "hudi_log_delete": """
             SELECT o_orderkey,

@@ -84,12 +84,15 @@ def _flush_block(fh, block: List[bytes]) -> None:
 
 
 def read_ocf_bytes(data: bytes) -> tuple[Dict, List[dict]]:
-    """Parse one container file → (schema, records)."""
+    """Parse one container file → (schema, records). Codecs: ``null``
+    plus ``deflate``/``gzip`` (zlib; what Iceberg's manifest writers
+    emit by default) and ``zstandard`` when the module is present."""
     buf = io.BytesIO(data)
     if buf.read(4) != _MAGIC:
         raise ValueError("Not an Avro object container file")
     meta = decode(buf, _META_SCHEMA)
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
+    codec = (meta.get("avro.codec") or b"null").decode("utf-8")
     sync = buf.read(16)
     out: List[dict] = []
     while True:
@@ -98,9 +101,34 @@ def read_ocf_bytes(data: bytes) -> tuple[Dict, List[dict]]:
             break
         buf.seek(-1, io.SEEK_CUR)
         n = decode(buf, "long")
-        decode(buf, "long")  # byte size (codec is null — not needed)
+        size = decode(buf, "long")
+        if codec == "null":
+            block = buf  # records follow inline
+        else:
+            raw = buf.read(size)
+            if codec in ("deflate", "gzip"):
+                import zlib
+
+                # avro "deflate" is raw DEFLATE (no zlib header)
+                block = io.BytesIO(zlib.decompress(raw, -15))
+            elif codec == "zstandard":
+                try:
+                    import zstandard
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "Avro container uses zstandard codec and the "
+                        "zstandard module is unavailable"
+                    ) from exc
+                block = io.BytesIO(
+                    zstandard.ZstdDecompressor().decompress(raw)
+                )
+            else:
+                raise NotImplementedError(
+                    f"Avro container codec {codec!r} not supported "
+                    "(null/deflate/gzip/zstandard)"
+                )
         for _ in range(n):
-            out.append(decode(buf, schema))
+            out.append(decode(block, schema))
         if buf.read(16) != sync:
             raise ValueError("Avro container sync marker mismatch")
     return schema, out

@@ -1,0 +1,354 @@
+"""Jarless Apache Iceberg TABLE READER: snapshot + time travel.
+
+Extension beyond the reference's Hudi/Delta interop (the reference's
+time-travel formats are HUDI and DELTA only): training-data pipelines
+routinely ingest warehouse tables that live in Iceberg, so the engine
+reads them directly — the READ side of the public Iceberg table spec
+(iceberg.apache.org/spec/, format versions 1 and 2), no runtime jars:
+
+* ``metadata/v<N>.metadata.json`` (+ ``version-hint.text``) — table
+  metadata: schemas, snapshots (``snapshot-id``, ``timestamp-ms``,
+  ``manifest-list``), ``current-snapshot-id``;
+* the snapshot's MANIFEST LIST — an Avro container of
+  ``manifest_file`` entries (``manifest_path``, ``content``: 0 data /
+  1 deletes, ``sequence_number``);
+* each MANIFEST — an Avro container of ``manifest_entry`` rows
+  (``status`` 0 existing / 1 added / 2 deleted, ``data_file`` with
+  ``content`` 0 data / 1 position deletes / 2 equality deletes,
+  ``file_path``, ``file_format``); both decode with the repo's own
+  jarless Avro codec (null/deflate codecs — Iceberg's defaults);
+* v2 row-level deletes: POSITION delete files (parquet rows of
+  ``file_path, pos``) strip rows via a ``_metadata.file_path`` +
+  ``_metadata.row_index`` anti-join — the same executor-side pattern
+  as the Delta deletion-vector strip — and EQUALITY delete files
+  anti-join on their ``equality_ids`` columns, sequence-number aware
+  (a delete applies only to rows whose data file has a strictly
+  smaller data sequence number, so later re-inserts of the same key
+  survive, per the spec's "Scan Planning" rules).
+
+Scale shape: metadata/manifest replay is driver-side (exactly how real
+Iceberg clients plan scans — manifests are metadata, bounded by
+snapshot expiry), and the data read is ONE flat parquet relation over
+the live files; the delete anti-joins broadcast their (small) delete
+sides. Identity-partition source columns are stored IN Iceberg data
+files, so no partition-value reattachment is needed.
+
+Out of scope (loud gates, not wrong rows): column renames/drops via
+field-id mapping (files written before a rename keep the old parquet
+column names), ORC/Avro data files, and snapshots whose schema uses
+types Spark's parquet reader cannot widen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs_path(uri: str, table_path: str) -> str:
+    """Manifest/data-file location -> local filesystem path. The spec
+    stores absolute URIs (``file:///...``); relative paths (some
+    hand-rolled writers) resolve against the table root."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        p = unquote(parsed.path) if parsed.scheme == "file" else uri
+        if not os.path.isabs(p):
+            p = os.path.join(table_path, p)
+        return p
+    raise NotImplementedError(
+        f"Iceberg file location scheme {parsed.scheme!r} not readable "
+        "offline (local file paths only)"
+    )
+
+
+def _read_table_metadata(path: str) -> Dict:
+    meta_dir = os.path.join(path, "metadata")
+    if not os.path.isdir(meta_dir):
+        raise FileNotFoundError(f"No Iceberg metadata dir at {meta_dir}")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    candidate: Optional[str] = None
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            if os.path.exists(os.path.join(meta_dir, name)):
+                candidate = name
+                break
+    if candidate is None:
+        # newest metadata file wins: v<N>.metadata.json (HadoopCatalog)
+        # or <uuid>/<seq>-uuid.metadata.json (object-store layouts) —
+        # sort numerically where the prefix is numeric, else by mtime
+        cands = [n for n in os.listdir(meta_dir)
+                 if n.endswith(".metadata.json")]
+        if not cands:
+            raise FileNotFoundError(
+                f"No *.metadata.json under {meta_dir}"
+            )
+
+        def order(n: str):
+            stem = n.split(".", 1)[0].lstrip("v").split("-", 1)[0]
+            num = int(stem) if stem.isdigit() else -1
+            return (num, os.path.getmtime(os.path.join(meta_dir, n)))
+
+        candidate = max(cands, key=order)
+    with open(os.path.join(meta_dir, candidate)) as fh:
+        meta = json.load(fh)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2):
+        raise NotImplementedError(
+            f"Iceberg format-version {fv} (supported: 1, 2)"
+        )
+    return meta
+
+
+def resolve_iceberg_snapshot(
+    meta: Dict,
+    snapshot_id: Optional[int] = None,
+    timestamp_ms: Optional[int] = None,
+) -> Dict:
+    """Pick the snapshot: explicit id, else latest at-or-before the
+    timestamp (epoch millis), else the current snapshot."""
+    snaps = list(meta.get("snapshots") or [])
+    if not snaps:
+        raise ValueError("Iceberg table has no snapshots")
+    if snapshot_id is not None:
+        for s in snaps:
+            if int(s["snapshot-id"]) == int(snapshot_id):
+                return s
+        raise ValueError(f"Iceberg snapshot {snapshot_id} not found")
+    if timestamp_ms is not None:
+        eligible = [
+            s for s in snaps if int(s["timestamp-ms"]) <= int(timestamp_ms)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"No Iceberg snapshot at or before {timestamp_ms}"
+            )
+        return max(eligible, key=lambda s: int(s["timestamp-ms"]))
+    cur = meta.get("current-snapshot-id")
+    if cur is None or int(cur) == -1:
+        return max(snaps, key=lambda s: int(s["timestamp-ms"]))
+    for s in snaps:
+        if int(s["snapshot-id"]) == int(cur):
+            return s
+    raise ValueError(f"current-snapshot-id {cur} not in snapshots")
+
+
+def _manifest_entries(path: str, table_path: str) -> List[dict]:
+    from .avro_container import read_ocf_bytes
+
+    with open(path, "rb") as fh:
+        _schema, rows = read_ocf_bytes(fh.read())
+    return rows
+
+
+def _snapshot_files(
+    meta: Dict, snap: Dict, table_path: str
+) -> Tuple[List[dict], List[dict], List[dict]]:
+    """Plan the snapshot's file set: ``(data, pos_deletes, eq_deletes)``
+    — each a list of dicts ``{path, seq, ...}``. Sequence-number
+    inheritance per spec: a null entry sequence number inherits the
+    manifest-list entry's ``sequence_number`` (v1 tables: 0)."""
+    mf_list_loc = snap.get("manifest-list")
+    if mf_list_loc:
+        manifests = _manifest_entries(
+            _fs_path(mf_list_loc, table_path), table_path
+        )
+    else:
+        # ancient v1 snapshots embed the manifest paths directly
+        manifests = [
+            {"manifest_path": p, "content": 0, "sequence_number": 0}
+            for p in (snap.get("manifests") or [])
+        ]
+    data: List[dict] = []
+    pos_del: List[dict] = []
+    eq_del: List[dict] = []
+    for mf in manifests:
+        mf_seq = int(mf.get("sequence_number") or 0)
+        entries = _manifest_entries(
+            _fs_path(mf["manifest_path"], table_path), table_path
+        )
+        for e in entries:
+            if int(e.get("status") or 0) == 2:
+                continue  # DELETED entries are history, not state
+            df_ = e.get("data_file") or {}
+            seq = e.get("sequence_number")
+            seq = mf_seq if seq is None else int(seq)
+            fmt = (df_.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg {fmt} data files are not supported by "
+                    "this jarless reader (parquet only)"
+                )
+            rec = {
+                "path": _fs_path(df_["file_path"], table_path),
+                "uri": df_["file_path"],
+                "seq": seq,
+                "equality_ids": list(df_.get("equality_ids") or []),
+            }
+            content = int(df_.get("content") or 0)
+            if content == 0:
+                data.append(rec)
+            elif content == 1:
+                pos_del.append(rec)
+            elif content == 2:
+                eq_del.append(rec)
+            else:
+                raise NotImplementedError(
+                    f"Iceberg data_file content {content}"
+                )
+    return data, pos_del, eq_del
+
+
+def _current_field_names(meta: Dict) -> Dict[int, str]:
+    """field id -> name for the CURRENT schema (equality_ids resolve
+    through ids, per spec)."""
+    schemas = meta.get("schemas")
+    schema = None
+    if schemas:
+        cur = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == cur:
+                schema = s
+                break
+        if schema is None:
+            schema = schemas[-1]
+    else:
+        schema = meta.get("schema") or {}
+    return {
+        int(f["id"]): f["name"] for f in (schema.get("fields") or [])
+    }
+
+
+_PRIM_TYPES = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "date": "date",
+    "time": "bigint", "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp", "string": "string", "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _spark_schema_of(meta: Dict):
+    """CURRENT Iceberg schema -> Spark schema (primitive fields; used
+    only for the empty-snapshot result)."""
+    from pyspark.sql import types as T
+
+    schemas = meta.get("schemas") or [meta.get("schema") or {}]
+    cur = meta.get("current-schema-id")
+    schema = next(
+        (s for s in schemas if s.get("schema-id") == cur), schemas[-1]
+    )
+    fields = []
+    for f in schema.get("fields") or []:
+        t = f["type"]
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                sql_t = t
+            elif t.startswith("fixed"):
+                sql_t = "binary"
+            else:
+                sql_t = _PRIM_TYPES.get(t, "string")
+        else:
+            sql_t = "string"  # nested types: only the empty case
+        fields.append(
+            T.StructField(
+                f["name"],
+                T._parse_datatype_string(sql_t),
+                not f.get("required", False),
+            )
+        )
+    return T.StructType(fields)
+
+
+def _scan_path_col():
+    """Decoded filesystem path of the scanned file (Spark URI-encodes
+    ``_metadata.file_path``; protect literal '+' from FORM decoding —
+    same rule as the Delta DV strip)."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:(//)?", ""
+            ),
+            r"\+", "%2B",
+        )
+    )
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: Optional[int] = None,
+    timestamp_ms: Optional[int] = None,
+) -> DataFrame:
+    """Read an Iceberg table directory as a DataFrame — current
+    snapshot, an explicit ``snapshot_id``, or time travel to the latest
+    snapshot at-or-before ``timestamp_ms``."""
+    meta = _read_table_metadata(path)
+    snap = resolve_iceberg_snapshot(meta, snapshot_id, timestamp_ms)
+    data, pos_del, eq_del = _snapshot_files(meta, snap, path)
+    if not data:
+        # empty snapshot: derive the schema from the current metadata
+        return spark.createDataFrame([], _spark_schema_of(meta))
+    reader = spark.read.option("mergeSchema", "true")
+    df = reader.parquet(*sorted(d["path"] for d in data))
+    # loud rename gate: every current-schema column must surface by
+    # name (field-id remapping of renamed columns is out of scope)
+    missing = [
+        n for n in _current_field_names(meta).values()
+        if n not in df.columns
+    ]
+    if missing:
+        raise NotImplementedError(
+            f"Iceberg current schema columns {missing} not present in "
+            "the data files by name — the table had column renames, "
+            "which need field-id mapping this jarless reader does not "
+            "implement"
+        )
+    need_seq = bool(eq_del)
+    if need_seq or pos_del:
+        df = df.withColumn("__i_path", _scan_path_col()).withColumn(
+            "__i_pos", F.col("_metadata.row_index")
+        )
+    if need_seq:
+        seq_map = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in data],
+            "__i_path string, __i_seq long",
+        )
+        df = df.join(F.broadcast(seq_map), "__i_path", "left")
+    # -- position deletes: (file_path, pos) anti-join ----------------
+    if pos_del:
+        pd_df = spark.read.parquet(*sorted(p["path"] for p in pos_del))
+        dels = pd_df.select(
+            F.regexp_replace(
+                F.col("file_path"), r"^file:(//)?", ""
+            ).alias("__i_path"),
+            F.col("pos").alias("__i_pos"),
+        )
+        df = df.join(
+            F.broadcast(dels), ["__i_path", "__i_pos"], "left_anti"
+        )
+    # -- equality deletes: per-file columns, sequence-aware ----------
+    if eq_del:
+        id_names = _current_field_names(meta)
+        for d in eq_del:
+            cols = [id_names[i] for i in d["equality_ids"] if i in id_names]
+            if not cols or len(cols) != len(d["equality_ids"]):
+                raise NotImplementedError(
+                    f"Iceberg equality delete {d['uri']} references "
+                    f"field ids {d['equality_ids']} not resolvable in "
+                    "the current schema"
+                )
+            rows = spark.read.parquet(d["path"]).select(
+                *[F.col(c).alias(f"__e_{c}") for c in cols]
+            ).withColumn("__e_seq", F.lit(d["seq"]))
+            cond = F.col("__e_seq") > F.col("__i_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__e_{c}"))
+            df = df.join(F.broadcast(rows), cond, "left_anti")
+    return df.drop("__i_path", "__i_pos", "__i_seq")

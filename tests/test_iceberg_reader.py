@@ -1,0 +1,272 @@
+"""Jarless Iceberg reader: fixtures follow the published table spec
+(metadata json + avro manifest list/manifests + parquet data files)."""
+
+import json
+import os
+import zlib
+
+import pytest
+
+from tests.conftest import *  # noqa: F401,F403 - spark fixture
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None},
+            ],
+        }},
+    ],
+}
+
+
+def _pq(rows, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table(rows), path)
+
+
+def _ocf(path, records, schema):
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        _write_ocf(iter(records), schema, fh)
+
+
+def _manifest(root, name, entries):
+    p = os.path.join(root, "metadata", name)
+    _ocf(p, entries, MANIFEST_ENTRY_SCHEMA)
+    return p
+
+
+def _manifest_list(root, name, manifests):
+    p = os.path.join(root, "metadata", name)
+    _ocf(p, [
+        {"manifest_path": f"file://{mp}",
+         "manifest_length": os.path.getsize(mp),
+         "content": c, "sequence_number": seq}
+        for (mp, c, seq) in manifests
+    ], MANIFEST_FILE_SCHEMA)
+    return p
+
+
+def _entry(file_path, content=0, seq=None, status=1, eq_ids=None):
+    return {
+        "status": status,
+        "sequence_number": seq,
+        "data_file": {
+            "content": content,
+            "file_path": f"file://{file_path}",
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "equality_ids": eq_ids,
+        },
+    }
+
+
+def _write_metadata(root, snapshots, current, version=1):
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": f"file://{root}",
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": True, "type": "long"},
+                {"id": 2, "name": "v", "required": False,
+                 "type": "double"},
+            ],
+        }],
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+    }
+    md = os.path.join(root, "metadata")
+    os.makedirs(md, exist_ok=True)
+    with open(os.path.join(md, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+def _snap(sid, ts, ml):
+    return {"snapshot-id": sid, "timestamp-ms": ts,
+            "manifest-list": f"file://{ml}"}
+
+
+def test_iceberg_snapshot_and_time_travel(spark, tmp_path):
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0]}, d1)
+    _pq({"k": [3], "v": [3.0]}, d2)
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    ml1 = _manifest_list(root, "snap1.avro", [(m1, 0, 1)])
+    m2 = _manifest(root, "m2.avro", [_entry(d2, seq=2)])
+    ml2 = _manifest_list(root, "snap2.avro", [(m1, 0, 1), (m2, 0, 2)])
+    _write_metadata(
+        root, [_snap(10, 1_000, ml1), _snap(20, 2_000, ml2)], current=20
+    )
+
+    def ks(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    assert ks(read_iceberg(spark, root)) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    assert ks(read_iceberg(spark, root, snapshot_id=10)) == [
+        (1, 1.0), (2, 2.0)]
+    assert ks(read_iceberg(spark, root, timestamp_ms=1_500)) == [
+        (1, 1.0), (2, 2.0)]
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg(spark, root, timestamp_ms=500)
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, root, snapshot_id=99)
+
+
+def test_iceberg_position_deletes(spark, tmp_path):
+    """v2 position-delete files strip exactly the referenced
+    (file, row) pairs — the _metadata.row_index anti-join."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_pd")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}, d1)
+    _pq({"k": [4, 5], "v": [4.0, 5.0]}, d2)
+    pd1 = os.path.join(root, "data", "del1.parquet")
+    # delete rows 0 and 2 of f1 (k=1, k=3) and row 1 of f2 (k=5)
+    _pq({"file_path": [f"file://{d1}", f"file://{d1}", f"file://{d2}"],
+         "pos": [0, 2, 1]}, pd1)
+    m1 = _manifest(root, "m1.avro",
+                   [_entry(d1, seq=1), _entry(d2, seq=1)])
+    m2 = _manifest(root, "m2.avro", [_entry(pd1, content=1, seq=2)])
+    ml1 = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    ml2 = _manifest_list(root, "s2.avro", [(m1, 0, 1), (m2, 1, 2)])
+    _write_metadata(
+        root, [_snap(1, 1_000, ml1), _snap(2, 2_000, ml2)], current=2
+    )
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [2, 4]
+    # before the delete snapshot, everything is alive
+    pre = sorted(
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=1).collect()
+    )
+    assert pre == [1, 2, 3, 4, 5]
+
+
+def test_iceberg_equality_deletes_sequence_aware(spark, tmp_path):
+    """Equality deletes apply only to rows whose data file has a
+    SMALLER data sequence number: a later re-insert of the deleted key
+    survives (spec scan-planning rule)."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_eq")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    e1 = os.path.join(root, "data", "eq1.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0]}, d1)       # seq 1
+    _pq({"k": [2], "v": [22.0]}, d2)              # seq 3: re-insert k=2
+    _pq({"k": [2]}, e1)                           # seq 2: delete k=2
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    m2 = _manifest(root, "m2.avro",
+                   [_entry(e1, content=2, seq=2, eq_ids=[1])])
+    m3 = _manifest(root, "m3.avro", [_entry(d2, seq=3)])
+    ml = _manifest_list(
+        root, "s3.avro", [(m1, 0, 1), (m2, 1, 2), (m3, 0, 3)]
+    )
+    _write_metadata(root, [_snap(3, 3_000, ml)], current=3)
+    got = sorted((r["k"], r["v"]) for r in read_iceberg(spark, root).collect())
+    # k=2@seq1 deleted by eq-delete@seq2; k=2@seq3 re-insert survives
+    assert got == [(1, 1.0), (2, 22.0)]
+
+
+def test_iceberg_rename_gate_and_format_gates(spark, tmp_path):
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_gate")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    _pq({"k_old": [1], "v": [1.0]}, d1)  # parquet column name != schema
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    with pytest.raises(NotImplementedError, match="renames"):
+        read_iceberg(spark, root)
+
+
+def test_iceberg_deflate_manifests(spark, tmp_path):
+    """Iceberg writes manifests with the avro deflate codec by default;
+    the OCF reader must inflate them (raw DEFLATE blocks)."""
+    import io
+    import struct
+
+    from feature_store_api_spark.sources.avro_codec import encode
+    from feature_store_api_spark.sources.avro_container import (
+        read_ocf_bytes,
+    )
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    def write_deflate_ocf(path, records, schema):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        head = io.BytesIO()
+        encode(
+            {"avro.schema": json.dumps(schema).encode(),
+             "avro.codec": b"deflate"},
+            {"type": "map", "values": "bytes"}, head,
+        )
+        block = io.BytesIO()
+        for r in records:
+            encode(r, schema, block)
+        comp = zlib.compress(block.getvalue())[2:-4]  # raw deflate
+        sync = bytes(range(16))
+        with open(path, "wb") as fh:
+            fh.write(b"Obj\x01")
+            fh.write(head.getvalue())
+            fh.write(sync)
+            cnt = io.BytesIO()
+            encode(len(records), "long", cnt)
+            encode(len(comp), "long", cnt)
+            fh.write(cnt.getvalue())
+            fh.write(comp)
+            fh.write(sync)
+
+    root = str(tmp_path / "ice_defl")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    _pq({"k": [7], "v": [7.0]}, d1)
+    m1 = os.path.join(root, "metadata", "m1.avro")
+    write_deflate_ocf(m1, [_entry(d1, seq=1)], MANIFEST_ENTRY_SCHEMA)
+    # round-trip sanity straight through the codec
+    with open(m1, "rb") as fh:
+        _s, rows = read_ocf_bytes(fh.read())
+    assert rows[0]["data_file"]["file_path"] == f"file://{d1}"
+    ml = os.path.join(root, "metadata", "s1.avro")
+    write_deflate_ocf(
+        ml,
+        [{"manifest_path": f"file://{m1}",
+          "manifest_length": os.path.getsize(m1),
+          "content": 0, "sequence_number": 1}],
+        MANIFEST_FILE_SCHEMA,
+    )
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = [(r["k"], r["v"]) for r in read_iceberg(spark, root).collect()]
+    assert got == [(7, 7.0)]

@@ -3339,6 +3339,116 @@ def _q_iceberg_read(spark, sf_dir):
     return read_iceberg(spark, root).select("o_orderkey", "o_totalprice")
 
 
+def _q_iceberg_incremental(spark, sf_dir):
+    """Iceberg incremental APPEND scan (iceberg-spark's
+    start-/end-snapshot-id read): snapshot 10 = even order keys,
+    snapshot 20 (child) appends odd keys at price*3; the (10, 20]
+    window returns exactly the odd-key rows — resolved over
+    parent-snapshot-id lineage and per-manifest added_snapshot_id."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+    from feature_store_api_spark.sources.iceberg_reader import (
+        iceberg_incremental,
+    )
+
+    root = _os.path.join(_scratch("iceberg_inc_"), "tbl")
+    data_dir = _os.path.join(root, "data")
+    meta_dir = _os.path.join(root, "metadata")
+    _os.makedirs(data_dir, exist_ok=True)
+    _os.makedirs(meta_dir, exist_ok=True)
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    d1 = _os.path.join(data_dir, "f1.parquet")
+    even = pdf[pdf["o_orderkey"] % 2 == 0]
+    pq.write_table(pa.Table.from_pandas(even, preserve_index=False), d1)
+    odd = pdf[pdf["o_orderkey"] % 2 == 1].copy()
+    odd["o_totalprice"] = odd["o_totalprice"] * 3
+    d2 = _os.path.join(data_dir, "f2.parquet")
+    pq.write_table(pa.Table.from_pandas(odd, preserve_index=False), d2)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "added_snapshot_id", "type": ["null", "long"],
+             "default": None},
+        ]}
+
+    def ocf(name, records, schema):
+        p = _os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            _write_ocf(iter(records), schema, fh)
+        return p
+
+    def entry(fp, seq):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "content": 0, "file_path": f"file://{fp}",
+            "file_format": "PARQUET", "record_count": 1}}
+
+    def mf_row(p, seq, added):
+        return {"manifest_path": f"file://{p}",
+                "manifest_length": _os.path.getsize(p),
+                "content": 0, "sequence_number": seq,
+                "added_snapshot_id": added}
+
+    m1 = ocf("m1.avro", [entry(d1, 1)], entry_schema)
+    m2 = ocf("m2.avro", [entry(d2, 2)], entry_schema)
+    ml1 = ocf("s1.avro", [mf_row(m1, 1, 10)], list_schema)
+    ml2 = ocf("s2.avro", [mf_row(m1, 1, 10), mf_row(m2, 2, 20)],
+              list_schema)
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32,
+        "location": f"file://{root}", "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "o_orderkey", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ]}],
+        "current-snapshot-id": 20,
+        "snapshots": [
+            {"snapshot-id": 10, "timestamp-ms": 1000,
+             "manifest-list": f"file://{ml1}",
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 20, "timestamp-ms": 2000,
+             "parent-snapshot-id": 10,
+             "manifest-list": f"file://{ml2}",
+             "summary": {"operation": "append"}},
+        ],
+    }
+    with open(_os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return iceberg_incremental(spark, root, 10, 20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """Retrieval evaluation (operators/eval_metrics.py): recall@5 /
     MRR@5 / NDCG@5 of the batched BM25 run against a same-source
@@ -3599,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tail = 46 r09 entries then the remaining r10 window (freshest).
     return {
         "iceberg_read": _q_iceberg_read,
+        "iceberg_incremental": _q_iceberg_incremental,
         "hudi_log_delete": _q_hudi_log_delete,
         "minhash_verified": _q_minhash_verified,
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
@@ -3947,6 +4058,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_totalprice + 9 AS o_totalprice
             FROM orders WHERE o_orderkey % 7 = 3
+        """,
+        "iceberg_incremental": """
+            SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 1
         """,
         "iceberg_read": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -280,6 +280,80 @@ def _scan_path_col():
     )
 
 
+def iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """Incremental APPEND scan: rows added by snapshots in
+    ``(from_snapshot_id, to_snapshot_id]`` — iceberg-spark's
+    ``start-snapshot-id``/``end-snapshot-id`` read. The window is
+    resolved by walking ``parent-snapshot-id`` lineage from the end
+    snapshot; per snapshot, the files it ADDED are the status-1 entries
+    of the manifests it added (``added_snapshot_id`` /
+    ``snapshot_id`` inheritance, per spec). Snapshots whose summary
+    operation is not ``append`` gate loudly — replacing/overwriting
+    commits have no row-level "added" answer without diffing, exactly
+    why iceberg-spark refuses them too."""
+    meta = _read_table_metadata(path)
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots") or []}
+    end = resolve_iceberg_snapshot(meta, to_snapshot_id, None)
+    if int(from_snapshot_id) not in snaps:
+        raise ValueError(
+            f"Iceberg from-snapshot {from_snapshot_id} not found"
+        )
+    window: List[Dict] = []
+    cur: Optional[Dict] = end
+    while cur is not None and int(cur["snapshot-id"]) != int(
+        from_snapshot_id
+    ):
+        window.append(cur)
+        pid = cur.get("parent-snapshot-id")
+        cur = snaps.get(int(pid)) if pid is not None else None
+    if cur is None:
+        raise ValueError(
+            f"Iceberg snapshot {from_snapshot_id} is not an ancestor "
+            f"of {end['snapshot-id']}: cannot resolve the window"
+        )
+    paths: List[str] = []
+    for s in window:
+        sid = int(s["snapshot-id"])
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise NotImplementedError(
+                f"Iceberg incremental read across a {op!r} snapshot "
+                f"({sid}) is not supported (appends only — same rule "
+                "as iceberg-spark's incremental scan)"
+            )
+        manifests = _manifest_entries(
+            _fs_path(s["manifest-list"], path), path
+        )
+        for mf in manifests:
+            if int(mf.get("content") or 0) != 0:
+                continue
+            added_by = mf.get("added_snapshot_id")
+            if added_by is not None and int(added_by) != sid:
+                continue  # carried over from an earlier snapshot
+            for e in _manifest_entries(
+                _fs_path(mf["manifest_path"], path), path
+            ):
+                if int(e.get("status") or 0) != 1:
+                    continue
+                esid = e.get("snapshot_id")
+                if esid is not None and int(esid) != sid:
+                    continue
+                df_ = e.get("data_file") or {}
+                if int(df_.get("content") or 0) != 0:
+                    continue
+                paths.append(_fs_path(df_["file_path"], path))
+    if not paths:
+        return spark.createDataFrame([], _spark_schema_of(meta))
+    return spark.read.option("mergeSchema", "true").parquet(
+        *sorted(set(paths))
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,

@@ -270,3 +270,74 @@ def test_iceberg_deflate_manifests(spark, tmp_path):
     _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
     got = [(r["k"], r["v"]) for r in read_iceberg(spark, root).collect()]
     assert got == [(7, 7.0)]
+
+
+MANIFEST_FILE_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": ["null", "long"],
+         "default": None},
+    ],
+}
+
+
+def test_iceberg_incremental_append_scan(spark, tmp_path):
+    """Incremental append scan over the parent-snapshot-id lineage:
+    exactly the rows added in (from, to]; overwrite snapshots gate."""
+    from feature_store_api_spark.sources.iceberg_reader import (
+        iceberg_incremental,
+    )
+
+    root = str(tmp_path / "ice_inc")
+    files = {}
+    for i, ks in enumerate(([1, 2], [3], [4, 5]), start=1):
+        p = os.path.join(root, "data", f"f{i}.parquet")
+        _pq({"k": ks, "v": [float(k) for k in ks]}, p)
+        files[i] = p
+
+    def mlist(name, manifests):
+        p = os.path.join(root, "metadata", name)
+        _ocf(p, [
+            {"manifest_path": f"file://{mp}",
+             "manifest_length": os.path.getsize(mp),
+             "content": 0, "sequence_number": seq,
+             "added_snapshot_id": added}
+            for (mp, seq, added) in manifests
+        ], MANIFEST_FILE_SCHEMA_V2)
+        return p
+
+    m = {i: _manifest(root, f"m{i}.avro", [_entry(files[i], seq=i)])
+         for i in (1, 2, 3)}
+    ml1 = mlist("s1.avro", [(m[1], 1, 10)])
+    ml2 = mlist("s2.avro", [(m[1], 1, 10), (m[2], 2, 20)])
+    ml3 = mlist("s3.avro", [(m[1], 1, 10), (m[2], 2, 20), (m[3], 3, 30)])
+    snaps = [
+        {"snapshot-id": 10, "timestamp-ms": 1000,
+         "manifest-list": f"file://{ml1}",
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 20, "timestamp-ms": 2000,
+         "parent-snapshot-id": 10, "manifest-list": f"file://{ml2}",
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 30, "timestamp-ms": 3000,
+         "parent-snapshot-id": 20, "manifest-list": f"file://{ml3}",
+         "summary": {"operation": "append"}},
+    ]
+    _write_metadata(root, snaps, current=30)
+
+    got = sorted(r["k"] for r in
+                 iceberg_incremental(spark, root, 10).collect())
+    assert got == [3, 4, 5]
+    got2 = sorted(r["k"] for r in
+                  iceberg_incremental(spark, root, 10, 20).collect())
+    assert got2 == [3]
+    assert iceberg_incremental(spark, root, 30).count() == 0
+    with pytest.raises(ValueError, match="not an ancestor|not found"):
+        iceberg_incremental(spark, root, 99)
+    # an overwrite snapshot in the window gates loudly
+    snaps[2]["summary"] = {"operation": "overwrite"}
+    _write_metadata(root, snaps, current=30, version=2)
+    with pytest.raises(NotImplementedError, match="overwrite"):
+        iceberg_incremental(spark, root, 10)

@@ -2607,6 +2607,35 @@ def _q_delta_fg_upsert(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_iceberg_fg_upsert(spark, sf_dir):
+    """End-to-end managed feature group on the ICEBERG physical backend
+    (sources/iceberg_backend.py): insert + upsert through the commit
+    store land as spec-conformant Iceberg v2 snapshots (metadata json +
+    avro manifest lists/manifests via the repo's own OCF codec); the
+    merge-on-read snapshot resolves newest-per-key on top of the
+    Iceberg scan. Different precombine from delta_fg_upsert (%5, *4)
+    so the two rows cannot mask each other."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("iceberg_fg_"))
+    fg = fs.create_feature_group(
+        "orders_iceberg", primary_key=["o_orderkey"],
+        event_time="o_orderdate",
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 4
+        ),
+        compute_stats=False,
+    )
+    return fg.read(spark).select("o_orderkey", "o_totalprice")
+
+
 def _q_hudi_time_travel(spark, sf_dir):
     """Jarless Hudi reader, BOTH table types (sources/hudi_reader.py +
     sources/hudi_log.py), one hash-checked result:
@@ -3709,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tail = 46 r09 entries then the remaining r10 window (freshest).
     return {
         "iceberg_read": _q_iceberg_read,
+        "iceberg_fg_upsert": _q_iceberg_fg_upsert,
         "iceberg_incremental": _q_iceberg_incremental,
         "hudi_log_delete": _q_hudi_log_delete,
         "minhash_verified": _q_minhash_verified,
@@ -4437,6 +4467,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice,
                    'mor' AS src
             FROM orders WHERE o_orderkey % 10 <> 4
+        """,
+        "iceberg_fg_upsert": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 4
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
         """,
         "delta_fg_upsert": """
             SELECT o_orderkey,

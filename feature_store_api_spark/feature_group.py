@@ -265,13 +265,15 @@ class FeatureGroup(FeatureGroupBase):
         # physical storage format (parity: reference FeatureGroup
         # time_travel_format HUDI/DELTA/None). COMMITLOG = our own
         # parquet+JSON log; DELTA = a real protocol-conformant Delta
-        # table (sources/delta_backend.py) readable by any Delta client.
+        # table (sources/delta_backend.py) readable by any Delta
+        # client; ICEBERG = a real Iceberg v2 table
+        # (sources/iceberg_backend.py) readable by any Iceberg client.
         fmt = (time_travel_format or "COMMITLOG").upper()
-        if fmt not in ("COMMITLOG", "DELTA"):
+        if fmt not in ("COMMITLOG", "DELTA", "ICEBERG"):
             raise ValueError(
                 f"Unsupported time_travel_format {time_travel_format!r}: "
-                "expected 'COMMITLOG' or 'DELTA' (HUDI needs jars "
-                "unavailable offline)"
+                "expected 'COMMITLOG', 'DELTA' or 'ICEBERG' (HUDI needs "
+                "jars unavailable offline)"
             )
         self.time_travel_format = fmt
         self.statistics_config = statistics_config
@@ -321,6 +323,10 @@ class FeatureGroup(FeatureGroupBase):
                 from .sources.delta_backend import DeltaLogBackend
 
                 backend = DeltaLogBackend(self.location)
+            elif getattr(self, "time_travel_format", "COMMITLOG") == "ICEBERG":
+                from .sources.iceberg_backend import IcebergBackend
+
+                backend = IcebergBackend(self.location)
             self._store = CommitStore(
                 self.location,
                 primary_key=self.primary_key,

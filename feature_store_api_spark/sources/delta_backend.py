@@ -625,8 +625,14 @@ class DeltaLogBackend(CommitLogBackend):
         ])
         for rel in doomed:
             # state keys are the log-encoded (percent-quoted) paths;
-            # decode to the on-disk name before removing.
+            # decode to the on-disk name before removing; fall back to
+            # the raw path for tables written before the writer
+            # percent-encoded add.path (their logged '%XX' is literal)
             full = os.path.join(self.location, unquote(rel))
+            if not os.path.exists(full):
+                raw = os.path.join(self.location, rel)
+                if os.path.exists(raw):
+                    full = raw
             try:
                 os.remove(full)
                 parent = os.path.dirname(full)

@@ -1,0 +1,430 @@
+"""Commit-store physical backend writing a REAL Apache Iceberg table.
+
+Third physical backend behind the :class:`~.backend.TimeTravelBackend`
+seam (after the default parquet commit log and the Delta backend):
+managed feature groups with ``time_travel_format="ICEBERG"`` land as a
+spec-conformant Iceberg v2 table — ``metadata/v<N>.metadata.json`` +
+``version-hint.text``, snapshot per commit, Avro manifest list +
+manifests (the repo's own OCF codec), data files under ``data/`` —
+readable by ANY Iceberg client and by :mod:`.iceberg_reader`
+(iceberg.apache.org/spec/). Like the Delta backend, the store's own
+commit metadata (counts, retention) stays in the ``_commits.json``
+sidecar that Iceberg clients ignore, and the table is merge-on-read
+from the store's point of view (``self_merging = False``): external
+readers see the RAW commit rows including ``_commit_time``/``_op`` —
+the documented log-view contract.
+
+Write-side choices:
+
+* each store commit = one Iceberg snapshot (``summary.operation =
+  "append"`` and the commit time in ``summary["fsas.commit-time"]``)
+  adding ONE manifest listing that commit's parquet files — so
+  ``drop_commit`` (vacuum) maps to a ``delete`` snapshot whose
+  manifest list simply omits the dropped commit's manifest;
+* metadata versions commit with PUT-IF-ABSENT (``os.link`` onto
+  ``v<N+1>.metadata.json``, reload + retry on ``FileExistsError``) —
+  optimistic concurrency, two writers can never clobber each other;
+* the partition spec is declared unpartitioned (spec-id 0, no
+  fields): partition values would need transform plumbing, and every
+  user partition column is present IN the data files, so external
+  scans stay correct (they lose manifest-level pruning only);
+* schema evolution appends fields with fresh field ids, preserving
+  the ids of existing names (Iceberg's add-column rule).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import uuid
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .backend import CommitLogBackend
+
+_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ],
+        }},
+    ],
+}
+
+_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": ["null", "long"],
+         "default": None},
+    ],
+}
+
+
+def _iceberg_type(dt: T.DataType, next_id) -> object:
+    """Spark type -> Iceberg schema type (JSON form). ``next_id`` is a
+    callable handing out fresh field ids for nested elements."""
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    raise NotImplementedError(
+        f"Iceberg backend cannot declare Spark type {dt.simpleString()} "
+        "in the table schema (primitives, decimals and arrays only)"
+    )
+
+
+class IcebergBackend(CommitLogBackend):
+    """Commit-store physical I/O through a real Iceberg v2 table.
+
+    Inherits the JSON sidecar + lockfile for the STORE's logical log;
+    data/scan/vacuum speak the Iceberg spec."""
+
+    self_merging = False
+
+    def __init__(self, location: str) -> None:
+        super().__init__(location)
+        self._meta_dir = os.path.join(location, "metadata")
+
+    # -- metadata helpers ----------------------------------------------------
+    def _versions(self) -> List[int]:
+        if not os.path.isdir(self._meta_dir):
+            return []
+        out = []
+        for n in os.listdir(self._meta_dir):
+            if n.startswith("v") and n.endswith(".metadata.json"):
+                stem = n[1:-len(".metadata.json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def _current_meta(self) -> Tuple[int, Optional[Dict]]:
+        vs = self._versions()
+        if not vs:
+            return 0, None
+        with open(os.path.join(
+            self._meta_dir, f"v{vs[-1]}.metadata.json"
+        )) as fh:
+            return vs[-1], json.load(fh)
+
+    def _write_ocf_file(self, name: str, records: List[dict],
+                        schema: Dict) -> str:
+        from .avro_container import _write_ocf
+
+        os.makedirs(self._meta_dir, exist_ok=True)
+        p = os.path.join(self._meta_dir, name)
+        with open(p, "wb") as fh:
+            _write_ocf(iter(records), schema, fh)
+        return p
+
+    def _next_schema(self, meta: Optional[Dict], df: DataFrame) -> Dict:
+        """CURRENT schema extended by the frame's new columns — existing
+        names keep their field ids, new ones get fresh ids."""
+        old_fields: List[Dict] = []
+        if meta is not None:
+            schemas = meta.get("schemas") or []
+            cur = meta.get("current-schema-id")
+            for s in schemas:
+                if s.get("schema-id") == cur:
+                    old_fields = list(s.get("fields") or [])
+        have = {f["name"] for f in old_fields}
+        used = [int(f["id"]) for f in old_fields]
+        counter = {"v": (max(used) if used else 0)}
+
+        def next_id() -> int:
+            counter["v"] += 1
+            return counter["v"]
+
+        fields = list(old_fields)
+        for f in df.schema.fields:
+            if f.name in have:
+                continue
+            fid = next_id()
+            fields.append({
+                "id": fid, "name": f.name, "required": False,
+                "type": _iceberg_type(f.dataType, next_id),
+            })
+        return {"schema-id": 0, "type": "struct", "fields": fields}
+
+    def _commit_metadata(self, build) -> Dict:
+        """PUT-IF-ABSENT metadata commit: ``build(version, meta)``
+        returns the next metadata dict; retried on version races."""
+        while True:
+            version, meta = self._current_meta()
+            new_meta = build(version, meta)
+            os.makedirs(self._meta_dir, exist_ok=True)
+            tmp = os.path.join(
+                self._meta_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(new_meta, fh)
+            target = os.path.join(
+                self._meta_dir, f"v{version + 1}.metadata.json"
+            )
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.remove(tmp)
+                continue  # lost the race: rebuild against the new head
+            os.remove(tmp)
+            hint_tmp = os.path.join(self._meta_dir, ".hint.tmp")
+            with open(hint_tmp, "w") as fh:
+                fh.write(str(version + 1))
+            os.replace(
+                hint_tmp, os.path.join(self._meta_dir, "version-hint.text")
+            )
+            return new_meta
+
+    # -- data ------------------------------------------------------------------
+    def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        import pyarrow.parquet as pq
+
+        from .commit_store import COMMIT_COL
+
+        stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
+        commit_dir = os.path.join("data", uuid.uuid4().hex[:12])
+        try:
+            df.write.mode("overwrite").parquet(stage)
+            os.makedirs(os.path.join(self.location, commit_dir),
+                        exist_ok=True)
+            files: List[Tuple[str, int, int]] = []  # rel, rows, bytes
+            commit_time: Optional[int] = None
+            for name in sorted(os.listdir(stage)):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(stage, name)
+                rel = f"{commit_dir}/{name}"
+                dst = os.path.join(self.location, rel)
+                md = pq.ParquetFile(src).metadata
+                if commit_time is None and md.num_row_groups:
+                    sch = md.schema.to_arrow_schema()
+                    if COMMIT_COL in sch.names:
+                        idx = sch.names.index(COMMIT_COL)
+                        st = md.row_group(0).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            commit_time = int(st.min)
+                os.replace(src, dst)
+                files.append((rel, md.num_rows, os.path.getsize(dst)))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+        def build(version: int, meta: Optional[Dict]) -> Dict:
+            # schema derives from the FRESH head inside the retry loop:
+            # a concurrent writer may have evolved the table
+            schema = self._next_schema(meta, df)
+            snaps = list((meta or {}).get("snapshots") or [])
+            prev_id = (meta or {}).get("current-snapshot-id")
+            sid = max(
+                [int(s["snapshot-id"]) for s in snaps], default=0
+            ) + 1
+            seq = int((meta or {}).get("last-sequence-number") or 0) + 1
+            mf = self._write_ocf_file(
+                f"mf-{uuid.uuid4().hex[:12]}.avro",
+                [{
+                    "status": 1, "snapshot_id": sid,
+                    "sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                } for (rel, rows, size) in files],
+                _ENTRY_SCHEMA,
+            )
+            prev_list: List[dict] = []
+            if prev_id is not None and snaps:
+                prev = next(
+                    (s for s in snaps
+                     if int(s["snapshot-id"]) == int(prev_id)), None
+                )
+                if prev is not None:
+                    prev_list = self._read_manifest_list(prev)
+            new_list = prev_list + [{
+                "manifest_path": os.path.relpath(mf, self.location),
+                "manifest_length": os.path.getsize(mf),
+                "content": 0, "sequence_number": seq,
+                "added_snapshot_id": sid,
+            }]
+            ml = self._write_ocf_file(
+                f"snap-{sid}-{uuid.uuid4().hex[:8]}.avro",
+                new_list, _LIST_SCHEMA,
+            )
+            snap = {
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "timestamp-ms": commit_time or 0,
+                "manifest-list": os.path.relpath(ml, self.location),
+                "summary": {
+                    "operation": "append",
+                    "fsas.commit-time": str(commit_time or 0),
+                },
+            }
+            if prev_id is not None:
+                snap["parent-snapshot-id"] = int(prev_id)
+            base = meta or {
+                "format-version": 2,
+                "table-uuid": str(uuid.uuid4()),
+                "location": self.location,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "default-spec-id": 0,
+            }
+            out = dict(base)
+            out.update({
+                "current-schema-id": 0,
+                "schemas": [schema],
+                "current-snapshot-id": sid,
+                "last-sequence-number": seq,
+                "snapshots": snaps + [snap],
+            })
+            return out
+
+        self._commit_metadata(build)
+
+    def _read_manifest_list(self, snap: Dict) -> List[dict]:
+        from .avro_container import read_ocf_bytes
+
+        p = snap["manifest-list"]
+        if not os.path.isabs(p):
+            p = os.path.join(self.location, p)
+        with open(p, "rb") as fh:
+            _s, rows = read_ocf_bytes(fh.read())
+        return rows
+
+    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not self._versions():
+            return None
+        from .iceberg_reader import read_iceberg
+
+        return read_iceberg(spark, self.location)
+
+    def drop_commit(self, commit_time: int) -> bool:
+        _v, meta = self._current_meta()
+        if meta is None:
+            return False
+        snaps = list(meta.get("snapshots") or [])
+        doomed = next(
+            (s for s in snaps
+             if (s.get("summary") or {}).get("fsas.commit-time")
+             == str(commit_time)), None,
+        )
+        if doomed is None:
+            return False
+        did = int(doomed["snapshot-id"])
+        dropped_manifests = {
+            r["manifest_path"] for r in self._read_manifest_list(doomed)
+            if (r.get("added_snapshot_id") or did) == did
+        }
+        doomed_files = []
+        for r in self._read_manifest_list(doomed):
+            if (r.get("added_snapshot_id") or did) != did:
+                continue
+            from .avro_container import read_ocf_bytes
+
+            mp = r["manifest_path"]
+            if not os.path.isabs(mp):
+                mp = os.path.join(self.location, mp)
+            with open(mp, "rb") as fh:
+                _s, entries = read_ocf_bytes(fh.read())
+            doomed_files.extend(
+                e["data_file"]["file_path"] for e in entries
+            )
+
+        def build(version: int, meta2: Optional[Dict]) -> Dict:
+            meta2 = dict(meta2 or {})
+            snaps2 = list(meta2.get("snapshots") or [])
+            cur_id = meta2.get("current-snapshot-id")
+            cur = next(
+                (s for s in snaps2
+                 if int(s["snapshot-id"]) == int(cur_id)), None
+            )
+            kept = [
+                r for r in self._read_manifest_list(cur)
+                if r["manifest_path"] not in dropped_manifests
+            ] if cur is not None else []
+            sid = max(
+                [int(s["snapshot-id"]) for s in snaps2], default=0
+            ) + 1
+            seq = int(meta2.get("last-sequence-number") or 0) + 1
+            ml = self._write_ocf_file(
+                f"snap-{sid}-{uuid.uuid4().hex[:8]}.avro", kept,
+                _LIST_SCHEMA,
+            )
+            snap = {
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "timestamp-ms": int(doomed.get("timestamp-ms") or 0),
+                "parent-snapshot-id": int(cur_id),
+                "manifest-list": os.path.relpath(ml, self.location),
+                "summary": {"operation": "delete",
+                            "fsas.vacuumed": str(commit_time)},
+            }
+            # the dropped snapshot leaves the history: time travel to it
+            # would read deleted files (same contract as Delta VACUUM)
+            snaps2 = [
+                s for s in snaps2 if int(s["snapshot-id"]) != did
+            ] + [snap]
+            meta2.update({
+                "current-snapshot-id": sid,
+                "last-sequence-number": seq,
+                "snapshots": snaps2,
+            })
+            return meta2
+
+        self._commit_metadata(build)
+        for rel in doomed_files:
+            full = (
+                rel if os.path.isabs(rel)
+                else os.path.join(self.location, rel)
+            )
+            try:
+                os.remove(full)
+                parent = os.path.dirname(full)
+                while parent != self.location and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+            except OSError:
+                pass
+        return True

@@ -2636,6 +2636,47 @@ def _q_iceberg_fg_upsert(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_dbapi_scan(spark, sf_dir):
+    """Distributed jarless DBAPI read (sources/dbapi_source.py —
+    executable sibling of the reference's jar-gated JDBC connectors,
+    storage_connector.py:949): orders loaded into a sqlite file, then
+    read back through 8 range-partitioned pushdown queries executed
+    INSIDE executors (each task its own PEP 249 connection), with the
+    filter running database-side."""
+    import os as _os
+    import sqlite3 as _sq
+
+    from feature_store_api_spark.sources.dbapi_source import (
+        read_dbapi, sqlite_connector,
+    )
+
+    db = _os.path.join(_scratch("dbapi_"), "orders.db")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .toPandas()
+    )
+    conn = _sq.connect(db)
+    conn.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER, o_totalprice REAL)"
+    )
+    conn.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        list(zip(pdf["o_orderkey"].tolist(),
+                 pdf["o_totalprice"].tolist())),
+    )
+    conn.commit()
+    conn.close()
+    return read_dbapi(
+        spark, sqlite_connector(db),
+        query=(
+            "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice "
+            "FROM orders WHERE o_orderkey % 6 = 3"
+        ),
+        partition_column="o_orderkey", num_partitions=8,
+    )
+
+
 def _q_hudi_time_travel(spark, sf_dir):
     """Jarless Hudi reader, BOTH table types (sources/hudi_reader.py +
     sources/hudi_log.py), one hash-checked result:
@@ -3739,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "iceberg_read": _q_iceberg_read,
         "iceberg_fg_upsert": _q_iceberg_fg_upsert,
+        "dbapi_scan": _q_dbapi_scan,
         "iceberg_incremental": _q_iceberg_incremental,
         "hudi_log_delete": _q_hudi_log_delete,
         "minhash_verified": _q_minhash_verified,
@@ -4467,6 +4509,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice,
                    'mor' AS src
             FROM orders WHERE o_orderkey % 10 <> 4
+        """,
+        "dbapi_scan": """
+            SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderkey % 6 = 3
         """,
         "iceberg_fg_upsert": """
             SELECT o_orderkey,

@@ -163,6 +163,50 @@ class JdbcConnector(StorageConnector):
         return spark.read.format("jdbc").options(**opts).load()
 
 
+class DbApiConnector(StorageConnector):
+    """PEP 249 connector: the jarless EXECUTABLE sibling of
+    :class:`JdbcConnector` — the same range-partitioned pushdown
+    execution model (``sources/dbapi_source.py``), running each
+    partition's query inside an executor over any Python DBAPI driver
+    (sqlite3 offline; psycopg2/mysqlclient/… where installed)."""
+
+    type = "PYTHON_DBAPI"
+
+    def __init__(
+        self,
+        name: str,
+        connect,
+        partition_column: Optional[str] = None,
+        num_partitions: Optional[int] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(name, **kwargs)
+        self.connect = connect
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
+
+    def read(self, spark, query=None, data_format=None, options=None, path=None):
+        if not query:
+            raise ValueError("DBAPI connector reads require a SQL query")
+        from .dbapi_source import read_dbapi
+
+        opts = dict(options or {})
+        return read_dbapi(
+            spark,
+            self.connect,
+            query=query,
+            partition_column=opts.get(
+                "partition_column", self.partition_column
+            ),
+            num_partitions=int(
+                opts.get("num_partitions", self.num_partitions or 0)
+            ) or None,
+            lower_bound=opts.get("lower_bound"),
+            upper_bound=opts.get("upper_bound"),
+            schema=opts.get("schema"),
+        )
+
+
 class RedshiftConnector(JdbcConnector):
     """Redshift via its JDBC driver (parity storage_connector.py:406-604)."""
 

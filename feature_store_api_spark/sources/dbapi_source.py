@@ -1,0 +1,153 @@
+"""Jarless DISTRIBUTED database source over PEP 249 (Python DBAPI).
+
+The reference's JDBC-family connectors (``storage_connector.py:406``
+Redshift, ``:949`` JDBC, ``:745`` Snowflake) execute through Spark's
+JDBC data source, which needs driver JARs this runtime does not have.
+This module implements the same execution model — range-partitioned
+pushdown queries running INSIDE the executors — over any Python DBAPI
+driver instead: each task opens its own connection (via a picklable
+zero-arg ``connect`` callable), executes the base query with its
+partition's WHERE predicate appended, and streams ``fetchmany``
+batches out as Arrow-backed pandas frames. sqlite3 (stdlib) is the
+offline-testable driver; any PEP 249 module (psycopg2, mysqlclient,
+snowflake-connector-python, …) plugs in unchanged.
+
+Scale shape: this is exactly Spark JDBC's partitioning contract —
+``partition_column`` + bounds + ``num_partitions`` become stride
+predicates (first stride also takes NULLs, matching Spark), so the
+database sees N concurrent range scans and no single task materializes
+the whole table. Without a partition column the read degrades to ONE
+task (loudly documented, same as Spark JDBC).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _sqlite_connect(path: str):
+    import sqlite3
+
+    return sqlite3.connect(path)
+
+
+def sqlite_connector(path: str) -> Callable:
+    """A picklable zero-arg connect callable for a sqlite file — the
+    stdlib-only way to exercise the distributed DBAPI path offline."""
+    return partial(_sqlite_connect, path)
+
+
+def _subquery(query: Optional[str], table: Optional[str]) -> str:
+    if (query is None) == (table is None):
+        raise ValueError("pass exactly one of query= or table=")
+    return f"({query}) AS __sub" if query else str(table)
+
+
+def _partition_predicates(
+    col: str, lower: float, upper: float, n: int
+) -> List[str]:
+    """Spark-JDBC-shaped stride predicates: n half-open ranges covering
+    (-inf, +inf); the first also takes NULLs."""
+    if n <= 1 or lower >= upper:
+        return ["1=1"]
+    stride = (upper - lower) / n
+    bounds = [lower + stride * i for i in range(1, n)]
+    # integer column bounds stay integers so the SQL is portable
+    if float(lower).is_integer() and float(upper).is_integer():
+        bounds = sorted({int(math.floor(b)) for b in bounds})
+    preds = [f"{col} < {bounds[0]} OR {col} IS NULL"]
+    for lo, hi in zip(bounds, bounds[1:]):
+        preds.append(f"{col} >= {lo} AND {col} < {hi}")
+    preds.append(f"{col} >= {bounds[-1]}")
+    return preds
+
+
+def read_dbapi(
+    spark: SparkSession,
+    connect: Callable,
+    query: Optional[str] = None,
+    table: Optional[str] = None,
+    partition_column: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+    lower_bound=None,
+    upper_bound=None,
+    schema=None,
+    fetch_size: int = 10_000,
+) -> DataFrame:
+    """Read a DBAPI-reachable table/query as a distributed DataFrame.
+
+    ``connect`` must be PICKLABLE (a module-level function or a
+    ``functools.partial`` over one) — every executor task calls it to
+    open its own connection. ``schema`` (Spark StructType) overrides
+    driver-side inference from a 100-row sample; required when the
+    source can be empty."""
+    import pandas as pd
+
+    sub = _subquery(query, table)
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        cur.execute(f"SELECT * FROM {sub} LIMIT 100")
+        names = [d[0] for d in cur.description]
+        sample = cur.fetchall()
+        if partition_column is not None and (
+            lower_bound is None or upper_bound is None
+        ):
+            cur.execute(
+                f"SELECT MIN({partition_column}), MAX({partition_column})"
+                f" FROM {sub}"
+            )
+            lo, hi = cur.fetchone()
+            lower_bound = lo if lower_bound is None else lower_bound
+            upper_bound = hi if upper_bound is None else upper_bound
+    finally:
+        conn.close()
+    if schema is None:
+        if not sample:
+            raise ValueError(
+                "cannot infer a schema from an empty source — pass "
+                "schema= (Spark StructType)"
+            )
+        sample_pdf = pd.DataFrame(sample, columns=names)
+        schema = spark.createDataFrame(sample_pdf).schema
+    names = [f.name for f in schema.fields]
+
+    if partition_column is None or lower_bound is None or (
+        upper_bound is None
+    ):
+        preds = ["1=1"]  # one task — the Spark JDBC no-partitioning mode
+    else:
+        n = int(
+            num_partitions or spark.sparkContext.defaultParallelism
+        )
+        preds = _partition_predicates(
+            partition_column, lower_bound, upper_bound, n
+        )
+
+    base = f"SELECT * FROM {sub} WHERE "
+
+    def fetch(batches):
+        for pdf in batches:
+            for pred in pdf["__pred"]:
+                c = connect()
+                try:
+                    cur = c.cursor()
+                    cur.execute(base + f"({pred})")
+                    cols = [d[0] for d in cur.description]
+                    while True:
+                        rows = cur.fetchmany(fetch_size)
+                        if not rows:
+                            break
+                        out = pd.DataFrame(rows, columns=cols)
+                        yield out.reindex(columns=names)
+                finally:
+                    c.close()
+
+    spec = spark.createDataFrame(
+        [(p,) for p in preds], "__pred string"
+    ).repartition(len(preds))
+    return spec.mapInPandas(fetch, schema=schema)

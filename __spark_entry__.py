@@ -3771,12 +3771,12 @@ def _q_knn_ann_retry(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the
     # FIRST ~50 entries per round (r11 rotation, per VERDICT r10 #1):
-    # (1) hudi_log_delete — NEW, never checked (DELETE-block decode);
-    # (2) the 42 entries whose latest verdict is r08 (stalest on the
-    # board); (3) seven r10 entries whose underlying code changed this
-    # round (hudi reader/log delete blocks + incremental prune; delta
-    # checkpoint serialization, add.path encoding, cdc completeness).
-    # Tail = 46 r09 entries then the remaining r10 window (freshest).
+    # (1) five NEW never-checked rows (iceberg_read/fg_upsert/
+    # incremental, hudi_log_delete, dbapi_scan); (2) the 42 entries
+    # whose latest verdict is r08 (stalest on the board); (3) r10
+    # entries whose underlying code changed this round, risk-ranked
+    # (delta add.path/checkpoint/cdc writes, hudi merge + incremental
+    # prune). Tail = 46 r09 entries then the remaining r10 window.
     return {
         "iceberg_read": _q_iceberg_read,
         "iceberg_fg_upsert": _q_iceberg_fg_upsert,
@@ -3825,10 +3825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "dsir_sample": _q_dsir_sample,
         "retrieval_metrics": _q_retrieval_metrics,
-        "hudi_time_travel": _q_hudi_time_travel,
-        "hudi_mor_incremental": _q_hudi_mor_incremental,
         "delta_fg_upsert": _q_delta_fg_upsert,
         "delta_cdf": _q_delta_cdf,
+        "hudi_time_travel": _q_hudi_time_travel,
+        "hudi_mor_incremental": _q_hudi_mor_incremental,
         "delta_dv_strip": _q_delta_dv_strip,
         "delta_v2_checkpoint": _q_delta_v2_checkpoint,
         "delta_time_travel": _q_delta_time_travel,

@@ -431,3 +431,56 @@ def test_iceberg_backend_fg_parity_and_external_readability(spark, tmp_path):
     meta3 = _read_table_metadata(loc)
     ops = [s["summary"]["operation"] for s in meta3["snapshots"]]
     assert "delete" in ops
+
+
+def test_streaming_insert_into_iceberg_fg(spark, tmp_path):
+    """insert_stream into a time_travel_format='ICEBERG' group: each
+    micro-batch lands as one Iceberg snapshot; the table stays
+    externally readable."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+    from feature_store_api_spark.streaming.insert_stream import insert_stream
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "sice", primary_key=["pk"], event_time="ts",
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0)], "pk long, ts long, v double"
+    ).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("pk long, ts long, v double").parquet(src)
+    insert_stream(
+        fg, sdf, trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ck"),
+        await_termination=True, timeout=120,
+    )
+    assert sorted(r["pk"] for r in fg.read(spark).collect()) == [1, 2]
+    assert os.path.isdir(os.path.join(fg.location, "metadata"))
+    assert read_iceberg(spark, fg.location).count() == 2
+
+
+def test_external_fg_over_iceberg_table(spark, tmp_path):
+    """An ExternalFeatureGroup with data_format='iceberg' reads an
+    existing Iceberg table through the connector path (the
+    'switch your lakehouse table into the feature store' story)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.connectors import StorageConnector
+
+    root = str(tmp_path / "tbl")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    _pq({"k": [1, 2, 3], "v": [10.0, 20.0, 3.0]}, d1)
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    ml1 = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml1)], current=1)
+    fs = FeatureStore(root=str(tmp_path / "store"))
+    conn = StorageConnector("lake")
+    fs.register_storage_connector(conn)
+    ext = fs.create_external_feature_group(
+        "ext_ice", conn, path=root, data_format="iceberg",
+        primary_key=["k"],
+    )
+    got = sorted((r["k"], r["v"]) for r in ext.read(spark).collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 3.0)]
+    assert ext.select(["k", "v"]).filter(ext.v > 5.0).read(spark).count() == 2

@@ -2677,6 +2677,35 @@ def _q_dbapi_scan(spark, sf_dir):
     )
 
 
+def _q_hudi_fg_upsert(spark, sf_dir):
+    """End-to-end managed feature group on the HUDI physical backend
+    (sources/hudi_backend.py — the reference's headline
+    time_travel_format, written JARLESSLY as a published-layout
+    COPY_ON_WRITE table): insert + upsert land as completed timeline
+    instants with bulk-insert file groups; the merge-on-read snapshot
+    resolves newest-per-key on top of the jarless Hudi scan.
+    Distinct precombine (%8, *6) from the delta/iceberg twins."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("hudi_fg_"))
+    fg = fs.create_feature_group(
+        "orders_hudi", primary_key=["o_orderkey"],
+        event_time="o_orderdate",
+        time_travel_format="HUDI", auto_compact_every=None,
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 8 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 6
+        ),
+        compute_stats=False,
+    )
+    return fg.read(spark).select("o_orderkey", "o_totalprice")
+
+
 def _q_hudi_time_travel(spark, sf_dir):
     """Jarless Hudi reader, BOTH table types (sources/hudi_reader.py +
     sources/hudi_log.py), one hash-checked result:
@@ -3781,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_read": _q_iceberg_read,
         "iceberg_fg_upsert": _q_iceberg_fg_upsert,
         "dbapi_scan": _q_dbapi_scan,
+        "hudi_fg_upsert": _q_hudi_fg_upsert,
         "iceberg_incremental": _q_iceberg_incremental,
         "hudi_log_delete": _q_hudi_log_delete,
         "minhash_verified": _q_minhash_verified,
@@ -4509,6 +4539,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice,
                    'mor' AS src
             FROM orders WHERE o_orderkey % 10 <> 4
+        """,
+        "hudi_fg_upsert": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 6
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
         """,
         "dbapi_scan": """
             SELECT o_orderkey, o_totalprice * 2 AS o_totalprice

@@ -267,13 +267,14 @@ class FeatureGroup(FeatureGroupBase):
         # parquet+JSON log; DELTA = a real protocol-conformant Delta
         # table (sources/delta_backend.py) readable by any Delta
         # client; ICEBERG = a real Iceberg v2 table
-        # (sources/iceberg_backend.py) readable by any Iceberg client.
+        # (sources/iceberg_backend.py); HUDI = a published-layout
+        # COPY_ON_WRITE table (sources/hudi_backend.py) — all jarless,
+        # all readable by external clients of the respective format.
         fmt = (time_travel_format or "COMMITLOG").upper()
-        if fmt not in ("COMMITLOG", "DELTA", "ICEBERG"):
+        if fmt not in ("COMMITLOG", "DELTA", "ICEBERG", "HUDI"):
             raise ValueError(
                 f"Unsupported time_travel_format {time_travel_format!r}: "
-                "expected 'COMMITLOG', 'DELTA' or 'ICEBERG' (HUDI needs "
-                "jars unavailable offline)"
+                "expected 'COMMITLOG', 'DELTA', 'ICEBERG' or 'HUDI'"
             )
         self.time_travel_format = fmt
         self.statistics_config = statistics_config
@@ -327,6 +328,10 @@ class FeatureGroup(FeatureGroupBase):
                 from .sources.iceberg_backend import IcebergBackend
 
                 backend = IcebergBackend(self.location)
+            elif getattr(self, "time_travel_format", "COMMITLOG") == "HUDI":
+                from .sources.hudi_backend import HudiBackend
+
+                backend = HudiBackend(self.location)
             self._store = CommitStore(
                 self.location,
                 primary_key=self.primary_key,

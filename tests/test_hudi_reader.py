@@ -752,3 +752,79 @@ def test_hudi_mor_parquet_log_block(spark, tmp_path):
     _delta_commit(meta, "400")
     got2 = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
     assert got2 == [(1, 11.0), (2, 2.0), (3, 3.0), (5, 5.0)]
+
+
+def test_hudi_backend_fg_parity_and_external_readability(spark, tmp_path):
+    """A feature group with time_travel_format='HUDI' (the reference's
+    headline format, now writable JARLESSLY) behaves IDENTICALLY to
+    the default COMMITLOG backend across insert / upsert / delete /
+    as_of / incremental / vacuum — and its storage is a
+    published-layout COPY_ON_WRITE table our jarless reader (the same
+    contract real Hudi clients implement) opens directly."""
+    import time as _time
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    fs = FeatureStore(root=str(tmp_path))
+    twin = {}
+    for fmt in ("COMMITLOG", "HUDI"):
+        fg = fs.create_feature_group(
+            f"hb_{fmt.lower()}", primary_key=["k"], event_time="ts",
+            time_travel_format=fmt, auto_compact_every=None,
+        )
+        c1 = fg.insert(spark.createDataFrame(
+            [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)],
+            "k long, ts long, v double"))
+        fg.insert(spark.createDataFrame(
+            [(2, 20, 22.0), (4, 20, 4.0)], "k long, ts long, v double"))
+        fg.commit_delete_record(spark.createDataFrame(
+            [(3, 30)], "k long, ts long"))
+        twin[fmt] = (fg, c1.commit_time)
+
+    def rows(df):
+        return sorted((r["k"], r["ts"], r["v"]) for r in df.collect())
+
+    cl, c1cl = twin["COMMITLOG"]
+    hb, c1hb = twin["HUDI"]
+    assert rows(hb.read(spark)) == rows(cl.read(spark))
+    assert rows(hb.as_of(c1hb).read(spark)) == rows(cl.as_of(c1cl).read(spark))
+    now_ms = int(_time.time() * 1000) + 10_000
+    inc_cl = cl.select_all().pull_changes(c1cl + 1, now_ms).read(spark)
+    inc_hb = hb.select_all().pull_changes(c1hb + 1, now_ms).read(spark)
+    assert sorted(r["k"] for r in inc_hb.collect()) == sorted(
+        r["k"] for r in inc_cl.collect())
+
+    # external readability: raw snapshot = all commit rows (log view),
+    # a real .hoodie timeline with one completed commit per insert
+    loc = hb.location
+    raw = read_hudi(spark, loc)
+    assert raw.count() == 6  # 3 + 2 + 1 delete marker
+    assert "_commit_time" in raw.columns and "_op" in raw.columns
+    meta = os.path.join(loc, ".hoodie")
+    commits = sorted(
+        n for n in os.listdir(meta) if n.endswith(".commit"))
+    assert len(commits) == 3
+    assert all(len(n.split(".")[0]) == 17 for n in commits)  # instant fmt
+    # as-of through the EXTERNAL reader: first instant = first commit
+    first = read_hudi(
+        spark, loc, as_of_instant=commits[0].split(".")[0])
+    assert sorted(r["k"] for r in first.collect()) == [1, 2, 3]
+
+    # schema evolution: old files null-fill through mergeSchema
+    from pyspark.sql import types as T
+
+    from feature_store_api_spark.feature import Feature
+
+    hb.append_features([Feature("extra", T.StringType())])
+    hb.insert(spark.createDataFrame(
+        [(5, 40, 5.0, "x")], "k long, ts long, v double, extra string"))
+    got = {r["k"]: r["extra"] for r in hb.read(spark).collect()}
+    assert got[5] == "x" and got[1] is None
+
+    # vacuum: the superseded commits' file groups AND timeline
+    # instants disappear; the live snapshot is unchanged
+    before = rows(hb.read(spark).select("k", "ts", "v"))
+    hb.commit_store.compact(spark)
+    hb.commit_store.vacuum(retain_hours=0.0)
+    assert rows(hb.read(spark).select("k", "ts", "v")) == before

@@ -46,20 +46,31 @@ from pyspark.sql import types as T
 
 from .backend import CommitLogBackend
 
+# avro schemas carry the spec's field-id annotations (the numbers are
+# the spec's reserved manifest field ids) so schema-strict external
+# clients (pyiceberg) can resolve fields by id, not just name
 _ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
+        {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"],
-         "default": None},
+         "default": None, "field-id": 1},
         {"name": "sequence_number", "type": ["null", "long"],
-         "default": None},
-        {"name": "data_file", "type": {
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
             "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string",
+                 "field-id": 100},
+                {"name": "file_format", "type": "string",
+                 "field-id": 101},
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long",
+                 "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
             ],
         }},
     ],
@@ -67,12 +78,15 @@ _ENTRY_SCHEMA = {
 
 _LIST_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long",
+         "field-id": 516},
         {"name": "added_snapshot_id", "type": ["null", "long"],
-         "default": None},
+         "default": None, "field-id": 503},
     ],
 }
 
@@ -113,6 +127,17 @@ def _iceberg_type(dt: T.DataType, next_id) -> object:
         f"Iceberg backend cannot declare Spark type {dt.simpleString()} "
         "in the table schema (primitives, decimals and arrays only)"
     )
+
+
+def _norm_mf(row: Dict) -> Dict:
+    """Manifest-list row read back from an older layout -> the current
+    schema's required fields (defaults for anything absent)."""
+    out = dict(row)
+    out.setdefault("partition_spec_id", 0)
+    out.setdefault(
+        "min_sequence_number", int(out.get("sequence_number") or 0)
+    )
+    return out
 
 
 class IcebergBackend(CommitLogBackend):
@@ -264,10 +289,12 @@ class IcebergBackend(CommitLogBackend):
                 [{
                     "status": 1, "snapshot_id": sid,
                     "sequence_number": seq,
+                    "file_sequence_number": seq,
                     "data_file": {
                         "content": 0,
                         "file_path": rel,
                         "file_format": "PARQUET",
+                        "partition": {},
                         "record_count": rows,
                         "file_size_in_bytes": size,
                     },
@@ -282,10 +309,12 @@ class IcebergBackend(CommitLogBackend):
                 )
                 if prev is not None:
                     prev_list = self._read_manifest_list(prev)
-            new_list = prev_list + [{
+            new_list = [_norm_mf(r) for r in prev_list] + [{
                 "manifest_path": os.path.relpath(mf, self.location),
                 "manifest_length": os.path.getsize(mf),
+                "partition_spec_id": 0,
                 "content": 0, "sequence_number": seq,
+                "min_sequence_number": seq,
                 "added_snapshot_id": sid,
             }]
             ml = self._write_ocf_file(
@@ -381,7 +410,7 @@ class IcebergBackend(CommitLogBackend):
                  if int(s["snapshot-id"]) == int(cur_id)), None
             )
             kept = [
-                r for r in self._read_manifest_list(cur)
+                _norm_mf(r) for r in self._read_manifest_list(cur)
                 if r["manifest_path"] not in dropped_manifests
             ] if cur is not None else []
             sid = max(

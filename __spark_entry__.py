@@ -2706,6 +2706,71 @@ def _q_hudi_fg_upsert(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_materialization_job(spark, sf_dir):
+    """Materialization-job surface (jobs.py + feature_group.py
+    materialization_job; parity reference feature_group.py:3490 +
+    core/job.py:94): run() executes a REAL compaction — the
+    merge-on-read tail folds into a read-optimized base — and the
+    post-job snapshot must equal the logical upsert result. The job
+    must report a FINISHED execution."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("matjob_"))
+    fg = fs.create_feature_group(
+        "orders_mat", primary_key=["o_orderkey"],
+        event_time="o_orderdate", auto_compact_every=None,
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 7
+        ),
+        compute_stats=False,
+    )
+    job = fg.materialization_job
+    job.run(await_termination=True)
+    # reference job-state model (core/job.py): state FINISHED with a
+    # SUCCEEDED final status once the execution completes
+    ok = (job.get_state() == "FINISHED"
+          and job.get_final_state() == "SUCCEEDED")
+    return fg.read(spark).select(
+        "o_orderkey", "o_totalprice",
+        F.lit(ok).alias("job_finished"),
+        # the compaction job registered a base commit on the log
+        F.lit(any(
+            c.get("base") for c in fg.commit_store.commit_details()
+        )).alias("compacted"),
+    )
+
+
+def _q_clustered_fg_read(spark, sf_dir):
+    """Declared clustering (cluster_by: writes sort within partitions
+    so parquet row-group stats data-skip pushed range predicates —
+    SURVEY §2.1; physical layout separately pinned by pyarrow tests).
+    The clustered table must answer a range filter identically to
+    plain SQL."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("clustfg_"))
+    fg = fs.create_feature_group(
+        "orders_clust", primary_key=["o_orderkey"],
+        event_time="o_orderdate", cluster_by=["o_totalprice"],
+        auto_compact_every=None,
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    fg.insert(orders, compute_stats=False)
+    return (
+        fg.read(spark)
+        .where(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 def _q_hudi_time_travel(spark, sf_dir):
     """Jarless Hudi reader, BOTH table types (sources/hudi_reader.py +
     sources/hudi_log.py), one hash-checked result:
@@ -3811,6 +3876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_fg_upsert": _q_iceberg_fg_upsert,
         "dbapi_scan": _q_dbapi_scan,
         "hudi_fg_upsert": _q_hudi_fg_upsert,
+        "materialization_job": _q_materialization_job,
+        "clustered_fg_read": _q_clustered_fg_read,
         "iceberg_incremental": _q_iceberg_incremental,
         "hudi_log_delete": _q_hudi_log_delete,
         "minhash_verified": _q_minhash_verified,
@@ -4539,6 +4606,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice,
                    'mor' AS src
             FROM orders WHERE o_orderkey % 10 <> 4
+        """,
+        "materialization_job": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 7
+                        ELSE o_totalprice END AS o_totalprice,
+                   TRUE AS job_finished, TRUE AS compacted
+            FROM orders
+        """,
+        "clustered_fg_read": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders WHERE o_totalprice > 100000.0
         """,
         "hudi_fg_upsert": """
             SELECT o_orderkey,

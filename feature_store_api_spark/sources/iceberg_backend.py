@@ -24,10 +24,12 @@ Write-side choices:
 * metadata versions commit with PUT-IF-ABSENT (``os.link`` onto
   ``v<N+1>.metadata.json``, reload + retry on ``FileExistsError``) —
   optimistic concurrency, two writers can never clobber each other;
-* the partition spec is declared unpartitioned (spec-id 0, no
-  fields): partition values would need transform plumbing, and every
-  user partition column is present IN the data files, so external
-  scans stay correct (they lose manifest-level pruning only);
+* the partition spec is identity(``_commit_time``) — every file of a
+  store commit shares one commit time, so manifests carry the commit
+  time as the partition tuple and external planners prune time-travel
+  scans at MANIFEST level (user partition columns are present IN the
+  data files; they add file-level stats pruning, not manifest
+  pruning);
 * schema evolution appends fields with fresh field ids, preserving
   the ids of existing names (Iceberg's add-column rule).
 """
@@ -66,7 +68,11 @@ _ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string",
                  "field-id": 101},
                 {"name": "partition", "field-id": 102, "type": {
-                    "type": "record", "name": "r102", "fields": []}},
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": "_commit_time",
+                         "type": ["null", "long"], "default": None,
+                         "field-id": 1000},
+                    ]}},
                 {"name": "record_count", "type": "long",
                  "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
@@ -294,7 +300,7 @@ class IcebergBackend(CommitLogBackend):
                         "content": 0,
                         "file_path": rel,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": {"_commit_time": commit_time},
                         "record_count": rows,
                         "file_size_in_bytes": size,
                     },
@@ -337,13 +343,25 @@ class IcebergBackend(CommitLogBackend):
                 "format-version": 2,
                 "table-uuid": str(uuid.uuid4()),
                 "location": self.location,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
                 "default-spec-id": 0,
             }
+            from .commit_store import COMMIT_COL
+
+            ct_id = next(
+                (f["id"] for f in schema["fields"]
+                 if f["name"] == COMMIT_COL), None,
+            )
+            spec_fields = [] if ct_id is None else [{
+                "name": COMMIT_COL, "transform": "identity",
+                "source-id": ct_id, "field-id": 1000,
+            }]
             out = dict(base)
             out.update({
                 "current-schema-id": 0,
                 "schemas": [schema],
+                "partition-specs": [
+                    {"spec-id": 0, "fields": spec_fields}
+                ],
                 "current-snapshot-id": sid,
                 "last-sequence-number": seq,
                 "snapshots": snaps + [snap],

@@ -422,6 +422,26 @@ def test_iceberg_backend_fg_parity_and_external_readability(spark, tmp_path):
     ids = [f["id"] for f in meta2["schemas"][0]["fields"]]
     assert len(ids) == len(set(ids))  # fresh, unique field ids
 
+    # manifests carry identity(_commit_time) partition tuples so
+    # external planners prune time-travel scans at manifest level
+    from feature_store_api_spark.sources.avro_container import (
+        read_ocf_bytes,
+    )
+
+    spec = meta2["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["_commit_time"]
+    assert spec[0]["transform"] == "identity"
+    ml_path = os.path.join(
+        loc, [s for s in meta2["snapshots"]
+              if s["snapshot-id"] == meta2["current-snapshot-id"]
+              ][0]["manifest-list"])
+    with open(ml_path, "rb") as fh:
+        _s, mrows = read_ocf_bytes(fh.read())
+    mp = mrows[0]["manifest_path"]
+    with open(os.path.join(loc, mp), "rb") as fh:
+        _s, entries = read_ocf_bytes(fh.read())
+    assert entries[0]["data_file"]["partition"]["_commit_time"] == c1ib
+
     # vacuum: superseded commits become a delete snapshot; files gone;
     # the live snapshot is unchanged
     before = rows(ib.read(spark).select("k", "ts", "v"))

@@ -341,3 +341,58 @@ def test_negative_sampling_no_cartesian(spark, sf_dir):
     import re as _re
     for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "__nsb" in spec.split(",")[0], plan
+
+
+def test_iceberg_read_pushes_filters_and_broadcasts_deletes(spark, tmp_path):
+    """read_iceberg is one flat parquet relation: a filter on top
+    reaches the scan as PushedFilters, and the pos-delete strip joins
+    BROADCAST (never shuffles the data side by delete keys)."""
+    import os
+
+    from tests.test_iceberg_reader import (
+        _entry, _manifest, _manifest_list, _pq, _snap, _write_metadata,
+    )
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    _pq({"k": list(range(100)), "v": [float(i) for i in range(100)]}, d1)
+    pd1 = os.path.join(root, "data", "del.parquet")
+    _pq({"file_path": [f"file://{d1}"], "pos": [0]}, pd1)
+    m1 = _manifest(root, "m1.avro",
+                   [_entry(d1, seq=1), _entry(pd1, content=1, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+
+    df = read_iceberg(spark, root).where(F.col("k") > 50).select("k")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)]" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(51, 100))
+
+
+def test_dbapi_read_partitions_match_spec(spark, tmp_path):
+    """The DBAPI source's parallelism is the partition-spec frame:
+    num_partitions tasks, one range predicate each, no extra exchange
+    between the spec and the fetch."""
+    import sqlite3
+
+    from feature_store_api_spark.sources.dbapi_source import (
+        read_dbapi, sqlite_connector,
+    )
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER)")
+    conn.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(100)])
+    conn.commit(); conn.close()
+    out = read_dbapi(spark, sqlite_connector(db), table="t",
+                     partition_column="k", num_partitions=6)
+    assert out.rdd.getNumPartitions() == 6
+    # exactly one exchange: the spec repartition feeding mapInPandas
+    # (AQE repeats the tree under "== Initial Plan ==" — count the
+    # final section only)
+    final = _plan(out).split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final

@@ -617,7 +617,11 @@ def b10_corpus_curation_x10(spark, sf_dir):
     # 2.4s -> 0.3s after moving the edge collect and the label-frame
     # return onto Arrow (toPandas / pandas createDataFrame; the per-Row
     # object construction was ~3x the union-find itself), final label
-    # join 0.15s. Remaining wall is the b8-shaped pair generation.
+    # join 0.15s. Remaining wall is the b8-shaped pair generation:
+    # post-cut session mins ranged 4.40-5.18s purely with co-tenant
+    # load (same build; one sample spiked 11.7s) — the ~3.1s pair
+    # floor (b8's pinned x10 shape) plus ~1.3s of contraction+label
+    # work IS the pinned residual; no further misplanned stage.
     from feature_store_api_spark.operators.dedup import (
         duplicate_clusters, minhash_lsh_duplicate_pairs,
     )

@@ -1023,6 +1023,36 @@ def e10_bm25_probe_x10(spark, sf_dir):
         bm25_topk_indexed(idx, q, k=10).collect()
 
 
+def e11_lakehouse_backend(spark, sf_dir):
+    """The r11 jarless Iceberg physical backend end-to-end at sf0.1:
+    insert all orders as one snapshot, upsert 1/5 of the keys as a
+    second, then a merge-on-read count through the Iceberg scan
+    (metadata + avro-manifest planning driver-side, one flat parquet
+    relation + latest-per-key on top). Measures the commit path the
+    DELTA twin already pays in b3's commit-store shape."""
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_ice_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            "b_ice", primary_key=["o_orderkey"],
+            event_time="o_orderdate",
+            time_travel_format="ICEBERG", auto_compact_every=None,
+        )
+        fg.insert(orders, compute_stats=False)
+        fg.insert(
+            orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            ),
+            compute_stats=False,
+        )
+        fg.read(spark).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 EXTRA_QUERIES = {
     "e1_ivfpq_probe": e1_ivfpq_probe,
     "e2_incremental_dedup": e2_incremental_dedup,
@@ -1034,6 +1064,7 @@ EXTRA_QUERIES = {
     "e8_negative_sampling": e8_negative_sampling,
     "e9_stream_batch": e9_stream_batch,
     "e10_bm25_probe": e10_bm25_probe,
+    "e11_lakehouse_backend": e11_lakehouse_backend,
 }
 X10_QUERIES["e7_label_window"] = e7_label_window_x10
 X10_QUERIES["e8_negative_sampling"] = e8_negative_sampling_x10

@@ -761,37 +761,44 @@ def _hudi_incremental_mor(
 
     # every base file WRITTEN by an in-window deltacommit — even if a
     # later in-window compaction/clustering superseded it (its rows
-    # are still that deltacommit's changes)
+    # are still that deltacommit's changes); the same walk records
+    # every COMMITTED base instant per file group, the evidence the
+    # generation-span prune below needs
     base_files: List[str] = []
+    group_bases: Dict[Tuple[str, str], List[str]] = {}
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != _META_DIR]
+        rel = os.path.relpath(root, path)
         for name in files:
             parsed = _parse_base_file(name)
-            if parsed is not None and parsed[1] in wanted:
+            if parsed is None:
+                continue
+            fid, instant = parsed
+            if instant in wanted:
                 base_files.append(os.path.join(root, name))
+            if is_committed(instant):
+                group_bases.setdefault((rel, fid), []).append(instant)
     base_files.sort()
+    for bases in group_bases.values():
+        bases.sort()
     # every committed, visible log file regardless of which base
     # generation it attaches to (pre-compaction logs carry in-window
     # records too); record-level filtering below does the rest
     # generation-span prune (closes the read-everything cost note): a
-    # log of base instant b only carries deltacommit instants in
-    # (b, next-rewrite(b)] — once a compaction (.commit) or clustering
-    # (.replacecommit) supersedes the generation, new logs attach to
-    # the new base — so when NO wanted instant lies in that span the
-    # file cannot contribute and its per-record Python decode is
-    # skipped (a small window on a long-lived, lightly-compacted table
-    # no longer decodes the entire log history every pull)
+    # log of base instant b in group g only carries deltacommit
+    # instants in (b, next-base-instant-of-g(b)] — a compaction or
+    # clustering re-homes NEW logs onto the new base only for the file
+    # groups it actually rewrote, which a committed newer base file in
+    # THAT group evidences. A group the rewrite skipped keeps accruing
+    # logs on its old base instant (no newer base file), so its span
+    # stays open-ended and nothing is pruned — a global rewrite-instant
+    # bound here would silently drop those groups' in-window records
     import bisect
 
-    rewrites = sorted(
-        i for i in active
-        if os.path.exists(os.path.join(meta_dir, f"{i}.commit"))
-        or os.path.exists(os.path.join(meta_dir, f"{i}.replacecommit"))
-    )
-
-    def _gen_may_overlap(b: str) -> bool:
-        pos = bisect.bisect_right(rewrites, b)
-        nxt = rewrites[pos] if pos < len(rewrites) else None
+    def _gen_may_overlap(key: Tuple[str, str], b: str) -> bool:
+        bases = group_bases.get(key, [])
+        pos = bisect.bisect_right(bases, b)
+        nxt = bases[pos] if pos < len(bases) else None
         return any(w > b and (nxt is None or w <= nxt) for w in wanted)
 
     group_logs: Dict[Tuple[str, str], List[Tuple[int, str, str]]] = {}
@@ -801,7 +808,7 @@ def _hudi_incremental_mor(
             for (b, ver, token, p) in entries
             if is_committed(b)
             and (end_instant is None or b <= str(end_instant))
-            and _gen_may_overlap(b)
+            and _gen_may_overlap(key, b)
         )
         if kept:
             group_logs[key] = kept

@@ -708,6 +708,50 @@ def test_hudi_incremental_mor_generation_prune(spark, tmp_path):
         hudi_incremental(spark, root, "100", "400").collect()
 
 
+def test_hudi_incremental_mor_prune_spares_uncompacted_group(
+    spark, tmp_path
+):
+    """Hudi compaction plans cover a SUBSET of file slices: a group the
+    compaction skipped keeps accruing logs on its OLD base instant with
+    deltacommits after the compaction instant. The generation-span
+    prune must be per-group (bounded by the group's own next base
+    file), not by the global rewrite timeline — otherwise a window past
+    the compaction instant silently drops the skipped group's in-window
+    records (the exact failure the prune's docstring warns about)."""
+    from feature_store_api_spark.sources.hudi_log import (
+        encode_avro_data_block,
+    )
+    from feature_store_api_spark.sources.hudi_reader import hudi_incremental
+
+    root = str(tmp_path / "mor_partial_compact")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    _mor_base(root, "dt=1", "fg-a", "100", [_mor_rec("dt=1", 1, 1.0)])
+    _mor_base(root, "dt=1", "fg-b", "100", [_mor_rec("dt=1", 2, 2.0)])
+    _delta_commit(meta, "100")
+    # instant 300: compaction rewrites ONLY fg-a (new base at 300);
+    # fg-b is not in the compaction plan and keeps its 100 base
+    _mor_base(root, "dt=1", "fg-a", "300", [_mor_rec("dt=1", 1, 1.0)])
+    with open(os.path.join(meta, "300.commit"), "w") as fh:
+        fh.write("{}")
+    # instant 400: deltacommit lands on fg-b's OLD generation (base
+    # instant 100 — exactly what Hudi does for an uncompacted group)
+    blk400 = encode_avro_data_block(
+        [_mor_rec("dt=1", 2, 4.0)], MOR_AVRO_SCHEMA, "400")
+    _log(root, "dt=1", "fg-b", "100", 1, [blk400])
+    _delta_commit(meta, "400")
+
+    got = sorted((r["k"], r["v"]) for r in
+                 hudi_incremental(spark, root, "300", "400").collect())
+    assert got == [(2, 4.0)]  # a global-rewrite prune would return []
+    # and the snapshot merges the post-compaction log as usual
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+    snap = sorted((r["k"], r["v"]) for r in read_hudi(spark, root).collect())
+    assert snap == [(1, 1.0), (2, 4.0)]
+
+
 def test_hudi_mor_parquet_log_block(spark, tmp_path):
     """PARQUET data blocks (hoodie.logfile.data.block.format=parquet;
     content = a complete in-memory parquet file) decode jarlessly and

@@ -191,6 +191,16 @@ class DbApiConnector(StorageConnector):
         from .dbapi_source import read_dbapi
 
         opts = dict(options or {})
+
+        def _num(v):
+            # options dicts are string-valued (Spark's own JDBC options
+            # contract): a string bound would compare lexicographically
+            # and break the stride arithmetic downstream
+            if v is None or isinstance(v, (int, float)):
+                return v
+            s = str(v)
+            return float(s) if any(c in s for c in ".eE") else int(s)
+
         return read_dbapi(
             spark,
             self.connect,
@@ -201,9 +211,11 @@ class DbApiConnector(StorageConnector):
             num_partitions=int(
                 opts.get("num_partitions", self.num_partitions or 0)
             ) or None,
-            lower_bound=opts.get("lower_bound"),
-            upper_bound=opts.get("upper_bound"),
+            lower_bound=_num(opts.get("lower_bound")),
+            upper_bound=_num(opts.get("upper_bound")),
             schema=opts.get("schema"),
+            filter=opts.get("filter"),
+            columns=opts.get("columns"),
         )
 
 

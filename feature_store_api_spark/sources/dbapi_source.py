@@ -77,6 +77,8 @@ def read_dbapi(
     upper_bound=None,
     schema=None,
     fetch_size: int = 10_000,
+    filter: Optional[str] = None,
+    columns=None,
 ) -> DataFrame:
     """Read a DBAPI-reachable table/query as a distributed DataFrame.
 
@@ -84,14 +86,25 @@ def read_dbapi(
     ``functools.partial`` over one) — every executor task calls it to
     open its own connection. ``schema`` (Spark StructType) overrides
     driver-side inference from a 100-row sample; required when the
-    source can be empty."""
+    source can be empty.
+
+    ``filter`` (a SQL predicate string) and ``columns`` (sequence or
+    comma-separated string) push down into every partition's statement
+    — the DATABASE prunes rows and columns instead of shipping full
+    rows to Spark, the same pruning Spark's JDBC source gets from
+    Catalyst pushdown. The filter also narrows the bounds probe, so
+    stride partitions cover only the selected rows."""
     import pandas as pd
 
+    if isinstance(columns, str):
+        columns = [c.strip() for c in columns.split(",") if c.strip()]
+    sel = ", ".join(columns) if columns else "*"
+    where = f" WHERE ({filter})" if filter else ""
     sub = _subquery(query, table)
     conn = connect()
     try:
         cur = conn.cursor()
-        cur.execute(f"SELECT * FROM {sub} LIMIT 100")
+        cur.execute(f"SELECT {sel} FROM {sub}{where} LIMIT 100")
         names = [d[0] for d in cur.description]
         sample = cur.fetchall()
         if partition_column is not None and (
@@ -99,7 +112,7 @@ def read_dbapi(
         ):
             cur.execute(
                 f"SELECT MIN({partition_column}), MAX({partition_column})"
-                f" FROM {sub}"
+                f" FROM {sub}{where}"
             )
             lo, hi = cur.fetchone()
             lower_bound = lo if lower_bound is None else lower_bound
@@ -128,7 +141,9 @@ def read_dbapi(
             partition_column, lower_bound, upper_bound, n
         )
 
-    base = f"SELECT * FROM {sub} WHERE "
+    base = f"SELECT {sel} FROM {sub} WHERE " + (
+        f"({filter}) AND " if filter else ""
+    )
 
     def fetch(batches):
         for pdf in batches:

@@ -12,11 +12,19 @@ published-layout Hudi table WITHOUT the hudi-spark jars:
   ``<fileId>_<writeToken>_<instant>.parquet`` (bulk-insert semantics:
   groups are never rewritten — the store resolves record versions
   itself, exactly its merge-on-read contract with the Delta/Iceberg
-  twins), under ``dt=0`` (single partition path);
+  twins);
+* declared ``partition_key`` columns become REAL hive-style partition
+  paths ``<col>=<val>/…`` — the reference's partition-path handling
+  (``core/hudi_engine.py:131-160``) — written with Hudi's
+  ``hoodie.datasource.write.drop.partition.columns=true`` posture
+  (values live in the path, recovered by partition discovery at scan),
+  so a filter on a partition key prunes DIRECTORIES, not rows; an
+  unpartitioned table writes its file groups at the table root (Hudi's
+  non-partitioned key-generator layout, empty partition path);
 * instants use Hudi's ``yyyyMMddHHmmssSSS`` format, derived
   DETERMINISTICALLY from the store's epoch-ms commit time, so
   ``drop_commit`` (vacuum) recomputes the doomed instant and unlinks
-  its file group files;
+  its file group files in every partition path;
 * readable by :mod:`.hudi_reader` (snapshot / as-of-instant) and by
   any real Hudi client — the layout and timeline are the published
   spec (hudi.apache.org/tech-specs/).
@@ -34,13 +42,11 @@ import os
 import shutil
 import uuid
 from datetime import datetime, timezone
-from typing import Sequence
+from typing import List, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .backend import CommitLogBackend
-
-_PARTITION = "dt=0"
 
 
 def _instant_of(commit_time_ms: int) -> str:
@@ -59,19 +65,27 @@ class HudiBackend(CommitLogBackend):
         super().__init__(location)
         self._meta_dir = os.path.join(location, ".hoodie")
 
-    def _ensure_table(self) -> None:
+    def _ensure_table(self, partition_cols: Sequence[str] = ()) -> None:
         props = os.path.join(self._meta_dir, "hoodie.properties")
         if os.path.exists(props):
             return
         os.makedirs(self._meta_dir, exist_ok=True)
         name = os.path.basename(self.location.rstrip(os.sep)) or "table"
-        with open(props, "w") as fh:
-            fh.write(
-                "hoodie.table.name=%s\n"
-                "hoodie.table.type=COPY_ON_WRITE\n"
-                "hoodie.table.version=6\n"
-                "hoodie.timeline.layout.version=1\n" % name
+        lines = [
+            f"hoodie.table.name={name}",
+            "hoodie.table.type=COPY_ON_WRITE",
+            "hoodie.table.version=6",
+            "hoodie.timeline.layout.version=1",
+        ]
+        if partition_cols:
+            lines.append(
+                "hoodie.table.partition.fields="
+                + ",".join(partition_cols)
             )
+            lines.append("hoodie.datasource.write.hive_style_partitioning=true")
+            lines.append("hoodie.datasource.write.drop.partition.columns=true")
+        with open(props, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
 
     # -- data ------------------------------------------------------------------
     def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
@@ -79,31 +93,47 @@ class HudiBackend(CommitLogBackend):
 
         from .commit_store import COMMIT_COL
 
-        self._ensure_table()
+        # USER partition keys only: the store's _commit_time partition
+        # is carried by the Hudi instant (file-name suffix + timeline)
+        # and must stay a DATA column — the log-view contract exposes it
+        # to external readers
+        user_parts = [c for c in partition_cols if c != COMMIT_COL]
+        self._ensure_table(user_parts)
         stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
-        part_dir = os.path.join(self.location, _PARTITION)
         try:
-            df.write.mode("overwrite").parquet(stage)
-            os.makedirs(part_dir, exist_ok=True)
+            # partitionBy lays the staged files out in the hive dirs the
+            # table needs (and drops the partition columns from the
+            # files — the drop.partition.columns posture; discovery
+            # recovers them at scan, same as the default backend)
+            df.write.partitionBy(user_parts).mode(
+                "overwrite"
+            ).parquet(stage)
             commit_time = None
-            moved = []
-            for name in sorted(os.listdir(stage)):
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(stage, name)
-                if commit_time is None:
-                    md = pq.ParquetFile(src).metadata
-                    sch = md.schema.to_arrow_schema()
-                    if COMMIT_COL in sch.names and md.num_row_groups:
-                        idx = sch.names.index(COMMIT_COL)
-                        st = md.row_group(0).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            commit_time = int(st.min)
-                moved.append(src)
-            if not moved:
+            staged: List[Tuple[str, str]] = []  # (src, rel partition dir)
+            for root, dirs, files in os.walk(stage):
+                for name in sorted(files):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, name)
+                    if commit_time is None:
+                        md = pq.ParquetFile(src).metadata
+                        sch = md.schema.to_arrow_schema()
+                        if COMMIT_COL in sch.names and md.num_row_groups:
+                            idx = sch.names.index(COMMIT_COL)
+                            st = md.row_group(0).column(idx).statistics
+                            if st is not None and st.has_min_max:
+                                commit_time = int(st.min)
+                    rel = os.path.relpath(root, stage)
+                    staged.append((src, "" if rel == "." else rel))
+            if not staged:
                 return
             instant = _instant_of(commit_time or 0)
-            for i, src in enumerate(moved):
+            for i, (src, rel) in enumerate(staged):
+                part_dir = (
+                    os.path.join(self.location, rel)
+                    if rel else self.location
+                )
+                os.makedirs(part_dir, exist_ok=True)
                 # new file group per staged file: bulk-insert semantics
                 fid = f"fg-{uuid.uuid4().hex[:12]}"
                 dst = os.path.join(
@@ -126,9 +156,20 @@ class HudiBackend(CommitLogBackend):
             n.endswith(".commit") for n in os.listdir(self._meta_dir)
         ):
             return None
-        from .hudi_reader import read_hudi
+        from .hudi_reader import _table_props, read_hudi
 
-        return read_hudi(spark, self.location)
+        # this backend DROPPED the partition columns from the data
+        # files, so a partitioned table must scan with hive partition
+        # discovery — the values come back from the directory names and
+        # a partition-key filter prunes at the DIRECTORY level
+        # (PartitionFilters), never as a row filter
+        props = _table_props(self._meta_dir)
+        discovery = bool(
+            props.get("hoodie.table.partition.fields", "").strip()
+        )
+        return read_hudi(
+            spark, self.location, partition_discovery=discovery
+        )
 
     def drop_commit(self, commit_time: int) -> bool:
         instant = _instant_of(commit_time)
@@ -137,12 +178,17 @@ class HudiBackend(CommitLogBackend):
             return False
         suffix = f"_{instant}.parquet"
         dropped = False
-        part_dir = os.path.join(self.location, _PARTITION)
-        if os.path.isdir(part_dir):
-            for name in list(os.listdir(part_dir)):
+        for root, dirs, files in os.walk(self.location, topdown=False):
+            rel = os.path.relpath(root, self.location)
+            if ".hoodie" in rel.split(os.sep):
+                continue
+            for name in files:
                 if name.endswith(suffix):
-                    os.remove(os.path.join(part_dir, name))
+                    os.remove(os.path.join(root, name))
                     dropped = True
+            # retire emptied partition directories
+            if root != self.location and not os.listdir(root):
+                os.rmdir(root)
         # the instant leaves the timeline too — a base-file-less
         # completed instant is legal, but real Hudi cleaners retire
         # fully-cleaned commits, and time travel to it is gone anyway

@@ -243,10 +243,21 @@ def read_hudi(
     spark: SparkSession,
     path: str,
     as_of_instant: Optional[str] = None,
+    partition_discovery: bool = False,
 ) -> DataFrame:
     """Read a Hudi COW table directory — snapshot at the latest
     completed instant, or time travel to ``as_of_instant`` (the
-    ``as.of.instant`` timestamp string, inclusive)."""
+    ``as.of.instant`` timestamp string, inclusive).
+
+    ``partition_discovery=True`` reads the visible file list with the
+    table root as ``basePath`` so hive-style ``col=val`` partition
+    directories surface as partition COLUMNS and partition-key filters
+    prune directories (Spark ``PartitionFilters``) — for tables written
+    with ``hoodie.datasource.write.drop.partition.columns=true`` (the
+    :class:`~.hudi_backend.HudiBackend` layout), where the values exist
+    ONLY in the paths. Off by default: external tables usually carry
+    the partition columns in the data files, and surfacing the
+    directory twin would change the scanned schema."""
     meta_dir = os.path.join(path, _META_DIR)
     if not os.path.isdir(meta_dir):
         raise FileNotFoundError(f"No Hudi timeline at {meta_dir}")
@@ -277,7 +288,11 @@ def read_hudi(
     if not chosen:
         raise ValueError(f"Hudi table at {path} has no visible base files")
     files = sorted(f for _, f in chosen.values())
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    reader = spark.read.option("mergeSchema", "true")
+    if partition_discovery:
+        reader = reader.option("basePath", os.path.abspath(path))
+        files = [os.path.abspath(f) for f in files]
+    return reader.parquet(*files)
 
 
 def _attach_group_logs(

@@ -43,44 +43,90 @@ import shutil
 import uuid
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .backend import CommitLogBackend
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_codecs(df: DataFrame, user_parts: Sequence[str]):
+    """Per user partition column: (avro manifest type, parser from the
+    hive directory token back to a typed manifest value)."""
+
+    def _p(fn):
+        def parse(token: str):
+            return None if token == _HIVE_NULL else fn(token)
+
+        return parse
+
+    avro_types: Dict[str, str] = {}
+    parsers: Dict[str, object] = {}
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in user_parts:
+        dt = by_name.get(c)
+        if isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            avro_types[c], parsers[c] = "long", _p(int)
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            avro_types[c], parsers[c] = "double", _p(float)
+        elif isinstance(dt, T.BooleanType):
+            avro_types[c], parsers[c] = "boolean", _p(
+                lambda t: t.lower() == "true"
+            )
+        else:
+            # partitionBy URL-escapes special characters in dir tokens
+            avro_types[c], parsers[c] = "string", _p(unquote)
+    return avro_types, parsers
+
 # avro schemas carry the spec's field-id annotations (the numbers are
 # the spec's reserved manifest field ids) so schema-strict external
 # clients (pyiceberg) can resolve fields by id, not just name
-_ENTRY_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"],
-         "default": None, "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 4},
-        {"name": "data_file", "field-id": 2, "type": {
-            "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int", "field-id": 134},
-                {"name": "file_path", "type": "string",
-                 "field-id": 100},
-                {"name": "file_format", "type": "string",
-                 "field-id": 101},
-                {"name": "partition", "field-id": 102, "type": {
-                    "type": "record", "name": "r102", "fields": [
-                        {"name": "_commit_time",
-                         "type": ["null", "long"], "default": None,
-                         "field-id": 1000},
-                    ]}},
-                {"name": "record_count", "type": "long",
-                 "field-id": 103},
-                {"name": "file_size_in_bytes", "type": "long",
-                 "field-id": 104},
-            ],
-        }},
-    ],
-}
+def _entry_schema(spec_fields: List[Dict],
+                  avro_types: Dict[str, str]) -> Dict:
+    """Manifest-entry avro schema whose ``partition`` record mirrors
+    the table's partition spec — one field per spec entry, annotated
+    with the SPEC's partition field ids (1000+), so external planners
+    prune manifests on user partition columns, not just commit time."""
+    part_fields = [
+        {"name": f["name"],
+         "type": ["null", avro_types.get(f["name"], "string")],
+         "default": None, "field-id": int(f["field-id"])}
+        for f in spec_fields
+    ]
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part_fields,
+                    }},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            }},
+        ],
+    }
 
 _LIST_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
@@ -133,6 +179,40 @@ def _iceberg_type(dt: T.DataType, next_id) -> object:
         f"Iceberg backend cannot declare Spark type {dt.simpleString()} "
         "in the table schema (primitives, decimals and arrays only)"
     )
+
+
+def _all_field_ids(schema: Dict) -> List[int]:
+    """Every id the schema has assigned — top-level field ids AND
+    nested ids (list element-ids, map key/value-ids, struct members).
+    The spec's ``last-column-id`` is the max over ALL of these; seeding
+    an id counter from top-level ids alone can re-issue an id already
+    consumed by an array's element (duplicate field ids break id-based
+    column resolution in every Iceberg client)."""
+    out: List[int] = []
+
+    def walk_type(t: object) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "list":
+            if t.get("element-id") is not None:
+                out.append(int(t["element-id"]))
+            walk_type(t.get("element"))
+        elif kind == "map":
+            for k in ("key-id", "value-id"):
+                if t.get(k) is not None:
+                    out.append(int(t[k]))
+            walk_type(t.get("key"))
+            walk_type(t.get("value"))
+        elif kind == "struct":
+            for f in t.get("fields") or []:
+                out.append(int(f["id"]))
+                walk_type(f.get("type"))
+
+    for f in schema.get("fields") or []:
+        out.append(int(f["id"]))
+        walk_type(f.get("type"))
+    return out
 
 
 def _norm_mf(row: Dict) -> Dict:
@@ -200,7 +280,7 @@ class IcebergBackend(CommitLogBackend):
                 if s.get("schema-id") == cur:
                     old_fields = list(s.get("fields") or [])
         have = {f["name"] for f in old_fields}
-        used = [int(f["id"]) for f in old_fields]
+        used = _all_field_ids({"fields": old_fields})
         counter = {"v": (max(used) if used else 0)}
 
         def next_id() -> int:
@@ -253,30 +333,65 @@ class IcebergBackend(CommitLogBackend):
 
         from .commit_store import COMMIT_COL
 
+        # USER partition keys only — the store's _commit_time rides the
+        # spec's identity(_commit_time) field from footer stats; user
+        # keys become identity partition fields too, their values both
+        # in the manifests (external manifest pruning) and as hive
+        # ``<col>=<val>`` data paths (Spark directory pruning via the
+        # backend scan's basePath discovery). The source columns STAY in
+        # the data files, as real Iceberg writers do.
+        user_parts = [c for c in partition_cols if c != COMMIT_COL]
+        avro_types, parsers = _partition_codecs(df, user_parts)
+        avro_types[COMMIT_COL] = "long"
         stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
-        commit_dir = os.path.join("data", uuid.uuid4().hex[:12])
+        commit_id = uuid.uuid4().hex[:12]
         try:
-            df.write.mode("overwrite").parquet(stage)
-            os.makedirs(os.path.join(self.location, commit_dir),
-                        exist_ok=True)
-            files: List[Tuple[str, int, int]] = []  # rel, rows, bytes
+            if user_parts:
+                staged = df
+                for c in user_parts:
+                    staged = staged.withColumn(f"__ip_{c}", F.col(c))
+                staged.write.partitionBy(
+                    [f"__ip_{c}" for c in user_parts]
+                ).mode("overwrite").parquet(stage)
+            else:
+                df.write.mode("overwrite").parquet(stage)
+            # rel, rows, bytes, partition values
+            files: List[Tuple[str, int, int, Dict]] = []
             commit_time: Optional[int] = None
-            for name in sorted(os.listdir(stage)):
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(stage, name)
-                rel = f"{commit_dir}/{name}"
-                dst = os.path.join(self.location, rel)
-                md = pq.ParquetFile(src).metadata
-                if commit_time is None and md.num_row_groups:
-                    sch = md.schema.to_arrow_schema()
-                    if COMMIT_COL in sch.names:
-                        idx = sch.names.index(COMMIT_COL)
-                        st = md.row_group(0).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            commit_time = int(st.min)
-                os.replace(src, dst)
-                files.append((rel, md.num_rows, os.path.getsize(dst)))
+            for root, _dirs, names in os.walk(stage):
+                rel_dir = os.path.relpath(root, stage)
+                segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+                part_vals: Dict[str, object] = {}
+                dest_segs: List[str] = []
+                for s in segs:
+                    name_, _, token = s.partition("=")
+                    c = name_[len("__ip_"):]
+                    part_vals[c] = parsers[c](token)
+                    dest_segs.append(f"{c}={token}")
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, name)
+                    rel = "/".join(
+                        ["data"] + dest_segs + [f"{commit_id}-{name}"]
+                        if dest_segs
+                        else ["data", commit_id, name]
+                    )
+                    dst = os.path.join(self.location, rel)
+                    md = pq.ParquetFile(src).metadata
+                    if commit_time is None and md.num_row_groups:
+                        sch = md.schema.to_arrow_schema()
+                        if COMMIT_COL in sch.names:
+                            idx = sch.names.index(COMMIT_COL)
+                            st = md.row_group(0).column(idx).statistics
+                            if st is not None and st.has_min_max:
+                                commit_time = int(st.min)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+                    files.append(
+                        (rel, md.num_rows, os.path.getsize(dst),
+                         dict(part_vals))
+                    )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -284,6 +399,20 @@ class IcebergBackend(CommitLogBackend):
             # schema derives from the FRESH head inside the retry loop:
             # a concurrent writer may have evolved the table
             schema = self._next_schema(meta, df)
+            name_ids = {
+                f["name"]: int(f["id"]) for f in schema["fields"]
+            }
+            spec_fields: List[Dict] = []
+            if COMMIT_COL in name_ids:
+                spec_fields.append({
+                    "name": COMMIT_COL, "transform": "identity",
+                    "source-id": name_ids[COMMIT_COL], "field-id": 1000,
+                })
+            for i, c in enumerate(user_parts):
+                spec_fields.append({
+                    "name": c, "transform": "identity",
+                    "source-id": name_ids[c], "field-id": 1001 + i,
+                })
             snaps = list((meta or {}).get("snapshots") or [])
             prev_id = (meta or {}).get("current-snapshot-id")
             sid = max(
@@ -300,12 +429,14 @@ class IcebergBackend(CommitLogBackend):
                         "content": 0,
                         "file_path": rel,
                         "file_format": "PARQUET",
-                        "partition": {"_commit_time": commit_time},
+                        "partition": {
+                            "_commit_time": commit_time, **part_vals
+                        },
                         "record_count": rows,
                         "file_size_in_bytes": size,
                     },
-                } for (rel, rows, size) in files],
-                _ENTRY_SCHEMA,
+                } for (rel, rows, size, part_vals) in files],
+                _entry_schema(spec_fields, avro_types),
             )
             prev_list: List[dict] = []
             if prev_id is not None and snaps:
@@ -345,16 +476,6 @@ class IcebergBackend(CommitLogBackend):
                 "location": self.location,
                 "default-spec-id": 0,
             }
-            from .commit_store import COMMIT_COL
-
-            ct_id = next(
-                (f["id"] for f in schema["fields"]
-                 if f["name"] == COMMIT_COL), None,
-            )
-            spec_fields = [] if ct_id is None else [{
-                "name": COMMIT_COL, "transform": "identity",
-                "source-id": ct_id, "field-id": 1000,
-            }]
             out = dict(base)
             out.update({
                 "current-schema-id": 0,
@@ -365,7 +486,22 @@ class IcebergBackend(CommitLogBackend):
                 "current-snapshot-id": sid,
                 "last-sequence-number": seq,
                 "snapshots": snaps + [snap],
+                # required by TableMetadataParser/pyiceberg: a v2
+                # metadata file without last-column-id does not parse
+                # in ANY Iceberg client (the 'readable by any client'
+                # contract is meaningless without these)
+                "last-column-id": max(_all_field_ids(schema), default=0),
+                "last-updated-ms": int(commit_time or 0),
+                "last-partition-id": max(
+                    (int(f["field-id"]) for f in spec_fields),
+                    default=999,
+                ),
             })
+            out.setdefault("properties", {})
+            out.setdefault(
+                "sort-orders", [{"order-id": 0, "fields": []}]
+            )
+            out.setdefault("default-sort-order-id", 0)
             return out
 
         self._commit_metadata(build)
@@ -383,9 +519,21 @@ class IcebergBackend(CommitLogBackend):
     def scan(self, spark: SparkSession) -> Optional[DataFrame]:
         if not self._versions():
             return None
+        from .commit_store import COMMIT_COL
         from .iceberg_reader import read_iceberg
 
-        return read_iceberg(spark, self.location)
+        # user identity partitions were laid out as hive <col>=<val>
+        # paths under data/ — scan with that as basePath so a filter on
+        # a declared partition key prunes DIRECTORIES (PartitionFilters)
+        _v, meta = self._current_meta()
+        specs = (meta or {}).get("partition-specs") or []
+        fields = (specs[0].get("fields") or []) if specs else []
+        base = (
+            os.path.join(self.location, "data")
+            if any(f.get("name") != COMMIT_COL for f in fields)
+            else None
+        )
+        return read_iceberg(spark, self.location, hive_partition_base=base)
 
     def drop_commit(self, commit_time: int) -> bool:
         _v, meta = self._current_meta()
@@ -457,6 +605,7 @@ class IcebergBackend(CommitLogBackend):
                 "current-snapshot-id": sid,
                 "last-sequence-number": seq,
                 "snapshots": snaps2,
+                "last-updated-ms": int(doomed.get("timestamp-ms") or 0),
             })
             return meta2
 

@@ -29,14 +29,17 @@ reads them directly — the READ side of the public Iceberg table spec
 Scale shape: metadata/manifest replay is driver-side (exactly how real
 Iceberg clients plan scans — manifests are metadata, bounded by
 snapshot expiry), and the data read is ONE flat parquet relation over
-the live files; the delete anti-joins broadcast their (small) delete
-sides. Identity-partition source columns are stored IN Iceberg data
-files, so no partition-value reattachment is needed.
+the live files; position deletes anti-join as ONE relation and
+equality deletes as ONE anti-join per distinct ``equality_ids``
+signature, each broadcast below a row-count crossover and shuffled
+above it. Identity-partition source columns are stored IN Iceberg
+data files, so no partition-value reattachment is needed. Renamed
+columns resolve through the files' ``PARQUET:field_id`` footer
+annotations (one flat relation per distinct rename map).
 
-Out of scope (loud gates, not wrong rows): column renames/drops via
-field-id mapping (files written before a rename keep the old parquet
-column names), ORC/Avro data files, and snapshots whose schema uses
-types Spark's parquet reader cannot widen.
+Out of scope (loud gates, not wrong rows): renamed tables whose files
+lack parquet field ids, ORC/Avro data files, and snapshots whose
+schema uses types Spark's parquet reader cannot widen.
 """
 
 from __future__ import annotations
@@ -189,6 +192,7 @@ def _snapshot_files(
                 "path": _fs_path(df_["file_path"], table_path),
                 "uri": df_["file_path"],
                 "seq": seq,
+                "rows": int(df_.get("record_count") or 0),
                 "equality_ids": list(df_.get("equality_ids") or []),
             }
             content = int(df_.get("content") or 0)
@@ -280,6 +284,105 @@ def _scan_path_col():
     )
 
 
+def _delete_path_col(col, table_path: str):
+    """Position-delete files store the data file's location URI — the
+    SAME decode as the scan side (prefix strip + url_decode with '+'
+    protection) must apply, and relative locations resolve against the
+    table root, or percent-encodable characters (spaces) and relative
+    entries silently miss the anti-join and deleted rows reappear."""
+    p = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, r"^file:(//)?", ""), r"\+", "%2B"
+        )
+    )
+    return F.when(p.startswith("/"), p).otherwise(
+        F.concat(F.lit(table_path.rstrip("/") + "/"), p)
+    )
+
+
+#: up to this many total delete rows (summed manifest record_count)
+#: the delete side broadcasts — the common case: row-level deletes
+#: exist to avoid file rewrites for point deletes; past it the delete
+#: relation joins by shuffle so a massive delete pile can never blow
+#: the broadcast limit (mirrors the Delta DV decode's crossover)
+_DELETE_BROADCAST_ROWS = 2_000_000
+
+
+def _maybe_broadcast(rel: DataFrame, total_rows: int) -> DataFrame:
+    return F.broadcast(rel) if total_rows <= _DELETE_BROADCAST_ROWS else rel
+
+
+def _parquet_field_ids(path: str) -> Optional[Dict[int, str]]:
+    """``field id -> physical column name`` from the parquet footer
+    (the ``PARQUET:field_id`` annotation real Iceberg writers stamp on
+    every column), or None when any column lacks one."""
+    import pyarrow.parquet as pq
+
+    out: Dict[int, str] = {}
+    for f in pq.ParquetFile(path).schema_arrow:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is None:
+            return None
+        out[int(fid)] = f.name
+    return out
+
+
+def _scan_renamed(
+    spark: SparkSession,
+    meta: Dict,
+    data: List[dict],
+    need_meta: bool,
+    missing: List[str],
+) -> DataFrame:
+    """Field-id mapping scan for tables with RENAMED columns: files
+    written before a rename keep the old parquet column names, but
+    their footers carry the spec's ``PARQUET:field_id`` annotations —
+    resolve each physical column to the CURRENT schema name by id,
+    group files by identical rename maps (one flat relation per map,
+    usually 2: pre- and post-rename), alias, and union by name. A
+    column whose id left the current schema (dropped) is pruned. Files
+    without field ids keep the loud gate — there is nothing to map by."""
+    id_names = _current_field_names(meta)
+    paths = sorted(d["path"] for d in data)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+        fid_maps = list(ex.map(_parquet_field_ids, paths))
+    groups: Dict[Tuple[Tuple[str, str], ...], List[str]] = {}
+    for p, m in zip(paths, fid_maps):
+        if m is None:
+            raise NotImplementedError(
+                f"Iceberg current schema columns {missing} not present "
+                f"in the data files by name and {p} carries no parquet "
+                "field ids — a renamed table is only readable when its "
+                "files were written with field-id annotations"
+            )
+        renames = tuple(sorted(
+            (phys, id_names[fid]) for fid, phys in m.items()
+            if fid in id_names
+        ))
+        groups.setdefault(renames, []).append(p)
+    parts: List[DataFrame] = []
+    for renames, files in sorted(groups.items()):
+        rel = spark.read.option("mergeSchema", "true").parquet(*files)
+        if need_meta:
+            rel = rel.withColumn("__i_path", _scan_path_col()).withColumn(
+                "__i_pos", F.col("_metadata.row_index")
+            )
+        mapping = dict(renames)
+        rel = rel.select(*(
+            [F.col(c).alias(mapping[c]) for c in rel.columns
+             if c in mapping]
+            + [F.col(c) for c in ("__i_path", "__i_pos")
+               if c in rel.columns]
+        ))
+        parts.append(rel)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def iceberg_incremental(
     spark: SparkSession,
     path: str,
@@ -359,70 +462,110 @@ def read_iceberg(
     path: str,
     snapshot_id: Optional[int] = None,
     timestamp_ms: Optional[int] = None,
+    hive_partition_base: Optional[str] = None,
 ) -> DataFrame:
     """Read an Iceberg table directory as a DataFrame — current
     snapshot, an explicit ``snapshot_id``, or time travel to the latest
-    snapshot at-or-before ``timestamp_ms``."""
+    snapshot at-or-before ``timestamp_ms``.
+
+    ``hive_partition_base`` opts into Spark hive-style partition
+    discovery over that base (for tables whose identity-partition data
+    files sit under ``<col>=<val>`` paths, e.g. the
+    :class:`~.iceberg_backend.IcebergBackend` layout): partition-key
+    filters then prune DIRECTORIES (``PartitionFilters``) at the Spark
+    layer on top of the manifest-level pruning external planners get."""
+    path = os.path.abspath(path)
     meta = _read_table_metadata(path)
     snap = resolve_iceberg_snapshot(meta, snapshot_id, timestamp_ms)
     data, pos_del, eq_del = _snapshot_files(meta, snap, path)
     if not data:
         # empty snapshot: derive the schema from the current metadata
         return spark.createDataFrame([], _spark_schema_of(meta))
+    need_meta = bool(pos_del or eq_del)
     reader = spark.read.option("mergeSchema", "true")
-    df = reader.parquet(*sorted(d["path"] for d in data))
-    # loud rename gate: every current-schema column must surface by
-    # name (field-id remapping of renamed columns is out of scope)
-    missing = [
-        n for n in _current_field_names(meta).values()
-        if n not in df.columns
-    ]
-    if missing:
-        raise NotImplementedError(
-            f"Iceberg current schema columns {missing} not present in "
-            "the data files by name — the table had column renames, "
-            "which need field-id mapping this jarless reader does not "
-            "implement"
+    if hive_partition_base:
+        reader = reader.option(
+            "basePath", os.path.abspath(hive_partition_base)
         )
-    need_seq = bool(eq_del)
-    if need_seq or pos_del:
+    df = reader.parquet(*sorted(d["path"] for d in data))
+    current = set(_current_field_names(meta).values())
+    missing = [n for n in current if n not in df.columns]
+    extra = [n for n in df.columns if n not in current]
+    renamed = False
+    if missing or extra:
+        # physical names diverge from the current schema — renames
+        # and/or drops. Re-plan the scan through the files' parquet
+        # field-id annotations. A table whose files carry no field ids
+        # gates loudly when a schema column is UNRESOLVABLE (missing);
+        # when only extra physical columns surface (drops without ids)
+        # the plain frame is still correct, just wider — keep it.
+        try:
+            df = _scan_renamed(spark, meta, data, need_meta, missing)
+            renamed = True
+        except NotImplementedError:
+            if missing:
+                raise
+    if need_meta and not renamed:
         df = df.withColumn("__i_path", _scan_path_col()).withColumn(
             "__i_pos", F.col("_metadata.row_index")
         )
-    if need_seq:
+    if eq_del:
         seq_map = spark.createDataFrame(
             [(d["path"], d["seq"]) for d in data],
             "__i_path string, __i_seq long",
         )
         df = df.join(F.broadcast(seq_map), "__i_path", "left")
-    # -- position deletes: (file_path, pos) anti-join ----------------
+    # -- position deletes: (file_path, pos) anti-join, ONE relation --
     if pos_del:
         pd_df = spark.read.parquet(*sorted(p["path"] for p in pos_del))
         dels = pd_df.select(
-            F.regexp_replace(
-                F.col("file_path"), r"^file:(//)?", ""
-            ).alias("__i_path"),
+            _delete_path_col(F.col("file_path"), path).alias("__i_path"),
             F.col("pos").alias("__i_pos"),
         )
         df = df.join(
-            F.broadcast(dels), ["__i_path", "__i_pos"], "left_anti"
+            _maybe_broadcast(dels, sum(p["rows"] for p in pos_del)),
+            ["__i_path", "__i_pos"], "left_anti",
         )
-    # -- equality deletes: per-file columns, sequence-aware ----------
+    # -- equality deletes: sequence-aware, ONE anti-join per distinct
+    # equality_ids signature (a streaming-upsert table accretes MANY
+    # small delete files of one signature; a per-file join chain would
+    # compile N anti-joins) — same-signature files union into one
+    # relation whose per-row __e_seq rides a broadcast path->seq map
     if eq_del:
         id_names = _current_field_names(meta)
+        groups: Dict[Tuple[int, ...], List[dict]] = {}
         for d in eq_del:
-            cols = [id_names[i] for i in d["equality_ids"] if i in id_names]
-            if not cols or len(cols) != len(d["equality_ids"]):
+            groups.setdefault(tuple(d["equality_ids"]), []).append(d)
+        for ids, dels_g in sorted(groups.items()):
+            cols = [id_names[i] for i in ids if i in id_names]
+            if not cols or len(cols) != len(ids):
                 raise NotImplementedError(
-                    f"Iceberg equality delete {d['uri']} references "
-                    f"field ids {d['equality_ids']} not resolvable in "
-                    "the current schema"
+                    f"Iceberg equality delete {dels_g[0]['uri']} "
+                    f"references field ids {list(ids)} not resolvable "
+                    "in the current schema"
                 )
-            rows = spark.read.parquet(d["path"]).select(
-                *[F.col(c).alias(f"__e_{c}") for c in cols]
-            ).withColumn("__e_seq", F.lit(d["seq"]))
+            rel = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(d["path"] for d in dels_g)
+            )
+            eq_seq = spark.createDataFrame(
+                [(d["path"], d["seq"]) for d in dels_g],
+                "__e_path string, __e_seq long",
+            )
+            rows = (
+                rel.withColumn("__e_path", _scan_path_col())
+                .join(F.broadcast(eq_seq), "__e_path")
+                .select(
+                    *[F.col(c).alias(f"__e_{c}") for c in cols],
+                    "__e_seq",
+                )
+            )
             cond = F.col("__e_seq") > F.col("__i_seq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__e_{c}"))
-            df = df.join(F.broadcast(rows), cond, "left_anti")
+            df = df.join(
+                _maybe_broadcast(
+                    rows, sum(d["rows"] for d in dels_g)
+                ),
+                cond, "left_anti",
+            )
     return df.drop("__i_path", "__i_pos", "__i_seq")

@@ -187,3 +187,88 @@ def test_dbapi_distributed_read(spark, tmp_path):
         schema=T.StructType([T.StructField("a", T.LongType())]),
     )
     assert e.count() == 0 and e.columns == ["a"]
+
+
+class _RecordingCursor:
+    def __init__(self, cur, log):
+        self._cur, self._log = cur, log
+
+    def execute(self, sql, *a):
+        with open(self._log, "a") as fh:
+            fh.write(sql + "\n")
+        return self._cur.execute(sql, *a)
+
+    def __getattr__(self, name):
+        return getattr(self._cur, name)
+
+
+class _RecordingConn:
+    def __init__(self, db, log):
+        import sqlite3
+
+        self._conn, self._log = sqlite3.connect(db), log
+
+    def cursor(self):
+        return _RecordingCursor(self._conn.cursor(), self._log)
+
+    def close(self):
+        self._conn.close()
+
+
+def _recording_connect(db, log):
+    from functools import partial
+
+    return partial(_RecordingConn, db, log)
+
+
+def test_dbapi_pushdown_and_option_coercion(spark, tmp_path):
+    """filter=/columns= fold into every partition's statement so the
+    DATABASE prunes rows and columns (pinned by recording the SQL the
+    executors actually emit — the same pruning Spark JDBC gets from
+    Catalyst pushdown), and string-valued option bounds coerce to
+    numbers instead of breaking the stride arithmetic."""
+    import sqlite3
+
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+    from feature_store_api_spark.sources.dbapi_source import read_dbapi
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE orders (k INTEGER, price REAL, tag TEXT)")
+    conn.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        [(i, float(i) * 1.5, f"t{i % 3}") for i in range(100)],
+    )
+    conn.commit()
+    conn.close()
+    log = str(tmp_path / "emitted.sql")
+
+    out = read_dbapi(
+        spark, _recording_connect(db, log), table="orders",
+        partition_column="k", num_partitions=4,
+        filter="k % 2 = 0", columns=["k", "price"],
+    )
+    rows = out.collect()
+    assert out.columns == ["k", "price"]
+    assert sorted(r["k"] for r in rows) == list(range(0, 100, 2))
+    with open(log) as fh:
+        emitted = [ln for ln in fh.read().splitlines()
+                   if "LIMIT" not in ln and "MIN(" not in ln]
+    assert emitted, "no executor statements recorded"
+    for sql in emitted:
+        assert "SELECT k, price FROM" in sql      # projection pushed
+        assert "(k % 2 = 0) AND" in sql           # predicate pushed
+    # bounds probe also narrowed by the filter
+    assert len(emitted) == 4
+
+    # option-driven bounds arrive as STRINGS (Spark options contract):
+    # they must coerce, not compare lexicographically / crash
+    c = DbApiConnector("mydb", _recording_connect(db, log))
+    q = c.read(spark, query="SELECT k, tag FROM orders", options={
+        "partition_column": "k", "num_partitions": "4",
+        "lower_bound": "0", "upper_bound": "99",
+        "filter": "k < 10", "columns": "k,tag",
+    })
+    got = sorted(r["k"] for r in q.collect())
+    assert got == list(range(10))
+    assert q.rdd.getNumPartitions() == 4

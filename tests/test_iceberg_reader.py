@@ -202,6 +202,8 @@ def test_iceberg_equality_deletes_sequence_aware(spark, tmp_path):
 
 
 def test_iceberg_rename_gate_and_format_gates(spark, tmp_path):
+    """A renamed table whose files carry NO parquet field ids keeps the
+    loud gate — there is nothing to map the physical names by."""
     from feature_store_api_spark.sources.iceberg_reader import read_iceberg
 
     root = str(tmp_path / "ice_gate")
@@ -210,8 +212,145 @@ def test_iceberg_rename_gate_and_format_gates(spark, tmp_path):
     m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
     ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
     _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
-    with pytest.raises(NotImplementedError, match="renames"):
+    with pytest.raises(NotImplementedError, match="field id"):
         read_iceberg(spark, root)
+
+
+def _pq_with_ids(rows, path, ids):
+    """Parquet file whose footer carries PARQUET:field_id annotations
+    (what real Iceberg writers stamp), ids keyed by column name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = pa.table(rows)
+    fields = [
+        t.schema.field(i).with_metadata(
+            {b"PARQUET:field_id": str(ids[t.schema.field(i).name]).encode()}
+        )
+        for i in range(len(t.schema))
+    ]
+    pq.write_table(t.cast(pa.schema(fields)), path)
+
+
+def test_iceberg_field_id_rename_mapping(spark, tmp_path):
+    """Files written BEFORE a column rename keep the old parquet name;
+    their field-id annotations resolve them to the CURRENT schema name
+    (one flat relation per rename map, unioned by name) — the most
+    common warehouse schema evolution, previously a loud gate."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_ren")
+    d1 = os.path.join(root, "data", "f1.parquet")   # pre-rename: k_old
+    d2 = os.path.join(root, "data", "f2.parquet")   # post-rename: k
+    _pq_with_ids({"k_old": [1, 2], "v": [1.0, 2.0]}, d1,
+                 {"k_old": 1, "v": 2})
+    _pq_with_ids({"k": [3], "v": [3.0]}, d2, {"k": 1, "v": 2})
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1), _entry(d2, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # a DROPPED column (id left the schema) is pruned, not resurrected
+    d3 = os.path.join(root, "data", "f3.parquet")
+    _pq_with_ids({"k_old": [9], "v": [9.0], "gone": [0]}, d3,
+                 {"k_old": 1, "v": 2, "gone": 5})
+    m2 = _manifest(root, "m2.avro", [_entry(d1, seq=1), _entry(d3, seq=2)])
+    ml2 = _manifest_list(root, "s2.avro", [(m2, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml2)], current=1)
+    df = read_iceberg(spark, root)
+    assert sorted(df.columns) == ["k", "v"]
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 9]
+
+
+def test_iceberg_equality_delete_fold_single_anti_join(spark, tmp_path):
+    """≥3 equality-delete files of ONE signature compile to exactly ONE
+    anti-join (union + per-row __e_seq), not a chain of three — and the
+    rows still resolve sequence-aware per file."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_eqfold")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}, d1)   # seq 1
+    _pq({"k": [2], "v": [22.0]}, d2)                   # seq 3 re-insert
+    e1 = os.path.join(root, "data", "eq1.parquet")
+    e2 = os.path.join(root, "data", "eq2.parquet")
+    e3 = os.path.join(root, "data", "eq3.parquet")
+    _pq({"k": [1]}, e1)   # seq 2
+    _pq({"k": [2]}, e2)   # seq 2 (k=2@seq3 must survive)
+    _pq({"k": [3]}, e3)   # seq 4
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1), _entry(d2, seq=3)])
+    m2 = _manifest(root, "m2.avro", [
+        _entry(e1, content=2, seq=2, eq_ids=[1]),
+        _entry(e2, content=2, seq=2, eq_ids=[1]),
+        _entry(e3, content=2, seq=4, eq_ids=[1]),
+    ])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1), (m2, 1, 4)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    df = read_iceberg(spark, root)
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == [(2, 22.0)]
+    # AQE prints Final + Initial sections; count the final one only
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("LeftAnti") == 1  # folded, not a per-file chain
+
+
+def test_iceberg_equality_delete_shuffle_crossover(spark, tmp_path, monkeypatch):
+    """Past the broadcast row crossover the delete side joins by
+    shuffle — a massive delete pile can never blow the broadcast
+    limit; results identical."""
+    import feature_store_api_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "ice_eqbig")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    e1 = os.path.join(root, "data", "eq1.parquet")
+    _pq({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}, d1)
+    _pq({"k": [2, 3]}, e1)
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    m2 = _manifest(root, "m2.avro",
+                   [_entry(e1, content=2, seq=2, eq_ids=[1])])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1), (m2, 1, 2)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    monkeypatch.setattr(ir, "_DELETE_BROADCAST_ROWS", 0)
+    df = ir.read_iceberg(spark, root)
+    assert sorted(r["k"] for r in df.collect()) == [1]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan.split("LeftAnti")[0] or (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    )
+
+
+def test_iceberg_position_delete_encoded_and_relative_paths(spark, tmp_path):
+    """Position-delete entries whose file_path is percent-ENCODED or
+    RELATIVE must still hit the anti-join — the delete side gets the
+    same decode as the scan side (prefix strip + url_decode + table
+    root resolution)."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice pd enc")  # spaces in the table path
+    d1 = os.path.join(root, "data", "f 1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0]}, d1)
+    _pq({"k": [3, 4], "v": [3.0, 4.0]}, d2)
+    pd1 = os.path.join(root, "data", "del1.parquet")
+    from urllib.parse import quote
+
+    _pq({"file_path": [
+            f"file://{quote(d1)}",      # percent-encoded URI (space)
+            "data/f2.parquet",           # relative to the table root
+         ],
+         "pos": [0, 1]}, pd1)
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1), _entry(d2, seq=1)])
+    m2 = _manifest(root, "m2.avro", [_entry(pd1, content=1, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1), (m2, 1, 2)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [2, 3]  # k=1 (encoded entry) and k=4 (relative) gone
 
 
 def test_iceberg_deflate_manifests(spark, tmp_path):
@@ -451,6 +590,61 @@ def test_iceberg_backend_fg_parity_and_external_readability(spark, tmp_path):
     meta3 = _read_table_metadata(loc)
     ops = [s["summary"]["operation"] for s in meta3["snapshots"]]
     assert "delete" in ops
+
+
+def test_iceberg_backend_metadata_spec_required_keys(spark, tmp_path):
+    """Every metadata version must carry the keys TableMetadataParser
+    and pyiceberg REQUIRE for v2 (last-column-id, last-updated-ms,
+    last-partition-id, sort-orders) — 'readable by any Iceberg client'
+    is meaningless if only this repo's reader tolerates the file. Also
+    pins the nested-id rule: an ARRAY column consumes an element-id
+    from the field-id counter, so a column added LATER must not collide
+    with it (duplicate field ids break id-based resolution)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.iceberg_reader import (
+        _read_table_metadata,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "ib_meta", primary_key=["k"], event_time="ts",
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    c1 = fg.insert(spark.createDataFrame(
+        [(1, 10, [1.0, 2.0])], "k long, ts long, emb array<double>"))
+    meta = _read_table_metadata(fg.location)
+    # pyiceberg-shaped required keys, every version
+    for key in ("last-column-id", "last-updated-ms", "last-partition-id",
+                "sort-orders", "default-sort-order-id", "partition-specs",
+                "default-spec-id", "schemas", "current-schema-id"):
+        assert key in meta, key
+    assert meta["last-updated-ms"] == c1.commit_time
+    assert meta["last-partition-id"] >= 1000
+
+    def all_ids(schema):
+        out = []
+        for f in schema["fields"]:
+            out.append(f["id"])
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "list":
+                out.append(t["element-id"])
+        return out
+
+    ids1 = all_ids(meta["schemas"][0])
+    assert meta["last-column-id"] == max(ids1)
+    # evolution: the new column's id must clear the array's element-id
+    from pyspark.sql import types as T
+
+    from feature_store_api_spark.feature import Feature
+
+    fg.append_features([Feature("extra", T.StringType())])
+    fg.insert(spark.createDataFrame(
+        [(2, 20, [3.0], "x")],
+        "k long, ts long, emb array<double>, extra string"))
+    meta2 = _read_table_metadata(fg.location)
+    ids2 = all_ids(meta2["schemas"][0])
+    assert len(ids2) == len(set(ids2)), f"duplicate field ids: {ids2}"
+    assert meta2["last-column-id"] == max(ids2)
 
 
 def test_streaming_insert_into_iceberg_fg(spark, tmp_path):

@@ -45,6 +45,41 @@ def test_partition_filter_correct_rows(spark, sf_dir, part_fg, duck):
     assert got == want
 
 
+@pytest.mark.parametrize("fmt", ["HUDI", "ICEBERG"])
+def test_lakehouse_backend_partition_key_prunes(spark, sf_dir, duck, fmt):
+    """A declared partition_key on the HUDI/ICEBERG physical backends
+    must prune like the default backend: the partition predicate
+    reaches the scan as a PartitionFilter (directory/manifest level),
+    not a row filter — the reference's headline format is BUILT on
+    partition paths (core/hudi_engine.py:131-160) and must not
+    scan-and-filter."""
+    tmp = tempfile.mkdtemp(prefix=f"fsas_pp_{fmt.lower()}_")
+    try:
+        fs = FeatureStore(root=tmp)
+        fg = fs.create_feature_group(
+            f"orders_part_{fmt.lower()}", primary_key=["o_orderkey"],
+            partition_key=["o_orderstatus"], event_time="o_orderdate",
+            time_travel_format=fmt,
+        )
+        fg.insert(
+            read_parquet(spark, f"{sf_dir}/orders.parquet"),
+            compute_stats=False,
+        )
+        q = fg.select(["o_orderkey", "o_totalprice"]).filter(
+            fg.o_orderstatus == "F"
+        )
+        df = q.read(spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "= F" in plan
+        want = duck.execute(
+            "SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'"
+        ).fetchone()[0]
+        assert df.count() == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_same_pk_moves_partition_keeps_hudi_identity(spark):
     """Upserting a pk whose partition value changed creates a record in
     the new partition and leaves the old one (Hudi non-global index)."""

@@ -2706,6 +2706,205 @@ def _q_hudi_fg_upsert(spark, sf_dir):
     return fg.read(spark).select("o_orderkey", "o_totalprice")
 
 
+def _q_hudi_partitioned_read(spark, sf_dir):
+    """Declared partition_key on the HUDI physical backend: the table
+    writes REAL hive-style partition paths (<col>=<val>/ — the
+    reference's partition-path handling, core/hudi_engine.py:131-160,
+    with hoodie.datasource.write.drop.partition.columns=true), and a
+    filter on the partition key prunes DIRECTORIES at scan
+    (PartitionFilters — pinned in tests/test_partition_pruning.py)."""
+    from feature_store_api_spark import FeatureStore
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    fs = FeatureStore(root=_scratch("hudi_part_"))
+    fg = fs.create_feature_group(
+        "orders_hudi_part", primary_key=["o_orderkey"],
+        partition_key=["o_orderstatus"], event_time="o_orderdate",
+        time_travel_format="HUDI", auto_compact_every=None,
+    )
+    fg.insert(orders, compute_stats=False)
+    q = fg.select(
+        ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    ).filter(fg.o_orderstatus == "F")
+    return q.read(spark)
+
+
+def _q_iceberg_partitioned_read(spark, sf_dir):
+    """Declared partition_key on the ICEBERG physical backend: user
+    identity partition fields land in the partition SPEC and every
+    manifest entry's partition tuple (external manifest pruning), and
+    the data files sit under hive <col>=<val> paths the backend scan
+    reads with basePath discovery — a partition-key filter prunes
+    directories (PartitionFilters, tests/test_partition_pruning.py).
+    Distinct filter value ('O') from the HUDI twin."""
+    from feature_store_api_spark import FeatureStore
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    fs = FeatureStore(root=_scratch("ice_part_"))
+    fg = fs.create_feature_group(
+        "orders_ice_part", primary_key=["o_orderkey"],
+        partition_key=["o_orderstatus"], event_time="o_orderdate",
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    fg.insert(orders, compute_stats=False)
+    q = fg.select(
+        ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    ).filter(fg.o_orderstatus == "O")
+    return q.read(spark)
+
+
+def _q_iceberg_renamed_read(spark, sf_dir):
+    """Iceberg field-id RENAME mapping (sources/iceberg_reader.py
+    _scan_renamed; iceberg.apache.org/spec/#column-projection): files
+    written BEFORE a column rename keep the old parquet name but carry
+    PARQUET:field_id footer annotations — even keys land as
+    'total_old', odd keys post-rename as 'o_totalprice', the current
+    schema names field id 2 'o_totalprice', and the scan unions both
+    under the new name."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = _os.path.join(_scratch("iceberg_ren_"), "tbl")
+    data_dir = _os.path.join(root, "data")
+    meta_dir = _os.path.join(root, "metadata")
+    _os.makedirs(data_dir, exist_ok=True)
+    _os.makedirs(meta_dir, exist_ok=True)
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+
+    def with_ids(table, ids):
+        fields = [
+            table.schema.field(i).with_metadata(
+                {b"PARQUET:field_id":
+                 str(ids[table.schema.field(i).name]).encode()}
+            ) for i in range(len(table.schema))
+        ]
+        return table.cast(pa.schema(fields))
+
+    even = pdf[pdf["o_orderkey"] % 2 == 0].rename(
+        columns={"o_totalprice": "total_old"}
+    )
+    odd = pdf[pdf["o_orderkey"] % 2 == 1]
+    d1 = _os.path.join(data_dir, "f1.parquet")
+    d2 = _os.path.join(data_dir, "f2.parquet")
+    pq.write_table(with_ids(
+        pa.Table.from_pandas(even, preserve_index=False),
+        {"o_orderkey": 1, "total_old": 2},
+    ), d1)
+    pq.write_table(with_ids(
+        pa.Table.from_pandas(odd, preserve_index=False),
+        {"o_orderkey": 1, "o_totalprice": 2},
+    ), d2)
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+    m1 = _os.path.join(meta_dir, "m1.avro")
+    with open(m1, "wb") as fh:
+        _write_ocf(iter([
+            {"status": 1, "sequence_number": 1, "data_file": {
+                "content": 0, "file_path": f"file://{p}",
+                "file_format": "PARQUET", "record_count": 1}}
+            for p in (d1, d2)
+        ]), entry_schema, fh)
+    ml = _os.path.join(meta_dir, "s1.avro")
+    with open(ml, "wb") as fh:
+        _write_ocf(iter([
+            {"manifest_path": f"file://{m1}",
+             "manifest_length": _os.path.getsize(m1),
+             "content": 0, "sequence_number": 1}
+        ]), list_schema, fh)
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32,
+        "location": f"file://{root}", "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "o_orderkey", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "manifest-list": f"file://{ml}"}],
+    }
+    with open(_os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return read_iceberg(spark, root).select("o_orderkey", "o_totalprice")
+
+
+def _q_dbapi_pushdown(spark, sf_dir):
+    """DBAPI predicate + projection PUSHDOWN (sources/dbapi_source.py
+    filter=/columns= — the pruning the reference's JDBC path gets from
+    Spark's Catalyst pushdown, storage_connector.py:949): the database
+    sees the WHERE and the column list in every partition statement
+    (emitted SQL pinned by tests/test_connectors.py's recording
+    connector), so full rows never ship to Spark."""
+    import os as _os
+    import sqlite3 as _sq
+
+    from feature_store_api_spark.sources.dbapi_source import (
+        read_dbapi, sqlite_connector,
+    )
+
+    db = _os.path.join(_scratch("dbapi_push_"), "orders.db")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .toPandas()
+    )
+    conn = _sq.connect(db)
+    conn.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER, o_totalprice REAL,"
+        " o_custkey INTEGER)"
+    )
+    conn.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        list(zip(pdf["o_orderkey"].tolist(),
+                 pdf["o_totalprice"].tolist(),
+                 pdf["o_custkey"].tolist())),
+    )
+    conn.commit()
+    conn.close()
+    return read_dbapi(
+        spark, sqlite_connector(db), table="orders",
+        partition_column="o_orderkey", num_partitions=8,
+        filter="o_orderkey % 5 = 2",
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+
 def _q_materialization_job(spark, sf_dir):
     """Materialization-job surface (jobs.py + feature_group.py
     materialization_job; parity reference feature_group.py:3490 +
@@ -3864,14 +4063,114 @@ def _q_knn_ann_retry(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the
-    # FIRST ~50 entries per round (r11 rotation, per VERDICT r10 #1):
-    # (1) five NEW never-checked rows (iceberg_read/fg_upsert/
-    # incremental, hudi_log_delete, dbapi_scan); (2) the 42 entries
-    # whose latest verdict is r08 (stalest on the board); (3) r10
-    # entries whose underlying code changed this round, risk-ranked
-    # (delta add.path/checkpoint/cdc writes, hudi merge + incremental
-    # prune). Tail = 46 r09 entries then the remaining r10 window.
+    # FIRST ~50 entries per round (r12 rotation, per VERDICT r11 #5):
+    # (1) four NEW never-checked rows (hudi/iceberg partitioned reads,
+    # iceberg field-id rename mapping, dbapi pushdown); (2) the 46
+    # entries whose latest verdict is r09 — two rounds stale at r12.
+    # Next = the r10 window, risk-ranked (delta cdc restatement +
+    # hudi incremental prune code changed this round); tail = the 50
+    # r11-fresh rows.
     return {
+        "hudi_partitioned_read": _q_hudi_partitioned_read,
+        "iceberg_partitioned_read": _q_iceberg_partitioned_read,
+        "iceberg_renamed_read": _q_iceberg_renamed_read,
+        "dbapi_pushdown": _q_dbapi_pushdown,
+        "bm25_batch_indexed": _q_bm25_batch_indexed,
+        "negative_sampling": _q_negative_sampling,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
+        "corpus_curation": _q_corpus_curation,
+        "stats_profile": _q_stats_profile,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_exact": _q_dedup_exact,
+        "corpus_curation_quality": _q_corpus_curation_quality,
+        "exact_window_dedup": _q_exact_window_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "latest_per_key": _q_latest_per_key,
+        "set_ops": _q_set_ops,
+        "validation_report": _q_validation_report,
+        "drift_psi": _q_drift_psi,
+        "drift_windows": _q_drift_windows,
+        "embedding_projection": _q_embedding_projection,
+        "knn_ivfpq": _q_knn_ivfpq,
+        "model_provenance": _q_model_provenance,
+        "builtin_scalers": _q_builtin_scalers,
+        "cast_schema": _q_cast_schema,
+        "embedding_dups": _q_embedding_dups,
+        "embedding_fetch": _q_embedding_fetch,
+        "encoders": _q_encoders,
+        "ewma_features": _q_ewma_features,
+        "knn_batch": _q_knn_batch,
+        "knn_cosine": _q_knn_cosine,
+        "knn_l2": _q_knn_l2,
+        "repetition_metrics": _q_repetition_metrics,
+        "row_sampling": _q_row_sampling,
+        "sequence_packing": _q_sequence_packing,
+        "session_windows": _q_session_windows,
+        "stratified_sample": _q_stratified_sample,
+        "text_language": _q_text_language,
+        "text_quality": _q_text_quality,
+        "text_stats": _q_text_stats,
+        "windowed_agg_hourly": _q_windowed_agg_hourly,
+        "multi_part_insert": _q_multi_part_insert,
+        "audio_decode": _q_audio_decode,
+        "pq_codes": _q_pq_codes,
+        "knn_pq": _q_knn_pq,
+        "doc_chunks": _q_doc_chunks,
+        "stream_interval_join": _q_stream_interval_join,
+        "time_series_split": _q_time_series_split,
+        "monitoring_window": _q_monitoring_window,
+        "append_feature_default": _q_append_feature_default,
+        "delta_cdf": _q_delta_cdf,
+        "delta_fg_upsert": _q_delta_fg_upsert,
+        "hudi_time_travel": _q_hudi_time_travel,
+        "hudi_mor_incremental": _q_hudi_mor_incremental,
+        "incremental_pull": _q_incremental_pull,
+        "delta_dv_strip": _q_delta_dv_strip,
+        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
+        "delta_time_travel": _q_delta_time_travel,
+        "delta_column_mapping": _q_delta_column_mapping,
+        "streaming_upsert": _q_streaming_upsert,
+        "commit_details": _q_commit_details,
+        "compaction_snapshot": _q_compaction_snapshot,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "custom_udf": _q_custom_udf,
+        "embedding_centroids": _q_embedding_centroids,
+        "event_time_norm": _q_event_time_norm,
+        "external_fg_csv": _q_external_fg_csv,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "fs_sql": _q_fs_sql,
+        "gopher_gates": _q_gopher_gates,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_full": _q_join_full,
+        "join_inner": _q_join_inner,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "join_right": _q_join_right,
+        "join_semi": _q_join_semi,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_lookup": _q_online_lookup,
+        "online_preview": _q_online_preview,
+        "pii_redaction": _q_pii_redaction,
+        "quantile_binning": _q_quantile_binning,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "robust_scaler": _q_robust_scaler,
+        "scan_filter_project": _q_scan_filter_project,
+        "schema_evolution": _q_schema_evolution,
+        "select_except": _q_select_except,
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "serving_vectors": _q_serving_vectors,
+        "tfidf_terms": _q_tfidf_terms,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "vacuum_retention": _q_vacuum_retention,
+        "incremental_dedup": _q_incremental_dedup,
+        "pit_join": _q_pit_join,
+        "label_window": _q_label_window,
         "iceberg_read": _q_iceberg_read,
         "iceberg_fg_upsert": _q_iceberg_fg_upsert,
         "dbapi_scan": _q_dbapi_scan,
@@ -3922,102 +4221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "dsir_sample": _q_dsir_sample,
         "retrieval_metrics": _q_retrieval_metrics,
-        "delta_fg_upsert": _q_delta_fg_upsert,
-        "delta_cdf": _q_delta_cdf,
-        "hudi_time_travel": _q_hudi_time_travel,
-        "hudi_mor_incremental": _q_hudi_mor_incremental,
-        "delta_dv_strip": _q_delta_dv_strip,
-        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
-        "delta_time_travel": _q_delta_time_travel,
-        "bm25_batch_indexed": _q_bm25_batch_indexed,
-        "negative_sampling": _q_negative_sampling,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
-        "corpus_curation": _q_corpus_curation,
-        "stats_profile": _q_stats_profile,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_exact": _q_dedup_exact,
-        "corpus_curation_quality": _q_corpus_curation_quality,
-        "exact_window_dedup": _q_exact_window_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "latest_per_key": _q_latest_per_key,
-        "set_ops": _q_set_ops,
-        "validation_report": _q_validation_report,
-        "drift_psi": _q_drift_psi,
-        "drift_windows": _q_drift_windows,
-        "embedding_projection": _q_embedding_projection,
-        "knn_ivfpq": _q_knn_ivfpq,
-        "model_provenance": _q_model_provenance,
-        "builtin_scalers": _q_builtin_scalers,
-        "cast_schema": _q_cast_schema,
-        "embedding_dups": _q_embedding_dups,
-        "embedding_fetch": _q_embedding_fetch,
-        "encoders": _q_encoders,
-        "ewma_features": _q_ewma_features,
-        "knn_batch": _q_knn_batch,
-        "knn_cosine": _q_knn_cosine,
-        "knn_l2": _q_knn_l2,
-        "repetition_metrics": _q_repetition_metrics,
-        "row_sampling": _q_row_sampling,
-        "sequence_packing": _q_sequence_packing,
-        "session_windows": _q_session_windows,
-        "stratified_sample": _q_stratified_sample,
-        "text_language": _q_text_language,
-        "text_quality": _q_text_quality,
-        "text_stats": _q_text_stats,
-        "windowed_agg_hourly": _q_windowed_agg_hourly,
-        "multi_part_insert": _q_multi_part_insert,
-        "audio_decode": _q_audio_decode,
-        "pq_codes": _q_pq_codes,
-        "knn_pq": _q_knn_pq,
-        "doc_chunks": _q_doc_chunks,
-        "stream_interval_join": _q_stream_interval_join,
-        "time_series_split": _q_time_series_split,
-        "monitoring_window": _q_monitoring_window,
-        "append_feature_default": _q_append_feature_default,
-        "delta_column_mapping": _q_delta_column_mapping,
-        "streaming_upsert": _q_streaming_upsert,
-        "commit_details": _q_commit_details,
-        "compaction_snapshot": _q_compaction_snapshot,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "custom_udf": _q_custom_udf,
-        "embedding_centroids": _q_embedding_centroids,
-        "event_time_norm": _q_event_time_norm,
-        "external_fg_csv": _q_external_fg_csv,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "fs_sql": _q_fs_sql,
-        "gopher_gates": _q_gopher_gates,
-        "incremental_pull": _q_incremental_pull,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_full": _q_join_full,
-        "join_inner": _q_join_inner,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "join_right": _q_join_right,
-        "join_semi": _q_join_semi,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_lookup": _q_online_lookup,
-        "online_preview": _q_online_preview,
-        "pii_redaction": _q_pii_redaction,
-        "quantile_binning": _q_quantile_binning,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "robust_scaler": _q_robust_scaler,
-        "scan_filter_project": _q_scan_filter_project,
-        "schema_evolution": _q_schema_evolution,
-        "select_except": _q_select_except,
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "serving_vectors": _q_serving_vectors,
-        "tfidf_terms": _q_tfidf_terms,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "vacuum_retention": _q_vacuum_retention,
-        "incremental_dedup": _q_incremental_dedup,
-        "pit_join": _q_pit_join,
-        "label_window": _q_label_window,
     }
 
 
@@ -4627,6 +4830,21 @@ def oracle_sql() -> dict[str, str]:
         "dbapi_scan": """
             SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
             FROM orders WHERE o_orderkey % 6 = 3
+        """,
+        "dbapi_pushdown": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey % 5 = 2
+        """,
+        "hudi_partitioned_read": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "iceberg_partitioned_read": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "iceberg_renamed_read": """
+            SELECT o_orderkey, o_totalprice FROM orders
         """,
         "iceberg_fg_upsert": """
             SELECT o_orderkey,

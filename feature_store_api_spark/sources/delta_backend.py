@@ -58,6 +58,11 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: Delta truncates string min/max in stats to a bounded prefix
 _STATS_STRING_PREFIX = 32
 
+#: past this many bytes of commit data, a delete commit's cdc
+#: restatement (all-or-nothing per PROTOCOL.md) runs as a Spark job
+#: with per-file executor rewrites instead of a driver pyarrow copy
+_CDC_DRIVER_RESTATE_BYTES = 128 * 1024 * 1024
+
 
 def _file_stats(path: str) -> Optional[str]:
     """Per-file ``add.stats`` JSON (PROTOCOL.md "Per-file Statistics":
@@ -524,12 +529,12 @@ class DeltaLogBackend(CommitLogBackend):
                         add["stats"] = stats
                     adds.append({"add": add})
                     moved.append((dst, pv))
-            cdc = self._cdc_actions(moved)
+            cdc = self._cdc_actions(moved, spark=df.sparkSession)
             self._write_delta_commit(meta + adds + cdc)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
-    def _cdc_actions(self, moved) -> List[Dict]:
+    def _cdc_actions(self, moved, spark=None) -> List[Dict]:
         """``cdc`` actions for a commit that carries DELETE rows.
 
         Upsert/insert commits are pure appends — CDF readers derive
@@ -537,16 +542,21 @@ class DeltaLogBackend(CommitLogBackend):
         (same as delta-spark on blind appends). A delete commit's rows
         are tombstones in the store's merge-on-read contract; the cdc
         file restates them with ``_change_type='delete'`` so an
-        external ``readChangeFeed`` sees real deletes. Cost: one
-        driver-side pyarrow copy of JUST the delete-commit's files
-        (deletes are a tiny fraction of traffic; no Spark job).
+        external ``readChangeFeed`` sees real deletes.
 
         PROTOCOL.md completeness rule: in a version that has ANY cdc
         action, CDF readers use ONLY cdc actions — so the moment one
         file contributes a cdc file, EVERY file in the commit must be
         restated (its non-delete rows as ``insert``), else those rows
         would vanish from ``readChangeFeed``. Two passes: detect, then
-        emit all-or-nothing."""
+        emit all-or-nothing.
+
+        Cost is SIZE-GATED: a small delete commit restates via one
+        driver-side pyarrow copy (no Spark job — the common case); past
+        ``_CDC_DRIVER_RESTATE_BYTES`` of commit data the restatement
+        runs as a Spark job with each file rewritten in an executor, so
+        a large mixed delete+insert commit never becomes a driver copy
+        of the whole commit."""
         from .commit_store import OP_COL
 
         try:
@@ -569,6 +579,9 @@ class DeltaLogBackend(CommitLogBackend):
                 break
         if not any_delete:
             return []
+        total = sum(os.path.getsize(d) for d, _pv in moved)
+        if spark is not None and total > _CDC_DRIVER_RESTATE_BYTES:
+            return self._cdc_actions_distributed(spark, moved)
         out: List[Dict] = []
         cdc_dir = os.path.join(self.location, "_change_data")
         for dst, pv in moved:
@@ -595,6 +608,65 @@ class DeltaLogBackend(CommitLogBackend):
                 "dataChange": False,
             }})
         return out
+
+    def _cdc_actions_distributed(self, spark, moved) -> List[Dict]:
+        """Executor-side cdc restatement: one task per commit file
+        reads it, appends ``_change_type``, and writes the cdc file to
+        the (shared) table storage — the data never touches the driver;
+        only the (path, partitionValues, size) metadata rows return."""
+        import pandas as pd
+
+        from .commit_store import OP_COL
+
+        cdc_dir = os.path.join(self.location, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        op_col = OP_COL
+
+        def restate(batches):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                rows = []
+                for src, pvj in zip(pdf["__src"], pdf["__pv"]):
+                    tbl = pq.ParquetFile(src).read()
+                    if op_col in tbl.schema.names:
+                        ct = pc.if_else(
+                            pc.equal(tbl[op_col], "delete"),
+                            pa.scalar("delete"), pa.scalar("insert"),
+                        )
+                    else:
+                        ct = pa.array(["insert"] * tbl.num_rows)
+                    tbl = tbl.append_column("_change_type", ct)
+                    name = f"cdc-{_uuid.uuid4().hex[:12]}.parquet"
+                    full = _os.path.join(cdc_dir, name)
+                    pq.write_table(tbl, full)
+                    rows.append((
+                        f"_change_data/{name}", pvj,
+                        _os.path.getsize(full),
+                    ))
+                yield pd.DataFrame(
+                    rows, columns=["path", "pv", "size"]
+                )
+
+        spec = spark.createDataFrame(
+            [(d, json.dumps(pv)) for d, pv in moved],
+            "__src string, __pv string",
+        ).repartition(
+            min(len(moved), spark.sparkContext.defaultParallelism)
+        )
+        return [{"cdc": {
+            "path": r["path"],
+            "partitionValues": json.loads(r["pv"]),
+            "size": int(r["size"]),
+            "dataChange": False,
+        }} for r in spec.mapInPandas(
+            restate, "path string, pv string, size long"
+        ).collect()]
 
     def scan(self, spark: SparkSession) -> Optional[DataFrame]:
         if not self._versions():

@@ -1329,6 +1329,56 @@ def test_delta_backend_cdf_roundtrip(spark, tmp_path):
         ).collect())
 
 
+def test_delta_backend_cdf_restates_in_executors_past_size_gate(
+    spark, tmp_path, monkeypatch
+):
+    """Past the byte gate, the all-or-nothing cdc restatement of a
+    mixed delete+insert commit runs as a SPARK JOB (per-file executor
+    rewrites) instead of a driver pyarrow copy of the whole commit —
+    with an identical readChangeFeed result."""
+    import feature_store_api_spark.sources.delta_backend as db
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import read_delta_cdf
+
+    monkeypatch.setattr(db, "_CDC_DRIVER_RESTATE_BYTES", 0)
+    calls = []
+    orig = db.DeltaLogBackend._cdc_actions_distributed
+
+    def spy(self, spark_, moved):
+        calls.append(len(moved))
+        return orig(self, spark_, moved)
+
+    monkeypatch.setattr(db.DeltaLogBackend, "_cdc_actions_distributed", spy)
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "dl_cdf_big", primary_key=["k"], event_time="ts",
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)],
+        "k long, ts long, v double"))
+    # mixed commit: a delete tombstone rides with fresh inserts — the
+    # completeness rule restates EVERY file of the commit
+    fg.commit_delete_record(spark.createDataFrame(
+        [(2, 30)], "k long, ts long"))
+    assert calls, "size gate did not route to the executor path"
+
+    cdf = read_delta_cdf(spark, fg.location, begin_version=-1)
+    got = sorted((r["k"], r["_change_type"], r["_commit_version"])
+                 for r in cdf.collect())
+    assert got == [
+        (1, "insert", 0), (2, "delete", 1), (2, "insert", 0),
+        (3, "insert", 0)]
+    log_dir = os.path.join(fg.location, "_delta_log")
+    with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    cdcs = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdcs and all(
+        os.path.exists(os.path.join(fg.location, a["path"]))
+        and a["path"].startswith("_change_data/") for a in cdcs)
+
+
 def test_delta_backend_checkpoint_retains_tombstones(spark, tmp_path):
     """A foreign engine's live remove tombstone is SERIALIZED into the
     backend's checkpoint (PROTOCOL.md checkpoint schema: unexpired

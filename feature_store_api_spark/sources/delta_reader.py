@@ -131,14 +131,21 @@ def _latest_checkpoint(log_dir: str, max_version: int) -> Optional[int]:
 #: and stripped with a row-index anti-join (sources/deletion_vectors);
 #: v2Checkpoint = UUID-named manifest + _sidecars replay
 #: (_apply_checkpoint_file); vacuumProtocolCheck has no read-path
-#: semantics. Everything else — typeWidening, … — changes what bytes
-#: mean and MUST stay gated (silently wrong rows otherwise).
+#: semantics; typeWidening(-preview) = files written BEFORE a type
+#: change keep the narrower physical type and the scan already passes
+#: the declared (wide) logical schema — Spark 4's parquet reader
+#: upcasts int32→long/double, float→double etc. per file (a
+#: conversion it cannot do errors loudly, never silently). Everything
+#: else changes what bytes mean and MUST stay gated (silently wrong
+#: rows otherwise).
 _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "deletionVectors",
     "v2Checkpoint",
     "vacuumProtocolCheck",
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 #: up to this many total deleted positions the DVs decode driver-side

@@ -183,19 +183,23 @@ def _snapshot_files(
             seq = e.get("sequence_number")
             seq = mf_seq if seq is None else int(seq)
             fmt = (df_.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
+            content = int(df_.get("content") or 0)
+            if fmt not in ("PARQUET", "AVRO") or (
+                fmt == "AVRO" and content != 0
+            ):
                 raise NotImplementedError(
-                    f"Iceberg {fmt} data files are not supported by "
-                    "this jarless reader (parquet only)"
+                    f"Iceberg {fmt} files are not supported by this "
+                    "jarless reader (parquet everywhere; avro for DATA "
+                    "files)"
                 )
             rec = {
                 "path": _fs_path(df_["file_path"], table_path),
                 "uri": df_["file_path"],
                 "seq": seq,
+                "fmt": fmt,
                 "rows": int(df_.get("record_count") or 0),
                 "equality_ids": list(df_.get("equality_ids") or []),
             }
-            content = int(df_.get("content") or 0)
             if content == 0:
                 data.append(rec)
             elif content == 1:
@@ -449,12 +453,68 @@ def iceberg_incremental(
                 df_ = e.get("data_file") or {}
                 if int(df_.get("content") or 0) != 0:
                     continue
+                fmt = (df_.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise NotImplementedError(
+                        f"Iceberg incremental scan over {fmt} data "
+                        "files is not supported (parquet only)"
+                    )
                 paths.append(_fs_path(df_["file_path"], path))
     if not paths:
         return spark.createDataFrame([], _spark_schema_of(meta))
     return spark.read.option("mergeSchema", "true").parquet(
         *sorted(set(paths))
     )
+
+
+def _scan_avro_data(
+    spark: SparkSession,
+    meta: Dict,
+    paths: List[str],
+    need_meta: bool,
+) -> DataFrame:
+    """Avro DATA files (``write.format.default=avro`` tables) decode
+    EXECUTOR-side through the repo's own OCF codec — the same
+    distributed pattern as the Hudi log decode: one spec frame of file
+    paths, ``mapInPandas`` opens each file in a task. When deletes
+    apply, every row carries ``__i_path`` + ``__i_pos`` (its ordinal in
+    the file — Iceberg position deletes address rows of ANY format by
+    ordinal). Columns resolve by name against the current schema."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = _spark_schema_of(meta)
+    names = [f.name for f in schema.fields]
+    out_schema = schema
+    if need_meta:
+        out_schema = T.StructType(list(schema.fields) + [
+            T.StructField("__i_path", T.StringType(), False),
+            T.StructField("__i_pos", T.LongType(), False),
+        ])
+
+    def decode(batches):
+        from .avro_container import read_ocf_bytes
+
+        for pdf in batches:
+            for p in pdf["__a_path"]:
+                with open(p, "rb") as fh:
+                    _s, rows = read_ocf_bytes(fh.read())
+                out = pd.DataFrame(
+                    [{n: r.get(n) for n in names} for r in rows],
+                    columns=names,
+                )
+                if need_meta:
+                    out["__i_path"] = p
+                    out["__i_pos"] = range(len(out))
+                yield out
+
+    n_slices = min(
+        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
+    )
+    spec = spark.createDataFrame(
+        [(p,) for p in paths], "__a_path string"
+    ).repartition(n_slices)
+    return spec.mapInPandas(decode, schema=out_schema)
 
 
 def read_iceberg(
@@ -482,33 +542,46 @@ def read_iceberg(
         # empty snapshot: derive the schema from the current metadata
         return spark.createDataFrame([], _spark_schema_of(meta))
     need_meta = bool(pos_del or eq_del)
-    reader = spark.read.option("mergeSchema", "true")
-    if hive_partition_base:
-        reader = reader.option(
-            "basePath", os.path.abspath(hive_partition_base)
-        )
-    df = reader.parquet(*sorted(d["path"] for d in data))
-    current = set(_current_field_names(meta).values())
-    missing = [n for n in current if n not in df.columns]
-    extra = [n for n in df.columns if n not in current]
-    renamed = False
-    if missing or extra:
-        # physical names diverge from the current schema — renames
-        # and/or drops. Re-plan the scan through the files' parquet
-        # field-id annotations. A table whose files carry no field ids
-        # gates loudly when a schema column is UNRESOLVABLE (missing);
-        # when only extra physical columns surface (drops without ids)
-        # the plain frame is still correct, just wider — keep it.
-        try:
-            df = _scan_renamed(spark, meta, data, need_meta, missing)
-            renamed = True
-        except NotImplementedError:
-            if missing:
-                raise
-    if need_meta and not renamed:
-        df = df.withColumn("__i_path", _scan_path_col()).withColumn(
-            "__i_pos", F.col("_metadata.row_index")
-        )
+    pq_data = [d for d in data if d["fmt"] == "PARQUET"]
+    av_data = [d for d in data if d["fmt"] == "AVRO"]
+    parts: List[DataFrame] = []
+    if pq_data:
+        reader = spark.read.option("mergeSchema", "true")
+        if hive_partition_base:
+            reader = reader.option(
+                "basePath", os.path.abspath(hive_partition_base)
+            )
+        df = reader.parquet(*sorted(d["path"] for d in pq_data))
+        current = set(_current_field_names(meta).values())
+        missing = [n for n in current if n not in df.columns]
+        extra = [n for n in df.columns if n not in current]
+        renamed = False
+        if missing or extra:
+            # physical names diverge from the current schema — renames
+            # and/or drops. Re-plan the scan through the files' parquet
+            # field-id annotations. A table whose files carry no field
+            # ids gates loudly when a schema column is UNRESOLVABLE
+            # (missing); when only extra physical columns surface
+            # (drops without ids) the plain frame is still correct,
+            # just wider — keep it.
+            try:
+                df = _scan_renamed(spark, meta, pq_data, need_meta, missing)
+                renamed = True
+            except NotImplementedError:
+                if missing:
+                    raise
+        if need_meta and not renamed:
+            df = df.withColumn("__i_path", _scan_path_col()).withColumn(
+                "__i_pos", F.col("_metadata.row_index")
+            )
+        parts.append(df)
+    if av_data:
+        parts.append(_scan_avro_data(
+            spark, meta, sorted(d["path"] for d in av_data), need_meta
+        ))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
     if eq_del:
         seq_map = spark.createDataFrame(
             [(d["path"], d["seq"]) for d in data],

@@ -204,17 +204,63 @@ def test_delta_protocol_gate(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         read_delta(spark, root)
 
+    root = str(tmp_path / "v4tbl")
+    log = os.path.join(root, "_delta_log")
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7,
+                      "readerFeatures": ["futureFeature"]}},
+        _meta(),
+    ], ts=1_000)
+    # an unknown feature / protocol above v3 stays a loud gate
+    with pytest.raises(NotImplementedError, match="futureFeature"):
+        read_delta(spark, root)
+
+
+def test_delta_type_widening_reads_narrow_files(spark, tmp_path):
+    """typeWidening tables read correctly: files written BEFORE the
+    type change keep the narrower physical type (int32/float) and the
+    scan upcasts them to the declared wide schema per file — the
+    feature is no longer gated because the reader always passes the
+    declared logical schema to the parquet scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
     root = str(tmp_path / "twtbl")
     log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], type=pa.int32()),
+        "v": pa.array([1.5, 2.5], type=pa.float32()),
+    }), os.path.join(root, "narrow.parquet"))
+    pq.write_table(pa.table({
+        "k": pa.array([3], type=pa.int64()),
+        "v": pa.array([3.5], type=pa.float64()),
+    }), os.path.join(root, "wide.parquet"))
+    schema = json.dumps({
+        "type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+        ]})
     _commit(log, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["typeWidening"],
                       "writerFeatures": ["typeWidening"]}},
-        _meta(),
+        {"metaData": {"id": "t", "schemaString": schema,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet"}}},
+        {"add": {"path": "narrow.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"add": {"path": "wide.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
     ], ts=1_000)
-    # type widening changes what bytes mean — must stay gated
-    with pytest.raises(NotImplementedError, match="typeWidening"):
-        read_delta(spark, root)
+    df = read_delta(spark, root)
+    assert df.schema.simpleString() == "struct<k:bigint,v:double>"
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == [(1, 1.5), (2, 2.5), (3, 3.5)]
 
 
 def test_delta_backend_fg_parity_and_external_readability(spark, tmp_path):

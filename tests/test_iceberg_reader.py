@@ -592,6 +592,74 @@ def test_iceberg_backend_fg_parity_and_external_readability(spark, tmp_path):
     assert "delete" in ops
 
 
+def test_iceberg_avro_data_files(spark, tmp_path):
+    """Tables written with write.format.default=avro read jarlessly:
+    avro DATA files decode executor-side through the repo's own OCF
+    codec, union by name with parquet files (mixed-format tables), and
+    position deletes address avro rows by ordinal exactly like parquet
+    row indexes."""
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_avro")
+    # avro data file: k 1..3
+    a1 = os.path.join(root, "data", "f1.avro")
+    os.makedirs(os.path.dirname(a1), exist_ok=True)
+    avro_schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "double"], "default": None},
+        ]}
+    with open(a1, "wb") as fh:
+        _write_ocf(iter([
+            {"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}, {"k": 3, "v": 3.0},
+        ]), avro_schema, fh)
+    # parquet data file: k 4
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [4], "v": [4.0]}, d2)
+    # position delete killing avro ordinal 1 (k=2)
+    pd1 = os.path.join(root, "data", "del.parquet")
+    _pq({"file_path": [f"file://{a1}"], "pos": [1]}, pd1)
+
+    def entry(fp, fmt, content=0, seq=1):
+        e = _entry(fp, content=content, seq=seq)
+        e["data_file"]["file_format"] = fmt
+        return e
+
+    m1 = _manifest(root, "m1.avro", [
+        entry(a1, "AVRO"), entry(d2, "PARQUET"),
+        entry(pd1, "PARQUET", content=1, seq=2),
+    ])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, 1.0), (3, 3.0), (4, 4.0)]
+    # avro-only table (no parquet part at all)
+    root2 = str(tmp_path / "ice_avro_only")
+    a2 = os.path.join(root2, "data", "f1.avro")
+    os.makedirs(os.path.dirname(a2), exist_ok=True)
+    with open(a2, "wb") as fh:
+        _write_ocf(iter([{"k": 9, "v": 9.0}]), avro_schema, fh)
+    m2 = _manifest(root2, "m1.avro", [entry(a2, "AVRO")])
+    ml2 = _manifest_list(root2, "s1.avro", [(m2, 0, 1)])
+    _write_metadata(root2, [_snap(1, 1_000, ml2)], current=1)
+    got2 = [(r["k"], r["v"])
+            for r in read_iceberg(spark, root2).collect()]
+    assert got2 == [(9, 9.0)]
+    # ORC stays a loud gate
+    root3 = str(tmp_path / "ice_orc")
+    d3 = os.path.join(root3, "data", "f1.orc")
+    os.makedirs(os.path.dirname(d3), exist_ok=True)
+    open(d3, "wb").write(b"ORC")
+    m3 = _manifest(root3, "m1.avro", [entry(d3, "ORC")])
+    ml3 = _manifest_list(root3, "s1.avro", [(m3, 0, 1)])
+    _write_metadata(root3, [_snap(1, 1_000, ml3)], current=1)
+    with pytest.raises(NotImplementedError, match="ORC"):
+        read_iceberg(spark, root3)
+
+
 def test_iceberg_backend_metadata_spec_required_keys(spark, tmp_path):
     """Every metadata version must carry the keys TableMetadataParser
     and pyiceberg REQUIRE for v2 (last-column-id, last-updated-ms,

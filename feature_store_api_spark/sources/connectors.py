@@ -218,6 +218,18 @@ class DbApiConnector(StorageConnector):
             columns=opts.get("columns"),
         )
 
+    def write(self, df, table: str, options=None) -> None:
+        """Append ``df`` into an existing table — Spark JDBC's write
+        model over PEP 249 (per-partition executor connections +
+        executemany batches)."""
+        from .dbapi_source import write_dbapi
+
+        opts = dict(options or {})
+        write_dbapi(
+            df, self.connect, table,
+            batch_size=int(opts.get("batch_size", 10_000)),
+        )
+
 
 class RedshiftConnector(JdbcConnector):
     """Redshift via its JDBC driver (parity storage_connector.py:406-604)."""

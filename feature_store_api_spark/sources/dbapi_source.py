@@ -166,3 +166,66 @@ def read_dbapi(
         [(p,) for p in preds], "__pred string"
     ).repartition(len(preds))
     return spec.mapInPandas(fetch, schema=schema)
+
+
+def write_dbapi(
+    df: DataFrame,
+    connect: Callable,
+    table: str,
+    batch_size: int = 10_000,
+    busy_retries: int = 50,
+) -> None:
+    """Write a DataFrame into a DBAPI-reachable table — Spark JDBC's
+    write model over PEP 249: each PARTITION opens its own executor-side
+    connection and streams its rows as ``executemany`` batches, one
+    transaction per partition (Spark JDBC's per-partition atomicity —
+    a failed task rolls back its own partition and retries).
+
+    ``connect`` must be picklable, like :func:`read_dbapi`'s. The
+    target table must already exist (same contract as Spark JDBC's
+    ``append`` SaveMode against an existing table — DDL is dialect
+    territory the engine stays out of). Single-writer databases
+    (sqlite) serialize concurrent partitions via bounded busy retries."""
+    import time as _time
+
+    cols = list(df.columns)
+    placeholders = ", ".join(["?"] * len(cols))
+    stmt = (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({placeholders})"
+    )
+
+    def retry_busy(fn):
+        for attempt in range(busy_retries):
+            try:
+                return fn()
+            except Exception as exc:  # e.g. sqlite "database is locked"
+                msg = str(exc).lower()
+                if ("locked" in msg or "busy" in msg) and (
+                    attempt + 1 < busy_retries
+                ):
+                    _time.sleep(0.05 * (attempt + 1))
+                    continue
+                raise
+
+    def write_partition(rows_iter):
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            batch = []
+
+            def flush():
+                if batch:
+                    retry_busy(lambda: cur.executemany(stmt, batch))
+                    batch.clear()
+
+            for row in rows_iter:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    flush()
+            flush()
+            retry_busy(conn.commit)
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)

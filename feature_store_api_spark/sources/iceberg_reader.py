@@ -38,8 +38,11 @@ columns resolve through the files' ``PARQUET:field_id`` footer
 annotations (one flat relation per distinct rename map).
 
 Out of scope (loud gates, not wrong rows): renamed tables whose files
-lack parquet field ids, ORC/Avro data files, and snapshots whose
-schema uses types Spark's parquet reader cannot widen.
+lack parquet field ids, position deletes over ORC data files (Spark's
+ORC reader exposes no row_index), and snapshots whose schema uses
+types Spark's parquet reader cannot widen. Avro data files decode
+executor-side through the repo's OCF codec; ORC data files read
+through Spark's native ORC reader.
 """
 
 from __future__ import annotations
@@ -184,13 +187,13 @@ def _snapshot_files(
             seq = mf_seq if seq is None else int(seq)
             fmt = (df_.get("file_format") or "PARQUET").upper()
             content = int(df_.get("content") or 0)
-            if fmt not in ("PARQUET", "AVRO") or (
-                fmt == "AVRO" and content != 0
+            if fmt not in ("PARQUET", "AVRO", "ORC") or (
+                fmt != "PARQUET" and content != 0
             ):
                 raise NotImplementedError(
                     f"Iceberg {fmt} files are not supported by this "
-                    "jarless reader (parquet everywhere; avro for DATA "
-                    "files)"
+                    "jarless reader (parquet everywhere; avro/orc for "
+                    "DATA files)"
                 )
             rec = {
                 "path": _fs_path(df_["file_path"], table_path),
@@ -579,6 +582,36 @@ def read_iceberg(
         parts.append(_scan_avro_data(
             spark, meta, sorted(d["path"] for d in av_data), need_meta
         ))
+    orc_data = [d for d in data if d["fmt"] == "ORC"]
+    if orc_data:
+        # Spark reads ORC natively, but exposes no _metadata.row_index
+        # for it — position deletes address rows by in-file ordinal,
+        # which this relation cannot reconstruct; equality deletes only
+        # need the file path + its sequence number, which it can
+        if pos_del:
+            raise NotImplementedError(
+                "Iceberg position deletes over ORC data files are not "
+                "supported (Spark's ORC reader exposes no row_index); "
+                "parquet/avro data files only"
+            )
+        odf = spark.read.option("mergeSchema", "true").orc(
+            *sorted(d["path"] for d in orc_data)
+        )
+        missing_o = [
+            n for n in _current_field_names(meta).values()
+            if n not in odf.columns
+        ]
+        if missing_o:
+            raise NotImplementedError(
+                f"Iceberg current schema columns {missing_o} not "
+                "present in ORC data files by name — ORC field-id "
+                "mapping is not implemented"
+            )
+        if need_meta:
+            odf = odf.withColumn("__i_path", _scan_path_col()).withColumn(
+                "__i_pos", F.lit(None).cast("long")
+            )
+        parts.append(odf)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)

@@ -648,14 +648,31 @@ def test_iceberg_avro_data_files(spark, tmp_path):
     got2 = [(r["k"], r["v"])
             for r in read_iceberg(spark, root2).collect()]
     assert got2 == [(9, 9.0)]
-    # ORC stays a loud gate
+    # ORC data files read through Spark's native ORC reader; position
+    # deletes over ORC gate loudly (no row_index in ORC _metadata)
     root3 = str(tmp_path / "ice_orc")
+    stage = str(tmp_path / "orc_stage")
+    spark.createDataFrame(
+        [(7, 7.0)], "k long, v double"
+    ).coalesce(1).write.mode("overwrite").orc(stage)
     d3 = os.path.join(root3, "data", "f1.orc")
     os.makedirs(os.path.dirname(d3), exist_ok=True)
-    open(d3, "wb").write(b"ORC")
+    import shutil as _sh
+
+    src = [n for n in os.listdir(stage) if n.endswith(".orc")][0]
+    _sh.copy(os.path.join(stage, src), d3)
     m3 = _manifest(root3, "m1.avro", [entry(d3, "ORC")])
     ml3 = _manifest_list(root3, "s1.avro", [(m3, 0, 1)])
     _write_metadata(root3, [_snap(1, 1_000, ml3)], current=1)
+    got3 = [(r["k"], r["v"]) for r in read_iceberg(spark, root3).collect()]
+    assert got3 == [(7, 7.0)]
+    # + a position delete targeting anything in an ORC table -> gate
+    pd3 = os.path.join(root3, "data", "del.parquet")
+    _pq({"file_path": [f"file://{d3}"], "pos": [0]}, pd3)
+    m4 = _manifest(root3, "m2.avro", [
+        entry(d3, "ORC"), entry(pd3, "PARQUET", content=1, seq=2)])
+    ml4 = _manifest_list(root3, "s2.avro", [(m4, 0, 1)])
+    _write_metadata(root3, [_snap(1, 1_000, ml4)], current=1)
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg(spark, root3)
 

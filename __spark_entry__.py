@@ -2725,6 +2725,15 @@ def _q_hudi_partitioned_read(spark, sf_dir):
         time_travel_format="HUDI", auto_compact_every=None,
     )
     fg.insert(orders, compute_stats=False)
+    # in-place upsert (same record identity) THROUGH the partitioned
+    # layout: the merge must resolve newest-per-key across partition
+    # directories, not just scan them
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 10 == 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        compute_stats=False,
+    )
     q = fg.select(
         ["o_orderkey", "o_totalprice", "o_orderstatus"]
     ).filter(fg.o_orderstatus == "F")
@@ -2751,6 +2760,14 @@ def _q_iceberg_partitioned_read(spark, sf_dir):
         time_travel_format="ICEBERG", auto_compact_every=None,
     )
     fg.insert(orders, compute_stats=False)
+    # in-place upsert through the partitioned manifest/scan layout
+    # (distinct modulus/factor from the HUDI twin)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 12 == 5).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 7
+        ),
+        compute_stats=False,
+    )
     q = fg.select(
         ["o_orderkey", "o_totalprice", "o_orderstatus"]
     ).filter(fg.o_orderstatus == "O")
@@ -4836,11 +4853,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 5 = 2
         """,
         "hudi_partitioned_read": """
-            SELECT o_orderkey, o_totalprice, o_orderstatus
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 3
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
             FROM orders WHERE o_orderstatus = 'F'
         """,
         "iceberg_partitioned_read": """
-            SELECT o_orderkey, o_totalprice, o_orderstatus
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 12 = 5 THEN o_totalprice * 7
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
             FROM orders WHERE o_orderstatus = 'O'
         """,
         "iceberg_renamed_read": """

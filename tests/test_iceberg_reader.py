@@ -677,6 +677,110 @@ def test_iceberg_avro_data_files(spark, tmp_path):
         read_iceberg(spark, root3)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(  # data files: (seq, [keys])
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=4),
+        ),
+        min_size=1, max_size=4,
+    ),
+    dels=st.lists(  # equality-delete files: (seq, [keys])
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=3),
+        ),
+        min_size=0, max_size=4,
+    ),
+)
+def test_iceberg_equality_delete_property(spark, tmp_path_factory, data, dels):
+    """Property pin of the spec's scan-planning rule against a
+    pure-Python oracle: a row survives iff NO equality delete with a
+    STRICTLY larger sequence number matches its key — across arbitrary
+    mixes of data/delete files and sequence numbers, including several
+    delete files of the same signature (exercising the fold)."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path_factory.mktemp("ice_prop"))
+    # python oracle: multiset of surviving (key, data_seq) rows
+    expected = sorted(
+        (k, dseq)
+        for dseq, keys in data
+        for k in keys
+        if not any(eseq > dseq and k in ekeys for eseq, ekeys in dels)
+    )
+    entries = []
+    for i, (seq, keys) in enumerate(data):
+        p = os.path.join(root, "data", f"f{i}.parquet")
+        _pq({"k": keys, "s": [seq] * len(keys)}, p)
+        entries.append(_entry(p, seq=seq))
+    for i, (seq, keys) in enumerate(dels):
+        p = os.path.join(root, "data", f"e{i}.parquet")
+        _pq({"k": keys}, p)
+        entries.append(_entry(p, content=2, seq=seq, eq_ids=[1]))
+    m1 = _manifest(root, "m1.avro", entries)
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32,
+        "location": f"file://{root}", "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": True, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "long"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "manifest-list": f"file://{ml}"}],
+    }
+    md = os.path.join(root, "metadata")
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = sorted(
+        (r["k"], r["s"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == expected
+
+
+def test_iceberg_backend_vacuum_partitioned_layout(spark, tmp_path):
+    """drop_commit on a PARTITIONED Iceberg backend removes exactly the
+    doomed commit's files across every <col>=<val> directory and
+    retires emptied dirs; the surviving snapshot is unchanged."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "ib_vac_part", primary_key=["k"], event_time="ts",
+        partition_key=["part"], time_travel_format="ICEBERG",
+        auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, "a", 1.0), (2, 10, "b", 2.0)],
+        "k long, ts long, part string, v double"))
+    # same (pk, event_time, partition) record identity -> in-place upsert
+    fg.insert(spark.createDataFrame(
+        [(1, 10, "a", 11.0)], "k long, ts long, part string, v double"))
+    before = sorted(
+        (r["k"], r["v"]) for r in fg.read(spark).collect()
+    )
+    fg.commit_store.compact(spark)
+    fg.commit_store.vacuum(retain_hours=0.0)
+    after = sorted(
+        (r["k"], r["v"]) for r in fg.read(spark).collect()
+    )
+    assert after == before == [(1, 11.0), (2, 2.0)]
+
+
 def test_iceberg_backend_metadata_spec_required_keys(spark, tmp_path):
     """Every metadata version must carry the keys TableMetadataParser
     and pyiceberg REQUIRE for v2 (last-column-id, last-updated-ms,

@@ -35,6 +35,7 @@ class EmbeddingFeature:
         name: str,
         dimension: int,
         similarity_function_type: str = SimilarityFunctionType.L2,
+        model=None,
     ) -> None:
         if similarity_function_type not in SimilarityFunctionType._METRIC:
             raise ValueError(
@@ -44,6 +45,14 @@ class EmbeddingFeature:
         self.name = name
         self.dimension = int(dimension)
         self.similarity_function_type = similarity_function_type
+        #: optional registry Model that PRODUCES this embedding column
+        #: (reference embedding.py model/get_model provenance)
+        self.model = model
+
+    def get_model(self):
+        """The registry model this embedding column came from, or None
+        (parity ``embedding.py`` ``get_model``/``model``)."""
+        return self.model
 
     @property
     def metric(self) -> str:
@@ -83,11 +92,20 @@ class EmbeddingIndex:
         name: str,
         dimension: int,
         similarity_function_type: str = SimilarityFunctionType.L2,
+        model=None,
     ) -> None:
         """Parity ``embedding.py`` ``add_embedding``."""
         self._features[name] = EmbeddingFeature(
-            name, dimension, similarity_function_type
+            name, dimension, similarity_function_type, model=model
         )
+
+    def count(self, spark, feature_group) -> int:
+        """Number of vectors in the index — the reference's
+        ``embedding.py count`` (vector_db_client.count twin): rows of
+        the bound feature group's current snapshot."""
+        from .operators.similarity import index_count
+
+        return index_count(feature_group.read(spark))
 
     def get_embedding(self, name: str) -> Optional[EmbeddingFeature]:
         return self._features.get(name)

@@ -307,6 +307,14 @@ class FeatureStore:
             raise TypeError(f"{name!r} v{version} is not an external feature group")
         return fg
 
+    def get_on_demand_feature_group(self, name: str, version: int = 1):
+        """Deprecated reference alias (feature_store.py
+        get_on_demand_feature_group) for external feature groups."""
+        return self.get_external_feature_group(name, version)
+
+    def get_on_demand_feature_groups(self, name: str):
+        return self.get_external_feature_groups(name)
+
     def get_external_feature_groups(self, name: str) -> List[ExternalFeatureGroup]:
         name = autofix_feature_name(name)
         return [

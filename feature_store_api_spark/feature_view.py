@@ -920,6 +920,11 @@ class FeatureView:
 
     # -- training-dataset lifecycle (parity feature_view.py create_*/
     # get_*/delete_*/purge_* training data family) -------------------------
+    def create_training_data(self, spark: SparkSession, **kw) -> dict:
+        """Reference-named alias (feature_view.py create_training_data):
+        materialize the single-split training dataset."""
+        return self.create_training_dataset(spark, **kw)
+
     def create_train_test_split(
         self,
         spark: SparkSession,

@@ -752,6 +752,35 @@ def test_hudi_incremental_mor_prune_spares_uncompacted_group(
     assert snap == [(1, 1.0), (2, 4.0)]
 
 
+def test_streaming_insert_into_hudi_fg(spark, tmp_path):
+    """insert_stream into a time_travel_format='HUDI' group: each
+    micro-batch lands as one completed timeline instant; the table
+    stays externally readable (jarless snapshot read)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+    from feature_store_api_spark.streaming.insert_stream import insert_stream
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "shudi", primary_key=["pk"], event_time="ts",
+        time_travel_format="HUDI", auto_compact_every=None,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0)], "pk long, ts long, v double"
+    ).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("pk long, ts long, v double").parquet(src)
+    insert_stream(
+        fg, sdf, trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ck"),
+        await_termination=True, timeout=120,
+    )
+    assert sorted(r["pk"] for r in fg.read(spark).collect()) == [1, 2]
+    meta = os.path.join(fg.location, ".hoodie")
+    assert any(n.endswith(".commit") for n in os.listdir(meta))
+    assert read_hudi(spark, fg.location).count() == 2
+
+
 def test_hudi_mor_parquet_log_block(spark, tmp_path):
     """PARQUET data blocks (hoodie.logfile.data.block.format=parquet;
     content = a complete in-memory parquet file) decode jarlessly and

@@ -373,6 +373,41 @@ def test_iceberg_read_pushes_filters_and_broadcasts_deletes(spark, tmp_path):
     assert got == list(range(51, 100))
 
 
+def test_iceberg_avro_scan_is_one_spec_exchange(spark, tmp_path):
+    """The avro-data-file scan is the DBAPI shape: one spec frame of
+    file paths repartitioned once into mapInPandas — no driver decode,
+    no extra exchange, no join in the avro-only path."""
+    import os
+
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+    from tests.test_iceberg_reader import (
+        _entry, _manifest, _manifest_list, _snap, _write_metadata,
+    )
+
+    root = str(tmp_path / "ice_avro_plan")
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "double"], "default": None}]}
+    entries = []
+    for i in range(3):
+        p = os.path.join(root, "data", f"f{i}.avro")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            _write_ocf(iter([{"k": i, "v": float(i)}]), schema, fh)
+        e = _entry(p, seq=1)
+        e["data_file"]["file_format"] = "AVRO"
+        entries.append(e)
+    m1 = _manifest(root, "m1.avro", entries)
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    df = read_iceberg(spark, root)
+    assert sorted(r["k"] for r in df.collect()) == [0, 1, 2]
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    assert "CartesianProduct" not in final
+
+
 def test_dbapi_read_partitions_match_spec(spark, tmp_path):
     """The DBAPI source's parallelism is the partition-spec frame:
     num_partitions tasks, one range predicate each, no extra exchange

@@ -270,6 +270,67 @@ def remove_repeated_paragraphs(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 5,
+    min_stopword_ratio: float = 0.0,
+    max_symbol_ratio: float = 0.30,
+    stopwords: Optional[Sequence[str]] = None,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """jusText-style INTRA-document boilerplate removal: classify each
+    paragraph by its own shape — word count, stopword density, symbol
+    (non-letter) density — and keep only content-like paragraphs
+    (jusText's context-free classifier; corpus.tools/wiki/Justext).
+    Complements :func:`remove_repeated_paragraphs` (C4's CORPUS-level
+    exact-repeat rule): nav bars, "© 2024 …" footers and link lists
+    fall to this even when they appear once. Returns
+    ``(id_col, <text_col>_clean, n_kept, n_removed)``.
+
+    Scale shape: entirely MAP-SIDE — the paragraph array is split,
+    classified and re-joined with higher-order functions inside one
+    projection (whole-stage codegen, zero shuffles, zero UDFs), so it
+    composes with any downstream op at scan speed; there is no
+    corpus-wide state, unlike the repeated-paragraph variant."""
+    sw = [w.lower() for w in (stopwords or _LANG_MARKERS["en"])]
+
+    def words_of(p: Column) -> Column:
+        return F.filter(
+            F.split(F.lower(p), r"[^\p{L}\p{N}']+"),
+            lambda w: F.length(w) > 0,
+        )
+
+    def keep(p: Column) -> Column:
+        ws = words_of(p)
+        wc = F.size(ws)
+        sw_n = F.size(F.filter(ws, lambda w: w.isin(*sw)))
+        # share of non-letter, non-whitespace characters (| © • digits
+        # in menus/footers push this up; prose stays low)
+        symbols = F.length(
+            F.regexp_replace(p, r"[\p{L}\s]", "")
+        )
+        sym_ratio = symbols / F.greatest(F.length(p), F.lit(1))
+        return (
+            (wc >= F.lit(int(min_words)))
+            & (sym_ratio <= F.lit(float(max_symbol_ratio)))
+            & (
+                (sw_n / F.greatest(wc, F.lit(1)))
+                >= F.lit(float(min_stopword_ratio))
+            )
+        )
+
+    paras = F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+    kept = F.filter(paras, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, delimiter).alias(f"{text_col}_clean"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(paras) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark)
 # and RE2 (DuckDB/production scanners): no alternation, greedy
 # character classes only, so leftmost-first and leftmost-longest agree.

@@ -40,6 +40,40 @@ def test_remove_repeated_paragraphs(spark):
     assert got[1] == "z\na" and got[2] == "q"
 
 
+def test_strip_boilerplate(spark):
+    """jusText-style intra-document classifier: short menus, high-symbol
+    footers and stopword-free link lists drop even though they occur
+    ONCE in the corpus; prose paragraphs survive with order intact —
+    and the plan is a single map-side projection (no shuffle)."""
+    from feature_store_api_spark.operators.text import strip_boilerplate
+
+    prose1 = "the quick brown fox jumps over the lazy dog for fun"
+    prose2 = "it is a truth universally acknowledged that data is messy"
+    rows = [
+        (1, f"Home | About | Contact\n{prose1}\n© 2024 Corp. "
+            "All-rights-reserved. ®™\n" + prose2),
+        (2, "Menu\nLogin\n" + prose1),
+        (3, "\n".join([prose1, prose2])),  # pure prose
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(
+            df, "text", "doc_id", min_stopword_ratio=0.1
+        ).collect()
+    }
+    assert out[1]["text_clean"] == f"{prose1}\n{prose2}"
+    assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == prose1 and out[2]["n_removed"] == 2
+    assert out[3]["n_removed"] == 0
+    # map-side only: no exchange in the plan
+    plan = (
+        strip_boilerplate(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [

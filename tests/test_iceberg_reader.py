@@ -781,6 +781,54 @@ def test_iceberg_backend_vacuum_partitioned_layout(spark, tmp_path):
     assert after == before == [(1, 11.0), (2, 2.0)]
 
 
+def test_iceberg_backend_concurrent_writers_put_if_absent(spark, tmp_path):
+    """Two writers committing concurrently both land: the PUT-IF-ABSENT
+    metadata version (os.link) makes the loser rebuild against the new
+    head and retry — no clobbered snapshot, sequential versions, both
+    commits' rows in the final table (the optimistic-concurrency
+    contract real Iceberg catalogs provide)."""
+    import threading
+
+    from feature_store_api_spark.sources.commit_store import (
+        COMMIT_COL, OP_COL,
+    )
+    from feature_store_api_spark.sources.iceberg_backend import (
+        IcebergBackend,
+    )
+
+    loc = str(tmp_path / "race")
+    backend = IcebergBackend(loc)
+    errs = []
+
+    def commit(ct, keys):
+        try:
+            df = spark.createDataFrame(
+                [(k, ct, "upsert") for k in keys],
+                f"k long, {COMMIT_COL} long, {OP_COL} string",
+            ).coalesce(1)
+            backend.append_commit(df, [COMMIT_COL])
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=commit, args=(1000 + i, [10 * i, 10 * i + 1]))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    _v, meta = backend._current_meta()
+    snaps = meta["snapshots"]
+    assert len(snaps) == 3
+    assert [s["sequence-number"] for s in snaps] == [1, 2, 3]
+    got = sorted(r["k"] for r in backend.scan(spark).collect())
+    assert got == sorted(
+        [10 * i for i in range(3)] + [10 * i + 1 for i in range(3)]
+    )
+
+
 def test_iceberg_backend_metadata_spec_required_keys(spark, tmp_path):
     """Every metadata version must carry the keys TableMetadataParser
     and pyiceberg REQUIRE for v2 (last-column-id, last-updated-ms,

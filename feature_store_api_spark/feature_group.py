@@ -362,11 +362,15 @@ class FeatureGroup(FeatureGroupBase):
         write_options: Optional[Dict[str, Any]] = None,
         compute_stats: bool = True,
         parents: Optional[Sequence] = None,
+        overwrite: bool = False,
     ) -> "FeatureGroupCommit":
         """Ingest a DataFrame (parity ``feature_group.py:2623`` →
         ``engine/spark.py:349-396``). Infers/validates schema, sanitizes
         names, writes a commit (upsert/delete semantics in the commit
-        store).
+        store). ``overwrite=True`` is the reference's truncate-and-insert
+        (``insert(overwrite=True)`` → Hudi ``insert_overwrite_table`` /
+        SaveMode.Overwrite): the commit replaces the visible snapshot,
+        while ``as_of`` below it keeps working until vacuum.
 
         Provenance: the ingested frame's physical plan is matched
         against the store's managed feature-group locations and any hit
@@ -418,7 +422,9 @@ class FeatureGroup(FeatureGroupBase):
                 raise
             self._record_validation(report)
         commit = self.commit_store.write(
-            df, operation=operation, compute_stats=compute_stats
+            df,
+            operation="overwrite" if overwrite else operation,
+            compute_stats=compute_stats,
         )
         if self.online_enabled:
             from .online.store import OnlineStore

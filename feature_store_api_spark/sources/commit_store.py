@@ -175,7 +175,9 @@ class CommitStore:
         snapshot (parity ``core/delta_engine.py:172-204``); pass
         ``compute_stats=False`` to skip that extra job on huge writes.
         """
-        if operation not in ("upsert", "insert", "bulk_insert", "delete"):
+        if operation not in (
+            "upsert", "insert", "bulk_insert", "delete", "overwrite"
+        ):
             raise ValueError(f"Unknown operation {operation!r}")
         spark = df.sparkSession
         missing = [k for k in self.record_key if k not in df.columns]
@@ -186,7 +188,10 @@ class CommitStore:
         inserted = updated = deleted = 0
         if compute_stats:
             n = df.count()
-            prior = self.snapshot_or_none(spark)
+            prior = (
+                None if operation == "overwrite"
+                else self.snapshot_or_none(spark)
+            )
             if operation == "delete":
                 deleted = n
             elif prior is None:
@@ -217,6 +222,12 @@ class CommitStore:
             rows_inserted=inserted,
             rows_updated=updated,
             rows_deleted=deleted,
+            # an OVERWRITE is a truncate-and-insert (the reference's
+            # insert(overwrite=True) -> Hudi insert_overwrite_table):
+            # marking it base= makes snapshot reads prune everything
+            # older, exactly like a compaction base — while as_of time
+            # travel below it keeps working until vacuum
+            base=(operation == "overwrite"),
             extra=extra or {},
         )
         self._append_log(commit)
@@ -347,12 +358,16 @@ class CommitStore:
             if bases:
                 df = df.where(F.col(COMMIT_COL) >= max(bases))
         else:
-            # incremental pull: base commits are rewrites, not changes —
-            # including one would report the whole table as changed.
-            # Delta partitions survive compaction, so excluding bases
-            # leaves exactly the real changes (partition-prunable NOT IN).
+            # incremental pull: COMPACTION bases are rewrites, not
+            # changes — including one would report the whole table as
+            # changed. Delta partitions survive compaction, so excluding
+            # them leaves exactly the real changes (partition-prunable
+            # NOT IN). An OVERWRITE base is different: its rows ARE new
+            # data (Hudi's insert_overwrite shows in incremental reads),
+            # so it stays in the window.
             base_times = [
-                c["commit_time"] for c in log if c.get("base")
+                c["commit_time"] for c in log
+                if c.get("base") and c.get("operation") == "compaction"
             ]
             if base_times:
                 df = df.where(~F.col(COMMIT_COL).isin(base_times))

@@ -548,3 +548,49 @@ def test_cluster_by_sorts_row_groups_for_data_skipping(spark, tmp_path):
     fresh = FeatureStore(root=str(tmp_path)).get_feature_group("clustered")
     assert fresh.cluster_by == ["ts"]
     assert fresh.commit_store.cluster_by == ["ts"]
+
+
+def test_insert_overwrite_truncates_snapshot_keeps_time_travel(spark, tmp_path):
+    """insert(overwrite=True) is the reference's truncate-and-insert
+    (Hudi insert_overwrite_table): the visible snapshot becomes exactly
+    the new rows — dropped keys do NOT survive — while as_of below the
+    overwrite still time-travels, incremental pulls report the
+    overwrite's rows as changes (unlike compaction bases), and vacuum
+    retires the pre-overwrite history."""
+    import time as _time
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "ow", primary_key=["k"], event_time="ts", auto_compact_every=None
+    )
+    c1 = fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)],
+        "k long, ts long, v double"))
+    c2 = fg.insert(
+        spark.createDataFrame([(9, 20, 9.0)], "k long, ts long, v double"),
+        overwrite=True,
+    )
+    rows = sorted((r["k"], r["v"]) for r in fg.read(spark).collect())
+    assert rows == [(9, 9.0)]  # truncated: 1,2,3 gone
+    # time travel below the overwrite still works
+    pre = sorted(r["k"] for r in fg.as_of(c1.commit_time).read(spark).collect())
+    assert pre == [1, 2, 3]
+    # commit metadata: an overwrite commit, counted as inserts
+    details = {c["commit_time"]: c for c in fg.commit_store.commit_details()}
+    assert details[c2.commit_time]["operation"] == "overwrite"
+    assert details[c2.commit_time]["rows_inserted"] == 1
+    # incremental pull ACROSS the overwrite sees its rows as changes
+    now = int(_time.time() * 1000) + 10_000
+    pulled = sorted(
+        r["k"] for r in
+        fg.select_all().pull_changes(c1.commit_time + 1, now).read(spark).collect()
+    )
+    assert pulled == [9]
+    # later upserts keep working on top of the overwrite
+    fg.insert(spark.createDataFrame([(9, 20, 99.0)], "k long, ts long, v double"))
+    assert [(r["k"], r["v"]) for r in fg.read(spark).collect()] == [(9, 99.0)]
+    # vacuum retires the truncated history; the snapshot is unchanged
+    fg.commit_store.vacuum(retain_hours=0.0)
+    assert [(r["k"], r["v"]) for r in fg.read(spark).collect()] == [(9, 99.0)]

@@ -363,7 +363,8 @@ class FeatureGroup(FeatureGroupBase):
         compute_stats: bool = True,
         parents: Optional[Sequence] = None,
         overwrite: bool = False,
-    ) -> "FeatureGroupCommit":
+        storage: Optional[str] = None,
+    ) -> "Optional[FeatureGroupCommit]":
         """Ingest a DataFrame (parity ``feature_group.py:2623`` →
         ``engine/spark.py:349-396``). Infers/validates schema, sanitizes
         names, writes a commit (upsert/delete semantics in the commit
@@ -421,12 +422,23 @@ class FeatureGroup(FeatureGroupBase):
                 self._record_validation(e.report)
                 raise
             self._record_validation(report)
-        commit = self.commit_store.write(
-            df,
-            operation="overwrite" if overwrite else operation,
-            compute_stats=compute_stats,
-        )
-        if self.online_enabled:
+        if storage not in (None, "online", "offline"):
+            raise ValueError(
+                f"storage must be 'online', 'offline' or None, got "
+                f"{storage!r}"
+            )
+        if storage == "online" and not self.online_enabled:
+            raise ValueError(
+                "storage='online' requires an online-enabled feature group"
+            )
+        commit = None
+        if storage != "online":
+            commit = self.commit_store.write(
+                df,
+                operation="overwrite" if overwrite else operation,
+                compute_stats=compute_stats,
+            )
+        if self.online_enabled and storage != "offline":
             from .online.store import OnlineStore
 
             OnlineStore.for_feature_group(self).upsert(df)

@@ -353,3 +353,44 @@ def test_external_fg_online_only_insert_and_serving(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="online_enabled"):
         fg2.insert(spark.createDataFrame([(1, 0.9)], "uid long, score double"))
+
+
+def test_insert_storage_targets(spark, tmp_path):
+    """insert(storage=...) routes the write (reference feature_group.py
+    insert storage kwarg): 'online' skips the offline commit log,
+    'offline' skips the online store, None feeds both."""
+    import pytest
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "st", primary_key=["k"], event_time="ts", online_enabled=True,
+        auto_compact_every=None,
+    )
+    c = fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0)], "k long, ts long, v double"))
+    assert c is not None
+    # online-only: serving sees the new value, offline does not
+    assert fg.insert(
+        spark.createDataFrame([(1, 10, 9.0)], "k long, ts long, v double"),
+        storage="online",
+    ) is None
+    from feature_store_api_spark.online.store import OnlineStore
+
+    ov = OnlineStore.for_feature_group(fg).get_feature_vector(
+        spark, {"k": 1})
+    assert ov["v"] == 9.0
+    assert [(r["k"], r["v"]) for r in fg.read(spark).collect()] == [(1, 1.0)]
+    # offline-only: the commit lands, online keeps the old value
+    c2 = fg.insert(
+        spark.createDataFrame([(1, 10, 5.0)], "k long, ts long, v double"),
+        storage="offline",
+    )
+    assert c2 is not None
+    assert [(r["k"], r["v"]) for r in fg.read(spark).collect()] == [(1, 5.0)]
+    assert OnlineStore.for_feature_group(fg).get_feature_vector(
+        spark, {"k": 1})["v"] == 9.0
+    with pytest.raises(ValueError, match="storage"):
+        fg.insert(spark.createDataFrame(
+            [(1, 10, 1.0)], "k long, ts long, v double"), storage="nope")

@@ -116,12 +116,22 @@ def resolve_iceberg_snapshot(
     meta: Dict,
     snapshot_id: Optional[int] = None,
     timestamp_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> Dict:
-    """Pick the snapshot: explicit id, else latest at-or-before the
-    timestamp (epoch millis), else the current snapshot."""
+    """Pick the snapshot: explicit id, a named ``ref`` (branch or tag
+    from the metadata's ``refs`` map, per the spec's snapshot
+    references section), else latest at-or-before the timestamp (epoch
+    millis), else the current snapshot."""
     snaps = list(meta.get("snapshots") or [])
     if not snaps:
         raise ValueError("Iceberg table has no snapshots")
+    if ref is not None:
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"Iceberg ref {ref!r} not found (known: {sorted(refs)})"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     if snapshot_id is not None:
         for s in snaps:
             if int(s["snapshot-id"]) == int(snapshot_id):
@@ -526,9 +536,11 @@ def read_iceberg(
     snapshot_id: Optional[int] = None,
     timestamp_ms: Optional[int] = None,
     hive_partition_base: Optional[str] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
     """Read an Iceberg table directory as a DataFrame — current
-    snapshot, an explicit ``snapshot_id``, or time travel to the latest
+    snapshot, an explicit ``snapshot_id``, a named branch/tag ``ref``
+    (the spec's snapshot references), or time travel to the latest
     snapshot at-or-before ``timestamp_ms``.
 
     ``hive_partition_base`` opts into Spark hive-style partition
@@ -539,7 +551,7 @@ def read_iceberg(
     layer on top of the manifest-level pruning external planners get."""
     path = os.path.abspath(path)
     meta = _read_table_metadata(path)
-    snap = resolve_iceberg_snapshot(meta, snapshot_id, timestamp_ms)
+    snap = resolve_iceberg_snapshot(meta, snapshot_id, timestamp_ms, ref)
     data, pos_del, eq_del = _snapshot_files(meta, snap, path)
     if not data:
         # empty snapshot: derive the schema from the current metadata

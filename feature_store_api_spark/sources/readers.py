@@ -238,16 +238,18 @@ def read(
             spark, path, as_of_instant=opts.get("as.of.instant")
         )
     if fmt == "iceberg":
-        # jarless Iceberg v1/v2 reader (snapshot-id / as-of-timestamp —
-        # the same option names iceberg-spark exposes)
+        # jarless Iceberg v1/v2 reader (snapshot-id / as-of-timestamp /
+        # branch / tag — the same option names iceberg-spark exposes)
         from .iceberg_reader import read_iceberg
 
         sid = opts.get("snapshot-id")
         ts = opts.get("as-of-timestamp")
+        ref = opts.get("branch") or opts.get("tag")
         return read_iceberg(
             spark, path,
             snapshot_id=int(sid) if sid is not None else None,
             timestamp_ms=int(ts) if ts is not None else None,
+            ref=ref,
         )
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:

@@ -144,6 +144,43 @@ def test_iceberg_snapshot_and_time_travel(spark, tmp_path):
         read_iceberg(spark, root, snapshot_id=99)
 
 
+def test_iceberg_ref_branch_and_tag(spark, tmp_path):
+    """Named refs (spec: snapshot references): read_iceberg(ref=...)
+    resolves branches and tags from the metadata refs map; unknown
+    refs error with the known names."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_refs")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [1], "v": [1.0]}, d1)
+    _pq({"k": [2], "v": [2.0]}, d2)
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    m2 = _manifest(root, "m2.avro", [_entry(d1, seq=1), _entry(d2, seq=2)])
+    ml1 = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    ml2 = _manifest_list(root, "s2.avro", [(m2, 0, 2)])
+    _write_metadata(
+        root, [_snap(10, 1_000, ml1), _snap(20, 2_000, ml2)], current=20
+    )
+    # splice refs into the metadata json
+    md = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(md))
+    meta["refs"] = {
+        "main": {"snapshot-id": 20, "type": "branch"},
+        "v1-audit": {"snapshot-id": 10, "type": "tag"},
+    }
+    json.dump(meta, open(md, "w"))
+
+    assert sorted(
+        r["k"] for r in read_iceberg(spark, root, ref="main").collect()
+    ) == [1, 2]
+    assert sorted(
+        r["k"] for r in read_iceberg(spark, root, ref="v1-audit").collect()
+    ) == [1]
+    with pytest.raises(ValueError, match="v1-audit"):
+        read_iceberg(spark, root, ref="nope")
+
+
 def test_iceberg_position_deletes(spark, tmp_path):
     """v2 position-delete files strip exactly the referenced
     (file, row) pairs — the _metadata.row_index anti-join."""

@@ -231,9 +231,22 @@ def read(
             timestamp=int(ts) if ts is not None else None,
         )
     if fmt == "hudi":
-        # jarless Hudi reader, COW + MOR (snapshot / as.of.instant)
-        from .hudi_reader import read_hudi
+        # jarless Hudi reader, COW + MOR: snapshot / as.of.instant, and
+        # the incremental query type with begin/end instant options —
+        # the same option names hudi-spark exposes
+        from .hudi_reader import hudi_incremental, read_hudi
 
+        if opts.get("hoodie.datasource.query.type") == "incremental":
+            begin = opts.get("hoodie.datasource.read.begin.instanttime")
+            if begin is None:
+                raise ValueError(
+                    "incremental Hudi reads need "
+                    "hoodie.datasource.read.begin.instanttime"
+                )
+            return hudi_incremental(
+                spark, path, begin,
+                opts.get("hoodie.datasource.read.end.instanttime"),
+            )
         return read_hudi(
             spark, path, as_of_instant=opts.get("as.of.instant")
         )

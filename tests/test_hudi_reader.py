@@ -752,6 +752,42 @@ def test_hudi_incremental_mor_prune_spares_uncompacted_group(
     assert snap == [(1, 1.0), (2, 4.0)]
 
 
+def test_generic_reader_hudi_incremental_options(spark, tmp_path):
+    """readers.read(format='hudi') honors hudi-spark's option names:
+    snapshot + as.of.instant, and query.type=incremental with
+    begin/end instant times."""
+    import pytest as _pytest
+
+    from feature_store_api_spark.sources.readers import read
+
+    root = str(tmp_path / "gen_hudi")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    _pq({"k": [1], "v": [1.0]},
+        os.path.join(root, "dt=1", "fg-a_0-1-0_100.parquet"))
+    _commit(meta, "100")
+    _pq({"k": [2], "v": [2.0]},
+        os.path.join(root, "dt=1", "fg-b_0-1-0_200.parquet"))
+    _commit(meta, "200")
+
+    snap = read(spark, "hudi", path=root)
+    assert sorted(r["k"] for r in snap.collect()) == [1, 2]
+    asof = read(spark, "hudi", path=root,
+                options={"as.of.instant": "100"})
+    assert sorted(r["k"] for r in asof.collect()) == [1]
+    inc = read(spark, "hudi", path=root, options={
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": "100",
+        "hoodie.datasource.read.end.instanttime": "200",
+    })
+    assert sorted(r["k"] for r in inc.collect()) == [2]
+    with _pytest.raises(ValueError, match="begin.instanttime"):
+        read(spark, "hudi", path=root,
+             options={"hoodie.datasource.query.type": "incremental"})
+
+
 def test_streaming_insert_into_hudi_fg(spark, tmp_path):
     """insert_stream into a time_travel_format='HUDI' group: each
     micro-batch lands as one completed timeline instant; the table

@@ -252,9 +252,17 @@ def read(
         )
     if fmt == "iceberg":
         # jarless Iceberg v1/v2 reader (snapshot-id / as-of-timestamp /
-        # branch / tag — the same option names iceberg-spark exposes)
-        from .iceberg_reader import read_iceberg
+        # branch / tag / start-snapshot-id incremental — the same
+        # option names iceberg-spark exposes)
+        from .iceberg_reader import iceberg_incremental, read_iceberg
 
+        start = opts.get("start-snapshot-id")
+        if start is not None:
+            end = opts.get("end-snapshot-id")
+            return iceberg_incremental(
+                spark, path, int(start),
+                int(end) if end is not None else None,
+            )
         sid = opts.get("snapshot-id")
         ts = opts.get("as-of-timestamp")
         ref = opts.get("branch") or opts.get("tag")

@@ -181,6 +181,59 @@ def test_iceberg_ref_branch_and_tag(spark, tmp_path):
         read_iceberg(spark, root, ref="nope")
 
 
+def test_generic_reader_iceberg_options(spark, tmp_path):
+    """readers.read(format='iceberg') honors iceberg-spark's option
+    names: snapshot-id, as-of-timestamp, branch/tag, and the
+    start-/end-snapshot-id incremental scan."""
+    from feature_store_api_spark.sources.readers import read
+
+    root = str(tmp_path / "gen_ice")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq({"k": [1], "v": [1.0]}, d1)
+    _pq({"k": [2], "v": [2.0]}, d2)
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    m2 = _manifest(root, "m2.avro", [_entry(d2, seq=2)])
+
+    def mlist(name, manifests):
+        p = os.path.join(root, "metadata", name)
+        _ocf(p, [
+            {"manifest_path": f"file://{mp}",
+             "manifest_length": os.path.getsize(mp),
+             "content": 0, "sequence_number": seq,
+             "added_snapshot_id": added}
+            for (mp, seq, added) in manifests
+        ], MANIFEST_FILE_SCHEMA_V2)
+        return p
+
+    ml1 = mlist("s1.avro", [(m1, 1, 10)])
+    ml2 = mlist("s2.avro", [(m1, 1, 10), (m2, 2, 20)])
+    snaps = [
+        {"snapshot-id": 10, "timestamp-ms": 1000,
+         "manifest-list": f"file://{ml1}",
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 20, "timestamp-ms": 2000,
+         "parent-snapshot-id": 10, "manifest-list": f"file://{ml2}",
+         "summary": {"operation": "append"}},
+    ]
+    _write_metadata(root, snaps, current=20)
+    md = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(md))
+    meta["refs"] = {"audit": {"snapshot-id": 10, "type": "tag"}}
+    json.dump(meta, open(md, "w"))
+
+    assert read(spark, "iceberg", path=root).count() == 2
+    assert read(spark, "iceberg", path=root,
+                options={"snapshot-id": "10"}).count() == 1
+    assert read(spark, "iceberg", path=root,
+                options={"as-of-timestamp": "1500"}).count() == 1
+    assert read(spark, "iceberg", path=root,
+                options={"tag": "audit"}).count() == 1
+    inc = read(spark, "iceberg", path=root, options={
+        "start-snapshot-id": "10", "end-snapshot-id": "20"})
+    assert [r["k"] for r in inc.collect()] == [2]
+
+
 def test_iceberg_position_deletes(spark, tmp_path):
     """v2 position-delete files strip exactly the referenced
     (file, row) pairs — the _metadata.row_index anti-join."""

@@ -788,6 +788,37 @@ def test_generic_reader_hudi_incremental_options(spark, tmp_path):
              options={"hoodie.datasource.query.type": "incremental"})
 
 
+def test_external_fg_over_hudi_table(spark, tmp_path):
+    """An ExternalFeatureGroup with data_format='hudi' reads an
+    existing Hudi table through the connector path — the reference's
+    headline format as an EXTERNAL source, not just a backend."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.connectors import StorageConnector
+
+    root = str(tmp_path / "htbl")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    _pq({"k": [1, 2], "v": [10.0, 20.0]},
+        os.path.join(root, "dt=1", "fg-a_0-1-0_100.parquet"))
+    _commit(meta, "100")
+    # COW rewrite: external read must see only the newest generation
+    _pq({"k": [1, 2], "v": [11.0, 20.0]},
+        os.path.join(root, "dt=1", "fg-a_0-2-0_200.parquet"))
+    _commit(meta, "200")
+    fs = FeatureStore(root=str(tmp_path / "store"))
+    conn = StorageConnector("lake")
+    fs.register_storage_connector(conn)
+    ext = fs.create_external_feature_group(
+        "ext_hudi", conn, path=root, data_format="hudi",
+        primary_key=["k"],
+    )
+    got = sorted((r["k"], r["v"]) for r in ext.read(spark).collect())
+    assert got == [(1, 11.0), (2, 20.0)]
+    assert ext.select(["k", "v"]).filter(ext.v > 15.0).read(spark).count() == 1
+
+
 def test_streaming_insert_into_hudi_fg(spark, tmp_path):
     """insert_stream into a time_travel_format='HUDI' group: each
     micro-batch lands as one completed timeline instant; the table

@@ -788,6 +788,43 @@ def test_generic_reader_hudi_incremental_options(spark, tmp_path):
              options={"hoodie.datasource.query.type": "incremental"})
 
 
+def test_hudi_backend_vacuum_partitioned_layout(spark, tmp_path):
+    """drop_commit on a PARTITIONED Hudi backend unlinks exactly the
+    doomed instant's file groups across every <col>=<val> directory,
+    retires emptied partition dirs, and never touches .hoodie; the
+    surviving snapshot is unchanged."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "hb_vac_part", primary_key=["k"], event_time="ts",
+        partition_key=["part"], time_travel_format="HUDI",
+        auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, "a", 1.0), (2, 10, "b", 2.0)],
+        "k long, ts long, part string, v double"))
+    fg.insert(spark.createDataFrame(
+        [(1, 10, "a", 11.0)], "k long, ts long, part string, v double"))
+    before = sorted((r["k"], r["v"]) for r in fg.read(spark).collect())
+    assert before == [(1, 11.0), (2, 2.0)]
+    fg.commit_store.compact(spark)
+    fg.commit_store.vacuum(retain_hours=0.0)
+    after = sorted((r["k"], r["v"]) for r in fg.read(spark).collect())
+    assert after == before
+    # timeline intact, partition dirs hold only the base instant's files
+    meta = os.path.join(fg.location, ".hoodie")
+    assert os.path.exists(os.path.join(meta, "hoodie.properties"))
+    live = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(fg.location)
+        for n in ns if n.endswith(".parquet")
+    ]
+    instants = {os.path.basename(p).rsplit("_", 1)[1][:-len(".parquet")]
+                for p in live}
+    assert len(instants) == 1  # only the compaction base remains
+
+
 def test_external_fg_over_hudi_table(spark, tmp_path):
     """An ExternalFeatureGroup with data_format='hudi' reads an
     existing Hudi table through the connector path — the reference's

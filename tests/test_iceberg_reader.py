@@ -871,6 +871,49 @@ def test_iceberg_backend_vacuum_partitioned_layout(spark, tmp_path):
     assert after == before == [(1, 11.0), (2, 2.0)]
 
 
+def test_iceberg_backend_typed_partition_values(spark, tmp_path):
+    """A non-string (long) partition key round-trips: the manifest
+    partition tuple carries a TYPED value (avro long, parsed back from
+    the hive dir token), the spec declares the identity field, and the
+    scan returns the column with its declared type."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.avro_container import (
+        read_ocf_bytes,
+    )
+    from feature_store_api_spark.sources.iceberg_reader import (
+        _read_table_metadata,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "ib_typed_part", primary_key=["k"], event_time="ts",
+        partition_key=["bucket"], time_travel_format="ICEBERG",
+        auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, 7, 1.0), (2, 10, 8, 2.0)],
+        "k long, ts long, bucket long, v double"))
+    meta = _read_table_metadata(fg.location)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["_commit_time", "bucket"]
+    ml = os.path.join(fg.location, next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )["manifest-list"])
+    with open(ml, "rb") as fh:
+        _s, mrows = read_ocf_bytes(fh.read())
+    vals = set()
+    for r in mrows:
+        with open(os.path.join(fg.location, r["manifest_path"]), "rb") as fh:
+            _s, entries = read_ocf_bytes(fh.read())
+        for e in entries:
+            vals.add(e["data_file"]["partition"]["bucket"])
+    assert vals == {7, 8}  # typed longs, not "7"/"8" strings
+    got = {(r["k"], r["bucket"]) for r in fg.read(spark).collect()}
+    assert got == {(1, 7), (2, 8)}
+    assert dict(fg.read(spark).dtypes)["bucket"] in ("bigint", "int")
+
+
 def test_iceberg_backend_concurrent_writers_put_if_absent(spark, tmp_path):
     """Two writers committing concurrently both land: the PUT-IF-ABSENT
     metadata version (os.link) makes the loser rebuild against the new

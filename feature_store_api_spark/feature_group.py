@@ -441,7 +441,14 @@ class FeatureGroup(FeatureGroupBase):
         if self.online_enabled and storage != "offline":
             from .online.store import OnlineStore
 
-            OnlineStore.for_feature_group(self).upsert(df)
+            store = OnlineStore.for_feature_group(self)
+            if overwrite:
+                # reference feature_group_engine.py:181: overwrite
+                # truncates online content FIRST, so keys absent from
+                # the overwrite frame stop serving stale vectors and
+                # both stores land on the same snapshot
+                store.truncate()
+            store.upsert(df)
         return commit
 
     # -- multi-part insert (parity ``feature_group.py:2799`` /

@@ -208,6 +208,23 @@ class OnlineStore:
         if self.auto_compact_every and since >= self.auto_compact_every:
             self.compact(df.sparkSession)
 
+    def truncate(self) -> None:
+        """Drop ALL online content (base + delta piles), keeping the
+        table's identity (bucket-count sidecar, monotonic ``_seq``).
+
+        Reference parity ``feature_group_engine.py:181``
+        (``delete_content`` ahead of an overwrite insert): the online
+        table must be emptied BEFORE the overwrite batch upserts, so
+        keys absent from the overwrite frame stop serving — online and
+        offline snapshots agree again. ``_seq`` is deliberately NOT
+        reset: later deltas must still sort after any concurrent
+        reader's cached view."""
+        for path in (self._base_path, self._delta_path):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        with open(os.path.join(self.location, "_upserts_since_compact"), "w") as fh:
+            fh.write("0")
+
     def compact(self, spark: SparkSession) -> None:
         """Fold base ∪ delta into a new bucket-partitioned base
         (one shuffle per side of the window + bucketed write), swap it

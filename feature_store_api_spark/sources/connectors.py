@@ -221,13 +221,28 @@ class DbApiConnector(StorageConnector):
     def write(self, df, table: str, options=None) -> None:
         """Append ``df`` into an existing table — Spark JDBC's write
         model over PEP 249 (per-partition executor connections +
-        executemany batches)."""
+        executemany batches). Options coerce like the read side's:
+
+        - ``batch_size`` / ``busy_retries``: ints (string-valued dicts
+          accepted, Spark's own option contract);
+        - ``paramstyle``: force a PEP 249 placeholder style instead of
+          probing the driver module;
+        - ``num_partitions``: repartition before writing — pass ``1``
+          for single-writer targets (sqlite) so concurrent partitions
+          don't spin in the busy-retry loop wasting executor time."""
         from .dbapi_source import write_dbapi
 
         opts = dict(options or {})
+        num_parts = int(opts.get("num_partitions", 0) or 0)
+        if num_parts > 0:
+            df = df.coalesce(num_parts) if (
+                num_parts <= (df.rdd.getNumPartitions() or num_parts)
+            ) else df.repartition(num_parts)
         write_dbapi(
             df, self.connect, table,
             batch_size=int(opts.get("batch_size", 10_000)),
+            busy_retries=int(opts.get("busy_retries", 50)),
+            paramstyle=opts.get("paramstyle"),
         )
 
 

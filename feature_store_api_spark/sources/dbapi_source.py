@@ -168,12 +168,44 @@ def read_dbapi(
     return spec.mapInPandas(fetch, schema=schema)
 
 
+def _paramstyle_of(conn, override: "Optional[str]" = None) -> str:
+    """Resolve the PEP 249 paramstyle for a live connection.
+
+    PEP 249 pins ``paramstyle`` as a MODULE-level attribute, so probe
+    the connection class's module (walking up the package chain —
+    psycopg2 connections live in ``psycopg2.extensions`` while the
+    attribute sits on ``psycopg2``). Explicit ``override`` wins;
+    unknown/absent falls back to ``qmark``."""
+    if override:
+        return override
+    import sys
+
+    mod_name = type(conn).__module__ or ""
+    parts = mod_name.split(".")
+    while parts:
+        mod = sys.modules.get(".".join(parts))
+        style = getattr(mod, "paramstyle", None)
+        if style:
+            return str(style)
+        parts.pop()
+    return "qmark"
+
+
+_PLACEHOLDERS = {
+    # positional styles only: executemany feeds tuples
+    "qmark": lambda cols: ["?"] * len(cols),
+    "format": lambda cols: ["%s"] * len(cols),
+    "numeric": lambda cols: [f":{i + 1}" for i in range(len(cols))],
+}
+
+
 def write_dbapi(
     df: DataFrame,
     connect: Callable,
     table: str,
     batch_size: int = 10_000,
     busy_retries: int = 50,
+    paramstyle: "Optional[str]" = None,
 ) -> None:
     """Write a DataFrame into a DBAPI-reachable table — Spark JDBC's
     write model over PEP 249: each PARTITION opens its own executor-side
@@ -189,11 +221,27 @@ def write_dbapi(
     import time as _time
 
     cols = list(df.columns)
-    placeholders = ", ".join(["?"] * len(cols))
-    stmt = (
-        f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"VALUES ({placeholders})"
-    )
+
+    def build_stmt(style: str):
+        """(sql, row-builder) for a resolved paramstyle. Positional
+        styles feed tuples; named styles feed dicts — both are the
+        PEP 249 executemany contracts."""
+        if style in _PLACEHOLDERS:
+            ph = _PLACEHOLDERS[style](cols)
+            make = lambda row: tuple(row[c] for c in cols)  # noqa: E731
+        elif style == "named":
+            ph = [f":{c}" for c in cols]
+            make = lambda row: {c: row[c] for c in cols}  # noqa: E731
+        elif style == "pyformat":
+            ph = [f"%({c})s" for c in cols]
+            make = lambda row: {c: row[c] for c in cols}  # noqa: E731
+        else:
+            raise ValueError(f"unsupported DBAPI paramstyle {style!r}")
+        sql = (
+            f"INSERT INTO {table} ({', '.join(cols)}) "
+            f"VALUES ({', '.join(ph)})"
+        )
+        return sql, make
 
     def retry_busy(fn):
         for attempt in range(busy_retries):
@@ -211,6 +259,7 @@ def write_dbapi(
     def write_partition(rows_iter):
         conn = connect()
         try:
+            stmt, make_row = build_stmt(_paramstyle_of(conn, paramstyle))
             cur = conn.cursor()
             batch = []
 
@@ -220,7 +269,7 @@ def write_dbapi(
                     batch.clear()
 
             for row in rows_iter:
-                batch.append(tuple(row[c] for c in cols))
+                batch.append(make_row(row))
                 if len(batch) >= batch_size:
                     flush()
             flush()

@@ -68,6 +68,30 @@ class HudiBackend(CommitLogBackend):
     def _ensure_table(self, partition_cols: Sequence[str] = ()) -> None:
         props = os.path.join(self._meta_dir, "hoodie.properties")
         if os.path.exists(props):
+            # layout is immutable for the life of the table: a table
+            # created flat (columns in the files) must NOT silently
+            # start writing <col>=<val>/ paths with the columns dropped
+            # from the files — scan() keys partition discovery off
+            # these props, so a mismatch means later rows come back
+            # with NULL partition columns. Refuse loudly instead
+            # (hudi.apache.org/docs/configurations:
+            # hoodie.table.partition.fields is a table-create-only
+            # property).
+            existing: List[str] = []
+            with open(props) as fh:
+                for line in fh:
+                    if line.startswith("hoodie.table.partition.fields="):
+                        val = line.split("=", 1)[1].strip()
+                        existing = [p for p in val.split(",") if p]
+            if list(partition_cols) != existing:
+                raise ValueError(
+                    f"Hudi table at {self.location!r} was created with "
+                    f"partition fields {existing or '(none)'}; refusing "
+                    f"to write with partition fields "
+                    f"{list(partition_cols) or '(none)'} — partition "
+                    "layout is fixed at table creation. Recreate the "
+                    "feature group (new version) to change partitioning."
+                )
             return
         os.makedirs(self._meta_dir, exist_ok=True)
         name = os.path.basename(self.location.rstrip(os.sep)) or "table"

@@ -402,17 +402,85 @@ class IcebergBackend(CommitLogBackend):
             name_ids = {
                 f["name"]: int(f["id"]) for f in schema["fields"]
             }
-            spec_fields: List[Dict] = []
-            if COMMIT_COL in name_ids:
-                spec_fields.append({
-                    "name": COMMIT_COL, "transform": "identity",
-                    "source-id": name_ids[COMMIT_COL], "field-id": 1000,
-                })
-            for i, c in enumerate(user_parts):
-                spec_fields.append({
-                    "name": c, "transform": "identity",
-                    "source-id": name_ids[c], "field-id": 1001 + i,
-                })
+            existing_specs = list((meta or {}).get("partition-specs") or [])
+            if meta is not None:
+                # partition layout is fixed at table creation: existing
+                # manifests reference the default spec's field tuple AND
+                # the data dirs are laid out to match, so a different
+                # user partitioning can neither mutate spec 0 in place
+                # (breaks old manifests for external Iceberg clients)
+                # nor mix <col>=<val>/ dirs with the old layout (breaks
+                # the scan's basePath discovery). Refuse loudly; a new
+                # spec-id would fix external readers but not our own
+                # directory-discovery scan, so the honest posture is the
+                # Hudi twin's: recreate the table to repartition.
+                default_id = int(meta.get("default-spec-id") or 0)
+                cur_spec = next(
+                    (s for s in existing_specs
+                     if int(s.get("spec-id") or 0) == default_id),
+                    {"spec-id": default_id, "fields": []},
+                )
+                cur_fields = list(cur_spec.get("fields") or [])
+                prior = [
+                    f["name"] for f in cur_fields
+                    if f.get("name") != COMMIT_COL
+                ]
+                bad_transform = [
+                    f["name"] for f in cur_fields
+                    if f.get("transform") != "identity"
+                ]
+                if bad_transform:
+                    raise NotImplementedError(
+                        f"Iceberg table at {self.location!r} uses "
+                        f"non-identity partition transforms on "
+                        f"{bad_transform}; the commit-store writer only "
+                        "appends into identity-partitioned specs "
+                        "(iceberg.apache.org/spec/#partition-transforms)."
+                    )
+                if prior != list(user_parts):
+                    raise ValueError(
+                        f"Iceberg table at {self.location!r} was created "
+                        f"with partition fields "
+                        f"{[f['name'] for f in cur_fields] or '(none)'}; "
+                        f"refusing to write with partition fields "
+                        f"{list(user_parts) or '(none)'} — partition "
+                        "layout is fixed at table creation. Recreate the "
+                        "feature group (new version) to change "
+                        "partitioning."
+                    )
+                if COMMIT_COL in name_ids and not any(
+                    f.get("name") == COMMIT_COL for f in cur_fields
+                ):
+                    # pre-existing table (external-FG sink direction)
+                    # whose spec lacks identity(_commit_time): the
+                    # commit store's time travel keys manifest pruning
+                    # off that field, so appending without it would
+                    # write snapshots the store cannot reason about
+                    raise NotImplementedError(
+                        f"Iceberg table at {self.location!r} has no "
+                        f"identity({COMMIT_COL}) partition field; the "
+                        "commit-store writer cannot append into tables "
+                        "created by other writers without it. Read the "
+                        "table as an external feature group instead."
+                    )
+                # adopt the existing spec verbatim: same field-ids, same
+                # order — new manifests stay consistent with old ones
+                spec_fields = cur_fields
+                spec_id = default_id
+            else:
+                spec_fields = []
+                spec_id = 0
+                if COMMIT_COL in name_ids:
+                    spec_fields.append({
+                        "name": COMMIT_COL, "transform": "identity",
+                        "source-id": name_ids[COMMIT_COL],
+                        "field-id": 1000,
+                    })
+                for i, c in enumerate(user_parts):
+                    spec_fields.append({
+                        "name": c, "transform": "identity",
+                        "source-id": name_ids[c], "field-id": 1001 + i,
+                    })
             snaps = list((meta or {}).get("snapshots") or [])
             prev_id = (meta or {}).get("current-snapshot-id")
             sid = max(
@@ -449,7 +517,7 @@ class IcebergBackend(CommitLogBackend):
             new_list = [_norm_mf(r) for r in prev_list] + [{
                 "manifest_path": os.path.relpath(mf, self.location),
                 "manifest_length": os.path.getsize(mf),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0, "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": sid,
@@ -480,8 +548,11 @@ class IcebergBackend(CommitLogBackend):
             out.update({
                 "current-schema-id": 0,
                 "schemas": [schema],
-                "partition-specs": [
-                    {"spec-id": 0, "fields": spec_fields}
+                # existing specs are adopted VERBATIM (never mutated —
+                # old manifests keep resolving for external clients);
+                # only table creation authors a spec
+                "partition-specs": existing_specs or [
+                    {"spec-id": spec_id, "fields": spec_fields}
                 ],
                 "current-snapshot-id": sid,
                 "last-sequence-number": seq,

@@ -255,9 +255,44 @@ _PRIM_TYPES = {
 }
 
 
+def _spark_type_of(t):
+    """Iceberg JSON type -> Spark type, recursively (list/map/struct
+    per iceberg.apache.org/spec/#schemas)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return T._parse_datatype_string(t)
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        return T._parse_datatype_string(_PRIM_TYPES.get(t, "string"))
+    kind = t.get("type")
+    if kind == "list":
+        return T.ArrayType(
+            _spark_type_of(t["element"]),
+            not t.get("element-required", False),
+        )
+    if kind == "map":
+        return T.MapType(
+            _spark_type_of(t["key"]),
+            _spark_type_of(t["value"]),
+            not t.get("value-required", False),
+        )
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(
+                f["name"], _spark_type_of(f["type"]),
+                not f.get("required", False),
+            )
+            for f in t.get("fields") or []
+        ])
+    return T.StringType()
+
+
 def _spark_schema_of(meta: Dict):
-    """CURRENT Iceberg schema -> Spark schema (primitive fields; used
-    only for the empty-snapshot result)."""
+    """CURRENT Iceberg schema -> Spark schema (nested types included;
+    used for the empty-snapshot result and as the explicit read schema
+    on hive-partition-discovery scans)."""
     from pyspark.sql import types as T
 
     schemas = meta.get("schemas") or [meta.get("schema") or {}]
@@ -265,26 +300,13 @@ def _spark_schema_of(meta: Dict):
     schema = next(
         (s for s in schemas if s.get("schema-id") == cur), schemas[-1]
     )
-    fields = []
-    for f in schema.get("fields") or []:
-        t = f["type"]
-        if isinstance(t, str):
-            if t.startswith("decimal"):
-                sql_t = t
-            elif t.startswith("fixed"):
-                sql_t = "binary"
-            else:
-                sql_t = _PRIM_TYPES.get(t, "string")
-        else:
-            sql_t = "string"  # nested types: only the empty case
-        fields.append(
-            T.StructField(
-                f["name"],
-                T._parse_datatype_string(sql_t),
-                not f.get("required", False),
-            )
+    return T.StructType([
+        T.StructField(
+            f["name"], _spark_type_of(f["type"]),
+            not f.get("required", False),
         )
-    return T.StructType(fields)
+        for f in schema.get("fields") or []
+    ])
 
 
 def _scan_path_col():
@@ -563,10 +585,24 @@ def read_iceberg(
     if pq_data:
         reader = spark.read.option("mergeSchema", "true")
         if hive_partition_base:
-            reader = reader.option(
+            # declared schema, not inference: partition-directory type
+            # inference has no boolean type and reads numeric-looking
+            # string keys as long, so a discovered partition column
+            # would silently diverge from the table schema. An explicit
+            # schema pins the declared types, keeps values-win-from-path
+            # semantics for duplicated columns, and drops the
+            # COLUMN_ALREADY_EXISTS warning the inference path logs on
+            # every partitioned read. Directory pruning
+            # (PartitionFilters) is unaffected. Order is restored below
+            # (Spark appends partition columns last).
+            declared = _spark_schema_of(meta)
+            reader = reader.schema(declared).option(
                 "basePath", os.path.abspath(hive_partition_base)
             )
-        df = reader.parquet(*sorted(d["path"] for d in pq_data))
+            df = reader.parquet(*sorted(d["path"] for d in pq_data))
+            df = df.select(*[f.name for f in declared.fields])
+        else:
+            df = reader.parquet(*sorted(d["path"] for d in pq_data))
         current = set(_current_field_names(meta).values())
         missing = [n for n in current if n not in df.columns]
         extra = [n for n in df.columns if n not in current]

@@ -313,3 +313,95 @@ def test_dbapi_pushdown_and_option_coercion(spark, tmp_path):
     got = sorted(r["k"] for r in q.collect())
     assert got == list(range(10))
     assert q.rdd.getNumPartitions() == 4
+
+
+def test_dbapi_write_paramstyle(spark, tmp_path):
+    """write_dbapi derives placeholders from the driver module's PEP 249
+    ``paramstyle`` (psycopg2/MySQLdb advertise 'format' — a hardcoded
+    qmark '?' would fail every insert through them); an explicit
+    ``paramstyle=`` option wins over the probe."""
+    import sqlite3
+
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+    from feature_store_api_spark.sources.dbapi_source import (
+        _paramstyle_of,
+        sqlite_connector,
+        write_dbapi,
+    )
+
+    db = str(tmp_path / "ps.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE sink (k INTEGER, tag TEXT)")
+    conn.commit()
+    conn.close()
+
+    def format_connector(path):
+        # sqlite3 wrapper that advertises paramstyle='format' on its
+        # class's module (where PEP 249 pins the attribute) and only
+        # accepts %s placeholders — a psycopg2 stand-in
+        def connect():
+            import sqlite3 as _sq
+            import sys
+            import types
+
+            if "fake_pg_driver" not in sys.modules:
+                m = types.ModuleType("fake_pg_driver")
+                m.paramstyle = "format"
+                sys.modules["fake_pg_driver"] = m
+
+            class FormatCursor:
+                def __init__(self, cur):
+                    self._cur = cur
+
+                def executemany(self, sql, rows):
+                    if "%s" not in sql or "?" in sql:
+                        raise RuntimeError(f"bad placeholders: {sql}")
+                    return self._cur.executemany(
+                        sql.replace("%s", "?"), rows
+                    )
+
+                def close(self):
+                    self._cur.close()
+
+            class FormatConnection:
+                def __init__(self, c):
+                    self._c = c
+
+                def cursor(self):
+                    return FormatCursor(self._c.cursor())
+
+                def commit(self):
+                    self._c.commit()
+
+                def close(self):
+                    self._c.close()
+
+            FormatConnection.__module__ = "fake_pg_driver"
+            return FormatConnection(_sq.connect(path))
+
+        return connect
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "k long, tag string"
+    )
+    # probe path: the fake driver's module paramstyle drives %s
+    write_dbapi(df.coalesce(1), format_connector(db), "sink")
+    # driver-side probe sanity
+    c = format_connector(db)()
+    assert _paramstyle_of(c) == "format"
+    c.close()
+    assert _paramstyle_of(sqlite3.connect(":memory:")) == "qmark"
+
+    # explicit override: named style (sqlite3 accepts :name natively)
+    conn2 = DbApiConnector("mydb", sqlite_connector(db))
+    conn2.write(
+        df, "sink",
+        options={"paramstyle": "named", "num_partitions": "1",
+                 "batch_size": "5", "busy_retries": "10"},
+    )
+    n = sqlite3.connect(db).execute("SELECT COUNT(*) FROM sink").fetchone()[0]
+    assert n == 40
+    got = sqlite3.connect(db).execute(
+        "SELECT COUNT(DISTINCT k), COUNT(DISTINCT tag) FROM sink"
+    ).fetchone()
+    assert tuple(got) == (20, 20)

@@ -1005,3 +1005,36 @@ def test_hudi_backend_fg_parity_and_external_readability(spark, tmp_path):
     hb.commit_store.compact(spark)
     hb.commit_store.vacuum(retain_hours=0.0)
     assert rows(hb.read(spark).select("k", "ts", "v")) == before
+
+
+def test_hudi_backend_refuses_partition_layout_change(spark, tmp_path):
+    """hoodie.table.partition.fields is fixed at table creation
+    (hudi.apache.org/docs/configurations): a table created FLAT must
+    refuse partitioned writes (and vice versa) — silently switching
+    layouts would drop the partition columns from new files while
+    scan() sees no partition fields in the props, returning NULLs."""
+    import pytest
+
+    from feature_store_api_spark.sources.commit_store import COMMIT_COL
+    from feature_store_api_spark.sources.hudi_backend import HudiBackend
+
+    loc = str(tmp_path / "hb_layout")
+    b = HudiBackend(loc)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1000, "upsert")],
+        f"k long, part string, v double, {COMMIT_COL} long, _hoodie_op string",
+    )
+    b.append_commit(df, [COMMIT_COL])  # created flat
+    with pytest.raises(ValueError, match="partition fields"):
+        b.append_commit(df, [COMMIT_COL, "part"])
+    # same layout keeps working
+    b.append_commit(df, [COMMIT_COL])
+
+    loc2 = str(tmp_path / "hb_layout_p")
+    b2 = HudiBackend(loc2)
+    b2.append_commit(df, [COMMIT_COL, "part"])  # created partitioned
+    with pytest.raises(ValueError, match="partition fields"):
+        b2.append_commit(df, [COMMIT_COL])
+    with pytest.raises(ValueError, match="partition fields"):
+        b2.append_commit(df, [COMMIT_COL, "v"])
+    b2.append_commit(df, [COMMIT_COL, "part"])

@@ -1068,3 +1068,71 @@ def test_external_fg_over_iceberg_table(spark, tmp_path):
     got = sorted((r["k"], r["v"]) for r in ext.read(spark).collect())
     assert got == [(1, 10.0), (2, 20.0), (3, 3.0)]
     assert ext.select(["k", "v"]).filter(ext.v > 5.0).read(spark).count() == 2
+
+
+def test_iceberg_backend_refuses_partition_layout_change(spark, tmp_path):
+    """Partition layout is fixed at table creation: existing manifests
+    reference the default spec's field tuple and the data dirs match
+    it, so a changed user partitioning refuses loudly instead of
+    mutating spec 0 (which would break old manifests for external
+    Iceberg clients) or mixing directory layouts (which would break
+    the scan's basePath discovery)."""
+    import pytest
+
+    from feature_store_api_spark.sources.commit_store import COMMIT_COL
+    from feature_store_api_spark.sources.iceberg_backend import (
+        IcebergBackend,
+    )
+
+    loc = str(tmp_path / "ib_layout")
+    b = IcebergBackend(loc)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1000, "upsert")],
+        f"k long, part string, v double, {COMMIT_COL} long, _hoodie_op string",
+    )
+    b.append_commit(df, [COMMIT_COL])  # created flat
+    with pytest.raises(ValueError, match="partition fields"):
+        b.append_commit(df, [COMMIT_COL, "part"])
+    b.append_commit(df, [COMMIT_COL])
+
+    loc2 = str(tmp_path / "ib_layout_p")
+    b2 = IcebergBackend(loc2)
+    b2.append_commit(df, [COMMIT_COL, "part"])
+    with pytest.raises(ValueError, match="partition fields"):
+        b2.append_commit(df, [COMMIT_COL])
+    b2.append_commit(df, [COMMIT_COL, "part"])
+    # the spec was adopted verbatim, never re-authored
+    from feature_store_api_spark.sources.iceberg_reader import (
+        _read_table_metadata,
+    )
+
+    meta = _read_table_metadata(loc2)
+    assert len(meta["partition-specs"]) == 1
+    assert [f["name"] for f in meta["partition-specs"][0]["fields"]] == [
+        COMMIT_COL, "part",
+    ]
+
+
+def test_iceberg_partitioned_scan_declared_types_win(spark, tmp_path):
+    """Discovered partition columns come back with their DECLARED types,
+    not Spark's directory inference (which has no boolean and reads
+    numeric-looking strings as long): the scan passes the table schema
+    explicitly, which also silences the COLUMN_ALREADY_EXISTS warning
+    the inference path logs on every partitioned read."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "ib_typed_inf", primary_key=["k"], event_time="ts",
+        partition_key=["flag", "code"], time_travel_format="ICEBERG",
+        auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, True, "123", 1.0), (2, 10, False, "456", 2.0)],
+        "k long, ts long, flag boolean, code string, v double"))
+    out = fg.read(spark)
+    dt = dict(out.dtypes)
+    assert dt["flag"] == "boolean"
+    assert dt["code"] == "string"
+    got = sorted((r["k"], r["flag"], r["code"]) for r in out.collect())
+    assert got == [(1, True, "123"), (2, False, "456")]

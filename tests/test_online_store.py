@@ -394,3 +394,41 @@ def test_insert_storage_targets(spark, tmp_path):
     with pytest.raises(ValueError, match="storage"):
         fg.insert(spark.createDataFrame(
             [(1, 10, 1.0)], "k long, ts long, v double"), storage="nope")
+
+
+def test_insert_overwrite_truncates_online_content(spark, tmp_path):
+    """insert(overwrite=True) on an online-enabled fg truncates the
+    online store BEFORE upserting (reference
+    feature_group_engine.py:181 delete_content): keys absent from the
+    overwrite frame must stop serving, so online and offline snapshots
+    agree."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.online.store import OnlineStore
+
+    fs = FeatureStore(root=str(tmp_path / "ovw"))
+    fg = fs.create_feature_group(
+        "ov", primary_key=["k"], event_time="ts", online_enabled=True,
+        auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)],
+        "k long, ts long, v double",
+    ))
+    store = OnlineStore.for_feature_group(fg)
+    assert store.get_feature_vector(spark, {"k": 3})["v"] == 3.0
+
+    # overwrite with a frame that drops key 3 and changes key 1
+    fg.insert(
+        spark.createDataFrame(
+            [(1, 20, 9.0), (2, 20, 2.0)], "k long, ts long, v double"
+        ),
+        overwrite=True,
+    )
+    store = OnlineStore.for_feature_group(fg)
+    assert store.get_feature_vector(spark, {"k": 1})["v"] == 9.0
+    assert store.get_feature_vector(spark, {"k": 3}) is None  # gone
+    # offline agrees: the snapshot is exactly the overwrite frame
+    offline = {(r["k"], r["v"]) for r in fg.read(spark).collect()}
+    assert offline == {(1, 9.0), (2, 2.0)}
+    online = {(r["k"], r["v"]) for r in store.read(spark).collect()}
+    assert online == offline

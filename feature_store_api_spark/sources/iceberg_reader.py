@@ -366,6 +366,51 @@ def _parquet_field_ids(path: str) -> Optional[Dict[int, str]]:
     return out
 
 
+def _field_ids_distributed(
+    spark: SparkSession, paths: List[str]
+) -> "List[Optional[Dict[int, str]]]":
+    """Per-file ``field id -> physical name`` maps, footers read
+    EXECUTOR-side: one spec frame of paths -> ``mapInPandas`` returns
+    (path, json map) rows. Scan PLANNING for a renamed table is
+    therefore a distributed metadata job, not O(files) driver I/O — a
+    100k-file table planned on a 1000-executor cluster reads 100k
+    footers in parallel. The collected result is metadata-sized (one
+    short json string per file; the distinct-map count — what the plan
+    branches on — is ~#schema versions, usually 2)."""
+    import pandas as pd
+
+    def resolve(batches):
+        for pdf in batches:
+            maps = []
+            for p in pdf["__f_path"]:
+                m = _parquet_field_ids(p)
+                maps.append(
+                    None if m is None
+                    else json.dumps(m, sort_keys=True)
+                )
+            yield pd.DataFrame(
+                {"__f_path": pdf["__f_path"], "__f_ids": maps}
+            )
+
+    n_slices = min(
+        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
+    )
+    spec = spark.createDataFrame(
+        [(p,) for p in paths], "__f_path string"
+    ).repartition(n_slices)
+    got = {
+        r["__f_path"]: r["__f_ids"]
+        for r in spec.mapInPandas(
+            resolve, schema="__f_path string, __f_ids string"
+        ).collect()
+    }
+    return [
+        None if got.get(p) is None
+        else {int(k): v for k, v in json.loads(got[p]).items()}
+        for p in paths
+    ]
+
+
 def _scan_renamed(
     spark: SparkSession,
     meta: Dict,
@@ -383,10 +428,7 @@ def _scan_renamed(
     without field ids keep the loud gate — there is nothing to map by."""
     id_names = _current_field_names(meta)
     paths = sorted(d["path"] for d in data)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
-        fid_maps = list(ex.map(_parquet_field_ids, paths))
+    fid_maps = _field_ids_distributed(spark, paths)
     groups: Dict[Tuple[Tuple[str, str], ...], List[str]] = {}
     for p, m in zip(paths, fid_maps):
         if m is None:
@@ -552,6 +594,93 @@ def _scan_avro_data(
     return spec.mapInPandas(decode, schema=out_schema)
 
 
+def _scan_orc_data(
+    spark: SparkSession,
+    meta: Dict,
+    paths: List[str],
+    need_meta: bool,
+    strict_ids: bool,
+) -> DataFrame:
+    """ORC DATA files decoded EXECUTOR-side via ``pyarrow.orc`` — the
+    same spec-frame ``mapInPandas`` pattern as the AVRO data path. Used
+    when Spark's native ORC relation cannot express the semantics:
+
+    * position deletes address rows by in-file ordinal and Spark's ORC
+      reader exposes no ``_metadata.row_index`` — this path synthesizes
+      ``__i_pos`` as each row's ordinal within its file;
+    * renamed columns resolve through the ``iceberg.id`` type
+      attributes ORC writers stamp (iceberg.apache.org/spec — ORC type
+      annotations), which pyarrow surfaces as field metadata.
+
+    ``strict_ids`` is set when the CURRENT schema has columns missing
+    from the files by name (rename suspected): a file without id
+    annotations then gates loudly, exactly like the parquet twin. When
+    unset (position-deletes-only dispatch), files without ids resolve
+    by name and absent columns are schema-evolution adds (null)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = _spark_schema_of(meta)
+    names = [f.name for f in schema.fields]
+    id_names = _current_field_names(meta)
+    out_schema = schema
+    if need_meta:
+        out_schema = T.StructType(list(schema.fields) + [
+            T.StructField("__i_path", T.StringType(), False),
+            T.StructField("__i_pos", T.LongType(), False),
+        ])
+
+    def decode(batches):
+        import pyarrow.orc as orc
+
+        for pdf in batches:
+            for p in pdf["__o_path"]:
+                tbl = orc.ORCFile(p).read()
+                ids: Dict[int, str] = {}
+                has_ids = True
+                for f in tbl.schema:
+                    fid = (f.metadata or {}).get(b"iceberg.id")
+                    if fid is None:
+                        has_ids = False
+                        break
+                    ids[int(fid)] = f.name
+                if strict_ids and not has_ids:
+                    raise NotImplementedError(
+                        f"Iceberg current schema columns are not "
+                        f"present in {p} by name and the file carries "
+                        "no iceberg.id ORC attributes — a renamed "
+                        "table is only readable when its files were "
+                        "written with field-id annotations"
+                    )
+                phys_of = (
+                    {id_names[i]: phys for i, phys in ids.items()
+                     if i in id_names}
+                    if has_ids
+                    else {n: n for n in tbl.schema.names}
+                )
+                data = {}
+                for n in names:
+                    phys = phys_of.get(n)
+                    data[n] = (
+                        tbl.column(phys).to_pandas()
+                        if phys in tbl.schema.names
+                        else pd.Series([None] * tbl.num_rows)
+                    )
+                out = pd.DataFrame(data, columns=names)
+                if need_meta:
+                    out["__i_path"] = p
+                    out["__i_pos"] = range(len(out))
+                yield out
+
+    n_slices = min(
+        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
+    )
+    spec = spark.createDataFrame(
+        [(p,) for p in paths], "__o_path string"
+    ).repartition(n_slices)
+    return spec.mapInPandas(decode, schema=out_schema)
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -632,34 +761,32 @@ def read_iceberg(
         ))
     orc_data = [d for d in data if d["fmt"] == "ORC"]
     if orc_data:
-        # Spark reads ORC natively, but exposes no _metadata.row_index
-        # for it — position deletes address rows by in-file ordinal,
-        # which this relation cannot reconstruct; equality deletes only
-        # need the file path + its sequence number, which it can
-        if pos_del:
-            raise NotImplementedError(
-                "Iceberg position deletes over ORC data files are not "
-                "supported (Spark's ORC reader exposes no row_index); "
-                "parquet/avro data files only"
-            )
-        odf = spark.read.option("mergeSchema", "true").orc(
-            *sorted(d["path"] for d in orc_data)
-        )
-        missing_o = [
-            n for n in _current_field_names(meta).values()
-            if n not in odf.columns
-        ]
-        if missing_o:
-            raise NotImplementedError(
-                f"Iceberg current schema columns {missing_o} not "
-                "present in ORC data files by name — ORC field-id "
-                "mapping is not implemented"
-            )
-        if need_meta:
-            odf = odf.withColumn("__i_path", _scan_path_col()).withColumn(
-                "__i_pos", F.lit(None).cast("long")
-            )
-        parts.append(odf)
+        # Spark reads ORC natively (plan-integrated, codegen) — the
+        # fast path whenever semantics allow. Two cases need the
+        # executor-side pyarrow.orc scan instead: position deletes
+        # (rows addressed by in-file ordinal; Spark's ORC relation
+        # exposes no _metadata.row_index to reconstruct it) and
+        # renamed columns (resolved via the files' iceberg.id ORC
+        # attributes, which the native relation cannot see).
+        opaths = sorted(d["path"] for d in orc_data)
+        missing_o: List[str] = []
+        if not pos_del:
+            odf = spark.read.option("mergeSchema", "true").orc(*opaths)
+            missing_o = [
+                n for n in _current_field_names(meta).values()
+                if n not in odf.columns
+            ]
+        if pos_del or missing_o:
+            parts.append(_scan_orc_data(
+                spark, meta, opaths, need_meta,
+                strict_ids=bool(missing_o),
+            ))
+        else:
+            if need_meta:
+                odf = odf.withColumn(
+                    "__i_path", _scan_path_col()
+                ).withColumn("__i_pos", F.lit(None).cast("long"))
+            parts.append(odf)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)

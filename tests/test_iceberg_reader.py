@@ -756,15 +756,16 @@ def test_iceberg_avro_data_files(spark, tmp_path):
     _write_metadata(root3, [_snap(1, 1_000, ml3)], current=1)
     got3 = [(r["k"], r["v"]) for r in read_iceberg(spark, root3).collect()]
     assert got3 == [(7, 7.0)]
-    # + a position delete targeting anything in an ORC table -> gate
+    # + a position delete over the ORC file: the scan re-plans through
+    # the executor-side pyarrow.orc path, which synthesizes each row's
+    # in-file ordinal — the delete lands
     pd3 = os.path.join(root3, "data", "del.parquet")
     _pq({"file_path": [f"file://{d3}"], "pos": [0]}, pd3)
     m4 = _manifest(root3, "m2.avro", [
         entry(d3, "ORC"), entry(pd3, "PARQUET", content=1, seq=2)])
     ml4 = _manifest_list(root3, "s2.avro", [(m4, 0, 1)])
     _write_metadata(root3, [_snap(1, 1_000, ml4)], current=1)
-    with pytest.raises(NotImplementedError, match="ORC"):
-        read_iceberg(spark, root3)
+    assert read_iceberg(spark, root3).collect() == []
 
 
 from hypothesis import HealthCheck, given, settings
@@ -1136,3 +1137,108 @@ def test_iceberg_partitioned_scan_declared_types_win(spark, tmp_path):
     assert dt["code"] == "string"
     got = sorted((r["k"], r["flag"], r["code"]) for r in out.collect())
     assert got == [(1, True, "123"), (2, False, "456")]
+
+
+def test_rename_scan_reads_footers_executor_side(spark, tmp_path, monkeypatch):
+    """Scan PLANNING for a renamed table must not read data-file
+    footers on the driver (O(files) driver I/O made planning
+    driver-bound on large tables): the field-id maps resolve through a
+    mapInPandas spec frame in executors. Pin: a driver-process counter
+    on _parquet_field_ids stays ZERO while the rename scan still
+    resolves and returns correct rows."""
+    from feature_store_api_spark.sources import iceberg_reader as ir
+
+    root = str(tmp_path / "ice_exec_ids")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq_with_ids({"k_old": [1], "v": [1.0]}, d1, {"k_old": 1, "v": 2})
+    _pq_with_ids({"k": [2], "v": [2.0]}, d2, {"k": 1, "v": 2})
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1), _entry(d2, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+
+    calls = []
+    real = ir._parquet_field_ids
+    monkeypatch.setattr(
+        ir, "_parquet_field_ids",
+        lambda p: calls.append(p) or real(p),
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in ir.read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0)]
+    assert calls == []  # zero driver-side footer reads
+
+
+def _orc_with_ids(rows, path, ids=None):
+    """ORC data file; when ``ids`` is given the columns carry
+    ``iceberg.id`` type attributes (what Iceberg's ORC writer stamps —
+    iceberg.apache.org/spec, ORC type annotations)."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = pa.table(rows)
+    if ids:
+        fields = [
+            t.schema.field(i).with_metadata(
+                {b"iceberg.id": str(ids[t.schema.field(i).name]).encode()}
+            )
+            for i in range(len(t.schema))
+        ]
+        t = t.cast(pa.schema(fields))
+    orc.write_table(t, path)
+
+
+def test_iceberg_orc_position_deletes_and_renames(spark, tmp_path):
+    """ORC data files with position deletes AND renamed columns: the
+    executor-side pyarrow.orc scan synthesizes in-file row ordinals
+    (position deletes land on the right rows) and resolves pre-rename
+    physical names through the files' iceberg.id attributes; parquet
+    parts of the same table keep their native path."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    def entry(fp, fmt, content=0, seq=1):
+        e = _entry(fp, content=content, seq=seq)
+        e["data_file"]["file_format"] = fmt
+        return e
+
+    root = str(tmp_path / "ice_orc_full")
+    # pre-rename ORC file: physical column 'k_old' with id 1
+    d1 = os.path.join(root, "data", "f1.orc")
+    _orc_with_ids(
+        {"k_old": [1, 2, 3], "v": [1.0, 2.0, 3.0]}, d1,
+        ids={"k_old": 1, "v": 2},
+    )
+    # post-rename ORC file: current name 'k'
+    d2 = os.path.join(root, "data", "f2.orc")
+    _orc_with_ids({"k": [4, 5], "v": [4.0, 5.0]}, d2, ids={"k": 1, "v": 2})
+    # parquet sibling (mixed-format table)
+    d3 = os.path.join(root, "data", "f3.parquet")
+    _pq_with_ids({"k": [6], "v": [6.0]}, d3, {"k": 1, "v": 2})
+    # position deletes: ordinal 1 of f1 (k=2) and ordinal 0 of f2 (k=4)
+    pdel = os.path.join(root, "data", "del.parquet")
+    _pq(
+        {"file_path": [f"file://{d1}", f"file://{d2}"], "pos": [1, 0]},
+        pdel,
+    )
+    m1 = _manifest(root, "m1.avro", [
+        entry(d1, "ORC"), entry(d2, "ORC"), entry(d3, "PARQUET"),
+        entry(pdel, "PARQUET", content=1, seq=2),
+    ])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, 1.0), (3, 3.0), (5, 5.0), (6, 6.0)]
+
+    # renamed ORC files WITHOUT iceberg.id attributes keep the loud gate
+    root2 = str(tmp_path / "ice_orc_noids")
+    d4 = os.path.join(root2, "data", "f1.orc")
+    _orc_with_ids({"k_old": [9], "v": [9.0]}, d4)  # no ids
+    m2 = _manifest(root2, "m1.avro", [entry(d4, "ORC")])
+    ml2 = _manifest_list(root2, "s1.avro", [(m2, 0, 1)])
+    _write_metadata(root2, [_snap(1, 1_000, ml2)], current=1)
+    with pytest.raises(Exception, match="field-id|iceberg.id"):
+        read_iceberg(spark, root2).collect()

@@ -1031,40 +1031,6 @@ def _q_encoders(spark, sf_dir):
     )
 
 
-def _q_quantile_binning(spark, sf_dir):
-    """Quartile binning of a numeric feature against TRAIN-split
-    percentile statistics: ordinal bins 0-3 with null passthrough."""
-    from feature_store_api_spark.functions.builtin_transformations import (
-        quantile_binner,
-    )
-    from feature_store_api_spark.functions.udf import apply_transformations
-    from feature_store_api_spark.operators.statistics import (
-        transformation_statistics,
-    )
-
-    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_acctbal"
-    )
-    stats = transformation_statistics(c, ["c_acctbal"], exact_pctl=True)
-    out = apply_transformations(c, [quantile_binner("c_acctbal")], stats=stats)
-    return out.select("c_custkey", F.col("quantile_binner_c_acctbal").alias("bin"))
-
-
-def _q_robust_scaler(spark, sf_dir):
-    from feature_store_api_spark.functions.builtin_transformations import robust_scaler
-    from feature_store_api_spark.functions.udf import apply_transformations
-    from feature_store_api_spark.operators.statistics import transformation_statistics
-
-    c = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_acctbal"
-    )
-    stats = transformation_statistics(c, ["c_acctbal"], exact_pctl=True)
-    out = apply_transformations(c, [robust_scaler("c_acctbal")], stats=stats)
-    return out.select(
-        "c_custkey", F.round("robust_scaler_c_acctbal", 6).alias("rs")
-    )
-
-
 # ---------------------------------------------------------------------------
 # monitoring windows
 # ---------------------------------------------------------------------------
@@ -1670,16 +1636,6 @@ def _q_schema_evolution(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # compaction: merge-on-read history rewritten as a base commit
 # ---------------------------------------------------------------------------
-
-def _q_compaction_snapshot(spark, sf_dir):
-    """Snapshot after compact() equals the pre-compaction snapshot
-    (copy-on-write moment of the merge-on-read commit store)."""
-    # builds its own FG (not the shared cache): compact() mutates layout
-    tmp = _scratch("fsas_cmp_")
-    fg, c1, c2, c3 = _managed_fg(spark, sf_dir, tmp)
-    fg.commit_store.compact(spark)
-    return fg.read(spark).select("o_orderkey", "o_totalprice")
-
 
 # ---------------------------------------------------------------------------
 # partitioned feature group: partition_key declared → partition-pruned scan
@@ -2384,27 +2340,6 @@ def _q_corpus_rebalance(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
-def _q_embedding_centroids(spark, sf_dir):
-    """Per-label centroid of L2-normalized embeddings: the cluster-
-    prototype summary step of an embedding pipeline (normalize -> one
-    posexplode + groupBy(label, position) mean -> ordered reassembly)."""
-    from feature_store_api_spark.operators.similarity import (
-        group_centroids, normalize_embeddings,
-    )
-
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    normed = normalize_embeddings(e, "embedding")
-    cents = group_centroids(normed, "label", "embedding")
-    # flatten for the value-hash compare (scalar cells only)
-    return cents.select(
-        "label",
-        "n_members",
-        F.posexplode("centroid").alias("pos", "centroid_val"),
-    ).withColumn("pos", F.col("pos") + 1)
-
-
 def _q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-20 retrieval (operators/retrieval.py): the sparse
     twin of the vector-search family. Query-term pruning before the tf
@@ -2985,145 +2920,6 @@ def _q_clustered_fg_read(spark, sf_dir):
         .where(F.col("o_totalprice") > 100000.0)
         .select("o_orderkey", "o_totalprice")
     )
-
-
-def _q_hudi_time_travel(spark, sf_dir):
-    """Jarless Hudi reader, BOTH table types (sources/hudi_reader.py +
-    sources/hudi_log.py), one hash-checked result:
-
-    * COW ('cow' rows): published-layout table from orders (instant
-      100 = two file groups; instant 200 = COW rewrite of group A with
-      o_totalprice+1; an inflight instant 300 stays invisible), read
-      at as.of.instant 200 — newest visible base file per file group.
-    * MOR ('mor' rows): base files at instant 100 plus a log file
-      whose committed AVRO_DATA block (instant 200) updates
-      o_orderkey%10=0 rows (price*3) and soft-deletes %10=4 rows via
-      _hoodie_is_deleted; an UNCOMMITTED block (instant 999) must stay
-      invisible. Snapshot = base merged with log, latest per record
-      key."""
-    import os as _os
-
-    from feature_store_api_spark.sources.hudi_reader import read_hudi
-
-    root = _os.path.join(_scratch("hudi_tt_"), "tbl")
-    meta = _os.path.join(root, ".hoodie")
-    _os.makedirs(meta, exist_ok=True)
-    with open(_os.path.join(meta, "hoodie.properties"), "w") as fh:
-        fh.write("hoodie.table.name=o\nhoodie.table.type=COPY_ON_WRITE\n")
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_totalprice"
-    )
-
-    def _write(df, name):
-        tmp = _os.path.join(root, "_stage_" + name)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
-        _os.makedirs(_os.path.join(root, "dt=0"), exist_ok=True)
-        _os.replace(
-            _os.path.join(tmp, part), _os.path.join(root, "dt=0", name)
-        )
-
-    _write(orders.where(F.col("o_orderkey") % 2 == 0),
-           "fga_0-1-0_100.parquet")
-    _write(orders.where(F.col("o_orderkey") % 2 == 1),
-           "fgb_0-1-0_100.parquet")
-    for i in ("100",):
-        with open(_os.path.join(meta, f"{i}.commit"), "w") as fh:
-            fh.write("{}")
-    _write(
-        orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
-            "o_totalprice", F.col("o_totalprice") + 1
-        ),
-        "fga_0-2-0_200.parquet",
-    )
-    with open(_os.path.join(meta, "200.commit"), "w") as fh:
-        fh.write("{}")
-    # inflight rewrite of group B: must stay invisible
-    _write(orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
-        "o_totalprice", F.lit(0.0)), "fgb_0-3-0_300.parquet")
-    with open(_os.path.join(meta, "300.commit.inflight"), "w") as fh:
-        fh.write("")
-    cow = read_hudi(spark, root, as_of_instant="200").select(
-        "o_orderkey", "o_totalprice", F.lit("cow").alias("src")
-    )
-
-    # ---- MOR sibling table: base@100 + one log file against group A
-    from feature_store_api_spark.sources.hudi_log import (
-        encode_avro_data_block,
-        encode_log_file,
-    )
-
-    root2 = _os.path.join(_scratch("hudi_mor_"), "tbl")
-    meta2 = _os.path.join(root2, ".hoodie")
-    _os.makedirs(meta2, exist_ok=True)
-    with open(_os.path.join(meta2, "hoodie.properties"), "w") as fh:
-        fh.write("hoodie.table.name=o\nhoodie.table.type=MERGE_ON_READ\n")
-    mor_base = orders.select(
-        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
-        F.lit("dt=0").alias("_hoodie_partition_path"),
-        F.lit(False).alias("_hoodie_is_deleted"),
-        "o_orderkey",
-        "o_totalprice",
-    )
-
-    def _write2(df, name):
-        tmp = _os.path.join(root2, "_stage_" + name)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
-        _os.makedirs(_os.path.join(root2, "dt=0"), exist_ok=True)
-        _os.replace(
-            _os.path.join(tmp, part), _os.path.join(root2, "dt=0", name)
-        )
-
-    _write2(mor_base.where(F.col("o_orderkey") % 2 == 0),
-            "fga_0-1-0_100.parquet")
-    _write2(mor_base.where(F.col("o_orderkey") % 2 == 1),
-            "fgb_0-1-0_100.parquet")
-    with open(_os.path.join(meta2, "100.deltacommit"), "w") as fh:
-        fh.write("{}")
-    mor_avro_schema = json.dumps({
-        "type": "record", "name": "rec", "fields": [
-            {"name": "_hoodie_record_key", "type": ["null", "string"]},
-            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
-            {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]},
-            {"name": "o_orderkey", "type": ["null", "long"]},
-            {"name": "o_totalprice", "type": ["null", "double"]},
-        ],
-    })
-
-    def _recs(df, deleted):
-        return [
-            {"_hoodie_record_key": str(r["o_orderkey"]),
-             "_hoodie_partition_path": "dt=0",
-             "_hoodie_is_deleted": deleted,
-             "o_orderkey": int(r["o_orderkey"]),
-             "o_totalprice": float(r["o_totalprice"])}
-            for r in df.collect()
-        ]
-
-    upd = _recs(
-        orders.where(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 3),
-        deleted=False,
-    )
-    dels = _recs(orders.where(F.col("o_orderkey") % 10 == 4), deleted=True)
-    blk_200 = encode_avro_data_block(upd + dels, mor_avro_schema, "200")
-    # uncommitted block (no 999.deltacommit): must stay invisible
-    blk_999 = encode_avro_data_block(
-        _recs(orders.where(F.col("o_orderkey") % 10 == 0)
-              .withColumn("o_totalprice", F.lit(-1.0)), deleted=False),
-        mor_avro_schema, "999",
-    )
-    with open(
-        _os.path.join(root2, "dt=0", ".fga_100.log.1_0-1-0"), "wb"
-    ) as fh:
-        fh.write(encode_log_file([blk_200, blk_999]))
-    with open(_os.path.join(meta2, "200.deltacommit"), "w") as fh:
-        fh.write("{}")
-    mor = read_hudi(spark, root2).select(
-        "o_orderkey", "o_totalprice", F.lit("mor").alias("src")
-    )
-    return cow.unionByName(mor)
 
 
 def _delta_fixture_dirs(prefix):
@@ -3887,17 +3683,6 @@ def _q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(d, "text", "doc_id", k=3)
 
 
-def _q_gopher_gates(spark, sf_dir):
-    """Gopher-style quality gates over the documents corpus: metrics +
-    one boolean per published rule + the conjunction."""
-    from feature_store_api_spark.operators.text import gopher_quality_flags
-
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
-        F.col("text").isNotNull()
-    )
-    return gopher_quality_flags(d, "text", "doc_id")
-
-
 def _q_embedding_quantize(spark, sf_dir):
     """8-bit scalar quantization of the embeddings table against
     corpus-wide per-dimension ranges, flattened to (vec_id, pos, code)
@@ -4078,16 +3863,471 @@ def _q_knn_ann_retry(spark, sf_dir):
     return out.select("vec_id", "label", "distance")
 
 
+# -- r13 additions: capabilities promoted from pytest-only to oracle rows
+# (insert_overwrite, dbapi sink, iceberg refs / AVRO data / ORC deletes,
+# jusText boilerplate) ------------------------------------------------------
+
+_ICE_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None},
+            ]}},
+    ]}
+
+_ICE_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+    ]}
+
+
+def _ice_fixture(prefix):
+    """(root, ocf, entry, finish): minimal spec-conformant Iceberg v2
+    fixture authoring against the repo's own OCF codec. ``finish``
+    writes the metadata json (orders-shaped 2-column schema) given the
+    snapshot list and current id, optionally a refs map."""
+    import json as _json
+    import os as _os
+
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+
+    root = _os.path.join(_scratch(prefix), "tbl")
+    data_dir = _os.path.join(root, "data")
+    meta_dir = _os.path.join(root, "metadata")
+    _os.makedirs(data_dir, exist_ok=True)
+    _os.makedirs(meta_dir, exist_ok=True)
+
+    def ocf(name, records, schema):
+        p = _os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            _write_ocf(iter(records), schema, fh)
+        return p
+
+    def entry(fp, content=0, seq=1, fmt="PARQUET", eq_ids=None):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "content": content, "file_path": f"file://{fp}",
+            "file_format": fmt, "record_count": 1,
+            "equality_ids": eq_ids}}
+
+    def finish(snapshots, current, refs=None):
+        meta = {
+            "format-version": 2, "table-uuid": "0" * 32,
+            "location": f"file://{root}", "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "o_orderkey", "required": True,
+                 "type": "long"},
+                {"id": 2, "name": "o_totalprice", "required": False,
+                 "type": "double"},
+            ]}],
+            "current-snapshot-id": current,
+            "snapshots": snapshots,
+        }
+        if refs:
+            meta["refs"] = refs
+        with open(_os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(_os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+        return root
+
+    return root, ocf, entry, finish
+
+
+def _ice_manifest_list(ocf, name, manifests):
+    return ocf(name, [
+        {"manifest_path": f"file://{p}",
+         "manifest_length": __import__("os").path.getsize(p),
+         "content": c, "sequence_number": s}
+        for (p, c, s) in manifests
+    ], _ICE_LIST_SCHEMA)
+
+
+def _q_insert_overwrite(spark, sf_dir):
+    """insert(overwrite=True) — the reference's truncate-and-insert
+    (feature_group.py:2633-2708 -> Hudi ``insert_overwrite_table``):
+    after a full insert, overwriting with the %4==1 slice at 3x price
+    makes the visible snapshot EXACTLY the overwrite frame (history
+    below it still time-travels; pinned by pytest)."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("fsas_ovw_"))
+    fg = fs.create_feature_group(
+        "orders_ovw", primary_key=["o_orderkey"], event_time="o_orderdate"
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    fg.insert(orders)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 4 == 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        overwrite=True,
+    )
+    return fg.read(spark).select("o_orderkey", "o_totalprice")
+
+
+def _q_dbapi_write(spark, sf_dir):
+    """DBAPI SINK (sources/dbapi_source.py write_dbapi — Spark JDBC's
+    write model over PEP 249, jarless twin of the reference's
+    connector writes, storage_connector.py:949): the even-key half of
+    orders streams into a sqlite table from executor-side connections
+    (executemany batches, one transaction per partition, option
+    coercion through the connector), then round-trips back through the
+    distributed ranged reader."""
+    import os as _os
+    import sqlite3 as _sq
+
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+    from feature_store_api_spark.sources.dbapi_source import (
+        read_dbapi, sqlite_connector,
+    )
+
+    db = _os.path.join(_scratch("dbapi_w_"), "sink.db")
+    conn = _sq.connect(db)
+    conn.execute(
+        "CREATE TABLE sink (o_orderkey INTEGER, o_totalprice REAL)"
+    )
+    conn.commit()
+    conn.close()
+    src = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .where(F.col("o_orderkey") % 2 == 0)
+    )
+    c = DbApiConnector("sinkdb", sqlite_connector(db))
+    c.write(
+        src.repartition(8), "sink",
+        options={"batch_size": "1000", "busy_retries": "80"},
+    )
+    return read_dbapi(
+        spark, sqlite_connector(db), table="sink",
+        partition_column="o_orderkey", num_partitions=8,
+    )
+
+
+def _q_iceberg_ref_read(spark, sf_dir):
+    """Iceberg named refs (iceberg.apache.org/spec — snapshot
+    references): snapshot 1 holds the even keys, snapshot 2 adds the
+    odd keys; the refs map pins branch 'main' at 2 and tag 'audit' at
+    1. Reading ref='audit' must plan snapshot 1's files only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root, ocf, entry, finish = _ice_fixture("iceberg_ref_")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    import os as _os
+
+    d1 = _os.path.join(root, "data", "f1.parquet")
+    d2 = _os.path.join(root, "data", "f2.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pdf[pdf["o_orderkey"] % 2 == 0], preserve_index=False), d1)
+    pq.write_table(pa.Table.from_pandas(
+        pdf[pdf["o_orderkey"] % 2 == 1], preserve_index=False), d2)
+    m1 = ocf("m1.avro", [entry(d1, seq=1)], _ICE_ENTRY_SCHEMA)
+    m2 = ocf("m2.avro", [entry(d1, seq=1), entry(d2, seq=2)],
+             _ICE_ENTRY_SCHEMA)
+    ml1 = _ice_manifest_list(ocf, "s1.avro", [(m1, 0, 1)])
+    ml2 = _ice_manifest_list(ocf, "s2.avro", [(m2, 0, 2)])
+    finish(
+        [{"snapshot-id": 1, "timestamp-ms": 1000,
+          "manifest-list": f"file://{ml1}"},
+         {"snapshot-id": 2, "timestamp-ms": 2000,
+          "manifest-list": f"file://{ml2}"}],
+        current=2,
+        refs={"main": {"snapshot-id": 2, "type": "branch"},
+              "audit": {"snapshot-id": 1, "type": "tag"}},
+    )
+    return read_iceberg(spark, root, ref="audit").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def _q_iceberg_avro_data(spark, sf_dir):
+    """Iceberg table whose DATA files are AVRO OCF
+    (write.format.default=avro; sources/iceberg_reader.py
+    _scan_avro_data): two avro files decode EXECUTOR-side through the
+    repo's own codec — a spec frame of paths into mapInPandas, no
+    driver decode — and a position delete (rows addressed by in-file
+    ordinal, any format) kills %9==4 keys in the first file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.avro_container import _write_ocf
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root, ocf, entry, finish = _ice_fixture("iceberg_avro_")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    import os as _os
+
+    avro_schema = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_totalprice", "type": ["null", "double"],
+             "default": None},
+        ]}
+    lo = pdf[pdf["o_orderkey"] % 2 == 0]
+    hi = pdf[pdf["o_orderkey"] % 2 == 1]
+    d1 = _os.path.join(root, "data", "f1.avro")
+    d2 = _os.path.join(root, "data", "f2.avro")
+    for part, path in ((lo, d1), (hi, d2)):
+        with open(path, "wb") as fh:
+            _write_ocf(
+                iter([
+                    {"o_orderkey": int(k), "o_totalprice": float(v)}
+                    for k, v in zip(part["o_orderkey"],
+                                    part["o_totalprice"])
+                ]), avro_schema, fh,
+            )
+    doomed = [i for i, k in enumerate(lo["o_orderkey"].tolist())
+              if k % 9 == 4]
+    pd1 = _os.path.join(root, "data", "del_pos.parquet")
+    pq.write_table(pa.table({
+        "file_path": [f"file://{d1}"] * len(doomed),
+        "pos": doomed,
+    }), pd1)
+    m1 = ocf("m1.avro", [
+        entry(d1, seq=1, fmt="AVRO"), entry(d2, seq=1, fmt="AVRO"),
+        entry(pd1, content=1, seq=2),
+    ], _ICE_ENTRY_SCHEMA)
+    ml = _ice_manifest_list(ocf, "s1.avro", [(m1, 0, 1)])
+    finish(
+        [{"snapshot-id": 1, "timestamp-ms": 1000,
+          "manifest-list": f"file://{ml}"}],
+        current=1,
+    )
+    return read_iceberg(spark, root).select("o_orderkey", "o_totalprice")
+
+
+def _q_iceberg_orc_read(spark, sf_dir):
+    """Iceberg table with ORC data files, POSITION deletes and a
+    RENAMED column (sources/iceberg_reader.py _scan_orc_data): the
+    pre-rename file stores the even keys under physical name
+    'total_old' — resolved to o_totalprice via its iceberg.id ORC type
+    attributes (iceberg.apache.org/spec, ORC type annotations) — the
+    post-rename file stores the odd keys under the current name, and a
+    position delete kills the 100 smallest even keys by in-file
+    ordinal (synthesized executor-side; Spark's native ORC relation
+    has no row_index)."""
+    import pyarrow as pa
+    import pyarrow.orc as _orc
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root, ocf, entry, finish = _ice_fixture("iceberg_orc_")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    import os as _os
+
+    def orc_with_ids(frame, path, ids):
+        t = pa.Table.from_pandas(frame, preserve_index=False)
+        fields = [
+            t.schema.field(i).with_metadata(
+                {b"iceberg.id":
+                 str(ids[t.schema.field(i).name]).encode()}
+            ) for i in range(len(t.schema))
+        ]
+        _orc.write_table(t.cast(pa.schema(fields)), path)
+
+    even = pdf[pdf["o_orderkey"] % 2 == 0].rename(
+        columns={"o_totalprice": "total_old"}
+    )
+    odd = pdf[pdf["o_orderkey"] % 2 == 1]
+    d1 = _os.path.join(root, "data", "f1.orc")
+    d2 = _os.path.join(root, "data", "f2.orc")
+    orc_with_ids(even, d1, {"o_orderkey": 1, "total_old": 2})
+    orc_with_ids(odd, d2, {"o_orderkey": 1, "o_totalprice": 2})
+    n_del = min(100, len(even))
+    pd1 = _os.path.join(root, "data", "del_pos.parquet")
+    pq.write_table(pa.table({
+        "file_path": [f"file://{d1}"] * n_del,
+        "pos": list(range(n_del)),
+    }), pd1)
+    m1 = ocf("m1.avro", [
+        entry(d1, seq=1, fmt="ORC"), entry(d2, seq=1, fmt="ORC"),
+        entry(pd1, content=1, seq=2),
+    ], _ICE_ENTRY_SCHEMA)
+    ml = _ice_manifest_list(ocf, "s1.avro", [(m1, 0, 1)])
+    finish(
+        [{"snapshot-id": 1, "timestamp-ms": 1000,
+          "manifest-list": f"file://{ml}"}],
+        current=1,
+    )
+    return read_iceberg(spark, root).select("o_orderkey", "o_totalprice")
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    """jusText-style INTRA-document boilerplate removal
+    (operators/text.py strip_boilerplate; corpus.tools/wiki/Justext):
+    documents get paragraph structure deterministically (every literal
+    ' table ' becomes a newline in BOTH engines), then each paragraph
+    is classified by its own shape — >=5 words, non-letter density
+    <= 0.30, stopword density >= 0.04 — and only content-like
+    paragraphs are re-joined. Entirely map-side higher-order exprs:
+    zero shuffles, zero UDFs."""
+    from feature_store_api_spark.operators.text import strip_boilerplate
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    prepped = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("txt"),
+    )
+    return strip_boilerplate(
+        prepped, "txt", "doc_id",
+        min_words=5, min_stopword_ratio=0.04, max_symbol_ratio=0.30,
+        # function-word list matched to the synthetic corpus vocabulary
+        # so the stopword-density dimension actually discriminates here
+        stopwords=("data", "query", "order", "scan", "join"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the
-    # FIRST ~50 entries per round (r12 rotation, per VERDICT r11 #5):
-    # (1) four NEW never-checked rows (hudi/iceberg partitioned reads,
-    # iceberg field-id rename mapping, dbapi pushdown); (2) the 46
-    # entries whose latest verdict is r09 — two rounds stale at r12.
-    # Next = the r10 window, risk-ranked (delta cdc restatement +
-    # hudi incremental prune code changed this round); tail = the 50
-    # r11-fresh rows.
+    # FIRST ~50 entries per round (r13 rotation, per VERDICT r12 #1):
+    # (1) six NEW rows promoting r12 pytest-only capabilities to oracle
+    # rows (jusText boilerplate, insert_overwrite, the DBAPI sink,
+    # iceberg refs / AVRO data files / ORC position-deletes+renames);
+    # (2) the 44 surviving entries whose latest verdict is r10 — two
+    # rounds stale at r13. Six r10 entries whose rows were fully
+    # covered by fresher green entries were RETIRED to keep the
+    # 50-wide window sustainable (roster stays 150 = 3 windows):
+    # compaction_snapshot (materialization_job, r11), hudi_time_travel
+    # (hudi_fg_upsert r11 + hudi_partitioned_read r12 + pytest),
+    # embedding_centroids (knn_ivf r11 trains the same centroids),
+    # gopher_gates (text_quality/text_stats r12), robust_scaler +
+    # quantile_binning (builtin_scalers + encoders r12); every retired
+    # capability keeps its pinned pytest. Next 50 = the r11 window
+    # (the r14 rotation), tail = the 50 r12-fresh rows.
     return {
+        "strip_boilerplate": _q_strip_boilerplate,
+        "insert_overwrite": _q_insert_overwrite,
+        "dbapi_write": _q_dbapi_write,
+        "iceberg_ref_read": _q_iceberg_ref_read,
+        "iceberg_avro_data": _q_iceberg_avro_data,
+        "iceberg_orc_read": _q_iceberg_orc_read,
+        "commit_details": _q_commit_details,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "custom_udf": _q_custom_udf,
+        "delta_cdf": _q_delta_cdf,
+        "delta_column_mapping": _q_delta_column_mapping,
+        "delta_dv_strip": _q_delta_dv_strip,
+        "delta_fg_upsert": _q_delta_fg_upsert,
+        "delta_time_travel": _q_delta_time_travel,
+        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
+        "event_time_norm": _q_event_time_norm,
+        "external_fg_csv": _q_external_fg_csv,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "fs_sql": _q_fs_sql,
+        "hudi_mor_incremental": _q_hudi_mor_incremental,
+        "incremental_dedup": _q_incremental_dedup,
+        "incremental_pull": _q_incremental_pull,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_full": _q_join_full,
+        "join_inner": _q_join_inner,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "join_right": _q_join_right,
+        "join_semi": _q_join_semi,
+        "label_window": _q_label_window,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_lookup": _q_online_lookup,
+        "online_preview": _q_online_preview,
+        "pii_redaction": _q_pii_redaction,
+        "pit_join": _q_pit_join,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "scan_filter_project": _q_scan_filter_project,
+        "schema_evolution": _q_schema_evolution,
+        "select_except": _q_select_except,
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "serving_vectors": _q_serving_vectors,
+        "streaming_upsert": _q_streaming_upsert,
+        "tfidf_terms": _q_tfidf_terms,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "vacuum_retention": _q_vacuum_retention,
+        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
+        "bm25_batch": _q_bm25_batch,
+        "bm25_topk": _q_bm25_topk,
+        "clustered_fg_read": _q_clustered_fg_read,
+        "correlations": _q_correlations,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "dbapi_scan": _q_dbapi_scan,
+        "dirty_names_sanitized": _q_dirty_names_sanitized,
+        "dsir_sample": _q_dsir_sample,
+        "embedding_quantize": _q_embedding_quantize,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "fv_batch_query": _q_fv_batch_query,
+        "hudi_fg_upsert": _q_hudi_fg_upsert,
+        "hudi_log_delete": _q_hudi_log_delete,
+        "iceberg_fg_upsert": _q_iceberg_fg_upsert,
+        "iceberg_incremental": _q_iceberg_incremental,
+        "iceberg_read": _q_iceberg_read,
+        "json_extract": _q_json_extract,
+        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
+        "kafka_materialize": _q_kafka_materialize,
+        "knn_ann": _q_knn_ann,
+        "knn_ann_retry": _q_knn_ann_retry,
+        "knn_ivf": _q_knn_ivf,
+        "lag_features": _q_lag_features,
+        "lm_perplexity": _q_lm_perplexity,
+        "materialization_job": _q_materialization_job,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_verified": _q_minhash_verified,
+        "multimodal_decode": _q_multimodal_decode,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "partitioned_fg_read": _q_partitioned_fg_read,
+        "percentiles_exact": _q_percentiles_exact,
+        "pit_join_multi": _q_pit_join_multi,
+        "pit_join_range": _q_pit_join_range,
+        "pit_join_skew": _q_pit_join_skew,
+        "pit_join_ttl": _q_pit_join_ttl,
+        "retrieval_metrics": _q_retrieval_metrics,
+        "rolling_features": _q_rolling_features,
+        "simhash": _q_simhash,
+        "spine_pit_join": _q_spine_pit_join,
+        "split_statistics": _q_split_statistics,
+        "stats_commit_window": _q_stats_commit_window,
+        "streaming_dedup": _q_streaming_dedup,
+        "td_avro_roundtrip": _q_td_avro_roundtrip,
+        "td_csv_roundtrip": _q_td_csv_roundtrip,
+        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
+        "temperature_sample": _q_temperature_sample,
+        "text_analysis": _q_text_analysis,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "value_counts": _q_value_counts,
         "hudi_partitioned_read": _q_hudi_partitioned_read,
         "iceberg_partitioned_read": _q_iceberg_partitioned_read,
         "iceberg_renamed_read": _q_iceberg_renamed_read,
@@ -4138,106 +4378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
-        "delta_cdf": _q_delta_cdf,
-        "delta_fg_upsert": _q_delta_fg_upsert,
-        "hudi_time_travel": _q_hudi_time_travel,
-        "hudi_mor_incremental": _q_hudi_mor_incremental,
-        "incremental_pull": _q_incremental_pull,
-        "delta_dv_strip": _q_delta_dv_strip,
-        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
-        "delta_time_travel": _q_delta_time_travel,
-        "delta_column_mapping": _q_delta_column_mapping,
-        "streaming_upsert": _q_streaming_upsert,
-        "commit_details": _q_commit_details,
-        "compaction_snapshot": _q_compaction_snapshot,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "custom_udf": _q_custom_udf,
-        "embedding_centroids": _q_embedding_centroids,
-        "event_time_norm": _q_event_time_norm,
-        "external_fg_csv": _q_external_fg_csv,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "fs_sql": _q_fs_sql,
-        "gopher_gates": _q_gopher_gates,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_full": _q_join_full,
-        "join_inner": _q_join_inner,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "join_right": _q_join_right,
-        "join_semi": _q_join_semi,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_lookup": _q_online_lookup,
-        "online_preview": _q_online_preview,
-        "pii_redaction": _q_pii_redaction,
-        "quantile_binning": _q_quantile_binning,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "robust_scaler": _q_robust_scaler,
-        "scan_filter_project": _q_scan_filter_project,
-        "schema_evolution": _q_schema_evolution,
-        "select_except": _q_select_except,
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "serving_vectors": _q_serving_vectors,
-        "tfidf_terms": _q_tfidf_terms,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "vacuum_retention": _q_vacuum_retention,
-        "incremental_dedup": _q_incremental_dedup,
-        "pit_join": _q_pit_join,
-        "label_window": _q_label_window,
-        "iceberg_read": _q_iceberg_read,
-        "iceberg_fg_upsert": _q_iceberg_fg_upsert,
-        "dbapi_scan": _q_dbapi_scan,
-        "hudi_fg_upsert": _q_hudi_fg_upsert,
-        "materialization_job": _q_materialization_job,
-        "clustered_fg_read": _q_clustered_fg_read,
-        "iceberg_incremental": _q_iceberg_incremental,
-        "hudi_log_delete": _q_hudi_log_delete,
-        "minhash_verified": _q_minhash_verified,
-        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
-        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
-        "td_csv_roundtrip": _q_td_csv_roundtrip,
-        "partitioned_fg_read": _q_partitioned_fg_read,
-        "dirty_names_sanitized": _q_dirty_names_sanitized,
-        "json_extract": _q_json_extract,
-        "lag_features": _q_lag_features,
-        "multimodal_decode": _q_multimodal_decode,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "simhash": _q_simhash,
-        "text_analysis": _q_text_analysis,
-        "knn_ann": _q_knn_ann,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "knn_ann_retry": _q_knn_ann_retry,
-        "knn_ivf": _q_knn_ivf,
-        "fv_batch_query": _q_fv_batch_query,
-        "embedding_quantize": _q_embedding_quantize,
-        "percentiles_exact": _q_percentiles_exact,
-        "correlations": _q_correlations,
-        "value_counts": _q_value_counts,
-        "entropy_uniqueness": _q_entropy_uniqueness,
-        "split_statistics": _q_split_statistics,
-        "stats_commit_window": _q_stats_commit_window,
-        "custom_udf_stats": _q_custom_udf_stats,
-        "rolling_features": _q_rolling_features,
-        "kafka_materialize": _q_kafka_materialize,
-        "td_avro_roundtrip": _q_td_avro_roundtrip,
-        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "pit_join_skew": _q_pit_join_skew,
-        "streaming_dedup": _q_streaming_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "pit_join_ttl": _q_pit_join_ttl,
-        "pit_join_multi": _q_pit_join_multi,
-        "pit_join_range": _q_pit_join_range,
-        "spine_pit_join": _q_spine_pit_join,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_batch": _q_bm25_batch,
-        "lm_perplexity": _q_lm_perplexity,
-        "temperature_sample": _q_temperature_sample,
-        "dsir_sample": _q_dsir_sample,
-        "retrieval_metrics": _q_retrieval_metrics,
     }
 
 
@@ -4412,6 +4552,63 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "insert_overwrite": """
+            SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 1
+        """,
+        "dbapi_write": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+        """,
+        "iceberg_ref_read": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+        """,
+        "iceberg_avro_data": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 9 = 4)
+        """,
+        "iceberg_orc_read": """
+            WITH e AS (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_orderkey) AS rn
+              FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT o_orderkey, o_totalprice FROM e WHERE rn > 100
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 1
+        """,
+        "strip_boilerplate": r"""
+            WITH d AS (
+              SELECT doc_id, replace(text, ' table ', chr(10)) AS txt
+              FROM documents WHERE text IS NOT NULL
+            ),
+            s AS (
+              SELECT doc_id,
+                     string_split(txt, chr(10)) AS paras,
+                     list_filter(string_split(txt, chr(10)), p ->
+                       len(list_filter(
+                             regexp_split_to_array(lower(p), '[^\p{L}\p{N}'']+'),
+                             w -> length(w) > 0)) >= 5
+                       AND length(regexp_replace(p, '[\p{L}\s]', '', 'g'))
+                           / greatest(length(p), 1) <= 0.30
+                       AND len(list_filter(
+                             regexp_split_to_array(lower(p), '[^\p{L}\p{N}'']+'),
+                             w -> list_contains(
+                               ['data','query','order','scan','join'], w)))
+                           / greatest(len(list_filter(
+                               regexp_split_to_array(lower(p), '[^\p{L}\p{N}'']+'),
+                               w -> length(w) > 0)), 1) >= 0.04
+                     ) AS kept
+              FROM d
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS txt_clean,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(len(paras) - len(kept) AS BIGINT) AS n_removed
+            FROM s
+        """,
         "delta_dv_strip": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey % 10 != 0
@@ -4618,31 +4815,6 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 3
         """,
-        "embedding_centroids": """
-            WITH e AS (
-              SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            n AS (
-              SELECT vec_id, label,
-                     CASE WHEN sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) = 0
-                          THEN v
-                          ELSE list_transform(
-                            v, x -> round(x / sqrt(list_aggregate(
-                                 list_transform(v, y -> y * y), 'sum')), 6))
-                     END AS nv
-              FROM e
-            ),
-            p AS (
-              SELECT label, generate_subscripts(nv, 1) AS pos, unnest(nv) AS x FROM n
-            ),
-            m AS (
-              SELECT label, pos, round(avg(x), 6) AS mx FROM p GROUP BY label, pos
-            )
-            SELECT m.label, c.n_members, m.pos,
-                   m.mx AS centroid_val
-            FROM m JOIN (SELECT label, COUNT(*) AS n_members FROM n GROUP BY label) c
-              USING (label)
-        """,
         "corpus_rebalance": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
             c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
@@ -4813,19 +4985,6 @@ def oracle_sql() -> dict[str, str]:
                        range(1, LEAST(n.n_relevant, 5) + 1),
                        i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
             FROM nrel n LEFT JOIN hits h USING (query_id)
-        """,
-        "hudi_time_travel": """
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1
-                        ELSE o_totalprice END AS o_totalprice,
-                   'cow' AS src
-            FROM orders
-            UNION ALL
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 3
-                        ELSE o_totalprice END AS o_totalprice,
-                   'mor' AS src
-            FROM orders WHERE o_orderkey % 10 <> 4
         """,
         "materialization_job": """
             SELECT o_orderkey,
@@ -6179,80 +6338,6 @@ def oracle_sql() -> dict[str, str]:
                    )) AS INTEGER) AS code
             FROM p JOIN sc USING (pos)
         """,
-        "gopher_gates": """
-            WITH d AS (
-              SELECT doc_id, text,
-                     list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '),
-                                 w -> length(w) > 0) AS w,
-                     list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ln
-              FROM documents WHERE text IS NOT NULL
-            ),
-            m AS (
-              SELECT doc_id,
-                     len(w) AS n_words,
-                     CASE WHEN len(w) > 0
-                          THEN list_aggregate(list_transform(w, x -> length(x)), 'sum') / len(w)
-                          ELSE 0.0 END AS mean_wl,
-                     CASE WHEN len(w) > 0
-                          THEN ((len(string_split(text, '#')) - 1)
-                               + (length(text) - length(replace(text, '...', ''))) / 3) / len(w)
-                          ELSE 0.0 END AS symbol_ratio,
-                     CASE WHEN len(ln) > 0
-                          THEN len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) / len(ln)
-                          ELSE 0.0 END AS bullet_ratio,
-                     CASE WHEN len(ln) > 0
-                          THEN len(list_filter(ln, l -> regexp_matches(trim(l), '\.\.\.$'))) / len(ln)
-                          ELSE 0.0 END AS ellipsis_ratio,
-                     CASE WHEN len(w) > 0
-                          THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w)
-                          ELSE 0.0 END AS alpha_ratio
-              FROM d
-            )
-            SELECT doc_id,
-                   CAST(n_words AS BIGINT) AS n_words,
-                   ROUND(mean_wl, 6) AS mean_word_len,
-                   ROUND(symbol_ratio, 6) AS symbol_ratio,
-                   ROUND(bullet_ratio, 6) AS bullet_line_ratio,
-                   ROUND(ellipsis_ratio, 6) AS ellipsis_line_ratio,
-                   ROUND(alpha_ratio, 6) AS alpha_word_ratio,
-                   n_words >= 50 AND n_words <= 100000 AS pass_word_count,
-                   mean_wl >= 3.0 AND mean_wl <= 10.0 AS pass_mean_word_len,
-                   symbol_ratio <= 0.1 AS pass_symbol_ratio,
-                   ellipsis_ratio <= 0.3 AS pass_ellipsis_lines,
-                   bullet_ratio <= 0.9 AS pass_bullet_lines,
-                   alpha_ratio >= 0.8 AS pass_alpha_words,
-                   (n_words >= 50 AND n_words <= 100000)
-                     AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
-                     AND symbol_ratio <= 0.1 AND ellipsis_ratio <= 0.3
-                     AND bullet_ratio <= 0.9 AND alpha_ratio >= 0.8
-                     AS passes_gopher
-            FROM m
-        """,
-        "quantile_binning": """
-            WITH s AS (
-              SELECT quantile_cont(c_acctbal, 0.25) AS p25,
-                     quantile_cont(c_acctbal, 0.50) AS p50,
-                     quantile_cont(c_acctbal, 0.75) AS p75
-              FROM customer
-            )
-            SELECT c_custkey,
-                   CAST(CASE WHEN c_acctbal IS NULL THEN NULL
-                             WHEN c_acctbal <= p25 THEN 0
-                             WHEN c_acctbal <= p50 THEN 1
-                             WHEN c_acctbal <= p75 THEN 2
-                             ELSE 3 END AS BIGINT) AS bin
-            FROM customer, s
-        """,
-        "robust_scaler": """
-            WITH s AS (
-              SELECT quantile_cont(c_acctbal, 0.25) AS p25,
-                     quantile_cont(c_acctbal, 0.50) AS p50,
-                     quantile_cont(c_acctbal, 0.75) AS p75
-              FROM customer
-            )
-            SELECT c_custkey, ROUND((c_acctbal - p50) / (p75 - p25), 6) AS rs
-            FROM customer, s
-        """,
         "monitoring_window": """
             SELECT 'value' AS feature, COUNT(*) AS cnt, COUNT(value) AS non_null,
                    ROUND(MIN(value)::DOUBLE, 6) AS min_val, ROUND(MAX(value)::DOUBLE, 6) AS max_val,
@@ -6359,12 +6444,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice,
                    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
             FROM orders
-        """,
-        "compaction_snapshot": """
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
-                     AS o_totalprice
-            FROM orders WHERE o_orderkey % 100 != 7
         """,
         "partitioned_fg_read": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

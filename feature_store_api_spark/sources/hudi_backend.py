@@ -65,7 +65,9 @@ class HudiBackend(CommitLogBackend):
         super().__init__(location)
         self._meta_dir = os.path.join(location, ".hoodie")
 
-    def _ensure_table(self, partition_cols: Sequence[str] = ()) -> None:
+    def _ensure_table(
+        self, partition_cols: Sequence[str] = (), schema=None
+    ) -> None:
         props = os.path.join(self._meta_dir, "hoodie.properties")
         if os.path.exists(props):
             # layout is immutable for the life of the table: a table
@@ -108,6 +110,30 @@ class HudiBackend(CommitLogBackend):
             )
             lines.append("hoodie.datasource.write.hive_style_partitioning=true")
             lines.append("hoodie.datasource.write.drop.partition.columns=true")
+        if schema is not None:
+            # hoodie.table.create.schema (real Hudi's creation-time
+            # table schema property): with drop.partition.columns the
+            # partition values exist ONLY in directory names, and
+            # Spark's directory type inference has no boolean type and
+            # reads numeric-looking string keys as long — the reader
+            # casts discovered partition columns back to these declared
+            # types (sources/hudi_reader.py read_hudi)
+            import json as _json
+
+            from .avro_codec import avro_schema_of_df
+
+            class _DF:  # avro_schema_of_df only touches .schema
+                pass
+
+            holder = _DF()
+            holder.schema = schema
+            lines.append(
+                "hoodie.table.create.schema="
+                + _json.dumps(
+                    avro_schema_of_df(holder, name="table_schema"),
+                    separators=(",", ":"),
+                )
+            )
         with open(props, "w") as fh:
             fh.write("\n".join(lines) + "\n")
 
@@ -122,7 +148,7 @@ class HudiBackend(CommitLogBackend):
         # and must stay a DATA column — the log-view contract exposes it
         # to external readers
         user_parts = [c for c in partition_cols if c != COMMIT_COL]
-        self._ensure_table(user_parts)
+        self._ensure_table(user_parts, schema=df.schema)
         stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
         try:
             # partitionBy lays the staged files out in the hive dirs the

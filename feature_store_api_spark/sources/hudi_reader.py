@@ -239,6 +239,63 @@ def _visible_groups(
     return chosen
 
 
+_AVRO_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "bytes": "binary",
+}
+
+
+def _cast_discovered_partitions(df: DataFrame, props: Dict[str, str]):
+    """Pin discovered partition columns to their DECLARED types.
+
+    With ``hoodie.datasource.write.drop.partition.columns=true`` the
+    partition values exist only in directory names, and Spark's
+    partition-directory type inference has no boolean type and reads
+    numeric-looking string keys as long — the scanned schema would
+    silently diverge from the table schema. When the table carries
+    ``hoodie.table.create.schema`` (real Hudi's creation-time schema
+    property), cast each discovered partition column back to its
+    declared type. The cast stays a partition-only expression, so
+    partition-key filters still land in ``PartitionFilters``
+    (directory pruning) — pinned by test."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    sch = props.get("hoodie.table.create.schema")
+    parts = [
+        c.strip()
+        for c in props.get("hoodie.table.partition.fields", "").split(",")
+        if c.strip()
+    ]
+    if not sch or not parts:
+        return df
+    try:
+        fields = _json.loads(sch).get("fields") or []
+    except ValueError:
+        return df
+    dtypes = dict(df.dtypes)
+    for f in fields:
+        name = f.get("name")
+        if name not in parts or name not in dtypes:
+            continue
+        t = f.get("type")
+        if isinstance(t, list):  # ["null", T] unions
+            t = next((x for x in t if x != "null"), None)
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            t = {"date": "date", "timestamp-micros": "timestamp_ntz"}.get(
+                lt
+            )
+        if isinstance(t, str):
+            t = _AVRO_TO_SPARK.get(t, t if t in (
+                "date", "timestamp_ntz") else None)
+        if t and dtypes[name] != t:
+            df = df.withColumn(name, F.col(name).cast(t))
+    return df
+
+
 def read_hudi(
     spark: SparkSession,
     path: str,
@@ -292,6 +349,9 @@ def read_hudi(
     if partition_discovery:
         reader = reader.option("basePath", os.path.abspath(path))
         files = [os.path.abspath(f) for f in files]
+        return _cast_discovered_partitions(
+            reader.parquet(*files), _table_props(meta_dir)
+        )
     return reader.parquet(*files)
 
 

@@ -1038,3 +1038,41 @@ def test_hudi_backend_refuses_partition_layout_change(spark, tmp_path):
     with pytest.raises(ValueError, match="partition fields"):
         b2.append_commit(df, [COMMIT_COL, "v"])
     b2.append_commit(df, [COMMIT_COL, "part"])
+
+
+def test_hudi_partitioned_scan_declared_types_win(spark, tmp_path):
+    """Discovered partition columns come back with their DECLARED types
+    on the Hudi backend (drop.partition.columns layout: values exist
+    ONLY in directory names, and Spark's directory inference has no
+    boolean and reads numeric-looking strings as long): the backend
+    writes hoodie.table.create.schema at creation and the reader casts
+    discovered partition columns back to it. The cast is a
+    partition-only expression, so a partition-key filter still prunes
+    directories (PartitionFilters)."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "hb_typed_inf", primary_key=["k"], event_time="ts",
+        partition_key=["flag", "code"], time_travel_format="HUDI",
+        auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, True, "123", 1.0), (2, 10, False, "456", 2.0)],
+        "k long, ts long, flag boolean, code string, v double"))
+    out = fg.read(spark)
+    dt = dict(out.dtypes)
+    assert dt["flag"] == "boolean"
+    assert dt["code"] == "string"
+    got = sorted((r["k"], r["flag"], r["code"]) for r in out.collect())
+    assert got == [(1, True, "123"), (2, False, "456")]
+    # directory pruning survives the declared-type cast
+    from pyspark.sql import functions as F
+
+    filtered = out.where(F.col("flag") == True)  # noqa: E712
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # the cast stays a partition-only expression: the predicate lands
+    # in PartitionFilters (directory pruning), not DataFilters
+    assert pf and "flag" in pf[0] and "boolean" in pf[0]
+    assert filtered.count() == 1

@@ -556,12 +556,16 @@ def _scan_avro_data(
     paths, ``mapInPandas`` opens each file in a task. When deletes
     apply, every row carries ``__i_path`` + ``__i_pos`` (its ordinal in
     the file — Iceberg position deletes address rows of ANY format by
-    ordinal). Columns resolve by name against the current schema."""
+    ordinal). Columns resolve by the writer schema's ``field-id``
+    annotations when present (iceberg.apache.org/spec — Avro schemas
+    carry per-field ids, so files written BEFORE a column rename still
+    project correctly), by name otherwise."""
     import pandas as pd
     from pyspark.sql import types as T
 
     schema = _spark_schema_of(meta)
     names = [f.name for f in schema.fields]
+    id_names = _current_field_names(meta)
     out_schema = schema
     if need_meta:
         out_schema = T.StructType(list(schema.fields) + [
@@ -575,9 +579,20 @@ def _scan_avro_data(
         for pdf in batches:
             for p in pdf["__a_path"]:
                 with open(p, "rb") as fh:
-                    _s, rows = read_ocf_bytes(fh.read())
+                    sch, rows = read_ocf_bytes(fh.read())
+                # physical name per CURRENT column: writer-schema
+                # field-ids win (rename-safe); fall back to the name
+                phys = {}
+                for f in (
+                    sch.get("fields") or []
+                    if isinstance(sch, dict) else []
+                ):
+                    fid = f.get("field-id")
+                    if fid is not None and int(fid) in id_names:
+                        phys[id_names[int(fid)]] = f["name"]
                 out = pd.DataFrame(
-                    [{n: r.get(n) for n in names} for r in rows],
+                    [{n: r.get(phys.get(n, n)) for n in names}
+                     for r in rows],
                     columns=names,
                 )
                 if need_meta:

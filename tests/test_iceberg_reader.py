@@ -1242,3 +1242,45 @@ def test_iceberg_orc_position_deletes_and_renames(spark, tmp_path):
     _write_metadata(root2, [_snap(1, 1_000, ml2)], current=1)
     with pytest.raises(Exception, match="field-id|iceberg.id"):
         read_iceberg(spark, root2).collect()
+
+
+def test_iceberg_avro_data_field_id_rename(spark, tmp_path):
+    """AVRO data files written BEFORE a column rename carry per-field
+    'field-id' annotations (iceberg spec: Avro schemas are written with
+    field ids): the executor-side OCF decode resolves physical names
+    through them, so a renamed table's old avro files project under the
+    CURRENT name instead of silently yielding nulls."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_avro_ren")
+    a1 = os.path.join(root, "data", "f1.avro")
+    # pre-rename file: physical 'k_old' annotated with field-id 1
+    schema_old = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "k_old", "type": "long", "field-id": 1},
+            {"name": "v", "type": ["null", "double"], "default": None,
+             "field-id": 2},
+        ]}
+    _ocf(a1, [{"k_old": 1, "v": 1.0}, {"k_old": 2, "v": 2.0}], schema_old)
+    # post-rename file: current name, also annotated
+    a2 = os.path.join(root, "data", "f2.avro")
+    schema_new = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "k", "type": "long", "field-id": 1},
+            {"name": "v", "type": ["null", "double"], "default": None,
+             "field-id": 2},
+        ]}
+    _ocf(a2, [{"k": 3, "v": 3.0}], schema_new)
+
+    def entry(fp, seq):
+        e = _entry(fp, seq=seq)
+        e["data_file"]["file_format"] = "AVRO"
+        return e
+
+    m1 = _manifest(root, "m1.avro", [entry(a1, 1), entry(a2, 2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]

@@ -646,14 +646,16 @@ def _scan_orc_data(
         ])
 
     def decode(batches):
+        import pyarrow as pa
         import pyarrow.orc as orc
 
         for pdf in batches:
             for p in pdf["__o_path"]:
-                tbl = orc.ORCFile(p).read()
+                f_orc = orc.ORCFile(p)
+                file_schema = f_orc.schema
                 ids: Dict[int, str] = {}
                 has_ids = True
-                for f in tbl.schema:
+                for f in file_schema:
                     fid = (f.metadata or {}).get(b"iceberg.id")
                     if fid is None:
                         has_ids = False
@@ -671,21 +673,35 @@ def _scan_orc_data(
                     {id_names[i]: phys for i, phys in ids.items()
                      if i in id_names}
                     if has_ids
-                    else {n: n for n in tbl.schema.names}
+                    else {n: n for n in file_schema.names}
                 )
-                data = {}
-                for n in names:
-                    phys = phys_of.get(n)
-                    data[n] = (
-                        tbl.column(phys).to_pandas()
-                        if phys in tbl.schema.names
-                        else pd.Series([None] * tbl.num_rows)
-                    )
-                out = pd.DataFrame(data, columns=names)
-                if need_meta:
-                    out["__i_path"] = p
-                    out["__i_pos"] = range(len(out))
-                yield out
+                # column pruning into the ORC read: dropped physical
+                # columns are never decoded
+                wanted = [
+                    phys_of[n] for n in names
+                    if phys_of.get(n) in file_schema.names
+                ]
+                # stripe-wise: memory per task is one stripe (~64 MB
+                # by ORC convention), not the whole file; __i_pos is
+                # the running in-file ordinal across stripes
+                base = 0
+                for si in range(f_orc.nstripes):
+                    batch = f_orc.read_stripe(si, columns=wanted)
+                    tbl = pa.Table.from_batches([batch])
+                    data = {}
+                    for n in names:
+                        phys = phys_of.get(n)
+                        data[n] = (
+                            tbl.column(phys).to_pandas()
+                            if phys in tbl.schema.names
+                            else pd.Series([None] * tbl.num_rows)
+                        )
+                    out = pd.DataFrame(data, columns=names)
+                    if need_meta:
+                        out["__i_path"] = p
+                        out["__i_pos"] = range(base, base + len(out))
+                    base += tbl.num_rows
+                    yield out
 
     n_slices = min(
         len(paths), max(8, spark.sparkContext.defaultParallelism * 2)

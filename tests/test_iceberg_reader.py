@@ -1284,3 +1284,45 @@ def test_iceberg_avro_data_field_id_rename(spark, tmp_path):
         (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
     )
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_iceberg_orc_multi_stripe_ordinals(spark, tmp_path):
+    """Position ordinals stay correct ACROSS stripes: the executor-side
+    ORC decode reads stripe-by-stripe (bounded memory) with a running
+    in-file ordinal, so a delete addressing a row in a later stripe
+    lands on that row, not on a per-stripe-reset position."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_orc_stripes")
+    d1 = os.path.join(root, "data", "f1.orc")
+    os.makedirs(os.path.dirname(d1), exist_ok=True)
+    n = 50_000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "v": pa.array([float(i) for i in range(n)]),
+    })
+    # tiny stripes force several of them
+    orc.write_table(t, d1, stripe_size=64 * 1024)
+    assert orc.ORCFile(d1).nstripes > 1
+    # delete ordinals 0, 25_000 (a later stripe) and n-1
+    doomed = [0, 25_000, n - 1]
+    pd1 = os.path.join(root, "data", "del.parquet")
+    _pq({"file_path": [f"file://{d1}"] * len(doomed), "pos": doomed}, pd1)
+
+    def entry(fp, fmt, content=0, seq=1):
+        e = _entry(fp, content=content, seq=seq)
+        e["data_file"]["file_format"] = fmt
+        return e
+
+    m1 = _manifest(root, "m1.avro", [
+        entry(d1, "ORC"), entry(pd1, "PARQUET", content=1, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    out = read_iceberg(spark, root)
+    assert out.count() == n - 3
+    gone = {r["k"] for r in out.where(
+        (out.k.isin([0, 25_000, n - 1]))).collect()}
+    assert gone == set()

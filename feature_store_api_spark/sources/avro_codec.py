@@ -172,8 +172,10 @@ def _union_index(value: Any, union: List[Schema]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decode(data: bytes | io.BytesIO, schema: Schema) -> Any:
-    buf = data if isinstance(data, io.BytesIO) else io.BytesIO(data)
+def decode(data: "bytes | io.BytesIO | io.BufferedIOBase", schema: Schema) -> Any:
+    # any readable binary stream works (BytesIO, a file handle for the
+    # streaming container reader); raw bytes get wrapped
+    buf = data if hasattr(data, "read") else io.BytesIO(data)
     t = _type_of(schema)
     if t == "null":
         return None

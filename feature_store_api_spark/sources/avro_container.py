@@ -83,54 +83,68 @@ def _flush_block(fh, block: List[bytes]) -> None:
     fh.write(_SYNC)
 
 
-def read_ocf_bytes(data: bytes) -> tuple[Dict, List[dict]]:
-    """Parse one container file → (schema, records). Codecs: ``null``
-    plus ``deflate``/``gzip`` (zlib; what Iceberg's manifest writers
-    emit by default) and ``zstandard`` when the module is present."""
-    buf = io.BytesIO(data)
+def iter_ocf(buf) -> "tuple[Dict, Iterator[List[dict]]]":
+    """STREAMING container read over a seekable binary stream:
+    ``(schema, iterator of per-block record lists)``. Memory is one
+    decoded avro block (writers flush every ~16-64 KB), not the file —
+    the scan path for large avro DATA files. Codecs: ``null`` plus
+    ``deflate``/``gzip`` (zlib; what Iceberg's manifest writers emit by
+    default) and ``zstandard`` when the module is present."""
     if buf.read(4) != _MAGIC:
         raise ValueError("Not an Avro object container file")
     meta = decode(buf, _META_SCHEMA)
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
     codec = (meta.get("avro.codec") or b"null").decode("utf-8")
     sync = buf.read(16)
-    out: List[dict] = []
-    while True:
-        head = buf.read(1)
-        if not head:
-            break
-        buf.seek(-1, io.SEEK_CUR)
-        n = decode(buf, "long")
-        size = decode(buf, "long")
-        if codec == "null":
-            block = buf  # records follow inline
-        else:
-            raw = buf.read(size)
-            if codec in ("deflate", "gzip"):
-                import zlib
 
-                # avro "deflate" is raw DEFLATE (no zlib header)
-                block = io.BytesIO(zlib.decompress(raw, -15))
-            elif codec == "zstandard":
-                try:
-                    import zstandard
-                except ImportError as exc:
-                    raise NotImplementedError(
-                        "Avro container uses zstandard codec and the "
-                        "zstandard module is unavailable"
-                    ) from exc
-                block = io.BytesIO(
-                    zstandard.ZstdDecompressor().decompress(raw)
-                )
+    def blocks() -> Iterator[List[dict]]:
+        while True:
+            head = buf.read(1)
+            if not head:
+                break
+            buf.seek(-1, io.SEEK_CUR)
+            n = decode(buf, "long")
+            size = decode(buf, "long")
+            if codec == "null":
+                block = buf  # records follow inline
             else:
-                raise NotImplementedError(
-                    f"Avro container codec {codec!r} not supported "
-                    "(null/deflate/gzip/zstandard)"
-                )
-        for _ in range(n):
-            out.append(decode(block, schema))
-        if buf.read(16) != sync:
-            raise ValueError("Avro container sync marker mismatch")
+                raw = buf.read(size)
+                if codec in ("deflate", "gzip"):
+                    import zlib
+
+                    # avro "deflate" is raw DEFLATE (no zlib header)
+                    block = io.BytesIO(zlib.decompress(raw, -15))
+                elif codec == "zstandard":
+                    try:
+                        import zstandard
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "Avro container uses zstandard codec and "
+                            "the zstandard module is unavailable"
+                        ) from exc
+                    block = io.BytesIO(
+                        zstandard.ZstdDecompressor().decompress(raw)
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"Avro container codec {codec!r} not supported "
+                        "(null/deflate/gzip/zstandard)"
+                    )
+            yield [decode(block, schema) for _ in range(n)]
+            if buf.read(16) != sync:
+                raise ValueError("Avro container sync marker mismatch")
+
+    return schema, blocks()
+
+
+def read_ocf_bytes(data: bytes) -> tuple[Dict, List[dict]]:
+    """Parse one container file → (schema, records); the whole-file
+    convenience wrapper over :func:`iter_ocf` (manifests and other
+    metadata-sized files)."""
+    schema, blocks = iter_ocf(io.BytesIO(data))
+    out: List[dict] = []
+    for recs in blocks:
+        out.extend(recs)
     return schema, out
 
 

@@ -574,31 +574,49 @@ def _scan_avro_data(
         ])
 
     def decode(batches):
-        from .avro_container import read_ocf_bytes
+        from .avro_container import iter_ocf
 
+        flush_rows = 65_536  # Arrow batch target; memory stays bounded
         for pdf in batches:
             for p in pdf["__a_path"]:
                 with open(p, "rb") as fh:
-                    sch, rows = read_ocf_bytes(fh.read())
-                # physical name per CURRENT column: writer-schema
-                # field-ids win (rename-safe); fall back to the name
-                phys = {}
-                for f in (
-                    sch.get("fields") or []
-                    if isinstance(sch, dict) else []
-                ):
-                    fid = f.get("field-id")
-                    if fid is not None and int(fid) in id_names:
-                        phys[id_names[int(fid)]] = f["name"]
-                out = pd.DataFrame(
-                    [{n: r.get(phys.get(n, n)) for n in names}
-                     for r in rows],
-                    columns=names,
-                )
-                if need_meta:
-                    out["__i_path"] = p
-                    out["__i_pos"] = range(len(out))
-                yield out
+                    # STREAMING block read: task memory is one avro
+                    # block + the pending batch, never the whole file
+                    sch, blocks = iter_ocf(fh)
+                    # physical name per CURRENT column: writer-schema
+                    # field-ids win (rename-safe); fall back to the name
+                    phys = {}
+                    for f in (
+                        sch.get("fields") or []
+                        if isinstance(sch, dict) else []
+                    ):
+                        fid = f.get("field-id")
+                        if fid is not None and int(fid) in id_names:
+                            phys[id_names[int(fid)]] = f["name"]
+
+                    def frame(rows, base):
+                        out = pd.DataFrame(
+                            [{n: r.get(phys.get(n, n)) for n in names}
+                             for r in rows],
+                            columns=names,
+                        )
+                        if need_meta:
+                            out["__i_path"] = p
+                            out["__i_pos"] = range(
+                                base, base + len(out)
+                            )
+                        return out
+
+                    pending: List[dict] = []
+                    base = 0
+                    for recs in blocks:
+                        pending.extend(recs)
+                        if len(pending) >= flush_rows:
+                            yield frame(pending, base)
+                            base += len(pending)
+                            pending = []
+                    if pending or base == 0:
+                        yield frame(pending, base)
 
     n_slices = min(
         len(paths), max(8, spark.sparkContext.defaultParallelism * 2)

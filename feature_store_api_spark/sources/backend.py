@@ -104,7 +104,48 @@ class CommitLogBackend(TimeTravelBackend):
     def _data_path(self) -> str:
         return os.path.join(self.location, _DATA)
 
+    def _existing_layout(self) -> "Optional[List[str]]":
+        """Partition-dir column names of the existing data tree (one
+        branch probe), or None when the table holds no data yet."""
+        path = self._data_path
+        if not os.path.isdir(path):
+            return None
+        cols: List[str] = []
+        saw_data = False
+        while True:
+            try:
+                entries = sorted(os.listdir(path))
+            except FileNotFoundError:
+                break
+            saw_data = saw_data or any(
+                n.endswith(".parquet") for n in entries
+            )
+            subs = [
+                n for n in entries
+                if "=" in n and os.path.isdir(os.path.join(path, n))
+            ]
+            if not subs:
+                break
+            cols.append(subs[0].partition("=")[0])
+            path = os.path.join(path, subs[0])
+        return cols if (cols or saw_data) else None
+
     def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        # partition layout is fixed at table creation: appending a
+        # different partitionBy into the same tree would make Spark's
+        # partition discovery fail (conflicting partition columns) or,
+        # worse, silently misread — refuse at write time, the same
+        # posture as the Hudi/Iceberg/Delta backends
+        existing = self._existing_layout()
+        if existing is not None and existing != list(partition_cols):
+            raise ValueError(
+                f"commit store at {self.location!r} was created with "
+                f"partition columns {existing or '(none)'}; refusing to "
+                f"write with partition columns "
+                f"{list(partition_cols) or '(none)'} — partition layout "
+                "is fixed at table creation. Recreate the feature group "
+                "(new version) to change partitioning."
+            )
         (
             df.write.partitionBy(list(partition_cols))
             .mode("append")

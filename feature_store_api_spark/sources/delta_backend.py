@@ -172,7 +172,7 @@ class DeltaLogBackend(CommitLogBackend):
                 out.append(int(n[:-5]))
         return sorted(out)
 
-    def _current_schema_json(self) -> Optional[str]:
+    def _current_metadata(self) -> Optional[Dict]:
         for v in reversed(self._versions()):
             with open(os.path.join(self._delta_dir, f"{v:020d}.json")) as fh:
                 md = None
@@ -180,10 +180,14 @@ class DeltaLogBackend(CommitLogBackend):
                     if line.strip():
                         a = json.loads(line)
                         if "metaData" in a:
-                            md = a["metaData"]["schemaString"]
+                            md = a["metaData"]
                 if md:
                     return md
         return None
+
+    def _current_schema_json(self) -> Optional[str]:
+        md = self._current_metadata()
+        return md["schemaString"] if md else None
 
     def _write_delta_commit(self, actions: List[Dict]) -> int:
         """Append one Delta commit with PUT-IF-ABSENT version
@@ -440,8 +444,26 @@ class DeltaLogBackend(CommitLogBackend):
 
     def _metadata_actions(self, df: DataFrame, partition_cols) -> List[Dict]:
         """protocol+metaData on the first commit; an updated metaData
-        when the frame carries columns the table schema lacks."""
-        current = self._current_schema_json()
+        when the frame carries columns the table schema lacks.
+
+        Partition layout is fixed at table creation (delta.io
+        PROTOCOL.md: partitionColumns is table metadata; existing add
+        actions carry partitionValues for exactly those columns, and
+        the staged data dirs match them) — a changed layout refuses
+        loudly, same posture as the Hudi/Iceberg backends."""
+        cur_md = self._current_metadata()
+        if cur_md is not None:
+            prior = list(cur_md.get("partitionColumns") or [])
+            if prior != list(partition_cols):
+                raise ValueError(
+                    f"Delta table at {self.location!r} was created with "
+                    f"partition columns {prior or '(none)'}; refusing "
+                    f"to write with partition columns "
+                    f"{list(partition_cols) or '(none)'} — partition "
+                    "layout is fixed at table creation. Recreate the "
+                    "feature group (new version) to change partitioning."
+                )
+        current = cur_md["schemaString"] if cur_md else None
         new_fields = [json.loads(df.schema.json())["fields"][i]
                       for i in range(len(df.schema.fields))]
         # CDF on from birth: minWriterVersion 4 is the protocol level

@@ -594,3 +594,35 @@ def test_insert_overwrite_truncates_snapshot_keeps_time_travel(spark, tmp_path):
     # vacuum retires the truncated history; the snapshot is unchanged
     fg.commit_store.vacuum(retain_hours=0.0)
     assert [(r["k"], r["v"]) for r in fg.read(spark).collect()] == [(9, 99.0)]
+
+
+def test_backends_refuse_partition_layout_change(spark, tmp_path):
+    """Partition layout is fixed at table creation on EVERY physical
+    backend: the default parquet commit log probes its data tree (a
+    changed partitionBy would break Spark's partition discovery) and
+    the Delta backend checks the table's metaData.partitionColumns
+    (delta.io PROTOCOL.md: existing add actions carry partitionValues
+    for exactly those columns). Same posture as the Hudi/Iceberg
+    backends."""
+    import pytest
+
+    from feature_store_api_spark.sources.backend import CommitLogBackend
+    from feature_store_api_spark.sources.commit_store import COMMIT_COL
+    from feature_store_api_spark.sources.delta_backend import DeltaLogBackend
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1000, "upsert")],
+        f"k long, part string, v double, {COMMIT_COL} long, _hoodie_op string",
+    )
+    for cls, sub in ((CommitLogBackend, "plog"), (DeltaLogBackend, "dlt")):
+        flat = cls(str(tmp_path / f"{sub}_flat"))
+        flat.append_commit(df, [COMMIT_COL])
+        with pytest.raises(ValueError, match="partition columns|partition"):
+            flat.append_commit(df, [COMMIT_COL, "part"])
+        flat.append_commit(df, [COMMIT_COL])  # same layout still fine
+
+        part = cls(str(tmp_path / f"{sub}_part"))
+        part.append_commit(df, [COMMIT_COL, "part"])
+        with pytest.raises(ValueError, match="partition columns|partition"):
+            part.append_commit(df, [COMMIT_COL])
+        part.append_commit(df, [COMMIT_COL, "part"])

@@ -626,3 +626,31 @@ def test_backends_refuse_partition_layout_change(spark, tmp_path):
         with pytest.raises(ValueError, match="partition columns|partition"):
             part.append_commit(df, [COMMIT_COL])
         part.append_commit(df, [COMMIT_COL, "part"])
+
+
+@pytest.mark.parametrize("fmt", ["COMMITLOG", "DELTA", "ICEBERG", "HUDI"])
+def test_insert_overwrite_on_every_backend(spark, tmp_path, fmt):
+    """insert(overwrite=True) truncate-and-insert semantics hold on all
+    four physical backends: the visible snapshot becomes exactly the
+    overwrite frame, and time travel below the overwrite still works."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / fmt.lower()))
+    fg = fs.create_feature_group(
+        f"ovw_{fmt.lower()}", primary_key=["k"], event_time="ts",
+        time_travel_format=fmt, auto_compact_every=None,
+    )
+    c1 = fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0)],
+        "k long, ts long, v double"))
+    fg.insert(
+        spark.createDataFrame([(9, 20, 9.0)], "k long, ts long, v double"),
+        overwrite=True,
+    )
+    snap = sorted((r["k"], r["v"]) for r in fg.read(spark).collect())
+    assert snap == [(9, 9.0)]
+    back = sorted(
+        (r["k"], r["v"])
+        for r in fg.as_of(c1.commit_time).read(spark).collect()
+    )
+    assert back == [(1, 1.0), (2, 2.0), (3, 3.0)]

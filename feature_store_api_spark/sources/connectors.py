@@ -233,7 +233,12 @@ class DbApiConnector(StorageConnector):
         from .dbapi_source import write_dbapi
 
         opts = dict(options or {})
-        num_parts = int(opts.get("num_partitions", 0) or 0)
+        # same resolution as read(): per-call option wins, else the
+        # connector-level setting (a single-writer target configured
+        # once with num_partitions=1 serializes both directions)
+        num_parts = int(
+            opts.get("num_partitions", self.num_partitions or 0) or 0
+        )
         if num_parts > 0:
             df = df.coalesce(num_parts) if (
                 num_parts <= (df.rdd.getNumPartitions() or num_parts)

@@ -120,6 +120,8 @@ class HudiBackend(CommitLogBackend):
             # types (sources/hudi_reader.py read_hudi)
             import json as _json
 
+            from pyspark.sql import types as T
+
             from .avro_codec import avro_schema_of_df
 
             class _DF:  # avro_schema_of_df only touches .schema
@@ -127,12 +129,29 @@ class HudiBackend(CommitLogBackend):
 
             holder = _DF()
             holder.schema = schema
+            avro = avro_schema_of_df(holder, name="table_schema")
+            # the generic codec folds BOTH Spark timestamp kinds to
+            # timestamp-micros; the scan-side cast must tell them
+            # apart, so NTZ fields get avro's local-timestamp-micros
+            # (the spec's zoneless logical type)
+            ntz = {
+                f.name for f in schema.fields
+                if isinstance(f.dataType, T.TimestampNTZType)
+            }
+            for f in avro["fields"]:
+                if f["name"] in ntz:
+                    for t in (
+                        f["type"] if isinstance(f["type"], list)
+                        else [f["type"]]
+                    ):
+                        if (
+                            isinstance(t, dict)
+                            and t.get("logicalType") == "timestamp-micros"
+                        ):
+                            t["logicalType"] = "local-timestamp-micros"
             lines.append(
                 "hoodie.table.create.schema="
-                + _json.dumps(
-                    avro_schema_of_df(holder, name="table_schema"),
-                    separators=(",", ":"),
-                )
+                + _json.dumps(avro, separators=(",", ":"))
             )
         with open(props, "w") as fh:
             fh.write("\n".join(lines) + "\n")

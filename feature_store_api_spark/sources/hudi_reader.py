@@ -285,9 +285,13 @@ def _cast_discovered_partitions(df: DataFrame, props: Dict[str, str]):
             t = next((x for x in t if x != "null"), None)
         if isinstance(t, dict):
             lt = t.get("logicalType")
-            t = {"date": "date", "timestamp-micros": "timestamp_ntz"}.get(
-                lt
-            )
+            t = {
+                "date": "date",
+                # UTC-adjusted vs zoneless per the avro spec — the
+                # writer emits local-timestamp-micros for Spark NTZ
+                "timestamp-micros": "timestamp",
+                "local-timestamp-micros": "timestamp_ntz",
+            }.get(lt)
         if isinstance(t, str):
             t = _AVRO_TO_SPARK.get(t, t if t in (
                 "date", "timestamp_ntz") else None)

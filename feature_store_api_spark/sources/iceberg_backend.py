@@ -298,6 +298,64 @@ class IcebergBackend(CommitLogBackend):
             })
         return {"schema-id": 0, "type": "struct", "fields": fields}
 
+    def _check_partition_compat(self, meta, user_parts, has_commit_col):
+        """Refuse writes whose partition layout disagrees with the
+        existing table (see append_commit). Returns the (spec_id,
+        spec_fields) to ADOPT when meta exists, else None."""
+        if meta is None:
+            return None
+        existing_specs = list(meta.get("partition-specs") or [])
+        default_id = int(meta.get("default-spec-id") or 0)
+        cur_spec = next(
+            (s for s in existing_specs
+             if int(s.get("spec-id") or 0) == default_id),
+            {"spec-id": default_id, "fields": []},
+        )
+        cur_fields = list(cur_spec.get("fields") or [])
+        prior = [
+            f["name"] for f in cur_fields
+            if f.get("name") != "_commit_time"
+        ]
+        bad_transform = [
+            f["name"] for f in cur_fields
+            if f.get("transform") != "identity"
+        ]
+        if bad_transform:
+            raise NotImplementedError(
+                f"Iceberg table at {self.location!r} uses "
+                f"non-identity partition transforms on "
+                f"{bad_transform}; the commit-store writer only "
+                "appends into identity-partitioned specs "
+                "(iceberg.apache.org/spec/#partition-transforms)."
+            )
+        if prior != list(user_parts):
+            raise ValueError(
+                f"Iceberg table at {self.location!r} was created "
+                f"with partition fields "
+                f"{[f['name'] for f in cur_fields] or '(none)'}; "
+                f"refusing to write with partition fields "
+                f"{list(user_parts) or '(none)'} — partition "
+                "layout is fixed at table creation. Recreate the "
+                "feature group (new version) to change "
+                "partitioning."
+            )
+        if has_commit_col and not any(
+            f.get("name") == "_commit_time" for f in cur_fields
+        ):
+            # pre-existing table (external-FG sink direction)
+            # whose spec lacks identity(_commit_time): the
+            # commit store's time travel keys manifest pruning
+            # off that field, so appending without it would
+            # write snapshots the store cannot reason about
+            raise NotImplementedError(
+                f"Iceberg table at {self.location!r} has no "
+                "identity(_commit_time) partition field; the "
+                "commit-store writer cannot append into tables "
+                "created by other writers without it. Read the "
+                "table as an external feature group instead."
+            )
+        return default_id, cur_fields
+
     def _commit_metadata(self, build) -> Dict:
         """PUT-IF-ABSENT metadata commit: ``build(version, meta)``
         returns the next metadata dict; retried on version races."""
@@ -341,6 +399,14 @@ class IcebergBackend(CommitLogBackend):
         # backend scan's basePath discovery). The source columns STAY in
         # the data files, as real Iceberg writers do.
         user_parts = [c for c in partition_cols if c != COMMIT_COL]
+        # layout gate BEFORE any data moves into the table tree: a
+        # refused write must not leak unreferenced files into data/
+        # (the gate re-runs against the fresh head inside the commit
+        # retry loop, this early copy just fails fast and clean)
+        _v0, meta0 = self._current_meta()
+        self._check_partition_compat(
+            meta0, user_parts, COMMIT_COL in df.columns
+        )
         avro_types, parsers = _partition_codecs(df, user_parts)
         avro_types[COMMIT_COL] = "long"
         stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
@@ -403,70 +469,22 @@ class IcebergBackend(CommitLogBackend):
                 f["name"]: int(f["id"]) for f in schema["fields"]
             }
             existing_specs = list((meta or {}).get("partition-specs") or [])
-            if meta is not None:
-                # partition layout is fixed at table creation: existing
-                # manifests reference the default spec's field tuple AND
-                # the data dirs are laid out to match, so a different
-                # user partitioning can neither mutate spec 0 in place
-                # (breaks old manifests for external Iceberg clients)
-                # nor mix <col>=<val>/ dirs with the old layout (breaks
-                # the scan's basePath discovery). Refuse loudly; a new
-                # spec-id would fix external readers but not our own
-                # directory-discovery scan, so the honest posture is the
-                # Hudi twin's: recreate the table to repartition.
-                default_id = int(meta.get("default-spec-id") or 0)
-                cur_spec = next(
-                    (s for s in existing_specs
-                     if int(s.get("spec-id") or 0) == default_id),
-                    {"spec-id": default_id, "fields": []},
-                )
-                cur_fields = list(cur_spec.get("fields") or [])
-                prior = [
-                    f["name"] for f in cur_fields
-                    if f.get("name") != COMMIT_COL
-                ]
-                bad_transform = [
-                    f["name"] for f in cur_fields
-                    if f.get("transform") != "identity"
-                ]
-                if bad_transform:
-                    raise NotImplementedError(
-                        f"Iceberg table at {self.location!r} uses "
-                        f"non-identity partition transforms on "
-                        f"{bad_transform}; the commit-store writer only "
-                        "appends into identity-partitioned specs "
-                        "(iceberg.apache.org/spec/#partition-transforms)."
-                    )
-                if prior != list(user_parts):
-                    raise ValueError(
-                        f"Iceberg table at {self.location!r} was created "
-                        f"with partition fields "
-                        f"{[f['name'] for f in cur_fields] or '(none)'}; "
-                        f"refusing to write with partition fields "
-                        f"{list(user_parts) or '(none)'} — partition "
-                        "layout is fixed at table creation. Recreate the "
-                        "feature group (new version) to change "
-                        "partitioning."
-                    )
-                if COMMIT_COL in name_ids and not any(
-                    f.get("name") == COMMIT_COL for f in cur_fields
-                ):
-                    # pre-existing table (external-FG sink direction)
-                    # whose spec lacks identity(_commit_time): the
-                    # commit store's time travel keys manifest pruning
-                    # off that field, so appending without it would
-                    # write snapshots the store cannot reason about
-                    raise NotImplementedError(
-                        f"Iceberg table at {self.location!r} has no "
-                        f"identity({COMMIT_COL}) partition field; the "
-                        "commit-store writer cannot append into tables "
-                        "created by other writers without it. Read the "
-                        "table as an external feature group instead."
-                    )
-                # adopt the existing spec verbatim: same field-ids, same
-                # order — new manifests stay consistent with old ones
-                spec_fields = cur_fields
-                spec_id = default_id
+            # partition layout is fixed at table creation: existing
+            # manifests reference the default spec's field tuple AND
+            # the data dirs are laid out to match, so a different
+            # user partitioning can neither mutate spec 0 in place
+            # (breaks old manifests for external Iceberg clients)
+            # nor mix <col>=<val>/ dirs with the old layout (breaks
+            # the scan's basePath discovery). Refuse loudly (the same
+            # check already ran BEFORE staging — this re-run guards
+            # the retry loop against a racing table creation); adopt
+            # an existing spec verbatim: same field-ids, same order —
+            # new manifests stay consistent with old ones.
+            adopted = self._check_partition_compat(
+                meta, user_parts, COMMIT_COL in name_ids
+            )
+            if adopted is not None:
+                spec_id, spec_fields = adopted
             else:
                 spec_fields = []
                 spec_id = 0

@@ -38,11 +38,13 @@ columns resolve through the files' ``PARQUET:field_id`` footer
 annotations (one flat relation per distinct rename map).
 
 Out of scope (loud gates, not wrong rows): renamed tables whose files
-lack parquet field ids, position deletes over ORC data files (Spark's
-ORC reader exposes no row_index), and snapshots whose schema uses
-types Spark's parquet reader cannot widen. Avro data files decode
-executor-side through the repo's OCF codec; ORC data files read
-through Spark's native ORC reader.
+lack field-id annotations (parquet footers / avro field-id / ORC
+iceberg.id attributes), non-parquet DELETE files, and snapshots whose
+schema uses types Spark's parquet reader cannot widen. Avro data files
+decode executor-side through the repo's streaming OCF codec; ORC data
+files read through Spark's native ORC reader, falling back to an
+executor-side stripe-wise pyarrow.orc scan when position deletes or
+renames apply (synthesized row ordinals + iceberg.id mapping).
 """
 
 from __future__ import annotations
@@ -366,6 +368,17 @@ def _parquet_field_ids(path: str) -> Optional[Dict[int, str]]:
     return out
 
 
+def _spec_frame(spark: SparkSession, paths: List[str], col: str):
+    """Single-column spec frame of file paths, sliced for executor-side
+    decode fan-out — the shared shape of every mapInPandas scan here."""
+    n_slices = min(
+        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
+    )
+    return spark.createDataFrame(
+        [(p,) for p in paths], f"{col} string"
+    ).repartition(n_slices)
+
+
 def _field_ids_distributed(
     spark: SparkSession, paths: List[str]
 ) -> "List[Optional[Dict[int, str]]]":
@@ -392,12 +405,7 @@ def _field_ids_distributed(
                 {"__f_path": pdf["__f_path"], "__f_ids": maps}
             )
 
-    n_slices = min(
-        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
-    )
-    spec = spark.createDataFrame(
-        [(p,) for p in paths], "__f_path string"
-    ).repartition(n_slices)
+    spec = _spec_frame(spark, paths, "__f_path")
     got = {
         r["__f_path"]: r["__f_ids"]
         for r in spec.mapInPandas(
@@ -583,20 +591,40 @@ def _scan_avro_data(
                     # STREAMING block read: task memory is one avro
                     # block + the pending batch, never the whole file
                     sch, blocks = iter_ocf(fh)
-                    # physical name per CURRENT column: writer-schema
-                    # field-ids win (rename-safe); fall back to the name
-                    phys = {}
-                    for f in (
+                    # physical name per CURRENT column. When the writer
+                    # schema annotates every field with a field-id, ids
+                    # are AUTHORITATIVE: a current column whose id is
+                    # absent from the file is a schema-evolution add
+                    # (null) — never fall back by name, or a reused old
+                    # name would mis-bind another column's data. Name
+                    # resolution only for unannotated files.
+                    sch_fields = (
                         sch.get("fields") or []
                         if isinstance(sch, dict) else []
-                    ):
-                        fid = f.get("field-id")
-                        if fid is not None and int(fid) in id_names:
-                            phys[id_names[int(fid)]] = f["name"]
+                    )
+                    has_ids = bool(sch_fields) and all(
+                        f.get("field-id") is not None
+                        for f in sch_fields
+                    )
+                    if has_ids:
+                        by_id = {
+                            int(f["field-id"]): f["name"]
+                            for f in sch_fields
+                        }
+                        phys = {
+                            id_names[i]: nm
+                            for i, nm in by_id.items()
+                            if i in id_names
+                        }
+                        read_name = phys.get  # absent id -> None
+                    else:
+                        read_name = lambda n: n  # noqa: E731
 
                     def frame(rows, base):
                         out = pd.DataFrame(
-                            [{n: r.get(phys.get(n, n)) for n in names}
+                            [{n: (r.get(pn) if (pn := read_name(n))
+                                  is not None else None)
+                              for n in names}
                              for r in rows],
                             columns=names,
                         )
@@ -618,12 +646,7 @@ def _scan_avro_data(
                     if pending or base == 0:
                         yield frame(pending, base)
 
-    n_slices = min(
-        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
-    )
-    spec = spark.createDataFrame(
-        [(p,) for p in paths], "__a_path string"
-    ).repartition(n_slices)
+    spec = _spec_frame(spark, paths, "__a_path")
     return spec.mapInPandas(decode, schema=out_schema)
 
 
@@ -721,12 +744,7 @@ def _scan_orc_data(
                     base += tbl.num_rows
                     yield out
 
-    n_slices = min(
-        len(paths), max(8, spark.sparkContext.defaultParallelism * 2)
-    )
-    spec = spark.createDataFrame(
-        [(p,) for p in paths], "__o_path string"
-    ).repartition(n_slices)
+    spec = _spec_frame(spark, paths, "__o_path")
     return spec.mapInPandas(decode, schema=out_schema)
 
 
@@ -762,26 +780,42 @@ def read_iceberg(
     parts: List[DataFrame] = []
     if pq_data:
         reader = spark.read.option("mergeSchema", "true")
+        current = set(_current_field_names(meta).values())
         if hive_partition_base:
-            # declared schema, not inference: partition-directory type
-            # inference has no boolean type and reads numeric-looking
-            # string keys as long, so a discovered partition column
-            # would silently diverge from the table schema. An explicit
-            # schema pins the declared types, keeps values-win-from-path
-            # semantics for duplicated columns, and drops the
-            # COLUMN_ALREADY_EXISTS warning the inference path logs on
-            # every partitioned read. Directory pruning
-            # (PartitionFilters) is unaffected. Order is restored below
-            # (Spark appends partition columns last).
-            declared = _spark_schema_of(meta)
-            reader = reader.schema(declared).option(
-                "basePath", os.path.abspath(hive_partition_base)
-            )
-            df = reader.parquet(*sorted(d["path"] for d in pq_data))
-            df = df.select(*[f.name for f in declared.fields])
+            # rename detection must see the PHYSICAL columns, so probe
+            # the files WITHOUT partition discovery first (no duplicate
+            # -column warning; identity-partition source columns are in
+            # the data files per the spec, so declared-vs-physical is
+            # meaningful)
+            probe = reader.parquet(*sorted(d["path"] for d in pq_data))
+            if any(n not in probe.columns for n in current) or any(
+                n not in current for n in probe.columns
+            ):
+                # physical names diverge from the current schema
+                # (missing = renames/adds-pending; extra = pre-rename
+                # or dropped physical columns): field-id re-plan below
+                # — correctness over the explicit-schema fast path
+                df = probe
+            else:
+                # declared schema, not inference: partition-directory
+                # type inference has no boolean type and reads
+                # numeric-looking string keys as long, so a discovered
+                # partition column would silently diverge from the
+                # table schema. An explicit schema pins the declared
+                # types, keeps values-win-from-path semantics for
+                # duplicated columns, and drops the
+                # COLUMN_ALREADY_EXISTS warning the inference path logs
+                # on every partitioned read. Directory pruning
+                # (PartitionFilters) is unaffected. Order is restored
+                # below (Spark appends partition columns last).
+                declared = _spark_schema_of(meta)
+                reader = reader.schema(declared).option(
+                    "basePath", os.path.abspath(hive_partition_base)
+                )
+                df = reader.parquet(*sorted(d["path"] for d in pq_data))
+                df = df.select(*[f.name for f in declared.fields])
         else:
             df = reader.parquet(*sorted(d["path"] for d in pq_data))
-        current = set(_current_field_names(meta).values())
         missing = [n for n in current if n not in df.columns]
         extra = [n for n in df.columns if n not in current]
         renamed = False
@@ -818,13 +852,21 @@ def read_iceberg(
         # renamed columns (resolved via the files' iceberg.id ORC
         # attributes, which the native relation cannot see).
         opaths = sorted(d["path"] for d in orc_data)
-        missing_o: List[str] = []
-        if not pos_del:
+        # rename detection runs regardless of deletes: strict_ids must
+        # be set whenever current-schema columns are missing by name,
+        # else a renamed no-ids table would silently return NULLs
+        # through the arrow path instead of gating loudly. A probe that
+        # cannot even merge (pre/post-rename schemas diverge) is itself
+        # the rename signal.
+        odf = None
+        try:
             odf = spark.read.option("mergeSchema", "true").orc(*opaths)
             missing_o = [
                 n for n in _current_field_names(meta).values()
                 if n not in odf.columns
             ]
+        except Exception:
+            missing_o = list(_current_field_names(meta).values())
         if pos_del or missing_o:
             parts.append(_scan_orc_data(
                 spark, meta, opaths, need_meta,

@@ -1076,3 +1076,27 @@ def test_hudi_partitioned_scan_declared_types_win(spark, tmp_path):
     # in PartitionFilters (directory pruning), not DataFilters
     assert pf and "flag" in pf[0] and "boolean" in pf[0]
     assert filtered.count() == 1
+
+
+def test_hudi_partitioned_scan_timestamp_kinds(spark, tmp_path):
+    """Timestamp partition keys keep their KIND through discovery: the
+    create-schema writes avro timestamp-micros for TimestampType and
+    local-timestamp-micros for TimestampNTZType, and the scan casts the
+    discovered column back to exactly that kind."""
+    import datetime as dt
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path))
+    for fmt_name, sql_t in (("ltz", "timestamp"), ("ntz", "timestamp_ntz")):
+        fg = fs.create_feature_group(
+            f"hb_ts_{fmt_name}", primary_key=["k"], event_time="ts",
+            partition_key=["pt"], time_travel_format="HUDI",
+            auto_compact_every=None,
+        )
+        fg.insert(spark.createDataFrame(
+            [(1, 10, dt.datetime(2024, 1, 1), 1.0)],
+            f"k long, ts long, pt {sql_t}, v double"))
+        out = fg.read(spark)
+        assert dict(out.dtypes)["pt"] == sql_t
+        assert out.first()["pt"] == dt.datetime(2024, 1, 1)

@@ -1099,8 +1099,20 @@ def test_iceberg_backend_refuses_partition_layout_change(spark, tmp_path):
     loc2 = str(tmp_path / "ib_layout_p")
     b2 = IcebergBackend(loc2)
     b2.append_commit(df, [COMMIT_COL, "part"])
+
+    def data_files(loc):
+        return sorted(
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(os.path.join(loc, "data"))
+            for n in ns if n.endswith(".parquet")
+        )
+
+    before = data_files(loc2)
     with pytest.raises(ValueError, match="partition fields"):
         b2.append_commit(df, [COMMIT_COL])
+    # the gate fires BEFORE staging moves anything into the table
+    # tree: a refused write leaks no orphan data files
+    assert data_files(loc2) == before
     b2.append_commit(df, [COMMIT_COL, "part"])
     # the spec was adopted verbatim, never re-authored
     from feature_store_api_spark.sources.iceberg_reader import (
@@ -1326,3 +1338,53 @@ def test_iceberg_orc_multi_stripe_ordinals(spark, tmp_path):
     gone = {r["k"] for r in out.where(
         (out.k.isin([0, 25_000, n - 1]))).collect()}
     assert gone == set()
+
+
+def test_iceberg_orc_rename_no_ids_gates_even_with_deletes(spark, tmp_path):
+    """A renamed ORC table whose files lack iceberg.id attributes must
+    gate loudly even when position deletes force the arrow path — not
+    silently return NULLs for the renamed column."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_orc_noids_del")
+    d1 = os.path.join(root, "data", "f1.orc")
+    _orc_with_ids({"k_old": [1, 2], "v": [1.0, 2.0]}, d1)  # no ids
+    pd1 = os.path.join(root, "data", "del.parquet")
+    _pq({"file_path": [f"file://{d1}"], "pos": [0]}, pd1)
+
+    def entry(fp, fmt, content=0, seq=1):
+        e = _entry(fp, content=content, seq=seq)
+        e["data_file"]["file_format"] = fmt
+        return e
+
+    m1 = _manifest(root, "m1.avro", [
+        entry(d1, "ORC"), entry(pd1, "PARQUET", content=1, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    with pytest.raises(Exception, match="field-id|iceberg.id"):
+        read_iceberg(spark, root).collect()
+
+
+def test_iceberg_renamed_table_with_partition_base_replans(spark, tmp_path):
+    """hive_partition_base scans still detect renames: the physical
+    columns are probed WITHOUT the declared schema first, so pre-rename
+    files re-plan through field ids instead of reading as all-NULL
+    under the explicit-schema fast path."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_bp_ren")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq_with_ids({"k_old": [1], "v": [1.0]}, d1, {"k_old": 1, "v": 2})
+    _pq_with_ids({"k": [2], "v": [2.0]}, d2, {"k": 1, "v": 2})
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1), _entry(d2, seq=2)])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_iceberg(
+            spark, root,
+            hive_partition_base=os.path.join(root, "data"),
+        ).collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0)]

@@ -770,6 +770,16 @@ def read_iceberg(
     path = os.path.abspath(path)
     meta = _read_table_metadata(path)
     snap = resolve_iceberg_snapshot(meta, snapshot_id, timestamp_ms, ref)
+    # time travel reads with the SNAPSHOT's schema (spec:
+    # snapshots[].schema-id; what iceberg-spark's VERSION AS OF does) —
+    # a column renamed AFTER the snapshot shows its name as of the
+    # snapshot. Absent schema-id (v1 writers, our own backend) keeps
+    # the current schema.
+    sid = snap.get("schema-id")
+    if sid is not None and any(
+        s.get("schema-id") == sid for s in (meta.get("schemas") or [])
+    ):
+        meta = {**meta, "current-schema-id": sid}
     data, pos_del, eq_del = _snapshot_files(meta, snap, path)
     if not data:
         # empty snapshot: derive the schema from the current metadata

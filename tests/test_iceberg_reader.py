@@ -1388,3 +1388,50 @@ def test_iceberg_renamed_table_with_partition_base_replans(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 1.0), (2, 2.0)]
+
+
+def test_iceberg_time_travel_uses_snapshot_schema(spark, tmp_path):
+    """Time travel reads with the SNAPSHOT's schema (spec:
+    snapshots[].schema-id, iceberg-spark VERSION AS OF semantics): a
+    column renamed after snapshot 1 surfaces under its OLD name when
+    reading snapshot 1, and under the new name (old files resolved via
+    field ids) on the current snapshot."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_snap_schema")
+    d1 = os.path.join(root, "data", "f1.parquet")
+    d2 = os.path.join(root, "data", "f2.parquet")
+    _pq_with_ids({"k": [1], "v": [1.0]}, d1, {"k": 1, "v": 2})
+    _pq_with_ids({"key": [2], "v": [2.0]}, d2, {"key": 1, "v": 2})
+    m1 = _manifest(root, "m1.avro", [_entry(d1, seq=1)])
+    m2 = _manifest(root, "m2.avro", [_entry(d1, seq=1), _entry(d2, seq=2)])
+    ml1 = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    ml2 = _manifest_list(root, "s2.avro", [(m2, 0, 2)])
+    _write_metadata(root, [
+        dict(_snap(10, 1_000, ml1), **{"schema-id": 0}),
+        dict(_snap(20, 2_000, ml2), **{"schema-id": 1}),
+    ], current=20)
+    # splice in the two schema versions: id 0 names field 1 'k',
+    # id 1 renames it to 'key' and is current
+    md = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(md))
+    meta["schemas"] = [
+        {"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": True, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"},
+        ]},
+        {"schema-id": 1, "type": "struct", "fields": [
+            {"id": 1, "name": "key", "required": True, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"},
+        ]},
+    ]
+    meta["current-schema-id"] = 1
+    json.dump(meta, open(md, "w"))
+
+    old = read_iceberg(spark, root, snapshot_id=10)
+    assert set(old.columns) == {"k", "v"}
+    assert [(r["k"], r["v"]) for r in old.collect()] == [(1, 1.0)]
+    cur = read_iceberg(spark, root)
+    assert set(cur.columns) == {"key", "v"}
+    assert sorted((r["key"], r["v"]) for r in cur.collect()) == [
+        (1, 1.0), (2, 2.0)]

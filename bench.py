@@ -1257,6 +1257,39 @@ def main():
             }
         )
     )
+    # COMPACT summary as the LAST stdout line (VERDICT r13 #4): the
+    # driver's tail-capture window is smaller than the full board above
+    # (BENCH_r13.json recorded "parsed": null), so re-emit just the
+    # round-over-round operands — mins, vs_oracle_min, x10 scaling —
+    # in a line guaranteed to fit the tail and parse.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": {n: min(xs) for n, xs in samples.items()},
+                "vs_oracle_min": vs_oracle_min,
+                "scaling_x10": {
+                    n: round(
+                        min(xs)
+                        / {
+                            **{m: min(v) for m, v in samples.items()},
+                            **{m: min(v) for m, v in extra_samples.items()},
+                        }[n],
+                        2,
+                    )
+                    for n, xs in x10_samples.items()
+                    if {
+                        **{m: min(v) for m, v in samples.items()},
+                        **{m: min(v) for m, v in extra_samples.items()},
+                    }.get(n)
+                },
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "note": "compact tail twin of the full board line above",
+            }
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -105,29 +105,46 @@ class CommitLogBackend(TimeTravelBackend):
         return os.path.join(self.location, _DATA)
 
     def _existing_layout(self) -> "Optional[List[str]]":
-        """Partition-dir column names of the existing data tree (one
-        branch probe), or None when the table holds no data yet."""
-        path = self._data_path
-        if not os.path.isdir(path):
+        """Partition-dir column names of the existing data tree, or
+        None when the table holds no data yet. ALL branches at each
+        depth are checked and must agree on the partition column — a
+        crashed partial write (or a stray ``col=val``-named dir) that
+        left an anomalous branch is detected loudly instead of
+        mis-deciding the layout from whichever branch sorts first."""
+        root = self._data_path
+        if not os.path.isdir(root):
             return None
         cols: List[str] = []
         saw_data = False
-        while True:
-            try:
-                entries = sorted(os.listdir(path))
-            except FileNotFoundError:
+        level = [root]
+        while level:
+            names = set()
+            nxt: List[str] = []
+            for path in level:
+                try:
+                    entries = sorted(os.listdir(path))
+                except FileNotFoundError:
+                    continue
+                saw_data = saw_data or any(
+                    n.endswith(".parquet") for n in entries
+                )
+                for n in entries:
+                    if "=" in n and os.path.isdir(os.path.join(path, n)):
+                        names.add(n.partition("=")[0])
+                        nxt.append(os.path.join(path, n))
+            if not names:
                 break
-            saw_data = saw_data or any(
-                n.endswith(".parquet") for n in entries
-            )
-            subs = [
-                n for n in entries
-                if "=" in n and os.path.isdir(os.path.join(path, n))
-            ]
-            if not subs:
-                break
-            cols.append(subs[0].partition("=")[0])
-            path = os.path.join(path, subs[0])
+            if len(names) > 1:
+                raise ValueError(
+                    f"commit store at {self.location!r} has an "
+                    f"inconsistent partition layout: sibling directories "
+                    f"disagree on the partition column at depth "
+                    f"{len(cols)} ({sorted(names)}). This usually means "
+                    "a crashed partial write or a foreign directory in "
+                    "the data tree — clean it up before writing."
+                )
+            cols.append(names.pop())
+            level = nxt
         return cols if (cols or saw_data) else None
 
     def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:

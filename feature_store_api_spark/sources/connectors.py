@@ -239,10 +239,16 @@ class DbApiConnector(StorageConnector):
         num_parts = int(
             opts.get("num_partitions", self.num_partitions or 0) or 0
         )
-        if num_parts > 0:
-            df = df.coalesce(num_parts) if (
-                num_parts <= (df.rdd.getNumPartitions() or num_parts)
-            ) else df.repartition(num_parts)
+        if num_parts == 1:
+            # single-writer target: coalesce never shuffles and never
+            # increases partition count, so no plan probe is needed
+            # (df.rdd.getNumPartitions() would force full physical
+            # planning just to pick an operator)
+            df = df.coalesce(1)
+        elif num_parts > 0:
+            # an exact target width needs a shuffle anyway; repartition
+            # handles both grow and shrink without probing the plan
+            df = df.repartition(num_parts)
         write_dbapi(
             df, self.connect, table,
             batch_size=int(opts.get("batch_size", 10_000)),

@@ -591,34 +591,41 @@ def _scan_avro_data(
                     # STREAMING block read: task memory is one avro
                     # block + the pending batch, never the whole file
                     sch, blocks = iter_ocf(fh)
-                    # physical name per CURRENT column. When the writer
-                    # schema annotates every field with a field-id, ids
-                    # are AUTHORITATIVE: a current column whose id is
-                    # absent from the file is a schema-evolution add
-                    # (null) — never fall back by name, or a reused old
-                    # name would mis-bind another column's data. Name
-                    # resolution only for unannotated files.
+                    # physical name per CURRENT column, resolved
+                    # PER-FIELD: a writer field carrying a field-id
+                    # binds by id (AUTHORITATIVE — a current column
+                    # whose id is absent among the annotated fields is
+                    # a schema-evolution add, read as null; never fall
+                    # back by name, or a reused old name would mis-bind
+                    # another column's data). Only an UNANNOTATED
+                    # writer field may bind by name, so a partially
+                    # annotated file resolves each column the safest
+                    # way its metadata allows instead of silently
+                    # dropping to all-by-name.
                     sch_fields = (
                         sch.get("fields") or []
                         if isinstance(sch, dict) else []
                     )
-                    has_ids = bool(sch_fields) and all(
-                        f.get("field-id") is not None
+                    by_id = {
+                        int(f["field-id"]): f["name"]
                         for f in sch_fields
-                    )
-                    if has_ids:
-                        by_id = {
-                            int(f["field-id"]): f["name"]
-                            for f in sch_fields
-                        }
-                        phys = {
-                            id_names[i]: nm
-                            for i, nm in by_id.items()
-                            if i in id_names
-                        }
-                        read_name = phys.get  # absent id -> None
-                    else:
-                        read_name = lambda n: n  # noqa: E731
+                        if f.get("field-id") is not None
+                    }
+                    unannotated = {
+                        f["name"] for f in sch_fields
+                        if f.get("field-id") is None
+                    }
+                    name_to_id = {nm: i for i, nm in id_names.items()}
+
+                    def read_name(n):
+                        fid = name_to_id.get(n)
+                        if fid is not None and fid in by_id:
+                            return by_id[fid]
+                        # no annotated field carries this column's id:
+                        # by-name only against an unannotated field (an
+                        # annotated field under the same name belongs
+                        # to a DIFFERENT column that reused it)
+                        return n if n in unannotated else None
 
                     def frame(rows, base):
                         out = pd.DataFrame(
@@ -875,7 +882,24 @@ def read_iceberg(
                 n for n in _current_field_names(meta).values()
                 if n not in odf.columns
             ]
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            # only a schema-shaped failure is a rename signal; anything
+            # else — corrupt file, I/O error — must surface as itself,
+            # not as a misleading strict-ids gate from _scan_orc_data
+            # later. Merging pre/post-rename ORC schemas throws
+            # AnalysisException or (observed, Spark 4.1)
+            # IllegalArgumentException("For input string: <path>") out
+            # of the ORC schema-merge path.
+            from pyspark.errors import (
+                AnalysisException,
+                IllegalArgumentException,
+            )
+
+            msg = str(exc).lower()
+            if not (isinstance(
+                        exc, (AnalysisException, IllegalArgumentException))
+                    or "schema" in msg or "merg" in msg):
+                raise
             missing_o = list(_current_field_names(meta).values())
         if pos_del or missing_o:
             parts.append(_scan_orc_data(

@@ -2,6 +2,7 @@
 precombine tie-break, compaction, commit metadata counts."""
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -654,3 +655,26 @@ def test_insert_overwrite_on_every_backend(spark, tmp_path, fmt):
         for r in fg.as_of(c1.commit_time).read(spark).collect()
     )
     assert back == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_commit_backend_detects_inconsistent_layout(spark, tmp_path):
+    """_existing_layout validates EVERY first-level branch (ADVICE r13):
+    a stray ``col=val``-named directory left by a crashed partial write
+    must raise loudly instead of the layout being decided by whichever
+    branch sorts first."""
+    import pytest
+
+    from feature_store_api_spark.sources.backend import CommitLogBackend
+    from feature_store_api_spark.sources.commit_store import COMMIT_COL
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1000, "upsert")],
+        f"k long, part string, v double, {COMMIT_COL} long, _hoodie_op string",
+    )
+    be = CommitLogBackend(str(tmp_path / "plog_bad"))
+    be.append_commit(df, [COMMIT_COL, "part"])
+    # simulate a foreign/crashed branch disagreeing on the partition
+    # column at depth 0
+    os.makedirs(os.path.join(be._data_path, "bogus=1"), exist_ok=True)
+    with pytest.raises(ValueError, match="inconsistent partition layout"):
+        be.append_commit(df, [COMMIT_COL, "part"])

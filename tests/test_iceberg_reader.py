@@ -1435,3 +1435,38 @@ def test_iceberg_time_travel_uses_snapshot_schema(spark, tmp_path):
     assert set(cur.columns) == {"key", "v"}
     assert sorted((r["key"], r["v"]) for r in cur.collect()) == [
         (1, 1.0), (2, 2.0)]
+
+
+def test_iceberg_avro_partial_annotation_resolves_per_field(spark, tmp_path):
+    """A PARTIALLY annotated Avro data file resolves each column the
+    safest way its metadata allows (ADVICE r13): an annotated field
+    binds strictly by id — even when its name collides with a reused
+    current-column name — while unannotated fields never capture a
+    column whose name an annotated field holds. All-or-nothing by-name
+    fallback would mis-bind BOTH columns here."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_avro_partial")
+    a1 = os.path.join(root, "data", "f1.avro")
+    # physical field 'v' is ANNOTATED as field-id 1: it stores column
+    # k's data under column v's reused name. Physical 'k' is
+    # unannotated junk. Per-field resolution: column k (id 1) binds by
+    # id to physical 'v'; column v (id 2) has no id match and its name
+    # belongs to an annotated field -> NULL. By-name fallback would
+    # instead read junk into k and k's longs into v.
+    schema = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "v", "type": "long", "field-id": 1},
+            {"name": "k", "type": ["null", "long"], "default": None},
+        ]}
+    _ocf(a1, [{"v": 1, "k": 99}, {"v": 2, "k": 98}], schema)
+
+    e = _entry(a1, seq=1)
+    e["data_file"]["file_format"] = "AVRO"
+    m1 = _manifest(root, "m1.avro", [e])
+    ml = _manifest_list(root, "s1.avro", [(m1, 0, 1)])
+    _write_metadata(root, [_snap(1, 1_000, ml)], current=1)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, None), (2, None)]

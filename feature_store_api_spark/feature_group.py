@@ -141,7 +141,12 @@ class FeatureGroupBase:
         spark: SparkSession,
         start_time: Optional[int] = None,
         end_time: Optional[int] = None,
+        filters=None,
     ) -> DataFrame:
+        """``filters`` is a best-effort PUSHDOWN HINT (the node's own
+        Filter IR): sources that can prune on it (Iceberg manifests,
+        DBAPI SQL) do; everyone else ignores it — the compiler always
+        re-applies the exact predicate at the plan root."""
         raise NotImplementedError
 
     def find_neighbors(self, embedding, col=None, k=10, filter=None, metric=None):
@@ -1214,7 +1219,11 @@ class FeatureGroup(FeatureGroupBase):
         )
 
     # -- source resolution -------------------------------------------------
-    def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+    def read_source(
+        self, spark, start_time=None, end_time=None, filters=None
+    ) -> DataFrame:
+        # filters: hint only — Catalyst pushes the compiler's root
+        # predicate into the commit store's parquet scan by itself
         if self.deprecated:
             import warnings as _warnings
 
@@ -1298,13 +1307,16 @@ class ExternalFeatureGroup(FeatureGroupBase):
 
             self.set_features_loader(_load)
 
-    def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+    def read_source(
+        self, spark, start_time=None, end_time=None, filters=None
+    ) -> DataFrame:
         return self.storage_connector.read(
             spark,
             query=self.query,
             data_format=self.data_format,
             options=self.options,
             path=self.path,
+            filters=filters,
         )
 
     @property
@@ -1367,7 +1379,9 @@ class SpineGroup(FeatureGroupBase):
     def dataframe(self) -> DataFrame:
         return self._dataframe
 
-    def read_source(self, spark, start_time=None, end_time=None) -> DataFrame:
+    def read_source(
+        self, spark, start_time=None, end_time=None, filters=None
+    ) -> DataFrame:
         return self._dataframe
 
 

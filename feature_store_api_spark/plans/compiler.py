@@ -83,7 +83,23 @@ def _compile_node(
     root (semi/anti sub-query filters are consumed inline).
     """
     fg = q.left_feature_group
-    df = _normalize_columns(fg.read_source(spark, q.start_time, q.end_time))
+    # pushdown HINT: when this node's own filter references ONLY this
+    # FG's features, hand it to the source — Iceberg prunes manifests
+    # / data files on it and SQL sources emit WHERE text (reference
+    # parity: iceberg-spark planFiles / JDBC pushdown). The exact
+    # predicate is STILL applied at the plan root below, so sources
+    # that ignore the hint lose nothing but I/O.
+    flt_hint = None
+    if q._filter is not None:
+        try:
+            refs = q._filter.referenced_features()
+        except Exception:
+            refs = None
+        if refs and all(f.feature_group is fg for f in refs):
+            flt_hint = q._filter
+    df = _normalize_columns(
+        fg.read_source(spark, q.start_time, q.end_time, filters=flt_hint)
+    )
     if online:
         df = _latest_per_key(df, fg)
 

@@ -304,3 +304,36 @@ def emit_sql(q) -> str:
     if where:
         sql += " WHERE " + " AND ".join(where)
     return sql
+
+
+def filter_ir_to_sql(filters, quote=None) -> str:
+    """Emit a standalone ANSI-SQL predicate from a Filter IR tree (or
+    normalized-tuple form) — the pushdown string connector reads hand
+    to an external database (``WHERE`` text, no table aliases). Unlike
+    :func:`_filter_sql` this needs no plan colmap: it is used BEFORE a
+    plan exists, at source-read time."""
+    from ..sources.iceberg_prune import normalize_filters
+
+    tree = normalize_filters(filters)
+    if tree is None:
+        return ""
+    q = quote or (lambda n: n)
+
+    def emit(node) -> str:
+        kind = node[0]
+        if kind in ("and", "or"):
+            return f"({emit(node[1])} {kind.upper()} {emit(node[2])})"
+        _, name, op, value = node
+        col = q(name)
+        if op == "IN":
+            return f"{col} IN {_lit(list(value))}"
+        if op == "LIKE":
+            return f"{col} LIKE {_lit(value)}"
+        sym = {
+            "EQUALS": "=", "NOT_EQUALS": "<>", "GREATER_THAN": ">",
+            "GREATER_THAN_OR_EQUAL": ">=", "LESS_THAN": "<",
+            "LESS_THAN_OR_EQUAL": "<=",
+        }[op]
+        return f"{col} {sym} {_lit(value)}"
+
+    return emit(tree)

@@ -45,9 +45,14 @@ class StorageConnector:
         data_format: Optional[str] = None,
         options: Optional[Dict[str, str]] = None,
         path: Optional[str] = None,
+        filters=None,
     ) -> DataFrame:
         """Evaluate a query or load a path (parity
-        ``storage_connector.py`` ``read`` on each class)."""
+        ``storage_connector.py`` ``read`` on each class). ``filters``
+        (Filter IR) is a pushdown hint: format readers that can prune
+        on it do (Iceberg manifest pruning; WHERE text for SQL
+        sources), the rest get it as a post-scan predicate Catalyst
+        pushes into the file source."""
         from .readers import read as read_files
 
         opts = self.spark_options()
@@ -60,7 +65,8 @@ class StorageConnector:
         if not path or not data_format:
             raise ValueError("file-based connectors need path and data_format")
         return read_files(
-            spark, data_format, self._prefix_path(path), options=opts
+            spark, data_format, self._prefix_path(path), options=opts,
+            filters=filters,
         )
 
 
@@ -153,11 +159,21 @@ class JdbcConnector(StorageConnector):
             opts["driver"] = self.driver
         return opts
 
-    def read(self, spark, query=None, data_format=None, options=None, path=None):
+    def read(self, spark, query=None, data_format=None, options=None,
+             path=None, filters=None):
         if not query:
             raise ValueError("JDBC connector reads require a SQL query")
         opts = self.spark_options()
         opts.update(options or {})
+        if filters is not None:
+            # Filter IR -> WHERE text around the user query: the
+            # DATABASE prunes before shipping rows (the same shape
+            # Catalyst's JDBC pushdown produces)
+            from ..plans.sql_emitter import filter_ir_to_sql
+
+            pred = filter_ir_to_sql(filters)
+            if pred:
+                query = f"SELECT * FROM ({query}) __fsq WHERE {pred}"
         # query pushdown: the whole statement runs database-side
         opts["query"] = query
         return spark.read.format("jdbc").options(**opts).load()
@@ -185,12 +201,23 @@ class DbApiConnector(StorageConnector):
         self.partition_column = partition_column
         self.num_partitions = num_partitions
 
-    def read(self, spark, query=None, data_format=None, options=None, path=None):
+    def read(self, spark, query=None, data_format=None, options=None,
+             path=None, filters=None):
         if not query:
             raise ValueError("DBAPI connector reads require a SQL query")
         from .dbapi_source import read_dbapi
 
         opts = dict(options or {})
+        if filters is not None:
+            # Filter IR -> the source's SQL predicate pushdown (lands
+            # in every partition statement AND narrows the stride
+            # bounds probe); composes with an explicit options filter
+            from ..plans.sql_emitter import filter_ir_to_sql
+
+            pred = filter_ir_to_sql(filters)
+            if pred:
+                prev = opts.get("filter")
+                opts["filter"] = f"({prev}) AND ({pred})" if prev else pred
 
         def _num(v):
             # options dicts are string-valued (Spark's own JDBC options
@@ -342,7 +369,8 @@ class SnowflakeConnector(StorageConnector):
             opts["application"] = self.application
         return opts
 
-    def read(self, spark, query=None, data_format=None, options=None, path=None):
+    def read(self, spark, query=None, data_format=None, options=None,
+             path=None, filters=None):
         opts = self.spark_options()
         opts.update(options or {})
         if query:
@@ -389,7 +417,8 @@ class BigQueryConnector(StorageConnector):
             opts["dataset"] = self.dataset
         return opts
 
-    def read(self, spark, query=None, data_format=None, options=None, path=None):
+    def read(self, spark, query=None, data_format=None, options=None,
+             path=None, filters=None):
         opts = self.spark_options()
         opts.update(options or {})
         reader = spark.read.format(self.SPARK_FORMAT).options(**opts)
@@ -462,7 +491,8 @@ class KafkaConnector(StorageConnector):
             )
         return df.selectExpr("key", "value")
 
-    def read(self, spark, query=None, data_format=None, options=None, path=None):
+    def read(self, spark, query=None, data_format=None, options=None,
+             path=None, filters=None):
         raise ValueError(
             "Kafka connector is a stream source; use read_stream(topic=...)"
         )

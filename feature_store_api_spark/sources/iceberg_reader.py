@@ -166,12 +166,20 @@ def _manifest_entries(path: str, table_path: str) -> List[dict]:
 
 
 def _snapshot_files(
-    meta: Dict, snap: Dict, table_path: str
+    meta: Dict, snap: Dict, table_path: str,
+    pruner=None, stats: Optional[Dict] = None,
 ) -> Tuple[List[dict], List[dict], List[dict]]:
     """Plan the snapshot's file set: ``(data, pos_deletes, eq_deletes)``
     — each a list of dicts ``{path, seq, ...}``. Sequence-number
     inheritance per spec: a null entry sequence number inherits the
-    manifest-list entry's ``sequence_number`` (v1 tables: 0)."""
+    manifest-list entry's ``sequence_number`` (v1 tables: 0).
+
+    ``pruner`` (a :class:`~.iceberg_prune.ScanPruner`) drops DATA
+    manifests via the manifest list's partition field summaries and
+    DATA files via each entry's partition tuple + column bounds —
+    the spec's scan-planning pruning, applied before any Spark relation
+    exists. Delete manifests/files are never pruned (they apply by
+    sequence number to whatever data survives)."""
     mf_list_loc = snap.get("manifest-list")
     if mf_list_loc:
         manifests = _manifest_entries(
@@ -183,11 +191,25 @@ def _snapshot_files(
             {"manifest_path": p, "content": 0, "sequence_number": 0}
             for p in (snap.get("manifests") or [])
         ]
+    if stats is not None:
+        stats.setdefault("manifests_total", len(manifests))
+        stats.setdefault("manifests_skipped", 0)
+        stats.setdefault("data_files_pruned", 0)
     data: List[dict] = []
     pos_del: List[dict] = []
     eq_del: List[dict] = []
     for mf in manifests:
         mf_seq = int(mf.get("sequence_number") or 0)
+        mf_spec = mf.get("partition_spec_id")
+        if (
+            pruner is not None
+            and int(mf.get("content") or 0) == 0
+            and not pruner.keep_manifest(mf, mf_spec)
+        ):
+            # whole manifest out of range: never even opened
+            if stats is not None:
+                stats["manifests_skipped"] += 1
+            continue
         entries = _manifest_entries(
             _fs_path(mf["manifest_path"], table_path), table_path
         )
@@ -195,6 +217,14 @@ def _snapshot_files(
             if int(e.get("status") or 0) == 2:
                 continue  # DELETED entries are history, not state
             df_ = e.get("data_file") or {}
+            if (
+                pruner is not None
+                and int(df_.get("content") or 0) == 0
+                and not pruner.keep_entry(df_, mf_spec)
+            ):
+                if stats is not None:
+                    stats["data_files_pruned"] += 1
+                continue
             seq = e.get("sequence_number")
             seq = mf_seq if seq is None else int(seq)
             fmt = (df_.get("file_format") or "PARQUET").upper()
@@ -762,18 +792,40 @@ def read_iceberg(
     timestamp_ms: Optional[int] = None,
     hive_partition_base: Optional[str] = None,
     ref: Optional[str] = None,
+    filters=None,
+    plan_out: Optional[Dict] = None,
 ) -> DataFrame:
     """Read an Iceberg table directory as a DataFrame — current
     snapshot, an explicit ``snapshot_id``, a named branch/tag ``ref``
     (the spec's snapshot references), or time travel to the latest
     snapshot at-or-before ``timestamp_ms``.
 
+    ``filters`` (the engine's ``Filter``/``Logic`` IR, one
+    ``(column, op, value)`` tuple, or a list of tuples joined by AND)
+    prunes at MANIFEST level per the spec's scan planning: manifest-list
+    partition summaries skip whole manifests, and each entry's
+    partition tuple + column lower/upper bounds drop data files before
+    the Spark scan is built — so a filtered read of a non-hive-layout
+    or transform-partitioned table does not touch out-of-range files
+    (iceberg.apache.org/spec "Scan Planning"; the reference gets this
+    from iceberg-spark's planFiles, storage_connector.py read path).
+    The same predicate is re-applied row-level on the result, so
+    pruning is purely an I/O optimization. ``plan_out`` (a dict, filled
+    in place) exposes the planned file set and prune counters for
+    tests/EXPLAIN-style inspection.
+
     ``hive_partition_base`` opts into Spark hive-style partition
     discovery over that base (for tables whose identity-partition data
     files sit under ``<col>=<val>`` paths, e.g. the
     :class:`~.iceberg_backend.IcebergBackend` layout): partition-key
     filters then prune DIRECTORIES (``PartitionFilters``) at the Spark
-    layer on top of the manifest-level pruning external planners get."""
+    layer on top of the manifest-level pruning."""
+    from .iceberg_prune import (
+        ScanPruner,
+        filters_to_column,
+        normalize_filters,
+    )
+
     path = os.path.abspath(path)
     meta = _read_table_metadata(path)
     snap = resolve_iceberg_snapshot(meta, snapshot_id, timestamp_ms, ref)
@@ -787,7 +839,14 @@ def read_iceberg(
         s.get("schema-id") == sid for s in (meta.get("schemas") or [])
     ):
         meta = {**meta, "current-schema-id": sid}
-    data, pos_del, eq_del = _snapshot_files(meta, snap, path)
+    tree = normalize_filters(filters)
+    pruner = ScanPruner(meta, tree) if tree is not None else None
+    stats: Dict = {} if plan_out is None else plan_out
+    data, pos_del, eq_del = _snapshot_files(
+        meta, snap, path, pruner=pruner, stats=stats
+    )
+    if plan_out is not None:
+        plan_out["data_files"] = sorted(d["path"] for d in data)
     if not data:
         # empty snapshot: derive the schema from the current metadata
         return spark.createDataFrame([], _spark_schema_of(meta))
@@ -974,4 +1033,10 @@ def read_iceberg(
                 ),
                 cond, "left_anti",
             )
-    return df.drop("__i_path", "__i_pos", "__i_seq")
+    df = df.drop("__i_path", "__i_pos", "__i_seq")
+    if tree is not None:
+        # exact residual: manifest pruning is conservative (file
+        # granularity), the row-level predicate settles the rest —
+        # and Catalyst still pushes it into the parquet scan
+        df = df.where(filters_to_column(tree))
+    return df

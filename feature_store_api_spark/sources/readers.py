@@ -181,8 +181,20 @@ def read(
     path: Optional[str] = None,
     options: Optional[Dict[str, str]] = None,
     schema=None,
+    filters=None,
 ) -> DataFrame:
+    """``filters`` (Filter IR / (col, op, value) tuples) is a pushdown
+    hint: Iceberg reads prune at MANIFEST level on it; every other
+    format applies it as a post-scan predicate immediately above the
+    source so Catalyst pushes it into the file scan (PushedFilters /
+    PartitionFilters) without waiting for the plan root."""
     fmt = data_format.lower()
+    if filters is not None and fmt != "iceberg":
+        from .iceberg_prune import filters_to_column, normalize_filters
+
+        df = read(spark, data_format, path, options, schema)
+        tree = normalize_filters(filters)
+        return df.where(filters_to_column(tree)) if tree is not None else df
     opts = dict(_DEFAULT_OPTIONS.get(fmt, {}))
     opts.update(options or {})
     if fmt == "parquet" and not opts and schema is None:
@@ -259,10 +271,20 @@ def read(
         start = opts.get("start-snapshot-id")
         if start is not None:
             end = opts.get("end-snapshot-id")
-            return iceberg_incremental(
+            inc = iceberg_incremental(
                 spark, path, int(start),
                 int(end) if end is not None else None,
             )
+            if filters is not None:
+                from .iceberg_prune import (
+                    filters_to_column,
+                    normalize_filters,
+                )
+
+                tree = normalize_filters(filters)
+                if tree is not None:
+                    inc = inc.where(filters_to_column(tree))
+            return inc
         sid = opts.get("snapshot-id")
         ts = opts.get("as-of-timestamp")
         ref = opts.get("branch") or opts.get("tag")
@@ -271,6 +293,7 @@ def read(
             snapshot_id=int(sid) if sid is not None else None,
             timestamp_ms=int(ts) if ts is not None else None,
             ref=ref,
+            filters=filters,
         )
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:

@@ -2,6 +2,7 @@
 shapes per connector type + a real file-based external feature group
 read through the Query IR."""
 
+import os
 import shutil
 import tempfile
 
@@ -405,3 +406,95 @@ def test_dbapi_write_paramstyle(spark, tmp_path):
         "SELECT COUNT(DISTINCT k), COUNT(DISTINCT tag) FROM sink"
     ).fetchone()
     assert tuple(got) == (20, 20)
+
+
+def test_external_fg_filter_ir_pushdown_dbapi(spark, tmp_path):
+    """A ``Query.filter()`` over an external FG routes its Filter IR
+    into the connector read: for DBAPI sources the predicate lands in
+    the WHERE text of the statements the EXECUTORS emit — the database
+    prunes, not a post-scan Spark filter (pinned by recording the SQL;
+    the compiler still re-applies the exact predicate at the root)."""
+    import sqlite3
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+
+    db = str(tmp_path / "ext.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE src (k INTEGER, price REAL)")
+    conn.executemany(
+        "INSERT INTO src VALUES (?, ?)",
+        [(i, float(i)) for i in range(100)],
+    )
+    conn.commit()
+    conn.close()
+    log = str(tmp_path / "emitted.sql")
+
+    fs = FeatureStore(name="extpush")
+    c = DbApiConnector("mydb", _recording_connect(db, log))
+    fg = fs.create_external_feature_group(
+        "src_ext", c, query="SELECT k, price FROM src",
+        primary_key=["k"],
+    )
+    fg.set_features([Feature("k", "bigint"), Feature("price", "double")])
+    q = fg.select_all().filter(fg.k >= 90)
+    got = sorted(r["k"] for r in q.read(spark).collect())
+    assert got == list(range(90, 100))
+    with open(log) as fh:
+        emitted = [ln for ln in fh.read().splitlines()
+                   if "LIMIT" not in ln and "MIN(" not in ln]
+    assert emitted, "no executor statements recorded"
+    for sql in emitted:
+        assert "k >= 90" in sql  # IR landed database-side
+
+
+def test_external_fg_filter_ir_pushdown_iceberg(spark, tmp_path):
+    """For an external ICEBERG FG the routed Filter IR prunes at
+    MANIFEST level: the non-matching manifest avro is deleted from
+    disk before the filtered read — an unpruned plan would open it and
+    throw, so passing proves pruning planned only matching files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import HopsFsConnector
+    from tests.test_iceberg_reader import (
+        _p_entry,
+        _p_manifest,
+        _p_manifest_list,
+        _p_metadata,
+    )
+
+    root = str(tmp_path / "ice_ext")
+    f1 = os.path.join(root, "data", "d1.parquet")
+    f2 = os.path.join(root, "data", "d2.parquet")
+    os.makedirs(os.path.dirname(f1), exist_ok=True)
+    pq_mod.write_table(pa.table(
+        {"k": [1], "v": [1.0], "part": ["a"]}), f1)
+    pq_mod.write_table(pa.table(
+        {"k": [2], "v": [2.0], "part": ["b"]}), f2)
+    m1 = _p_manifest(root, "m1.avro", [_p_entry(f1, part="a")])
+    m2 = _p_manifest(root, "m2.avro", [_p_entry(f2, part="b")])
+    ml = _p_manifest_list(root, "s1.avro", [
+        (m1, 1, [{"contains_null": False, "lower_bound": b"a",
+                  "upper_bound": b"a"}]),
+        (m2, 2, [{"contains_null": False, "lower_bound": b"b",
+                  "upper_bound": b"b"}]),
+    ])
+    _p_metadata(root, ml)
+    os.remove(m2)  # the pin
+
+    fs = FeatureStore(name="extice")
+    fg = fs.create_external_feature_group(
+        "ice_ext", HopsFsConnector("local_fs"),
+        path=root, data_format="iceberg", primary_key=["k"],
+    )
+    fg.set_features([
+        Feature("k", "bigint"), Feature("v", "double"),
+        Feature("part", "string"),
+    ])
+    q = fg.select_all().filter(fg.part == "a")
+    rows = q.read(spark).collect()
+    assert [(r["k"], r["part"]) for r in rows] == [(1, "a")]

@@ -1470,3 +1470,298 @@ def test_iceberg_avro_partial_annotation_resolves_per_field(spark, tmp_path):
         (r["k"], r["v"]) for r in read_iceberg(spark, root).collect()
     )
     assert got == [(1, None), (2, None)]
+
+
+# ---------------------------------------------------------------------------
+# manifest-level scan pruning (spec "Scan Planning"; VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+
+P_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "partition", "type": ["null", {
+                    "type": "record", "name": "pt", "fields": [
+                        {"name": "part", "type": ["null", "string"],
+                         "default": None},
+                    ]}], "default": None},
+                {"name": "lower_bounds",
+                 "type": ["null", {"type": "map", "values": "bytes"}],
+                 "default": None},
+                {"name": "upper_bounds",
+                 "type": ["null", {"type": "map", "values": "bytes"}],
+                 "default": None},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None},
+            ],
+        }},
+    ],
+}
+
+P_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "partition_spec_id", "type": ["null", "int"],
+         "default": None},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "fsum", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "lower_bound", "type": ["null", "bytes"],
+                     "default": None},
+                    {"name": "upper_bound", "type": ["null", "bytes"],
+                     "default": None},
+                ]}}], "default": None},
+    ],
+}
+
+
+def _p_entry(fp, part=None, lo=None, hi=None, seq=1):
+    return {
+        "status": 1, "sequence_number": seq,
+        "data_file": {
+            "content": 0, "file_path": f"file://{fp}",
+            "file_format": "PARQUET", "record_count": 2,
+            "partition": {"part": part} if part is not None else None,
+            "lower_bounds": lo, "upper_bounds": hi,
+        },
+    }
+
+
+def _p_manifest(root, name, entries):
+    p = os.path.join(root, "metadata", name)
+    _ocf(p, entries, P_ENTRY_SCHEMA)
+    return p
+
+
+def _p_manifest_list(root, name, manifests):
+    p = os.path.join(root, "metadata", name)
+    _ocf(p, [
+        {"manifest_path": f"file://{mp}",
+         "manifest_length": os.path.getsize(mp),
+         "content": 0, "sequence_number": seq,
+         "partition_spec_id": 0, "partitions": summ}
+        for (mp, seq, summ) in manifests
+    ], P_LIST_SCHEMA)
+    return p
+
+
+def _p_metadata(root, ml, partitioned=True):
+    """schema k(long,1) v(double,2) part(string,3); identity(part)."""
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": f"file://{root}",
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": True, "type": "long"},
+                {"id": 2, "name": "v", "required": False,
+                 "type": "double"},
+                {"id": 3, "name": "part", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0, "fields": ([
+                {"name": "part", "transform": "identity",
+                 "source-id": 3, "field-id": 1000},
+            ] if partitioned else []),
+        }],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1_000,
+             "manifest-list": f"file://{ml}"},
+        ],
+    }
+    md = os.path.join(root, "metadata")
+    os.makedirs(md, exist_ok=True)
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+def test_iceberg_entry_pruning_partition_tuple(spark, tmp_path):
+    """A filtered read of a NON-hive-layout partitioned table plans
+    only the matching data files via each manifest entry's partition
+    tuple — the out-of-range file never reaches the Spark scan
+    (plan pin: plan_out['data_files'])."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_prune")
+    f1 = os.path.join(root, "data", "d1.parquet")  # flat layout
+    f2 = os.path.join(root, "data", "d2.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0], "part": ["a", "a"]}, f1)
+    _pq({"k": [3, 4], "v": [3.0, 4.0], "part": ["b", "b"]}, f2)
+    m1 = _p_manifest(root, "m1.avro", [
+        _p_entry(f1, part="a"), _p_entry(f2, part="b")])
+    ml = _p_manifest_list(root, "s1.avro", [(m1, 1, None)])
+    _p_metadata(root, ml)
+
+    plan = {}
+    out = read_iceberg(
+        spark, root, filters=("part", "==", "a"), plan_out=plan)
+    assert plan["data_files"] == [f1]
+    assert plan["data_files_pruned"] == 1
+    assert sorted((r["k"], r["part"]) for r in out.collect()) == [
+        (1, "a"), (2, "a")]
+
+    # OR tree keeps both; AND with a column-bound pred composes
+    plan2 = {}
+    out2 = read_iceberg(
+        spark, root,
+        filters=("or", ("part", "==", "a"), ("part", "==", "b")),
+        plan_out=plan2)
+    assert plan2["data_files"] == [f1, f2]
+    assert out2.count() == 4
+
+    # IN / LIKE prune too
+    plan3 = {}
+    read_iceberg(
+        spark, root, filters=("part", "in", ["b"]), plan_out=plan3)
+    assert plan3["data_files"] == [f2]
+    plan4 = {}
+    read_iceberg(spark, root, filters=("part", "like", "a%"),
+                 plan_out=plan4)
+    assert plan4["data_files"] == [f1]
+
+
+def test_iceberg_entry_pruning_column_bounds(spark, tmp_path):
+    """Entries' per-column lower/upper bound stats (single-value
+    binary serialization: little-endian longs) prune files even on an
+    UNPARTITIONED table; the residual row filter keeps exactness at
+    row granularity."""
+    import struct
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_bounds")
+    f1 = os.path.join(root, "data", "d1.parquet")
+    f2 = os.path.join(root, "data", "d2.parquet")
+    _pq({"k": [1, 5], "v": [1.0, 5.0], "part": [None, None]}, f1)
+    _pq({"k": [8, 15], "v": [8.0, 15.0], "part": [None, None]}, f2)
+
+    def b(x):
+        return struct.pack("<q", x)
+
+    m1 = _p_manifest(root, "m1.avro", [
+        _p_entry(f1, lo={"1": b(1)}, hi={"1": b(5)}),
+        _p_entry(f2, lo={"1": b(8)}, hi={"1": b(15)}),
+    ])
+    ml = _p_manifest_list(root, "s1.avro", [(m1, 1, None)])
+    _p_metadata(root, ml, partitioned=False)
+
+    plan = {}
+    out = read_iceberg(spark, root, filters=("k", ">", 9), plan_out=plan)
+    assert plan["data_files"] == [f2]
+    # residual filter drops k=8 even though its file survived pruning
+    assert sorted(r["k"] for r in out.collect()) == [15]
+
+    plan2 = {}
+    read_iceberg(spark, root, filters=("k", "<=", 5), plan_out=plan2)
+    assert plan2["data_files"] == [f1]
+    plan3 = {}
+    read_iceberg(spark, root, filters=("k", "==", 6), plan_out=plan3)
+    assert plan3["data_files"] == []
+
+
+def test_iceberg_manifest_list_summary_pruning(spark, tmp_path):
+    """Manifest-list partition field summaries skip whole manifests:
+    the pruned manifest avro is DELETED from disk before the read —
+    opening it would throw, so passing proves it was never opened."""
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_mfsum")
+    f1 = os.path.join(root, "data", "d1.parquet")
+    f2 = os.path.join(root, "data", "d2.parquet")
+    _pq({"k": [1], "v": [1.0], "part": ["a"]}, f1)
+    _pq({"k": [2], "v": [2.0], "part": ["b"]}, f2)
+    m1 = _p_manifest(root, "m1.avro", [_p_entry(f1, part="a")])
+    m2 = _p_manifest(root, "m2.avro", [_p_entry(f2, part="b")])
+    ml = _p_manifest_list(root, "s1.avro", [
+        (m1, 1, [{"contains_null": False, "lower_bound": b"a",
+                  "upper_bound": b"a"}]),
+        (m2, 2, [{"contains_null": False, "lower_bound": b"b",
+                  "upper_bound": b"b"}]),
+    ])
+    _p_metadata(root, ml)
+
+    os.remove(m2)  # the pin: a non-pruned plan would open this
+    plan = {}
+    out = read_iceberg(
+        spark, root, filters=("part", "==", "a"), plan_out=plan)
+    assert plan["manifests_skipped"] == 1
+    assert plan["data_files"] == [f1]
+    assert [(r["k"], r["part"]) for r in out.collect()] == [(1, "a")]
+
+
+def test_iceberg_transform_pruning_day_and_truncate(spark, tmp_path):
+    """Order-preserving transforms prune in partition space: day(ts)
+    ordinals and truncate[1](part) prefixes both drop files; bucket
+    (not order-preserving) never prunes."""
+    from feature_store_api_spark.sources.iceberg_prune import (
+        ScanPruner,
+        normalize_filters,
+    )
+
+    meta = {
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "fields": [
+                {"id": 1, "name": "ts", "type": "timestamp"},
+                {"id": 2, "name": "part", "type": "string"},
+                {"id": 3, "name": "k", "type": "long"},
+            ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0, "fields": [
+                {"name": "ts_day", "transform": "day", "source-id": 1,
+                 "field-id": 1000},
+                {"name": "part_trunc", "transform": "truncate[1]",
+                 "source-id": 2, "field-id": 1001},
+                {"name": "k_bucket", "transform": "bucket[16]",
+                 "source-id": 3, "field-id": 1002},
+            ]}],
+    }
+    day0 = 20_000  # 2024-10-04
+    ent = {"content": 0, "partition": {
+        "ts_day": day0, "part_trunc": "a", "k_bucket": 7}}
+
+    def keep(flt):
+        return ScanPruner(meta, normalize_filters(flt)).keep_entry(ent, 0)
+
+    from datetime import datetime, timedelta
+    d = datetime(1970, 1, 1) + timedelta(days=day0)
+    assert keep(("ts", "==", d.isoformat()))
+    assert not keep(("ts", "==", (d + timedelta(days=3)).isoformat()))
+    assert keep(("ts", ">", (d - timedelta(days=1)).isoformat()))
+    assert not keep(("ts", ">", (d + timedelta(days=1)).isoformat()))
+    assert keep(("part", "==", "abc"))
+    assert not keep(("part", "==", "bcd"))
+    assert keep(("part", "<=", "a"))
+    # strict < at the exact prefix boundary is kept CONSERVATIVELY
+    # (transforms compare with the closed relaxation); the residual
+    # row filter settles it
+    assert keep(("part", "<", "a"))
+    assert not keep(("part", "<", "a"[:0] + "A"))  # below the range
+    # bucket never prunes
+    assert keep(("k", "==", 123456))
+    # null partition value: no comparison matches
+    ent_null = {"content": 0, "partition": {
+        "ts_day": None, "part_trunc": "a", "k_bucket": 1}}
+    assert not ScanPruner(
+        meta, normalize_filters(("ts", ">", "2020-01-01"))
+    ).keep_entry(ent_null, 0)

@@ -273,13 +273,16 @@ class FeatureGroup(FeatureGroupBase):
         # table (sources/delta_backend.py) readable by any Delta
         # client; ICEBERG = a real Iceberg v2 table
         # (sources/iceberg_backend.py); HUDI = a published-layout
-        # COPY_ON_WRITE table (sources/hudi_backend.py) — all jarless,
-        # all readable by external clients of the respective format.
+        # COPY_ON_WRITE table (sources/hudi_backend.py); HUDI_MOR = its
+        # MERGE_ON_READ twin (small commits log-append to file groups,
+        # the reference's streaming default) — all jarless, all
+        # readable by external clients of the respective format.
         fmt = (time_travel_format or "COMMITLOG").upper()
-        if fmt not in ("COMMITLOG", "DELTA", "ICEBERG", "HUDI"):
+        if fmt not in ("COMMITLOG", "DELTA", "ICEBERG", "HUDI", "HUDI_MOR"):
             raise ValueError(
                 f"Unsupported time_travel_format {time_travel_format!r}: "
-                "expected 'COMMITLOG', 'DELTA', 'ICEBERG' or 'HUDI'"
+                "expected 'COMMITLOG', 'DELTA', 'ICEBERG', 'HUDI' or "
+                "'HUDI_MOR'"
             )
         self.time_travel_format = fmt
         self.statistics_config = statistics_config
@@ -337,6 +340,15 @@ class FeatureGroup(FeatureGroupBase):
                 from .sources.hudi_backend import HudiBackend
 
                 backend = HudiBackend(self.location)
+            elif getattr(
+                self, "time_travel_format", "COMMITLOG"
+            ) == "HUDI_MOR":
+                # MERGE_ON_READ: follow-up commits append log files to
+                # existing file groups instead of new parquet groups —
+                # the reference's streaming-FG default table type
+                from .sources.hudi_backend import HudiMorBackend
+
+                backend = HudiMorBackend(self.location)
             self._store = CommitStore(
                 self.location,
                 primary_key=self.primary_key,

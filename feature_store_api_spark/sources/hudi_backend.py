@@ -59,6 +59,10 @@ def _instant_of(commit_time_ms: int) -> str:
 class HudiBackend(CommitLogBackend):
     """Commit-store physical I/O through a real Hudi COW table."""
 
+    #: hoodie.table.type this backend writes; :class:`HudiMorBackend`
+    #: overrides to MERGE_ON_READ
+    table_type = "COPY_ON_WRITE"
+
     self_merging = False
 
     def __init__(self, location: str) -> None:
@@ -80,11 +84,23 @@ class HudiBackend(CommitLogBackend):
             # hoodie.table.partition.fields is a table-create-only
             # property).
             existing: List[str] = []
+            existing_type = "COPY_ON_WRITE"
             with open(props) as fh:
                 for line in fh:
                     if line.startswith("hoodie.table.partition.fields="):
                         val = line.split("=", 1)[1].strip()
                         existing = [p for p in val.split(",") if p]
+                    if line.startswith("hoodie.table.type="):
+                        existing_type = line.split("=", 1)[1].strip()
+            if existing_type != self.table_type:
+                raise ValueError(
+                    f"Hudi table at {self.location!r} is "
+                    f"{existing_type}; refusing to write as "
+                    f"{self.table_type} — table type is fixed at "
+                    "creation (hudi.apache.org/docs/configurations: "
+                    "hoodie.table.type is a table-create-only "
+                    "property)."
+                )
             if list(partition_cols) != existing:
                 raise ValueError(
                     f"Hudi table at {self.location!r} was created with "
@@ -99,7 +115,7 @@ class HudiBackend(CommitLogBackend):
         name = os.path.basename(self.location.rstrip(os.sep)) or "table"
         lines = [
             f"hoodie.table.name={name}",
-            "hoodie.table.type=COPY_ON_WRITE",
+            f"hoodie.table.type={self.table_type}",
             "hoodie.table.version=6",
             "hoodie.timeline.layout.version=1",
         ]
@@ -109,7 +125,13 @@ class HudiBackend(CommitLogBackend):
                 + ",".join(partition_cols)
             )
             lines.append("hoodie.datasource.write.hive_style_partitioning=true")
-            lines.append("hoodie.datasource.write.drop.partition.columns=true")
+            if self.table_type == "COPY_ON_WRITE":
+                # MOR keeps partition values IN the files (real Hudi's
+                # default posture): the merge read resolves values from
+                # file content, not directory discovery
+                lines.append(
+                    "hoodie.datasource.write.drop.partition.columns=true"
+                )
         if schema is not None:
             # hoodie.table.create.schema (real Hudi's creation-time
             # table schema property): with drop.partition.columns the
@@ -222,7 +244,8 @@ class HudiBackend(CommitLogBackend):
         if not os.path.isdir(self._meta_dir):
             return None
         if not any(
-            n.endswith(".commit") for n in os.listdir(self._meta_dir)
+            n.endswith((".commit", ".deltacommit", ".replacecommit"))
+            for n in os.listdir(self._meta_dir)
         ):
             return None
         from .hudi_reader import _table_props, read_hudi
@@ -233,12 +256,21 @@ class HudiBackend(CommitLogBackend):
         # a partition-key filter prunes at the DIRECTORY level
         # (PartitionFilters), never as a row filter
         props = _table_props(self._meta_dir)
-        discovery = bool(
-            props.get("hoodie.table.partition.fields", "").strip()
+        # discovery only when the table DROPPED its partition columns
+        # from the files (the COW posture); MOR keeps them in the data
+        discovery = (
+            props.get(
+                "hoodie.datasource.write.drop.partition.columns", ""
+            ).strip().lower() == "true"
         )
-        return read_hudi(
+        df = read_hudi(
             spark, self.location, partition_discovery=discovery
         )
+        # the MOR writer's synthetic per-row merge key is a storage
+        # detail, not a store column
+        if "_hoodie_record_key" in df.columns:
+            df = df.drop("_hoodie_record_key")
+        return df
 
     def drop_commit(self, commit_time: int) -> bool:
         instant = _instant_of(commit_time)
@@ -261,5 +293,185 @@ class HudiBackend(CommitLogBackend):
         # the instant leaves the timeline too — a base-file-less
         # completed instant is legal, but real Hudi cleaners retire
         # fully-cleaned commits, and time travel to it is gone anyway
+        os.remove(marker)
+        return dropped
+
+
+class HudiMorBackend(HudiBackend):
+    """MERGE_ON_READ twin of :class:`HudiBackend` — small follow-up
+    commits APPEND to existing file groups as log files instead of
+    laying down new parquet file groups (``time_travel_format=
+    "HUDI_MOR"``; parity: the reference's streaming feature groups
+    default to MOR, ``core/hudi_engine.py`` table-type option).
+
+    Write shape per commit (hudi.apache.org/tech-specs "Log File
+    Format" / "Timeline"):
+
+    * a partition that has NO file group yet gets a parquet BASE file
+      (new file group, same as the COW writer);
+    * a partition that has one gets a log file
+      ``.<fileId>_<baseInstant>.log.<version>_<instant>`` holding ONE
+      PARQUET data block (``hoodie.logfile.data.block.format=parquet``;
+      content = the staged in-memory parquet bytes — no row decode on
+      the write path), attached to the partition's FIRST file group;
+    * the instant completes as ``<instant>.deltacommit`` LAST, so
+      readers never see half-written blocks (the log blocks' header
+      instants stay invisible until the timeline entry lands);
+    * every row carries a synthetic unique ``_hoodie_record_key``:
+      the store's log-view contract needs every commit's raw rows to
+      SURVIVE the reader's latest-wins merge, and unique keys make the
+      merge the identity — version resolution stays in the commit
+      store, exactly like the COW/Delta/Iceberg backends.
+
+    Unlike the COW writer, partition values stay IN the data files
+    (real Hudi's default posture — ``drop.partition.columns=false``):
+    the jarless MOR merge reads file content, not directory names.
+    """
+
+    table_type = "MERGE_ON_READ"
+
+    def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        from .commit_store import COMMIT_COL
+        from .hudi_log import (
+            H_INSTANT_TIME,
+            PARQUET_DATA_BLOCK,
+            encode_log_file,
+        )
+        from .hudi_reader import _parse_base_file, _parse_log_file
+
+        user_parts = [c for c in partition_cols if c != COMMIT_COL]
+        self._ensure_table(user_parts, schema=df.schema)
+        # synthetic per-row merge key (see class docstring)
+        df = df.withColumn("_hoodie_record_key", F.expr("uuid()"))
+        # stage under COPIES of the partition columns so the hive dir
+        # layout comes out of partitionBy while the real columns STAY
+        # in the file content (partitionBy always drops its columns)
+        stage_parts = [f"__hp_{c}" for c in user_parts]
+        staged_df = df
+        for c in user_parts:
+            staged_df = staged_df.withColumn(f"__hp_{c}", F.col(c))
+        stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
+        try:
+            staged_df.write.partitionBy(stage_parts).mode(
+                "overwrite"
+            ).parquet(stage)
+            commit_time = None
+            staged: List[Tuple[str, str]] = []  # (src, rel partition dir)
+            for root, dirs, files in os.walk(stage):
+                for name in sorted(files):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, name)
+                    if commit_time is None:
+                        md = pq.ParquetFile(src).metadata
+                        sch = md.schema.to_arrow_schema()
+                        if COMMIT_COL in sch.names and md.num_row_groups:
+                            idx = sch.names.index(COMMIT_COL)
+                            st = md.row_group(0).column(idx).statistics
+                            if st is not None and st.has_min_max:
+                                commit_time = int(st.min)
+                    rel = os.path.relpath(root, stage)
+                    if rel != ".":
+                        # __hp_c=val -> c=val (hive names, real values)
+                        rel = os.sep.join(
+                            seg[len("__hp_"):] if seg.startswith("__hp_")
+                            else seg
+                            for seg in rel.split(os.sep)
+                        )
+                    staged.append((src, "" if rel == "." else rel))
+            if not staged:
+                return
+            instant = _instant_of(commit_time or 0)
+            # per partition dir: the group to append to (first file
+            # group by fileId) and the next log version
+            group_of: dict = {}
+            for i, (src, rel) in enumerate(staged):
+                part_dir = (
+                    os.path.join(self.location, rel)
+                    if rel else self.location
+                )
+                os.makedirs(part_dir, exist_ok=True)
+                if rel not in group_of:
+                    bases = {}
+                    next_ver = 1
+                    for name in sorted(os.listdir(part_dir)):
+                        parsed = _parse_base_file(name)
+                        if parsed is not None:
+                            fid, b_inst = parsed
+                            if fid not in bases or b_inst < bases[fid]:
+                                bases[fid] = b_inst
+                        lparsed = _parse_log_file(name)
+                        if lparsed is not None:
+                            next_ver = max(next_ver, lparsed[2] + 1)
+                    target = (
+                        min(bases.items()) if bases else None
+                    )  # (fileId, its first/base instant)
+                    group_of[rel] = [target, next_ver]
+                target, next_ver = group_of[rel]
+                if target is None:
+                    # no file group here yet: lay down a base file
+                    fid = f"fg-{uuid.uuid4().hex[:12]}"
+                    dst = os.path.join(
+                        part_dir, f"{fid}_{i}-0-{i}_{instant}.parquet"
+                    )
+                    os.replace(src, dst)
+                    # later staged files of this partition in the SAME
+                    # commit keep creating their own groups (bulk
+                    # insert); log-append starts at the NEXT commit
+                    continue
+                fid, base_instant = target
+                with open(src, "rb") as fh:
+                    content = fh.read()
+                raw = encode_log_file([(
+                    PARQUET_DATA_BLOCK,
+                    {H_INSTANT_TIME: instant},
+                    content,
+                )])
+                # writeToken = the instant: drop_commit unlinks a
+                # commit's log files by name, no block peeking
+                log_name = (
+                    f".{fid}_{base_instant}.log.{next_ver}_{instant}"
+                )
+                with open(os.path.join(part_dir, log_name), "wb") as fh:
+                    fh.write(raw)
+                group_of[rel][1] = next_ver + 1
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        # completed-instant entry LAST (visibility rule); MOR writes
+        # complete as deltacommits — compactions would be .commit
+        with open(
+            os.path.join(self._meta_dir, f"{instant}.deltacommit"), "w"
+        ) as fh:
+            json.dump({"fsas.commit-time": commit_time or 0}, fh)
+
+    def drop_commit(self, commit_time: int) -> bool:
+        from .hudi_reader import _parse_log_file
+
+        instant = _instant_of(commit_time)
+        marker = os.path.join(self._meta_dir, f"{instant}.deltacommit")
+        if not os.path.exists(marker):
+            return super().drop_commit(commit_time)
+        suffix = f"_{instant}.parquet"
+        dropped = False
+        for root, dirs, files in os.walk(self.location, topdown=False):
+            rel = os.path.relpath(root, self.location)
+            if ".hoodie" in rel.split(os.sep):
+                continue
+            for name in files:
+                doomed = name.endswith(suffix)
+                if not doomed:
+                    parsed = _parse_log_file(name)
+                    # writeToken carries the writing instant (see
+                    # append_commit): unlink this commit's log files
+                    doomed = parsed is not None and parsed[3] == instant
+                if doomed:
+                    os.remove(os.path.join(root, name))
+                    dropped = True
+            if root != self.location and not os.listdir(root):
+                os.rmdir(root)
         os.remove(marker)
         return dropped

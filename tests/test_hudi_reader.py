@@ -1100,3 +1100,108 @@ def test_hudi_partitioned_scan_timestamp_kinds(spark, tmp_path):
         out = fg.read(spark)
         assert dict(out.dtypes)["pt"] == sql_t
         assert out.first()["pt"] == dt.datetime(2024, 1, 1)
+
+
+def test_hudi_mor_backend_log_append_write(spark, tmp_path):
+    """time_travel_format='HUDI_MOR': the first commit lays down base
+    file groups; the SECOND commit appends a log file (PARQUET data
+    block) to the existing group instead of new parquet file groups —
+    consumed by our own jarless MOR snapshot read. Timeline completes
+    as .deltacommit; time travel and vacuum honor the log blocks."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morw", primary_key=["k"], event_time="ts",
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    df1 = spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0)], "k long, ts long, v double"
+    )
+    fg.insert(df1, compute_stats=False)
+    # second commit: same keys+event time -> store-level upsert, and a
+    # new key
+    df2 = spark.createDataFrame(
+        [(2, 100, 20.0), (3, 100, 3.0)], "k long, ts long, v double"
+    )
+    fg.insert(df2, compute_stats=False)
+
+    loc = fg.location
+    logs = [n for n in os.listdir(loc) if ".log." in n]
+    bases = [n for n in os.listdir(loc) if n.endswith(".parquet")]
+    assert logs, "second commit must land as log files"
+    meta = os.path.join(loc, ".hoodie")
+    assert sum(
+        1 for n in os.listdir(meta) if n.endswith(".deltacommit")
+    ) == 2
+    assert not any(n.endswith(".commit") for n in os.listdir(meta))
+
+    # snapshot resolves the upsert through the log blocks
+    got = sorted((r["k"], r["v"]) for r in fg.read(spark).collect())
+    assert got == [(1, 1.0), (2, 20.0), (3, 3.0)]
+
+    # externally readable as a plain Hudi MOR table: raw log view =
+    # base rows + log rows (unique synthetic record keys -> identity
+    # merge), commit-store columns included
+    raw = read_hudi(spark, loc)
+    assert raw.count() == 4
+    assert "_hoodie_record_key" in raw.columns
+
+    # time travel below the second commit sees only commit 1
+    commits = sorted(c["commit_time"] for c in fg.commit_details())
+    first = commits[0]
+    asof = fg.as_of(first).read(spark)
+    assert sorted((r["k"], r["v"]) for r in asof.collect()) == [
+        (1, 1.0), (2, 2.0)]
+
+    # vacuum the second commit: its log files are unlinked by name
+    second = commits[-1]
+    from feature_store_api_spark.sources.hudi_backend import HudiMorBackend
+
+    be = HudiMorBackend(loc)
+    assert be.drop_commit(second)
+    assert not [n for n in os.listdir(loc) if ".log." in n]
+    assert sorted(
+        (r["k"], r["v"])
+        for r in read_hudi(spark, loc).drop("_hoodie_record_key").collect()
+    ) == [(1, 1.0), (2, 2.0)]
+    assert bases  # base groups from commit 1 untouched
+
+
+def test_hudi_mor_backend_partitioned(spark, tmp_path):
+    """Partitioned HUDI_MOR: hive-style dirs come from the renamed
+    staging layout while partition VALUES stay in the file content
+    (real Hudi's default posture, drop.partition.columns=false) — the
+    MOR merge read resolves them from the data, and the second
+    commit's log files land inside the partition dirs."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morp", primary_key=["k"], event_time="ts",
+        partition_key=["part"],
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    df1 = spark.createDataFrame(
+        [(1, 100, "a", 1.0), (2, 100, "b", 2.0)],
+        "k long, ts long, part string, v double",
+    )
+    fg.insert(df1, compute_stats=False)
+    loc = fg.location
+    assert os.path.isdir(os.path.join(loc, "part=a"))
+    assert not any("__hp_" in n for n in os.listdir(loc))
+    # second commit: upsert into partition a + a brand-new partition
+    df2 = spark.createDataFrame(
+        [(1, 100, "a", 10.0), (3, 100, "c", 3.0)],
+        "k long, ts long, part string, v double",
+    )
+    fg.insert(df2, compute_stats=False)
+    assert [n for n in os.listdir(os.path.join(loc, "part=a"))
+            if ".log." in n], "upsert into existing partition logs"
+    assert [n for n in os.listdir(os.path.join(loc, "part=c"))
+            if n.endswith(".parquet")], "new partition gets a base file"
+    got = sorted(
+        (r["k"], r["part"], r["v"]) for r in fg.read(spark).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "b", 2.0), (3, "c", 3.0)]

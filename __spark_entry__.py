@@ -2340,21 +2340,6 @@ def _q_corpus_rebalance(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
-def _q_bm25_topk(spark, sf_dir):
-    """Okapi BM25 top-20 retrieval (operators/retrieval.py): the sparse
-    twin of the vector-search family. Query-term pruning before the tf
-    aggregation; corpus stats and the df table ride broadcast joins;
-    ranking is total (score desc, doc_id asc) and rounded so the oracle
-    reproduces it bit-for-bit."""
-    from feature_store_api_spark.operators.retrieval import bm25_topk
-
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
-        F.col("text").isNotNull()
-    )
-    return bm25_topk(
-        d, "feature store training data pipeline", "text", "doc_id", k=20
-    )
-
 
 def _q_bm25_batch(spark, sf_dir):
     """Batched BM25 retrieval (operators/retrieval.py:bm25_topk_batch):
@@ -2399,21 +2384,6 @@ def _q_bm25_batch_indexed(spark, sf_dir):
     )
     return bm25_topk_batch_indexed(idx, qs, "qtext", "query_id", k=5)
 
-
-def _q_lm_perplexity(spark, sf_dir):
-    """Unigram-LM perplexity quality scores (operators/quality_lm.py):
-    the CCNet filtering signal, trained on the corpus itself — one
-    token-count aggregation, then a join + per-doc avg NLL."""
-    from feature_store_api_spark.operators.quality_lm import (
-        perplexity,
-        train_unigram_lm,
-    )
-
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
-        F.col("text").isNotNull()
-    )
-    lm = train_unigram_lm(d, "text", alpha=0.5)
-    return perplexity(d, lm, "text", "doc_id")
 
 
 def _q_temperature_sample(spark, sf_dir):
@@ -3683,23 +3653,6 @@ def _q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(d, "text", "doc_id", k=3)
 
 
-def _q_embedding_quantize(spark, sf_dir):
-    """8-bit scalar quantization of the embeddings table against
-    corpus-wide per-dimension ranges, flattened to (vec_id, pos, code)
-    for the value-hash compare."""
-    from feature_store_api_spark.operators.similarity import (
-        quantization_params, quantize_embeddings,
-    )
-
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    params = quantization_params(e, "embedding")
-    q = quantize_embeddings(e, "embedding", params)
-    return q.select(
-        "vec_id", F.posexplode("embedding_q8").alias("pos", "code")
-    ).withColumn("pos", F.col("pos") + 1)
-
 
 def _q_stratified_sample(spark, sf_dir):
     """Per-language corpus rebalancing with the engine-portable md5
@@ -3839,33 +3792,6 @@ def _q_serving_log_roundtrip(spark, sf_dir):
     )
 
 
-def _q_knn_ann_retry(spark, sf_dir):
-    """Filtered ANN probe that starves the first bucket probe: the
-    k-limit retry widens to the exhaustive scan, so the result equals
-    exact brute force under the filter (reference retry parity,
-    core/vector_db_client.py:107-200)."""
-    from feature_store_api_spark.operators.similarity import (
-        build_ann_index, find_neighbors_ann_retry,
-    )
-
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", "embedding"
-    )
-    idx = build_ann_index(e, "embedding", dim=_EMB_DIM)
-    out = find_neighbors_ann_retry(
-        idx,
-        [0.1] * _EMB_DIM,
-        col="embedding",
-        k=64,
-        max_hamming=0,
-        filter=F.col("vec_id") % 100 == 0,
-    )
-    return out.select("vec_id", "label", "distance")
-
-
-# -- r13 additions: capabilities promoted from pytest-only to oracle rows
-# (insert_overwrite, dbapi sink, iceberg refs / AVRO data / ORC deletes,
-# jusText boilerplate) ------------------------------------------------------
 
 _ICE_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
@@ -3921,19 +3847,25 @@ def _ice_fixture(prefix):
             "file_format": fmt, "record_count": 1,
             "equality_ids": eq_ids}}
 
-    def finish(snapshots, current, refs=None):
+    def finish(snapshots, current, refs=None, schemas=None,
+               current_schema_id=0, partition_specs=None):
         meta = {
             "format-version": 2, "table-uuid": "0" * 32,
-            "location": f"file://{root}", "current-schema-id": 0,
-            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
-                {"id": 1, "name": "o_orderkey", "required": True,
-                 "type": "long"},
-                {"id": 2, "name": "o_totalprice", "required": False,
-                 "type": "double"},
-            ]}],
+            "location": f"file://{root}",
+            "current-schema-id": current_schema_id,
+            "schemas": schemas or [
+                {"schema-id": 0, "type": "struct", "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": True,
+                     "type": "long"},
+                    {"id": 2, "name": "o_totalprice", "required": False,
+                     "type": "double"},
+                ]}],
             "current-snapshot-id": current,
             "snapshots": snapshots,
         }
+        if partition_specs:
+            meta["partition-specs"] = partition_specs
+            meta["default-spec-id"] = partition_specs[0].get("spec-id", 0)
         if refs:
             meta["refs"] = refs
         with open(_os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
@@ -4210,84 +4142,296 @@ def _q_strip_boilerplate(spark, sf_dir):
     )
 
 
+def _q_hudi_mor_upsert(spark, sf_dir):
+    """HUDI MERGE_ON_READ physical backend (sources/hudi_backend.py
+    HudiMorBackend — the reference's streaming-FG default table type,
+    core/hudi_engine.py): the first insert lays down parquet base file
+    groups, the SECOND commit lands as LOG FILES (PARQUET data blocks
+    per hudi.apache.org/tech-specs, .deltacommit instants) appended to
+    the existing groups — consumed by the jarless MOR snapshot read.
+    The query self-pins the mechanism: it fails loudly if the second
+    commit produced no .log file. Distinct precombine (%9==2, *5) from
+    the COW/delta/iceberg twins."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=_scratch("hudi_mor_"))
+    fg = fs.create_feature_group(
+        "orders_hudi_mor", primary_key=["o_orderkey"],
+        event_time="o_orderdate",
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 9 == 2).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 5
+        ),
+        compute_stats=False,
+    )
+    logs = [n for n in _os.listdir(fg.location) if ".log." in n]
+    if not logs:
+        raise RuntimeError(
+            "HUDI_MOR second commit wrote no log files — the MOR "
+            "log-append path silently degraded to base-file writes"
+        )
+    return fg.read(spark).select("o_orderkey", "o_totalprice")
+
+
+def _q_iceberg_schema_travel(spark, sf_dir):
+    """Snapshot-schema time travel (iceberg.apache.org/spec:
+    snapshots[].schema-id; sources/iceberg_reader.py read_iceberg —
+    what iceberg-spark's VERSION AS OF does): the table's CURRENT
+    schema renames field 2 to 'price', but snapshot 1 predates the
+    rename and carries schema-id 0 — reading AT snapshot 1 must
+    project its files under the old name 'o_totalprice' (r13 landed
+    the mechanism pytest-only; this row promotes it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root, ocf, entry, finish = _ice_fixture("iceberg_schema_tt_")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    import os as _os
+
+    d1 = _os.path.join(root, "data", "f1.parquet")
+    d2 = _os.path.join(root, "data", "f2.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pdf[pdf["o_orderkey"] % 2 == 0], preserve_index=False), d1)
+    # post-rename file: physical column name is the NEW one
+    pq.write_table(pa.Table.from_pandas(
+        pdf[pdf["o_orderkey"] % 2 == 1].rename(
+            columns={"o_totalprice": "price"}
+        ), preserve_index=False), d2)
+    m1 = ocf("m1.avro", [entry(d1, seq=1)], _ICE_ENTRY_SCHEMA)
+    m2 = ocf("m2.avro", [entry(d2, seq=2)], _ICE_ENTRY_SCHEMA)
+    ml1 = _ice_manifest_list(ocf, "s1.avro", [(m1, 0, 1)])
+    ml2 = _ice_manifest_list(ocf, "s2.avro", [(m1, 0, 1), (m2, 0, 2)])
+    finish(
+        [{"snapshot-id": 1, "timestamp-ms": 1000, "schema-id": 0,
+          "manifest-list": f"file://{ml1}"},
+         {"snapshot-id": 2, "timestamp-ms": 2000, "schema-id": 1,
+          "manifest-list": f"file://{ml2}"}],
+        current=2,
+        schemas=[
+            {"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "o_orderkey", "required": True,
+                 "type": "long"},
+                {"id": 2, "name": "o_totalprice", "required": False,
+                 "type": "double"}]},
+            {"schema-id": 1, "type": "struct", "fields": [
+                {"id": 1, "name": "o_orderkey", "required": True,
+                 "type": "long"},
+                {"id": 2, "name": "price", "required": False,
+                 "type": "double"}]},
+        ],
+        current_schema_id=1,
+    )
+    out = read_iceberg(spark, root, snapshot_id=1)
+    if "o_totalprice" not in out.columns:
+        raise RuntimeError(
+            "snapshot-schema time travel lost the pre-rename name: "
+            f"{out.columns}"
+        )
+    return out.select("o_orderkey", "o_totalprice")
+
+
+_ICE_PART_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "partition", "type": ["null", {
+                    "type": "record", "name": "pt", "fields": [
+                        {"name": "o_orderstatus",
+                         "type": ["null", "string"], "default": None},
+                    ]}], "default": None},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None},
+            ],
+        }},
+    ],
+}
+
+_ICE_PART_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "partition_spec_id", "type": ["null", "int"],
+         "default": None},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "fsum", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "lower_bound", "type": ["null", "bytes"],
+                     "default": None},
+                    {"name": "upper_bound", "type": ["null", "bytes"],
+                     "default": None},
+                ]}}], "default": None},
+    ],
+}
+
+
+def _q_iceberg_manifest_prune(spark, sf_dir):
+    """Manifest-level file pruning (iceberg.apache.org/spec "Scan
+    Planning"; sources/iceberg_prune.py — VERDICT r13 #2): a filtered
+    read of a NON-hive-layout identity-partitioned table plans only
+    matching files via the manifest list's partition field summaries
+    and each entry's partition tuple. The pin is physical: the
+    non-matching manifest avro is DELETED from disk before the read —
+    an unpruned plan would open it and throw. Self-checks the prune
+    counters too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root, ocf, entry, finish = _ice_fixture("iceberg_prune_")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    import os as _os
+
+    def part_entry(fp, status, seq=1):
+        e = entry(fp, seq=seq)
+        e["data_file"]["partition"] = {"o_orderstatus": status}
+        return e
+
+    statuses = sorted(pdf["o_orderstatus"].unique())
+    manifests = []
+    for i, st in enumerate(statuses):
+        d = _os.path.join(root, "data", f"f_{st}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            pdf[pdf["o_orderstatus"] == st], preserve_index=False), d)
+        m = ocf(f"m_{st}.avro", [part_entry(d, st, seq=1)],
+                _ICE_PART_ENTRY_SCHEMA)
+        manifests.append((m, st))
+    ml = ocf("s1.avro", [
+        {"manifest_path": f"file://{m}",
+         "manifest_length": _os.path.getsize(m),
+         "content": 0, "sequence_number": 1, "partition_spec_id": 0,
+         "partitions": [{
+             "contains_null": False,
+             "lower_bound": st.encode(), "upper_bound": st.encode(),
+         }]}
+        for (m, st) in manifests
+    ], _ICE_PART_LIST_SCHEMA)
+    finish(
+        [{"snapshot-id": 1, "timestamp-ms": 1000,
+          "manifest-list": f"file://{ml}"}],
+        current=1,
+        schemas=[{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "o_orderkey", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+            {"id": 3, "name": "o_orderstatus", "required": False,
+             "type": "string"}]}],
+        partition_specs=[{"spec-id": 0, "fields": [
+            {"name": "o_orderstatus", "transform": "identity",
+             "source-id": 3, "field-id": 1000}]}],
+    )
+    # the physical pin: pruned manifests must never be OPENED
+    for (m, st) in manifests:
+        if st != "O":
+            _os.remove(m)
+    plan = {}
+    out = read_iceberg(
+        spark, root, filters=("o_orderstatus", "==", "O"), plan_out=plan
+    )
+    if plan.get("manifests_skipped") != len(manifests) - 1:
+        raise RuntimeError(
+            f"expected {len(manifests) - 1} manifests pruned, got "
+            f"{plan.get('manifests_skipped')} (plan: {plan})"
+        )
+    return out.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def _q_typed_partition_read(spark, sf_dir):
+    """Typed partition discovery on the HUDI backend (r13 ADVICE fix,
+    promoted from pytest: hoodie.table.create.schema declared-type
+    casts, sources/hudi_reader.py _cast_discovered_partitions): a
+    BOOLEAN partition key and a numeric-looking STRING key round-trip
+    with their DECLARED types — Spark directory inference alone has no
+    boolean type and reads '1'..'5' as long, which would hash-mismatch
+    this row's schema compare."""
+    from feature_store_api_spark import FeatureStore
+
+    orders = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice")
+        .withColumn("urgent", F.col("o_orderpriority") < "3")
+        .withColumn("prio", F.substring("o_orderpriority", 1, 1))
+        .drop("o_orderpriority")
+    )
+    fs = FeatureStore(root=_scratch("hudi_typed_"))
+    fg = fs.create_feature_group(
+        "orders_typed_part", primary_key=["o_orderkey"],
+        partition_key=["urgent", "prio"], event_time="o_orderdate",
+        time_travel_format="HUDI", auto_compact_every=None,
+    )
+    fg.insert(orders, compute_stats=False)
+    q = fg.select(
+        ["o_orderkey", "o_totalprice", "urgent", "prio"]
+    ).filter(fg.urgent == True)  # noqa: E712 — Filter IR comparison
+    return q.read(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the
-    # FIRST ~50 entries per round (r13 rotation, per VERDICT r12 #1):
-    # (1) six NEW rows promoting r12 pytest-only capabilities to oracle
-    # rows (jusText boilerplate, insert_overwrite, the DBAPI sink,
-    # iceberg refs / AVRO data files / ORC position-deletes+renames);
-    # (2) the 44 surviving entries whose latest verdict is r10 — two
-    # rounds stale at r13. Six r10 entries whose rows were fully
-    # covered by fresher green entries were RETIRED to keep the
-    # 50-wide window sustainable (roster stays 150 = 3 windows):
-    # compaction_snapshot (materialization_job, r11), hudi_time_travel
-    # (hudi_fg_upsert r11 + hudi_partitioned_read r12 + pytest),
-    # embedding_centroids (knn_ivf r11 trains the same centroids),
-    # gopher_gates (text_quality/text_stats r12), robust_scaler +
-    # quantile_binning (builtin_scalers + encoders r12); every retired
-    # capability keeps its pinned pytest. Next 50 = the r11 window
-    # (the r14 rotation), tail = the 50 r12-fresh rows.
+    # FIRST ~50 entries per round (r14 rotation, per VERDICT r13 #1):
+    # (1) four NEW rows — hudi_mor_upsert (the jarless MERGE_ON_READ
+    # write backend, VERDICT #5), iceberg_schema_travel +
+    # typed_partition_read (r13 pytest-only capabilities promoted),
+    # iceberg_manifest_prune (spec scan-planning pruning, VERDICT #2);
+    # (2) the 46 surviving entries whose latest verdict is r11 — two
+    # rounds stale at r14. Four r11 entries whose coverage is fully
+    # carried by fresher green rows were RETIRED to keep the roster at
+    # 150 (= 3 windows of 50): bm25_topk (bm25_batch in this window +
+    # bm25_batch_indexed r12; pytest test_bm25_matches_reference_math),
+    # knn_ann_retry (knn_ann in this window + knn_batch r12; pytest
+    # test_ann_retry_widens_until_k), embedding_quantize (pq_codes/
+    # knn_pq/embedding_projection r12; pytest quantize-recall in
+    # test_similarity.py), lm_perplexity (dsir_sample in this window
+    # scores through the same unigram-LM machinery; pytest
+    # test_unigram_lm_perplexity). Every retired capability keeps its
+    # pinned pytest. Next 50 = the r12 window (the r15 rotation),
+    # tail = the 50 r13-fresh rows.
     return {
-        "strip_boilerplate": _q_strip_boilerplate,
-        "insert_overwrite": _q_insert_overwrite,
-        "dbapi_write": _q_dbapi_write,
-        "iceberg_ref_read": _q_iceberg_ref_read,
-        "iceberg_avro_data": _q_iceberg_avro_data,
-        "iceberg_orc_read": _q_iceberg_orc_read,
-        "commit_details": _q_commit_details,
-        "contamination_check": _q_contamination_check,
-        "corpus_rebalance": _q_corpus_rebalance,
-        "custom_udf": _q_custom_udf,
-        "delta_cdf": _q_delta_cdf,
-        "delta_column_mapping": _q_delta_column_mapping,
-        "delta_dv_strip": _q_delta_dv_strip,
-        "delta_fg_upsert": _q_delta_fg_upsert,
-        "delta_time_travel": _q_delta_time_travel,
-        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
-        "event_time_norm": _q_event_time_norm,
-        "external_fg_csv": _q_external_fg_csv,
-        "filter_in_like": _q_filter_in_like,
-        "filter_or_tree": _q_filter_or_tree,
-        "fs_sql": _q_fs_sql,
-        "hudi_mor_incremental": _q_hudi_mor_incremental,
-        "incremental_dedup": _q_incremental_dedup,
-        "incremental_pull": _q_incremental_pull,
-        "join_anti": _q_join_anti,
-        "join_cross": _q_join_cross,
-        "join_full": _q_join_full,
-        "join_inner": _q_join_inner,
-        "join_multi": _q_join_multi,
-        "join_nested": _q_join_nested,
-        "join_pk_inferred": _q_join_pk_inferred,
-        "join_right": _q_join_right,
-        "join_semi": _q_join_semi,
-        "label_window": _q_label_window,
-        "on_demand_ingest": _q_on_demand_ingest,
-        "online_lookup": _q_online_lookup,
-        "online_preview": _q_online_preview,
-        "pii_redaction": _q_pii_redaction,
-        "pit_join": _q_pit_join,
-        "registry_roundtrip": _q_registry_roundtrip,
-        "scan_filter_project": _q_scan_filter_project,
-        "schema_evolution": _q_schema_evolution,
-        "select_except": _q_select_except,
-        "serving_log_roundtrip": _q_serving_log_roundtrip,
-        "serving_vectors": _q_serving_vectors,
-        "streaming_upsert": _q_streaming_upsert,
-        "tfidf_terms": _q_tfidf_terms,
-        "time_travel_asof": _q_time_travel_asof,
-        "time_travel_snapshot": _q_time_travel_snapshot,
-        "vacuum_retention": _q_vacuum_retention,
+        "hudi_mor_upsert": _q_hudi_mor_upsert,
+        "iceberg_schema_travel": _q_iceberg_schema_travel,
+        "iceberg_manifest_prune": _q_iceberg_manifest_prune,
+        "typed_partition_read": _q_typed_partition_read,
         "avro_complex_roundtrip": _q_avro_complex_roundtrip,
         "bm25_batch": _q_bm25_batch,
-        "bm25_topk": _q_bm25_topk,
         "clustered_fg_read": _q_clustered_fg_read,
         "correlations": _q_correlations,
         "custom_udf_stats": _q_custom_udf_stats,
         "dbapi_scan": _q_dbapi_scan,
         "dirty_names_sanitized": _q_dirty_names_sanitized,
         "dsir_sample": _q_dsir_sample,
-        "embedding_quantize": _q_embedding_quantize,
         "entropy_uniqueness": _q_entropy_uniqueness,
         "fv_batch_query": _q_fv_batch_query,
         "hudi_fg_upsert": _q_hudi_fg_upsert,
@@ -4299,10 +4443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
         "kafka_materialize": _q_kafka_materialize,
         "knn_ann": _q_knn_ann,
-        "knn_ann_retry": _q_knn_ann_retry,
         "knn_ivf": _q_knn_ivf,
         "lag_features": _q_lag_features,
-        "lm_perplexity": _q_lm_perplexity,
         "materialization_job": _q_materialization_job,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_verified": _q_minhash_verified,
@@ -4378,6 +4520,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_split": _q_time_series_split,
         "monitoring_window": _q_monitoring_window,
         "append_feature_default": _q_append_feature_default,
+        "strip_boilerplate": _q_strip_boilerplate,
+        "insert_overwrite": _q_insert_overwrite,
+        "dbapi_write": _q_dbapi_write,
+        "iceberg_ref_read": _q_iceberg_ref_read,
+        "iceberg_avro_data": _q_iceberg_avro_data,
+        "iceberg_orc_read": _q_iceberg_orc_read,
+        "commit_details": _q_commit_details,
+        "contamination_check": _q_contamination_check,
+        "corpus_rebalance": _q_corpus_rebalance,
+        "custom_udf": _q_custom_udf,
+        "delta_cdf": _q_delta_cdf,
+        "delta_column_mapping": _q_delta_column_mapping,
+        "delta_dv_strip": _q_delta_dv_strip,
+        "delta_fg_upsert": _q_delta_fg_upsert,
+        "delta_time_travel": _q_delta_time_travel,
+        "delta_v2_checkpoint": _q_delta_v2_checkpoint,
+        "event_time_norm": _q_event_time_norm,
+        "external_fg_csv": _q_external_fg_csv,
+        "filter_in_like": _q_filter_in_like,
+        "filter_or_tree": _q_filter_or_tree,
+        "fs_sql": _q_fs_sql,
+        "hudi_mor_incremental": _q_hudi_mor_incremental,
+        "incremental_dedup": _q_incremental_dedup,
+        "incremental_pull": _q_incremental_pull,
+        "join_anti": _q_join_anti,
+        "join_cross": _q_join_cross,
+        "join_full": _q_join_full,
+        "join_inner": _q_join_inner,
+        "join_multi": _q_join_multi,
+        "join_nested": _q_join_nested,
+        "join_pk_inferred": _q_join_pk_inferred,
+        "join_right": _q_join_right,
+        "join_semi": _q_join_semi,
+        "label_window": _q_label_window,
+        "on_demand_ingest": _q_on_demand_ingest,
+        "online_lookup": _q_online_lookup,
+        "online_preview": _q_online_preview,
+        "pii_redaction": _q_pii_redaction,
+        "pit_join": _q_pit_join,
+        "registry_roundtrip": _q_registry_roundtrip,
+        "scan_filter_project": _q_scan_filter_project,
+        "schema_evolution": _q_schema_evolution,
+        "select_except": _q_select_except,
+        "serving_log_roundtrip": _q_serving_log_roundtrip,
+        "serving_vectors": _q_serving_vectors,
+        "streaming_upsert": _q_streaming_upsert,
+        "tfidf_terms": _q_tfidf_terms,
+        "time_travel_asof": _q_time_travel_asof,
+        "time_travel_snapshot": _q_time_travel_snapshot,
+        "vacuum_retention": _q_vacuum_retention,
     }
 
 
@@ -4552,6 +4744,26 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "hudi_mor_upsert": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice * 5
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+        """,
+        "iceberg_schema_travel": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+        """,
+        "iceberg_manifest_prune": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_orderstatus = 'O'
+        """,
+        "typed_partition_read": """
+            SELECT o_orderkey, o_totalprice,
+                   (o_orderpriority < '3') AS urgent,
+                   substr(o_orderpriority, 1, 1) AS prio
+            FROM orders WHERE o_orderpriority < '3'
+        """,
         "insert_overwrite": """
             SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
             FROM orders WHERE o_orderkey % 4 = 1
@@ -4697,12 +4909,6 @@ def oracle_sql() -> dict[str, str]:
                    o_orderstatus
             FROM orders
         """,
-        "knn_ann_retry": f"""
-            SELECT vec_id, label,
-                   ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6) AS distance
-            FROM embeddings WHERE vec_id % 100 = 0
-            ORDER BY distance ASC, vec_id ASC LIMIT 64
-        """,
         "corpus_curation": _CURATION_SQL,
         "corpus_curation_quality": _CURATION_QUALITY_SQL,
         "knn_batch": _ann_batch_oracle_sql(),
@@ -4829,33 +5035,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '13'), 1, 15) AS BIGINT)
                    % 1000000000) / 1000000000.0 < fr.frac
         """,
-        "bm25_topk": """
-            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-            toks AS (
-              SELECT doc_id, t.tok
-              FROM d, LATERAL unnest(string_split(
-                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
-              WHERE t.tok <> ''
-            ),
-            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
-            q AS (SELECT unnest(['data','feature','pipeline','store','training']) AS tok),
-            tf AS (
-              SELECT doc_id, tok, COUNT(*) AS tf
-              FROM toks JOIN q USING (tok) GROUP BY doc_id, tok
-            ),
-            dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
-            SELECT tf.doc_id,
-                   ROUND(SUM(
-                     ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
-                     * (tf.tf * 2.2)
-                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-                   ), 6) AS score
-            FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN s
-            GROUP BY tf.doc_id
-            ORDER BY score DESC, doc_id ASC
-            LIMIT 20
-        """,
         "bm25_batch": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
             qs AS (
@@ -4898,26 +5077,6 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
               FROM sc
             ) WHERE rank <= 5
-        """,
-        "lm_perplexity": """
-            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-            toks AS (
-              SELECT doc_id, t.tok
-              FROM d, LATERAL unnest(string_split(
-                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t(tok)
-              WHERE t.tok <> ''
-            ),
-            c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-            t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
-                         CAST(COUNT(*) AS DOUBLE) AS vocab FROM c)
-            SELECT toks.doc_id,
-                   COUNT(*) AS n_tokens,
-                   ROUND(AVG(-ln((c.cnt + 0.5) / (t.total + 0.5 * (t.vocab + 1)))), 6)
-                     AS avg_nll,
-                   ROUND(EXP(AVG(-ln((c.cnt + 0.5) / (t.total + 0.5 * (t.vocab + 1))))), 6)
-                     AS ppl
-            FROM toks JOIN c USING (tok) CROSS JOIN t
-            GROUP BY toks.doc_id
         """,
         "retrieval_metrics": """
             WITH d AS (SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL),
@@ -6319,24 +6478,6 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment = 'HOUSEHOLD'  AS one_hot_encoder_c_mktsegment_3,
                    c_mktsegment = 'MACHINERY'  AS one_hot_encoder_c_mktsegment_4
             FROM customer
-        """,
-        "embedding_quantize": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            p AS (
-              SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-              FROM e
-            ),
-            st AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM p GROUP BY pos),
-            sc AS (
-              SELECT pos, lo,
-                     CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS s
-              FROM st
-            )
-            SELECT p.vec_id, p.pos,
-                   CAST(GREATEST(0, LEAST(255,
-                     CAST(FLOOR((p.x - sc.lo) / sc.s + 0.5) AS INTEGER)
-                   )) AS INTEGER) AS code
-            FROM p JOIN sc USING (pos)
         """,
         "monitoring_window": """
             SELECT 'value' AS feature, COUNT(*) AS cnt, COUNT(value) AS non_null,

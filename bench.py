@@ -1376,3 +1376,20 @@ if __name__ == "__main__":
 #    roster — none on the headline bench paths; the only bench-path
 #    adjacent change (explicit schema on partitioned lakehouse scans)
 #    removes a per-read warning and an inference pass.
+
+# ---------------------------------------------------------------------------
+# APPENDIX — r14 quiet-box board + e5_semantic_dedup exoneration
+# ---------------------------------------------------------------------------
+# VERDICT r13 #3 asked for a quiet-box re-pin of e5_semantic_dedup's
+# x10 drift (r13 session: 3.30 s vs r12-quiet 1.76 s, path untouched).
+# r14 ran the full protocol on a measured-idle box (load 0.26, 0 user
+# sessions, nothing else running). e5 x10 samples: warmup 6.08,
+# 15.59, 11.48, then 1.64 s — the MIN (the pinned operand) lands at
+# 1.642 s, BELOW r12-quiet's 1.756, scaling_x10 = 1.54 ≈ r12's 1.59.
+# Verdict: the intrinsic cost never moved; the early samples are
+# allocator/JIT warm-up on the 10x replicated Arrow-matmul frame (the
+# same monotonic-warming shape r12's clean boards show, amplified at
+# x10), and the min-based protocol exists precisely to see through it.
+# r13's 3.30 was the same shape sampled before the floor was reached.
+# Board: BENCH_r14_session.json (b6 vs_oracle_min improved 4.0->2.69;
+# b1 2.87 / b2 5.52 within the pinned scheduling-floor band).

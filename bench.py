@@ -1202,6 +1202,17 @@ def main():
         for n, xs in oracle_samples.items()
     }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # min-per-query across the x1 and extra pools, and the min/min x10
+    # scaling ratios — computed ONCE for both board lines below
+    mins_all = {
+        **{m: min(v) for m, v in samples.items()},
+        **{m: min(v) for m, v in extra_samples.items()},
+    }
+    scaling_x10 = {
+        n: round(min(xs) / mins_all[n], 2)
+        for n, xs in x10_samples.items()
+        if mins_all.get(n)
+    }
     print(
         json.dumps(
             {
@@ -1238,21 +1249,7 @@ def main():
                 # spike in either operand (observed 2-3x swings on this
                 # box) would otherwise masquerade as a scale bottleneck.
                 # queries/queries_x10 keep medians (honest wall clock).
-                "scaling_x10": {
-                    n: round(
-                        min(xs)
-                        / {
-                            **{m: min(v) for m, v in samples.items()},
-                            **{m: min(v) for m, v in extra_samples.items()},
-                        }[n],
-                        2,
-                    )
-                    for n, xs in x10_samples.items()
-                    if {
-                        **{m: min(v) for m, v in samples.items()},
-                        **{m: min(v) for m, v in extra_samples.items()},
-                    }.get(n)
-                },
+                "scaling_x10": scaling_x10,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -1270,21 +1267,7 @@ def main():
                 "unit": "sec",
                 "queries": {n: min(xs) for n, xs in samples.items()},
                 "vs_oracle_min": vs_oracle_min,
-                "scaling_x10": {
-                    n: round(
-                        min(xs)
-                        / {
-                            **{m: min(v) for m, v in samples.items()},
-                            **{m: min(v) for m, v in extra_samples.items()},
-                        }[n],
-                        2,
-                    )
-                    for n, xs in x10_samples.items()
-                    if {
-                        **{m: min(v) for m, v in samples.items()},
-                        **{m: min(v) for m, v in extra_samples.items()},
-                    }.get(n)
-                },
+                "scaling_x10": scaling_x10,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "note": "compact tail twin of the full board line above",
             }

@@ -74,6 +74,7 @@ def _compile_node(
     online: bool,
     filter_refs: Set[Tuple[int, str]],
     extra_keep: Tuple[str, ...] = (),
+    push_hints: bool = True,
 ):
     """Compile one Query node.
 
@@ -90,7 +91,11 @@ def _compile_node(
     # predicate is STILL applied at the plan root below, so sources
     # that ignore the hint lose nothing but I/O.
     flt_hint = None
-    if q._filter is not None:
+    # never push when the caller will NOT apply the root predicate
+    # (skip_filters preview contract) or when latest-per-key resolution
+    # runs first (online): pre-filtering the source would resurrect
+    # superseded versions / filter the preview sample
+    if push_hints and not online and q._filter is not None:
         try:
             refs = q._filter.referenced_features()
         except Exception:
@@ -164,7 +169,8 @@ def _compile_node(
         how = join.join_type
         lkeys, rkeys = _join_keys(q, join)
         rdf, rsel, rcolmap, rpending = _compile_node(
-            join.query, spark, online, filter_refs, extra_keep=tuple(rkeys)
+            join.query, spark, online, filter_refs,
+            extra_keep=tuple(rkeys), push_hints=push_hints,
         )
         using = bool(lkeys) and lkeys == rkeys
         absent = [k for k in lkeys if k not in df.columns]
@@ -290,7 +296,9 @@ def compile_query(
         if logic_all is not None
         else set()
     )
-    df, sel, colmap, pending = _compile_node(q, spark, online, filter_refs)
+    df, sel, colmap, pending = _compile_node(
+        q, spark, online, filter_refs, push_hints=not skip_filters
+    )
 
     cond = None
     if not skip_filters:

@@ -61,6 +61,18 @@ class TimeTravelBackend:
         commit-time and op columns)."""
         raise NotImplementedError
 
+    def append_base_commit(
+        self, df: DataFrame, partition_cols: Sequence[str]
+    ) -> None:
+        """Persist a BASE commit (compaction / overwrite restatement):
+        the store will treat this commit as a vacuum anchor, so its
+        files must be SELF-CONTAINED — readable after every older
+        commit's files are physically destroyed. The default backends'
+        commits are all self-contained, so this defaults to a plain
+        append; log-structured backends (Hudi MOR) override it to lay
+        down fresh base file groups instead of log appends."""
+        self.append_commit(df, partition_cols)
+
     def scan(self, spark: SparkSession) -> Optional[DataFrame]:
         """All live commit rows (schema-unioned), or None before the
         first commit."""
@@ -106,32 +118,35 @@ class CommitLogBackend(TimeTravelBackend):
 
     def _existing_layout(self) -> "Optional[List[str]]":
         """Partition-dir column names of the existing data tree, or
-        None when the table holds no data yet. ALL branches at each
-        depth are checked and must agree on the partition column — a
-        crashed partial write (or a stray ``col=val``-named dir) that
-        left an anomalous branch is detected loudly instead of
-        mis-deciding the layout from whichever branch sorts first."""
+        None when the table holds no data yet.
+
+        Cost is bounded O(depth): the ROOT level validates ALL sibling
+        directories (one listdir — that is where a crashed partial
+        write or a foreign ``col=val`` dir realistically lands, and a
+        full-tree walk would cost O(commits x partitions) on EVERY
+        append for a ``_commit_time``-partitioned store); deeper levels
+        probe one representative branch, still refusing loudly when the
+        siblings listed there disagree on the partition column."""
         root = self._data_path
         if not os.path.isdir(root):
             return None
         cols: List[str] = []
         saw_data = False
-        level = [root]
-        while level:
+        path = root
+        while True:
+            try:
+                entries = sorted(os.listdir(path))
+            except FileNotFoundError:
+                break
+            saw_data = saw_data or any(
+                n.endswith(".parquet") for n in entries
+            )
             names = set()
-            nxt: List[str] = []
-            for path in level:
-                try:
-                    entries = sorted(os.listdir(path))
-                except FileNotFoundError:
-                    continue
-                saw_data = saw_data or any(
-                    n.endswith(".parquet") for n in entries
-                )
-                for n in entries:
-                    if "=" in n and os.path.isdir(os.path.join(path, n)):
-                        names.add(n.partition("=")[0])
-                        nxt.append(os.path.join(path, n))
+            subs: List[str] = []
+            for n in entries:
+                if "=" in n and os.path.isdir(os.path.join(path, n)):
+                    names.add(n.partition("=")[0])
+                    subs.append(n)
             if not names:
                 break
             if len(names) > 1:
@@ -144,7 +159,7 @@ class CommitLogBackend(TimeTravelBackend):
                     "the data tree — clean it up before writing."
                 )
             cols.append(names.pop())
-            level = nxt
+            path = os.path.join(path, subs[0])
         return cols if (cols or saw_data) else None
 
     def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:

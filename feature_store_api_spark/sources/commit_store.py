@@ -215,7 +215,17 @@ class CommitStore:
             # predicates on the cluster columns skip row groups via
             # parquet min/max stats
             out = out.sortWithinPartitions(*ck)
-        self.backend.append_commit(out, [COMMIT_COL] + self.partition_key)
+        if operation == "overwrite":
+            # a base commit is the vacuum anchor: backends whose
+            # regular commits are NOT self-contained (Hudi MOR log
+            # appends) must lay down fresh base files here
+            self.backend.append_base_commit(
+                out, [COMMIT_COL] + self.partition_key
+            )
+        else:
+            self.backend.append_commit(
+                out, [COMMIT_COL] + self.partition_key
+            )
         commit = FeatureGroupCommit(
             commit_time=ct,
             operation=operation,
@@ -414,7 +424,7 @@ class CommitStore:
             # base: parquet min/max stats prune pushed predicates to
             # matching row groups
             out = out.sortWithinPartitions(*sort_keys)
-        self.backend.append_commit(out, [COMMIT_COL] + self.partition_key)
+        self.backend.append_base_commit(out, [COMMIT_COL] + self.partition_key)
         commit = FeatureGroupCommit(commit_time=ct, operation="compaction", base=True)
         self._append_log(commit)
         return commit

@@ -22,6 +22,15 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _sql_quote_ident(name: str) -> str:
+    """ANSI double-quote an identifier when it is not a plain one."""
+    import re as _re
+
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
 class StorageConnector:
     """Base: a named source of DataFrames."""
 
@@ -165,15 +174,13 @@ class JdbcConnector(StorageConnector):
             raise ValueError("JDBC connector reads require a SQL query")
         opts = self.spark_options()
         opts.update(options or {})
-        if filters is not None:
-            # Filter IR -> WHERE text around the user query: the
-            # DATABASE prunes before shipping rows (the same shape
-            # Catalyst's JDBC pushdown produces)
-            from ..plans.sql_emitter import filter_ir_to_sql
-
-            pred = filter_ir_to_sql(filters)
-            if pred:
-                query = f"SELECT * FROM ({query}) __fsq WHERE {pred}"
+        # filters: the Filter IR hint is NOT folded into the JDBC query
+        # text — without a driver-side probe there is no way to verify
+        # the IR's (engine-sanitized) names against the database's real
+        # columns, and a wrong WHERE would fail reads that worked
+        # before. The compiler applies the exact predicate at the plan
+        # root; Spark's own JDBC pushdown then ships it when the names
+        # align. (The jarless DBAPI sibling DOES push: it can probe.)
         # query pushdown: the whole statement runs database-side
         opts["query"] = query
         return spark.read.format("jdbc").options(**opts).load()
@@ -211,10 +218,32 @@ class DbApiConnector(StorageConnector):
         if filters is not None:
             # Filter IR -> the source's SQL predicate pushdown (lands
             # in every partition statement AND narrows the stride
-            # bounds probe); composes with an explicit options filter
+            # bounds probe); composes with an explicit options filter.
+            # The IR carries engine-SANITIZED names — probe the query's
+            # real output columns (LIMIT 0, one driver-side round trip)
+            # and bind each leaf to its physical column, dropping
+            # unresolvable leaves conservatively (AND keeps the other
+            # side, OR drops the branch): the hint must never fail a
+            # read that worked without it.
             from ..plans.sql_emitter import filter_ir_to_sql
+            from .iceberg_prune import normalize_filters, remap_tree
 
-            pred = filter_ir_to_sql(filters)
+            pred = None
+            try:
+                conn = self.connect()
+                try:
+                    cur = conn.cursor()
+                    cur.execute(
+                        f"SELECT * FROM ({query}) __fsq_probe LIMIT 0"
+                    )
+                    cols = [d[0] for d in (cur.description or [])]
+                finally:
+                    conn.close()
+                tree = remap_tree(normalize_filters(filters), cols)
+                if tree is not None:
+                    pred = filter_ir_to_sql(tree, quote=_sql_quote_ident)
+            except Exception:
+                pred = None  # probe failed: skip the hint, read as-is
             if pred:
                 prev = opts.get("filter")
                 opts["filter"] = f"({prev}) AND ({pred})" if prev else pred

@@ -331,6 +331,27 @@ class HudiMorBackend(HudiBackend):
     table_type = "MERGE_ON_READ"
 
     def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:
+        self._write_mor_commit(df, partition_cols, force_base=False)
+
+    def append_base_commit(
+        self, df: DataFrame, partition_cols: Sequence[str]
+    ) -> None:
+        """Base/restatement commits (compaction, insert overwrite) lay
+        down FRESH parquet base file groups instead of log appends: the
+        store vacuums every commit strictly below a base anchor, and a
+        base that lived in log files attached to an OLDER commit's
+        groups would be destroyed with them (orphaned baseCommitTime).
+        Subsequent log appends attach to these newest groups, so the
+        whole pre-anchor tree — old groups AND the logs attached to
+        them — drops cleanly together."""
+        self._write_mor_commit(df, partition_cols, force_base=True)
+
+    def _write_mor_commit(
+        self,
+        df: DataFrame,
+        partition_cols: Sequence[str],
+        force_base: bool,
+    ) -> None:
         import pyarrow.parquet as pq
 
         from pyspark.sql import functions as F
@@ -402,14 +423,24 @@ class HudiMorBackend(HudiBackend):
                         parsed = _parse_base_file(name)
                         if parsed is not None:
                             fid, b_inst = parsed
-                            if fid not in bases or b_inst < bases[fid]:
+                            if fid not in bases or b_inst > bases[fid]:
                                 bases[fid] = b_inst
+                    for name in sorted(os.listdir(part_dir)):
                         lparsed = _parse_log_file(name)
                         if lparsed is not None:
                             next_ver = max(next_ver, lparsed[2] + 1)
-                    target = (
-                        min(bases.items()) if bases else None
-                    )  # (fileId, its first/base instant)
+                    # attach to the group holding the NEWEST base
+                    # instant (ties: smallest fileId): after a base
+                    # restatement, logs ride the anchor's groups and
+                    # the pre-anchor tree stays vacuum-droppable as a
+                    # unit
+                    target = None
+                    if bases and not force_base:
+                        newest = max(bases.values())
+                        fid = min(
+                            f for f, b in bases.items() if b == newest
+                        )
+                        target = (fid, newest)
                     group_of[rel] = [target, next_ver]
                 target, next_ver = group_of[rel]
                 if target is None:

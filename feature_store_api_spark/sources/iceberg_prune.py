@@ -117,7 +117,12 @@ def filters_to_column(tree: tuple):
         left, right = filters_to_column(tree[1]), filters_to_column(tree[2])
         return (left & right) if kind == "and" else (left | right)
     _, name, op, value = tree
-    col = F.col(name)
+    # physical names may contain dots (field access syntax in col()):
+    # backtick-quote anything that would misparse
+    col = (
+        F.col("`" + name.replace("`", "``") + "`")
+        if ("." in name or "`" in name) else F.col(name)
+    )
     if op == EQ:
         return col == value
     if op == NE:
@@ -165,8 +170,10 @@ def decode_bound(raw, ice_type) -> Optional[Any]:
         if ice_type in ("timestamp", "timestamptz"):
             us = struct.unpack("<q", b)[0]
             return _EPOCH + timedelta(microseconds=us)
-        if ice_type in ("string", "uuid"):
+        if ice_type == "string":
             return b.decode("utf-8")
+        # uuid is 16-byte big-endian binary per the spec, NOT text —
+        # returning None keeps the file (no pruning on uuid bounds)
     except (struct.error, UnicodeDecodeError, IndexError):
         return None
     return None
@@ -208,7 +215,10 @@ def _coerce(bound, value):
         return bound, value
     if isinstance(bound, (int, float)) and isinstance(value, str):
         try:
-            return bound, type(bound)(float(value))
+            # compare as floats: int(value) would TRUNCATE ('3.5' -> 3)
+            # and wrongly prune the boundary file Spark's residual
+            # filter (which casts to double) still matches
+            return float(bound), float(value)
         except ValueError:
             return None
     if isinstance(bound, str) and isinstance(value, (int, float)):
@@ -465,6 +475,30 @@ class ScanPruner:
             self.specs[0] = list(meta["partition-spec"])
         self.default_spec = int(meta.get("default-spec-id") or 0)
 
+    def _ambiguous_tz(self, name: str, value) -> bool:
+        """True when comparing ``value`` against a ``timestamptz``
+        column is session-timezone-dependent: Spark interprets a NAIVE
+        datetime/string in the session zone, while bounds decode as
+        UTC instants — pruning on that comparison could drop files the
+        residual filter still matches. Tz-aware values are exact."""
+        info = self.col_info.get(name)
+        if info is None or info[1] != "timestamptz":
+            return False
+        vs = value if isinstance(value, (list, tuple, set)) else [value]
+        for v in vs:
+            if isinstance(v, datetime):
+                if v.tzinfo is None:
+                    return True
+            elif isinstance(v, str):
+                try:
+                    if datetime.fromisoformat(v).tzinfo is None:
+                        return True
+                except ValueError:
+                    return True
+            else:
+                return True  # date / anything else: zone-ambiguous
+        return False
+
     # -- spec helpers -------------------------------------------------------
     def _fields_for(self, spec_id: Optional[int]) -> List[Dict]:
         sid = self.default_spec if spec_id is None else int(spec_id)
@@ -501,6 +535,8 @@ class ScanPruner:
 
         def leaf(node) -> bool:
             _, name, op, value = node
+            if self._ambiguous_tz(name, value):
+                return True
             for f, s in by_src.get(name, ()):  # all spec fields on col
                 transform = f.get("transform") or "identity"
                 rt = _result_type(
@@ -530,6 +566,8 @@ class ScanPruner:
 
         def leaf(node) -> bool:
             _, name, op, value = node
+            if self._ambiguous_tz(name, value):
+                return True
             # 1. partition tuple: exact per-file value per spec field
             for f in fields:
                 if self._source_name(f) != name:
@@ -622,3 +660,54 @@ def _like_to_re(pattern: str):
             out.append(re.escape(c))
         i += 1
     return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+def remap_tree(tree: Optional[tuple], columns) -> Optional[tuple]:
+    """Bind a normalized tree's (engine-sanitized) column names to the
+    PHYSICAL columns of a concrete source, weakening conservatively:
+
+    * a leaf resolves to the exact physical name, else to the unique
+      physical column whose sanitized form matches (the compiler
+      normalizes sources the same way, so the root predicate will bind
+      the same column);
+    * an unresolvable leaf (appended feature with a default value,
+      sanitize collision) DROPS: from an AND keep the other side (a
+      superset predicate — safe for a pushdown hint), from an OR drop
+      the whole branch (a weakened OR would be a SUBSET — unsafe).
+
+    Returns None when nothing survives — the caller skips the filter
+    entirely (the engine compiler re-applies the exact predicate at the
+    plan root; direct callers should pass physical names)."""
+    if tree is None:
+        return None
+    from ..feature import autofix_feature_name
+
+    cols = list(columns)
+    by_sanitized: Dict[str, List[str]] = {}
+    for c in cols:
+        by_sanitized.setdefault(autofix_feature_name(c), []).append(c)
+    colset = set(cols)
+
+    def walk(node):
+        kind = node[0]
+        if kind == "and":
+            left, right = walk(node[1]), walk(node[2])
+            if left is None:
+                return right
+            if right is None:
+                return left
+            return ("and", left, right)
+        if kind == "or":
+            left, right = walk(node[1]), walk(node[2])
+            if left is None or right is None:
+                return None
+            return ("or", left, right)
+        _, name, op, value = node
+        if name in colset:
+            return node
+        twins = by_sanitized.get(name, [])
+        if len(twins) == 1:
+            return ("leaf", twins[0], op, value)
+        return None  # absent or ambiguous: drop
+
+    return walk(tree)

@@ -824,6 +824,7 @@ def read_iceberg(
         ScanPruner,
         filters_to_column,
         normalize_filters,
+        remap_tree,
     )
 
     path = os.path.abspath(path)
@@ -840,6 +841,11 @@ def read_iceberg(
     ):
         meta = {**meta, "current-schema-id": sid}
     tree = normalize_filters(filters)
+    # bind engine-sanitized names to this table's schema names (and
+    # weaken AND/OR conservatively where a name has no twin) so a
+    # compiler hint over a raw-named external table prunes correctly
+    # instead of not at all
+    tree = remap_tree(tree, _current_field_names(meta).values())
     pruner = ScanPruner(meta, tree) if tree is not None else None
     stats: Dict = {} if plan_out is None else plan_out
     data, pos_del, eq_del = _snapshot_files(
@@ -1037,6 +1043,12 @@ def read_iceberg(
     if tree is not None:
         # exact residual: manifest pruning is conservative (file
         # granularity), the row-level predicate settles the rest —
-        # and Catalyst still pushes it into the parquet scan
-        df = df.where(filters_to_column(tree))
+        # and Catalyst still pushes it into the parquet scan. Re-bind
+        # against the OUTPUT columns (a snapshot-schema read can
+        # surface different names than the current schema); anything
+        # unresolvable drops conservatively — the engine compiler
+        # re-applies the exact predicate at the plan root.
+        residual = remap_tree(tree, df.columns)
+        if residual is not None:
+            df = df.where(filters_to_column(residual))
     return df

@@ -190,10 +190,17 @@ def read(
     PartitionFilters) without waiting for the plan root."""
     fmt = data_format.lower()
     if filters is not None and fmt != "iceberg":
-        from .iceberg_prune import filters_to_column, normalize_filters
+        from .iceberg_prune import (
+            filters_to_column,
+            normalize_filters,
+            remap_tree,
+        )
 
         df = read(spark, data_format, path, options, schema)
-        tree = normalize_filters(filters)
+        # bind sanitized names to the source's PHYSICAL columns and
+        # weaken conservatively (appended-feature leaves drop) — the
+        # hint must never fail a read that worked without it
+        tree = remap_tree(normalize_filters(filters), df.columns)
         return df.where(filters_to_column(tree)) if tree is not None else df
     opts = dict(_DEFAULT_OPTIONS.get(fmt, {}))
     opts.update(options or {})
@@ -279,9 +286,10 @@ def read(
                 from .iceberg_prune import (
                     filters_to_column,
                     normalize_filters,
+                    remap_tree,
                 )
 
-                tree = normalize_filters(filters)
+                tree = remap_tree(normalize_filters(filters), inc.columns)
                 if tree is not None:
                     inc = inc.where(filters_to_column(tree))
             return inc

@@ -498,3 +498,64 @@ def test_external_fg_filter_ir_pushdown_iceberg(spark, tmp_path):
     q = fg.select_all().filter(fg.part == "a")
     rows = q.read(spark).collect()
     assert [(r["k"], r["part"]) for r in rows] == [(1, "a")]
+
+
+def test_pushdown_hint_skipped_online_and_preview(spark, tmp_path):
+    """The Filter IR hint must NOT reach the source when latest-per-key
+    resolution runs first (online=True — pre-filtering would resurrect
+    superseded versions) or when the preview contract strips filters
+    (skip_filters=True)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.plans.compiler import compile_query
+    from feature_store_api_spark.sources.connectors import HopsFsConnector
+
+    src = str(tmp_path / "v.parquet")
+    # k=1 has v1 (price 5) superseded by v2 (price 10)
+    spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 10.0)], "k long, ts long, price double"
+    ).write.parquet(src)
+    fs = FeatureStore(name="onl_hint")
+    fg = fs.create_external_feature_group(
+        "v_ext", HopsFsConnector("fsl"), path=src, data_format="parquet",
+        primary_key=["k"], event_time="ts",
+    )
+    fg.set_features([
+        Feature("k", "bigint"), Feature("ts", "bigint"),
+        Feature("price", "double"),
+    ])
+    q = fg.select_all().filter(fg.price < 6)
+    # offline: the superseded row matches (log view semantics)
+    assert q.read(spark).count() == 1
+    # online: latest-per-key FIRST (price=10), THEN the filter -> empty.
+    # a pushed hint would resurrect v1 and wrongly return it
+    assert compile_query(q, spark, online=True).count() == 0
+    # preview contract: filters stripped entirely -> the latest row
+    got = compile_query(q, spark, online=True, skip_filters=True)
+    assert [(r["k"], r["price"]) for r in got.collect()] == [(1, 10.0)]
+
+
+def test_pushdown_hint_tolerates_unsanitized_source_columns(spark, tmp_path):
+    """A filtered external-FG read over a source whose PHYSICAL column
+    names need sanitization ('Doc ID' -> doc_id) must still work: the
+    pushed hint re-binds by sanitized twin instead of crashing on an
+    unresolved column (r14 review regression)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import HopsFsConnector
+
+    src = str(tmp_path / "raw_names")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 6.0), (3, 7.0)], ["Doc ID", "The Price"]
+    ).write.parquet(src)
+    fs = FeatureStore(name="raw_hint")
+    fg = fs.create_external_feature_group(
+        "raw_ext", HopsFsConnector("fsl"), path=src,
+        data_format="parquet", primary_key=["doc_id"],
+    )
+    fg.set_features([
+        Feature("doc_id", "bigint"), Feature("the_price", "double"),
+    ])
+    q = fg.select_all().filter(fg.doc_id >= 2)
+    got = sorted(r["doc_id"] for r in q.read(spark).collect())
+    assert got == [2, 3]

@@ -1205,3 +1205,54 @@ def test_hudi_mor_backend_partitioned(spark, tmp_path):
         (r["k"], r["part"], r["v"]) for r in fg.read(spark).collect()
     )
     assert got == [(1, "a", 10.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+
+def test_hudi_mor_vacuum_past_base_commit(spark, tmp_path):
+    """Vacuuming every commit below a base anchor must leave a READABLE
+    MOR table: base/restatement commits (insert overwrite, compaction)
+    lay down FRESH base file groups via append_base_commit — if they
+    lived in log files attached to the first commit's groups, dropping
+    that commit would orphan them (the r14 review's data-loss flow)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morv", primary_key=["k"], event_time="ts",
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0)], "k long, ts long, v double"),
+        compute_stats=False)
+    fg.insert(spark.createDataFrame(
+        [(2, 100, 20.0)], "k long, ts long, v double"),
+        compute_stats=False)  # log append
+    # overwrite = base commit -> must be SELF-CONTAINED base files
+    fg.insert(spark.createDataFrame(
+        [(5, 100, 5.0), (6, 100, 6.0)], "k long, ts long, v double"),
+        overwrite=True, compute_stats=False)
+    # a post-base log append attaches to the base commit's groups
+    fg.insert(spark.createDataFrame(
+        [(6, 100, 60.0)], "k long, ts long, v double"),
+        compute_stats=False)
+
+    commits = sorted(c["commit_time"] for c in fg.commit_details())
+    assert len(commits) == 4
+    base_ct = commits[2]
+    # vacuum everything below the overwrite base
+    removed = fg.commit_store.vacuum(retain_hours=0)
+    assert set(removed) == set(commits[:2])
+
+    got = sorted((r["k"], r["v"]) for r in fg.read(spark).collect())
+    assert got == [(5, 5.0), (6, 60.0)]
+    # the raw Hudi table stays externally readable too
+    raw = read_hudi(spark, fg.location)
+    assert raw.count() == 3  # base 2 rows + 1 post-base log row
+    # and the post-base log file survived on disk
+    assert [n for n in os.listdir(fg.location) if ".log." in n]
+    # time travel to the base commit still works; below it raises
+    assert fg.as_of(base_ct).read(spark).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fg.as_of(commits[0]).read(spark).collect()

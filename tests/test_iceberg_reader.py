@@ -1765,3 +1765,73 @@ def test_iceberg_transform_pruning_day_and_truncate(spark, tmp_path):
     assert not ScanPruner(
         meta, normalize_filters(("ts", ">", "2020-01-01"))
     ).keep_entry(ent_null, 0)
+
+
+def test_remap_tree_weakening_and_coercion():
+    """remap_tree binds sanitized names to physical columns and weakens
+    conservatively (AND keeps the other side, OR drops the branch);
+    _range_may_match never truncates numeric-string values (r14 review:
+    int('3.5') would wrongly prune the boundary file)."""
+    from feature_store_api_spark.sources.iceberg_prune import (
+        _range_may_match,
+        normalize_filters,
+        remap_tree,
+    )
+
+    cols = ["Doc ID", "price", "A B", "a_b"]
+    t = normalize_filters(("doc_id", "==", 1))
+    assert remap_tree(t, cols) == ("leaf", "Doc ID", "EQUALS", 1)
+    # exact physical name wins untouched
+    t = normalize_filters(("price", ">", 2))
+    assert remap_tree(t, cols) == ("leaf", "price", "GREATER_THAN", 2)
+    # ambiguous sanitized twin ('A B' and 'a_b' both -> a_b): hmm —
+    # exact match 'a_b' resolves first, so only the non-exact case is
+    # ambiguous
+    t = normalize_filters(("a_b", "==", 1))
+    assert remap_tree(t, cols) == ("leaf", "a_b", "EQUALS", 1)
+    # unresolvable leaf: AND keeps the other side
+    t = normalize_filters([("price", ">", 2), ("ghost", "==", 1)])
+    assert remap_tree(t, cols) == ("leaf", "price", "GREATER_THAN", 2)
+    # unresolvable in an OR drops the whole branch
+    t = normalize_filters(("or", ("price", ">", 2), ("ghost", "==", 1)))
+    assert remap_tree(t, cols) is None
+
+    # numeric-string boundary: file [3, 7], pred < '3.5' MUST keep it
+    assert _range_may_match("LESS_THAN", "3.5", 3, 7)
+    assert not _range_may_match("LESS_THAN", "3.0", 3, 7)
+
+
+def test_iceberg_prune_timestamptz_naive_value_keeps_file():
+    """A NAIVE datetime/string compared against a timestamptz column is
+    session-timezone-dependent: the pruner must keep the file (Spark's
+    residual filter decides); a tz-AWARE value still prunes."""
+    from datetime import datetime, timezone
+
+    from feature_store_api_spark.sources.iceberg_prune import (
+        ScanPruner,
+        normalize_filters,
+    )
+
+    meta = {
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "ts", "type": "timestamptz"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "ts", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]}],
+    }
+    ent = {"content": 0,
+           "partition": {"ts": datetime(2024, 1, 1, 12)}}
+
+    def keep(v):
+        return ScanPruner(
+            meta, normalize_filters(("ts", "==", v))
+        ).keep_entry(ent, 0)
+
+    # naive mismatch would prune under UTC assumption — must KEEP
+    assert keep(datetime(2024, 6, 1))
+    assert keep("2024-06-01T00:00:00")
+    # tz-aware value: exact, prunes
+    assert not keep(datetime(2024, 6, 1, tzinfo=timezone.utc))
+    assert keep(datetime(2024, 1, 1, 12, tzinfo=timezone.utc))

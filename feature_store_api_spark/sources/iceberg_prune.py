@@ -557,7 +557,20 @@ class ScanPruner:
         return self._eval(self.tree, leaf)
 
     # -- entry level ---------------------------------------------------------
-    def keep_entry(self, data_file: Dict, spec_id: Optional[int]) -> bool:
+    def keep_entry(
+        self,
+        data_file: Dict,
+        spec_id: Optional[int],
+        partition_only: bool = False,
+    ) -> bool:
+        """``partition_only=True`` is the DELETE-file mode: a delete
+        file applies within its partition (spec "Scan Planning"), so a
+        delete whose partition can't intersect any kept data file is
+        dead weight — sound regardless of the residual row filter.
+        Column BOUNDS on a delete file describe the DELETED rows, and
+        pruning on them is only sound while the residual predicate is
+        guaranteed to re-filter resurrected rows — which a weakened
+        remap can't promise — so bounds are skipped in this mode."""
         fields = self._fields_for(spec_id)
         part = data_file.get("partition")
         part = part if isinstance(part, dict) else {}
@@ -593,7 +606,7 @@ class ScanPruner:
                     ):
                         return False
             # 2. column stats: lower/upper bounds by field id
-            info = self.col_info.get(name)
+            info = None if partition_only else self.col_info.get(name)
             if info is not None:
                 fid, ftype = info
                 lo = decode_bound(lowers.get(fid), ftype)

@@ -178,8 +178,11 @@ def _snapshot_files(
     manifests via the manifest list's partition field summaries and
     DATA files via each entry's partition tuple + column bounds —
     the spec's scan-planning pruning, applied before any Spark relation
-    exists. Delete manifests/files are never pruned (they apply by
-    sequence number to whatever data survives)."""
+    exists. DELETE manifests/files prune on PARTITION operands only
+    (a delete applies within its partition, so one whose partition
+    can't intersect the kept data files is dead weight; their column
+    bounds describe the deleted rows and never prune — see
+    ``ScanPruner.keep_entry(partition_only=)``)."""
     mf_list_loc = snap.get("manifest-list")
     if mf_list_loc:
         manifests = _manifest_entries(
@@ -195,6 +198,7 @@ def _snapshot_files(
         stats.setdefault("manifests_total", len(manifests))
         stats.setdefault("manifests_skipped", 0)
         stats.setdefault("data_files_pruned", 0)
+        stats.setdefault("delete_files_pruned", 0)
     data: List[dict] = []
     pos_del: List[dict] = []
     eq_del: List[dict] = []
@@ -203,7 +207,6 @@ def _snapshot_files(
         mf_spec = mf.get("partition_spec_id")
         if (
             pruner is not None
-            and int(mf.get("content") or 0) == 0
             and not pruner.keep_manifest(mf, mf_spec)
         ):
             # whole manifest out of range: never even opened
@@ -217,13 +220,17 @@ def _snapshot_files(
             if int(e.get("status") or 0) == 2:
                 continue  # DELETED entries are history, not state
             df_ = e.get("data_file") or {}
-            if (
-                pruner is not None
-                and int(df_.get("content") or 0) == 0
-                and not pruner.keep_entry(df_, mf_spec)
+            if pruner is not None and not pruner.keep_entry(
+                df_, mf_spec,
+                partition_only=int(df_.get("content") or 0) != 0,
             ):
                 if stats is not None:
-                    stats["data_files_pruned"] += 1
+                    key = (
+                        "data_files_pruned"
+                        if int(df_.get("content") or 0) == 0
+                        else "delete_files_pruned"
+                    )
+                    stats[key] = stats.get(key, 0) + 1
                 continue
             seq = e.get("sequence_number")
             seq = mf_seq if seq is None else int(seq)

@@ -1835,3 +1835,56 @@ def test_iceberg_prune_timestamptz_naive_value_keeps_file():
     # tz-aware value: exact, prunes
     assert not keep(datetime(2024, 6, 1, tzinfo=timezone.utc))
     assert keep(datetime(2024, 1, 1, 12, tzinfo=timezone.utc))
+
+
+def test_iceberg_delete_file_pruning_partition_scoped(spark, tmp_path):
+    """DELETE files prune on PARTITION operands only: a position-delete
+    file in a pruned partition is dead weight and drops (pinned by
+    counter + physical deletion), while a delete file in the KEPT
+    partition survives even when its column bounds lie outside the
+    predicate — bounds describe the deleted rows and must never prune
+    deletes."""
+    import struct
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_del_prune")
+    fa = os.path.join(root, "data", "da.parquet")
+    fb = os.path.join(root, "data", "db.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0], "part": ["a", "a"]}, fa)
+    _pq({"k": [3, 4], "v": [3.0, 4.0], "part": ["b", "b"]}, fb)
+    # position deletes: kill k=1 (ordinal 0) in partition a, k=3 in b
+    pda = os.path.join(root, "data", "del_a.parquet")
+    pdb = os.path.join(root, "data", "del_b.parquet")
+    _pq({"file_path": [f"file://{fa}"], "pos": [0]}, pda)
+    _pq({"file_path": [f"file://{fb}"], "pos": [0]}, pdb)
+
+    def e(fp, part, content=0, seq=1, lo=None, hi=None):
+        ent = _p_entry(fp, part=part, lo=lo, hi=hi, seq=seq)
+        ent["data_file"]["content"] = content
+        return ent
+
+    def b(x):
+        return struct.pack("<q", x)
+
+    m = _p_manifest(root, "m1.avro", [
+        e(fa, "a"), e(fb, "b"),
+        # delete in partition a carries k-bounds WAY outside the
+        # k-predicate below — must still be kept (partition_only)
+        e(pda, "a", content=1, seq=2, lo={"1": b(999)}, hi={"1": b(999)}),
+        e(pdb, "b", content=1, seq=2),
+    ])
+    ml = _p_manifest_list(root, "s1.avro", [(m, 1, None)])
+    _p_metadata(root, ml)
+    os.remove(pdb)  # physical pin: the pruned delete is never read
+
+    plan = {}
+    out = read_iceberg(
+        spark, root,
+        filters=("and", ("part", "==", "a"), ("k", "<", 10)),
+        plan_out=plan,
+    )
+    assert plan["delete_files_pruned"] == 1
+    assert plan["data_files_pruned"] == 1
+    # k=1 deleted by the KEPT delete file; k=2 survives
+    assert sorted((r["k"], r["part"]) for r in out.collect()) == [(2, "a")]

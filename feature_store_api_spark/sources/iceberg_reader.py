@@ -514,6 +514,7 @@ def iceberg_incremental(
     path: str,
     from_snapshot_id: int,
     to_snapshot_id: Optional[int] = None,
+    filters=None,
 ) -> DataFrame:
     """Incremental APPEND scan: rows added by snapshots in
     ``(from_snapshot_id, to_snapshot_id]`` — iceberg-spark's
@@ -524,8 +525,23 @@ def iceberg_incremental(
     ``snapshot_id`` inheritance, per spec). Snapshots whose summary
     operation is not ``append`` gate loudly — replacing/overwriting
     commits have no row-level "added" answer without diffing, exactly
-    why iceberg-spark refuses them too."""
+    why iceberg-spark refuses them too.
+
+    ``filters`` prunes exactly like :func:`read_iceberg`: manifest
+    partition summaries, entry partition tuples + column bounds, then
+    the exact residual row predicate on the result."""
+    from .iceberg_prune import (
+        ScanPruner,
+        filters_to_column,
+        normalize_filters,
+        remap_tree,
+    )
+
     meta = _read_table_metadata(path)
+    tree = remap_tree(
+        normalize_filters(filters), _current_field_names(meta).values()
+    )
+    pruner = ScanPruner(meta, tree) if tree is not None else None
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots") or []}
     end = resolve_iceberg_snapshot(meta, to_snapshot_id, None)
     if int(from_snapshot_id) not in snaps:
@@ -564,6 +580,10 @@ def iceberg_incremental(
             added_by = mf.get("added_snapshot_id")
             if added_by is not None and int(added_by) != sid:
                 continue  # carried over from an earlier snapshot
+            if pruner is not None and not pruner.keep_manifest(
+                mf, mf.get("partition_spec_id")
+            ):
+                continue
             for e in _manifest_entries(
                 _fs_path(mf["manifest_path"], path), path
             ):
@@ -575,6 +595,10 @@ def iceberg_incremental(
                 df_ = e.get("data_file") or {}
                 if int(df_.get("content") or 0) != 0:
                     continue
+                if pruner is not None and not pruner.keep_entry(
+                    df_, mf.get("partition_spec_id")
+                ):
+                    continue
                 fmt = (df_.get("file_format") or "PARQUET").upper()
                 if fmt != "PARQUET":
                     raise NotImplementedError(
@@ -584,9 +608,14 @@ def iceberg_incremental(
                 paths.append(_fs_path(df_["file_path"], path))
     if not paths:
         return spark.createDataFrame([], _spark_schema_of(meta))
-    return spark.read.option("mergeSchema", "true").parquet(
+    inc = spark.read.option("mergeSchema", "true").parquet(
         *sorted(set(paths))
     )
+    if tree is not None:
+        residual = remap_tree(tree, inc.columns)
+        if residual is not None:
+            inc = inc.where(filters_to_column(residual))
+    return inc
 
 
 def _scan_avro_data(

@@ -278,21 +278,13 @@ def read(
         start = opts.get("start-snapshot-id")
         if start is not None:
             end = opts.get("end-snapshot-id")
-            inc = iceberg_incremental(
+            # filters prune at manifest level inside the incremental
+            # planner too (plus the exact residual row predicate)
+            return iceberg_incremental(
                 spark, path, int(start),
                 int(end) if end is not None else None,
+                filters=filters,
             )
-            if filters is not None:
-                from .iceberg_prune import (
-                    filters_to_column,
-                    normalize_filters,
-                    remap_tree,
-                )
-
-                tree = remap_tree(normalize_filters(filters), inc.columns)
-                if tree is not None:
-                    inc = inc.where(filters_to_column(tree))
-            return inc
         sid = opts.get("snapshot-id")
         ts = opts.get("as-of-timestamp")
         ref = opts.get("branch") or opts.get("tag")

@@ -1888,3 +1888,33 @@ def test_iceberg_delete_file_pruning_partition_scoped(spark, tmp_path):
     assert plan["data_files_pruned"] == 1
     # k=1 deleted by the KEPT delete file; k=2 survives
     assert sorted((r["k"], r["part"]) for r in out.collect()) == [(2, "a")]
+
+
+def test_iceberg_pruned_scan_residual_reaches_pushed_filters(spark, tmp_path):
+    """Plan quality: after manifest-level file pruning, the residual
+    row predicate still lands in the parquet scan's PushedFilters —
+    file pruning and Catalyst pushdown COMPOSE, the residual is not a
+    post-scan Python-side filter."""
+    import struct
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_plan")
+    f1 = os.path.join(root, "data", "d1.parquet")
+    f2 = os.path.join(root, "data", "d2.parquet")
+    _pq({"k": [1, 5], "v": [1.0, 5.0], "part": [None, None]}, f1)
+    _pq({"k": [8, 15], "v": [8.0, 15.0], "part": [None, None]}, f2)
+
+    def b(x):
+        return struct.pack("<q", x)
+
+    m1 = _p_manifest(root, "m1.avro", [
+        _p_entry(f1, lo={"1": b(1)}, hi={"1": b(5)}),
+        _p_entry(f2, lo={"1": b(8)}, hi={"1": b(15)}),
+    ])
+    ml = _p_manifest_list(root, "s1.avro", [(m1, 1, None)])
+    _p_metadata(root, ml, partitioned=False)
+
+    out = read_iceberg(spark, root, filters=("k", ">", 9))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(k,9)" in plan

@@ -300,11 +300,79 @@ def _cast_discovered_partitions(df: DataFrame, props: Dict[str, str]):
     return df
 
 
+
+def _partition_dir_pruner(tree, props: Dict[str, str]):
+    """File-group pruning predicate over hive-style partition REL paths
+    (``col=val[/col2=val2]``): returns ``keep(rel) -> bool``, or None
+    when the tree constrains no partition field. Tokens parse to
+    bool/int/float where they look like one (Spark's directory value
+    encoding); ``__HIVE_DEFAULT_PARTITION__`` is the null token — no
+    comparison in the IR matches null, so those dirs drop. Evaluation
+    reuses the Iceberg pruner's identity semantics: EXACT per-dir
+    values, conservative on any type mismatch."""
+    from urllib.parse import unquote as _unquote
+
+    from .iceberg_prune import ScanPruner
+
+    part_fields = [
+        c.strip()
+        for c in props.get("hoodie.table.partition.fields", "").split(",")
+        if c.strip()
+    ]
+    if tree is None or not part_fields:
+        return None
+
+    def refs(node):
+        if node[0] in ("and", "or"):
+            return refs(node[1]) | refs(node[2])
+        return {node[1]}
+
+    if not (refs(tree) & set(part_fields)):
+        return None
+
+    def parse_token(tok: str):
+        tok = _unquote(tok)
+        if tok == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        low = tok.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        try:
+            return int(tok)
+        except ValueError:
+            pass
+        try:
+            return float(tok)
+        except ValueError:
+            return tok
+
+    def keep(rel: str) -> bool:
+        vals = {}
+        for seg in rel.split(os.sep):
+            name, eq, tok = seg.partition("=")
+            if eq:
+                vals[name] = parse_token(tok)
+
+        def leaf(node) -> bool:
+            _, name, op, value = node
+            if name not in vals:
+                return True  # not a partition field here
+            pv = vals[name]
+            if pv is None:
+                return False  # null partition: no comparison matches
+            return ScanPruner._identity_match(op, value, pv)
+
+        return ScanPruner._eval(tree, leaf)
+
+    return keep
+
+
 def read_hudi(
     spark: SparkSession,
     path: str,
     as_of_instant: Optional[str] = None,
     partition_discovery: bool = False,
+    filters=None,
 ) -> DataFrame:
     """Read a Hudi COW table directory — snapshot at the latest
     completed instant, or time travel to ``as_of_instant`` (the
@@ -318,7 +386,20 @@ def read_hudi(
     :class:`~.hudi_backend.HudiBackend` layout), where the values exist
     ONLY in the paths. Off by default: external tables usually carry
     the partition columns in the data files, and surfacing the
-    directory twin would change the scanned schema."""
+    directory twin would change the scanned schema.
+
+    ``filters`` (Filter IR / tuples, see :mod:`.iceberg_prune`) prunes
+    FILE GROUPS whose hive-style partition directory values cannot
+    match — the only partition pruning available to the MOR merge path,
+    which bypasses Spark directory discovery entirely (log blocks
+    decode in ``mapInPandas``, out of Catalyst's reach) — then applies
+    the exact residual row predicate."""
+    from .iceberg_prune import (
+        filters_to_column,
+        normalize_filters,
+        remap_tree,
+    )
+
     meta_dir = os.path.join(path, _META_DIR)
     if not os.path.isdir(meta_dir):
         raise FileNotFoundError(f"No Hudi timeline at {meta_dir}")
@@ -342,10 +423,26 @@ def read_hudi(
         )
 
     chosen = _visible_groups(path, meta_dir, as_of_instant)
+    tree = normalize_filters(filters)
+    pruner = _partition_dir_pruner(tree, _table_props(meta_dir))
+    if pruner is not None:
+        chosen = {
+            (rel, fid): v
+            for (rel, fid), v in chosen.items()
+            if pruner(rel)
+        }
+
+    def residual(df: DataFrame) -> DataFrame:
+        if tree is None:
+            return df
+        bound = remap_tree(tree, df.columns)
+        return df.where(filters_to_column(bound)) if bound else df
+
     if ttype == "MERGE_ON_READ":
-        return _read_mor_snapshot(
-            spark, path, meta_dir, chosen, as_of_instant
-        )
+        return residual(_read_mor_snapshot(
+            spark, path, meta_dir, chosen, as_of_instant,
+            group_keep=pruner,
+        ))
     if not chosen:
         raise ValueError(f"Hudi table at {path} has no visible base files")
     files = sorted(f for _, f in chosen.values())
@@ -353,10 +450,10 @@ def read_hudi(
     if partition_discovery:
         reader = reader.option("basePath", os.path.abspath(path))
         files = [os.path.abspath(f) for f in files]
-        return _cast_discovered_partitions(
+        return residual(_cast_discovered_partitions(
             reader.parquet(*files), _table_props(meta_dir)
-        )
-    return reader.parquet(*files)
+        ))
+    return residual(reader.parquet(*files))
 
 
 def _attach_group_logs(
@@ -454,6 +551,7 @@ def _read_mor_snapshot(
     meta_dir: str,
     chosen: Dict[Tuple[str, str], Tuple[str, str]],
     as_of_instant: Optional[str],
+    group_keep=None,
 ) -> DataFrame:
     """MERGE_ON_READ snapshot: per file group, the newest visible base
     file merged with its attached log files' committed, visible
@@ -480,6 +578,15 @@ def _read_mor_snapshot(
     group_logs, committed, boundary = _attach_group_logs(
         path, meta_dir, chosen, as_of_instant
     )
+    if group_keep is not None:
+        # partition-dir pruning must also drop LOG-ONLY groups (inserts
+        # routed to logs in pruned partitions) — chosen was pre-filtered
+        # by the caller, but group_logs walks the log tree independently
+        group_logs = {
+            (rel, fid): v
+            for (rel, fid), v in group_logs.items()
+            if group_keep(rel)
+        }
     base_files = sorted(f for _, f in chosen.values())
     if not base_files and not group_logs:
         raise ValueError(

@@ -189,7 +189,7 @@ def read(
     source so Catalyst pushes it into the file scan (PushedFilters /
     PartitionFilters) without waiting for the plan root."""
     fmt = data_format.lower()
-    if filters is not None and fmt != "iceberg":
+    if filters is not None and fmt not in ("iceberg", "hudi"):
         from .iceberg_prune import (
             filters_to_column,
             normalize_filters,
@@ -262,12 +262,27 @@ def read(
                     "incremental Hudi reads need "
                     "hoodie.datasource.read.begin.instanttime"
                 )
-            return hudi_incremental(
+            inc = hudi_incremental(
                 spark, path, begin,
                 opts.get("hoodie.datasource.read.end.instanttime"),
             )
+            if filters is not None:
+                from .iceberg_prune import (
+                    filters_to_column,
+                    normalize_filters,
+                    remap_tree,
+                )
+
+                t = remap_tree(normalize_filters(filters), inc.columns)
+                if t is not None:
+                    inc = inc.where(filters_to_column(t))
+            return inc
+        # filters prune FILE GROUPS by hive partition-dir values (the
+        # MOR merge path bypasses Spark directory discovery) + exact
+        # residual row predicate
         return read_hudi(
-            spark, path, as_of_instant=opts.get("as.of.instant")
+            spark, path, as_of_instant=opts.get("as.of.instant"),
+            filters=filters,
         )
     if fmt == "iceberg":
         # jarless Iceberg v1/v2 reader (snapshot-id / as-of-timestamp /

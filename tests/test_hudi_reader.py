@@ -1256,3 +1256,43 @@ def test_hudi_mor_vacuum_past_base_commit(spark, tmp_path):
 
     with _pytest.raises(Exception):
         fg.as_of(commits[0]).read(spark).collect()
+
+
+def test_hudi_mor_partition_dir_pruning(spark, tmp_path):
+    """read_hudi(filters=) prunes FILE GROUPS by hive partition-dir
+    values — the only partition pruning available to the MOR merge
+    path (log decode runs in mapInPandas, outside Catalyst). Pin is
+    physical: the pruned partition's base AND log files are deleted
+    from disk before the filtered read; an unpruned plan would throw.
+    The residual row predicate stays exact within the kept partition."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morpp", primary_key=["k"], event_time="ts",
+        partition_key=["part"],
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, "a", 1.0), (2, 100, "b", 2.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+    fg.insert(spark.createDataFrame(
+        [(3, 100, "a", 3.0), (4, 100, "b", 4.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+    loc = fg.location
+    bdir = os.path.join(loc, "part=b")
+    assert [n for n in os.listdir(bdir) if ".log." in n]
+    # physically remove partition b's files: only a pruned plan reads
+    import shutil as _sh
+
+    _sh.rmtree(bdir)
+    out = read_hudi(
+        spark, loc,
+        filters=("and", ("part", "==", "a"), ("k", ">", 1)),
+    )
+    got = sorted(
+        (r["k"], r["part"], r["v"])
+        for r in out.drop("_hoodie_record_key").collect()
+    )
+    assert got == [(3, "a", 3.0)]

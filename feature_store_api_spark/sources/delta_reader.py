@@ -438,11 +438,103 @@ def _hive_layout(
     return True
 
 
+
+def _prune_live(
+    live: Dict[str, Dict], schema_json: str, tree,
+    stats: Optional[Dict] = None,
+) -> Dict[str, Dict]:
+    """Drop add actions the filter tree provably cannot match, using
+    the protocol's per-file operands: ``partitionValues`` (identity,
+    string-encoded — cast through the declared type) and the ``stats``
+    JSON's ``minValues``/``maxValues``. Conservative like the Iceberg
+    pruner: any parse/type uncertainty keeps the file, TimestampType
+    columns never prune (their serialized values are session-zone
+    dependent), and the caller applies the exact residual predicate."""
+    import datetime as _dt
+
+    from .iceberg_prune import ScanPruner, _range_may_match
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    phys = {f.name: _physical_name(f) for f in schema.fields}
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def parse_pv(logical: str, sval):
+        if sval is None or sval == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        dt = types.get(logical)
+        try:
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+                return int(sval)
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return float(sval)
+            if isinstance(dt, T.BooleanType):
+                return str(sval).lower() == "true"
+            if isinstance(dt, T.DateType):
+                return _dt.date.fromisoformat(sval)
+            if isinstance(dt, T.TimestampNTZType):
+                return _dt.datetime.fromisoformat(sval)
+        except (ValueError, TypeError):
+            return _UNPARSEABLE
+        if isinstance(dt, T.StringType):
+            return sval
+        return _UNPARSEABLE  # TimestampType (session-zone), decimals, …
+
+    kept: Dict[str, Dict] = {}
+    for rel, add in live.items():
+        pv = add.get("partitionValues") or {}
+        st = add.get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except ValueError:
+                st = None
+        minv = (st or {}).get("minValues") or {}
+        maxv = (st or {}).get("maxValues") or {}
+
+        def leaf(node) -> bool:
+            _, name, op, value = node
+            if isinstance(types.get(name), T.TimestampType):
+                return True  # session-zone dependent: never prune
+            p = phys.get(name, name)
+            key = p if p in pv else (name if name in pv else None)
+            if key is not None:
+                v = parse_pv(name, pv[key])
+                if v is None:
+                    return False  # null partition: no comparison matches
+                if v is not _UNPARSEABLE and not (
+                    ScanPruner._identity_match(op, value, v)
+                ):
+                    return False
+            lo = minv.get(p, minv.get(name))
+            hi = maxv.get(p, maxv.get(name))
+            if isinstance(lo, dict) or isinstance(hi, dict):
+                return True  # nested-struct stats: out of scope
+            if (lo is not None or hi is not None) and not (
+                _range_may_match(op, value, lo, hi)
+            ):
+                return False
+            return True
+
+        if ScanPruner._eval(tree, leaf):
+            kept[rel] = add
+        elif stats is not None:
+            stats["data_files_pruned"] = stats.get(
+                "data_files_pruned", 0
+            ) + 1
+    return kept
+
+
+_UNPARSEABLE = object()
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: Optional[int] = None,
     timestamp: Optional[int] = None,
+    filters=None,
+    plan_out: Optional[Dict] = None,
 ) -> DataFrame:
     """Read a Delta table directory as a DataFrame — snapshot at HEAD,
     at a ``version``, or ``timestamp`` (epoch millis, 'timestampAsOf'
@@ -459,7 +551,27 @@ def read_delta(
     build a 10k-leg plan on the driver)."""
     target = resolve_delta_version(path, version, timestamp)
     state = _snapshot_state(path, target)
-    return _frame_for(spark, path, state, state.files)
+    live = state.files
+    tree = None
+    if filters is not None and state.schema_json:
+        from .iceberg_prune import (
+            filters_to_column,
+            normalize_filters,
+            remap_tree,
+        )
+
+        schema = T.StructType.fromJson(json.loads(state.schema_json))
+        tree = remap_tree(
+            normalize_filters(filters), [f.name for f in schema.fields]
+        )
+        if tree is not None:
+            live = _prune_live(live, state.schema_json, tree, plan_out)
+    if plan_out is not None:
+        plan_out["data_files"] = sorted(live)
+    df = _frame_for(spark, path, state, live)
+    if tree is not None:
+        df = df.where(filters_to_column(tree))
+    return df
 
 
 def delta_incremental(

@@ -175,6 +175,20 @@ _DEFAULT_OPTIONS: Dict[str, Dict[str, str]] = {
 }
 
 
+def _residual_where(df: DataFrame, filters) -> DataFrame:
+    """Best-effort row predicate from a Filter IR hint (see read())."""
+    if filters is None:
+        return df
+    from .iceberg_prune import (
+        filters_to_column,
+        normalize_filters,
+        remap_tree,
+    )
+
+    tree = remap_tree(normalize_filters(filters), df.columns)
+    return df.where(filters_to_column(tree)) if tree is not None else df
+
+
 def read(
     spark: SparkSession,
     data_format: str,
@@ -189,7 +203,7 @@ def read(
     source so Catalyst pushes it into the file scan (PushedFilters /
     PartitionFilters) without waiting for the plan root."""
     fmt = data_format.lower()
-    if filters is not None and fmt not in ("iceberg", "hudi"):
+    if filters is not None and fmt not in ("iceberg", "hudi", "delta"):
         from .iceberg_prune import (
             filters_to_column,
             normalize_filters,
@@ -231,23 +245,30 @@ def read(
             ev = opts.get("endingVersion")
             # delta-spark's startingVersion is INCLUSIVE; the
             # (begin, end] internal window begins one below
-            return read_delta_cdf(
+            cdf = read_delta_cdf(
                 spark, path, int(sv) - 1,
                 int(ev) if ev is not None else None,
             )
+            return _residual_where(cdf, filters)
         bv = opts.get("beginVersion")
         if bv is not None:
             ev = opts.get("endVersion")
-            return delta_incremental(
-                spark, path, int(bv),
-                int(ev) if ev is not None else None,
+            return _residual_where(
+                delta_incremental(
+                    spark, path, int(bv),
+                    int(ev) if ev is not None else None,
+                ),
+                filters,
             )
         v = opts.get("versionAsOf")
         ts = opts.get("timestampAsOf")
+        # filters prune add actions via partitionValues + stats
+        # min/max before the relation is built (+ exact residual)
         return read_delta(
             spark, path,
             version=int(v) if v is not None else None,
             timestamp=int(ts) if ts is not None else None,
+            filters=filters,
         )
     if fmt == "hudi":
         # jarless Hudi reader, COW + MOR: snapshot / as.of.instant, and

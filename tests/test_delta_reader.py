@@ -1644,3 +1644,66 @@ def test_delta_backend_add_path_percent_encoded(spark, tmp_path):
     ]
     assert len(files) == 1  # the dropped commit's files are GONE
     assert sorted(r["k"] for r in fg.read(spark).collect()) == [3]
+
+
+def test_delta_add_action_pruning(spark, tmp_path):
+    """read_delta(filters=) prunes add actions via partitionValues
+    (typed through the declared schema) and the stats JSON's
+    minValues/maxValues — the pruned file is DELETED from disk before
+    the read, so passing proves it never reached the relation. The
+    exact residual predicate keeps row-level semantics; TimestampType
+    columns never prune (session-zone-dependent serialization)."""
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    root = str(tmp_path / "prune_tbl")
+    log = os.path.join(root, "_delta_log")
+    _write_parquet(
+        spark, {"k": [1, 5], "v": [1.0, 5.0]}, None,
+        os.path.join(root, "lang=en", "f-en.parquet"),
+    )
+    _write_parquet(
+        spark, {"k": [8, 15], "v": [8.0, 15.0]}, None,
+        os.path.join(root, "lang=de", "f-de.parquet"),
+    )
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(partition_cols=["lang"]),
+        {"add": {"path": "lang=en/f-en.parquet",
+                 "partitionValues": {"lang": "en"},
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"k": 1},
+                                      "maxValues": {"k": 5}}),
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "lang=de/f-de.parquet",
+                 "partitionValues": {"lang": "de"},
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"k": 8},
+                                      "maxValues": {"k": 15}}),
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ], ts=1_000)
+
+    # partition pruning: the 'de' file is deleted from disk — only a
+    # pruned plan can read
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(root, "lang=de"))
+    plan = {}
+    out = read_delta(
+        spark, root, filters=("lang", "==", "en"), plan_out=plan)
+    assert plan["data_files"] == ["lang=en/f-en.parquet"]
+    assert plan["data_files_pruned"] == 1
+    assert sorted((r["k"], r["lang"]) for r in out.collect()) == [
+        (1, "en"), (5, "en")]
+
+    # stats pruning: de's minValues.k = 8 > 5 -> pruned by the stats
+    # JSON alone (en kept by both operands)
+    plan2 = {}
+    out2 = read_delta(spark, root, filters=("k", "<=", 5), plan_out=plan2)
+    assert plan2["data_files"] == ["lang=en/f-en.parquet"]
+    assert plan2["data_files_pruned"] == 1
+    assert sorted(r["k"] for r in out2.collect()) == [1, 5]
+
+    # residual exactness: k == 5 prunes de (lo 8 > 5), keeps en, and
+    # the row filter still drops k=1 from the kept file
+    out3 = read_delta(spark, root, filters=("k", "==", 5))
+    assert sorted(r["k"] for r in out3.collect()) == [5]

@@ -1234,8 +1234,10 @@ class FeatureGroup(FeatureGroupBase):
     def read_source(
         self, spark, start_time=None, end_time=None, filters=None
     ) -> DataFrame:
-        # filters: hint only — Catalyst pushes the compiler's root
-        # predicate into the commit store's parquet scan by itself
+        # filters: the store pushes only the PARTITION-KEY subtree into
+        # its backend scan (safe pre-version-resolution; prunes MOR
+        # file groups / Delta add actions / Iceberg manifests); the
+        # compiler's root predicate stays the exact filter
         if self.deprecated:
             import warnings as _warnings
 
@@ -1247,7 +1249,8 @@ class FeatureGroup(FeatureGroupBase):
             )
         if self.location is not None:
             df = self.commit_store.snapshot(
-                spark, start_commit=start_time, end_commit=end_time
+                spark, start_commit=start_time, end_commit=end_time,
+                filters=filters,
             )
             # schema reconciliation (append_features evolution): declared
             # columns absent from storage surface as typed NULLs

@@ -73,9 +73,15 @@ class TimeTravelBackend:
         down fresh base file groups instead of log appends."""
         self.append_commit(df, partition_cols)
 
-    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+    def scan(
+        self, spark: SparkSession, filters=None
+    ) -> Optional[DataFrame]:
         """All live commit rows (schema-unioned), or None before the
-        first commit."""
+        first commit. ``filters`` is an optional PARTITION-ONLY
+        pushdown subtree (see ``iceberg_prune.partition_subtree``) —
+        backends that can prune files/groups on it do; ignoring it is
+        always correct (the store and compiler re-apply exact
+        predicates)."""
         raise NotImplementedError
 
     def drop_commit(self, commit_time: int) -> bool:
@@ -184,7 +190,12 @@ class CommitLogBackend(TimeTravelBackend):
             .parquet(self._data_path)
         )
 
-    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+    def scan(
+        self, spark: SparkSession, filters=None
+    ) -> Optional[DataFrame]:
+        # filters ignored: hive-style partition discovery means the
+        # compiler's root predicate prunes directories via Catalyst
+        # (PartitionFilters) without help
         if not os.path.exists(self._data_path):
             return None
         return spark.read.option("mergeSchema", "true").parquet(self._data_path)

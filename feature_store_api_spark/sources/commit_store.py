@@ -290,7 +290,20 @@ class CommitStore:
         return n
 
     # -- read path ---------------------------------------------------------
-    def _data_df(self, spark: SparkSession) -> Optional[DataFrame]:
+    def _data_df(
+        self, spark: SparkSession, filters=None
+    ) -> Optional[DataFrame]:
+        if filters is not None:
+            import inspect
+
+            try:
+                accepts = "filters" in inspect.signature(
+                    self.backend.scan
+                ).parameters
+            except (TypeError, ValueError):
+                accepts = False
+            if accepts:
+                return self.backend.scan(spark, filters=filters)
         return self.backend.scan(spark)
 
     def snapshot_or_none(self, spark, start_commit=None, end_commit=None):
@@ -304,12 +317,32 @@ class CommitStore:
         spark: SparkSession,
         start_commit: Optional[int] = None,
         end_commit: Optional[int] = None,
+        filters=None,
     ) -> DataFrame:
         """State as of ``end_commit`` (epoch ms, inclusive); with
         ``start_commit`` an incremental read of identities changed in
         ``(start_commit, end_commit]`` (parity: Hudi incremental scan,
-        ``core/hudi_engine.py:193-219``)."""
-        df = self._data_df(spark)
+        ``core/hudi_engine.py:193-219``).
+
+        ``filters`` (Filter IR hint) pushes ONLY its partition-key
+        subtree into the backend scan: partition values are part of the
+        record identity, so every version of a record shares them —
+        pre-filtering on anything else could resurrect superseded
+        versions through the latest-per-key resolution below."""
+        tree = None
+        if filters is not None and self.partition_key:
+            from .iceberg_prune import (
+                normalize_filters,
+                partition_subtree,
+            )
+
+            try:
+                tree = partition_subtree(
+                    normalize_filters(filters), self.partition_key
+                )
+            except ValueError:
+                tree = None  # unknown op in the hint: skip pushdown
+        df = self._data_df(spark, tree)
         if df is None:
             raise FileNotFoundError(f"No data written to {self.location}")
         log = self._read_log()

@@ -690,12 +690,16 @@ class DeltaLogBackend(CommitLogBackend):
             restate, "path string, pv string, size long"
         ).collect()]
 
-    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+    def scan(
+        self, spark: SparkSession, filters=None
+    ) -> Optional[DataFrame]:
         if not self._versions():
             return None
         from .delta_reader import read_delta
 
-        return read_delta(spark, self.location)
+        # partition-only pushdown subtree: prunes add actions via
+        # partitionValues before the relation is built
+        return read_delta(spark, self.location, filters=filters)
 
     def drop_commit(self, commit_time: int) -> bool:
         from .commit_store import COMMIT_COL

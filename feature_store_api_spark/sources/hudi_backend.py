@@ -240,7 +240,9 @@ class HudiBackend(CommitLogBackend):
         ) as fh:
             json.dump({"fsas.commit-time": commit_time or 0}, fh)
 
-    def scan(self, spark: SparkSession) -> "DataFrame | None":
+    def scan(
+        self, spark: SparkSession, filters=None
+    ) -> "DataFrame | None":
         if not os.path.isdir(self._meta_dir):
             return None
         if not any(
@@ -264,7 +266,8 @@ class HudiBackend(CommitLogBackend):
             ).strip().lower() == "true"
         )
         df = read_hudi(
-            spark, self.location, partition_discovery=discovery
+            spark, self.location, partition_discovery=discovery,
+            filters=filters,
         )
         # the MOR writer's synthetic per-row merge key is a storage
         # detail, not a store column

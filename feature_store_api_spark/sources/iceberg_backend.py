@@ -605,7 +605,9 @@ class IcebergBackend(CommitLogBackend):
             _s, rows = read_ocf_bytes(fh.read())
         return rows
 
-    def scan(self, spark: SparkSession) -> Optional[DataFrame]:
+    def scan(
+        self, spark: SparkSession, filters=None
+    ) -> Optional[DataFrame]:
         if not self._versions():
             return None
         from .commit_store import COMMIT_COL
@@ -622,7 +624,11 @@ class IcebergBackend(CommitLogBackend):
             if any(f.get("name") != COMMIT_COL for f in fields)
             else None
         )
-        return read_iceberg(spark, self.location, hive_partition_base=base)
+        # manifest pruning on top of directory PartitionFilters
+        return read_iceberg(
+            spark, self.location, hive_partition_base=base,
+            filters=filters,
+        )
 
     def drop_commit(self, commit_time: int) -> bool:
         _v, meta = self._current_meta()

@@ -724,3 +724,33 @@ def remap_tree(tree: Optional[tuple], columns) -> Optional[tuple]:
         return None  # absent or ambiguous: drop
 
     return walk(tree)
+
+
+def partition_subtree(tree: Optional[tuple], partition_cols) -> Optional[tuple]:
+    """The sub-predicate over ``partition_cols`` only, weakened the
+    same way as :func:`remap_tree` (AND keeps the other side, OR drops
+    whole). Partition values are part of the record identity, so EVERY
+    version of a record shares them — pre-filtering a merge-on-read
+    scan on this subtree can never resurrect a superseded version,
+    which makes it the safe pushdown for the commit store's backends."""
+    if tree is None:
+        return None
+    cols = set(partition_cols)
+
+    def walk(node):
+        kind = node[0]
+        if kind == "and":
+            left, right = walk(node[1]), walk(node[2])
+            if left is None:
+                return right
+            if right is None:
+                return left
+            return ("and", left, right)
+        if kind == "or":
+            left, right = walk(node[1]), walk(node[2])
+            if left is None or right is None:
+                return None
+            return ("or", left, right)
+        return node if node[1] in cols else None
+
+    return walk(tree)

@@ -1296,3 +1296,45 @@ def test_hudi_mor_partition_dir_pruning(spark, tmp_path):
         for r in out.drop("_hoodie_record_key").collect()
     )
     assert got == [(3, "a", 3.0)]
+
+
+def test_managed_mor_fg_partition_filter_prunes_groups(
+    spark, tmp_path, monkeypatch
+):
+    """A Query.filter() on a PARTITION key of a managed HUDI_MOR group
+    routes its partition-key SUBTREE through the commit store into
+    read_hudi's file-group pruning (safe pre-version-resolution:
+    partition values are part of the record identity). Pinned by
+    spying the filters read_hudi actually receives — and the non-
+    partition half of the predicate must NOT be pushed (it would
+    resurrect superseded versions)."""
+    import feature_store_api_spark.sources.hudi_reader as hr
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morq", primary_key=["k"], event_time="ts",
+        partition_key=["part"],
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, "a", 1.0), (2, 100, "b", 2.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+    fg.insert(spark.createDataFrame(
+        [(1, 100, "a", 10.0), (4, 100, "b", 4.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+
+    captured = {}
+    real = hr.read_hudi
+
+    def spy(spark_, path, **kw):
+        captured.update(kw)
+        return real(spark_, path, **kw)
+
+    monkeypatch.setattr(hr, "read_hudi", spy)
+    # v < 5.0 matches the SUPERSEDED version of k=1 (v1=1.0): pushing
+    # it would resurrect that version; only part=='a' may push
+    q = fg.select_all().filter((fg.part == "a") & (fg.v < 5.0))
+    got = sorted((r["k"], r["v"]) for r in q.read(spark).collect())
+    assert got == []  # latest k=1 has v=10.0 -> filtered out, not v=1.0
+    assert captured.get("filters") == ("leaf", "part", "EQUALS", "a")

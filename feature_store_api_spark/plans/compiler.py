@@ -100,7 +100,15 @@ def _compile_node(
             refs = q._filter.referenced_features()
         except Exception:
             refs = None
-        if refs and all(f.feature_group is fg for f in refs):
+        # default-valued features are excluded: the root predicate
+        # evaluates coalesce(col, default) while every pushed evaluator
+        # (source where, SQL WHERE, file pruning) sees the raw column —
+        # a NULL that coalesces into a match would be dropped at the
+        # source
+        if refs and all(
+            f.feature_group is fg and f.default_value is None
+            for f in refs
+        ):
             flt_hint = q._filter
     df = _normalize_columns(
         fg.read_source(spark, q.start_time, q.end_time, filters=flt_hint)

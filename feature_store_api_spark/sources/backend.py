@@ -165,7 +165,22 @@ class CommitLogBackend(TimeTravelBackend):
                     "the data tree — clean it up before writing."
                 )
             cols.append(names.pop())
-            path = os.path.join(path, subs[0])
+            # descend the first NON-EMPTY branch: a crashed write can
+            # leave an empty sibling that sorts first, and following it
+            # would truncate the inferred layout (falsely refusing
+            # every subsequent write of the true, deeper layout)
+            nxt = None
+            for sub in subs:
+                cand = os.path.join(path, sub)
+                try:
+                    if os.listdir(cand):
+                        nxt = cand
+                        break
+                except FileNotFoundError:
+                    continue
+            if nxt is None:
+                break
+            path = nxt
         return cols if (cols or saw_data) else None
 
     def append_commit(self, df: DataFrame, partition_cols: Sequence[str]) -> None:

@@ -22,13 +22,32 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _sql_quote_ident(name: str) -> str:
-    """ANSI double-quote an identifier when it is not a plain one."""
+def _plain_ident_subtree(tree):
+    """Keep only leaves whose bound column is a PLAIN identifier
+    (AND keeps the other side, OR drops whole — same weakening as
+    ``iceberg_prune.remap_tree``): identifier QUOTING is dialect-
+    dependent across PEP 249 drivers (ANSI double quotes are string
+    literals on default-mode MySQL, backticks are MySQL-only), and a
+    mis-quoted identifier silently evaluates as a constant — so names
+    that would need quoting are not pushed at all."""
     import re as _re
 
-    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        return name
-    return '"' + name.replace('"', '""') + '"'
+    if tree is None:
+        return None
+    kind = tree[0]
+    if kind in ("and", "or"):
+        left = _plain_ident_subtree(tree[1])
+        right = _plain_ident_subtree(tree[2])
+        if kind == "and":
+            return left if right is None else (
+                right if left is None else ("and", left, right)
+            )
+        return None if (left is None or right is None) else (
+            "or", left, right
+        )
+    return tree if _re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", tree[1]
+    ) else None
 
 
 class StorageConnector:
@@ -239,9 +258,11 @@ class DbApiConnector(StorageConnector):
                     cols = [d[0] for d in (cur.description or [])]
                 finally:
                     conn.close()
-                tree = remap_tree(normalize_filters(filters), cols)
+                tree = _plain_ident_subtree(
+                    remap_tree(normalize_filters(filters), cols)
+                )
                 if tree is not None:
-                    pred = filter_ir_to_sql(tree, quote=_sql_quote_ident)
+                    pred = filter_ir_to_sql(tree)
             except Exception:
                 pred = None  # probe failed: skip the hint, read as-is
             if pred:

@@ -555,14 +555,18 @@ def read_delta(
     tree = None
     if filters is not None and state.schema_json:
         from .iceberg_prune import (
+            bind_residual,
             filters_to_column,
             normalize_filters,
-            remap_tree,
         )
 
         schema = T.StructType.fromJson(json.loads(state.schema_json))
-        tree = remap_tree(
-            normalize_filters(filters), [f.name for f in schema.fields]
+        # partial loss weakens conservatively; total loss raises (a
+        # direct caller must never get a silently unfiltered superset)
+        tree = bind_residual(
+            normalize_filters(filters),
+            [f.name for f in schema.fields],
+            f"delta table {path}",
         )
         if tree is not None:
             live = _prune_live(live, state.schema_json, tree, plan_out)
@@ -570,6 +574,8 @@ def read_delta(
         plan_out["data_files"] = sorted(live)
     df = _frame_for(spark, path, state, live)
     if tree is not None:
+        # tree is bound to the declared schema names, which are the
+        # output names — exact residual on top of the file pruning
         df = df.where(filters_to_column(tree))
     return df
 

@@ -369,6 +369,18 @@ class HudiMorBackend(HudiBackend):
 
         user_parts = [c for c in partition_cols if c != COMMIT_COL]
         self._ensure_table(user_parts, schema=df.schema)
+        # newest BASE-restatement instant (completed as .commit, the
+        # way real Hudi marks compactions): appends must never attach
+        # a log to a group OLDER than it — a partition the restatement
+        # did not touch keeps pre-anchor groups, and a post-anchor log
+        # riding one would be destroyed with it at vacuum (data loss)
+        newest_base = max(
+            (n[:-len(".commit")]
+             for n in os.listdir(self._meta_dir)
+             if n.endswith(".commit") and not n.endswith(".deltacommit")
+             and not n.endswith(".replacecommit")),
+            default=None,
+        ) if os.path.isdir(self._meta_dir) else None
         # synthetic per-row merge key (see class docstring)
         df = df.withColumn("_hoodie_record_key", F.expr("uuid()"))
         # stage under COPIES of the partition columns so the hive dir
@@ -440,10 +452,17 @@ class HudiMorBackend(HudiBackend):
                     target = None
                     if bases and not force_base:
                         newest = max(bases.values())
-                        fid = min(
-                            f for f, b in bases.items() if b == newest
-                        )
-                        target = (fid, newest)
+                        if newest_base is None or newest >= newest_base:
+                            fid = min(
+                                f for f, b in bases.items()
+                                if b == newest
+                            )
+                            target = (fid, newest)
+                        # else: this partition's groups all predate the
+                        # newest base restatement (it didn't touch this
+                        # partition) — fall through to a FRESH base
+                        # file group so the rows survive a vacuum of
+                        # the pre-anchor tree
                     group_of[rel] = [target, next_ver]
                 target, next_ver = group_of[rel]
                 if target is None:
@@ -475,10 +494,13 @@ class HudiMorBackend(HudiBackend):
                 group_of[rel][1] = next_ver + 1
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        # completed-instant entry LAST (visibility rule); MOR writes
-        # complete as deltacommits — compactions would be .commit
+        # completed-instant entry LAST (visibility rule); MOR log/insert
+        # writes complete as deltacommits, base restatements as .commit
+        # (Hudi's compaction marker — also how append_commit finds the
+        # newest base boundary above)
+        suffix = ".commit" if force_base else ".deltacommit"
         with open(
-            os.path.join(self._meta_dir, f"{instant}.deltacommit"), "w"
+            os.path.join(self._meta_dir, f"{instant}{suffix}"), "w"
         ) as fh:
             json.dump({"fsas.commit-time": commit_time or 0}, fh)
 
@@ -486,9 +508,14 @@ class HudiMorBackend(HudiBackend):
         from .hudi_reader import _parse_log_file
 
         instant = _instant_of(commit_time)
-        marker = os.path.join(self._meta_dir, f"{instant}.deltacommit")
-        if not os.path.exists(marker):
-            return super().drop_commit(commit_time)
+        marker = None
+        for suf in (".deltacommit", ".commit"):
+            cand = os.path.join(self._meta_dir, f"{instant}{suf}")
+            if os.path.exists(cand):
+                marker = cand
+                break
+        if marker is None:
+            return False
         suffix = f"_{instant}.parquet"
         dropped = False
         for root, dirs, files in os.walk(self.location, topdown=False):

@@ -330,37 +330,74 @@ def _partition_dir_pruner(tree, props: Dict[str, str]):
     if not (refs(tree) & set(part_fields)):
         return None
 
-    def parse_token(tok: str):
+    def _views(tok: str, value):
+        """Directory-token interpretations to test against ``value`` —
+        driven by the VALUE's python type, because that is how Spark
+        will evaluate the residual (a numeric value against a string
+        column compares numerically via implicit cast; a string value
+        against a string column compares lexicographically). When the
+        token is numeric-LOOKING and the value is a string, BOTH
+        readings must reject before the group is pruned (zero-padded
+        tokens like '09' compare unequal as text but equal as
+        numbers)."""
         tok = _unquote(tok)
         if tok == "__HIVE_DEFAULT_PARTITION__":
-            return None
-        low = tok.lower()
-        if low in ("true", "false"):
-            return low == "true"
-        try:
-            return int(tok)
-        except ValueError:
-            pass
-        try:
-            return float(tok)
-        except ValueError:
-            return tok
+            return None  # null partition
+        vs = value if isinstance(value, (list, tuple, set)) else [value]
+        sample = next(iter(vs), None)
+        if isinstance(sample, bool):
+            low = tok.lower()
+            return [low == "true"] if low in ("true", "false") else []
+        if isinstance(sample, (int, float)):
+            try:
+                return [float(tok)]
+            except ValueError:
+                return []  # non-numeric token vs numeric value: keep
+        if isinstance(sample, str):
+            views = [tok]
+            try:
+                float(tok)
+                float(sample)
+            except (ValueError, TypeError):
+                return views
+            views.append(float(tok))
+            return views
+        return []  # dates/anything else: don't prune on dir tokens
 
     def keep(rel: str) -> bool:
-        vals = {}
+        toks = {}
         for seg in rel.split(os.sep):
             name, eq, tok = seg.partition("=")
             if eq:
-                vals[name] = parse_token(tok)
+                toks[name] = tok
 
         def leaf(node) -> bool:
             _, name, op, value = node
-            if name not in vals:
+            if name not in toks:
                 return True  # not a partition field here
-            pv = vals[name]
-            if pv is None:
+            views = _views(toks[name], value)
+            if views is None:
                 return False  # null partition: no comparison matches
-            return ScanPruner._identity_match(op, value, pv)
+            if not views:
+                return True  # no safe interpretation: keep
+            # prune only when EVERY interpretation rejects
+            def test(pv):
+                v = value
+                if isinstance(pv, float) and isinstance(v, str):
+                    try:
+                        v = float(v)
+                    except ValueError:
+                        return True
+                if isinstance(pv, float) and isinstance(
+                    v, (list, tuple, set)
+                ):
+                    try:
+                        v = [float(x) for x in v]
+                    except (ValueError, TypeError):
+                        return True
+                return ScanPruner._identity_match(op, v, pv)
+
+            return any(test(pv) for pv in views)
 
         return ScanPruner._eval(tree, leaf)
 
@@ -395,9 +432,9 @@ def read_hudi(
     decode in ``mapInPandas``, out of Catalyst's reach) — then applies
     the exact residual row predicate."""
     from .iceberg_prune import (
+        bind_residual,
         filters_to_column,
         normalize_filters,
-        remap_tree,
     )
 
     meta_dir = os.path.join(path, _META_DIR)
@@ -423,6 +460,7 @@ def read_hudi(
         )
 
     chosen = _visible_groups(path, meta_dir, as_of_instant)
+    chosen_unpruned = chosen
     tree = normalize_filters(filters)
     pruner = _partition_dir_pruner(tree, _table_props(meta_dir))
     if pruner is not None:
@@ -435,15 +473,44 @@ def read_hudi(
     def residual(df: DataFrame) -> DataFrame:
         if tree is None:
             return df
-        bound = remap_tree(tree, df.columns)
+        bound = bind_residual(tree, df.columns, f"hudi table {path}")
         return df.where(filters_to_column(bound)) if bound else df
 
+    def _pruned_to_nothing() -> DataFrame:
+        """A filter that prunes EVERY group is a normal empty result,
+        not an error. With a declared table schema the empty frame is
+        typed directly; without one, fall back to the UNPRUNED plan —
+        the residual filters it to empty with the right schema (the
+        optimization is moot when the answer is no rows)."""
+        sch_json = _table_props(meta_dir).get("hoodie.table.create.schema")
+        if sch_json:
+            from .avro_container import _spark_type_of
+
+            return residual(
+                spark.createDataFrame([], _spark_type_of(json.loads(sch_json)))
+            )
+        if ttype == "MERGE_ON_READ":
+            return residual(_read_mor_snapshot(
+                spark, path, meta_dir, chosen_unpruned, as_of_instant,
+            ))
+        fb = sorted(f for _, f in chosen_unpruned.values())
+        return residual(
+            spark.read.option("mergeSchema", "true").parquet(*fb)
+        )
+
     if ttype == "MERGE_ON_READ":
-        return residual(_read_mor_snapshot(
-            spark, path, meta_dir, chosen, as_of_instant,
-            group_keep=pruner,
-        ))
+        try:
+            return residual(_read_mor_snapshot(
+                spark, path, meta_dir, chosen, as_of_instant,
+                group_keep=pruner,
+            ))
+        except ValueError:
+            if pruner is None or chosen_unpruned == chosen:
+                raise  # genuinely empty table, not a pruning artifact
+            return _pruned_to_nothing()
     if not chosen:
+        if pruner is not None and chosen_unpruned:
+            return _pruned_to_nothing()
         raise ValueError(f"Hudi table at {path} has no visible base files")
     files = sorted(f for _, f in chosen.values())
     reader = spark.read.option("mergeSchema", "true")

@@ -754,3 +754,21 @@ def partition_subtree(tree: Optional[tuple], partition_cols) -> Optional[tuple]:
         return node if node[1] in cols else None
 
     return walk(tree)
+
+
+def bind_residual(tree: Optional[tuple], columns, source: str) -> Optional[tuple]:
+    """Bind a residual predicate to concrete output columns. PARTIAL
+    loss weakens conservatively (documented remap_tree semantics — the
+    engine compiler re-applies the exact predicate at plan root), but
+    TOTAL loss raises: a direct caller whose filter binds to NOTHING
+    would otherwise get a silently unfiltered superset."""
+    if tree is None:
+        return None
+    bound = remap_tree(tree, columns)
+    if bound is None:
+        raise ValueError(
+            f"filter references no resolvable column of {source} "
+            f"(available: {sorted(columns)}) — nothing could be bound, "
+            "refusing to return an unfiltered result"
+        )
+    return bound

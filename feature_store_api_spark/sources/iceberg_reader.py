@@ -612,7 +612,11 @@ def iceberg_incremental(
         *sorted(set(paths))
     )
     if tree is not None:
-        residual = remap_tree(tree, inc.columns)
+        from .iceberg_prune import bind_residual
+
+        residual = bind_residual(
+            tree, inc.columns, f"iceberg table {path}"
+        )
         if residual is not None:
             inc = inc.where(filters_to_column(residual))
     return inc
@@ -858,6 +862,7 @@ def read_iceberg(
     layer on top of the manifest-level pruning."""
     from .iceberg_prune import (
         ScanPruner,
+        bind_residual,
         filters_to_column,
         normalize_filters,
         remap_tree,

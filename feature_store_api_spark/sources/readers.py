@@ -176,16 +176,19 @@ _DEFAULT_OPTIONS: Dict[str, Dict[str, str]] = {
 
 
 def _residual_where(df: DataFrame, filters) -> DataFrame:
-    """Best-effort row predicate from a Filter IR hint (see read())."""
+    """Row predicate from a Filter IR hint (see read()): partial
+    binding weakens conservatively, total loss raises loudly."""
     if filters is None:
         return df
     from .iceberg_prune import (
+        bind_residual,
         filters_to_column,
         normalize_filters,
-        remap_tree,
     )
 
-    tree = remap_tree(normalize_filters(filters), df.columns)
+    tree = bind_residual(
+        normalize_filters(filters), df.columns, "the source"
+    )
     return df.where(filters_to_column(tree)) if tree is not None else df
 
 
@@ -204,18 +207,13 @@ def read(
     PartitionFilters) without waiting for the plan root."""
     fmt = data_format.lower()
     if filters is not None and fmt not in ("iceberg", "hudi", "delta"):
-        from .iceberg_prune import (
-            filters_to_column,
-            normalize_filters,
-            remap_tree,
+        # bind sanitized names to the source's PHYSICAL columns: a
+        # partial binding weakens conservatively (the compiler
+        # re-applies the exact predicate at plan root), a total loss
+        # raises loudly instead of returning an unfiltered superset
+        return _residual_where(
+            read(spark, data_format, path, options, schema), filters
         )
-
-        df = read(spark, data_format, path, options, schema)
-        # bind sanitized names to the source's PHYSICAL columns and
-        # weaken conservatively (appended-feature leaves drop) — the
-        # hint must never fail a read that worked without it
-        tree = remap_tree(normalize_filters(filters), df.columns)
-        return df.where(filters_to_column(tree)) if tree is not None else df
     opts = dict(_DEFAULT_OPTIONS.get(fmt, {}))
     opts.update(options or {})
     if fmt == "parquet" and not opts and schema is None:
@@ -283,21 +281,15 @@ def read(
                     "incremental Hudi reads need "
                     "hoodie.datasource.read.begin.instanttime"
                 )
-            inc = hudi_incremental(
-                spark, path, begin,
-                opts.get("hoodie.datasource.read.end.instanttime"),
+            return _residual_where(
+                hudi_incremental(
+                    spark, path, begin,
+                    opts.get(
+                        "hoodie.datasource.read.end.instanttime"
+                    ),
+                ),
+                filters,
             )
-            if filters is not None:
-                from .iceberg_prune import (
-                    filters_to_column,
-                    normalize_filters,
-                    remap_tree,
-                )
-
-                t = remap_tree(normalize_filters(filters), inc.columns)
-                if t is not None:
-                    inc = inc.where(filters_to_column(t))
-            return inc
         # filters prune FILE GROUPS by hive partition-dir values (the
         # MOR merge path bypasses Spark directory discovery) + exact
         # residual row predicate

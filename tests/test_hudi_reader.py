@@ -1338,3 +1338,92 @@ def test_managed_mor_fg_partition_filter_prunes_groups(
     got = sorted((r["k"], r["v"]) for r in q.read(spark).collect())
     assert got == []  # latest k=1 has v=10.0 -> filtered out, not v=1.0
     assert captured.get("filters") == ("leaf", "part", "EQUALS", "a")
+
+
+def test_hudi_mor_post_anchor_append_to_untouched_partition(spark, tmp_path):
+    """A base restatement (overwrite) that does NOT touch a partition
+    leaves that partition's groups pre-anchor; a LATER append there
+    must lay a FRESH base group instead of a log riding the pre-anchor
+    group — else vacuuming below the anchor would destroy the log's
+    baseCommitTime and silently lose committed, inside-retention rows
+    (r14 second review, finding 1)."""
+    from feature_store_api_spark import FeatureStore
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morx", primary_key=["k"], event_time="ts",
+        partition_key=["part"],
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, "a", 1.0), (2, 100, "b", 2.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+    # overwrite restates ONLY partition a (base commit, .commit marker)
+    fg.insert(spark.createDataFrame(
+        [(5, 100, "a", 5.0)],
+        "k long, ts long, part string, v double"),
+        overwrite=True, compute_stats=False)
+    # post-anchor append into the UNTOUCHED partition b
+    fg.insert(spark.createDataFrame(
+        [(6, 100, "b", 6.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+    # the post-anchor write in b must be a fresh BASE file, not a log
+    # attached to the pre-anchor group
+    bdir = os.path.join(fg.location, "part=b")
+    assert not [n for n in os.listdir(bdir) if ".log." in n]
+    assert len([n for n in os.listdir(bdir)
+                if n.endswith(".parquet")]) == 2
+
+    commits = sorted(c["commit_time"] for c in fg.commit_details())
+    removed = fg.commit_store.vacuum(retain_hours=0)
+    assert removed == [commits[0]]
+    # the post-anchor row in b SURVIVES the vacuum
+    got = sorted((r["k"], r["part"], r["v"])
+                 for r in fg.read(spark).collect())
+    assert got == [(5, "a", 5.0), (6, "b", 6.0)]
+
+
+def test_hudi_partition_dir_pruner_type_safety(spark, tmp_path):
+    """Directory tokens are interpreted by the predicate VALUE's type
+    (that is how Spark evaluates the residual): a STRING range
+    predicate over numeric-looking tokens compares lexicographically
+    ('9' > '10' keeps part=9), zero-padded tokens survive EQ via the
+    dual numeric reading, and a filter pruning EVERY group returns an
+    EMPTY frame instead of raising (r14 second review, findings 2-3)."""
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import (
+        _partition_dir_pruner,
+        read_hudi,
+    )
+    from feature_store_api_spark.sources.iceberg_prune import (
+        normalize_filters,
+    )
+
+    props = {"hoodie.table.partition.fields": "part"}
+    keep = _partition_dir_pruner(
+        normalize_filters(("part", ">", "10")), props)
+    assert keep("part=9")        # lexicographic: '9' > '10'
+    assert not keep("part=0")    # both readings reject
+    keep_eq = _partition_dir_pruner(
+        normalize_filters(("part", "==", "9")), props)
+    assert keep_eq("part=09")    # zero-padded: numeric reading matches
+    assert not keep_eq("part=8")
+    # numeric value: numeric reading (matches Spark's implicit cast)
+    keep_n = _partition_dir_pruner(
+        normalize_filters(("part", ">", 10)), props)
+    assert not keep_n("part=9")
+    assert keep_n("part=11")
+
+    # prune-to-empty returns an empty, correctly-typed frame
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morz", primary_key=["k"], event_time="ts",
+        partition_key=["part"],
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, "a", 1.0)],
+        "k long, ts long, part string, v double"), compute_stats=False)
+    out = read_hudi(spark, fg.location, filters=("part", "==", "zzz"))
+    assert out.count() == 0
+    assert "part" in out.columns and "k" in out.columns

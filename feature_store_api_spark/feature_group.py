@@ -142,11 +142,13 @@ class FeatureGroupBase:
         start_time: Optional[int] = None,
         end_time: Optional[int] = None,
         filters=None,
+        columns=None,
     ) -> DataFrame:
-        """``filters`` is a best-effort PUSHDOWN HINT (the node's own
-        Filter IR): sources that can prune on it (Iceberg manifests,
-        DBAPI SQL) do; everyone else ignores it — the compiler always
-        re-applies the exact predicate at the plan root."""
+        """``filters``/``columns`` are best-effort PUSHDOWN HINTS (the
+        node's own Filter IR and the columns the plan can keep):
+        sources that can prune on them (Iceberg manifests, DBAPI SQL)
+        do; everyone else ignores them — the compiler always re-applies
+        the exact predicate and projection at the plan."""
         raise NotImplementedError
 
     def find_neighbors(self, embedding, col=None, k=10, filter=None, metric=None):
@@ -1232,8 +1234,11 @@ class FeatureGroup(FeatureGroupBase):
 
     # -- source resolution -------------------------------------------------
     def read_source(
-        self, spark, start_time=None, end_time=None, filters=None
+        self, spark, start_time=None, end_time=None, filters=None,
+        columns=None,
     ) -> DataFrame:
+        # columns ignored: the commit store needs its merge columns and
+        # Catalyst prunes the parquet scan anyway.
         # filters: the store pushes only the PARTITION-KEY subtree into
         # its backend scan (safe pre-version-resolution; prunes MOR
         # file groups / Delta add actions / Iceberg manifests); the
@@ -1323,7 +1328,8 @@ class ExternalFeatureGroup(FeatureGroupBase):
             self.set_features_loader(_load)
 
     def read_source(
-        self, spark, start_time=None, end_time=None, filters=None
+        self, spark, start_time=None, end_time=None, filters=None,
+        columns=None,
     ) -> DataFrame:
         return self.storage_connector.read(
             spark,
@@ -1332,6 +1338,7 @@ class ExternalFeatureGroup(FeatureGroupBase):
             options=self.options,
             path=self.path,
             filters=filters,
+            columns=columns,
         )
 
     @property
@@ -1395,7 +1402,8 @@ class SpineGroup(FeatureGroupBase):
         return self._dataframe
 
     def read_source(
-        self, spark, start_time=None, end_time=None, filters=None
+        self, spark, start_time=None, end_time=None, filters=None,
+        columns=None,
     ) -> DataFrame:
         return self._dataframe
 

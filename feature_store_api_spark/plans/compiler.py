@@ -110,8 +110,36 @@ def _compile_node(
             for f in refs
         ):
             flt_hint = q._filter
+    # projection HINT: the columns this node can possibly keep from its
+    # source — selected features, keys a parent join needs, this node's
+    # own join keys, and filter-referenced features of this FG. File
+    # sources ignore it (Catalyst prunes columns into the scan); SQL
+    # sources project DATABASE-side so wide tables don't ship unused
+    # columns. Names the source cannot resolve are simply dropped from
+    # the pushed projection (a default-valued feature may legitimately
+    # be absent), never an error.
+    cols_hint: List[str] = []
+    for c in (
+        [f.name for f in q.left_features]
+        + list(extra_keep)
+        + [k for j in q.joins for k in _join_keys(q, j)[0]]
+        + [f.name for f in fg.features if (id(fg), f.name) in filter_refs]
+        # identity/ordering columns stay readable even when unselected:
+        # online latest-per-key resolution and downstream tooling key
+        # on them
+        + list(fg.primary_key)
+        + list(getattr(fg, "partition_key", []) or [])
+        + ([fg.event_time] if fg.event_time else [])
+        + ([getattr(fg, "precombine_key", None)]
+           if getattr(fg, "precombine_key", None) else [])
+    ):
+        if c not in cols_hint:
+            cols_hint.append(c)
     df = _normalize_columns(
-        fg.read_source(spark, q.start_time, q.end_time, filters=flt_hint)
+        fg.read_source(
+            spark, q.start_time, q.end_time,
+            filters=flt_hint, columns=cols_hint,
+        )
     )
     if online:
         df = _latest_per_key(df, fg)

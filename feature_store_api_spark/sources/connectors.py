@@ -17,7 +17,7 @@ Spark's own missing-data-source error untouched.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -74,6 +74,7 @@ class StorageConnector:
         options: Optional[Dict[str, str]] = None,
         path: Optional[str] = None,
         filters=None,
+        columns=None,
     ) -> DataFrame:
         """Evaluate a query or load a path (parity
         ``storage_connector.py`` ``read`` on each class). ``filters``
@@ -188,7 +189,9 @@ class JdbcConnector(StorageConnector):
         return opts
 
     def read(self, spark, query=None, data_format=None, options=None,
-             path=None, filters=None):
+             path=None, filters=None, columns=None):
+        # columns ignored: wrapping arbitrary user SQL in a projection
+        # needs identifier knowledge a jarless offline probe cannot get
         if not query:
             raise ValueError("JDBC connector reads require a SQL query")
         opts = self.spark_options()
@@ -228,26 +231,29 @@ class DbApiConnector(StorageConnector):
         self.num_partitions = num_partitions
 
     def read(self, spark, query=None, data_format=None, options=None,
-             path=None, filters=None):
+             path=None, filters=None, columns=None):
         if not query:
             raise ValueError("DBAPI connector reads require a SQL query")
         from .dbapi_source import read_dbapi
 
         opts = dict(options or {})
-        if filters is not None:
-            # Filter IR -> the source's SQL predicate pushdown (lands
-            # in every partition statement AND narrows the stride
-            # bounds probe); composes with an explicit options filter.
-            # The IR carries engine-SANITIZED names — probe the query's
-            # real output columns (LIMIT 0, one driver-side round trip)
-            # and bind each leaf to its physical column, dropping
-            # unresolvable leaves conservatively (AND keeps the other
-            # side, OR drops the branch): the hint must never fail a
-            # read that worked without it.
+        if filters is not None or columns is not None:
+            # ONE LIMIT-0 probe resolves the query's real output
+            # columns for BOTH hints. Filter IR -> SQL predicate
+            # pushdown (lands in every partition statement AND narrows
+            # the stride bounds probe), composing with an explicit
+            # options filter; the IR's engine-SANITIZED names bind to
+            # physical columns, unresolvable leaves drop conservatively
+            # (AND keeps the other side, OR drops the branch), and only
+            # plain identifiers are emitted (quoting is dialect-
+            # dependent). Projection hint -> database-side SELECT list;
+            # an explicit options columns wins; any ambiguity skips the
+            # projection entirely — a hint must never fail or misread a
+            # query that worked without it.
             from ..plans.sql_emitter import filter_ir_to_sql
             from .iceberg_prune import normalize_filters, remap_tree
 
-            pred = None
+            cols = None
             try:
                 conn = self.connect()
                 try:
@@ -258,16 +264,54 @@ class DbApiConnector(StorageConnector):
                     cols = [d[0] for d in (cur.description or [])]
                 finally:
                     conn.close()
+            except Exception:
+                cols = None  # probe failed: skip all hints, read as-is
+            if cols is not None and filters is not None:
                 tree = _plain_ident_subtree(
                     remap_tree(normalize_filters(filters), cols)
                 )
-                if tree is not None:
-                    pred = filter_ir_to_sql(tree)
-            except Exception:
-                pred = None  # probe failed: skip the hint, read as-is
-            if pred:
-                prev = opts.get("filter")
-                opts["filter"] = f"({prev}) AND ({pred})" if prev else pred
+                pred = filter_ir_to_sql(tree) if tree is not None else None
+                if pred:
+                    prev = opts.get("filter")
+                    opts["filter"] = (
+                        f"({prev}) AND ({pred})" if prev else pred
+                    )
+            if (
+                cols is not None
+                and columns is not None
+                and "columns" not in opts
+            ):
+                from ..feature import autofix_feature_name
+
+                by_san: Dict[str, List[str]] = {}
+                for c in cols:
+                    by_san.setdefault(
+                        autofix_feature_name(c), []
+                    ).append(c)
+                proj: List[str] = []
+                ok = True
+                for name in columns:
+                    if name in cols:
+                        phys = name
+                    else:
+                        twins = by_san.get(name, [])
+                        if len(twins) > 1:
+                            ok = False  # ambiguous: skip projection
+                            break
+                        if not twins:
+                            continue  # absent (e.g. default-valued)
+                        phys = twins[0]
+                    import re as _re
+
+                    if not _re.fullmatch(
+                        r"[A-Za-z_][A-Za-z0-9_]*", phys
+                    ):
+                        ok = False  # would need dialect quoting
+                        break
+                    if phys not in proj:
+                        proj.append(phys)
+                if ok and proj and len(proj) < len(cols):
+                    opts["columns"] = proj
 
         def _num(v):
             # options dicts are string-valued (Spark's own JDBC options
@@ -420,7 +464,7 @@ class SnowflakeConnector(StorageConnector):
         return opts
 
     def read(self, spark, query=None, data_format=None, options=None,
-             path=None, filters=None):
+             path=None, filters=None, columns=None):
         opts = self.spark_options()
         opts.update(options or {})
         if query:
@@ -468,7 +512,7 @@ class BigQueryConnector(StorageConnector):
         return opts
 
     def read(self, spark, query=None, data_format=None, options=None,
-             path=None, filters=None):
+             path=None, filters=None, columns=None):
         opts = self.spark_options()
         opts.update(options or {})
         reader = spark.read.format(self.SPARK_FORMAT).options(**opts)
@@ -542,7 +586,7 @@ class KafkaConnector(StorageConnector):
         return df.selectExpr("key", "value")
 
     def read(self, spark, query=None, data_format=None, options=None,
-             path=None, filters=None):
+             path=None, filters=None, columns=None):
         raise ValueError(
             "Kafka connector is a stream source; use read_stream(topic=...)"
         )

@@ -559,3 +559,50 @@ def test_pushdown_hint_tolerates_unsanitized_source_columns(spark, tmp_path):
     q = fg.select_all().filter(fg.doc_id >= 2)
     got = sorted(r["doc_id"] for r in q.read(spark).collect())
     assert got == [2, 3]
+
+
+def test_external_fg_projection_pushdown_dbapi(spark, tmp_path):
+    """Selecting a feature subset from a DBAPI external FG projects
+    DATABASE-side: the executor statements SELECT only the needed
+    columns (+ keys), so wide tables never ship unused columns to
+    Spark — pinned by recording the emitted SQL."""
+    import sqlite3
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+
+    db = str(tmp_path / "wide.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE wide (k INTEGER, a REAL, b REAL, c TEXT, d TEXT)"
+    )
+    conn.executemany(
+        "INSERT INTO wide VALUES (?, ?, ?, ?, ?)",
+        [(i, float(i), float(i) * 2, f"c{i}", f"d{i}") for i in range(50)],
+    )
+    conn.commit()
+    conn.close()
+    log = str(tmp_path / "emitted.sql")
+
+    fs = FeatureStore(name="projpush")
+    c = DbApiConnector("mydb", _recording_connect(db, log))
+    fg = fs.create_external_feature_group(
+        "wide_ext", c, query="SELECT k, a, b, c, d FROM wide",
+        primary_key=["k"],
+    )
+    fg.set_features([
+        Feature("k", "bigint"), Feature("a", "double"),
+        Feature("b", "double"), Feature("c", "string"),
+        Feature("d", "string"),
+    ])
+    got = fg.select(["k", "a"]).read(spark)
+    assert sorted(got.columns) == ["a", "k"]
+    assert got.count() == 50
+    with open(log) as fh:
+        emitted = [ln for ln in fh.read().splitlines()
+                   if "LIMIT" not in ln and "MIN(" not in ln]
+    assert emitted, "no executor statements recorded"
+    for sql in emitted:
+        assert "SELECT k, a FROM" in sql       # projection pushed
+        assert " b" not in sql.split("FROM")[0]  # unused cols absent

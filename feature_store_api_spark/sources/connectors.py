@@ -22,14 +22,65 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _stable_value(value, op) -> bool:
+    """True iff evaluating ``col <op> value`` database-side can never
+    REJECT a row Spark's exact root predicate would keep. The pushdown
+    is a pre-filter, not the final word — keeping extra rows is fine
+    (the root predicate re-applies), dropping rows Spark wants is not.
+
+    Dialect hazards this gates on:
+
+    * string RANGE/LIKE/NOT_EQUALS compare under the database's
+      collation (MySQL's default ``*_ci`` orders ``'m' == 'M'`` while
+      Spark compares binary) — a ci database evaluates ``col <> 'M'``
+      false for ``'m'`` and drops a row Spark keeps, so only EQUALS/IN
+      are pushable for strings (ci equality keeps a *superset*);
+    * backslashes in string literals are escape-introducers under
+      MySQL's default ``NO_BACKSLASH_ESCAPES=off`` while ANSI treats
+      them literally — a mangled literal matches the wrong rows, so
+      strings containing ``\\`` (or an embedded NUL) are not pushed;
+    * non-finite floats have no SQL literal (``repr(nan)`` emits the
+      bare word ``nan``) — dropped;
+    * an empty IN list emits ``col IN ()`` (syntax error) — dropped.
+
+    Numeric/bool/date/timestamp values compare identically across
+    dialects and pass for every operator."""
+    import math
+
+    if op == "IN":
+        vals = list(value) if isinstance(value, (list, tuple, set)) else None
+        if not vals:
+            return False
+        return all(_stable_value(v, "EQUALS") for v in vals)
+    if value is None or isinstance(value, (bytes, bytearray)):
+        return False
+    if isinstance(value, bool):
+        return True
+    if isinstance(value, float) and not math.isfinite(value):
+        return False
+    if isinstance(value, (int, float)) or hasattr(value, "isoformat"):
+        return True
+    if isinstance(value, str):
+        if op not in ("EQUALS",):
+            return False
+        return "\\" not in value and "\x00" not in value
+    return False
+
+
 def _plain_ident_subtree(tree):
-    """Keep only leaves whose bound column is a PLAIN identifier
+    """Keep only leaves that are safe to evaluate database-side
     (AND keeps the other side, OR drops whole — same weakening as
-    ``iceberg_prune.remap_tree``): identifier QUOTING is dialect-
-    dependent across PEP 249 drivers (ANSI double quotes are string
-    literals on default-mode MySQL, backticks are MySQL-only), and a
-    mis-quoted identifier silently evaluates as a constant — so names
-    that would need quoting are not pushed at all."""
+    ``iceberg_prune.remap_tree``). Two gates:
+
+    * the bound column must be a PLAIN identifier: identifier QUOTING
+      is dialect-dependent across PEP 249 drivers (ANSI double quotes
+      are string literals on default-mode MySQL, backticks are
+      MySQL-only), and a mis-quoted identifier silently evaluates as a
+      constant — so names that would need quoting are not pushed;
+    * the literal must be dialect-stable (:func:`_stable_value`):
+      string range/LIKE/inequality under a foreign collation, or a
+      backslash-mangled literal, can REJECT rows Spark would keep —
+      and the root predicate cannot resurrect them."""
     import re as _re
 
     if tree is None:
@@ -45,9 +96,9 @@ def _plain_ident_subtree(tree):
         return None if (left is None or right is None) else (
             "or", left, right
         )
-    return tree if _re.fullmatch(
-        r"[A-Za-z_][A-Za-z0-9_]*", tree[1]
-    ) else None
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tree[1]):
+        return None
+    return tree if _stable_value(tree[3], tree[2]) else None
 
 
 class StorageConnector:

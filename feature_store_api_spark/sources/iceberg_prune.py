@@ -183,6 +183,12 @@ def decode_bound(raw, ice_type) -> Optional[Any]:
 # value coercion + conservative range tests
 # ---------------------------------------------------------------------------
 
+def _isnan(v) -> bool:
+    import math
+
+    return isinstance(v, float) and math.isnan(v)
+
+
 def _coerce(bound, value):
     """Make (bound, value) comparable; None on irreconcilable types
     (caller keeps the file)."""
@@ -210,6 +216,16 @@ def _coerce(bound, value):
             return bound, value
         return None
     if isinstance(bound, (int, float)) and isinstance(value, (int, float)):
+        # NaN is unordered: legacy Iceberg/Java writers put NaN into
+        # float upper_bounds (before contains_nan existed), and every
+        # comparison against it is False — which would UNSOUNDLY prune
+        # a file the residual can't resurrect. Symmetrically a NaN
+        # filter value must not prune anything (Spark orders NaN
+        # greatest, so e.g. col < NaN matches all non-NaN rows).
+        # Treat either side as undecodable: the file is kept and the
+        # row-level residual settles it.
+        if _isnan(bound) or _isnan(value):
+            return None
         return bound, value
     if isinstance(bound, str) and isinstance(value, str):
         return bound, value
@@ -217,10 +233,14 @@ def _coerce(bound, value):
         try:
             # compare as floats: int(value) would TRUNCATE ('3.5' -> 3)
             # and wrongly prune the boundary file Spark's residual
-            # filter (which casts to double) still matches
-            return float(bound), float(value)
+            # filter (which casts to double) still matches.
+            # float('nan') parses — same NaN keep-the-file rule.
+            b, v = float(bound), float(value)
         except ValueError:
             return None
+        if _isnan(b) or _isnan(v):
+            return None
+        return b, v
     if isinstance(bound, str) and isinstance(value, (int, float)):
         return None  # lexicographic vs numeric order differ: keep
     return None

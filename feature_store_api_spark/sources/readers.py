@@ -316,13 +316,20 @@ def read(
         sid = opts.get("snapshot-id")
         ts = opts.get("as-of-timestamp")
         ref = opts.get("branch") or opts.get("tag")
-        return read_iceberg(
+        df = read_iceberg(
             spark, path,
             snapshot_id=int(sid) if sid is not None else None,
             timestamp_ms=int(ts) if ts is not None else None,
             ref=ref,
             filters=filters,
         )
+        # read_iceberg weakens conservatively on bind loss (correct for
+        # the compiler/backend hint path, which re-applies the exact
+        # predicate at plan root); a DIRECT caller has no such safety
+        # net, so mirror the sibling formats: partial binding re-applies
+        # the bound part (idempotent over the internal residual), TOTAL
+        # loss raises instead of returning an unfiltered superset
+        return _residual_where(df, filters) if filters is not None else df
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:
             raise ValueError(

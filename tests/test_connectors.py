@@ -606,3 +606,85 @@ def test_external_fg_projection_pushdown_dbapi(spark, tmp_path):
     for sql in emitted:
         assert "SELECT k, a FROM" in sql       # projection pushed
         assert " b" not in sql.split("FROM")[0]  # unused cols absent
+
+
+def test_dbapi_pushdown_dialect_stable_leaves_only():
+    """The DBAPI WHERE pushdown drops rows database-side BEFORE the
+    root predicate runs, so only dialect-stable leaves may be pushed
+    (r15 advice): string range/LIKE/inequality evaluate under the
+    database's collation (MySQL *_ci orders 'm' == 'M'), backslashes
+    are escape-introducers under MySQL's default mode, an empty IN
+    list is a syntax error, and non-finite floats have no literal.
+    AND keeps the stable side; OR drops the whole branch."""
+    from feature_store_api_spark.sources.connectors import (
+        _plain_ident_subtree,
+    )
+    from feature_store_api_spark.sources.iceberg_prune import (
+        normalize_filters,
+    )
+
+    def push(f):
+        return _plain_ident_subtree(normalize_filters(f))
+
+    # numerics/bools/dates: every operator pushes
+    assert push(("k", ">", 5)) == ("leaf", "k", "GREATER_THAN", 5)
+    assert push(("ok", "==", True)) is not None
+    from datetime import date
+    assert push(("d", "<=", date(2024, 1, 1))) is not None
+    # string equality / IN push (ci collation keeps a superset the
+    # root predicate re-narrows) — but never with a backslash
+    assert push(("tag", "==", "a")) is not None
+    assert push(("tag", "in", ["a", "b"])) is not None
+    assert push(("tag", "==", "a\\b")) is None
+    assert push(("tag", "in", ["a", "a\\b"])) is None
+    # string range / LIKE / != can REJECT rows Spark keeps: never push
+    assert push(("tag", ">", "m")) is None
+    assert push(("tag", "!=", "M")) is None
+    assert push(("leaf", "tag", "LIKE", "a%")) is None
+    # empty IN emits 'IN ()' (syntax error): drop
+    assert push(("k", "in", [])) is None
+    # non-finite floats have no SQL literal
+    assert push(("v", ">", float("nan"))) is None
+    assert push(("v", "<", float("inf"))) is None
+    # weakening: AND keeps the stable side, OR drops whole
+    assert push([("k", ">", 5), ("tag", ">", "m")]) == (
+        "leaf", "k", "GREATER_THAN", 5
+    )
+    assert push(("or", ("k", ">", 5), ("tag", ">", "m"))) is None
+
+
+def test_dbapi_pushdown_unstable_filter_still_exact(spark, tmp_path):
+    """A string-range filter is NOT emitted into executor SQL (dialect
+    hazard) yet the query result is still exact — the compiler's root
+    predicate does the filtering Spark-side."""
+    import sqlite3
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+
+    db = str(tmp_path / "ext2.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE src (k INTEGER, tag TEXT)")
+    conn.executemany(
+        "INSERT INTO src VALUES (?, ?)",
+        [(i, t) for i, t in enumerate(["apple", "Mango", "zebra", "mint"])],
+    )
+    conn.commit()
+    conn.close()
+    log = str(tmp_path / "emitted2.sql")
+
+    fs = FeatureStore(name="extpush2")
+    c = DbApiConnector("mydb2", _recording_connect(db, log))
+    fg = fs.create_external_feature_group(
+        "src_ext2", c, query="SELECT k, tag FROM src",
+        primary_key=["k"],
+    )
+    fg.set_features([Feature("k", "bigint"), Feature("tag", "string")])
+    q = fg.select_all().filter((fg.tag > "m") & (fg.k >= 0))
+    got = sorted(r["tag"] for r in q.read(spark).collect())
+    assert got == ["mint", "zebra"]  # binary compare: 'Mango' excluded
+    with open(log) as fh:
+        emitted = fh.read()
+    assert "tag" not in emitted.split("FROM")[0] or "tag >" not in emitted
+    assert "k >= 0" in emitted  # the stable side still pushed

@@ -1918,3 +1918,89 @@ def test_iceberg_pruned_scan_residual_reaches_pushed_filters(spark, tmp_path):
     out = read_iceberg(spark, root, filters=("k", ">", 9))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(k,9)" in plan
+
+
+def test_iceberg_prune_nan_bound_or_value_keeps_file(spark, tmp_path):
+    """NaN is unsound to prune on in either position (r15 advice):
+    legacy Java writers wrote NaN into float upper_bounds before
+    contains_nan existed — GT/GE against such a bound must keep the
+    file; and a NaN filter value must not prune anything (Spark orders
+    NaN greatest, so ``col < NaN`` matches every non-NaN row). Both
+    sides are treated as undecodable so the row residual decides."""
+    import struct
+
+    from feature_store_api_spark.sources.iceberg_prune import (
+        _range_may_match,
+    )
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    nan = float("nan")
+    # NaN bound: every op keeps
+    assert _range_may_match("GREATER_THAN", 5.0, 1.0, nan)
+    assert _range_may_match("GREATER_THAN_OR_EQUAL", 5.0, 1.0, nan)
+    assert _range_may_match("LESS_THAN", 5.0, nan, 9.0)
+    assert _range_may_match("EQUALS", 5.0, nan, nan)
+    # NaN value: keeps (residual settles it)
+    assert _range_may_match("LESS_THAN", nan, 1.0, 9.0)
+    assert _range_may_match("LESS_THAN_OR_EQUAL", nan, 1.0, 9.0)
+    assert _range_may_match("EQUALS", nan, 1.0, 9.0)
+    # numeric-string 'nan' parses to NaN — same keep rule
+    assert _range_may_match("LESS_THAN", "nan", 1.0, 9.0)
+    # sane bounds still prune
+    assert not _range_may_match("GREATER_THAN", 9.0, 1.0, 5.0)
+
+    # end-to-end: a file whose double upper bound decodes to NaN
+    # survives a > filter (and its rows flow through the residual)
+    root = str(tmp_path / "ice_nan")
+    f1 = os.path.join(root, "data", "d1.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0], "part": [None, None]}, f1)
+
+    def d(x):
+        return struct.pack("<d", x)
+
+    m1 = _p_manifest(root, "m1.avro", [
+        _p_entry(f1, lo={"2": d(1.0)}, hi={"2": d(float("nan"))}),
+    ])
+    ml = _p_manifest_list(root, "s1.avro", [(m1, 1, None)])
+    _p_metadata(root, ml, partitioned=False)
+    out = read_iceberg(spark, root, filters=("v", ">", 100.0))
+    assert out.count() == 0  # kept the FILE; residual dropped the rows
+
+
+def test_readers_read_iceberg_total_bind_loss_raises(spark, tmp_path):
+    """Direct-caller contract parity (r15 advice): readers.read with
+    fmt='iceberg' must raise on TOTAL filter bind loss like every
+    sibling format, never return a silently unfiltered superset. The
+    compiler/backend hint path still weakens (read_iceberg itself)."""
+    import struct
+
+    import pytest as _pytest
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+    from feature_store_api_spark.sources.readers import read
+
+    root = str(tmp_path / "ice_loss")
+    f1 = os.path.join(root, "data", "d1.parquet")
+    _pq({"k": [1, 2], "v": [1.0, 2.0], "part": [None, None]}, f1)
+
+    def b(x):
+        return struct.pack("<q", x)
+
+    m1 = _p_manifest(root, "m1.avro", [
+        _p_entry(f1, lo={"1": b(1)}, hi={"1": b(2)}),
+    ])
+    ml = _p_manifest_list(root, "s1.avro", [(m1, 1, None)])
+    _p_metadata(root, ml, partitioned=False)
+
+    with _pytest.raises(ValueError, match="no resolvable column"):
+        read(spark, "iceberg", root, filters=("ghost", "==", 1))
+    # partial loss still weakens + re-applies the bound part
+    got = read(
+        spark, "iceberg", root,
+        filters=[("k", ">", 1), ("ghost", "==", 1)],
+    )
+    assert [r.k for r in got.collect()] == [2]
+    # the hint-path entry point keeps the silent-weaken contract
+    assert read_iceberg(
+        spark, root, filters=("ghost", "==", 1)
+    ).count() == 2

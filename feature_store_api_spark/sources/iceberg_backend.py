@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .backend import CommitLogBackend
+from .iceberg_prune import encode_bound
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -99,6 +100,25 @@ def _entry_schema(spec_fields: List[Dict],
          "default": None, "field-id": int(f["field-id"])}
         for f in spec_fields
     ]
+    def _kv_map(name, fid, kid, vid, vtype):
+        # iceberg-java's Avro encoding of map<int, T>: array of
+        # key/value records with the spec's reserved field ids (Avro
+        # maps have string keys, so the spec uses logicalType: map)
+        return {
+            "name": name, "field-id": fid, "default": None,
+            "type": ["null", {
+                "type": "array", "logicalType": "map",
+                "items": {
+                    "type": "record", "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": vtype,
+                         "field-id": vid},
+                    ],
+                },
+            }],
+        }
+
     return {
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int", "field-id": 0},
@@ -123,6 +143,13 @@ def _entry_schema(spec_fields: List[Dict],
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # per-column stats (spec data_file fields): what
+                    # ScanPruner.keep_entry prunes on for reads of
+                    # MANAGED tables, exactly as external writers emit
+                    _kv_map("value_counts", 109, 119, 120, "long"),
+                    _kv_map("null_value_counts", 110, 121, 122, "long"),
+                    _kv_map("lower_bounds", 125, 126, 127, "bytes"),
+                    _kv_map("upper_bounds", 128, 129, 130, "bytes"),
                 ],
             }},
         ],
@@ -139,6 +166,23 @@ _LIST_SCHEMA = {
          "field-id": 516},
         {"name": "added_snapshot_id", "type": ["null", "long"],
          "default": None, "field-id": 503},
+        # per-partition-field summaries (spec field 507): lets planners
+        # skip a whole manifest before OPENING it — the level that
+        # bounds driver-side planning work on many-manifest tables
+        {"name": "partitions", "field-id": 507, "default": None,
+         "type": ["null", {
+             "type": "array",
+             "items": {"type": "record", "name": "r508", "fields": [
+                 {"name": "contains_null", "type": "boolean",
+                  "field-id": 509},
+                 {"name": "contains_nan", "type": ["null", "boolean"],
+                  "default": None, "field-id": 518},
+                 {"name": "lower_bound", "type": ["null", "bytes"],
+                  "default": None, "field-id": 510},
+                 {"name": "upper_bound", "type": ["null", "bytes"],
+                  "default": None, "field-id": 511},
+             ]},
+         }]},
     ],
 }
 
@@ -223,7 +267,79 @@ def _norm_mf(row: Dict) -> Dict:
     out.setdefault(
         "min_sequence_number", int(out.get("sequence_number") or 0)
     )
+    out.setdefault("partitions", None)
     return out
+
+
+def _file_column_stats(md) -> Dict[str, Tuple]:
+    """Aggregate the parquet footer's per-row-group column statistics
+    to per-FILE ``name -> (min, max, null_count, value_count)`` for
+    TOP-LEVEL primitive columns (nested paths carry a ``.`` and are
+    skipped — Iceberg bounds on them need field-id path mapping this
+    backend doesn't author).
+
+    Soundness over coverage: the moment ANY row group lacks a usable
+    min/max for a column that has non-null values, the bounds drop to
+    None (readers treat an absent bound as unbounded — never prunes).
+    NaN mins/maxes drop too (poisonous to range tests, see
+    ``iceberg_prune._coerce``); INT96 timestamps simply have no footer
+    stats, so their bounds are naturally absent. ``null_count`` falls
+    to None (stat omitted) when any chunk doesn't report it;
+    ``value_count`` is the spec's rows-including-nulls."""
+    import math
+
+    stats: Dict[str, List] = {}  # name -> [min, max, nulls, rows, ok]
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            path = col.path_in_schema
+            if "." in path:
+                continue
+            st = col.statistics
+            s = stats.setdefault(path, [None, None, 0, 0, True])
+            s[3] += rg.num_rows
+            nc = st.null_count if st is not None else None
+            if nc is None:
+                s[2] = None
+            elif s[2] is not None:
+                s[2] += int(nc)
+            n_vals = (
+                rg.num_rows - int(nc)
+                if nc is not None else rg.num_rows
+            )
+            if st is None or not st.has_min_max:
+                if n_vals > 0:
+                    s[4] = False  # values exist but no bounds: unusable
+                continue
+            mn, mx = st.min, st.max
+            if any(
+                isinstance(v, float) and not math.isfinite(v)
+                for v in (mn, mx)
+            ) or any(
+                # parquet-mr omits >4 KB binary stats but other writers
+                # may truncate; a truncated MAX is unsound as an upper
+                # bound, so oversized string stats are not trusted
+                isinstance(v, (str, bytes)) and len(v) > 4000
+                for v in (mn, mx)
+            ):
+                s[4] = False
+                continue
+            if s[0] is None or _stat_lt(mn, s[0]):
+                s[0] = mn
+            if s[1] is None or _stat_lt(s[1], mx):
+                s[1] = mx
+    out: Dict[str, Tuple] = {}
+    for name, (mn, mx, nulls, rows, ok) in stats.items():
+        out[name] = (mn if ok else None, mx if ok else None, nulls, rows)
+    return out
+
+
+def _stat_lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
 
 
 class IcebergBackend(CommitLogBackend):
@@ -412,17 +528,29 @@ class IcebergBackend(CommitLogBackend):
         stage = os.path.join(self.location, f"_staging_{uuid.uuid4().hex[:8]}")
         commit_id = uuid.uuid4().hex[:12]
         try:
-            if user_parts:
-                staged = df
-                for c in user_parts:
-                    staged = staged.withColumn(f"__ip_{c}", F.col(c))
-                staged.write.partitionBy(
-                    [f"__ip_{c}" for c in user_parts]
-                ).mode("overwrite").parquet(stage)
-            else:
-                df.write.mode("overwrite").parquet(stage)
-            # rel, rows, bytes, partition values
-            files: List[Tuple[str, int, int, Dict]] = []
+            # the Iceberg spec mandates int64 micros for parquet
+            # timestamps (INT96 — Spark's default — is not a legal
+            # Iceberg physical type, and it also carries no footer
+            # min/max, so bounds would silently vanish); pin the
+            # writer conf for the staged write, restore after
+            sess = df.sparkSession
+            tt_key = "spark.sql.parquet.outputTimestampType"
+            prev_tt = sess.conf.get(tt_key)
+            sess.conf.set(tt_key, "TIMESTAMP_MICROS")
+            try:
+                if user_parts:
+                    staged = df
+                    for c in user_parts:
+                        staged = staged.withColumn(f"__ip_{c}", F.col(c))
+                    staged.write.partitionBy(
+                        [f"__ip_{c}" for c in user_parts]
+                    ).mode("overwrite").parquet(stage)
+                else:
+                    df.write.mode("overwrite").parquet(stage)
+            finally:
+                sess.conf.set(tt_key, prev_tt)
+            # rel, rows, bytes, partition values, column stats
+            files: List[Tuple[str, int, int, Dict, Dict]] = []
             commit_time: Optional[int] = None
             for root, _dirs, names in os.walk(stage):
                 rel_dir = os.path.relpath(root, stage)
@@ -438,6 +566,12 @@ class IcebergBackend(CommitLogBackend):
                     if not name.endswith(".parquet"):
                         continue
                     src = os.path.join(root, name)
+                    if pq.ParquetFile(src).metadata.num_rows == 0:
+                        # empty task outputs (shuffle partitions that
+                        # received no rows): a real Iceberg writer
+                        # never commits them, and every skipped entry
+                        # is one fewer file the scan planner touches
+                        continue
                     rel = "/".join(
                         ["data"] + dest_segs + [f"{commit_id}-{name}"]
                         if dest_segs
@@ -456,7 +590,7 @@ class IcebergBackend(CommitLogBackend):
                     os.replace(src, dst)
                     files.append(
                         (rel, md.num_rows, os.path.getsize(dst),
-                         dict(part_vals))
+                         dict(part_vals), _file_column_stats(md))
                     )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
@@ -505,6 +639,41 @@ class IcebergBackend(CommitLogBackend):
                 [int(s["snapshot-id"]) for s in snaps], default=0
             ) + 1
             seq = int((meta or {}).get("last-sequence-number") or 0) + 1
+            # column field types for stats encoding: primitives only
+            # (nested types are dict-shaped and have no single-value
+            # serialization to stamp as a bound)
+            prim_types = {
+                f["name"]: (int(f["id"]), f["type"])
+                for f in schema["fields"]
+                if isinstance(f["type"], str)
+            }
+
+            def _stat_maps(col_stats: Dict) -> Dict:
+                low, up, nulls, counts = [], [], [], []
+                for name in sorted(col_stats):
+                    info = prim_types.get(name)
+                    if info is None:
+                        continue
+                    fid, itype = info
+                    mn, mx, nc, vc = col_stats[name]
+                    lo = encode_bound(mn, itype)
+                    hi = encode_bound(mx, itype)
+                    # a one-sided bound pair is legal per spec, but
+                    # emitting only the side that encoded keeps the
+                    # invariant simple: both or neither
+                    if lo is not None and hi is not None:
+                        low.append({"key": fid, "value": lo})
+                        up.append({"key": fid, "value": hi})
+                    if nc is not None:
+                        nulls.append({"key": fid, "value": int(nc)})
+                    counts.append({"key": fid, "value": int(vc)})
+                return {
+                    "value_counts": counts or None,
+                    "null_value_counts": nulls or None,
+                    "lower_bounds": low or None,
+                    "upper_bounds": up or None,
+                }
+
             mf = self._write_ocf_file(
                 f"mf-{uuid.uuid4().hex[:12]}.avro",
                 [{
@@ -520,10 +689,41 @@ class IcebergBackend(CommitLogBackend):
                         },
                         "record_count": rows,
                         "file_size_in_bytes": size,
+                        **_stat_maps(col_stats),
                     },
-                } for (rel, rows, size, part_vals) in files],
+                } for (rel, rows, size, part_vals, col_stats) in files],
                 _entry_schema(spec_fields, avro_types),
             )
+            # manifest-list field summaries (spec 507-511): one record
+            # per spec field, bounds over THIS manifest's partition
+            # tuples — manifest-level skipping for managed tables
+            summaries: List[Dict] = []
+            for f in spec_fields:
+                nm = f["name"]
+                itype = (
+                    "long" if nm == COMMIT_COL
+                    else prim_types.get(nm, (None, None))[1]
+                )
+                vals = [
+                    commit_time if nm == COMMIT_COL else pv.get(nm)
+                    for (_r, _n, _s, pv, _cs) in files
+                ]
+                non_null = [v for v in vals if v is not None]
+                lo = hi = None
+                if non_null and itype is not None:
+                    try:
+                        lo = encode_bound(min(non_null), itype)
+                        hi = encode_bound(max(non_null), itype)
+                    except TypeError:
+                        lo = hi = None
+                if lo is None or hi is None:
+                    lo = hi = None  # one-sided: emit neither
+                summaries.append({
+                    "contains_null": len(non_null) < len(vals),
+                    "contains_nan": None,
+                    "lower_bound": lo,
+                    "upper_bound": hi,
+                })
             prev_list: List[dict] = []
             if prev_id is not None and snaps:
                 prev = next(
@@ -539,6 +739,7 @@ class IcebergBackend(CommitLogBackend):
                 "content": 0, "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": sid,
+                "partitions": summaries or None,
             }]
             ml = self._write_ocf_file(
                 f"snap-{sid}-{uuid.uuid4().hex[:8]}.avro",

@@ -179,6 +179,54 @@ def decode_bound(raw, ice_type) -> Optional[Any]:
     return None
 
 
+def encode_bound(value, ice_type) -> Optional[bytes]:
+    """Encode one bound per the spec's Appendix D single-value binary
+    serialization — the exact inverse of :func:`decode_bound`, used by
+    the write path (``iceberg_backend``) to stamp per-column
+    ``lower_bounds``/``upper_bounds`` into manifest entries. ``None``
+    = unencodable: the stat is simply OMITTED, which every reader
+    treats as "no pruning on this column" (always sound).
+
+    NaN floats are refused: a NaN bound poisons range comparisons in
+    readers that predate contains_nan handling (see ``_coerce``)."""
+    if value is None or not isinstance(ice_type, str):
+        return None
+    try:
+        if ice_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if ice_type == "int":
+            return struct.pack("<i", int(value))
+        if ice_type == "long":
+            return struct.pack("<q", int(value))
+        if ice_type in ("float", "double"):
+            if _isnan(float(value)):
+                return None
+            fmt = "<f" if ice_type == "float" else "<d"
+            return struct.pack(fmt, float(value))
+        if ice_type == "date":
+            d = value.date() if isinstance(value, datetime) else value
+            if not isinstance(d, date):
+                return None
+            return struct.pack("<i", (d - _EPOCH_D).days)
+        if ice_type in ("timestamp", "timestamptz"):
+            if not isinstance(value, datetime):
+                return None
+            v = value
+            if v.tzinfo is not None:
+                v = v.astimezone(timezone.utc).replace(tzinfo=None)
+            delta = v - _EPOCH
+            us = (
+                (delta.days * 86400 + delta.seconds) * 1_000_000
+                + delta.microseconds
+            )
+            return struct.pack("<q", us)
+        if ice_type == "string":
+            return value.encode("utf-8") if isinstance(value, str) else None
+    except (struct.error, OverflowError, TypeError, ValueError):
+        return None
+    return None
+
+
 # ---------------------------------------------------------------------------
 # value coercion + conservative range tests
 # ---------------------------------------------------------------------------

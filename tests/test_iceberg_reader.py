@@ -2004,3 +2004,146 @@ def test_readers_read_iceberg_total_bind_loss_raises(spark, tmp_path):
     assert read_iceberg(
         spark, root, filters=("ghost", "==", 1)
     ).count() == 2
+
+
+def test_iceberg_backend_writes_column_bounds_and_summaries(spark, tmp_path):
+    """The managed ICEBERG backend stamps per-column lower/upper bound
+    stats (spec Appendix D single-value serialization, data_file fields
+    125/128) into its manifest entries and per-partition-field
+    summaries (fields 507-511) into the manifest list — so a
+    value-predicate read of a MANAGED table prunes at entry level and a
+    partition-predicate read prunes whole manifests. Both pins are
+    physical: the pruned data file (and the pruned manifest avro) are
+    DELETED from disk before the filtered read — an unpruned plan
+    would have to open them and die."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.avro_container import (
+        read_ocf_bytes,
+    )
+    from feature_store_api_spark.sources.iceberg_reader import (
+        read_iceberg, _read_table_metadata,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "bounds_fg", primary_key=["k"], event_time="ts",
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, 1.0, "a"), (2, 10, 2.0, "a")],
+        "k long, ts long, v double, tag string"))
+    fg.insert(spark.createDataFrame(
+        [(100, 20, 100.0, "z"), (101, 20, 101.0, "z")],
+        "k long, ts long, v double, tag string"))
+    loc = fg.location
+
+    # the written manifests carry the stat maps (kv-record arrays)
+    meta = _read_table_metadata(loc)
+    snaps = meta["snapshots"]
+    ml_path = _os.path.join(loc, snaps[-1]["manifest-list"])
+    with open(ml_path, "rb") as fh:
+        _s, mf_rows = read_ocf_bytes(fh.read())
+    assert all(r.get("partitions") for r in mf_rows)  # summaries present
+    m2_path = _os.path.join(loc, mf_rows[-1]["manifest_path"])
+    with open(m2_path, "rb") as fh:
+        _s, entries = read_ocf_bytes(fh.read())
+    # empty task outputs are never committed
+    assert entries and all(
+        e["data_file"]["record_count"] > 0 for e in entries
+    )
+    schema_fields = {
+        f["name"]: int(f["id"]) for f in meta["schemas"][-1]["fields"]
+    }
+    import struct as _struct
+    kid = schema_fields["k"]
+    vid = schema_fields["v"]
+    tid = schema_fields["tag"]
+
+    def stat(rec, field, fid):
+        m = {kv["key"]: kv["value"] for kv in rec[field] or []}
+        return m.get(fid)
+
+    k_lo = min(
+        _struct.unpack("<q", bytes(stat(e["data_file"], "lower_bounds", kid)))[0]
+        for e in entries
+    )
+    k_hi = max(
+        _struct.unpack("<q", bytes(stat(e["data_file"], "upper_bounds", kid)))[0]
+        for e in entries
+    )
+    assert (k_lo, k_hi) == (100, 101)
+    v_lo = min(
+        _struct.unpack("<d", bytes(stat(e["data_file"], "lower_bounds", vid)))[0]
+        for e in entries
+    )
+    assert v_lo == 100.0
+    assert all(
+        bytes(stat(e["data_file"], "lower_bounds", tid)) == b"z"
+        for e in entries
+    )
+    assert sum(
+        stat(e["data_file"], "value_counts", kid) for e in entries
+    ) == 2
+    assert all(
+        stat(e["data_file"], "null_value_counts", kid) == 0
+        for e in entries
+    )
+
+    # entry-level pin: delete ALL commit-2 data files; a bounds-pruned
+    # read of k < 50 never opens them
+    for e in entries:
+        p = e["data_file"]["file_path"]
+        _os.remove(p if _os.path.isabs(p) else _os.path.join(loc, p))
+    plan = {}
+    got = read_iceberg(spark, loc, filters=("k", "<", 50), plan_out=plan)
+    assert plan["data_files_pruned"] >= 1
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+
+def test_iceberg_backend_partitioned_summary_manifest_prune(spark, tmp_path):
+    """Manifest-LIST level pin for managed writes: two commits into
+    different user partitions produce two manifests whose partition
+    summaries carry the partition bounds — a read filtered to one
+    partition skips the other manifest WITHOUT OPENING it (the pruned
+    manifest avro is deleted from disk first)."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.avro_container import (
+        read_ocf_bytes,
+    )
+    from feature_store_api_spark.sources.iceberg_reader import (
+        read_iceberg, _read_table_metadata,
+    )
+
+    fs = FeatureStore(root=str(tmp_path))
+    fg = fs.create_feature_group(
+        "summ_fg", primary_key=["k"], event_time="ts",
+        partition_key=["region"],
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 10, "aa"), (2, 10, "aa")], "k long, ts long, region string"))
+    fg.insert(spark.createDataFrame(
+        [(3, 20, "zz"), (4, 20, "zz")], "k long, ts long, region string"))
+    loc = fg.location
+
+    meta = _read_table_metadata(loc)
+    ml_path = _os.path.join(loc, meta["snapshots"][-1]["manifest-list"])
+    with open(ml_path, "rb") as fh:
+        _s, mf_rows = read_ocf_bytes(fh.read())
+    assert len(mf_rows) == 2
+    # find which manifest holds region=zz via its summaries (the
+    # region spec field is the second summary: _commit_time first)
+    spec_fields = meta["partition-specs"][0]["fields"]
+    ridx = [f["name"] for f in spec_fields].index("region")
+    zz = next(
+        r for r in mf_rows
+        if bytes(r["partitions"][ridx]["lower_bound"]) == b"zz"
+    )
+    m_zz = _os.path.join(loc, zz["manifest_path"])
+    _os.remove(m_zz)  # the pin: an unpruned plan must open this
+    got = read_iceberg(spark, loc, filters=("region", "==", "aa"))
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]

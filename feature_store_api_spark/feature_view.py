@@ -82,11 +82,56 @@ class FeatureView:
         )
 
     # -- PIT compilation ---------------------------------------------------
+    @staticmethod
+    def _event_bound_hint(fg, start_ms=None, end_ms=None):
+        """Filter IR hint over ``fg``'s event-time column for an
+        event-time window, or None when it can't be expressed safely.
+
+        Only TIMESTAMP-declared event times produce a hint: the root
+        predicate compares ``timestamp_millis(ms)``, so a datetime
+        value is instant-identical under the engine's pinned-UTC
+        session; a LONG event time has unknowable units (seconds?
+        micros?) and a DATE needs day-boundary rounding — both skip
+        (skipping a hint is always sound, it just doesn't prune).
+
+        The hint rides ``read_source(filters=)``: managed groups push
+        only its partition-key subtree pre-merge (commit_store
+        contract), file-backed externals apply it as a pre-plan
+        predicate Catalyst pushes into the scan."""
+        et = fg.event_time
+        if not et:
+            return None
+        ftype = None
+        for f in (getattr(fg, "_features", None) or []):
+            if f.name == et:
+                t = f.type  # declared as a string OR a Spark DataType
+                ftype = (
+                    t.simpleString() if hasattr(t, "simpleString")
+                    else str(t or "")
+                ).lower()
+                break
+        if ftype not in ("timestamp", "timestamp_ntz"):
+            return None
+        from datetime import datetime as _dt
+        from datetime import timedelta as _td
+
+        def ms_to_dt(ms):
+            return _dt(1970, 1, 1) + _td(milliseconds=int(ms))
+
+        leaves = []
+        if start_ms is not None:
+            leaves.append((et, ">=", ms_to_dt(start_ms)))
+        if end_ms is not None:
+            leaves.append((et, "<", ms_to_dt(end_ms)))
+        return leaves or None
+
     def _pit_plan(
         self,
         spark: SparkSession,
         spine: Optional[DataFrame] = None,
         pit_strategy: Optional[str] = None,
+        event_start_ms: Optional[int] = None,
+        event_end_ms: Optional[int] = None,
     ) -> DataFrame:
         """Compile the view query with as-of semantics: the left feature
         group (or a passed spine) provides (pk, event_time); every joined
@@ -97,11 +142,30 @@ class FeatureView:
         read (``union_window`` default; ``union_window_skew`` for
         zipfian entities — stays FUSED across feature groups; ``auto``
         probes). Falls back to the view's ``default_pit_strategy``
-        attribute when unset."""
+        attribute when unset.
+
+        ``event_start_ms``/``event_end_ms`` (epoch millis) are the
+        EVENT-time window the caller will re-apply exactly on the plan
+        (``get_batch_data``); here they become source pushdown hints so
+        date/time-partitioned history prunes files instead of
+        full-scanning (parity: the reference embeds the range per FG
+        server-side, ``core/feature_view_engine.py:187-244,411-436``):
+
+        * spine side gets BOTH bounds — spine rows outside the window
+          are dropped by the exact root predicate anyway;
+        * each PIT feature side gets only ``event_time < end``: with
+          every surviving spine row at ``spine_ts < end``, a feature
+          row at ``feature_ts >= end`` can never win the as-of match
+          (``feature_ts <= spine_ts``), so the bound changes nothing —
+          the LOWER bound is NOT safe (an older row may still be the
+          as-of match inside the window) and is never pushed."""
         left_fg = self.query.left_feature_group
         if spine is None:
             left_df = self.query._left_feature_group.read_source(
-                spark, self.query.start_time, self.query.end_time
+                spark, self.query.start_time, self.query.end_time,
+                filters=self._event_bound_hint(
+                    left_fg, event_start_ms, event_end_ms
+                ),
             )
             left_cols = [f.name for f in self.query.left_features]
             left_df = left_df.select(*left_cols) if left_cols else left_df
@@ -124,7 +188,14 @@ class FeatureView:
         for join in self.query.joins:
             sub = join.query
             fg = sub.left_feature_group
-            rdf = fg.read_source(spark, sub.start_time, sub.end_time)
+            rdf = fg.read_source(
+                spark, sub.start_time, sub.end_time,
+                filters=(
+                    # PIT-safe: only the upper bound (docstring above)
+                    self._event_bound_hint(fg, None, event_end_ms)
+                    if fg.event_time else None
+                ),
+            )
             keys = join.on or join.left_on or [
                 k for k in left_fg.primary_key if k in set(fg.primary_key)
             ]
@@ -264,14 +335,28 @@ class FeatureView:
         ``pit_strategy``: physical PIT strategy override
         (``union_window_skew`` / ``auto`` for zipfian entities).
         """
-        df = self._pit_plan(spark, spine, pit_strategy=pit_strategy)
         et = self.query.left_feature_group.event_time
-        if et and (start_time is not None or end_time is not None):
+        start_ms = (
+            to_epoch_millis(start_time)
+            if et and start_time is not None else None
+        )
+        end_ms = (
+            to_epoch_millis(end_time)
+            if et and end_time is not None else None
+        )
+        # the window rides into the plan as source pushdown hints
+        # (feature sides get the PIT-safe upper bound only); the exact
+        # predicate below stays — hints only prune, never decide
+        df = self._pit_plan(
+            spark, spine, pit_strategy=pit_strategy,
+            event_start_ms=start_ms, event_end_ms=end_ms,
+        )
+        if et and (start_ms is not None or end_ms is not None):
             col = F.col(et)
-            if start_time is not None:
-                df = df.where(col >= F.timestamp_millis(F.lit(to_epoch_millis(start_time))))
-            if end_time is not None:
-                df = df.where(col < F.timestamp_millis(F.lit(to_epoch_millis(end_time))))
+            if start_ms is not None:
+                df = df.where(col >= F.timestamp_millis(F.lit(start_ms)))
+            if end_ms is not None:
+                df = df.where(col < F.timestamp_millis(F.lit(end_ms)))
         if transformed and self.transformation_functions:
             from .functions.udf import apply_transformations as _apply
 

@@ -41,10 +41,16 @@ def _stable_value(value, op) -> bool:
       strings containing ``\\`` (or an embedded NUL) are not pushed;
     * non-finite floats have no SQL literal (``repr(nan)`` emits the
       bare word ``nan``) — dropped;
-    * an empty IN list emits ``col IN ()`` (syntax error) — dropped.
+    * an empty IN list emits ``col IN ()`` (syntax error) — dropped;
+    * date/timestamp literals are dropped too: the ANSI
+      ``TIMESTAMP '...'`` form is a syntax error on typeless engines
+      (sqlite), and a bare quoted string against an epoch-INTEGER
+      column compares by sqlite's type ordering (every integer sorts
+      before every text) — ``col >= '2024-…'`` silently rejects ALL
+      rows. Temporal predicates stay Spark-side.
 
-    Numeric/bool/date/timestamp values compare identically across
-    dialects and pass for every operator."""
+    Numeric/bool values compare identically across dialects and pass
+    for every operator."""
     import math
 
     if op == "IN":
@@ -58,7 +64,9 @@ def _stable_value(value, op) -> bool:
         return True
     if isinstance(value, float) and not math.isfinite(value):
         return False
-    if isinstance(value, (int, float)) or hasattr(value, "isoformat"):
+    if hasattr(value, "isoformat"):
+        return False
+    if isinstance(value, (int, float)):
         return True
     if isinstance(value, str):
         if op not in ("EQUALS",):

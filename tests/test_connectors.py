@@ -626,11 +626,15 @@ def test_dbapi_pushdown_dialect_stable_leaves_only():
     def push(f):
         return _plain_ident_subtree(normalize_filters(f))
 
-    # numerics/bools/dates: every operator pushes
+    # numerics/bools: every operator pushes
     assert push(("k", ">", 5)) == ("leaf", "k", "GREATER_THAN", 5)
     assert push(("ok", "==", True)) is not None
-    from datetime import date
-    assert push(("d", "<=", date(2024, 1, 1))) is not None
+    # temporals never push: TIMESTAMP '...' is a syntax error on
+    # typeless engines, and a quoted string against an epoch-INTEGER
+    # column compares by sqlite's type ordering (always false)
+    from datetime import date, datetime
+    assert push(("d", "<=", date(2024, 1, 1))) is None
+    assert push(("d", "<", datetime(2024, 1, 1))) is None
     # string equality / IN push (ci collation keeps a superset the
     # root predicate re-narrows) — but never with a backslash
     assert push(("tag", "==", "a")) is not None

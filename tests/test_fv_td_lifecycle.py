@@ -337,3 +337,110 @@ def test_fv_clean_removes_monitoring_results_dir(spark, tmp_path):
     FeatureView.clean(fs, "mclean", 1)
     assert not os.path.exists(res1)   # leaked before the regex fix
     assert os.path.isdir(res10)       # strict stem: v10 untouched
+
+
+def test_batch_window_pushes_event_bounds_into_sources(spark, tmp_path):
+    """get_batch_data(start_time, end_time) routes the event-time
+    window into every source read as a Filter IR hint instead of only
+    filtering above the PIT plan (parity: the reference embeds the
+    range per FG server-side, core/feature_view_engine.py:187-244):
+
+    * spine FG: BOTH bounds (its rows outside the window die at the
+      root predicate anyway) — physically pinned: the out-of-window
+      partition's files are DELETED from disk and the windowed read
+      still works, so the partition-pruned scan never opened them;
+    * PIT feature FG: only `event_time < end` (PIT-safe — a feature
+      row at/after the window end can never win an as-of match against
+      an in-window spine row); pinned by spying read_source kwargs;
+    * results are IDENTICAL to the unpartitioned/unhinted path."""
+    import datetime as dt
+    import glob
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_group import FeatureGroup
+
+    t_jan = dt.datetime(2024, 1, 15)
+    t_feb = dt.datetime(2024, 2, 15)
+    rows = [(k, t_jan, float(k)) for k in range(4)] + [
+        (k, t_feb, float(k) * 10) for k in range(4)
+    ]
+    feat_rows = [(k, dt.datetime(2024, 1, 1), k * 100.0) for k in range(4)] + [
+        (k, dt.datetime(2024, 3, 1), -1.0) for k in range(4)
+    ]
+
+    def build(root, partitioned):
+        fs = FeatureStore(root=root)
+        left = fs.create_feature_group(
+            "bw_left", primary_key=["k"], event_time="ts",
+            partition_key=["ts"] if partitioned else (),
+        )
+        left.insert(spark.createDataFrame(
+            rows, "k long, ts timestamp_ntz, x double"))
+        feat = fs.create_feature_group(
+            "bw_feat", primary_key=["k"], event_time="fts",
+        )
+        feat.insert(spark.createDataFrame(
+            feat_rows, "k long, fts timestamp_ntz, v double"))
+        fv = fs.create_feature_view(
+            "bw_v", left.select_all().join(feat.select(["v"]), on=["k"]),
+        )
+        return left, feat, fv
+
+    def rowset(df):
+        return sorted((r["k"], r["x"], r["v"]) for r in df.collect())
+
+    # unpartitioned reference result for the January window
+    _l0, _f0, fv0 = build(str(tmp_path / "flat"), partitioned=False)
+    expect = rowset(fv0.get_batch_data(
+        spark, start_time=dt.datetime(2024, 1, 1),
+        end_time=dt.datetime(2024, 2, 1),
+    ))
+    assert expect == [(0, 0.0, 0.0), (1, 1.0, 100.0),
+                      (2, 2.0, 200.0), (3, 3.0, 300.0)]
+
+    left, feat, fv = build(str(tmp_path / "part"), partitioned=True)
+
+    # spy: record the filters hint each FG read receives
+    seen = {}
+    orig = FeatureGroup.read_source
+
+    def spy(self, spark_, start_time=None, end_time=None, filters=None,
+            columns=None):
+        seen[self.name] = filters
+        return orig(self, spark_, start_time, end_time, filters=filters,
+                    columns=columns)
+
+    FeatureGroup.read_source = spy
+    try:
+        # physical pin: delete the February partition's parquet files —
+        # an unpruned spine scan would have to open them
+        feb = glob.glob(_os.path.join(
+            left.location, "**", "ts=2024-02-15*", "*.parquet"),
+            recursive=True)
+        assert feb, "expected a hive partition dir for the Feb slice"
+        for p in feb:
+            _os.remove(p)
+        got = fv.get_batch_data(
+            spark, start_time=dt.datetime(2024, 1, 1),
+            end_time=dt.datetime(2024, 2, 1),
+        )
+        assert rowset(got) == expect
+    finally:
+        FeatureGroup.read_source = orig
+
+    # spine got both bounds, feature side only the PIT-safe upper
+    lf = seen["bw_left"]
+    assert [(c, o) for (c, o, _v) in lf] == [("ts", ">="), ("ts", "<")]
+    ff = seen["bw_feat"]
+    assert [(c, o) for (c, o, _v) in ff] == [("fts", "<")]
+    assert ff[0][2] == dt.datetime(2024, 2, 1)
+
+    # no window -> no hints (and the spy shape still matches)
+    FeatureGroup.read_source = spy
+    try:
+        seen.clear()
+        fv.get_batch_data(spark)
+        assert seen["bw_left"] is None and seen["bw_feat"] is None
+    finally:
+        FeatureGroup.read_source = orig

@@ -1427,3 +1427,71 @@ def test_hudi_partition_dir_pruner_type_safety(spark, tmp_path):
     out = read_hudi(spark, fg.location, filters=("part", "==", "zzz"))
     assert out.count() == 0
     assert "part" in out.columns and "k" in out.columns
+
+
+def test_hudi_mor_compaction_job_folds_logs_and_vacuum_cleans(spark, tmp_path):
+    """fg.materialization_job.run() on a HUDI_MOR group is an explicit
+    compaction table service (parity: the reference's offline
+    materialization job runs Hudi compaction, core/hudi_engine.py
+    table services): the merge-on-read log tail folds into fresh base
+    file groups whose instant completes as `.commit` (the compaction
+    marker), snapshot reads become read-optimized (base-only), time
+    travel below the anchor keeps working, and a vacuum past retention
+    physically unlinks the superseded log files."""
+    import datetime as _dt
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fg = fs.create_feature_group(
+        "morc", primary_key=["k"], event_time="ts",
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 2.0)], "k long, ts long, v double"),
+        compute_stats=False)
+    fg.insert(spark.createDataFrame(
+        [(2, 100, 20.0), (3, 100, 3.0)], "k long, ts long, v double"),
+        compute_stats=False)
+    fg.insert(spark.createDataFrame(
+        [(1, 100, 10.0), (4, 100, 4.0)], "k long, ts long, v double"),
+        compute_stats=False)
+    loc = fg.location
+    assert [n for n in os.listdir(loc) if ".log." in n], "log tail expected"
+    pre_commits = sorted(c["commit_time"] for c in fg.commit_details())
+    expect = [(1, 10.0), (2, 20.0), (3, 3.0), (4, 4.0)]
+
+    job = fg.materialization_job
+    job.run(await_termination=True)
+    assert job.get_final_state() == "SUCCEEDED"
+    anchor = next(
+        c for c in fg.commit_details()
+        if c.get("operation") == "compaction"
+    )["commit_time"]
+
+    meta = os.path.join(loc, ".hoodie")
+    # compaction completes as .commit (real Hudi's compaction marker);
+    # the log-tail commits stay .deltacommit
+    assert any(n.endswith(".commit") for n in os.listdir(meta))
+    assert sum(
+        1 for n in os.listdir(meta) if n.endswith(".deltacommit")
+    ) == 3
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    assert rows(fg.read(spark)) == expect
+    # time travel below the anchor still resolves through the logs
+    assert rows(fg.as_of(pre_commits[1]).read(spark)) == [
+        (1, 1.0), (2, 20.0), (3, 3.0)]
+
+    # vacuum past retention: superseded log files physically unlink,
+    # the compacted base answers alone (read-optimized)
+    dropped = fg.vacuum(retain_hours=0)
+    assert set(dropped) == set(pre_commits)
+    assert not [n for n in os.listdir(loc) if ".log." in n]
+    assert rows(fg.read(spark)) == expect
+    # external raw view agrees: only the compacted base generation
+    raw = read_hudi(spark, loc)
+    assert sorted(set(r["_commit_time"] for r in raw.collect())) == [anchor]

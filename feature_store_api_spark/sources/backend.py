@@ -208,12 +208,25 @@ class CommitLogBackend(TimeTravelBackend):
     def scan(
         self, spark: SparkSession, filters=None
     ) -> Optional[DataFrame]:
-        # filters ignored: hive-style partition discovery means the
-        # compiler's root predicate prunes directories via Catalyst
-        # (PartitionFilters) without help
+        # ``filters`` is the store's PARTITION-ONLY subtree. For a
+        # simple scan-filter plan Catalyst would prune directories from
+        # the root predicate alone — but hints arrive precisely when
+        # the exact predicate sits ABOVE a barrier Catalyst cannot push
+        # through (the PIT window-over-union, version resolution), so
+        # the subtree is applied HERE, directly over the file source,
+        # where it lands in PartitionFilters. Safe: partition values
+        # are part of the record identity (every version of a record
+        # shares them), and the caller re-applies the exact predicate.
         if not os.path.exists(self._data_path):
             return None
-        return spark.read.option("mergeSchema", "true").parquet(self._data_path)
+        df = spark.read.option("mergeSchema", "true").parquet(self._data_path)
+        if filters is not None:
+            from .iceberg_prune import filters_to_column, remap_tree
+
+            bound = remap_tree(filters, df.columns)
+            if bound is not None:
+                df = df.where(filters_to_column(bound))
+        return df
 
     def drop_commit(self, commit_time: int) -> bool:
         from .commit_store import COMMIT_COL

@@ -425,6 +425,17 @@ def test_batch_window_pushes_event_bounds_into_sources(spark, tmp_path):
             spark, start_time=dt.datetime(2024, 1, 1),
             end_time=dt.datetime(2024, 2, 1),
         )
+        # plan pin: the subtree lands in the spine scan's
+        # PartitionFilters — BELOW the PIT window the root predicate
+        # cannot cross (backend.scan applies it over the file source)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln and "ts#" in ln.split(
+                  "PartitionFilters")[1][:200]]
+        assert any(
+            "2024-01-01" in ln.split("PartitionFilters")[1][:300]
+            for ln in pf
+        ), f"no ts PartitionFilters in plan:\n{plan[:4000]}"
         assert rowset(got) == expect
     finally:
         FeatureGroup.read_source = orig

@@ -748,19 +748,6 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
-def _q_text_stats(spark, sf_dir):
-    """SQL-oracle-able slice of text analysis: chars + word tokens."""
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda w: F.length(w) > 0
-    )
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        F.size(words).alias("n_tokens"),
-    )
-
-
 def _q_text_analysis(spark, sf_dir):
     """md5_64 fingerprint variant so the whole profile row is
     engine-portable and oracle-checkable."""
@@ -768,19 +755,6 @@ def _q_text_analysis(spark, sf_dir):
 
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return analyze_documents(d, hash_fn="md5_64")
-
-
-def _q_knn_cosine(spark, sf_dir):
-    from feature_store_api_spark.operators.similarity import find_neighbors
-
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-    dim = len(e.select("embedding").first()[0])
-    qv = [0.1] * dim
-    out = find_neighbors(
-        e.withColumn("embedding", F.col("embedding").cast("array<double>")),
-        qv, col="embedding", k=10, metric="cosine",
-    )
-    return out.select("vec_id", "label", "distance").orderBy("distance", "vec_id")
 
 
 def _q_embedding_fetch(spark, sf_dir):
@@ -852,19 +826,6 @@ def _pq_codebook(spark, sf_dir):
         e, "embedding", id_col="vec_id", num_subspaces=8, num_centroids=16
     )
     return e, cb, pq_encode(e, "embedding", cb)
-
-
-def _q_pq_codes(spark, sf_dir):
-    """Product-quantization encode over the whole embeddings table:
-    every (vector, subspace) code re-derived by the oracle (codebook =
-    8-dim sub-slices of the 16 smallest vec_ids; code = argmin of d²
-    rounded to 9 dp, ties by centroid index). Codes are pure scan-side
-    Column exprs — 64× compression (512 B float64 → 8 B) with no
-    shuffle and no Python stage (pinned in tests/test_similarity.py)."""
-    _, _, coded = _pq_codebook(spark, sf_dir)
-    return coded.select(
-        "vec_id", F.posexplode("pq_code").alias("subspace", "code")
-    )
 
 
 def _q_knn_pq(spark, sf_dir):
@@ -946,20 +907,6 @@ def _q_embedding_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # text analysis (oracle-able slices)
 # ---------------------------------------------------------------------------
-
-def _q_text_language(spark, sf_dir):
-    from feature_store_api_spark.operators.text import language_id
-
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
-
-
-def _q_text_quality(spark, sf_dir):
-    from feature_store_api_spark.operators.text import quality_score
-
-    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
-
 
 def _q_text_tokens_bpe(spark, sf_dir):
     from feature_store_api_spark.operators.text import bpe_ish_token_count
@@ -4399,77 +4346,371 @@ def _q_typed_partition_read(spark, sf_dir):
     return q.read(spark)
 
 
+
+
+# ---------------------------------------------------------------------------
+# r15 rows
+# ---------------------------------------------------------------------------
+
+def _q_delta_stats_prune(spark, sf_dir):
+    """Delta add-action stats pruning, promoted from its r14 pytest pin
+    (VERDICT r14 #1): the managed DELTA backend writes per-file stats
+    minValues/maxValues at commit (sources/delta_backend.py; Delta
+    PROTOCOL.md "Per-file Statistics"), and an external filtered read
+    of the SAME table prunes whole add actions on them
+    (delta_reader.py _prune_live). The pin is physical: every pruned
+    file is DELETED from disk before the answering read — an unpruned
+    plan would have to open it — and the prune count is self-checked.
+    Commit 2 holds only keys shifted by +10M, so `o_orderkey < 10M`
+    prunes its files entirely and the result is exactly commit 1."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.delta_reader import read_delta
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    fs = FeatureStore(root=_scratch("delta_prune_"))
+    fg = fs.create_feature_group(
+        "orders_delta_prune", primary_key=["o_orderkey"],
+        time_travel_format="DELTA", auto_compact_every=None,
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        compute_stats=False,
+    )
+    loc = fg.location
+    flt = ("o_orderkey", "<", 10_000_000)
+    plan = {}
+    read_delta(spark, loc, filters=flt, plan_out=plan)
+    kept = {
+        _os.path.normpath(
+            p if _os.path.isabs(p) else _os.path.join(loc, p)
+        )
+        for p in plan["data_files"]
+    }
+    removed = 0
+    for dp, _dn, fn in _os.walk(loc):
+        if "_delta_log" in dp:
+            continue
+        for f in fn:
+            full = _os.path.normpath(_os.path.join(dp, f))
+            if f.endswith(".parquet") and full not in kept:
+                _os.remove(full)  # the pin: pruned files must never open
+                removed += 1
+    if removed == 0:
+        raise RuntimeError("stats pruning removed nothing — no pin")
+    out = read_delta(spark, loc, filters=flt)
+    return out.select("o_orderkey", "o_totalprice")
+
+
+def _q_hudi_partition_prune(spark, sf_dir):
+    """Hudi partition-dir FILE-GROUP pruning on the MOR merge path,
+    promoted from its r14 pytest pin (VERDICT r14 #1; hudi tech-specs
+    "Storage Layout"; hudi_reader.py _partition_dir_pruner): a managed
+    HUDI_MOR group partitioned by o_orderstatus lays base file groups
+    plus LOG files per partition; an external read_hudi(filters=)
+    prunes whole file groups — incl. their logs — by hive dir values
+    BEFORE any content is opened. The pin is physical: every non-
+    matching partition's base and log files are OVERWRITTEN WITH
+    GARBAGE bytes (deleting them would be invisible to the fs-walking
+    file-system view) — an unpruned merge would decode them and die.
+    The raw MOR view keeps every commit's rows (unique synthetic
+    record keys), so the expected rows are commit1[F] + commit2[F]."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.hudi_reader import read_hudi
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    fs = FeatureStore(root=_scratch("hudi_pp_"))
+    fg = fs.create_feature_group(
+        "orders_hudi_pp", primary_key=["o_orderkey"],
+        partition_key=["o_orderstatus"], event_time="o_orderdate",
+        time_travel_format="HUDI_MOR", auto_compact_every=None,
+    )
+    fg.insert(orders, compute_stats=False)
+    # commit 2 -> LOG files in every partition (prune must skip whole
+    # groups, logs included)
+    fg.insert(
+        orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        compute_stats=False,
+    )
+    loc = fg.location
+    poisoned = 0
+    for name in _os.listdir(loc):
+        d = _os.path.join(loc, name)
+        if not name.startswith("o_orderstatus=") or not _os.path.isdir(d):
+            continue
+        if name == "o_orderstatus=F":
+            continue
+        for f in _os.listdir(d):
+            if f.endswith(".parquet") or ".log." in f:
+                with open(_os.path.join(d, f), "wb") as fh:
+                    fh.write(b"not a data file")
+                poisoned += 1
+    if poisoned == 0:
+        raise RuntimeError("no non-F partition files found — no pin")
+    out = read_hudi(spark, loc, filters=("o_orderstatus", "==", "F"))
+    return out.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def _q_external_fg_pushdown(spark, sf_dir):
+    """Query.filter() over a DBAPI external feature group routes its
+    Filter IR into the WHERE text of the statements the EXECUTORS
+    emit (plans/sql_emitter.filter_ir_to_sql via
+    connectors.DbApiConnector — r14 pushdown wiring promoted to an
+    oracle row): the database prunes rows before Spark sees them, and
+    the compiler still re-applies the exact predicate at the plan
+    root. Self-checked: the recorded executor SQL must carry the
+    predicate, else this row raises."""
+    import os as _os
+    import sqlite3 as _sq
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature import Feature
+    from feature_store_api_spark.sources.connectors import DbApiConnector
+
+    tmp = _scratch("extpush_")
+    db = _os.path.join(tmp, "orders.db")
+    log = _os.path.join(tmp, "emitted.sql")
+    pdf = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .toPandas()
+    )
+    conn = _sq.connect(db)
+    conn.execute("CREATE TABLE orders (o_orderkey INTEGER, o_totalprice REAL)")
+    conn.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        list(pdf.itertuples(index=False, name=None)),
+    )
+    conn.commit()
+    conn.close()
+
+    fs = FeatureStore(name="extpush_store")
+    c = DbApiConnector(
+        "orders_db", _RecordingConnect(db, log),
+        options={"num_partitions": "4"},
+    )
+    fg = fs.create_external_feature_group(
+        "orders_ext_push", c,
+        query="SELECT o_orderkey, o_totalprice FROM orders",
+        primary_key=["o_orderkey"],
+    )
+    fg.set_features([
+        Feature("o_orderkey", "bigint"), Feature("o_totalprice", "double"),
+    ])
+    q = fg.select_all().filter(fg.o_totalprice > 100000.0)
+    out = q.read(spark)
+    out.count()  # force executor statements before the self-check
+    with open(log) as fh:
+        stmts = [ln for ln in fh.read().splitlines()
+                 if "LIMIT" not in ln and "MIN(" not in ln
+                 and "__fsq_probe" not in ln]
+    if not stmts or not all("o_totalprice > 100000.0" in s for s in stmts):
+        raise RuntimeError(
+            f"predicate missing from executor SQL: {stmts[:3]}"
+        )
+    return out
+
+
+class _RecordingCursor:
+    def __init__(self, cur, log):
+        self._cur, self._log = cur, log
+
+    def execute(self, sql, *a):
+        with open(self._log, "a") as fh:
+            fh.write(sql + "\n")
+        return self._cur.execute(sql, *a)
+
+    def __getattr__(self, name):
+        return getattr(self._cur, name)
+
+
+class _RecordingConnect:
+    """Picklable connect factory whose cursors append every statement
+    to a log file — how this row proves the WHERE ran database-side
+    on the executors."""
+
+    def __init__(self, db, log):
+        self._db, self._log = db, log
+
+    def __call__(self):
+        import sqlite3 as _sq
+
+        conn = _sq.connect(self._db)
+        outer = self
+
+        class _Conn:
+            def cursor(self):
+                return _RecordingCursor(conn.cursor(), outer._log)
+
+            def close(self):
+                conn.close()
+
+            def commit(self):
+                conn.commit()
+
+        return _Conn()
+
+
+def _q_batch_window_prune(spark, sf_dir):
+    """FeatureView.get_batch_data(start, end) pushes the event-time
+    window into the SOURCE scans (r15: feature_view.py
+    _event_bound_hint -> read_source(filters=) -> backend partition
+    pruning) instead of only filtering above the PIT plan: the spine
+    group gets both bounds, the PIT feature group the as-of-safe
+    upper bound. Both groups here are MANAGED and partitioned BY
+    their event-time column, so the window prunes directories below
+    the PIT window-over-union (PartitionFilters — pinned with plan
+    asserts + physical deletion in
+    tests/test_fv_td_lifecycle.py::test_batch_window_pushes_event_bounds_into_sources).
+    Feature side dedupes per (o_custkey, month) exactly like the
+    oracle's rn=1 so the as-of pick is deterministic."""
+    from pyspark.sql import Window as _W
+
+    from feature_store_api_spark import FeatureStore
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.date_trunc("day", F.col("ts"))
+        .cast("timestamp_ntz").alias("ts"),
+    )
+    feat = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp_ntz").alias("ots"),
+            "o_totalprice", "o_orderstatus",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("o_custkey", "ots").orderBy(
+                    F.col("o_totalprice").desc(),
+                    F.col("o_orderstatus").desc(),
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    fs = FeatureStore(root=_scratch("batch_window_"))
+    spine_fg = fs.create_feature_group(
+        "bw_events", primary_key=["event_id"], event_time="ts",
+        partition_key=["ts"],
+    )
+    spine_fg.insert(ev.coalesce(4), compute_stats=False)
+    feat_fg = fs.create_feature_group(
+        "bw_orders", primary_key=["o_custkey"], event_time="ots",
+        partition_key=["ots"],
+    )
+    feat_fg.insert(feat.coalesce(4), compute_stats=False)
+    fv = fs.create_feature_view(
+        "bw_view",
+        spine_fg.select(["event_id", "user_id", "ts"]).join(
+            feat_fg.select(["o_totalprice"]),
+            left_on=["user_id"], right_on=["o_custkey"], prefix="ord_",
+        ),
+    )
+    return fv.get_batch_data(
+        spark, start_time="2024-01-08", end_time="2024-01-22"
+    )
+
+
+def _q_iceberg_bounds_prune(spark, sf_dir):
+    """The managed ICEBERG backend writes per-column lower/upper bound
+    stats into its manifest entries (r15, VERDICT r14 #3;
+    iceberg.apache.org/spec Appendix D single-value serialization;
+    sources/iceberg_backend.py _stat_maps / iceberg_prune.encode_bound)
+    — so a value-predicate read of a MANAGED table through the
+    external scan planner prunes whole entries, exactly like the
+    externally-written tables iceberg_manifest_prune covers. Physical
+    pin: every pruned data file is DELETED from disk before the
+    answering read; prune counter self-checked. Commit 2 holds only
+    keys shifted by +10M, so the filter keeps exactly commit 1."""
+    import os as _os
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    fs = FeatureStore(root=_scratch("ice_bounds_"))
+    fg = fs.create_feature_group(
+        "orders_ice_bounds", primary_key=["o_orderkey"],
+        time_travel_format="ICEBERG", auto_compact_every=None,
+    )
+    fg.insert(orders, compute_stats=False)
+    fg.insert(
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        compute_stats=False,
+    )
+    loc = fg.location
+    flt = ("o_orderkey", "<", 10_000_000)
+    plan = {}
+    read_iceberg(spark, loc, filters=flt, plan_out=plan)
+    if not plan.get("data_files_pruned"):
+        raise RuntimeError(f"no entries pruned on column bounds: {plan}")
+    kept = {
+        _os.path.normpath(
+            p if _os.path.isabs(p) else _os.path.join(loc, p)
+        )
+        for p in plan["data_files"]
+    }
+    removed = 0
+    for dp, _dn, fn in _os.walk(_os.path.join(loc, "data")):
+        for f in fn:
+            full = _os.path.normpath(_os.path.join(dp, f))
+            if f.endswith(".parquet") and full not in kept:
+                _os.remove(full)  # the pin: pruned entries never open
+                removed += 1
+    if removed == 0:
+        raise RuntimeError("bounds pruning removed nothing — no pin")
+    out = read_iceberg(spark, loc, filters=flt)
+    return out.select("o_orderkey", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by verification priority for a driver that checks the
-    # FIRST ~50 entries per round (r14 rotation, per VERDICT r13 #1):
-    # (1) four NEW rows — hudi_mor_upsert (the jarless MERGE_ON_READ
-    # write backend, VERDICT #5), iceberg_schema_travel +
-    # typed_partition_read (r13 pytest-only capabilities promoted),
-    # iceberg_manifest_prune (spec scan-planning pruning, VERDICT #2);
-    # (2) the 46 surviving entries whose latest verdict is r11 — two
-    # rounds stale at r14. Four r11 entries whose coverage is fully
+    # FIRST ~50 entries per round (r15 rotation, per VERDICT r14 #1):
+    # (1) five NEW rows — delta_stats_prune / hudi_partition_prune /
+    # external_fg_pushdown (r14 pytest-only pruning+pushdown pins
+    # promoted, VERDICT #1), batch_window_prune (event-time window
+    # pushdown in FV batch reads, VERDICT #2), iceberg_bounds_prune
+    # (managed-write manifest column bounds, VERDICT #3);
+    # (2) the 45 surviving entries whose latest verdict is r12 — two
+    # rounds stale at r15. Five r12 entries whose coverage is fully
     # carried by fresher green rows were RETIRED to keep the roster at
-    # 150 (= 3 windows of 50): bm25_topk (bm25_batch in this window +
-    # bm25_batch_indexed r12; pytest test_bm25_matches_reference_math),
-    # knn_ann_retry (knn_ann in this window + knn_batch r12; pytest
-    # test_ann_retry_widens_until_k), embedding_quantize (pq_codes/
-    # knn_pq/embedding_projection r12; pytest quantize-recall in
-    # test_similarity.py), lm_perplexity (dsir_sample in this window
-    # scores through the same unigram-LM machinery; pytest
-    # test_unigram_lm_perplexity). Every retired capability keeps its
-    # pinned pytest. Next 50 = the r12 window (the r15 rotation),
-    # tail = the 50 r13-fresh rows.
+    # 150 (= 3 windows of 50): text_stats + text_quality +
+    # text_language (text_analysis r14 composes exactly these ops;
+    # value pins test_text_cleaning.py::test_text_ops_value_pins),
+    # knn_cosine (knn_batch in this window + knn_ann r14 cover the
+    # cosine index path; exact math pinned against numpy in
+    # test_similarity.py::test_exact_knn_cosine_and_l2_match_numpy),
+    # pq_codes (knn_pq + knn_ivfpq in this window consume the same
+    # codes; pytests test_pq_codes_shape_and_range /
+    # test_pq_codebook_shape_and_roundtrip). Every retired capability
+    # keeps its pinned pytest. Next 50 = the r13 window (the r16
+    # rotation), tail = the 50 r14-fresh rows.
     return {
-        "hudi_mor_upsert": _q_hudi_mor_upsert,
-        "iceberg_schema_travel": _q_iceberg_schema_travel,
-        "iceberg_manifest_prune": _q_iceberg_manifest_prune,
-        "typed_partition_read": _q_typed_partition_read,
-        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
-        "bm25_batch": _q_bm25_batch,
-        "clustered_fg_read": _q_clustered_fg_read,
-        "correlations": _q_correlations,
-        "custom_udf_stats": _q_custom_udf_stats,
-        "dbapi_scan": _q_dbapi_scan,
-        "dirty_names_sanitized": _q_dirty_names_sanitized,
-        "dsir_sample": _q_dsir_sample,
-        "entropy_uniqueness": _q_entropy_uniqueness,
-        "fv_batch_query": _q_fv_batch_query,
-        "hudi_fg_upsert": _q_hudi_fg_upsert,
-        "hudi_log_delete": _q_hudi_log_delete,
-        "iceberg_fg_upsert": _q_iceberg_fg_upsert,
-        "iceberg_incremental": _q_iceberg_incremental,
-        "iceberg_read": _q_iceberg_read,
-        "json_extract": _q_json_extract,
-        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
-        "kafka_materialize": _q_kafka_materialize,
-        "knn_ann": _q_knn_ann,
-        "knn_ivf": _q_knn_ivf,
-        "lag_features": _q_lag_features,
-        "materialization_job": _q_materialization_job,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_verified": _q_minhash_verified,
-        "multimodal_decode": _q_multimodal_decode,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "partitioned_fg_read": _q_partitioned_fg_read,
-        "percentiles_exact": _q_percentiles_exact,
-        "pit_join_multi": _q_pit_join_multi,
-        "pit_join_range": _q_pit_join_range,
-        "pit_join_skew": _q_pit_join_skew,
-        "pit_join_ttl": _q_pit_join_ttl,
-        "retrieval_metrics": _q_retrieval_metrics,
-        "rolling_features": _q_rolling_features,
-        "simhash": _q_simhash,
-        "spine_pit_join": _q_spine_pit_join,
-        "split_statistics": _q_split_statistics,
-        "stats_commit_window": _q_stats_commit_window,
-        "streaming_dedup": _q_streaming_dedup,
-        "td_avro_roundtrip": _q_td_avro_roundtrip,
-        "td_csv_roundtrip": _q_td_csv_roundtrip,
-        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
-        "temperature_sample": _q_temperature_sample,
-        "text_analysis": _q_text_analysis,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "value_counts": _q_value_counts,
+        "delta_stats_prune": _q_delta_stats_prune,
+        "hudi_partition_prune": _q_hudi_partition_prune,
+        "external_fg_pushdown": _q_external_fg_pushdown,
+        "batch_window_prune": _q_batch_window_prune,
+        "iceberg_bounds_prune": _q_iceberg_bounds_prune,
         "hudi_partitioned_read": _q_hudi_partitioned_read,
         "iceberg_partitioned_read": _q_iceberg_partitioned_read,
         "iceberg_renamed_read": _q_iceberg_renamed_read,
@@ -4500,20 +4741,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoders": _q_encoders,
         "ewma_features": _q_ewma_features,
         "knn_batch": _q_knn_batch,
-        "knn_cosine": _q_knn_cosine,
         "knn_l2": _q_knn_l2,
         "repetition_metrics": _q_repetition_metrics,
         "row_sampling": _q_row_sampling,
         "sequence_packing": _q_sequence_packing,
         "session_windows": _q_session_windows,
         "stratified_sample": _q_stratified_sample,
-        "text_language": _q_text_language,
-        "text_quality": _q_text_quality,
-        "text_stats": _q_text_stats,
         "windowed_agg_hourly": _q_windowed_agg_hourly,
         "multi_part_insert": _q_multi_part_insert,
         "audio_decode": _q_audio_decode,
-        "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
         "doc_chunks": _q_doc_chunks,
         "stream_interval_join": _q_stream_interval_join,
@@ -4570,6 +4806,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_asof": _q_time_travel_asof,
         "time_travel_snapshot": _q_time_travel_snapshot,
         "vacuum_retention": _q_vacuum_retention,
+        "hudi_mor_upsert": _q_hudi_mor_upsert,
+        "iceberg_schema_travel": _q_iceberg_schema_travel,
+        "iceberg_manifest_prune": _q_iceberg_manifest_prune,
+        "typed_partition_read": _q_typed_partition_read,
+        "avro_complex_roundtrip": _q_avro_complex_roundtrip,
+        "bm25_batch": _q_bm25_batch,
+        "clustered_fg_read": _q_clustered_fg_read,
+        "correlations": _q_correlations,
+        "custom_udf_stats": _q_custom_udf_stats,
+        "dbapi_scan": _q_dbapi_scan,
+        "dirty_names_sanitized": _q_dirty_names_sanitized,
+        "dsir_sample": _q_dsir_sample,
+        "entropy_uniqueness": _q_entropy_uniqueness,
+        "fv_batch_query": _q_fv_batch_query,
+        "hudi_fg_upsert": _q_hudi_fg_upsert,
+        "hudi_log_delete": _q_hudi_log_delete,
+        "iceberg_fg_upsert": _q_iceberg_fg_upsert,
+        "iceberg_incremental": _q_iceberg_incremental,
+        "iceberg_read": _q_iceberg_read,
+        "json_extract": _q_json_extract,
+        "kafka_encode_roundtrip": _q_kafka_encode_roundtrip,
+        "kafka_materialize": _q_kafka_materialize,
+        "knn_ann": _q_knn_ann,
+        "knn_ivf": _q_knn_ivf,
+        "lag_features": _q_lag_features,
+        "materialization_job": _q_materialization_job,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_verified": _q_minhash_verified,
+        "multimodal_decode": _q_multimodal_decode,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "partitioned_fg_read": _q_partitioned_fg_read,
+        "percentiles_exact": _q_percentiles_exact,
+        "pit_join_multi": _q_pit_join_multi,
+        "pit_join_range": _q_pit_join_range,
+        "pit_join_skew": _q_pit_join_skew,
+        "pit_join_ttl": _q_pit_join_ttl,
+        "retrieval_metrics": _q_retrieval_metrics,
+        "rolling_features": _q_rolling_features,
+        "simhash": _q_simhash,
+        "spine_pit_join": _q_spine_pit_join,
+        "split_statistics": _q_split_statistics,
+        "stats_commit_window": _q_stats_commit_window,
+        "streaming_dedup": _q_streaming_dedup,
+        "td_avro_roundtrip": _q_td_avro_roundtrip,
+        "td_csv_roundtrip": _q_td_csv_roundtrip,
+        "td_tfrecord_roundtrip": _q_td_tfrecord_roundtrip,
+        "temperature_sample": _q_temperature_sample,
+        "text_analysis": _q_text_analysis,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "value_counts": _q_value_counts,
     }
 
 
@@ -4744,6 +5030,48 @@ _SW_ES = "'el','la','los','que','y','es','en','un','por','con'"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "delta_stats_prune": """
+            SELECT o_orderkey, o_totalprice FROM orders
+        """,
+        "hudi_partition_prune": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 3
+        """,
+        "external_fg_pushdown": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > 100000.0
+        """,
+        "batch_window_prune": """
+            WITH spine AS (
+              SELECT event_id, user_id, date_trunc('day', ts)::TIMESTAMP AS ts
+              FROM events
+            ),
+            feat AS (
+              SELECT o_custkey, ots, o_totalprice FROM (
+                SELECT o_custkey,
+                       date_trunc('month', o_orderdate)::TIMESTAMP AS ots,
+                       o_totalprice, o_orderstatus,
+                       row_number() OVER (
+                         PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+                         ORDER BY o_totalprice DESC, o_orderstatus DESC
+                       ) AS rn
+                FROM orders
+              ) WHERE rn = 1
+            )
+            SELECT spine.event_id, spine.user_id, spine.ts,
+                   feat.o_totalprice AS ord_o_totalprice
+            FROM spine ASOF LEFT JOIN feat
+              ON spine.user_id = feat.o_custkey AND spine.ts >= feat.ots
+            WHERE spine.ts >= TIMESTAMP '2024-01-08'
+              AND spine.ts < TIMESTAMP '2024-01-22'
+        """,
+        "iceberg_bounds_prune": """
+            SELECT o_orderkey, o_totalprice FROM orders
+        """,
         "hudi_mor_upsert": """
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice * 5
@@ -5778,22 +6106,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rn = 1
         """,
-        "text_stats": """
-            SELECT doc_id, LENGTH(text) AS n_chars_calc,
-                   LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9'']+'),
-                                   x -> LENGTH(x) > 0)) AS n_tokens
-            FROM documents
-        """,
         "embedding_fetch": """
             SELECT vec_id, label FROM embeddings
             WHERE vec_id % 7 = 0 AND vec_id >= 0 AND vec_id < 200
-        """,
-        "knn_cosine": f"""
-            SELECT vec_id, label,
-                   ROUND(-LIST_COSINE_SIMILARITY(embedding::DOUBLE[], {_QV_01})::DOUBLE, 6)
-                     AS distance
-            FROM embeddings
-            ORDER BY distance ASC, vec_id ASC LIMIT 10
         """,
         "knn_l2": f"""
             SELECT vec_id, label,
@@ -5922,59 +6237,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cluster,
                    (a.vec_id IN (SELECT dup_id FROM dups)) AS is_dup
             FROM assign a
-        """,
-        "text_language": """
-            WITH w AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
-                                 x -> length(x) > 0) AS words
-              FROM documents
-            ), s AS (
-              SELECT doc_id,
-                len(list_filter(words, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS s_en,
-                len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
-                len(list_filter(words, x -> x IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS s_fr,
-                len(list_filter(words, x -> x IN ('el','la','los','que','y','es','en','un','por','con'))) AS s_es
-              FROM w
-            )
-            SELECT doc_id, CASE
-              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-              ELSE 'de' END AS lang_pred
-            FROM s
-        """,
-        "text_quality": """
-            WITH w AS (
-              SELECT doc_id, text,
-                     length(text) AS n_chars,
-                     list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
-                                 x -> length(x) > 0) AS words,
-                     length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha,
-                     length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
-              FROM documents
-            ), m AS (
-              SELECT doc_id, n_chars, alpha, punct,
-                     len(words) AS n_words,
-                     len(list_filter(words, x -> x IN (
-                       'the','and','of','to','is','in','that','it','for','with',
-                       'der','die','das','und','ist','nicht','ein','mit','für','auf',
-                       'le','la','les','et','est','dans','pour','que','une','des',
-                       'el','la','los','que','y','es','en','un','por','con'))) AS stop_hits,
-                     COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars
-              FROM w
-            )
-            SELECT doc_id, ROUND(
-                0.25 * least(n_chars / 500.0, 1.0)
-              + 0.25 * (CASE WHEN n_chars > 0 THEN alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
-              + 0.2  * (CASE WHEN n_chars > 0 THEN 1.0 - least(punct * 5.0 / n_chars, 1.0) ELSE 0.0 END)
-              + 0.15 * (CASE WHEN n_words > 0 THEN least(stop_hits * 3.0 / n_words, 1.0) ELSE 0.0 END)
-              + 0.15 * (CASE WHEN n_words > 0
-                             AND word_chars / CAST(n_words AS DOUBLE) >= 3
-                             AND word_chars / CAST(n_words AS DOUBLE) <= 10
-                        THEN 1.0 ELSE 0.5 END), 6) AS quality
-            FROM m
         """,
         "text_tokens_bpe": """
             WITH w AS (
@@ -6216,36 +6478,6 @@ def oracle_sql() -> dict[str, str]:
         # code = argmin over centroids of d² rounded to 9 dp, ties by
         # centroid index — the same engine-portable formulation the
         # Spark side compiles to Column exprs (similarity.py train_pq)
-        "pq_codes": """
-            WITH v AS (
-              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-            ),
-            seeds AS (
-              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
-              FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
-            ),
-            sub AS (
-              SELECT v.vec_id, m.m, v.e[m.m*8+1 : m.m*8+8] AS sv
-              FROM v, range(0, 8) m(m)
-            ),
-            cent AS (
-              SELECT s.ci, m.m, s.ce[m.m*8+1 : m.m*8+8] AS cv
-              FROM seeds s, range(0, 8) m(m)
-            ),
-            scored AS (
-              SELECT sub.vec_id, sub.m, cent.ci,
-                     ROUND(list_sum(list_transform(range(1, 9),
-                           i -> (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i]))), 9) AS d
-              FROM sub JOIN cent ON sub.m = cent.m
-            )
-            SELECT vec_id, CAST(m AS INT) AS subspace, CAST(ci AS INT) AS code
-            FROM (
-              SELECT vec_id, m, ci,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                        ORDER BY d ASC, ci ASC) AS rn
-              FROM scored
-            ) WHERE rn = 1
-        """,
         "knn_pq": f"""
             WITH v AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

@@ -1328,8 +1328,154 @@ def main():
 #    vs a FASTER oracle sample; its 5M-distinct exact-count floor note
 #    stands.
 
+def hint_ab():
+    """A/B for VERDICT r14 watch-item #2: does the compiler's hint
+    bookkeeping (filter + keep-set computation, read_source hint
+    kwargs) add measurable plan time to the small scheduling-floor
+    queries? Runs b1/b2 shapes N times compiled with push_hints on vs
+    off (compile_query knob, same exact semantics) and prints mins.
+    Invoke: python bench.py --hint-ab  (never concurrently with the
+    main board)."""
+    from feature_store_api_spark.plans.compiler import compile_query
+
+    spark = get_spark("fsas-bench-ab")
+    read_parquet(spark, f"{SF_DIR}/nation.parquet").count()
+    cat = testdata_catalog(spark, SF_DIR)
+
+    def q_b1():
+        li = cat.get_feature_group("lineitem")
+        return (
+            li.select(["l_orderkey", "l_linenumber", "l_extendedprice",
+                       "l_discount", "l_shipdate"])
+            .filter((li.l_shipdate < "1996-01-01") & (li.l_discount >= 0.05))
+        )
+
+    def q_b2():
+        o, c, n = (cat.get_feature_group(x)
+                   for x in ("orders", "customer", "nation"))
+        return (
+            o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+            .join(c.select(["c_custkey", "c_name", "c_nationkey"]),
+                  left_on=["o_custkey"], right_on=["c_custkey"])
+            .join(n.select(["n_name"]),
+                  left_on=["c_nationkey"], right_on=["n_nationkey"],
+                  prefix="nat_")
+            .filter(o.o_totalprice > 100000)
+        )
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+    out = {}
+    for name, qf in (("b1", q_b1), ("b2", q_b2)):
+        for hints in (True, False):
+            # warmup (codegen) then timed
+            _force(compile_query(qf(), spark, push_hints=hints))
+            ts = []
+            for _ in range(runs):
+                t0 = time.time()
+                _force(compile_query(qf(), spark, push_hints=hints))
+                ts.append(round(time.time() - t0, 4))
+            key = f"{name}_hints_{'on' if hints else 'off'}"
+            out[key] = {"min": min(ts), "median": sorted(ts)[len(ts) // 2],
+                        "samples": ts}
+            print(f"# {key}: min {min(ts)} median {sorted(ts)[len(ts)//2]} "
+                  f"{ts}", file=sys.stderr)
+    print(json.dumps({"metric": "hint_ab", "sf": SF, "results": out}))
+
+
+def prune_ab():
+    """One-number quantification of the r14/r15 pruning machinery
+    (VERDICT r14 #6): a FeatureView batch-window read over MANAGED
+    event-time-partitioned groups, timed with the window hints active
+    (normal path: spine gets both bounds, feature side the PIT-safe
+    upper bound -> PartitionFilters under the PIT window) vs with
+    _event_bound_hint disabled (the pre-r15 behavior: full scan, the
+    range applied only above the window). Invoke:
+    python bench.py --prune-ab."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_view import FeatureView
+
+    spark = get_spark("fsas-bench-prune")
+    read_parquet(spark, f"{SF_DIR}/nation.parquet").count()
+    tmp = tempfile.mkdtemp(prefix="bench_prune_")
+    try:
+        ev = read_parquet(spark, f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id",
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("ts"),
+        )
+        feat = (
+            read_parquet(spark, f"{SF_DIR}/orders.parquet")
+            .select(
+                "o_custkey",
+                F.date_trunc("month", F.col("o_orderdate"))
+                .cast("timestamp_ntz").alias("ots"),
+                "o_totalprice", "o_orderstatus",
+            )
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("o_custkey", "ots").orderBy(
+                    F.col("o_totalprice").desc(),
+                    F.col("o_orderstatus").desc())))
+            .where(F.col("rn") == 1).drop("rn")
+        )
+        fs = FeatureStore(root=tmp)
+        sfg = fs.create_feature_group(
+            "pa_events", primary_key=["event_id"], event_time="ts",
+            partition_key=["ts"])
+        sfg.insert(ev.coalesce(8), compute_stats=False)
+        ffg = fs.create_feature_group(
+            "pa_orders", primary_key=["o_custkey"], event_time="ots",
+            partition_key=["ots"])
+        ffg.insert(feat.coalesce(8), compute_stats=False)
+        fv = fs.create_feature_view(
+            "pa_view",
+            sfg.select(["event_id", "user_id", "ts"]).join(
+                ffg.select(["o_totalprice"]),
+                left_on=["user_id"], right_on=["o_custkey"],
+                prefix="ord_"))
+
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+        out = {}
+        real_hint = FeatureView._event_bound_hint
+
+        def read_window():
+            fv.get_batch_data(
+                spark, start_time=dt.datetime(2024, 1, 8),
+                end_time=dt.datetime(2024, 1, 22),
+            ).write.format("noop").mode("overwrite").save()
+
+        for mode in ("pruned", "unpruned"):
+            if mode == "unpruned":
+                FeatureView._event_bound_hint = staticmethod(
+                    lambda fg, start_ms=None, end_ms=None: None)
+            try:
+                read_window()  # codegen warmup
+                ts = []
+                for _ in range(runs):
+                    t0 = time.time()
+                    read_window()
+                    ts.append(round(time.time() - t0, 4))
+            finally:
+                FeatureView._event_bound_hint = real_hint
+            out[mode] = {"min": min(ts),
+                         "median": sorted(ts)[len(ts) // 2],
+                         "samples": ts}
+            print(f"# batch_window {mode}: min {min(ts)} median "
+                  f"{sorted(ts)[len(ts)//2]} {ts}", file=sys.stderr)
+        print(json.dumps({"metric": "prune_ab", "sf": SF, "results": out}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--hint-ab" in sys.argv:
+        hint_ab()
+    elif "--prune-ab" in sys.argv:
+        prune_ab()
+    else:
+        main()
 
 # ---------------------------------------------------------------------------
 # APPENDIX — r13 session board (VERDICT r12 #4 normalization follow-through)

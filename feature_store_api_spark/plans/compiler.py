@@ -118,23 +118,25 @@ def _compile_node(
     # columns. Names the source cannot resolve are simply dropped from
     # the pushed projection (a default-valued feature may legitimately
     # be absent), never an error.
-    cols_hint: List[str] = []
-    for c in (
-        [f.name for f in q.left_features]
-        + list(extra_keep)
-        + [k for j in q.joins for k in _join_keys(q, j)[0]]
-        + [f.name for f in fg.features if (id(fg), f.name) in filter_refs]
-        # identity/ordering columns stay readable even when unselected:
-        # online latest-per-key resolution and downstream tooling key
-        # on them
-        + list(fg.primary_key)
-        + list(getattr(fg, "partition_key", []) or [])
-        + ([fg.event_time] if fg.event_time else [])
-        + ([getattr(fg, "precombine_key", None)]
-           if getattr(fg, "precombine_key", None) else [])
-    ):
-        if c not in cols_hint:
-            cols_hint.append(c)
+    cols_hint: Optional[List[str]] = None
+    if push_hints:
+        cols_hint = []
+        for c in (
+            [f.name for f in q.left_features]
+            + list(extra_keep)
+            + [k for j in q.joins for k in _join_keys(q, j)[0]]
+            + [f.name for f in fg.features if (id(fg), f.name) in filter_refs]
+            # identity/ordering columns stay readable even when
+            # unselected: online latest-per-key resolution and
+            # downstream tooling key on them
+            + list(fg.primary_key)
+            + list(getattr(fg, "partition_key", []) or [])
+            + ([fg.event_time] if fg.event_time else [])
+            + ([getattr(fg, "precombine_key", None)]
+               if getattr(fg, "precombine_key", None) else [])
+        ):
+            if c not in cols_hint:
+                cols_hint.append(c)
     df = _normalize_columns(
         fg.read_source(
             spark, q.start_time, q.end_time,
@@ -316,12 +318,17 @@ def _make_resolver(colmap):
 
 
 def compile_query(
-    q, spark: SparkSession, online: bool = False, skip_filters: bool = False
+    q, spark: SparkSession, online: bool = False, skip_filters: bool = False,
+    push_hints: bool = True,
 ) -> DataFrame:
     """``skip_filters=True`` compiles the plan WITHOUT the query's
     WHERE conditions — the online-preview contract: the reference's
     preview statement strips everything from `` WHERE `` and appends
-    LIMIT (``core/online_store_sql_engine.py:464-465``)."""
+    LIMIT (``core/online_store_sql_engine.py:464-465``).
+
+    ``push_hints=False`` keeps the exact semantics but skips handing
+    filter/projection hints to sources — an A/B knob for measuring the
+    hint bookkeeping's plan-time cost (bench.py appendix)."""
     logic_all = q.filters
     filter_refs = (
         {
@@ -333,7 +340,8 @@ def compile_query(
         else set()
     )
     df, sel, colmap, pending = _compile_node(
-        q, spark, online, filter_refs, push_hints=not skip_filters
+        q, spark, online, filter_refs,
+        push_hints=push_hints and not skip_filters,
     )
 
     cond = None

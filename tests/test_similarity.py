@@ -743,3 +743,40 @@ def test_backticked_column_names_handled(spark):
         distance_expr("we`ird", [1.0, 0.0], "l2").alias("d")
     ).first()
     assert out["d"] == 0.0
+
+
+def test_exact_knn_cosine_and_l2_match_numpy(emb):
+    """Brute-force find_neighbors distance math pinned against numpy
+    for BOTH metrics (r15 retirement backing: the knn_cosine oracle
+    row retired in favor of knn_batch/knn_ann/knn_l2 — this keeps the
+    exact cosine path independently value-verified)."""
+    import numpy as np
+
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist())
+    q = np.array([0.1] * 16)
+
+    got_cos = sim.find_neighbors(
+        emb, list(q), col="embedding", k=7, metric="cosine"
+    ).select("vec_id", "distance").collect()
+    # engine's cosine "distance" is NEGATED similarity (same
+    # ordering as 1 - cos, stays a min-heap ascending sort key)
+    cos = -(mat @ q) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    )
+    order = np.argsort(cos, kind="stable")[:7]
+    expect = {int(pdf["vec_id"][i]): float(cos[i]) for i in order}
+    assert len(got_cos) == 7
+    for r in got_cos:
+        assert r["vec_id"] in expect
+        assert abs(r["distance"] - expect[r["vec_id"]]) < 1e-6
+
+    got_l2 = sim.find_neighbors(
+        emb, list(q), col="embedding", k=7, metric="l2"
+    ).select("vec_id", "distance").collect()
+    l2 = np.linalg.norm(mat - q, axis=1)
+    order = np.argsort(l2, kind="stable")[:7]
+    expect = {int(pdf["vec_id"][i]): float(l2[i]) for i in order}
+    for r in got_l2:
+        assert r["vec_id"] in expect
+        assert abs(r["distance"] - expect[r["vec_id"]]) < 1e-6

@@ -197,3 +197,55 @@ def test_gopher_quality_flags(spark):
     assert not out[2]["pass_word_count"] and not out[2]["passes_gopher"]
     assert not out[3]["pass_symbol_ratio"] and not out[3]["pass_alpha_words"]
     assert out[4]["bullet_line_ratio"] == 0.75 and out[4]["pass_bullet_lines"]
+
+
+def test_text_ops_value_pins(spark):
+    """Hand-computed value pins for the per-document text operators
+    (r15 retirement backing: oracle rows text_stats / text_quality /
+    text_language retired in favor of text_analysis, which composes
+    exactly these ops — these pins keep each op independently
+    verified)."""
+    from feature_store_api_spark.operators.text import (
+        language_id, quality_score, token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog"),
+            (2, "der schnelle braune fuchs und der hund"),
+            (3, "zz9!!"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tok"),
+            language_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    # whitespace token counts
+    assert out[1]["n_tok"] == 8
+    assert out[2]["n_tok"] == 7
+    assert out[4]["n_tok"] == 0
+    # stopword-argmax language id; no markers -> 'und'
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "de"
+    assert out[3]["lang"] == "und"
+    # quality: exact blend for doc 1 (36 chars, 8 words, all-alpha
+    # except 8 spaces, 0 punct, stopword hits: the, and, the = 3,
+    # mean word len 29/8)
+    import math
+    len_score = 36 / 500.0
+    alpha_ratio = 29 / 36.0
+    punct_penalty = 1.0
+    stop_ratio = min(3 * 3.0 / 8, 1.0)
+    wl_score = 1.0  # 29/8 = 3.625 in [3, 10]
+    expect = round(
+        0.25 * len_score + 0.25 * alpha_ratio + 0.2 * punct_penalty
+        + 0.15 * stop_ratio + 0.15 * wl_score, 6)
+    assert math.isclose(out[1]["q"], expect, abs_tol=1e-9)
+    # degenerate strings stay in [0, 1]
+    assert 0.0 <= out[3]["q"] <= 1.0 and 0.0 <= out[4]["q"] <= 1.0

@@ -125,6 +125,32 @@ class FeatureView:
             leaves.append((et, "<", ms_to_dt(end_ms)))
         return leaves or None
 
+    @staticmethod
+    def _staleness_ms(stale) -> Optional[int]:
+        """A declared ``max_staleness`` TTL as epoch-milliseconds, or
+        None when it isn't a fixed timestamp duration (numeric
+        staleness belongs to numeric event times, which never get a
+        bound hint anyway)."""
+        import datetime as _dt
+        import re as _re
+
+        if isinstance(stale, _dt.timedelta):
+            return int(stale.total_seconds() * 1000)
+        if isinstance(stale, str):
+            m = _re.match(
+                r"^\s*(\d+)\s+"
+                r"(millisecond|second|minute|hour|day|week)s?\s*$",
+                stale,
+            )
+            if m:
+                unit_ms = {
+                    "millisecond": 1, "second": 1000, "minute": 60_000,
+                    "hour": 3_600_000, "day": 86_400_000,
+                    "week": 604_800_000,
+                }[m.group(2)]
+                return int(m.group(1)) * unit_ms
+        return None
+
     def _pit_plan(
         self,
         spark: SparkSession,
@@ -188,11 +214,24 @@ class FeatureView:
         for join in self.query.joins:
             sub = join.query
             fg = sub.left_feature_group
+            # PIT-safe feature-side bounds (docstring above): the upper
+            # bound always; a LOWER bound only when the group declares
+            # a max_staleness TTL — then any surviving spine row
+            # (spine_ts >= start) can only pick feature rows at
+            # feature_ts >= spine_ts - staleness >= start - staleness,
+            # so everything older is dead weight (and a spine row with
+            # no in-window feature row is NULL either way)
+            f_start_ms = None
+            if event_start_ms is not None and fg.event_time:
+                ttl_ms = self._staleness_ms(
+                    getattr(fg, "max_staleness", None)
+                )
+                if ttl_ms is not None:
+                    f_start_ms = event_start_ms - ttl_ms
             rdf = fg.read_source(
                 spark, sub.start_time, sub.end_time,
                 filters=(
-                    # PIT-safe: only the upper bound (docstring above)
-                    self._event_bound_hint(fg, None, event_end_ms)
+                    self._event_bound_hint(fg, f_start_ms, event_end_ms)
                     if fg.event_time else None
                 ),
             )

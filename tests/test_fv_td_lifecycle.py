@@ -455,3 +455,71 @@ def test_batch_window_pushes_event_bounds_into_sources(spark, tmp_path):
         assert seen["bw_left"] is None and seen["bw_feat"] is None
     finally:
         FeatureGroup.read_source = orig
+
+
+def test_batch_window_ttl_lower_bound_on_feature_side(spark, tmp_path):
+    """With a declared max_staleness TTL the feature side also gets a
+    PIT-safe LOWER bound (start - staleness): a surviving spine row at
+    spine_ts >= start can only match feature_ts >= spine_ts -
+    staleness, so older feature history prunes too. Results must stay
+    identical to the TTL-only (unhinted-lower) semantics."""
+    import datetime as dt
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_group import FeatureGroup
+
+    fs = FeatureStore(root=str(tmp_path))
+    left = fs.create_feature_group(
+        "tb_left", primary_key=["k"], event_time="ts")
+    left.insert(spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10)), (2, dt.datetime(2024, 1, 12))],
+        "k long, ts timestamp_ntz"))
+    feat = fs.create_feature_group(
+        "tb_feat", primary_key=["k"], event_time="fts",
+        max_staleness="7 days")
+    feat.insert(spark.createDataFrame(
+        [
+            (1, dt.datetime(2023, 6, 1), -1.0),   # stale: never matchable
+            (1, dt.datetime(2024, 1, 9), 9.0),
+            (2, dt.datetime(2024, 1, 11), 11.0),
+        ],
+        "k long, fts timestamp_ntz, v double"))
+    fv = fs.create_feature_view(
+        "tb_view", left.select_all().join(feat.select(["v"]), on=["k"]))
+
+    seen = {}
+    orig = FeatureGroup.read_source
+
+    def spy(self, spark_, start_time=None, end_time=None, filters=None,
+            columns=None):
+        seen[self.name] = filters
+        return orig(self, spark_, start_time, end_time, filters=filters,
+                    columns=columns)
+
+    FeatureGroup.read_source = spy
+    try:
+        got = fv.get_batch_data(
+            spark, start_time=dt.datetime(2024, 1, 8),
+            end_time=dt.datetime(2024, 1, 15),
+        )
+        rows = sorted((r["k"], r["v"]) for r in got.collect())
+    finally:
+        FeatureGroup.read_source = orig
+    assert rows == [(1, 9.0), (2, 11.0)]
+    ff = seen["tb_feat"]
+    assert [(c, o) for (c, o, _v) in ff] == [("fts", ">="), ("fts", "<")]
+    assert ff[0][2] == dt.datetime(2024, 1, 1)   # start - 7 days
+    assert ff[1][2] == dt.datetime(2024, 1, 15)
+
+    # without a TTL the lower bound must NOT be pushed
+    feat.max_staleness = None
+    FeatureGroup.read_source = spy
+    try:
+        seen.clear()
+        fv.get_batch_data(
+            spark, start_time=dt.datetime(2024, 1, 8),
+            end_time=dt.datetime(2024, 1, 15),
+        ).collect()
+    finally:
+        FeatureGroup.read_source = orig
+    assert [(c, o) for (c, o, _v) in seen["tb_feat"]] == [("fts", "<")]

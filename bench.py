@@ -1363,22 +1363,27 @@ def hint_ab():
             .filter(o.o_totalprice > 100000)
         )
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
     out = {}
     for name, qf in (("b1", q_b1), ("b2", q_b2)):
-        for hints in (True, False):
-            # warmup (codegen) then timed
-            _force(compile_query(qf(), spark, push_hints=hints))
-            ts = []
-            for _ in range(runs):
+        # warm BOTH configs first, then INTERLEAVE samples — a
+        # sequential on-then-off order would hand the second config all
+        # the shared warm-up (relation caches, codegen) and fake a win
+        _force(compile_query(qf(), spark, push_hints=True))
+        _force(compile_query(qf(), spark, push_hints=False))
+        ts = {True: [], False: []}
+        for _ in range(runs):
+            for hints in (True, False):
                 t0 = time.time()
                 _force(compile_query(qf(), spark, push_hints=hints))
-                ts.append(round(time.time() - t0, 4))
+                ts[hints].append(round(time.time() - t0, 4))
+        for hints in (True, False):
             key = f"{name}_hints_{'on' if hints else 'off'}"
-            out[key] = {"min": min(ts), "median": sorted(ts)[len(ts) // 2],
-                        "samples": ts}
-            print(f"# {key}: min {min(ts)} median {sorted(ts)[len(ts)//2]} "
-                  f"{ts}", file=sys.stderr)
+            v = ts[hints]
+            out[key] = {"min": min(v), "median": sorted(v)[len(v) // 2],
+                        "samples": v}
+            print(f"# {key}: min {min(v)} median {sorted(v)[len(v)//2]} "
+                  f"{v}", file=sys.stderr)
     print(json.dumps({"metric": "hint_ab", "sf": SF, "results": out}))
 
 
@@ -1402,9 +1407,28 @@ def prune_ab():
     read_parquet(spark, f"{SF_DIR}/nation.parquet").count()
     tmp = tempfile.mkdtemp(prefix="bench_prune_")
     try:
-        ev = read_parquet(spark, f"{SF_DIR}/events.parquet").select(
-            "event_id", "user_id",
-            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("ts"),
+        # a YEAR of day-partitioned spine history (the testdata's
+        # events span ~3 weeks; replicate across 12 month offsets so
+        # the 2-week window is ~4% of the table — the scenario the
+        # pushdown exists for: "a one-week batch read of a year of
+        # date-partitioned history must not scan every file")
+        base = read_parquet(spark, f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id", "ts"
+        )
+        months = spark.range(12).select(
+            F.col("id").cast("int").alias("moff"))
+        ev = (
+            base.crossJoin(months)
+            .select(
+                (F.col("event_id") + F.col("moff") * 10_000_000)
+                .alias("event_id"),
+                "user_id",
+                F.date_trunc(
+                    "day", F.col("ts") - F.expr(
+                        "make_interval(0, moff, 0, 0, 0, 0, 0)")
+                ).cast("timestamp_ntz").alias("ts"),
+            )
+            .repartition(48, "ts")
         )
         feat = (
             read_parquet(spark, f"{SF_DIR}/orders.parquet")
@@ -1424,7 +1448,7 @@ def prune_ab():
         sfg = fs.create_feature_group(
             "pa_events", primary_key=["event_id"], event_time="ts",
             partition_key=["ts"])
-        sfg.insert(ev.coalesce(8), compute_stats=False)
+        sfg.insert(ev, compute_stats=False)
         ffg = fs.create_feature_group(
             "pa_orders", primary_key=["o_custkey"], event_time="ots",
             partition_key=["ots"])
@@ -1438,6 +1462,18 @@ def prune_ab():
 
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
         out = {}
+        # the scale-faithful operand: ROWS the spine scan feeds into
+        # the PIT union with vs without the window hint (at bench SF
+        # the absolute seconds are dominated by fixed plan/scheduling
+        # costs; at 100 TB the scan bytes ARE the cost)
+        hint = [("ts", ">=", dt.datetime(2024, 1, 8)),
+                ("ts", "<", dt.datetime(2024, 1, 22))]
+        out["spine_rows_scanned"] = {
+            "pruned": sfg.read_source(spark, filters=hint).count(),
+            "unpruned": sfg.read_source(spark).count(),
+        }
+        print(f"# spine rows into the PIT union: "
+              f"{out['spine_rows_scanned']}", file=sys.stderr)
         real_hint = FeatureView._event_bound_hint
 
         def read_window():
@@ -1522,3 +1558,34 @@ if __name__ == "__main__":
 # r13's 3.30 was the same shape sampled before the floor was reached.
 # Board: BENCH_r14_session.json (b6 vs_oracle_min improved 4.0->2.69;
 # b1 2.87 / b2 5.52 within the pinned scheduling-floor band).
+
+# ---------------------------------------------------------------------------
+# APPENDIX — r15 A/Bs: hint bookkeeping cost + batch-window pruning win
+# ---------------------------------------------------------------------------
+# 1. HINT OVERHEAD (VERDICT r14 watch-item #2: "confirm the b2 drift is
+#    floor noise, not hint overhead"). python bench.py --hint-ab,
+#    interleaved 9-sample pairs, sf0.1, same box/session:
+#      b1 hints ON  min 0.1927  median 0.2606
+#      b1 hints OFF min 0.1853  median 0.2337
+#      b2 hints ON  min 0.2706  median 0.3178
+#      b2 hints OFF min 0.2657  median 0.3344
+#    Delta on mins: b1 +7 ms, b2 +5 ms — inside per-sample noise
+#    (spreads 0.19-0.31 / 0.27-0.52), and b2's MEDIAN is lower WITH
+#    hints. Verdict: the r14 b2 vs_oracle_min creep (5.0 -> 5.52) is
+#    floor/session noise, not hint bookkeeping; the floor pin stands.
+#    The keep-set walk is pure list arithmetic (~us per node); the
+#    compile-time knob (compile_query(push_hints=False)) stays for
+#    future re-checks.
+# 2. BATCH-WINDOW PRUNING WIN (VERDICT r14 #6). python bench.py
+#    --prune-ab: a 2-week get_batch_data window over a YEAR of
+#    day-partitioned spine history (1.2 M rows, 365 partitions, sf0.1),
+#    with the r15 event-time hint active vs disabled:
+#      spine rows into the PIT union: 46,651 pruned vs 1,200,000
+#        unpruned (25.7x less scanned)
+#      wall clock: pruned min 2.656 / median 3.040 vs unpruned min
+#        3.269 / median 3.589 (~19% faster END-TO-END at a scale where
+#        fixed plan+scheduling costs dominate the 2.6 s)
+#    The rows-scanned operand is the one that scales: at 100 TB the
+#    window-to-history ratio IS the cost ratio, because the pruned
+#    partitions' files are never opened (PartitionFilters below the
+#    PIT window — plan-pinned in tests/test_fv_td_lifecycle.py).

@@ -1474,7 +1474,10 @@ def prune_ab():
         }
         print(f"# spine rows into the PIT union: "
               f"{out['spine_rows_scanned']}", file=sys.stderr)
-        real_hint = FeatureView._event_bound_hint
+        # class access strips the staticmethod wrapper; keep the raw
+        # descriptor so the finally-restore doesn't leave a plain
+        # function that would bind self on later instance access
+        real_hint = FeatureView.__dict__["_event_bound_hint"]
 
         def read_window():
             fv.get_batch_data(

@@ -566,7 +566,8 @@ class IcebergBackend(CommitLogBackend):
                     if not name.endswith(".parquet"):
                         continue
                     src = os.path.join(root, name)
-                    if pq.ParquetFile(src).metadata.num_rows == 0:
+                    md = pq.ParquetFile(src).metadata
+                    if md.num_rows == 0:
                         # empty task outputs (shuffle partitions that
                         # received no rows): a real Iceberg writer
                         # never commits them, and every skipped entry
@@ -578,7 +579,6 @@ class IcebergBackend(CommitLogBackend):
                         else ["data", commit_id, name]
                     )
                     dst = os.path.join(self.location, rel)
-                    md = pq.ParquetFile(src).metadata
                     if commit_time is None and md.num_row_groups:
                         sch = md.schema.to_arrow_schema()
                         if COMMIT_COL in sch.names:

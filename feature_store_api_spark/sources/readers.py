@@ -323,13 +323,21 @@ def read(
             ref=ref,
             filters=filters,
         )
-        # read_iceberg weakens conservatively on bind loss (correct for
-        # the compiler/backend hint path, which re-applies the exact
-        # predicate at plan root); a DIRECT caller has no such safety
-        # net, so mirror the sibling formats: partial binding re-applies
-        # the bound part (idempotent over the internal residual), TOTAL
-        # loss raises instead of returning an unfiltered superset
-        return _residual_where(df, filters) if filters is not None else df
+        # read_iceberg weakens conservatively on bind loss and has
+        # already applied its own residual row predicate — here only
+        # the TOTAL-loss gate is added, mirroring the sibling formats:
+        # a caller whose filter binds to NOTHING gets a loud error, not
+        # a silently unfiltered superset. No second predicate is built
+        # (the internal residual covered whatever bound). On the
+        # compiler hint path this raise is equivalent to the root
+        # resolver's own unresolvable-feature error.
+        if filters is not None:
+            from .iceberg_prune import bind_residual, normalize_filters
+
+            bind_residual(
+                normalize_filters(filters), df.columns, "the source"
+            )
+        return df
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:
             raise ValueError(

@@ -413,18 +413,21 @@ def test_batch_window_pushes_event_bounds_into_sources(spark, tmp_path):
 
     FeatureGroup.read_source = spy
     try:
-        # physical pin: delete the February partition's parquet files —
-        # an unpruned spine scan would have to open them
+        got = fv.get_batch_data(
+            spark, start_time=dt.datetime(2024, 1, 1),
+            end_time=dt.datetime(2024, 2, 1),
+        )
+        # physical pin AFTER the plan is built (the file index has
+        # already listed every surviving file): delete the February
+        # partition's parquet files — an unpruned plan holds them in
+        # its file index and dies reading them at execution; the
+        # pruned plan never touches them
         feb = glob.glob(_os.path.join(
             left.location, "**", "ts=2024-02-15*", "*.parquet"),
             recursive=True)
         assert feb, "expected a hive partition dir for the Feb slice"
         for p in feb:
             _os.remove(p)
-        got = fv.get_batch_data(
-            spark, start_time=dt.datetime(2024, 1, 1),
-            end_time=dt.datetime(2024, 2, 1),
-        )
         # plan pin: the subtree lands in the spine scan's
         # PartitionFilters — BELOW the PIT window the root predicate
         # cannot cross (backend.scan applies it over the file source)
@@ -472,7 +475,8 @@ def test_batch_window_ttl_lower_bound_on_feature_side(spark, tmp_path):
     left = fs.create_feature_group(
         "tb_left", primary_key=["k"], event_time="ts")
     left.insert(spark.createDataFrame(
-        [(1, dt.datetime(2024, 1, 10)), (2, dt.datetime(2024, 1, 12))],
+        [(1, dt.datetime(2024, 1, 10)), (2, dt.datetime(2024, 1, 12)),
+         (3, dt.datetime(2024, 1, 10)), (4, dt.datetime(2024, 1, 10))],
         "k long, ts timestamp_ntz"))
     feat = fs.create_feature_group(
         "tb_feat", primary_key=["k"], event_time="fts",
@@ -482,6 +486,13 @@ def test_batch_window_ttl_lower_bound_on_feature_side(spark, tmp_path):
             (1, dt.datetime(2023, 6, 1), -1.0),   # stale: never matchable
             (1, dt.datetime(2024, 1, 9), 9.0),
             (2, dt.datetime(2024, 1, 11), 11.0),
+            # k=3's ONLY match sits in [start - ttl, start): the exact
+            # interval the widened lower bound must keep — a bound
+            # narrowed to >= start would wrongly NULL this row
+            (3, dt.datetime(2024, 1, 5), 35.0),
+            # k=4's only row is older than start - ttl: TTL nulls it
+            # with or without the hint
+            (4, dt.datetime(2023, 12, 25), -4.0),
         ],
         "k long, fts timestamp_ntz, v double"))
     fv = fs.create_feature_view(
@@ -505,7 +516,7 @@ def test_batch_window_ttl_lower_bound_on_feature_side(spark, tmp_path):
         rows = sorted((r["k"], r["v"]) for r in got.collect())
     finally:
         FeatureGroup.read_source = orig
-    assert rows == [(1, 9.0), (2, 11.0)]
+    assert rows == [(1, 9.0), (2, 11.0), (3, 35.0), (4, None)]
     ff = seen["tb_feat"]
     assert [(c, o) for (c, o, _v) in ff] == [("fts", ">="), ("fts", "<")]
     assert ff[0][2] == dt.datetime(2024, 1, 1)   # start - 7 days

@@ -579,7 +579,23 @@ class FeatureView:
             version = max(existing, default=0) + 1
         td_dir = os.path.join(root, f"td_{version}")
 
-        df = self._pit_plan(spark, spine)
+        # time_splits carve exact [start, end) ranges out of the PIT
+        # frame, so their convex hull is a pushable window exactly like
+        # get_batch_data's: rows outside the hull appear in NO split,
+        # and every split row sits below max(end) — the PIT-safe upper
+        # bound for feature sides. Unbounded splits (a None start/end)
+        # leave that side unhinted.
+        ev_start = ev_end = None
+        if time_splits and self.query.left_feature_group.event_time:
+            starts = [s for (_n, s, _e) in time_splits]
+            ends = [e for (_n, _s, e) in time_splits]
+            if all(s is not None for s in starts):
+                ev_start = min(to_epoch_millis(s) for s in starts)
+            if all(e is not None for e in ends):
+                ev_end = max(to_epoch_millis(e) for e in ends)
+        df = self._pit_plan(
+            spark, spine, event_start_ms=ev_start, event_end_ms=ev_end
+        )
         drop = [c for c in self.inference_helper_columns if c in df.columns]
         if not training_helper_columns:
             drop += [

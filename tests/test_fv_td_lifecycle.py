@@ -534,3 +534,64 @@ def test_batch_window_ttl_lower_bound_on_feature_side(spark, tmp_path):
     finally:
         FeatureGroup.read_source = orig
     assert [(c, o) for (c, o, _v) in seen["tb_feat"]] == [("fts", "<")]
+
+
+def test_time_splits_training_dataset_pushes_window_hull(spark, tmp_path):
+    """create_training_dataset(time_splits=) pushes the splits' convex
+    hull [min(start), max(end)) into the source scans the same way
+    get_batch_data pushes its window (spine both bounds, feature sides
+    the PIT-safe upper bound); an unbounded split side leaves that
+    side unhinted. Split contents must be byte-identical to the
+    unhinted path."""
+    import datetime as dt
+
+    from feature_store_api_spark import FeatureStore
+    from feature_store_api_spark.feature_group import FeatureGroup
+
+    fs = FeatureStore(root=str(tmp_path))
+    left = fs.create_feature_group(
+        "ts_left", primary_key=["k"], event_time="ts",
+        partition_key=["ts"])
+    left.insert(spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, d), float(k))
+         for k, d in [(1, 2), (2, 10), (3, 12), (4, 20), (5, 28)]],
+        "k long, ts timestamp_ntz, x double"))
+    fv = fs.create_feature_view("ts_view", left.select_all())
+
+    seen = {}
+    orig = FeatureGroup.read_source
+
+    def spy(self, spark_, start_time=None, end_time=None, filters=None,
+            columns=None):
+        seen[self.name] = filters
+        return orig(self, spark_, start_time, end_time, filters=filters,
+                    columns=columns)
+
+    splits = [
+        ("train", dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)),
+        ("test", dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 25)),
+    ]
+    FeatureGroup.read_source = spy
+    try:
+        meta = fv.create_training_dataset(spark, time_splits=splits)
+    finally:
+        FeatureGroup.read_source = orig
+    hint = seen["ts_left"]
+    assert [(c, o) for (c, o, _v) in hint] == [("ts", ">="), ("ts", "<")]
+    assert hint[0][2] == dt.datetime(2024, 1, 8)    # min(start)
+    assert hint[1][2] == dt.datetime(2024, 1, 25)   # max(end)
+    td = fv.read_training_dataset(spark, meta["version"])
+    assert sorted(r["k"] for r in td["train"].collect()) == [2, 3]
+    assert sorted(r["k"] for r in td["test"].collect()) == [4]  # k=5 out
+
+    # an unbounded end leaves the upper side unhinted
+    FeatureGroup.read_source = spy
+    try:
+        seen.clear()
+        fv.create_training_dataset(
+            spark,
+            time_splits=[("train", dt.datetime(2024, 1, 8), None)],
+        )
+    finally:
+        FeatureGroup.read_source = orig
+    assert [(c, o) for (c, o, _v) in seen["ts_left"]] == [("ts", ">=")]

@@ -202,20 +202,37 @@ def _snapshot_files(
     data: List[dict] = []
     pos_del: List[dict] = []
     eq_del: List[dict] = []
+    kept: List[dict] = []
     for mf in manifests:
-        mf_seq = int(mf.get("sequence_number") or 0)
-        mf_spec = mf.get("partition_spec_id")
         if (
             pruner is not None
-            and not pruner.keep_manifest(mf, mf_spec)
+            and not pruner.keep_manifest(mf, mf.get("partition_spec_id"))
         ):
             # whole manifest out of range: never even opened
             if stats is not None:
                 stats["manifests_skipped"] += 1
             continue
-        entries = _manifest_entries(
+        kept.append(mf)
+    # many-manifest tables: open/decode manifests concurrently — the
+    # file read and the deflate decompress both release the GIL, so
+    # threads overlap the I/O that dominates planning on 10k-manifest
+    # tables (iceberg-java plans with a worker pool the same way).
+    # ordered map keeps the plan deterministic.
+    def _load(mf: dict) -> List[dict]:
+        return _manifest_entries(
             _fs_path(mf["manifest_path"], table_path), table_path
         )
+
+    if len(kept) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(kept))) as ex:
+            entry_lists = list(ex.map(_load, kept))
+    else:
+        entry_lists = [_load(mf) for mf in kept]
+    for mf, entries in zip(kept, entry_lists):
+        mf_seq = int(mf.get("sequence_number") or 0)
+        mf_spec = mf.get("partition_spec_id")
         for e in entries:
             if int(e.get("status") or 0) == 2:
                 continue  # DELETED entries are history, not state

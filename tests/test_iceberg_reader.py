@@ -2147,3 +2147,42 @@ def test_iceberg_backend_partitioned_summary_manifest_prune(spark, tmp_path):
     _os.remove(m_zz)  # the pin: an unpruned plan must open this
     got = read_iceberg(spark, loc, filters=("region", "==", "aa"))
     assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+
+def test_iceberg_many_manifest_planning_parallel_path(spark, tmp_path):
+    """A snapshot whose manifest list carries >8 manifests plans
+    through the threaded decode path (scale follow-on: manifest
+    open/decode is the driver-side planning cost on many-manifest
+    tables) and produces exactly the same file set, pruning and rows
+    as the sequential path."""
+    import struct
+
+    from feature_store_api_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path / "ice_many")
+
+    def b(x):
+        return struct.pack("<q", x)
+
+    mfs = []
+    n = 12
+    for i in range(n):
+        fp = os.path.join(root, "data", f"d{i}.parquet")
+        _pq({"k": [i * 10, i * 10 + 5], "v": [float(i), float(i) + 0.5],
+             "part": [None, None]}, fp)
+        m = _p_manifest(root, f"m{i}.avro", [
+            _p_entry(fp, lo={"1": b(i * 10)}, hi={"1": b(i * 10 + 5)}),
+        ])
+        mfs.append((m, 1, None))
+    ml = _p_manifest_list(root, "s1.avro", mfs)
+    _p_metadata(root, ml, partitioned=False)
+
+    out = read_iceberg(spark, root)
+    assert out.count() == 2 * n
+    assert sorted(r["k"] for r in out.collect())[:4] == [0, 5, 10, 15]
+
+    # entry bounds still prune through the threaded path
+    plan = {}
+    got = read_iceberg(spark, root, filters=("k", ">=", 100), plan_out=plan)
+    assert plan["data_files_pruned"] == 10
+    assert sorted(r["k"] for r in got.collect()) == [100, 105, 110, 115]

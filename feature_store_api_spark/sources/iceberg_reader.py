@@ -225,60 +225,74 @@ def _snapshot_files(
 
     if len(kept) > 8:
         from concurrent.futures import ThreadPoolExecutor
+        from contextlib import ExitStack
 
-        with ThreadPoolExecutor(max_workers=min(16, len(kept))) as ex:
-            entry_lists = list(ex.map(_load, kept))
+        stack = ExitStack()
+        ex = stack.enter_context(
+            ThreadPoolExecutor(max_workers=min(16, len(kept)))
+        )
+        # LAZY map: each manifest's entry list is droppable as soon as
+        # the consuming loop moves on — materializing all of them at
+        # once would hold every decoded entry (pruned and deleted ones
+        # included) live on the driver for the whole walk
+        entry_lists = ex.map(_load, kept)
     else:
-        entry_lists = [_load(mf) for mf in kept]
-    for mf, entries in zip(kept, entry_lists):
-        mf_seq = int(mf.get("sequence_number") or 0)
-        mf_spec = mf.get("partition_spec_id")
-        for e in entries:
-            if int(e.get("status") or 0) == 2:
-                continue  # DELETED entries are history, not state
-            df_ = e.get("data_file") or {}
-            if pruner is not None and not pruner.keep_entry(
-                df_, mf_spec,
-                partition_only=int(df_.get("content") or 0) != 0,
-            ):
-                if stats is not None:
-                    key = (
-                        "data_files_pruned"
-                        if int(df_.get("content") or 0) == 0
-                        else "delete_files_pruned"
+        stack = None
+        entry_lists = (_load(mf) for mf in kept)
+    try:
+        mf_iter = zip(kept, entry_lists)
+        for mf, entries in mf_iter:
+            mf_seq = int(mf.get("sequence_number") or 0)
+            mf_spec = mf.get("partition_spec_id")
+            for e in entries:
+                if int(e.get("status") or 0) == 2:
+                    continue  # DELETED entries are history, not state
+                df_ = e.get("data_file") or {}
+                if pruner is not None and not pruner.keep_entry(
+                    df_, mf_spec,
+                    partition_only=int(df_.get("content") or 0) != 0,
+                ):
+                    if stats is not None:
+                        key = (
+                            "data_files_pruned"
+                            if int(df_.get("content") or 0) == 0
+                            else "delete_files_pruned"
+                        )
+                        stats[key] = stats.get(key, 0) + 1
+                    continue
+                seq = e.get("sequence_number")
+                seq = mf_seq if seq is None else int(seq)
+                fmt = (df_.get("file_format") or "PARQUET").upper()
+                content = int(df_.get("content") or 0)
+                if fmt not in ("PARQUET", "AVRO", "ORC") or (
+                    fmt != "PARQUET" and content != 0
+                ):
+                    raise NotImplementedError(
+                        f"Iceberg {fmt} files are not supported by this "
+                        "jarless reader (parquet everywhere; avro/orc for "
+                        "DATA files)"
                     )
-                    stats[key] = stats.get(key, 0) + 1
-                continue
-            seq = e.get("sequence_number")
-            seq = mf_seq if seq is None else int(seq)
-            fmt = (df_.get("file_format") or "PARQUET").upper()
-            content = int(df_.get("content") or 0)
-            if fmt not in ("PARQUET", "AVRO", "ORC") or (
-                fmt != "PARQUET" and content != 0
-            ):
-                raise NotImplementedError(
-                    f"Iceberg {fmt} files are not supported by this "
-                    "jarless reader (parquet everywhere; avro/orc for "
-                    "DATA files)"
-                )
-            rec = {
-                "path": _fs_path(df_["file_path"], table_path),
-                "uri": df_["file_path"],
-                "seq": seq,
-                "fmt": fmt,
-                "rows": int(df_.get("record_count") or 0),
-                "equality_ids": list(df_.get("equality_ids") or []),
-            }
-            if content == 0:
-                data.append(rec)
-            elif content == 1:
-                pos_del.append(rec)
-            elif content == 2:
-                eq_del.append(rec)
-            else:
-                raise NotImplementedError(
-                    f"Iceberg data_file content {content}"
-                )
+                rec = {
+                    "path": _fs_path(df_["file_path"], table_path),
+                    "uri": df_["file_path"],
+                    "seq": seq,
+                    "fmt": fmt,
+                    "rows": int(df_.get("record_count") or 0),
+                    "equality_ids": list(df_.get("equality_ids") or []),
+                }
+                if content == 0:
+                    data.append(rec)
+                elif content == 1:
+                    pos_del.append(rec)
+                elif content == 2:
+                    eq_del.append(rec)
+                else:
+                    raise NotImplementedError(
+                        f"Iceberg data_file content {content}"
+                    )
+    finally:
+        if stack is not None:
+            stack.close()
     return data, pos_del, eq_del
 
 

@@ -307,11 +307,17 @@ def read(
         if start is not None:
             end = opts.get("end-snapshot-id")
             # filters prune at manifest level inside the incremental
-            # planner too (plus the exact residual row predicate)
-            return iceberg_incremental(
+            # planner too (plus the exact residual row predicate);
+            # same direct-caller contract as the snapshot path below:
+            # total bind loss raises, the bound predicate re-applies
+            inc = iceberg_incremental(
                 spark, path, int(start),
                 int(end) if end is not None else None,
                 filters=filters,
+            )
+            return (
+                _residual_where(inc, filters)
+                if filters is not None else inc
             )
         sid = opts.get("snapshot-id")
         ts = opts.get("as-of-timestamp")
@@ -323,21 +329,17 @@ def read(
             ref=ref,
             filters=filters,
         )
-        # read_iceberg weakens conservatively on bind loss and has
-        # already applied its own residual row predicate — here only
-        # the TOTAL-loss gate is added, mirroring the sibling formats:
-        # a caller whose filter binds to NOTHING gets a loud error, not
-        # a silently unfiltered superset. No second predicate is built
-        # (the internal residual covered whatever bound). On the
-        # compiler hint path this raise is equivalent to the root
-        # resolver's own unresolvable-feature error.
-        if filters is not None:
-            from .iceberg_prune import bind_residual, normalize_filters
-
-            bind_residual(
-                normalize_filters(filters), df.columns, "the source"
-            )
-        return df
+        # read_iceberg weakens conservatively on bind loss (correct
+        # for the hint path, whose caller re-applies the exact
+        # predicate at plan root); a DIRECT caller has no safety net,
+        # so mirror the sibling formats: bind against the OUTPUT
+        # columns, raise on TOTAL loss, and re-apply the bound
+        # predicate. The re-application is not redundant — the
+        # internal residual was remapped against the CURRENT schema
+        # first, so a column that left the schema while still present
+        # in the physical files (no-field-id tables keep the wider
+        # frame) is filtered only here.
+        return _residual_where(df, filters) if filters is not None else df
     if fmt in ("tfrecord", "tfrecords"):
         if schema is None:
             raise ValueError(

@@ -80,6 +80,21 @@ def _utc_naive_values(rec: Dict) -> Dict:
     return out
 
 
+def _aware_to_naive_utc(rec: Dict) -> Dict:
+    """Coerce only tz-AWARE datetime values to naive UTC; naive values
+    pass through untouched (the arrow read path's naive values are
+    already UTC — see ``_utc_naive_values`` for the collect-path twin
+    whose naive-as-local inverse must NOT be applied here)."""
+    import datetime as _dt
+
+    out = {}
+    for k, v in rec.items():
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        out[k] = v
+    return out
+
+
 def _portable_str(v) -> Optional[str]:
     """Python-side string form matching Spark's ``CAST(x AS STRING)``
     for the pk types we bucket on (int, str). Returns None for types
@@ -426,11 +441,24 @@ class OnlineStore:
             def _sort_key(rec):
                 # ascending, nulls first (≡ pick-max desc_nulls_last);
                 # the 0 placeholder is only ever compared against other
-                # placeholders (the presence flag decides first)
-                return tuple(
-                    (v is not None, v if v is not None else 0)
-                    for v in (rec.get(c) for c in order)
-                )
+                # placeholders (the presence flag decides first).
+                # tz-aware datetimes coerce to naive UTC so a store
+                # whose files mix INT96 (naive through arrow) and
+                # int64-utc (aware) still sorts instead of raising
+                import datetime as _dt
+
+                vals = []
+                for c in order:
+                    v = rec.get(c)
+                    if (
+                        isinstance(v, _dt.datetime)
+                        and v.tzinfo is not None
+                    ):
+                        v = v.astimezone(
+                            _dt.timezone.utc
+                        ).replace(tzinfo=None)
+                    vals.append((v is not None, v if v is not None else 0))
+                return tuple(vals)
 
             rows.sort(key=_sort_key)
             by_key: Dict = {}
@@ -443,9 +471,18 @@ class OnlineStore:
                 if rec is None:
                     out.append(None)
                 else:
-                    out.append(
+                    # clock-domain: arrow's NAIVE datetimes are already
+                    # UTC (write-time session pin) and stay untouched —
+                    # only tz-AWARE values (int64-utc-adjusted files)
+                    # coerce to naive UTC, else the same instant would
+                    # compare unequal to the collect path. NOT funneled
+                    # through _utc_naive_values: its naive-as-local
+                    # inverse is for collect() rows, and it would also
+                    # trip on the naive pandas.Timestamp objects arrow
+                    # yields for ns-precision (INT96) columns
+                    out.append(_aware_to_naive_utc(
                         {c: rec.get(c) for c in columns if c not in drop}
-                    )
+                    ))
             return out
         except FileNotFoundError:
             raise

@@ -532,11 +532,19 @@ class IcebergBackend(CommitLogBackend):
             # timestamps (INT96 — Spark's default — is not a legal
             # Iceberg physical type, and it also carries no footer
             # min/max, so bounds would silently vanish); pin the
-            # writer conf for the staged write, restore after
+            # writer conf for the staged write, restore after. The
+            # session-wide mutation only happens when the frame
+            # actually CARRIES a TimestampType column (NTZ always
+            # writes int64) — zero exposure window otherwise
+            has_ltz = any(
+                isinstance(f.dataType, T.TimestampType)
+                for f in df.schema.fields
+            )
             sess = df.sparkSession
             tt_key = "spark.sql.parquet.outputTimestampType"
-            prev_tt = sess.conf.get(tt_key)
-            sess.conf.set(tt_key, "TIMESTAMP_MICROS")
+            prev_tt = sess.conf.get(tt_key) if has_ltz else None
+            if has_ltz:
+                sess.conf.set(tt_key, "TIMESTAMP_MICROS")
             try:
                 if user_parts:
                     staged = df
@@ -548,7 +556,8 @@ class IcebergBackend(CommitLogBackend):
                 else:
                     df.write.mode("overwrite").parquet(stage)
             finally:
-                sess.conf.set(tt_key, prev_tt)
+                if has_ltz:
+                    sess.conf.set(tt_key, prev_tt)
             # rel, rows, bytes, partition values, column stats
             files: List[Tuple[str, int, int, Dict, Dict]] = []
             commit_time: Optional[int] = None

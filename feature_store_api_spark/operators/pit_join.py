@@ -273,30 +273,68 @@ def _pit_skew_probe(
 
 
 def _cand_struct_type(feature_df, feature_ts, features, precombine):
-    """The (t, p, v) candidate struct's type, built Python-side from
+    """The (t[, p], v) candidate struct's type, built Python-side from
     the feature frame's (cached) schema — analyzing the constructed
     side frame instead costs one Catalyst round trip PER feature group
-    per call (~100 ms of driver latency on the fused multi-FG path)."""
+    per call (~100 ms of driver latency on the fused multi-FG path).
+
+    Without a precombine key the ``p`` field is omitted entirely
+    (r15): it was a constant 0.0 riding every feature row through the
+    union shuffle and the window agg buffers — 8 bytes/row of pure
+    ballast. The running max's total order is unchanged: with ``p``
+    constant, comparison fell through to ``v`` exactly as (t, v)
+    does."""
     from pyspark.sql import types as T
 
     fields = {f.name: f for f in feature_df.schema.fields}
-    return T.StructType(
-        [
-            T.StructField("t", fields[feature_ts].dataType,
-                          fields[feature_ts].nullable),
-            T.StructField("p", T.DoubleType(), bool(precombine)),
-            T.StructField(
-                "v",
-                T.StructType(
-                    [
-                        T.StructField(f, fields[f].dataType, fields[f].nullable)
-                        for f in features
-                    ]
-                ),
-                False,
+    struct = [
+        T.StructField("t", fields[feature_ts].dataType,
+                      fields[feature_ts].nullable),
+    ]
+    if precombine:
+        struct.append(T.StructField("p", T.DoubleType(), True))
+    struct.append(
+        T.StructField(
+            "v",
+            T.StructType(
+                [
+                    T.StructField(f, fields[f].dataType, fields[f].nullable)
+                    for f in features
+                ]
             ),
-        ]
+            False,
+        )
     )
+    return T.StructType(struct)
+
+
+def _pit_recover_map(spine, keys, spine_ts, feature_schemas, feature_ts_types):
+    """Spine columns recoverable from the union's own columns instead
+    of riding the shuffle twice as ``__s_<c>`` ballast (r15, guide
+    §2.3 "project before the exchange"):
+
+    * a key column equals the union key on side=1 rows — recoverable
+      whenever NO feature side's key type widens the union column
+      (unionByName would otherwise change the output type);
+    * the spine timestamp equals ``__ts`` on side=1 rows — recoverable
+      when every feature_ts has the identical type.
+
+    Returns ``{spine_col: union_col}``. Everything else still rides as
+    ``__s_<c>``."""
+    recover = {}
+    spine_fields = {f.name: f.dataType for f in spine.schema.fields}
+    for k in keys:
+        if k in spine_fields and all(
+            fs.get(k) == spine_fields[k] for fs in feature_schemas
+        ):
+            recover[k] = k
+    if (
+        spine_ts in spine_fields
+        and spine_ts not in recover
+        and all(t == spine_fields[spine_ts] for t in feature_ts_types)
+    ):
+        recover[spine_ts] = "__ts"
+    return recover
 
 
 def _pit_build_union(
@@ -304,21 +342,23 @@ def _pit_build_union(
 ) -> DataFrame:
     """The shared union frame both union-window strategies sort: keys +
     ``__ts`` + ``__side`` (0=feature, 1=spine) + the ``__cand``
-    (ts, precombine, payload) struct (NULL on spine rows so running
-    maxes skip them) + the spine payload columns (NULL on feature
-    rows)."""
+    (ts[, precombine], payload) struct (NULL on spine rows so running
+    maxes skip them) + the NON-recoverable spine payload columns (NULL
+    on feature rows; key/spine_ts columns are recovered from the union
+    itself — see :func:`_pit_recover_map`)."""
     payload = F.struct(*[F.col(f) for f in features])
-    pre = (
-        F.col(precombine)
-        if precombine
-        else F.lit(0)
-    )
-    cand = F.struct(
-        F.col(feature_ts).alias("t"),
-        pre.cast("double").alias("p"),
-        payload.alias("v"),
-    )
+    cand_fields = [F.col(feature_ts).alias("t")]
+    if precombine:
+        cand_fields.append(F.col(precombine).cast("double").alias("p"))
+    cand_fields.append(payload.alias("v"))
+    cand = F.struct(*cand_fields)
     cand_type = _cand_struct_type(feature_df, feature_ts, features, precombine)
+    recover = _pit_recover_map(
+        spine, keys, spine_ts,
+        [{f.name: f.dataType for f in feature_df.schema.fields}],
+        [feature_df.schema[feature_ts].dataType],
+    )
+    carry = [c for c in spine.columns if c not in recover]
 
     fg_side = feature_df.select(
         *[F.col(k) for k in keys],
@@ -326,21 +366,23 @@ def _pit_build_union(
         F.lit(0).alias("__side"),
         cand.alias("__cand"),
         *[F.lit(None).cast(spine.schema[c].dataType).alias(f"__s_{c}")
-          for c in spine.columns],
+          for c in carry],
     )
     spine_side = spine.select(
         *[F.col(k) for k in keys],
         F.col(spine_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(cand_type).alias("__cand"),
-        *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
+        *[F.col(c).alias(f"__s_{c}") for c in carry],
     )
-    return fg_side.unionByName(spine_side)
+    return fg_side.unionByName(spine_side), recover
 
 
-def _pit_project_out(matched, spine, features, out_names, max_staleness):
+def _pit_project_out(matched, spine, features, out_names, max_staleness,
+                     recover):
     """Final projection shared by the union-window strategies: restore
-    spine columns, unpack the matched payload, apply the TTL null-out."""
+    spine columns (recoverable ones straight from the union columns),
+    unpack the matched payload, apply the TTL null-out."""
     if max_staleness is not None:
         # __ts on the surviving (side=1) rows IS the spine timestamp
         fresh = F.col("__match").getField("t") >= _staleness_cutoff(
@@ -357,7 +399,11 @@ def _pit_project_out(matched, spine, features, out_names, max_staleness):
             for f, n in zip(features, out_names)
         ]
     return matched.select(
-        *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
+        *[
+            (F.col(recover[c]) if c in recover else F.col(f"__s_{c}"))
+            .alias(c)
+            for c in spine.columns
+        ],
         *out_cols,
     )
 
@@ -382,13 +428,15 @@ def _pit_union_window(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = _pit_build_union(
+    unioned, recover = _pit_build_union(
         spine, feature_df, keys, spine_ts, feature_ts, features, precombine
     )
     matched = unioned.withColumn(
         "__match", F.max(F.col("__cand")).over(w)
     ).where(F.col("__side") == 1)
-    return _pit_project_out(matched, spine, features, out_names, max_staleness)
+    return _pit_project_out(
+        matched, spine, features, out_names, max_staleness, recover
+    )
 
 
 def _bucketed_running_max(
@@ -522,7 +570,7 @@ def _pit_union_window_skew(
     plain strategy: same total (ts, precombine, payload) max, same tie
     semantics (equal timestamps land in the same bucket by
     construction)."""
-    unioned = _pit_build_union(
+    unioned, recover = _pit_build_union(
         spine, feature_df, keys, spine_ts, feature_ts, features, precombine
     )
     matched = _bucketed_running_max(unioned, keys, ["__cand"], skew_buckets)
@@ -535,7 +583,9 @@ def _pit_union_window_skew(
             out_names, precombine, max_staleness,
         )
     matched = matched.withColumn("__match", F.col("__match___cand"))
-    return _pit_project_out(matched, spine, features, out_names, max_staleness)
+    return _pit_project_out(
+        matched, spine, features, out_names, max_staleness, recover
+    )
 
 
 def _pit_range_join(
@@ -686,15 +736,23 @@ def _pit_union_window_many(
             }
         )
 
+    recover = _pit_recover_map(
+        spine, keys, spine_ts,
+        [{f.name: f.dataType for f in s["df"].schema.fields} for s in specs],
+        [s["df"].schema[s["ts"]].dataType for s in specs],
+    )
+    carry = [c for c in spine.columns if c not in recover]
+
     sides = []
     cand_types = {}
     for i, s in enumerate(specs):
-        pre = F.col(s["pre"]) if s["pre"] else F.lit(0)
-        cand = F.struct(
-            F.col(s["ts"]).alias("t"),
-            pre.cast("double").alias("p"),
-            F.struct(*[F.col(f) for f in s["features"]]).alias("v"),
+        cand_fields = [F.col(s["ts"]).alias("t")]
+        if s["pre"]:
+            cand_fields.append(F.col(s["pre"]).cast("double").alias("p"))
+        cand_fields.append(
+            F.struct(*[F.col(f) for f in s["features"]]).alias("v")
         )
+        cand = F.struct(*cand_fields)
         side = s["df"].select(
             *[F.col(k) for k in keys],
             F.col(s["ts"]).alias("__ts"),
@@ -721,7 +779,7 @@ def _pit_union_window_many(
                 ],
                 *[
                     F.lit(None).cast(spine.schema[c].dataType).alias(f"__s_{c}")
-                    for c in spine.columns
+                    for c in carry
                 ],
             )
         )
@@ -733,7 +791,7 @@ def _pit_union_window_many(
             F.lit(None).cast(cand_types[j]).alias(f"__cand{j}")
             for j in range(len(specs))
         ],
-        *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
+        *[F.col(c).alias(f"__s_{c}") for c in carry],
     )
 
     unioned = spine_side
@@ -764,7 +822,11 @@ def _pit_union_window_many(
         return F.when(fresh, v)
 
     return matched.select(
-        *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
+        *[
+            (F.col(recover[c]) if c in recover else F.col(f"__s_{c}"))
+            .alias(c)
+            for c in spine.columns
+        ],
         *[
             _field(i, s, f).alias(n)
             for i, s in enumerate(specs)

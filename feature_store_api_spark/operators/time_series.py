@@ -201,6 +201,17 @@ def label_window_join(
     if span <= 0:
         raise ValueError(f"horizon must be positive, got {horizon!r}")
 
+    # key columns equal the union key on side=1 rows — recover them
+    # from the union itself instead of shipping a `__s_<k>` twin
+    # through the shuffle (r15, guide §2.3), unless a type mismatch
+    # means the union would coerce the key column's type
+    spine_fields = {f.name: f.dataType for f in spine.schema.fields}
+    ev_fields = {f.name: f.dataType for f in events.schema.fields}
+    recover = {
+        k: k for k in keys
+        if k in spine_fields and ev_fields.get(k) == spine_fields[k]
+    }
+    carry = [c for c in spine.columns if c not in recover]
     ev_side = events.select(
         *[F.col(k) for k in keys],
         _axis_micros(events, event_ts).alias("__ax"),
@@ -208,7 +219,7 @@ def label_window_join(
         F.col(value_col).cast("double").alias("__v"),
         *[
             F.lit(None).cast(spine.schema[c].dataType).alias(f"__s_{c}")
-            for c in spine.columns
+            for c in carry
         ],
     )
     spine_side = spine.select(
@@ -216,7 +227,7 @@ def label_window_join(
         _axis_micros(spine, spine_ts).alias("__ax"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("double").alias("__v"),
-        *[F.col(c).alias(f"__s_{c}") for c in spine.columns],
+        *[F.col(c).alias(f"__s_{c}") for c in carry],
     )
     w = (
         Window.partitionBy(*keys)
@@ -235,6 +246,10 @@ def label_window_join(
     for a in aggs:
         u = u.withColumn(f"{prefix}{a}", exprs[a].over(w))
     return u.where(F.col("__side") == 1).select(
-        *[F.col(f"__s_{c}").alias(c) for c in spine.columns],
+        *[
+            (F.col(recover[c]) if c in recover else F.col(f"__s_{c}"))
+            .alias(c)
+            for c in spine.columns
+        ],
         *[F.col(f"{prefix}{a}") for a in aggs],
     )

@@ -229,6 +229,17 @@ def temperature_sample(
 #: driver-side from the bucket-offset aggregate
 _NS_BCAST_ITEMS = 2_000_000
 
+#: plan-keyed cache of the candidate table's bucket-count vector (the
+#: ONE eager aggregate negative_sampling pays per call, ≤ index_buckets
+#: rows). Signatures/bucket assignment are deterministic given
+#: (hash_fn, seed, index_buckets), so repeated sampling against the
+#: same candidate catalog — the serving pattern: a stable item catalog
+#: sampled every training run — re-derives an identical vector; keying
+#: on the analyzed plan's semanticHash means any new catalog
+#: commit/file set naturally misses (the same contract as
+#: pit_join's probe/bounds caches).
+_NS_OFFSETS_CACHE: dict = {}
+
 
 def negative_sampling(
     positives: DataFrame,
@@ -292,12 +303,20 @@ def negative_sampling(
     items = items.withColumn(
         "__nsb", F.pmod(bh, F.lit(index_buckets)).cast("int")
     )
-    cnt_rows = sorted(
-        (r["__nsb"], r["cnt"])
-        for r in items.groupBy("__nsb")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
+    from .pit_join import _cache_put, _plan_key
+
+    ck = _plan_key(candidates, item_col, hash_fn, seed, index_buckets)
+    if ck is not None and ck in _NS_OFFSETS_CACHE:
+        cnt_rows = _NS_OFFSETS_CACHE[ck]
+    else:
+        cnt_rows = sorted(
+            (r["__nsb"], r["cnt"])
+            for r in items.groupBy("__nsb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        if ck is not None:
+            _cache_put(_NS_OFFSETS_CACHE, ck, cnt_rows)
     m = sum(c for _, c in cnt_rows)
     if m == 0:
         raise ValueError("negative_sampling: empty candidates")

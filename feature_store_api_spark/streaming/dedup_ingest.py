@@ -155,11 +155,14 @@ def streaming_dedup_ingest(
             how="left_anti",
         ).localCheckpoint(eager=True)
 
-        n_seen = batch_df.count()
         n_kept = survivors.count()
         if stats is not None:
+            # the batch-size count exists only for the stats observer —
+            # without one it was a whole extra scan of the source batch
+            # every micro-batch (r15; the kept-count reads the
+            # checkpointed survivors and stays)
             stats.batches += 1
-            stats.seen += n_seen
+            stats.seen += batch_df.count()
             stats.accepted += n_kept
 
         if not fg._features and n_kept:

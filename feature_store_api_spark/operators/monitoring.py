@@ -272,6 +272,27 @@ def _bin_counts(df: DataFrame, column: str, mn: float, width: float, buckets: in
     return counts
 
 
+def _ref_minmax(ref: DataFrame, column: str):
+    """Reference [min, max] for drift binning: parquet FOOTER statistics
+    when the reference is a provably plain file scan (exact, driver-side,
+    zero jobs — same guard as ``statistics._file_scan_minmax``; double
+    footer stats are not truncated, so they equal the aggregate's
+    values bit-for-bit), else one tiny min/max aggregate. Returns
+    ``(mn, mx)`` or ``(None, None)`` for an all-null/empty reference."""
+    from .statistics import _file_scan_minmax
+
+    fm = _file_scan_minmax(ref.select(column), [column])
+    if column in fm:
+        return float(fm[column][0]), float(fm[column][1])
+    mm = ref.agg(
+        F.min(F.col(column).cast("double")).alias("mn"),
+        F.max(F.col(column).cast("double")).alias("mx"),
+    ).collect()[0]
+    if mm["mn"] is None:
+        return None, None
+    return float(mm["mn"]), float(mm["mx"])
+
+
 def distribution_drift(
     detection: DataFrame,
     reference: DataFrame,
@@ -294,19 +315,21 @@ def distribution_drift(
     - ``ks_statistic``: max CDF gap over bin boundaries (binned
       approximation of two-sample KS).
     """
-    mm = reference.agg(
-        F.min(F.col(column).cast("double")).alias("mn"),
-        F.max(F.col(column).cast("double")).alias("mx"),
-    ).collect()[0]
-    if mm["mn"] is None:
+    mn, mx = _ref_minmax(reference, column)
+    if mn is None:
         return {
             "psi": None, "js_divergence": None, "ks_statistic": None,
             "detection_count": 0, "reference_count": 0,
         }
-    mn, mx = float(mm["mn"]), float(mm["mx"])
     width = (mx - mn) or 1.0
-    det = _bin_counts(detection, column, mn, width, buckets)
-    ref = _bin_counts(reference, column, mn, width, buckets)
+    # the two window bin passes are independent jobs — overlap them
+    # (guide §2.6) instead of serializing two small scans
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        det_f = pool.submit(_bin_counts, detection, column, mn, width, buckets)
+        ref = _bin_counts(reference, column, mn, width, buckets)
+        det = det_f.result()
     n_det, n_ref = sum(det), sum(ref)
     if n_det == 0 or n_ref == 0:
         return {
@@ -365,13 +388,9 @@ def windowed_drift(
     import math
 
     ref = reference if reference is not None else df
-    mm = ref.agg(
-        F.min(F.col(column).cast("double")).alias("mn"),
-        F.max(F.col(column).cast("double")).alias("mx"),
-    ).collect()[0]
-    if mm["mn"] is None:
+    mn, mx = _ref_minmax(ref, column)
+    if mn is None:
         raise ValueError("windowed_drift: reference has no non-null values")
-    mn, mx = float(mm["mn"]), float(mm["mx"])
     width = (mx - mn) or 1.0
     ref_counts = _bin_counts(ref, column, mn, width, buckets)
     n_ref = sum(ref_counts)

@@ -333,11 +333,21 @@ def find_neighbors_batch(
     spark = index_df.sparkSession
     rows = []
     for qid, vec in queries:
-        rows.append((qid, _qsig(vec, num_planes, seed), [float(v) for v in vec]))
+        vec = [float(v) for v in vec]
+        # query norm driver-side, same left-to-right summation order as
+        # the JVM fold it replaces — bit-identical doubles
+        qn = sum(x * x for x in vec) ** 0.5
+        rows.append((qid, _qsig(vec, num_planes, seed), vec, qn))
     qdf = spark.createDataFrame(
-        rows, "query_id string, __qsig long, __qv array<double>"
+        rows, "query_id string, __qsig long, __qv array<double>, __qn double"
     )
-    cand = index_df.join(
+    base = index_df
+    if metric == "cosine":
+        # the row's own norm is query-independent: fold it ONCE per
+        # index row before the join instead of once per surviving
+        # (row x query) pair (r15; same expression, same value)
+        base = base.withColumn("__vnorm", _norm(F.col(col)))
+    cand = base.join(
         F.broadcast(qdf),
         F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qsig"))) <= max_hamming,
     )
@@ -352,7 +362,7 @@ def find_neighbors_batch(
             )
         )
     elif metric == "cosine":
-        dist = -(_dot(v, qv) / (_norm(v) * _norm(qv)))
+        dist = -(_dot(v, qv) / (F.col("__vnorm") * F.col("__qn")))
     elif metric == "dot":
         dist = -_dot(v, qv)
     else:
@@ -365,7 +375,7 @@ def find_neighbors_batch(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .drop("__bucket", "__qsig", "__qv")
+        .drop("__bucket", "__qsig", "__qv", "__qn", "__vnorm")
     )
 
 
@@ -397,18 +407,23 @@ def embedding_cosine_dup_pairs(
         " as b)"
         for t in range(num_tables)
     )
-    idx = df.select(id_col, col).withColumn(
-        "__bucket", F.expr(f"explode(array({structs}))")
-    )
+    # the row norm is pair-independent: fold it once per (row, table)
+    # before the self-join instead of twice per candidate pair (r15;
+    # identical expression, identical value)
+    idx = df.select(
+        id_col, col, _norm(F.col(col)).alias("__vn")
+    ).withColumn("__bucket", F.expr(f"explode(array({structs}))"))
     a = idx.select(
-        F.col(id_col).alias("id_a"), F.col(col).alias("__va"), F.col("__bucket")
+        F.col(id_col).alias("id_a"), F.col(col).alias("__va"),
+        F.col("__vn").alias("__na"), F.col("__bucket"),
     )
     b = idx.select(
-        F.col(id_col).alias("id_b"), F.col(col).alias("__vb"), F.col("__bucket")
+        F.col(id_col).alias("id_b"), F.col(col).alias("__vb"),
+        F.col("__vn").alias("__nb"), F.col("__bucket"),
     )
     pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+        F.col("__na") * F.col("__nb")
     )
     return (
         pairs.withColumn("cosine", F.round(cos.cast("double"), 6))
@@ -585,11 +600,19 @@ def find_neighbors_ivf_batch(
             range(len(index.centroids)),
             key=lambda i: (d2(index.centroids[i], vec), i),
         )
-        rows.append((qid, order[:nprobe], [float(v) for v in vec]))
+        vec = [float(v) for v in vec]
+        qn = sum(x * x for x in vec) ** 0.5
+        rows.append((qid, order[:nprobe], vec, qn))
     qdf = spark.createDataFrame(
-        rows, "query_id string, __cells array<int>, __qv array<double>"
+        rows, "query_id string, __cells array<int>, __qv array<double>, "
+        "__qn double"
     )
-    cand = index.df.join(
+    base = index.df
+    if metric == "cosine":
+        # query-independent row norm folded once per row, not once per
+        # (row x query) pair (r15; identical value, same op order)
+        base = base.withColumn("__vnorm", _norm(F.col(col)))
+    cand = base.join(
         F.broadcast(qdf), F.array_contains(F.col("__cells"), F.col("__cell"))
     )
     v, qv = F.col(col), F.col("__qv")
@@ -602,7 +625,7 @@ def find_neighbors_ivf_batch(
             )
         )
     elif metric == "cosine":
-        dist = -(_dot(v, qv) / (_norm(v) * _norm(qv)))
+        dist = -(_dot(v, qv) / (F.col("__vnorm") * F.col("__qn")))
     elif metric == "dot":
         dist = -_dot(v, qv)
     else:
@@ -615,7 +638,7 @@ def find_neighbors_ivf_batch(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .drop("__cell", "__cells", "__qv")
+        .drop("__cell", "__cells", "__qv", "__qn", "__vnorm")
     )
 
 

@@ -1563,6 +1563,37 @@ if __name__ == "__main__":
 # b1 2.87 / b2 5.52 within the pinned scheduling-floor band).
 
 # ---------------------------------------------------------------------------
+# APPENDIX — r15 OPTIMIZATION-ROUND session board
+# ---------------------------------------------------------------------------
+# Full protocol board committed as BENCH_r15_session.json (5-sample
+# medians + mins, x10, extras, DuckDB oracle same session). Highlights
+# vs BENCH_r14_session.json (see OPTIMIZATION_r15.md for the per-change
+# stash/interleave A/Bs that attribute them):
+#
+# 1. vs_oracle_min: b1 1.96 (r14 2.87), b2 3.48 (5.52), b6 3.02 (2.69)
+#    — box-normalized (Spark and DuckDB share the session), so these
+#    moves are real. b1 now sits ON its pinned ~1.9 zero-data
+#    scheduling floor.
+# 2. Round's code wins on this board: b4 0.77x / b5 0.70x (PIT union
+#    shuffle-width trim: exchange 8 -> 6 columns, constant precombine
+#    field dropped), e6 0.60x (drift reference bounds from parquet
+#    footers + overlapped bin passes), e8 0.57x (catalog bucket-offset
+#    plan cache), e9 0.60x (stats-only per-batch count removed).
+#    A uniform ~0.7-0.8x platform factor separates the two boxes —
+#    the A/Bs in OPTIMIZATION_r15.md isolate code effect from box.
+# 3. x10 MEDIAN caveat (same class as the r14 e5 note): co-tenant
+#    spikes landed in b4_x10 (median 13.39, min-scaling 3.71) and
+#    b7_x10 (median 9.48, min-scaling 2.24) — host load was measured
+#    at 9.4 with ZERO local processes mid-round. The min-based
+#    scaling_x10 operands are clean and inside every pinned band.
+# 4. Measured dead ends recorded in OPTIMIZATION_r15.md: shuffled-hash
+#    join session default (b4_x10 interleaved: SHJ 3.163 vs SMJ 3.009
+#    — flat), cheaper MinHash permutation families (the 64 min-agg
+#    buffer updates dominate, not the hashing: nohash 1.49 vs xxhash
+#    1.70 vs 0.69 explode floor at x10), b6 exact-distinct (describe
+#    2.974 == lone countDistinct 3.024 — perfect pass overlap).
+
+# ---------------------------------------------------------------------------
 # APPENDIX — r15 A/Bs: hint bookkeeping cost + batch-window pruning win
 # ---------------------------------------------------------------------------
 # 1. HINT OVERHEAD (VERDICT r14 watch-item #2: "confirm the b2 drift is

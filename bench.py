@@ -1566,27 +1566,29 @@ if __name__ == "__main__":
 # APPENDIX — r15 OPTIMIZATION-ROUND session board
 # ---------------------------------------------------------------------------
 # Full protocol board committed as BENCH_r15_session.json (5-sample
-# medians + mins, x10, extras, DuckDB oracle same session). Highlights
-# vs BENCH_r14_session.json (see OPTIMIZATION_r15.md for the per-change
-# stash/interleave A/Bs that attribute them):
+# medians + mins, x10, extras, DuckDB oracle same session). The
+# committed run is the round's SECOND full board: the first ran under
+# heavy co-tenant load (host load 8-15 with zero local processes; its
+# x10 medians carried 2-4x spikes, b4_x10 median 13.39 vs min-scaling
+# 3.71) and predated the last two code changes; the protocol was
+# repeated on a quiet window (load 0.25) — mins agreed within noise
+# across the two runs, pinning the first run's medians as load.
+# Highlights vs BENCH_r14_session.json (OPTIMIZATION_r15.md holds the
+# per-change stash/interleave A/Bs that attribute them):
 #
-# 1. vs_oracle_min: b1 1.96 (r14 2.87), b2 3.48 (5.52), b6 3.02 (2.69)
+# 1. vs_oracle_min: b1 1.93 (r14 2.87), b2 3.47 (5.52), b6 2.86 (2.69)
 #    — box-normalized (Spark and DuckDB share the session), so these
 #    moves are real. b1 now sits ON its pinned ~1.9 zero-data
 #    scheduling floor.
-# 2. Round's code wins on this board: b4 0.77x / b5 0.70x (PIT union
+# 2. Round's code wins on this board: b4 0.68x / b5 0.66x (PIT union
 #    shuffle-width trim: exchange 8 -> 6 columns, constant precombine
-#    field dropped), e6 0.60x (drift reference bounds from parquet
-#    footers + overlapped bin passes), e8 0.57x (catalog bucket-offset
-#    plan cache), e9 0.60x (stats-only per-batch count removed).
+#    field dropped), e6 0.59x (drift reference bounds from parquet
+#    footers + overlapped bin passes), e8 0.58x (catalog bucket-offset
+#    plan cache), e9 0.58x (stats-only per-batch count removed),
+#    e2 0.62x (one-aggregation incremental dedup, lazy again).
 #    A uniform ~0.7-0.8x platform factor separates the two boxes —
 #    the A/Bs in OPTIMIZATION_r15.md isolate code effect from box.
-# 3. x10 MEDIAN caveat (same class as the r14 e5 note): co-tenant
-#    spikes landed in b4_x10 (median 13.39, min-scaling 3.71) and
-#    b7_x10 (median 9.48, min-scaling 2.24) — host load was measured
-#    at 9.4 with ZERO local processes mid-round. The min-based
-#    scaling_x10 operands are clean and inside every pinned band.
-# 4. Measured dead ends recorded in OPTIMIZATION_r15.md: shuffled-hash
+# 3. Measured dead ends recorded in OPTIMIZATION_r15.md: shuffled-hash
 #    join session default (b4_x10 interleaved: SHJ 3.163 vs SMJ 3.009
 #    — flat), cheaper MinHash permutation families (the 64 min-agg
 #    buffer updates dominate, not the hashing: nohash 1.49 vs xxhash

@@ -390,17 +390,10 @@ def dedup_new_against_corpus(
     :func:`ngram_jaccard_pairs` over them for an exact-threshold
     verify. Left-anti joins keep the plan shuffle-minimal.
 
-    Both checks resolve in ONE aggregation over the tagged union of the
-    two band tables (r15; previously a localCheckpoint barrier plus a
-    vs-corpus join, a within-batch self-join and their union): per
-    (band, bucket) group, every new id is a duplicate when a corpus
-    member shares the bucket, else every new id but the smallest is —
-    exactly the old joins' semantics ("any corpus partner" / "a
-    smaller-id partner exists"), with the signature pipelines feeding
-    the single shuffle map-side and the batch pass never running twice.
-    The per-bucket id buffer has the same bound as
-    :func:`minhash_lsh_duplicate_pairs`'s members aggregate (LSH
-    buckets are near-dup groups and stay small by construction)."""
+    The new batch's band table is materialized ONCE (localCheckpoint)
+    and reused by BOTH the vs-corpus join and the within-batch
+    self-join — the signature pass over the batch is the expensive
+    part, and composing the two helpers naively would run it twice."""
     rows_per_band = num_hashes // bands
     new_b = _band_table(
         minhash_signatures(
@@ -408,7 +401,7 @@ def dedup_new_against_corpus(
             hash_fn=hash_fn,
         ),
         id_col, bands, rows_per_band, hash_fn,
-    )
+    ).localCheckpoint(eager=True)
     corp_b = _band_table(
         minhash_signatures(
             corpus_df, text_col, id_col, num_hashes, shingle_size, seed,
@@ -416,37 +409,33 @@ def dedup_new_against_corpus(
         ),
         id_col, bands, rows_per_band, hash_fn,
     )
-    tagged = new_b.select(
-        F.col(id_col).alias("__id"), "band", "bucket",
-        F.lit(1).alias("__new"),
-    ).unionByName(
-        corp_b.select(
-            F.col(id_col).alias("__id"), "band", "bucket",
-            F.lit(0).alias("__new"),
+    a, b = new_b.alias("a"), corp_b.alias("b")
+    vs_corpus = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+            ],
         )
+        .select(F.col(f"a.{id_col}").alias("new_id"))
     )
-    g = tagged.groupBy("band", "bucket").agg(
-        F.max(F.when(F.col("__new") == 0, 1).otherwise(0)).alias("__corp"),
-        # collect_list skips the nulls the corpus rows contribute
-        F.array_sort(
-            F.collect_list(F.when(F.col("__new") == 1, F.col("__id")))
-        ).alias("__ids"),
+    n1, n2 = new_b.alias("a"), new_b.alias("b")
+    within = (
+        n1.join(
+            n2,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"b.{id_col}").alias("new_id"))
     )
     dup_ids = (
-        g.where(F.size("__ids") > 0)
-        .select(
-            F.explode(
-                F.when(F.col("__corp") == 1, F.col("__ids")).otherwise(
-                    # no corpus partner: all but the smallest survive as
-                    # duplicates (slice of the sorted ids from pos 2)
-                    F.slice(
-                        F.col("__ids"), 2,
-                        F.greatest(F.size("__ids") - 1, F.lit(0)),
-                    )
-                )
-            ).alias(id_col)
-        )
+        vs_corpus.unionByName(within)
         .distinct()
+        .withColumnRenamed("new_id", id_col)
     )
     return new_df.join(dup_ids, on=id_col, how="left_anti")
 

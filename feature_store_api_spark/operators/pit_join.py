@@ -339,7 +339,7 @@ def _pit_recover_map(spine, keys, spine_ts, feature_schemas, feature_ts_types):
 
 def _pit_build_union(
     spine, feature_df, keys, spine_ts, feature_ts, features, precombine
-) -> DataFrame:
+):
     """The shared union frame both union-window strategies sort: keys +
     ``__ts`` + ``__side`` (0=feature, 1=spine) + the ``__cand``
     (ts[, precombine], payload) struct (NULL on spine rows so running

@@ -305,7 +305,21 @@ def negative_sampling(
     )
     from .pit_join import _cache_put, _plan_key
 
-    ck = _plan_key(candidates, item_col, hash_fn, seed, index_buckets)
+    # key on the leaf FILE SET as well as the plan hash: unlike the
+    # PIT probe/bounds caches (where staleness only costs performance)
+    # a stale count vector would desynchronize offsets from the live
+    # row_number pass, so an in-place rewrite that reuses the same
+    # lineage must miss. inputFiles() is a driver-side metadata call;
+    # writers emit unique part names, so a rewrite changes the tuple.
+    try:
+        files = tuple(sorted(candidates.inputFiles()))
+    except Exception:
+        files = None
+    ck = (
+        None if files is None
+        else _plan_key(candidates, item_col, hash_fn, seed, index_buckets,
+                       files)
+    )
     if ck is not None and ck in _NS_OFFSETS_CACHE:
         cnt_rows = _NS_OFFSETS_CACHE[ck]
     else:

@@ -279,6 +279,37 @@ class CommitStore:
             and (end_commit is None or c["commit_time"] <= end_commit)
         )
 
+    def _lone_compaction_base(
+        self, end_commit: Optional[int], log: Optional[List[Dict]] = None
+    ) -> bool:
+        """True iff a snapshot read bounded by ``end_commit`` merges
+        exactly ONE commit and that commit is a COMPACTION base.
+
+        A compaction base is engine-written from :meth:`snapshot`'s own
+        ``latest_per_key`` output, so it holds at most one row per
+        record key BY CONSTRUCTION — the read-side resolve would
+        shuffle the whole table to keep every row. (An OVERWRITE base
+        is user data and carries no such guarantee: a batch with
+        duplicate record keys relies on the read window to pick one.)
+        Vacuumed commits have no files, so they never widen the
+        window."""
+        if log is None:
+            log = self._read_log()
+        live = [
+            c for c in log
+            if not c.get("vacuumed")
+            and (end_commit is None or c["commit_time"] <= end_commit)
+        ]
+        bases = [c for c in live if c.get("base")]
+        if not bases:
+            return False
+        newest = max(bases, key=lambda c: c["commit_time"])
+        if newest.get("operation") != "compaction":
+            return False
+        return not any(
+            c["commit_time"] > newest["commit_time"] for c in live
+        )
+
     def _commits_since_base(self) -> int:
         """Delta commits on top of the newest compaction base — the
         merge-on-read tail length a snapshot read has to window over."""
@@ -434,9 +465,23 @@ class CommitStore:
             # at benign skew). Only an unbounded tail (auto-compaction
             # off, hundreds of commits) falls back to the skew-immune
             # map-side max_by.
-            tail = self._commits_in_window(start_commit, end_commit)
-            strategy = "window" if tail <= 64 else "agg"
-            df = latest_per_key(df, key, order_by=order, strategy=strategy)
+            if start_commit is None and self._lone_compaction_base(
+                end_commit, log
+            ):
+                # merge window == exactly one compaction base: rows are
+                # already unique per record key (the base is a
+                # latest_per_key output), so the resolve below would
+                # shuffle the ENTIRE table to keep every row. Skip it —
+                # the post-maintenance steady state at warehouse scale
+                # reads base files with zero exchanges (guide §2.4:
+                # removing a distinct over already-unique data). The
+                # delete filter below stays (vacuously true here: a
+                # base never carries delete rows).
+                pass
+            else:
+                tail = self._commits_in_window(start_commit, end_commit)
+                strategy = "window" if tail <= 64 else "agg"
+                df = latest_per_key(df, key, order_by=order, strategy=strategy)
         df = df.where(F.col(OP_COL) != "delete")
         return df.drop(COMMIT_COL, OP_COL)
 

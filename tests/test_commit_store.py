@@ -678,3 +678,73 @@ def test_commit_backend_detects_inconsistent_layout(spark, tmp_path):
     os.makedirs(os.path.join(be._data_path, "bogus=1"), exist_ok=True)
     with pytest.raises(ValueError, match="inconsistent partition layout"):
         be.append_commit(df, [COMMIT_COL, "part"])
+
+
+def _resolve_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lone_compaction_base_read_skips_resolve(spark, fs):
+    """When the merge window is exactly one compaction base, the
+    snapshot read must NOT pay the latest-per-key resolve: the base is
+    a latest_per_key output, already unique per record key, and the
+    resolve would shuffle the whole table to keep every row. Any
+    commit after the base brings the resolve back."""
+    fg = make_fg(fs)
+    fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "a", 1.0),
+        (2, ts("2024-01-01"), "b", 2.0),
+    ]))
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 5.0)]))
+    before = sorted(
+        (r["pk"], r["measurement"]) for r in fg.read(spark).collect()
+    )
+    fg.commit_store.compact(spark)
+
+    fast = fg.read(spark)
+    plan = _resolve_plan(fast)
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert sorted((r["pk"], r["measurement"]) for r in fast.collect()) == before
+
+    # a delta on top of the base re-enables the resolve, result stays right
+    fg.insert(df_of(spark, [(2, ts("2024-01-01"), "b", 9.0)]))
+    merged = fg.read(spark)
+    assert "Exchange hashpartitioning" in _resolve_plan(merged)
+    assert sorted((r["pk"], r["measurement"]) for r in merged.collect()) == [
+        (1, 5.0), (2, 9.0),
+    ]
+
+
+def test_lone_base_fast_path_requires_compaction(spark, fs):
+    """An OVERWRITE base is user data — a batch with duplicate record
+    keys relies on the read-side window to keep exactly one row, so
+    the lone-base fast path must not fire for it."""
+    fg = make_fg(fs)
+    fg.insert(
+        df_of(spark, [
+            (1, ts("2024-01-01"), "first", 1.0),
+            (1, ts("2024-01-01"), "second", 2.0),
+        ]),
+        overwrite=True,
+    )
+    out = fg.read(spark)
+    assert "Exchange hashpartitioning" in _resolve_plan(out)
+    assert out.count() == 1  # in-batch dup resolved by the window
+
+
+def test_as_of_below_lone_base_keeps_resolve(spark, fs):
+    """Time travel BELOW the compaction base reads multi-commit
+    history and must still resolve; at-or-after the base it may skip."""
+    fg = make_fg(fs)
+    c1 = fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 2.0)]))
+    base = fg.commit_store.compact(spark)
+
+    older = fg.as_of(c1.commit_time).read(spark)
+    assert "Exchange hashpartitioning" in _resolve_plan(older)
+    assert [r["measurement"] for r in older.collect()] == [1.0]
+
+    at_base = fg.as_of(base.commit_time).read(spark)
+    assert "Exchange hashpartitioning" not in _resolve_plan(at_base)
+    assert [r["measurement"] for r in at_base.collect()] == [2.0]

@@ -293,6 +293,22 @@ class CommitStore:
         duplicate record keys relies on the read window to pick one.)
         Vacuumed commits have no files, so they never widen the
         window."""
+        base_ct, tail = self._compaction_window_shape(end_commit, log)
+        return base_ct is not None and not tail
+
+    def _compaction_window_shape(
+        self, end_commit: Optional[int], log: Optional[List[Dict]] = None
+    ) -> "tuple[Optional[int], List[Dict]]":
+        """Shape of the snapshot merge window bounded by ``end_commit``:
+        ``(base_commit_time, tail_commits)`` when the window's oldest
+        commit is a COMPACTION base, else ``(None, [])``.
+
+        Mirrors :meth:`snapshot`'s pruning (window starts at the newest
+        live base ≤ end); the base qualifies only when it is a
+        compaction (engine-written ``latest_per_key`` output — unique
+        per record key by construction; an OVERWRITE base is user data
+        with no such guarantee). ``tail_commits`` are the live log
+        entries after the base, oldest first."""
         if log is None:
             log = self._read_log()
         live = [
@@ -302,13 +318,70 @@ class CommitStore:
         ]
         bases = [c for c in live if c.get("base")]
         if not bases:
-            return False
+            return None, []
         newest = max(bases, key=lambda c: c["commit_time"])
         if newest.get("operation") != "compaction":
-            return False
-        return not any(
-            c["commit_time"] > newest["commit_time"] for c in live
+            return None, []
+        tail = sorted(
+            (c for c in live if c["commit_time"] > newest["commit_time"]),
+            key=lambda c: c["commit_time"],
         )
+        return newest["commit_time"], tail
+
+    # broadcast gate for the base-plus-small-tail merge: ~2M keys at
+    # ~(8-50) B/key builds a 16-100 MB broadcast relation — comfortably
+    # inside Spark's 8 GB / 512M-row broadcast cap and the "few hundred
+    # MB is fine" operating band. Class attribute so a deployment (or a
+    # test) can tune it per table.
+    MOR_TAIL_MAX_ROWS = 2_000_000
+
+    def _tail_rows_small(self, tail_commits: List[Dict]) -> bool:
+        """Whether the delta tail is provably small enough to broadcast
+        its record keys — judged ONLY from row counts recorded in the
+        commit log (``compute_stats=True`` writes exact batch counts).
+        A tail commit with no recorded rows is ambiguous (stats skipped
+        on a possibly-huge write vs genuinely empty) and disqualifies
+        the path — conservatively falling back to the shuffle resolve
+        is always correct."""
+        total = 0
+        for c in tail_commits:
+            n = (
+                (c.get("rows_inserted") or 0)
+                + (c.get("rows_updated") or 0)
+                + (c.get("rows_deleted") or 0)
+            )
+            if n <= 0:
+                return False
+            total += n
+        return 0 < total <= self.MOR_TAIL_MAX_ROWS
+
+    def _merge_base_with_tail(
+        self,
+        df: DataFrame,
+        base_ct: int,
+        key: List[str],
+        order: List[str],
+        tail_len: int,
+    ) -> DataFrame:
+        """Merge-on-read split of a snapshot frame already bounded to
+        ``[base_ct, end]``: base rows not superseded by any tail row
+        (broadcast null-safe anti join on the record key) unioned with
+        the tail's own latest-per-key survivors. Exactly equivalent to
+        the resolve over base ∪ tail: every tail commit time is newer
+        than the base's, so a key present in the tail always shadows
+        its base row regardless of precombine, and keys only in the
+        base keep their single (base-unique) row."""
+        base = df.where(F.col(COMMIT_COL) == base_ct).alias("__base")
+        delta = df.where(F.col(COMMIT_COL) > base_ct)
+        delta_keys = F.broadcast(delta.select(*key).alias("__tail"))
+        cond = None
+        for k in key:
+            c = F.col(f"__base.`{k}`").eqNullSafe(F.col(f"__tail.`{k}`"))
+            cond = c if cond is None else (cond & c)
+        survivors = base.join(delta_keys, cond, "left_anti")
+        strategy = "window" if tail_len <= 64 else "agg"
+        resolved = latest_per_key(delta, key, order_by=order, strategy=strategy)
+        return survivors.unionByName(resolved)
 
     def _commits_since_base(self) -> int:
         """Delta commits on top of the newest compaction base — the
@@ -465,9 +538,12 @@ class CommitStore:
             # at benign skew). Only an unbounded tail (auto-compaction
             # off, hundreds of commits) falls back to the skew-immune
             # map-side max_by.
-            if start_commit is None and self._lone_compaction_base(
-                end_commit, log
-            ):
+            base_ct, tail_commits = (
+                self._compaction_window_shape(end_commit, log)
+                if start_commit is None
+                else (None, [])
+            )
+            if base_ct is not None and not tail_commits:
                 # merge window == exactly one compaction base: rows are
                 # already unique per record key (the base is a
                 # latest_per_key output), so the resolve below would
@@ -478,6 +554,19 @@ class CommitStore:
                 # delete filter below stays (vacuously true here: a
                 # base never carries delete rows).
                 pass
+            elif base_ct is not None and self._tail_rows_small(tail_commits):
+                # compaction base + SMALL delta tail: the classic
+                # merge-on-read split. The base streams through a
+                # broadcast ANTI join against the tail's record keys
+                # (null-safe, so a null-keyed base row is still
+                # superseded by a null-keyed delta) and is never
+                # shuffled; only the small tail pays the latest-per-key
+                # resolve. The window/agg resolve over base ∪ tail
+                # would shuffle the whole table to apply a tail that is
+                # orders of magnitude smaller.
+                df = self._merge_base_with_tail(
+                    df, base_ct, key, order, len(tail_commits)
+                )
             else:
                 tail = self._commits_in_window(start_commit, end_commit)
                 strategy = "window" if tail <= 64 else "agg"

@@ -748,3 +748,127 @@ def test_as_of_below_lone_base_keeps_resolve(spark, fs):
     at_base = fg.as_of(base.commit_time).read(spark)
     assert "Exchange hashpartitioning" not in _resolve_plan(at_base)
     assert [r["measurement"] for r in at_base.collect()] == [2.0]
+
+
+def _force_window_resolve(store):
+    """Context: disable both compaction-window fast paths, forcing the
+    classic shuffle resolve (the reference plan for equivalence)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        orig = type(store)._compaction_window_shape
+        type(store)._compaction_window_shape = (
+            lambda self, e, log=None: (None, [])
+        )
+        try:
+            yield
+        finally:
+            type(store)._compaction_window_shape = orig
+
+    return ctx()
+
+
+def test_base_plus_small_tail_merge_on_read(spark, fs):
+    """Compaction base + small delta tail: the base must stream through
+    a broadcast anti join (never shuffled); only the tail pays the
+    resolve. Results must be row-identical to the forced shuffle
+    resolve across updates, inserts, deletes, delete-then-reinsert
+    and null-keyed rows."""
+    fg = make_fg(fs)
+    fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "a", 1.0),
+        (2, ts("2024-01-01"), "b", 2.0),
+        (3, ts("2024-01-01"), "c", 3.0),
+        (4, ts("2024-01-01"), "d", 4.0),
+        (5, None, "nullts", 5.0),          # null event-time key part
+    ]))
+    fg.commit_store.compact(spark)
+    # tail commit 1: update pk=1, insert pk=6, update the null-key row
+    fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "a2", 10.0),
+        (6, ts("2024-01-02"), "f", 6.0),
+        (5, None, "nullts2", 50.0),
+    ]))
+    # tail commit 2: delete pk=2, delete-then-reinsert pk=3
+    fg.commit_delete_record(df_of(spark, [
+        (2, ts("2024-01-01"), "b", 2.0),
+        (3, ts("2024-01-01"), "c", 3.0),
+    ]))
+    fg.insert(df_of(spark, [(3, ts("2024-01-01"), "c3", 33.0)]))
+
+    out = fg.read(spark)
+    plan = _resolve_plan(out)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the only key-shuffle is the small tail's resolve
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+    got = sorted(
+        ((r["pk"], r["state"], r["measurement"]) for r in out.collect()),
+        key=str,
+    )
+    with _force_window_resolve(fg.commit_store):
+        ref = fg.read(spark)
+        assert "LeftAnti" not in _resolve_plan(ref)
+        want = sorted(
+            ((r["pk"], r["state"], r["measurement"]) for r in ref.collect()),
+            key=str,
+        )
+    assert got == want
+    assert got == sorted([
+        (1, "a2", 10.0), (3, "c3", 33.0), (4, "d", 4.0),
+        (5, "nullts2", 50.0), (6, "f", 6.0),
+    ], key=str)
+
+
+def test_base_tail_merge_respects_precombine(spark, fs):
+    """Within one tail commit the precombine tie-break must still pick
+    the max-precombine row, exactly as the full resolve does."""
+    fg = fs.create_feature_group(
+        "fg_pc", primary_key=["pk"], event_time="ets",
+        precombine_key="measurement", auto_compact_every=None,
+    )
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "base", 1.0)]))
+    fg.commit_store.compact(spark)
+    fg.insert(df_of(spark, [
+        (1, ts("2024-01-01"), "low", 5.0),
+        (1, ts("2024-01-01"), "high", 9.0),
+    ]))
+    out = fg.read(spark)
+    assert "LeftAnti" in _resolve_plan(out)
+    assert [(r["state"], r["measurement"]) for r in out.collect()] == [
+        ("high", 9.0)
+    ]
+
+
+def test_base_tail_merge_requires_known_small_tail(spark, fs):
+    """A tail commit with no recorded row counts (compute_stats=False)
+    is ambiguous — possibly a huge stats-skipped write — and a tail
+    over the broadcast gate is not small: both must fall back to the
+    shuffle resolve."""
+    fg = make_fg(fs)
+    fg.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    fg.commit_store.compact(spark)
+    fg.insert(
+        df_of(spark, [(2, ts("2024-01-01"), "b", 2.0)]),
+        compute_stats=False,
+    )
+    assert "LeftAnti" not in _resolve_plan(fg.read(spark))
+    assert fg.read(spark).count() == 2
+
+    fg2 = fs.create_feature_group(
+        "fg_gate", primary_key=["pk"], event_time="ets",
+        auto_compact_every=None,
+    )
+    fg2.insert(df_of(spark, [(1, ts("2024-01-01"), "a", 1.0)]))
+    fg2.commit_store.compact(spark)
+    fg2.insert(df_of(spark, [(2, ts("2024-01-01"), "b", 2.0)]))
+    assert "LeftAnti" in _resolve_plan(fg2.read(spark))
+    saved = type(fg2.commit_store).MOR_TAIL_MAX_ROWS
+    try:
+        type(fg2.commit_store).MOR_TAIL_MAX_ROWS = 0
+        assert "LeftAnti" not in _resolve_plan(fg2.read(spark))
+    finally:
+        type(fg2.commit_store).MOR_TAIL_MAX_ROWS = saved
+    assert fg2.read(spark).count() == 2

@@ -1584,8 +1584,11 @@ if __name__ == "__main__":
 #    shuffle-width trim: exchange 8 -> 6 columns, constant precombine
 #    field dropped), e6 0.59x (drift reference bounds from parquet
 #    footers + overlapped bin passes), e8 0.58x (catalog bucket-offset
-#    plan cache), e9 0.58x (stats-only per-batch count removed),
-#    e2 0.62x (one-aggregation incremental dedup, lazy again).
+#    plan cache), e9 0.58x (stats-only per-batch count removed).
+#    e2's 0.62x is the platform factor, not code: the one-aggregation
+#    rewrite that was briefly in during this board was REVERTED on
+#    review (corpus-shuffle + equal-id defects; its e2 wall effect
+#    measured flat either way — OPTIMIZATION_r15.md §6).
 #    A uniform ~0.7-0.8x platform factor separates the two boxes —
 #    the A/Bs in OPTIMIZATION_r15.md isolate code effect from box.
 # 3. Measured dead ends recorded in OPTIMIZATION_r15.md: shuffled-hash

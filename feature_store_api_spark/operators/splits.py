@@ -311,8 +311,12 @@ def negative_sampling(
     # row_number pass, so an in-place rewrite that reuses the same
     # lineage must miss. inputFiles() is a driver-side metadata call;
     # writers emit unique part names, so a rewrite changes the tuple.
+    # An EMPTY file set is treated like an un-listable plan: a
+    # files-less source (JDBC/DBAPI view, local relation) returns []
+    # without raising, and its canonical plan can stay identical while
+    # the external data changes underneath — never cache those.
     try:
-        files = tuple(sorted(candidates.inputFiles()))
+        files = tuple(sorted(candidates.inputFiles())) or None
     except Exception:
         files = None
     ck = (

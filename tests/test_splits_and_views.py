@@ -324,6 +324,53 @@ def test_negative_sampling_semantics(spark):
         negative_sampling(pos, cand.limit(0), "user_id", "item_id")
 
 
+def test_negative_sampling_offsets_cache_gates(spark, tmp_path):
+    """The bucket-offsets cache only engages for file-backed candidate
+    frames (a files-less source can change underneath an identical
+    canonical plan — never cached), and an in-place rewrite of the
+    candidate files misses via the file-set key so samples always come
+    from the live catalog."""
+    from feature_store_api_spark.operators import splits as sp
+
+    pos = spark.createDataFrame(
+        [(u, u) for u in range(4)], "user_id long, item_id long"
+    )
+    local_cand = spark.createDataFrame(
+        [(i,) for i in range(30)], "item_id long"
+    )
+    sp._NS_OFFSETS_CACHE.clear()
+    sp.negative_sampling(
+        pos, local_cand, "user_id", "item_id", n_negatives=2, seed=3
+    ).collect()
+    assert not sp._NS_OFFSETS_CACHE, "files-less candidates must not cache"
+
+    path = str(tmp_path / "cand")
+    spark.range(20, 40).select(F.col("id").alias("item_id")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    file_cand = spark.read.parquet(path)
+    out1 = sp.negative_sampling(
+        pos, file_cand, "user_id", "item_id", n_negatives=2, seed=3
+    ).collect()
+    assert len(sp._NS_OFFSETS_CACHE) == 1, "file-backed candidates cache"
+    assert all(
+        20 <= r["item_id"] < 40 for r in out1 if r["label"] == 0
+    )
+
+    # in-place rewrite through the same path: the file-set key must
+    # miss and the negatives must come from the NEW catalog only
+    spark.range(100, 120).select(F.col("id").alias("item_id")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    out2 = sp.negative_sampling(
+        pos, spark.read.parquet(path), "user_id", "item_id",
+        n_negatives=2, seed=3,
+    ).collect()
+    negs2 = [r["item_id"] for r in out2 if r["label"] == 0]
+    assert negs2 and all(100 <= i < 120 for i in negs2)
+    assert len(sp._NS_OFFSETS_CACHE) == 2
+
+
 def test_feature_view_pit_strategy_override(spark, tmp_path):
     """get_batch_data(pit_strategy='union_window_skew') produces the
     same rows as the default strategy and keeps the fused two-stage
